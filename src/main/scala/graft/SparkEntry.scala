@@ -1,13 +1,205 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.filter.FilterCompiler
+import graft.ingest.Ingest
+import graft.model._
+import graft.pipeline.LogsToMetrics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared query routes through the graft engine APIs
+  * (FilterCompiler / LogsToMetrics / Ingest / ext modules) and pairs with a
+  * DuckDB oracle in [[oracleSql]]. Column names are aligned 1:1 between the
+  * Spark result and the oracle (driver compare sorts columns by name).
+  * Floating-point outputs are made order-insensitive: exact 2-decimal
+  * inputs are summed as DECIMAL and cast back, or rounded where the engine
+  * semantics mandate a double sum.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_window_count")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers ----------------------------------------------------
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** epoch-seconds of an (already second-aligned) window boundary. */
+  private def secs(c: Column): Column = unix_timestamp(c)
+
+  private def filterCount(s: SparkSession, dir: String, conds: FilterCondition*): DataFrame = {
+    val df = ev(s, dir)
+    df.filter(FilterCompiler.compile(conds, df.schema)).agg(count(lit(1)).as("cnt"))
+  }
+
+  // ---- query registry -----------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler
+    "q_filter_equals" -> ((s, dir) =>
+      filterCount(s, dir, FilterCondition("event_type", "error", "equals"))),
+    "q_filter_contains" -> ((s, dir) =>
+      filterCount(s, dir, FilterCondition("props", "6", "contains"))),
+    "q_filter_gt" -> ((s, dir) =>
+      filterCount(s, dir, FilterCondition("value", "100.0", "greater_than"))),
+    "q_filter_lt" -> ((s, dir) =>
+      filterCount(s, dir, FilterCondition("value", "50.0", "less_than"))),
+    "q_filter_conj" -> ((s, dir) =>
+      filterCount(
+        s,
+        dir,
+        FilterCondition("event_type", "click", "equals"),
+        FilterCondition("value", "50.0", "greater_than"),
+        FilterCondition("props", "\"k\"", "contains"))),
+
+    // O7+O8: tumbling window count (flagship)
+    "q_window_count" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(MetricDefinition("ev_count", MetricType.Count, windowSizeSec = 60))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(secs(col("window_start")).as("w_start"), col("value").as("cnt_value"))
+        .orderBy("w_start")
+    },
+
+    // O7+O8: filtered windowed sum
+    "q_window_sum" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(
+        MetricDefinition(
+          "click_value",
+          MetricType.Sum("value"),
+          Seq(FilterCondition("event_type", "click", "equals")),
+          windowSizeSec = 300))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(secs(col("window_start")).as("w_start"), round(col("value"), 3).as("sum_value"))
+        .orderBy("w_start")
+    },
+
+    // O5: dynamic label from a message field
+    "q_dynamic_labels" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(
+        MetricDefinition(
+          "by_type",
+          MetricType.Count,
+          dynamicLabels = Map("et" -> "event_type"),
+          windowSizeSec = 60))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(
+          secs(col("window_start")).as("w_start"),
+          try_element_at(col("labels"), lit("et")).as("et"),
+          col("value").as("cnt_value"))
+        .orderBy("w_start", "et")
+    },
+
+    // O5: missing dynamic-label field ⇒ "" (reference pipeline.py:195-196)
+    "q_label_missing" -> { (s, dir) =>
+      val df = ev(s, dir).withColumn("k", get_json_object(col("props"), "$.k"))
+      val defs = Seq(
+        MetricDefinition(
+          "by_k",
+          MetricType.Count,
+          dynamicLabels = Map("kk" -> "k", "mm" -> "no_such_field"),
+          windowSizeSec = 3600))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(
+          secs(col("window_start")).as("w_start"),
+          try_element_at(col("labels"), lit("kk")).as("kk"),
+          try_element_at(col("labels"), lit("mm")).as("mm"),
+          col("value").as("cnt_value"))
+        .orderBy("w_start", "kk")
+    },
+
+    // O4: multi-config fan-out, single pass
+    "q_multi_metric" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(
+        MetricDefinition(
+          "error_count",
+          MetricType.Count,
+          Seq(FilterCondition("event_type", "error", "equals")),
+          windowSizeSec = 300),
+        MetricDefinition(
+          "click_value_sum",
+          MetricType.Sum("value"),
+          Seq(FilterCondition("event_type", "click", "equals")),
+          windowSizeSec = 300))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(
+          col("metric"),
+          secs(col("window_start")).as("w_start"),
+          round(col("value"), 3).as("value"))
+        .orderBy("metric", "w_start")
+    },
+
+    // O6: SUM over string-typed / missing fields (missing ⇒ 0)
+    "q_sum_missing_zero" -> { (s, dir) =>
+      val df = ev(s, dir).withColumn("k", get_json_object(col("props"), "$.k"))
+      val defs = Seq(
+        MetricDefinition("sum_k", MetricType.Sum("k"), windowSizeSec = 3600),
+        MetricDefinition("sum_missing", MetricType.Sum("no_such_field"), windowSizeSec = 3600))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(
+          col("metric"),
+          secs(col("window_start")).as("w_start"),
+          round(col("value"), 3).as("value"))
+        .orderBy("metric", "w_start")
+    },
+
+    // O1+O2: full ingest path — bytes → multi-charset decode UDF →
+    // schemaless JSON map → filter → window → agg
+    "q_ingest_roundtrip" -> { (s, dir) =>
+      val raw = ev(s, dir).select(
+        col("ts"),
+        encode(to_json(struct(col("event_type"), col("user_id"))), "UTF-8").as("raw"))
+      val parsed = Ingest.parseSchemaless(raw, "raw")
+      val defs = Seq(
+        MetricDefinition(
+          "err",
+          MetricType.Count,
+          Seq(FilterCondition("event_type", "error", "equals")),
+          windowSizeSec = 600))
+      LogsToMetrics(defs, LogsToMetrics.Schemaless("msg"))(parsed)
+        .select(secs(col("window_start")).as("w_start"), col("value").as("cnt_value"))
+        .orderBy("w_start")
+    }
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private def bucket(size: Int): String =
+    s"CAST(floor(epoch(CAST(ts AS TIMESTAMP))/$size)*$size AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_equals" -> "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
+    "q_filter_contains" -> "SELECT count(*) AS cnt FROM events WHERE contains(props, '6')",
+    "q_filter_gt" -> "SELECT count(*) AS cnt FROM events WHERE value > 100.0",
+    "q_filter_lt" -> "SELECT count(*) AS cnt FROM events WHERE value < 50.0",
+    "q_filter_conj" -> ("SELECT count(*) AS cnt FROM events " +
+      "WHERE event_type = 'click' AND value > 50.0 AND contains(props, '\"k\"')"),
+    "q_window_count" -> (s"SELECT ${bucket(60)} AS w_start, CAST(count(*) AS DOUBLE) AS cnt_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_window_sum" -> (s"SELECT ${bucket(300)} AS w_start, round(sum(value), 3) AS sum_value " +
+      "FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"),
+    "q_dynamic_labels" -> (s"SELECT ${bucket(60)} AS w_start, event_type AS et, " +
+      "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_label_missing" -> (s"SELECT ${bucket(3600)} AS w_start, " +
+      "json_extract_string(props, '$.k') AS kk, '' AS mm, " +
+      "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_multi_metric" -> (s"SELECT 'error_count' AS metric, ${bucket(300)} AS w_start, " +
+      "round(CAST(count(*) AS DOUBLE), 3) AS value FROM events WHERE event_type = 'error' GROUP BY 2 " +
+      s"UNION ALL SELECT 'click_value_sum' AS metric, ${bucket(300)} AS w_start, " +
+      "round(sum(value), 3) AS value FROM events WHERE event_type = 'click' GROUP BY 2 " +
+      "ORDER BY 1, 2"),
+    "q_sum_missing_zero" -> (s"SELECT 'sum_k' AS metric, ${bucket(3600)} AS w_start, " +
+      "round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 3) AS value " +
+      "FROM events GROUP BY 2 " +
+      s"UNION ALL SELECT 'sum_missing' AS metric, ${bucket(3600)} AS w_start, " +
+      "round(sum(0.0), 3) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
+    "q_ingest_roundtrip" -> (s"SELECT ${bucket(600)} AS w_start, CAST(count(*) AS DOUBLE) AS cnt_value " +
+      "FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1")
+  )
 }

@@ -1,0 +1,76 @@
+package graft.ingest
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, Charset, CodingErrorAction}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest edge: raw message bytes → parsed records.
+  *
+  * Reproduces the reference's decode-then-parse flatMap
+  * (/root/reference/beametrics/pipeline.py:82-108):
+  *  - decoding tries utf-8 → shift-jis → euc-jp → iso-2022-jp in order,
+  *    strictly (an invalid byte sequence moves to the next charset);
+  *  - undecodable or non-JSON messages are DROPPED (logged upstream,
+  *    never fail the pipeline — asserted by
+  *    /root/reference/tests/test_pipeline.py:336-350).
+  *
+  * The multi-charset fallback is the single irreducible scalar UDF in the
+  * engine (Spark's `decode(col, charset)` takes one fixed charset —
+  * SURVEY.md §4.2). It is confined to this ingest edge so the rest of the
+  * plan stays inside WholeStageCodegen.
+  */
+object Ingest {
+
+  /** Charset cascade, in reference order (/root/reference/beametrics/pipeline.py:86). */
+  val Charsets: Seq[String] = Seq("UTF-8", "Shift_JIS", "EUC-JP", "ISO-2022-JP")
+
+  private def decodeStrict(bytes: Array[Byte], charsetName: String): Option[String] = {
+    val dec = Charset
+      .forName(charsetName)
+      .newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try Some(dec.decode(ByteBuffer.wrap(bytes)).toString)
+    catch { case _: CharacterCodingException => None }
+  }
+
+  /** First charset in the cascade that decodes cleanly; null if none. */
+  def decodeMultiCharset(bytes: Array[Byte]): String =
+    if (bytes == null) null
+    else Charsets.iterator.flatMap(decodeStrict(bytes, _)).nextOption().orNull
+
+  /** Scalar UDF wrapper — the only UDF in the core engine. */
+  val decodeMulti: UserDefinedFunction = udf(decodeMultiCharset _)
+
+  /** Schemaless parity mode: every JSON value stringified into
+    * `MapType(String, String)` — mirrors the reference's untyped
+    * `msg.get(field)` access (SURVEY.md §1.3). Malformed/undecodable rows
+    * are dropped (`from_json` ⇒ null for broken documents).
+    */
+  def parseSchemaless(df: DataFrame, rawCol: String, msgCol: String = "msg"): DataFrame =
+    df.withColumn(msgCol, from_json(decodeMulti(col(rawCol)), MapType(StringType, StringType)))
+      .filter(col(msgCol).isNotNull)
+
+  /** Typed mode: user-declared payload schema — enables static filter
+    * compilation, pruning and pushdown. Row validity is gated on the
+    * document parsing at all (map-probe), mirroring drop-on-failure; fields
+    * missing from a valid document are null (reference `msg.get` ⇒ None).
+    */
+  def parseTyped(df: DataFrame, rawCol: String, schema: StructType, msgCol: String = "msg"): DataFrame = {
+    val decoded = decodeMulti(col(rawCol))
+    df.withColumn("_graft_valid", from_json(decoded, MapType(StringType, StringType)).isNotNull)
+      .withColumn(msgCol, from_json(decoded, schema))
+      .filter(col("_graft_valid"))
+      .drop("_graft_valid")
+  }
+
+  /** Flatten a parsed struct payload to top-level columns, keeping extras. */
+  def flattened(df: DataFrame, msgCol: String = "msg"): DataFrame = {
+    val others = df.columns.filterNot(_ == msgCol).map(col)
+    df.select(others :+ col(s"$msgCol.*"): _*)
+  }
+}

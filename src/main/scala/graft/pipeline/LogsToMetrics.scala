@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.filter.FilterCompiler
+import graft.model.{FilterCondition, MetricDefinition, MetricType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The core transform: N metric definitions over one record stream →
+  * one aggregated point per (metric, label-set, window).
+  *
+  * Re-expresses /root/reference/beametrics/pipeline.py:164-208 (fan-out →
+  * window assign → CombinePerKey(sum)) Spark-first:
+  *
+  *  - **Single scan, single shuffle.** Instead of the reference's
+  *    per-element Python loop over configs (pipeline.py:168-178) or a
+  *    unionByName of N filtered branches (which re-scans the source N
+  *    times), each row builds an array of per-config structs, keeps only
+  *    matching configs, and explodes. One pass over 100 TB, one
+  *    hash-partial aggregation before the only exchange — Beam's combiner
+  *    lifting ≡ Spark partial+final HashAggregate.
+  *  - A disjunction of all config predicates is applied *before* the
+  *    explode so non-matching rows never reach the generator; Catalyst
+  *    pushes it into the parquet scan.
+  *  - Window assignment is the reference's epoch-floor math
+  *    (pipeline.py:67-70): `start = ts - (ts mod size)`, here in integer
+  *    microseconds, supporting a different window size per config in the
+  *    same single pass (Spark's `window()` needs a static size; this
+  *    formulation doesn't).
+  *  - Labels are canonicalized at *plan time* to a key-sorted
+  *    `array<struct<key,value>>` (the reference sorts label tuples at
+  *    runtime per element, pipeline.py:172); arrays of structs are
+  *    orderable, so they group directly — no runtime canonicalization,
+  *    no map-grouping limitation.
+  *
+  * Value semantics (pipeline.py:200-208): COUNT ⇒ 1.0 per row; SUM ⇒
+  * `float(msg.get(field, 0))`, missing field ⇒ 0. Divergence (documented,
+  * SURVEY.md §2.2): an unparsable string under SUM yields 0 instead of
+  * crashing the job — `try_cast` + `coalesce`.
+  *
+  * Output schema:
+  * `metric string, window_start timestamp, window_end timestamp,
+  *  labels map<string,string>, value double`.
+  */
+object LogsToMetrics {
+
+  private val LabelsType = "array<struct<key:string,value:string>>"
+
+  /** Field access strategy: typed columns vs schemaless string map. */
+  sealed trait Mode {
+    def pred(conds: Seq[FilterCondition]): Column
+    def sumValue(field: String): Column
+    def labelValue(field: String): Column
+  }
+
+  /** Records have a declared schema; field types known at plan time. */
+  final case class Typed(schema: StructType) extends Mode {
+    def pred(conds: Seq[FilterCondition]): Column = FilterCompiler.compile(conds, schema)
+    def sumValue(field: String): Column =
+      schema.fields.find(_.name == field) match {
+        case None => lit(0.0) // msg.get(field, 0)
+        case Some(f) =>
+          f.dataType match {
+            case _: NumericType => coalesce(col(field).cast(DoubleType), lit(0.0))
+            case _              => coalesce(col(field).try_cast(DoubleType), lit(0.0))
+          }
+      }
+    def labelValue(field: String): Column =
+      if (schema.fieldNames.contains(field))
+        coalesce(col(field).cast(StringType), lit("")) // str(msg.get(field, ""))
+      else lit("")
+  }
+
+  /** Records are a `MapType(String,String)` column parsed from JSON. */
+  final case class Schemaless(msgCol: String) extends Mode {
+    private def f(field: String) = try_element_at(col(msgCol), lit(field))
+    def pred(conds: Seq[FilterCondition]): Column =
+      FilterCompiler.compileSchemaless(conds, col(msgCol))
+    def sumValue(field: String): Column =
+      coalesce(f(field).try_cast(DoubleType), lit(0.0))
+    def labelValue(field: String): Column = coalesce(f(field), lit(""))
+  }
+
+  def apply(defs: Seq[MetricDefinition], mode: Mode, tsCol: String = "ts")(
+      df: DataFrame): DataFrame = {
+    require(defs.nonEmpty, "at least one metric definition")
+
+    val perConfig: Seq[Column] = defs.map { d =>
+      val emit = struct(
+        lit(d.name).as("metric"),
+        lit(d.effectiveWindowSizeSec).as("wsize"),
+        labelEntries(d, mode).as("labels"),
+        valueCol(d, mode).as("value"))
+      when(mode.pred(d.filters), emit)
+    }
+    // Pre-explode row gate: OR of all config predicates — pushdown-friendly.
+    val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
+
+    df.filter(anyMatch)
+      .select(col(tsCol).as("_ts"),
+        explode(filter(array(perConfig: _*), c => c.isNotNull)).as("m"))
+      .select(col("_ts"), col("m.*"))
+      // epoch-floor tumbling window in integer micros; per-config size.
+      .withColumn("_wstart",
+        (expr("unix_micros(_ts)") - pmod(expr("unix_micros(_ts)"), col("wsize") * 1000000L)))
+      .groupBy(col("metric"), col("wsize"), col("_wstart"), col("labels"))
+      .agg(sum(col("value")).as("value"))
+      .select(
+        col("metric"),
+        timestamp_micros(col("_wstart")).as("window_start"),
+        timestamp_micros(col("_wstart") + col("wsize") * 1000000L).as("window_end"),
+        map_from_entries(col("labels")).as("labels"),
+        col("value"))
+  }
+
+  /** Plan-time canonical labels: static ∪ dynamic, dynamic wins on key
+    * conflict (pipeline.py:198), sorted by key (pipeline.py:172).
+    */
+  private def labelEntries(d: MetricDefinition, mode: Mode): Column = {
+    val entries: Seq[(String, Column)] =
+      (d.effectiveStaticLabels.view.mapValues(lit(_)).toSeq ++
+        d.dynamicLabels.view.mapValues(mode.labelValue).toSeq).sortBy(_._1)
+    if (entries.isEmpty) array().cast(LabelsType)
+    else array(entries.map { case (k, v) => struct(lit(k).as("key"), v.as("value")) }: _*)
+  }
+
+  private def valueCol(d: MetricDefinition, mode: Mode): Column = d.metricType match {
+    case MetricType.Count      => lit(1.0)
+    case MetricType.Sum(field) => mode.sumValue(field)
+  }
+}
