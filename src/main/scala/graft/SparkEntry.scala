@@ -37,7 +37,13 @@ object SparkEntry {
 
   // ---- query registry -----------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.ext.RelationalQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ graft.ext.RelationalQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler
     "q_filter_equals" -> ((s, dir) =>
       filterCount(s, dir, FilterCondition("event_type", "error", "equals"))),
@@ -173,7 +179,7 @@ object SparkEntry {
   private def bucket(size: Int): String =
     s"CAST(floor(epoch(CAST(ts AS TIMESTAMP))/$size)*$size AS BIGINT)"
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q_filter_equals" -> "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
     "q_filter_contains" -> "SELECT count(*) AS cnt FROM events WHERE contains(props, '6')",
     "q_filter_gt" -> "SELECT count(*) AS cnt FROM events WHERE value > 100.0",

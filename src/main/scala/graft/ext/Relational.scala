@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational EXT operators beyond the reference surface (SURVEY.md §2.3/§2.4
+  * EXT). The reference (kesompochy/beametrics) has no joins, sorts, set ops or
+  * analytic windows (/root/reference/beametrics/ — single-stream pipeline);
+  * these are the operations a metrics/enrichment workload needs at 100 TB,
+  * expressed so Catalyst picks the scalable physical plan:
+  *
+  *  - dimension enrichment broadcasts the small side — no shuffle of the
+  *    100 TB fact side, plain `BroadcastHashJoin`;
+  *  - top-k per group pre-aggregates to group cardinality BEFORE the rank
+  *    window, so the sort operates on |groups| rows, never on raw events;
+  *  - distinct counting offers exact (`count_distinct`, one extra shuffle)
+  *    and sketched (`approx_count_distinct` HLL, single pass, mergeable
+  *    partial state — the only option that holds at 1000 executors).
+  */
+object Relational {
+
+  /** Broadcast-enrich a fact table with a dimension. The dim side is
+    * explicitly hinted: at 100 TB the fact side must never shuffle for a
+    * dimension lookup (AQE would usually pick this, the hint removes the
+    * guess).
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, joinExpr: Column, how: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), joinExpr, how)
+
+  /** Top-k rows per group by a metric computed over a pre-aggregated frame.
+    *
+    * Two-phase: aggregate to (group, entity) grain first (partial+final
+    * hash agg — map-side combine shrinks the shuffle), THEN rank with a
+    * window over the small aggregate. Ranking raw data with `row_number`
+    * would sort every partition of the full input; ranking the aggregate
+    * sorts |entities| rows. Ties broken by the entity columns for
+    * determinism.
+    */
+  def topKPerGroup(
+      aggregated: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    aggregated
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact + approximate distinct counts per group in one pass.
+    * `count_distinct` expands to a two-shuffle expand/agg; the HLL sketch
+    * (`approx_count_distinct`, rsd tunable) is single-shuffle with constant
+    * per-group state — the 100 TB default.
+    */
+  def distinctPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count_distinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(col(valueCol), 0.01).as("approx_distinct"))
+}

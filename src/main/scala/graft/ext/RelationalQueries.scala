@@ -1,0 +1,200 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared relational EXT queries + DuckDB oracles (SURVEY.md §2.4 EXT).
+  * Column names are aligned 1:1 with the oracle SQL; every query ends in a
+  * deterministic ORDER BY; double aggregates are rounded to absorb
+  * summation-order noise (driver hash-compares values).
+  */
+object RelationalQueries {
+
+  private def secs(c: org.apache.spark.sql.Column) = unix_timestamp(c)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Broadcast dimension enrichment: events.user_id → customer.c_custkey.
+    // Fact side never shuffles for the lookup (BroadcastHashJoin).
+    "q_join_enrich" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val cust = Tables.customer(s, dir)
+      Relational
+        .enrich(ev, cust, ev("user_id") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("segment")
+    },
+
+    // Top-5 users by event count per event_type: aggregate first (hash agg
+    // with map-side combine), rank the small aggregate, never sort raw rows.
+    "q_topk_users" -> { (s, dir) =>
+      val perUser = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      Relational
+        .topKPerGroup(perUser, Seq("event_type"), Seq(col("cnt").desc, col("user_id").asc), 5)
+        .select(col("event_type"), col("user_id"), col("cnt"), col("rank"))
+        .orderBy("event_type", "rank")
+    },
+
+    // Exact distinct per group (two-phase expand) — oracle-checked.
+    "q_distinct_users" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("distinct_users"))
+        .orderBy("event_type")
+    },
+
+    // HLL sketch distinct (single-pass, mergeable state — the 100 TB path).
+    // No DuckDB oracle (sketch values are engine-specific) ⇒ rows-only check.
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // CUBE over label columns: all 4 grouping sets in one shuffle (Expand).
+    "q_cube_labels" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .cube(col("event_type"), get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("has_k").cast("string"), lit("<all>")).as("has_k"),
+          col("cnt"))
+        .orderBy("event_type", "has_k")
+    },
+
+    // ROLLUP revenue by region→nation over the 4-join TPC-H path. True
+    // dimensions (customer/nation/region) broadcast; lineitem⋈orders is
+    // fact⋈fact — left to AQE (shuffle join at scale, never broadcast).
+    "q_rollup_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      val joined = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      joined
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(
+          coalesce(col("r_name"), lit("<all>")).as("region"),
+          coalesce(col("n_name"), lit("<all>")).as("nation"),
+          col("revenue"))
+        .orderBy("region", "nation")
+    },
+
+    // TPC-H Q1-shaped pricing summary — the bench headline aggregation.
+    "q_pricing_summary" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q5-shaped revenue per nation within one region.
+    "q_revenue_by_nation" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+          nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("nation")
+    },
+
+    // Sliding event-time window: 300 s size, 60 s slide (each event lands in
+    // 5 buckets via Spark's window(); oracle replicates with a range join).
+    "q_sliding_window" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(window(col("ts"), "300 seconds", "60 seconds").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(secs(col("w.start")).as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    },
+
+    // Gap-based session window per user (Spark session_window in batch).
+    "q_session_window" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 day").as("sw"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), secs(col("sw.start")).as("sess_start"), col("cnt"))
+        .orderBy("user_id", "sess_start")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_enrich" -> ("SELECT c_mktsegment AS segment, count(*) AS cnt, " +
+      "round(sum(value), 2) AS sum_value FROM events " +
+      "JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1"),
+    "q_topk_users" -> ("SELECT event_type, user_id, cnt, rank FROM (" +
+      "SELECT event_type, user_id, count(*) AS cnt, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rank " +
+      "FROM events GROUP BY 1, 2) WHERE rank <= 5 ORDER BY event_type, rank"),
+    "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
+      "coalesce(CAST(json_extract_string(props, '$.k') IS NOT NULL AS VARCHAR), '<all>') AS has_k, " +
+      "count(*) AS cnt FROM events " +
+      "GROUP BY CUBE (event_type, json_extract_string(props, '$.k') IS NOT NULL) " +
+      "ORDER BY 1, 2"),
+    "q_rollup_revenue" -> ("SELECT coalesce(r_name, '<all>') AS region, " +
+      "coalesce(n_name, '<all>') AS nation, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY ROLLUP (r_name, n_name) ORDER BY 1, 2"),
+    "q_pricing_summary" -> ("SELECT l_returnflag, l_linestatus, " +
+      "round(sum(l_quantity), 2) AS sum_qty, " +
+      "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+      "round(avg(l_quantity), 6) AS avg_qty, " +
+      "count(*) AS count_order FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_revenue_by_nation" -> ("SELECT n_name AS nation, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1"),
+    "q_sliding_window" -> ("SELECT w_start, count(*) AS cnt FROM (" +
+      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) - 60 * r.range AS w_start " +
+      "FROM events CROSS JOIN range(5) r) GROUP BY 1 ORDER BY 1"),
+    "q_session_window" -> ("WITH flagged AS (" +
+      "SELECT user_id, ts, CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - " +
+      "epoch(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP)) >= 86400 " +
+      "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_sess " +
+      "FROM events), sess AS (" +
+      "SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+      "SELECT user_id, CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS sess_start, " +
+      "count(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start")
+  )
+}
