@@ -38,10 +38,10 @@ object SparkEntry {
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.ext.RelationalQueries.queries
+    coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ graft.ext.RelationalQueries.oracleSql
+    coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler

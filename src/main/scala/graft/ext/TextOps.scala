@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star EXT —
+  * the reference has no text ops; repo:BASELINE.json "LLM-data-pipeline
+  * operators … designed for 100 TB scale").
+  *
+  * Everything here is pure `Column` algebra — per-row, no UDFs, fully inside
+  * WholeStageCodegen, trivially data-parallel at any scale (no shuffle is
+  * introduced by any of these expressions; only downstream groupBys shuffle).
+  * Higher-order functions (`transform`/`filter`/`aggregate`) run over token
+  * arrays without leaving Tungsten rows.
+  */
+object TextOps {
+
+  /** Minimal English stopword list used by the quality heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Language marker profiles for the n-gram/marker-word language-ID
+    * heuristic, in deterministic priority order for argmax tie-breaks.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Whitespace tokenization; robust to repeated/leading whitespace. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: GPT-2-style pretokenizer simplified to the
+    * alpha/digit/other classes present in this corpus.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+
+  /** Count of tokens exactly equal to `word`. */
+  def wordCount(toks: Column, word: String): Column =
+    size(filter(toks, t => t === word))
+
+  def stopwordRatio(toks: Column): Column = {
+    val hits = Stopwords.map(w => wordCount(toks, w)).reduce(_ + _)
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (vocabulary diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+
+  def avgWordLen(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Composite quality score in [0,1]: length, non-stopword density, word
+    * length, vocabulary diversity — the standard cheap pre-filter shape for
+    * pretraining corpora. Deliberately UNrounded: per-row IEEE arithmetic
+    * with a fixed association order is bit-identical across engines, while
+    * decimal rounding of a double at a half boundary (e.g. 0.59625 → 4 dp)
+    * is engine-specific (JVM BigDecimal HALF_UP vs binary rounding).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    least(size(t).cast("double") / 100.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - stopwordRatio(t)) * 0.25 +
+      least(avgWordLen(t) / 8.0, lit(1.0)) * 0.25 +
+      typeTokenRatio(t) * 0.25
+  }
+
+  /** Marker-word score for one language profile. */
+  def langScore(toks: Column, lang: String): Column =
+    LangProfiles.toMap.apply(lang).map(w => wordCount(toks, w)).reduce(_ + _)
+
+  /** Deterministic argmax language-ID: first profile (in [[LangProfiles]]
+    * order) whose score equals the max wins.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = LangProfiles.map { case (l, _) => l -> langScore(t, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit(LangProfiles.head._1)) { case (acc, (l, s)) =>
+      when(s === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical whitespace-normalized form used by fingerprints/dedup. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 — an order-sensitive
+    * 31-base fingerprint computed with the `aggregate` higher-order function
+    * (no UDF; the fold runs inside codegen).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(normalized(text), ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+}

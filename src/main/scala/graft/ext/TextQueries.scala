@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared text-analysis queries + DuckDB oracles over `documents`.
+  * Oracles replicate the exact same deterministic per-row expressions
+  * (list lambdas in DuckDB ≡ higher-order functions in Spark), so results
+  * hash-match bit-for-bit on integer outputs and to 4 decimals on ratios.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document stats: token count, BPE-ish subword count, type-token
+    // ratio, stopword ratio, composite quality score.
+    "q_text_stats" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      // Ratios/scores are emitted unrounded: identical op order in both
+      // engines ⇒ bit-identical doubles (rounding at a decimal half is the
+      // only cross-engine divergence — see TextOps.qualityScore).
+      d.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("tok_cnt"),
+        TextOps.bpeishTokenCount(col("text")).as("bpe_cnt"),
+        TextOps.typeTokenRatio(toks).as("ttr"),
+        TextOps.stopwordRatio(toks).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID confusion: labeled lang × predicted lang counts.
+    "q_text_langid" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Document fingerprints: md5 of normalized text + 31-base rolling hash.
+    "q_text_fingerprint" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+          TextOps.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-level quality aggregation by source (the grouping a curation
+    // pipeline actually runs). Per-row quality is quantized to 1e-4 via
+    // floor (floor of a bit-identical double is engine-portable; decimal
+    // rounding and cross-row double sums are not) and summed exactly as
+    // integers.
+    "q_text_by_source" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("source"),
+          floor(TextOps.qualityScore(col("text")) * 10000).cast("long").as("q4"),
+          TextOps.tokenCount(col("text")).as("tc"))
+        .groupBy("source")
+        .agg(sum(col("q4")).as("sum_quality_q4"), sum(col("tc")).as("total_tokens"))
+        .orderBy("source")
+    }
+  )
+
+  // DuckDB-side building blocks mirroring TextOps exactly.
+  private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  private def wc(w: String) = s"len(list_filter($Toks, t -> t = '$w'))"
+  private val StopHits = TextOps.Stopwords.map(wc).mkString(" + ")
+  private val TokCnt = s"len($Toks)"
+  private val Ttr = s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE len(list_distinct($Toks))::DOUBLE / $TokCnt END"
+  private val StopRatio = s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE ($StopHits)::DOUBLE / $TokCnt END"
+  private val AvgLen =
+    s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform($Toks, t -> length(t)::BIGINT)), (a,b) -> a + b)::DOUBLE / $TokCnt END"
+  private val Quality =
+    s"least($TokCnt::DOUBLE / 100.0, 1.0) * 0.25 + (1.0 - $StopRatio) * 0.25 + least($AvgLen / 8.0, 1.0) * 0.25 + $Ttr * 0.25"
+  private def langScoreSql(words: Seq[String]) = words.map(wc).mkString(" + ")
+  private val LangPredicted = {
+    val scores = TextOps.LangProfiles.map { case (l, ws) => l -> s"(${langScoreSql(ws)})" }
+    val maxS = s"greatest(${scores.map(_._2).mkString(", ")})"
+    // first profile in priority order whose score = max wins
+    "CASE " + scores.map { case (l, s) => s"WHEN $s = $maxS THEN '$l'" }.mkString(" ") + " END"
+  }
+  private val Norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  private val Roll =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_filter(string_split($Norm, ''), c -> c != ''), c -> ascii(c)::BIGINT)), (acc,c) -> (acc * 31 + c) % 1000000007)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> (s"SELECT doc_id, $TokCnt AS tok_cnt, " +
+      "len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bpe_cnt, " +
+      s"$Ttr AS ttr, $StopRatio AS stop_ratio, $Quality AS quality " +
+      "FROM documents ORDER BY doc_id"),
+    "q_text_langid" -> (s"SELECT lang, $LangPredicted AS predicted, count(*) AS cnt " +
+      "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_text_fingerprint" -> (s"SELECT doc_id, md5($Norm) AS fp_md5, $Roll AS fp_roll " +
+      "FROM documents ORDER BY doc_id"),
+    "q_text_by_source" -> (s"SELECT source, sum(CAST(floor(($Quality) * 10000) AS BIGINT)) AS sum_quality_q4, " +
+      s"sum($TokCnt) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1")
+  )
+}
