@@ -38,10 +38,12 @@ object SparkEntry {
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries
+    coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries ++
+      graft.ext.DedupQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql
+    coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql ++
+      graft.ext.DedupQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data curation (north-star EXT):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of every choice here):
+  *  - NO pairwise O(n²) comparison anywhere. Near-dup candidates come from
+  *    an inverted-index self-join on shared shingles (Jaccard) or shared
+  *    LSH band buckets (MinHash) — both are equi-joins Catalyst shuffles by
+  *    key, linear in corpus size for bounded posting lists.
+  *  - Hot-shingle skew is capped: shingles whose document frequency exceeds
+  *    `maxDf` are dropped from the index (a shingle in half the corpus
+  *    generates n²/4 join rows and identifies nothing — standard df-cap).
+  *  - All hashing is md5-derived and engine-portable (verified against
+  *    DuckDB bit-for-bit), so every operator is oracle-checkable; no
+  *    engine-private hash (xxhash64/murmur) in any declared output.
+  *  - Everything is Column algebra over array columns (higher-order
+  *    functions) — no UDFs, no driver-side loops.
+  */
+object Dedup {
+
+  /** Mersenne-ish prime modulus for the universal hash family. */
+  val P: Long = 1000000007L
+
+  /** Portable 60-bit hash: first 15 hex digits of md5 as a long.
+    * (DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`.)
+    */
+  def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Distinct word n-gram shingles of a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => array_join(slice(toks, i, lit(n)), " "))))
+
+  /** MinHash signature (k hashes) over a shingle array, using the universal
+    * family h_i(x) = ((2i+1)·x + (1000003·i + 12345)) mod P over
+    * md5-derived shingle hashes. Deterministic, engine-portable.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => md5Long(s) % P)
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes, x => ((i * 2 + 1) * x + (i * 1000003 + 12345)) % P)))
+  }
+
+  /** LSH band keys for a MinHash signature: `bands` keys, each an md5 of the
+    * concatenated band slice. Docs sharing ANY band key are candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => md5(concat_ws("-", slice(sig, j * rowsPerBand + lit(1), lit(rowsPerBand)))))
+
+  /** Number of agreeing positions between two equal-length signatures —
+    * `matches/k` estimates Jaccard similarity.
+    */
+  def sigMatches(a: Column, b: Column, k: Int): Column =
+    size(filter(sequence(lit(1), lit(k)), i => element_at(a, i) === element_at(b, i)))
+
+  /** 48-bit SimHash over distinct tokens (md5-derived word hashes; bit j of
+    * the fingerprint is the sign of the sum of ±1 votes from each word's
+    * bit j). Bits unrolled at plan time — j is a Scala constant, so
+    * `shiftright(x, j)` stays a codegen-able int shift.
+    */
+  def simhash48(toks: Column): Column = {
+    val words = array_distinct(toks)
+    val hashes = transform(words, w => md5Long(w))
+    (0 until 48)
+      .map { j =>
+        val vote = aggregate(
+          hashes,
+          lit(0L),
+          (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Exact-duplicate grouping by content fingerprint: one row per distinct
+    * normalized text, keeping the smallest doc id (hash-groupBy — one
+    * shuffle on the fingerprint, the canonical exact-dedup at any scale).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.fingerprintMd5(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Posting list (doc, shingle) pairs with hot-shingle df-cap. */
+  private def postings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), explode(wordShingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    // df-cap: a shingle present in > maxDf docs explodes the self-join
+    // quadratically while carrying no dedup signal.
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("s")
+    sh.join(hot, Seq("s"), "left_anti")
+  }
+
+  /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold, found
+    * through the inverted index (equi-join on shingle), never O(n²).
+    * Jaccard denominators use UNcapped set sizes, so the df-cap only
+    * affects candidate generation (recall of pathological pairs), not the
+    * similarity value of emitted pairs.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000): DataFrame = {
+    val sizes = docs.select(
+      col(idCol).as("doc"),
+      size(wordShingles(TextOps.tokens(col(textCol)), n)).as("n_sh"))
+    val post = postings(docs, idCol, textCol, n, maxDf)
+    val inter = post
+      .as("x")
+      .join(post.as("y"), col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .select(
+        col("a"),
+        col("b"),
+        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` band buckets,
+    * annotated with the signature agreement count (estimated Jaccard =
+    * sig_matches/k). The band join is the scale path: each doc lands in
+    * `bands` buckets, candidates come from bucket-local joins only.
+    */
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val sigs = docs.select(
+      col(idCol).as("doc"),
+      minhashSignature(wordShingles(TextOps.tokens(col(textCol)), n), k).as("sig"))
+    val banded = sigs.select(
+      col("doc"),
+      col("sig"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
+    banded
+      .as("x")
+      .join(
+        banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        sigMatches(col("x.sig"), col("y.sig"), k).as("sig_matches"))
+      .distinct()
+  }
+}

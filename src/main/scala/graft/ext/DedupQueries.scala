@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared dedup queries + DuckDB oracles over `documents`. The md5-derived
+  * hash family makes every stage (shingles → minhash → bands → candidates)
+  * bit-reproducible in DuckDB, so even the sketch-based operators are fully
+  * oracle-checked, not rows-only.
+  */
+object DedupQueries {
+
+  private val K = 16 // minhash signature length
+  private val Bands = 4 // LSH bands (rows per band = 4)
+  private val MaxDf = 1000 // hot-shingle document-frequency cap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by normalized-content fingerprint.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup
+        .exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("fp")
+    },
+
+    // Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 via inverted index.
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup
+        .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.8, maxDf = MaxDf)
+        .orderBy("a", "b")
+    },
+
+    // MinHash signatures (k=16) — the mergeable sketch itself.
+    "q_dedup_minhash" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(
+          col("doc_id"),
+          Dedup
+            .minhashSignature(Dedup.wordShingles(TextOps.tokens(col("text")), 3), K)
+            .as("sig"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash-LSH candidate pairs (4 bands × 4 rows) + signature agreement.
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup
+        .lshCandidates(Tables.documents(s, dir), "doc_id", "text", n = 3, k = K, bands = Bands)
+        .orderBy("a", "b")
+    },
+
+    // 48-bit SimHash fingerprint per document.
+    "q_dedup_simhash" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash48(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB fragments mirroring Dedup/TextOps bit-for-bit ----
+
+  private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  private val WithShingles =
+    s"toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "shing AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_distinct(list_transform(generate_series(1, len(t)-2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh FROM toks)"
+  private val Md5Int = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+  private val SigExpr =
+    s"list_transform(generate_series(0, ${K - 1}), i -> list_min(list_transform(sh, " +
+      s"s -> ((2*i+1) * ($Md5Int % 1000000007) + (1000003*i + 12345)) % 1000000007)))"
+  private val Postings =
+    "post0 AS (SELECT doc_id AS doc, unnest(sh) AS s FROM shing), " +
+      s"hot AS (SELECT s FROM post0 GROUP BY s HAVING count(*) > $MaxDf), " +
+      "post AS (SELECT * FROM post0 ANTI JOIN hot USING (s)), " +
+      "sz AS (SELECT doc_id AS doc, len(sh) AS n_sh FROM shing)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> ("SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, " +
+      "min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_dedup_ngram_jaccard" -> (s"WITH $WithShingles, $Postings, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.s = y.s AND x.doc < y.doc GROUP BY 1, 2) " +
+      "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    "q_dedup_minhash" -> (s"WITH $WithShingles " +
+      s"SELECT doc_id, $SigExpr AS sig FROM shing ORDER BY doc_id"),
+    "q_dedup_minhash_lsh" -> (s"WITH $WithShingles, " +
+      s"sigs AS (SELECT doc_id, $SigExpr AS sig FROM shing), " +
+      "banded AS (SELECT doc_id, sig, j, md5(concat_ws('-', sig[j*4+1], sig[j*4+2], " +
+      "sig[j*4+3], sig[j*4+4])) AS key FROM sigs, generate_series(0, 3) AS g(j)), " +
+      "cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb " +
+      "FROM banded x JOIN banded y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id) " +
+      s"SELECT DISTINCT a, b, len(list_filter(generate_series(1, $K), i -> sa[i] = sb[i])) " +
+      "AS sig_matches FROM cand ORDER BY a, b"),
+    "q_dedup_simhash" -> ("WITH t AS (SELECT doc_id, list_transform(list_distinct(" +
+      Toks + "), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hw FROM documents) " +
+      "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(generate_series(0, 47), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(hw, h -> ((h >> j) & 1) * 2 - 1)), " +
+      "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
+      "FROM t ORDER BY doc_id")
+  )
+}
