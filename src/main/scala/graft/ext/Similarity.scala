@@ -1,0 +1,112 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`) —
+  * north-star EXT for training-data pipelines.
+  *
+  * Scale design:
+  *  - Brute-force top-k broadcasts the (small) query set and scans the
+  *    corpus ONCE — a BroadcastNestedLoopJoin-free equi-less pattern where
+  *    the 100 TB side never shuffles; ranking happens per query id on the
+  *    (|queries| × |corpus|) scored rows, aggregated down before any sort.
+  *  - The ANN path buckets vectors by random-hyperplane LSH sign bits
+  *    (deterministic integer hyperplanes derived from md5, so the whole
+  *    operator — bucketing included — is oracle-reproducible). Candidates
+  *    come from an equi-join on the bucket id: corpus-size-linear, and the
+  *    bucket id is a plain column, so it composes with partitioning /
+  *    bucketed writes for repeated query workloads.
+  *  - All float arithmetic is widened to double FIRST and folded in a fixed
+  *    left-to-right order (both engines), so scores are bit-identical and
+  *    rankings engine-independent.
+  */
+object Similarity {
+
+  /** 60-bit md5 hash of a string, computed driver-side (plan constants). */
+  def md5LongScala(s: String): Long = {
+    val hex = MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Deterministic integer hyperplanes: `planes` × `dim` weights in
+    * [-1000, 1000], derived from md5("plane-p-i"). Integer weights make the
+    * dot-product sign exactly reproducible in any engine.
+    */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, i) => md5LongScala(s"plane-$p-$i") % 2001L - 1000L)
+
+  /** Embedding column widened to `array<double>` (do this once, up front —
+    * float×int arithmetic differs across engines; double math does not).
+    */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  /** Left-to-right fold sum — the canonical order mirrored by the oracle. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x * x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** LSH bucket id: `planes` sign bits of integer-hyperplane dot products.
+    * The per-plane dot is unrolled at plan time (64-term sums of
+    * `v[i] * w_pi` literals) — fixed order, engine-portable.
+    */
+  def lshBucket(vDouble: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex
+      .map { case (w, p) =>
+        val d = w.zipWithIndex
+          .map { case (wi, i) => element_at(vDouble, i + 1) * lit(wi) }
+          .reduce(_ + _)
+        when(d > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: broadcast the query set, scan the
+    * corpus once, rank per query. `queries`/`corpus`: (id, vec double[]).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
+
+  /** ANN top-k with Hamming-1 multi-probe: the corpus is bucketed once; each
+    * query probes its own bucket plus every bucket one sign-bit away
+    * (`planes`+1 probes). Multi-probe recovers most of the recall lost to
+    * boundary-crossing sign flips while candidates stay corpus-linear —
+    * the standard LSH trade (probe count × bucket size, not O(n²)).
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, planes: Array[Array[Long]], k: Int)
+      : DataFrame = {
+    val nPlanes = planes.length
+    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val masks = 0L +: (0 until nPlanes).map(1L << _)
+    val qb = broadcast(
+      queries
+        .select(col("id").as("query_id"), col("vec").as("qv"),
+          lshBucket(col("vec"), planes).as("qbucket"))
+        .select(col("query_id"), col("qv"),
+          explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+    val scored = qb
+      .join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared similarity-search queries + DuckDB oracles over `embeddings`.
+  * Scores are emitted raw: arithmetic is widened to double and folded in an
+  * identical order in both engines, so doubles are bit-identical and no
+  * rounding is needed (or safe — see TextQueries).
+  */
+object SimilarityQueries {
+
+  private val Planes = 4 // 16 buckets; Hamming-1 multi-probe visits 5 of them
+  private val Dim = 64
+  private val W = Similarity.hyperplanes(Planes, Dim)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-10 for 5 probe vectors (broadcast probes,
+    // one corpus scan). The correctness baseline for the ANN path.
+    "q_cosine_topk" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      Similarity
+        .bruteForceTopK(v.filter(col("id") < 5), v, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ANN via 4-plane LSH buckets with Hamming-1 multi-probe + exact
+    // in-bucket re-rank, top-5 for 10 probe vectors — the corpus-linear
+    // scale path.
+    "q_ann_lsh" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      Similarity
+        .annTopK(v.filter(col("id") < 10), v, W, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Per-label centroid numerators: embeddings quantized to 1e-6 and
+    // summed exactly as integers per (label, dimension) — the cluster-
+    // centroid building block, engine-exact.
+    "q_embed_centroids" -> { (s, dir) =>
+      Tables
+        .embeddings(s, dir)
+        .select(col("label"),
+          posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim0", "x")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(sum(floor(col("x") * 1000000).cast("long")).as("sum_q6"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }
+  )
+
+  // ---- DuckDB fragments ----
+
+  private val VDouble = "list_transform(embedding, x -> x::DOUBLE)"
+
+  private def foldSumSql(listExpr: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $listExpr), (acc, x) -> acc + x)"
+
+  private def dotSql(a: String, b: String) =
+    foldSumSql(s"list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i])")
+
+  private def normSql(a: String) =
+    s"sqrt(${foldSumSql(s"list_transform($a, x -> x * x)")})"
+
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** The same unrolled integer-hyperplane bucket expression, as SQL. */
+  private def bucketSql(v: String): String =
+    W.zipWithIndex
+      .map { case (w, p) =>
+        val d = w.zipWithIndex.map { case (wi, i) => s"$v[${i + 1}] * ($wi)" }.mkString(" + ")
+        s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+    "q_ann_lsh" -> {
+      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"b AS (SELECT id, vec, ${bucketSql("vec")} AS bucket FROM v), " +
+      s"qp AS (SELECT id, vec, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
+      s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qp q JOIN b c ON q.bucket = c.bucket AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
+      s"sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS sum_q6, count(*) AS n " +
+      s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +
+      "GROUP BY 1, 2 ORDER BY 1, 2")
+  )
+}
