@@ -116,7 +116,7 @@ object LogsToMetrics {
   /** Plan-time canonical labels: static ∪ dynamic, dynamic wins on key
     * conflict (pipeline.py:198), sorted by key (pipeline.py:172).
     */
-  private def labelEntries(d: MetricDefinition, mode: Mode): Column = {
+  private[graft] def labelEntries(d: MetricDefinition, mode: Mode): Column = {
     val entries: Seq[(String, Column)] =
       (d.effectiveStaticLabels.view.mapValues(lit(_)).toSeq ++
         d.dynamicLabels.view.mapValues(mode.labelValue).toSeq).sortBy(_._1)
@@ -124,7 +124,7 @@ object LogsToMetrics {
     else array(entries.map { case (k, v) => struct(lit(k).as("key"), v.as("value")) }: _*)
   }
 
-  private def valueCol(d: MetricDefinition, mode: Mode): Column = d.metricType match {
+  private[graft] def valueCol(d: MetricDefinition, mode: Mode): Column = d.metricType match {
     case MetricType.Count      => lit(1.0)
     case MetricType.Sum(field) => mode.sumValue(field)
   }

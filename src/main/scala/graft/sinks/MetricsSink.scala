@@ -1,0 +1,124 @@
+package graft.sinks
+
+import graft.model.ExportTarget
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Export layer — re-expresses the reference's exporter stack
+  * (/root/reference/beametrics/metrics_exporter.py:65-220,
+  * /root/reference/beametrics/pipeline.py:211-233) on Spark:
+  *
+  *  - a [[MetricsSink]] is constructed once per partition (≡ DoFn.setup
+  *    building clients once per worker, pipeline.py:216-223), rows stream
+  *    through `write`, `close` flushes;
+  *  - export errors are logged and swallowed by default (at-least-once,
+  *    never fails the pipeline — metrics_exporter.py:116-119,
+  *    pipeline.py:229-233), with a strict mode for tests;
+  *  - the point format matches the reference local exporter's JSON line:
+  *    `{"timestamp": …, "metric_name": …, "value": …, "labels": {…}}`
+  *    (metrics_exporter.py:213-220).
+  *
+  * The GCM (Cloud Monitoring) variant is out of engine scope (network
+  * client); [[formatted]] produces its request-shaped rows so an adapter
+  * only needs transport.
+  */
+trait MetricsSink extends Serializable {
+  def write(point: MetricPoint): Unit
+  def close(): Unit = ()
+}
+
+/** One exported time-series point. */
+final case class MetricPoint(
+    timestamp: java.sql.Timestamp,
+    metricName: String,
+    value: Double,
+    labels: Map[String, String]) {
+
+  /** Reference local-exporter JSON line shape (metrics_exporter.py:213-220). */
+  def toJsonLine: String = {
+    def esc(s: String) =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val ls = labels.toSeq.sorted
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    s"""{"timestamp": "$timestamp", "metric_name": "${esc(metricName)}", "value": $value, "labels": $ls}"""
+  }
+}
+
+final class ConsoleSink extends MetricsSink {
+  def write(p: MetricPoint): Unit = println(p.toJsonLine)
+}
+
+/** Collects into memory — test sink. */
+final class CollectingSink extends MetricsSink {
+  val collected = new scala.collection.mutable.ArrayBuffer[MetricPoint]
+  def write(p: MetricPoint): Unit = collected.synchronized { collected += p }
+}
+
+/** Throws on a configurable metric name — exercises error policy in tests. */
+final class FailingSink(failOn: String, underlying: MetricsSink) extends MetricsSink {
+  def write(p: MetricPoint): Unit = {
+    if (p.metricName == failOn) throw new RuntimeException(s"export failed for ${p.metricName}")
+    underlying.write(p)
+  }
+}
+
+object MetricsSink {
+
+  /** Shape a LogsToMetrics/StreamingMetrics output frame into exportable
+    * point rows (`window_end` is the reference's point timestamp — the
+    * window close).
+    */
+  def formatted(df: DataFrame, metricNamePrefix: String = ""): DataFrame =
+    df.select(
+      col("window_end").as("timestamp"),
+      concat(lit(metricNamePrefix), col("metric")).as("metric_name"),
+      col("value"),
+      col("labels"))
+
+  /** Route a (micro-)batch to per-metric sinks, constructed once per
+    * partition. `strict = false` reproduces the reference's
+    * log-and-continue export policy; `true` propagates failures.
+    */
+  def writeBatch(
+      formatted: DataFrame,
+      sinkFor: String => MetricsSink,
+      strict: Boolean = false): Unit =
+    formatted.foreachPartition { (rows: Iterator[Row]) =>
+      val open = scala.collection.mutable.Map.empty[String, MetricsSink]
+      try rows.foreach { r =>
+        val p = MetricPoint(
+          r.getTimestamp(r.fieldIndex("timestamp")),
+          r.getString(r.fieldIndex("metric_name")),
+          r.getDouble(r.fieldIndex("value")),
+          r.getMap[String, String](r.fieldIndex("labels")).toMap)
+        val sink = open.getOrElseUpdate(p.metricName, sinkFor(p.metricName))
+        try sink.write(p)
+        catch {
+          case e: Exception if !strict =>
+            // at-least-once: log and keep going (pipeline.py:229-233)
+            System.err.println(s"[graft-sink] export failed for ${p.metricName}: ${e.getMessage}")
+        }
+      } finally open.values.foreach(_.close())
+    }
+
+  /** Streaming entry: `stream.writeStream.foreachBatch(router(...))`. */
+  def router(
+      sinkFor: String => MetricsSink,
+      metricNamePrefix: String = "",
+      strict: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, _) => writeBatch(formatted(batch, metricNamePrefix), sinkFor, strict)
+
+  /** Metric-name prefix validation parity (main.py:134-147):
+    * monitoring targets get the `custom.googleapis.com/` prefix.
+    */
+  def prefixFor(target: ExportTarget): String = target match {
+    case ExportTarget.Local => ""
+    case ExportTarget.Monitoring(_, prefix) => s"$prefix/"
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.model.MetricDefinition
+import graft.pipeline.LogsToMetrics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming face of the engine — the reference's native mode
+  * (an unbounded Pub/Sub stream windowed into metric points,
+  * /root/reference/beametrics/pipeline.py:164-186).
+  *
+  * Differences from the batch transform (graft.pipeline.LogsToMetrics),
+  * both forced by Spark's streaming model:
+  *  - Windows use `window(ts, size)` instead of the integer epoch-floor
+  *    math: Spark's watermark/event-time tag propagates only through the
+  *    built-in window function, and its bucketing is the identical
+  *    epoch-floor (TimeWindow start = ts - (ts - offset) % size).
+  *  - One streaming aggregation per DISTINCT window size (window size must
+  *    be a plan-time literal per aggregation). Configs sharing a size share
+  *    one single-pass fan-out aggregation, exactly like the batch path.
+  *
+  * Late-data policy: the reference drops late records (Beam default,
+  * allowed lateness 0 — SURVEY.md §2.3); `watermarkDelay = "0 seconds"`
+  * reproduces that, and is configurable for real deployments.
+  *
+  * Scale: each query is scan → fan-out explode → partial agg → shuffle by
+  * (metric, labels, window) → stateful final agg; state per key-window is
+  * evicted at watermark — bounded by live windows × label cardinality.
+  */
+object StreamingMetrics {
+
+  /** Attach the metric pipeline to a streaming DataFrame. Returns one
+    * streaming DataFrame per distinct window size (start each with
+    * `writeStream`; append mode emits exactly one point per closed window,
+    * matching the reference's emit-on-window-close).
+    */
+  def attach(
+      stream: DataFrame,
+      defs: Seq[MetricDefinition],
+      mode: LogsToMetrics.Mode,
+      tsCol: String = "ts",
+      watermarkDelay: String = "0 seconds"): Seq[DataFrame] = {
+    require(defs.nonEmpty, "at least one metric definition")
+    defs.groupBy(_.effectiveWindowSizeSec).toSeq.sortBy(_._1).map { case (wsize, group) =>
+      attachUniform(stream, group, wsize, mode, tsCol, watermarkDelay)
+    }
+  }
+
+  /** Single-window-size variant: one scan, one shuffle, N configs. */
+  private def attachUniform(
+      stream: DataFrame,
+      defs: Seq[MetricDefinition],
+      wsize: Long,
+      mode: LogsToMetrics.Mode,
+      tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    val perConfig = defs.map { d =>
+      val emit = struct(
+        lit(d.name).as("metric"),
+        LogsToMetrics.labelEntries(d, mode).as("labels"),
+        LogsToMetrics.valueCol(d, mode).as("value"))
+      when(mode.pred(d.filters), emit)
+    }
+    val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .filter(anyMatch)
+      .select(col(tsCol).as("_ts"),
+        explode(filter(array(perConfig: _*), c => c.isNotNull)).as("m"))
+      .select(col("_ts"), col("m.*"))
+      .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("labels"))
+      .agg(sum(col("value")).as("value"))
+      .select(
+        col("metric"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        map_from_entries(col("labels")).as("labels"),
+        col("value"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.model._
+import graft.pipeline.LogsToMetrics
+import graft.streaming.StreamingMetrics
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming e2e parity: MemoryStream of raw JSON bytes → ingest →
+  * StreamingMetrics (append mode, watermark 0s) must emit exactly the
+  * batch LogsToMetrics result for closed windows, one point per window
+  * close — the reference's Beam semantics (on-watermark firing, late data
+  * dropped; SURVEY.md §2.3 Streaming).
+  */
+class StreamingMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val defs = Seq(
+    MetricDefinition(
+      "error_count",
+      MetricType.Count,
+      Seq(FilterCondition("severity", "ERROR", "equals")),
+      windowSizeSec = 60),
+    MetricDefinition(
+      "bytes_sum",
+      MetricType.Sum("bytes"),
+      Seq(FilterCondition("severity", "ERROR", "equals")),
+      windowSizeSec = 60))
+
+  // reference fixture shapes (tests/test_pipeline.py:46,163-178)
+  private def msg(sev: String, bytes: Int): String =
+    s"""{"severity": "$sev", "bytes": $bytes}"""
+
+  private def at(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+
+  test("append-mode streaming windows match the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val raw = mem.toDF.toDF("ts", "raw")
+    val parsed = Ingest.parseSchemaless(raw, "raw")
+    val Seq(out) = StreamingMetrics.attach(parsed, defs, LogsToMetrics.Schemaless("msg"))
+
+    val query = out.writeStream
+      .format("memory")
+      .queryName("stream_parity")
+      .outputMode("append")
+      .start()
+    try {
+      // window [60,120): 2 errors (100 + 250 bytes), 1 warning (filtered)
+      mem.addData(
+        (at(65), msg("ERROR", 100).getBytes("UTF-8")),
+        (at(80), msg("WARNING", 999).getBytes("UTF-8")),
+        (at(110), msg("ERROR", 250).getBytes("UTF-8")))
+      query.processAllAvailable()
+      // nothing emitted yet: watermark (0s delay) still inside the window
+      assert(spark.table("stream_parity").count() == 0)
+
+      // an event in a later window advances the watermark past 120 ⇒ the
+      // first window closes and emits exactly once
+      mem.addData((at(200), msg("ERROR", 7).getBytes("UTF-8")))
+      query.processAllAvailable()
+      val emitted = spark
+        .table("stream_parity")
+        .select($"metric", unix_timestamp($"window_start").as("ws"), $"value")
+        .as[(String, Long, Double)]
+        .collect()
+        .toSet
+      assert(emitted == Set(("error_count", 60L, 2.0), ("bytes_sum", 60L, 350.0)))
+
+      // late data (ts inside the closed window) is dropped, not re-emitted
+      mem.addData((at(70), msg("ERROR", 999).getBytes("UTF-8")))
+      query.processAllAvailable()
+      assert(spark.table("stream_parity").count() == 2)
+    } finally query.stop()
+
+    // batch path over the same non-late records produces the same points
+    val batchIn = Ingest.parseSchemaless(
+      Seq(
+        (at(65), msg("ERROR", 100).getBytes("UTF-8")),
+        (at(80), msg("WARNING", 999).getBytes("UTF-8")),
+        (at(110), msg("ERROR", 250).getBytes("UTF-8")))
+        .toDF("ts", "raw"),
+      "raw")
+    val batch = LogsToMetrics(defs, LogsToMetrics.Schemaless("msg"))(batchIn)
+      .select($"metric", unix_timestamp($"window_start").as("ws"), $"value")
+      .as[(String, Long, Double)]
+      .collect()
+      .toSet
+    assert(batch == Set(("error_count", 60L, 2.0), ("bytes_sum", 60L, 350.0)))
+  }
+
+  test("multiple window sizes produce one streaming aggregation each") {
+    val mixed = defs.head +: Seq(
+      MetricDefinition("m5", MetricType.Count, windowSizeSec = 300))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val parsed = Ingest.parseSchemaless(mem.toDF.toDF("ts", "raw"), "raw")
+    val outs = StreamingMetrics.attach(parsed, mixed, LogsToMetrics.Schemaless("msg"))
+    assert(outs.size == 2)
+  }
+
+  test("malformed and non-UTF8-decodable messages are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val parsed = Ingest.parseSchemaless(mem.toDF.toDF("ts", "raw"), "raw")
+    val Seq(out) =
+      StreamingMetrics.attach(parsed, Seq(MetricDefinition("all", MetricType.Count, windowSizeSec = 60)),
+        LogsToMetrics.Schemaless("msg"))
+    val query = out.writeStream.format("memory").queryName("drop_parity").outputMode("append").start()
+    try {
+      mem.addData(
+        (at(10), "not json at all".getBytes("UTF-8")),
+        (at(20), Array[Byte](-1, -2, -3)), // undecodable in every charset
+        (at(30), """{"ok": 1}""".getBytes("UTF-8")))
+      mem.addData((at(500), """{"ok": 1}""".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val rows = spark.table("drop_parity").select($"value").as[Double].collect().toList
+      assert(rows == List(1.0)) // only the valid first-window record counted
+    } finally query.stop()
+  }
+}
