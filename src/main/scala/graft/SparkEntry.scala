@@ -39,11 +39,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries ++
-      graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries
+      graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
+      graft.ext.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql ++
-      graft.ext.DedupQueries.oracleSql ++ graft.ext.SimilarityQueries.oracleSql
+      graft.ext.DedupQueries.oracleSql ++ graft.ext.SimilarityQueries.oracleSql ++
+      graft.ext.MultimodalQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler

@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared multimodal queries + DuckDB oracles. The media table is
+  * synthesized deterministically from `documents` (no real media in the
+  * container — see [[Multimodal]]); the ORACLE recomputes the same
+  * synthesis in SQL, so the binary plumbing (payload bytes, header-derived
+  * metadata, frame slicing) is still end-to-end checked.
+  */
+object MultimodalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-format media stats over the typed envelope: count, payload bytes,
+    // distinct widths — the metadata-pushdown shape (no payload decode).
+    "q_media_stats" -> { (s, dir) =>
+      Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .groupBy(col("meta.format").as("format"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(length(col("media"))).as("total_bytes"),
+          count_distinct(col("meta.width")).as("widths"))
+        .orderBy("format")
+    },
+
+    // Frame sampling: 4 binary slices per payload, fingerprinted — the
+    // explode-before-extract fan-out, fully codegen (binary substr + md5).
+    "q_media_frames" -> { (s, dir) =>
+      Multimodal
+        .sampleFrames(Multimodal.syntheticMedia(Tables.documents(s, dir)), 4)
+        .select(col("id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+        .orderBy("id", "frame_idx")
+    }
+  )
+
+  private val Media = "encode(text)" // DuckDB: VARCHAR → BLOB (UTF-8)
+  private val Fmt = "['img','aud','vid'][(doc_id % 3 + 1)::INT]"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_media_stats" -> (s"SELECT $Fmt AS format, count(*) AS cnt, " +
+      s"sum(octet_length($Media)) AS total_bytes, " +
+      "count(DISTINCT 64 + doc_id % 192) AS widths " +
+      "FROM documents GROUP BY 1 ORDER BY 1"),
+    // DuckDB substring() has no BLOB overload; the payload is ASCII text,
+    // so byte-slicing the blob ≡ char-slicing the VARCHAR (md5 hashes the
+    // same bytes either way).
+    "q_media_frames" -> ("WITH f AS (SELECT doc_id AS id, i AS frame_idx, " +
+      "substring(text, i * (length(text) // 4) + 1, length(text) // 4) AS frame " +
+      "FROM documents CROSS JOIN generate_series(0, 3) AS g(i)) " +
+      "SELECT id, frame_idx, md5(frame) AS frame_md5 FROM f " +
+      "WHERE length(frame) > 0 ORDER BY id, frame_idx")
+  )
+}
