@@ -31,15 +31,12 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // MinHash signatures (k=16) — the mergeable sketch itself.
+    // MinHash signatures (k=16) — the mergeable sketch itself, via the
+    // posting-list aggregation (hash once per shingle).
     "q_dedup_minhash" -> { (s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(
-          col("doc_id"),
-          Dedup
-            .minhashSignature(Dedup.wordShingles(TextOps.tokens(col("text")), 3), K)
-            .as("sig"))
+      Dedup
+        .minhashSignatures(Tables.documents(s, dir), "doc_id", "text", n = 3, k = K)
+        .select(col("doc").as("doc_id"), col("sig"))
         .orderBy("doc_id")
     },
 
@@ -72,17 +69,18 @@ object DedupQueries {
     s"list_transform(generate_series(0, ${K - 1}), i -> list_min(list_transform(sh, " +
       s"s -> ((2*i+1) * ($Md5Int % 1000000007) + (1000003*i + 12345)) % 1000000007)))"
   private val Postings =
-    "post0 AS (SELECT doc_id AS doc, unnest(sh) AS s FROM shing), " +
-      s"hot AS (SELECT s FROM post0 GROUP BY s HAVING count(*) > $MaxDf), " +
-      "post AS (SELECT * FROM post0 ANTI JOIN hot USING (s)), " +
-      "sz AS (SELECT doc_id AS doc, len(sh) AS n_sh FROM shing)"
+    "post0 AS (SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM " +
+      "(SELECT doc_id AS doc, unnest(sh) AS s FROM shing)), " +
+      s"hot AS (SELECT h FROM post0 GROUP BY h HAVING count(*) > $MaxDf), " +
+      "post AS (SELECT * FROM post0 ANTI JOIN hot USING (h)), " +
+      "sz AS (SELECT doc, count(*) AS n_sh FROM post0 GROUP BY 1)"
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, " +
       "min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY 1"),
     "q_dedup_ngram_jaccard" -> (s"WITH $WithShingles, $Postings, " +
       "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
-      "JOIN post y ON x.s = y.s AND x.doc < y.doc GROUP BY 1, 2) " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),

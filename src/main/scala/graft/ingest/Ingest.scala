@@ -43,8 +43,16 @@ object Ingest {
     if (bytes == null) null
     else Charsets.iterator.flatMap(decodeStrict(bytes, _)).nextOption().orNull
 
-  /** Scalar UDF wrapper — the only UDF in the core engine. */
-  val decodeMulti: UserDefinedFunction = udf(decodeMultiCharset _)
+  /** Scalar UDF wrapper — the only UDF in the core engine.
+    *
+    * Deliberately marked nondeterministic (it is NOT — same bytes, same
+    * string) as an optimizer barrier: otherwise CollapseProject inlines
+    * `from_json(decodeMulti(raw))` into every downstream reference of the
+    * parsed column — filter, per-config predicates, labels, value — and the
+    * decode+parse runs per REFERENCE instead of per row (measured 3×
+    * from_json, 6 invokes in q_ingest_roundtrip's plan).
+    */
+  val decodeMulti: UserDefinedFunction = udf(decodeMultiCharset _).asNondeterministic()
 
   /** Schemaless parity mode: every JSON value stringified into
     * `MapType(String, String)` — mirrors the reference's untyped
