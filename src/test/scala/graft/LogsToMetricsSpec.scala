@@ -1,0 +1,114 @@
+package graft
+
+import graft.model._
+import graft.pipeline.LogsToMetrics
+import org.apache.spark.sql.functions._
+
+/** Core transform semantics mirrored from the reference pipeline tests
+  * (/root/reference/tests/test_pipeline.py:119-178 count/sum e2e,
+  * :210-333 window edges) plus the documented SUM divergence.
+  */
+class LogsToMetricsSpec extends SparkSpec {
+  import spark.implicits._
+  import LogsToMetricsSpec._
+
+  private def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("count and sum per window (test_pipeline.py:119-178)") {
+    val df = Seq(
+      Row1(at(10), "ERROR", 100.0),
+      Row1(at(20), "ERROR", 250.0),
+      Row1(at(30), "WARNING", 999.0),
+      Row1(at(70), "ERROR", 7.0)
+    ).toDF
+    val defs = Seq(
+      MetricDefinition("cnt", MetricType.Count,
+        Seq(FilterCondition("severity", "ERROR", "equals")), windowSizeSec = 60),
+      MetricDefinition("sum", MetricType.Sum("bytes"),
+        Seq(FilterCondition("severity", "ERROR", "equals")), windowSizeSec = 60))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"metric", unix_timestamp($"window_start").as("ws"), $"value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("cnt", 0L, 2.0), ("cnt", 60L, 1.0),
+      ("sum", 0L, 350.0), ("sum", 60L, 7.0)))
+  }
+
+  test("epoch-floor window bucketing is exact at boundaries (pipeline.py:67-70)") {
+    val df = Seq(
+      Row1(at(59), "E", 1.0), Row1(at(60), "E", 1.0), Row1(at(61), "E", 1.0)
+    ).toDF
+    val defs = Seq(MetricDefinition("c", MetricType.Count, windowSizeSec = 60))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select(unix_timestamp($"window_start").as("ws"), $"value")
+      .as[(Long, Double)].collect().toSet
+    assert(out == Set((0L, 1.0), (60L, 2.0))) // 60 belongs to [60,120)
+  }
+
+  test("window_end = window_start + size") {
+    val df = Seq(Row1(at(100), "E", 1.0)).toDF
+    val defs = Seq(MetricDefinition("c", MetricType.Count, windowSizeSec = 45))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select(unix_timestamp($"window_start"), unix_timestamp($"window_end"))
+      .as[(Long, Long)].head()
+    assert(out == ((90L, 135L))) // floor(100/45)*45 = 90
+  }
+
+  test("SUM of missing field contributes 0 (pipeline.py:200-208)") {
+    val df = Seq(Row1(at(1), "E", 5.0)).toDF
+    val defs = Seq(MetricDefinition("s", MetricType.Sum("no_such"), windowSizeSec = 60))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"value").as[Double].collect().toList
+    assert(out == List(0.0))
+  }
+
+  test("SUM of unparsable string is 0, not a crash (documented divergence, SURVEY.md §2.2)") {
+    val df = Seq(("a", at(1), "not_a_number"), ("b", at(2), "2.5")).toDF("id", "ts", "v")
+    val defs = Seq(MetricDefinition("s", MetricType.Sum("v"), windowSizeSec = 60))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"value").as[Double].collect().toList
+    assert(out == List(2.5))
+  }
+
+  test("label canonicalization groups equal label sets (pipeline.py:172)") {
+    val df = Seq(
+      Row1(at(1), "E", 1.0), Row1(at(2), "E", 2.0), Row1(at(3), "W", 3.0)
+    ).toDF
+    val defs = Seq(
+      MetricDefinition("c", MetricType.Count,
+        staticLabels = Map("app" -> "x", "env" -> "prod"),
+        dynamicLabels = Map("sev" -> "severity"),
+        windowSizeSec = 3600))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"labels", $"value").collect()
+    assert(out.length == 2) // one group per distinct (severity) label value
+    val m = out.map(r => r.getMap[String, String](0).toMap -> r.getDouble(1)).toMap
+    assert(m(Map("app" -> "x", "env" -> "prod", "sev" -> "E")) == 2.0)
+    assert(m(Map("app" -> "x", "env" -> "prod", "sev" -> "W")) == 1.0)
+  }
+
+  test("missing dynamic-label field resolves to empty string (pipeline.py:195-196)") {
+    val df = Seq(Row1(at(1), "E", 1.0)).toDF
+    val defs = Seq(
+      MetricDefinition("c", MetricType.Count,
+        dynamicLabels = Map("gone" -> "no_such_field"), windowSizeSec = 60))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"labels").collect().head.getMap[String, String](0).toMap
+    assert(out == Map("gone" -> ""))
+  }
+
+  test("per-config window sizes coexist in one pass") {
+    val df = Seq(Row1(at(65), "E", 1.0)).toDF
+    val defs = Seq(
+      MetricDefinition("w60", MetricType.Count, windowSizeSec = 60),
+      MetricDefinition("w300", MetricType.Count, windowSizeSec = 300))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"metric", unix_timestamp($"window_start").as("ws"))
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("w60", 60L), ("w300", 0L)))
+  }
+}
+
+object LogsToMetricsSpec {
+  final case class Row1(ts: java.sql.Timestamp, severity: String, bytes: Double)
+}
