@@ -52,9 +52,18 @@ object Similarity {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+  /** Dot product via the native codegen'd [[graft.functions.DotProductD]]
+    * expression (register with `GraftFunctions.register(spark)` first; the
+    * declared queries do). Same left-fold order as [[dotFold]] — scores
+    * stay bit-identical, the loop stays inside WholeStageCodegen instead of
+    * falling back to interpreted HOF lambdas.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x * x)))
+  /** HOF-fold reference implementation of [[dot]] (no registration needed). */
+  def dotFold(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

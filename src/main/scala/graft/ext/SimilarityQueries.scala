@@ -15,10 +15,12 @@ object SimilarityQueries {
   private val Dim = 64
   private val W = Similarity.hyperplanes(Planes, Dim)
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // graft_dot (idempotent)
     Tables
       .embeddings(s, dir)
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-10 for 5 probe vectors (broadcast probes,

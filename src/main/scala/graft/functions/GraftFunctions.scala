@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths, same builders:
+  *  - [[register]]: imperative, idempotent — call on any SparkSession
+  *    (what the declared queries use);
+  *  - [[GraftSparkExtensions]]: `spark.sql.extensions=graft.functions.GraftSparkExtensions`
+  *    for cluster-wide installation at session build.
+  *
+  * After registration the functions are usable from SQL
+  * (`SELECT graft_dot(a, b)`) and the Column API
+  * (`call_function("graft_dot", a, b)`).
+  */
+object GraftFunctions {
+
+  private[functions] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+          DotProductD(args.head, args(1))
+        }))
+
+  /** Idempotent imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}
