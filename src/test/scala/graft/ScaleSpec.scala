@@ -1,0 +1,44 @@
+package graft
+
+import graft.ext.Scale
+import org.apache.spark.sql.functions._
+
+/** Skew + co-location machinery: salted aggregation equivalence and
+  * exchange-free bucketed joins.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation on skewed data") {
+    // one hot key carrying 10k rows, many cold keys
+    val df = ((1 to 10000).map(i => ("hot", i.toLong)) ++
+      (1 to 200).map(i => (s"cold_$i", i.toLong))).toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("count_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Scale.saltedAggregate(df, Seq("k"), Seq("v"), saltBuckets = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+    assert(salted.exists(t => t._1 == "hot" && t._2 == 10000L * 10001 / 2 && t._3 == 10000L))
+  }
+
+  test("bucketed join runs without any exchange") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("key", "payload")
+    val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("key", "attr")
+    Scale.writeBucketed(facts, "graft_facts_b", "key", 8)
+    Scale.writeBucketed(dims, "graft_dims_b", "key", 8)
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "graft_facts_b", "graft_dims_b", "key")
+      assert(!Scale.hasExchange(joined), "bucket-aligned join must not shuffle:\n" +
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 1000)
+      // the same join over non-bucketed frames DOES shuffle
+      assert(Scale.hasExchange(facts.join(dims, Seq("key"))))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+}
