@@ -196,10 +196,14 @@ object Dedup {
       col("doc"),
       col("sig"),
       posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
+    // merge-hinted like the jaccard postings join: `banded` is corpus-sized
+    // (|docs| × bands), so stats-based broadcast is wrong at scale; the
+    // shuffle form also lets identical subplans share one exchange.
     banded
       .as("x")
+      .hint("merge")
       .join(
-        banded.as("y"),
+        banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"),
