@@ -113,6 +113,72 @@ object Dedup {
       .reduce(_ + _)
   }
 
+  /** Shingle-feature SimHash fingerprints via the posting-list aggregation
+    * (same rationale as [[minhashSignatures]]: per-row HOF folds are both
+    * interpreted AND re-inlined per reference — measured 181 s vs ~5 s at
+    * sf0.1). Explode shingles, hash row-wise, 48 integer vote sums as
+    * partial+final aggregates, assemble the fingerprint from vote signs.
+    * Integer votes are order-independent ⇒ bit-identical to the per-row
+    * fold the oracle computes.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, ngram: Int)
+      : DataFrame = {
+    val post = docs
+      .select(col(idCol).as("doc"),
+        explode(wordShingles(TextOps.tokens(col(textCol)), ngram)).as("s"))
+      .select(col("doc"), md5Long(col("s")).as("h"))
+    val votes = (0 until 48).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    post
+      .groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 48)
+          .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("sh"))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance, found via the pigeonhole
+    * chunk-join: the 48-bit fingerprint splits into `chunks` equal bands;
+    * any pair within Hamming distance < chunks must agree on ≥1 band
+    * (pigeonhole), so candidates come from an equi-join on (band index,
+    * band value) — corpus-linear, the SimHash analog of MinHash banding.
+    * Exact `bit_count(xor)` re-check on candidates only.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      chunks: Int = 8,
+      ngram: Int = 3): DataFrame = {
+    require(48 % chunks == 0 && maxHamming < chunks,
+      "pigeonhole guarantee needs maxHamming < chunks and chunks | 48")
+    val w = 48 / chunks
+    // n-gram shingle features, not unigrams: on shared-vocabulary corpora
+    // unigram simhashes collapse (measured 632 hamming-0 pairs / 1 true dup
+    // at sf0.01); 3-gram features give 25/25 true dups, 0 false positives
+    // at hamming ≤ 7.
+    val sigs = simhashSignatures(docs, idCol, textCol, ngram)
+    val banded = sigs.select(
+      col("doc"),
+      col("sh"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sh"), c * w).bitwiseAND(lit((1L << w) - 1))): _*)).as(Seq("band", "key")))
+    banded
+      .as("x")
+      .hint("merge") // corpus-sized frame: never broadcast (see lshCandidates)
+      .join(
+        banded.as("y").hint("merge"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact-duplicate grouping by content fingerprint: one row per distinct
     * normalized text, keeping the smallest doc id (hash-groupBy — one
     * shuffle on the fingerprint, the canonical exact-dedup at any scale).

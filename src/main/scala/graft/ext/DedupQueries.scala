@@ -53,6 +53,14 @@ object DedupQueries {
         .documents(s, dir)
         .select(col("doc_id"), Dedup.simhash48(TextOps.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs: 3-gram-feature fingerprints, pigeonhole
+    // 8-chunk banding, exact Hamming ≤ 7 re-check on candidates.
+    "q_dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup
+        .simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
+        .orderBy("a", "b")
     }
   )
 
@@ -100,6 +108,15 @@ object DedupQueries {
       "list_transform(generate_series(0, 47), j -> CASE WHEN " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(hw, h -> ((h >> j) & 1) * 2 - 1)), " +
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
-      "FROM t ORDER BY doc_id")
+      "FROM t ORDER BY doc_id"),
+    "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +
+      "hw AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM shing), " +
+      "sims AS (SELECT doc_id AS doc, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(generate_series(0, 47), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(h, x -> ((x >> j) & 1) * 2 - 1)), " +
+      "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS sh FROM hw) " +
+      "SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.sh, y.sh)) AS hamming " +
+      "FROM sims x JOIN sims y ON x.doc < y.doc " +
+      "WHERE bit_count(xor(x.sh, y.sh)) <= 7 ORDER BY a, b")
   )
 }
