@@ -93,6 +93,34 @@ object Similarity {
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Embedding near-duplicate pairs: candidates share an LSH bucket or sit
+    * one sign-bit apart (Hamming-1 probe via the smaller-id side), exact
+    * cosine ≥ threshold re-check. Corpus-linear like [[annTopK]]; recall
+    * follows the same multi-probe characteristics (full recall only for
+    * pairs within one sign flip — the standard LSH near-dup trade).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      planes: Array[Array[Long]],
+      threshold: Double): DataFrame = {
+    val nPlanes = planes.length
+    val b = corpus.select(col("id"), col("vec"), lshBucket(col("vec"), planes).as("bucket"))
+    val masks = 0L +: (0 until nPlanes).map(1L << _)
+    // probe-expand the smaller-id side only: pair (a,b) is found once via
+    // a's probe ring reaching b's bucket (covers distance 0 and 1).
+    val probed = b.select(col("id"), col("vec"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    probed
+      .as("x")
+      .hint("merge")
+      .join(b.as("y").hint("merge"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: the corpus is bucketed once; each
     * query probes its own bucket plus every bucket one sign-bit away
     * (`planes`+1 probes). Multi-probe recovers most of the recall lost to

@@ -44,6 +44,14 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Embedding-cosine near-dup pairs (dedup family): LSH bucket + Hamming-1
+    // candidates, exact cosine >= 0.45 re-check.
+    "q_embed_neardup" -> { (s, dir) =>
+      Similarity
+        .cosineNearDupPairs(vecs(s, dir), W, threshold = 0.45)
+        .orderBy("a", "b")
+    },
+
     // Per-label centroid numerators: embeddings quantized to 1e-6 and
     // summed exactly as integers per (label, dimension) — the cluster-
     // centroid building block, engine-exact.
@@ -101,6 +109,15 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    "q_embed_neardup" -> {
+      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"b AS (SELECT id, vec, ${bucketSql("vec")} AS bucket FROM v), " +
+      s"probed AS (SELECT id, vec, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m)) " +
+      s"SELECT DISTINCT x.id AS a, y.id AS b, ${cosSql("x.vec", "y.vec")} AS cos " +
+      "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
+      s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
     },
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
       s"sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS sum_q6, count(*) AS n " +
