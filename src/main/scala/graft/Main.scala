@@ -7,22 +7,42 @@ import org.apache.spark.sql.SparkSession
 
 /** CLI entry — the reference's `python -m beametrics.main` analog
   * (/root/reference/beametrics/main.py:276-326) for the batch path:
-  * load a YAML metric config, run the log→metrics pipeline over a parquet
-  * events table, export points as JSON lines.
+  * configure metrics (YAML file OR single-metric flags, same precedence as
+  * the reference: --config wins), run the log→metrics pipeline over a
+  * parquet events table, export points as JSON lines.
   *
   * Usage:
-  *   runMain graft.Main --config <metrics.yaml> --events <dir-with-events.parquet>
-  *                      [--project <gcp-project>] [--window-size <sec>] [--limit <n>]
+  *   runMain graft.Main --config <metrics.yaml> --events <dir>
+  *     [--project <p>] [--window-size <sec>] [--limit <n>]
+  *   runMain graft.Main --metric-name <n> --metric-type count|sum
+  *     [--metric-field <f>] [--filter-conditions '<json array>']
+  *     [--metric-labels '<json obj>'] [--dynamic-labels '<json obj>']
+  *     [--export-type local|google-cloud-monitoring] --events <dir> …
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val config = opts.getOrElse("--config", sys.error("--config <yaml> is required"))
     val eventsDir = opts.getOrElse("--events", sys.error("--events <dir> is required"))
     val windowDefault = opts.get("--window-size").map(_.toLong).getOrElse(120L) // main.py:78
     val limit = opts.get("--limit").map(_.toInt)
 
-    val routes = ConfigLoader.fromFile(config, windowDefault, opts.get("--project"))
+    // config precedence mirrors main.py:288-308: --config file > flags
+    val routes = opts.get("--config") match {
+      case Some(path) => ConfigLoader.fromFile(path, windowDefault, opts.get("--project"))
+      case None =>
+        val name = opts.getOrElse("--metric-name",
+          sys.error("--config <yaml> or --metric-name … is required"))
+        Seq(ConfigLoader.singleMetric(
+          name,
+          opts.getOrElse("--metric-type", "count"),
+          opts.get("--metric-field"),
+          opts.get("--filter-conditions"),
+          opts.get("--metric-labels"),
+          opts.get("--dynamic-labels"),
+          windowDefault,
+          opts.getOrElse("--export-type", "local"),
+          opts.get("--project")))
+    }
     require(routes.nonEmpty, "config defines no metrics")
 
     val spark = SparkSession.builder()

@@ -159,6 +159,19 @@ object SparkEntry {
         .orderBy("metric", "w_start")
     },
 
+    // Spark 4 VARIANT ingest mode: bytes → decode → try_parse_json →
+    // typed variant_get extraction → aggregate.
+    "q_variant_extract" -> { (s, dir) =>
+      val raw = ev(s, dir).select(col("event_type"), encode(col("props"), "UTF-8").as("raw"))
+      Ingest
+        .parseVariant(raw, "raw")
+        .select(col("event_type"),
+          expr("variant_get(msg, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("k_cnt"))
+        .orderBy("event_type")
+    },
+
     // O1+O2: full ingest path — bytes → multi-charset decode UDF →
     // schemaless JSON map → filter → window → agg
     "q_ingest_roundtrip" -> { (s, dir) =>
@@ -210,6 +223,10 @@ object SparkEntry {
       s"UNION ALL SELECT 'sum_missing' AS metric, ${bucket(3600)} AS w_start, " +
       "round(sum(0.0), 3) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
     "q_ingest_roundtrip" -> (s"SELECT ${bucket(600)} AS w_start, CAST(count(*) AS DOUBLE) AS cnt_value " +
-      "FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1")
+      "FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1"),
+    "q_variant_extract" -> ("SELECT event_type, " +
+      "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+      "count(json_extract_string(props, '$.k')) AS k_cnt " +
+      "FROM events GROUP BY 1 ORDER BY 1")
   )
 }

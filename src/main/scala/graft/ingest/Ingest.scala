@@ -76,6 +76,17 @@ object Ingest {
       .drop("_graft_valid")
   }
 
+  /** Spark 4 VARIANT mode: decode → `parse_json` into a `VariantType`
+    * column — schemaless like the map mode but with native typed access
+    * (`variant_get(msg, '$.path', 'type')`), binary-encoded storage, and
+    * shredding-friendly scans. Malformed rows drop via `try_parse_json` ⇒
+    * null. The modern choice when readers want per-field types without a
+    * declared schema.
+    */
+  def parseVariant(df: DataFrame, rawCol: String, msgCol: String = "msg"): DataFrame =
+    df.withColumn(msgCol, try_parse_json(decodeMulti(col(rawCol))))
+      .filter(col(msgCol).isNotNull)
+
   /** Flatten a parsed struct payload to top-level columns, keeping extras. */
   def flattened(df: DataFrame, msgCol: String = "msg"): DataFrame = {
     val others = df.columns.filterNot(_ == msgCol).map(col)

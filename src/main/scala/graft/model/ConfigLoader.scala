@@ -36,6 +36,55 @@ object ConfigLoader {
   final case class MetricRoute(definition: MetricDefinition, export: ExportTarget)
 
   private val yamlMapper = new ObjectMapper(new YAMLFactory())
+  private val jsonMapper = new ObjectMapper()
+
+  /** Parse the reference's `--filter-conditions` JSON array
+    * (`[{"field": …, "value": …, "operator": …}, …]` —
+    * /root/reference/beametrics/main.py:142-158 semantics).
+    */
+  def parseFilterConditions(json: String): Seq[FilterCondition] =
+    jsonMapper
+      .readValue(json, classOf[java.util.List[Object]])
+      .asScala
+      .toSeq
+      .map { c0 =>
+        val c = c0.asInstanceOf[java.util.Map[String, Object]]
+        FilterCondition(
+          String.valueOf(c.get("field")),
+          String.valueOf(c.get("value")),
+          String.valueOf(c.get("operator")))
+      }
+
+  /** Parse a JSON object of string→string (labels flags). */
+  def parseStringMap(json: String): Map[String, String] =
+    jsonMapper
+      .readValue(json, classOf[java.util.Map[String, Object]])
+      .asScala
+      .toMap
+      .map { case (k, v) => k -> String.valueOf(v) }
+
+  /** Single-metric config from CLI-shaped flags — the reference's
+    * create_single_metric_config (/root/reference/beametrics/main.py:235-273).
+    */
+  def singleMetric(
+      name: String,
+      metricType: String,
+      field: Option[String],
+      filterConditionsJson: Option[String],
+      metricLabelsJson: Option[String],
+      dynamicLabelsJson: Option[String],
+      windowSizeSec: Long,
+      exportType: String,
+      project: Option[String]): MetricRoute =
+    MetricRoute(
+      MetricDefinition(
+        name = name,
+        metricType = MetricType.parse(metricType, field),
+        filters = filterConditionsJson.map(parseFilterConditions).getOrElse(Nil),
+        staticLabels = metricLabelsJson.map(parseStringMap).getOrElse(Map.empty),
+        dynamicLabels = dynamicLabelsJson.map(parseStringMap).getOrElse(Map.empty),
+        windowSizeSec = windowSizeSec),
+      ExportTarget.parse(exportType, project))
 
   def fromFile(path: String, defaultWindowSizeSec: Long = 60, project: Option[String] = None)
       : Seq[MetricRoute] =
