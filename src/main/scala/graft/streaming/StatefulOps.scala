@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via `flatMapGroupsWithState` — the escape hatch
+  * for semantics windowed aggregation can't express (SURVEY.md §2.3 UDF/
+  * state surface). First resident: threshold alerting with consecutive-
+  * breach tracking, the alert shape a log-metrics pipeline bolts onto its
+  * aggregated points (N consecutive windows above a limit ⇒ fire once;
+  * reset below).
+  *
+  * Scale: state is per key (metric × label-set) and constant-size (a
+  * counter + a flag); Spark shards it across executors by grouping key and
+  * checkpoints it — the same partitioning as the upstream aggregation, so
+  * no extra shuffle when chained after StreamingMetrics output keyed the
+  * same way. A processing-time timeout evicts idle keys.
+  */
+object StatefulOps {
+
+  final case class PointKey(metric: String)
+  final case class Point(metric: String, windowStartSec: Long, value: Double)
+  final case class AlertState(consecutive: Int, firing: Boolean)
+  final case class Alert(
+      metric: String,
+      windowStartSec: Long,
+      value: Double,
+      consecutive: Int,
+      kind: String) // "fire" | "resolve"
+
+  /** Emit "fire" when `value > threshold` in `breaches` consecutive points
+    * of a metric, "resolve" on the first non-breaching point after a fire.
+    * Exactly one fire per excursion.
+    *
+    * (No GroupStateTimeout here: state per key is a counter + flag; a real
+    * deployment with unbounded metric cardinality would add
+    * ProcessingTimeTimeout + state.remove() for idle-key eviction — with a
+    * trigger interval configured, timeout-triggered batches are how Spark
+    * evaluates evictions.)
+    */
+  def thresholdAlerts(
+      points: Dataset[Point],
+      threshold: Double,
+      breaches: Int): Dataset[Alert] = {
+    implicit val alertEnc = Encoders.product[Alert]
+    implicit val stateEnc = Encoders.product[AlertState]
+    implicit val keyEnc = Encoders.STRING
+    points
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (metric: String, rows: Iterator[Point], state: GroupState[AlertState]) =>
+          var s = state.getOption.getOrElse(AlertState(0, firing = false))
+          val out = rows.toSeq.sortBy(_.windowStartSec).flatMap { p =>
+            if (p.value > threshold) {
+              s = s.copy(consecutive = s.consecutive + 1)
+              if (!s.firing && s.consecutive >= breaches) {
+                s = s.copy(firing = true)
+                Some(Alert(metric, p.windowStartSec, p.value, s.consecutive, "fire"))
+              } else None
+            } else {
+              val resolved = s.firing
+              val prev = s.consecutive
+              s = AlertState(0, firing = false)
+              if (resolved) Some(Alert(metric, p.windowStartSec, p.value, prev, "resolve"))
+              else None
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

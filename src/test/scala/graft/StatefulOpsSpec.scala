@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Alert, Point}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Custom streaming state: threshold alerting via flatMapGroupsWithState,
+  * driven against a live streaming query across multiple micro-batches
+  * (state must survive batch boundaries).
+  */
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fires once after N consecutive breaches and resolves on recovery") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Point]
+    val alerts = StatefulOps.thresholdAlerts(mem.toDS(), threshold = 100.0, breaches = 3)
+
+    val q = alerts.writeStream.format("memory").queryName("alerts").outputMode("append").start()
+    try {
+      // batch 1: two breaches — below the consecutive requirement
+      mem.addData(Point("errors", 60, 150.0), Point("errors", 120, 180.0))
+      q.processAllAvailable()
+      assert(spark.table("alerts").count() == 0)
+
+      // batch 2: third consecutive breach ⇒ fire exactly once; a fourth
+      // breach must NOT re-fire
+      mem.addData(Point("errors", 180, 200.0), Point("errors", 240, 250.0))
+      q.processAllAvailable()
+      val fired = spark.table("alerts").as[Alert].collect().toList
+      assert(fired == List(Alert("errors", 180, 200.0, 3, "fire")))
+
+      // batch 3: recovery ⇒ one resolve; an unrelated healthy metric stays silent
+      mem.addData(Point("errors", 300, 10.0), Point("latency", 300, 50.0))
+      q.processAllAvailable()
+      val all = spark.table("alerts").as[Alert].collect().toSet
+      assert(all == Set(
+        Alert("errors", 180, 200.0, 3, "fire"),
+        Alert("errors", 300, 10.0, 4, "resolve")))
+
+      // batch 4: a fresh excursion fires again (state was reset)
+      mem.addData(
+        Point("errors", 360, 150.0), Point("errors", 420, 150.0), Point("errors", 480, 150.0))
+      q.processAllAvailable()
+      assert(spark.table("alerts").filter($"kind" === "fire").count() == 2)
+    } finally q.stop()
+  }
+}
