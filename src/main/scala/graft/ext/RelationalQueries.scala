@@ -126,6 +126,25 @@ object RelationalQueries {
         .orderBy("nation")
     },
 
+    // Set operation: (user, day) pairs with clicks but no errors (EXCEPT).
+    "q_users_click_not_error" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def pairs(t: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      pairs("click").except(pairs("error")).orderBy("user_id", "day")
+    },
+
+    // Date/time scalar functions: monthly order rollup via date_trunc.
+    "q_orders_by_month" -> { (s, dir) =>
+      Tables
+        .orders(s, dir)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("month")
+    },
+
     // Sliding event-time window: 300 s size, 60 s slide (each event lands in
     // 5 buckets via Spark's window(); oracle replicates with a range join).
     "q_sliding_window" -> { (s, dir) =>
@@ -184,6 +203,12 @@ object RelationalQueries {
       "JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey " +
       "WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1"),
+    "q_users_click_not_error" -> ("SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events WHERE event_type = 'click' " +
+      "EXCEPT SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events WHERE event_type = 'error' ORDER BY user_id, day"),
+    "q_orders_by_month" -> ("SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month, " +
+      "count(*) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY 1"),
     "q_sliding_window" -> ("SELECT w_start, count(*) AS cnt FROM (" +
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) - 60 * r.range AS w_start " +
       "FROM events CROSS JOIN range(5) r) GROUP BY 1 ORDER BY 1"),
