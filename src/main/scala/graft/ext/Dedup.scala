@@ -31,7 +31,15 @@ object Dedup {
     */
   def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Distinct word n-gram shingles of a token array. */
+  /** Distinct word n-gram shingles of a token array.
+    *
+    * NOTE for bulk pipelines: `array_distinct` on string arrays is
+    * quadratic per row (pairwise equality, no hashing) — measured as the
+    * dominant cost of posting-list generation at sf0.1. Row-wise operators
+    * below explode [[wordShinglesAll]] and dedupe on the 8-byte hash
+    * instead; this per-row form is the semantic reference and fine for
+    * signature expressions.
+    */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
@@ -39,6 +47,14 @@ object Dedup {
           transform(
             sequence(lit(1), size(toks) - (n - 1)),
             i => array_join(slice(toks, i, lit(n)), " "))))
+
+  /** All (non-deduped) word n-gram shingles — cheap linear generation. */
+  def wordShinglesAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
 
   /** MinHash signature (k hashes) over a shingle array, using the universal
     * family h_i(x) = ((2i+1)·x + (1000003·i + 12345)) mod P over
@@ -69,8 +85,8 @@ object Dedup {
       textCol: String,
       n: Int,
       k: Int): DataFrame = {
-    val post = docs
-      .select(col(idCol).as("doc"), explode(wordShingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    // raw (non-distinct) shingles: duplicates cannot change a min
+    val post = shingleRows(docs, idCol, textCol, n)
       .select(col("doc"), (md5Long(col("s")) % P).as("h"))
     val mins = (0 until k).map(i =>
       min((col("h") * (2 * i + 1) + (i * 1000003L + 12345L)) % P).as(s"m$i"))
@@ -123,10 +139,10 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, ngram: Int)
       : DataFrame = {
-    val post = docs
-      .select(col(idCol).as("doc"),
-        explode(wordShingles(TextOps.tokens(col(textCol)), ngram)).as("s"))
+    // votes are per DISTINCT shingle (oracle parity)
+    val post = shingleRows(docs, idCol, textCol, ngram)
       .select(col("doc"), md5Long(col("s")).as("h"))
+      .distinct()
     val votes = (0 until 48).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
     post
@@ -159,8 +175,8 @@ object Dedup {
     // n-gram shingle features, not unigrams: on shared-vocabulary corpora
     // unigram simhashes collapse (measured 632 hamming-0 pairs / 1 true dup
     // at sf0.01); 3-gram features give 25/25 true dups, 0 false positives
-    // at hamming ≤ 7.
-    val sigs = simhashSignatures(docs, idCol, textCol, ngram)
+    // at hamming ≤ 7. Materialized once for the two self-join sides.
+    val sigs = simhashSignatures(docs, idCol, textCol, ngram).localCheckpoint()
     val banded = sigs.select(
       col("doc"),
       col("sh"),
@@ -195,12 +211,35 @@ object Dedup {
     * shingle set — the standard trade; 60-bit collisions are negligible and
     * the oracle mirrors the same hashing).
     */
+  /** Exploded (doc, shingle) rows built with posexplode + `lead` windows:
+    * the token array is materialized ONCE per document, then n-grams form
+    * from neighboring rows. The per-row HOF formulation
+    * (`transform(sequence, i => slice(toks, i, n))`) re-evaluates the
+    * regex tokenization for every shingle under CollapseProject — measured
+    * 4.6 s vs 0.3 s for the token explode alone at sf0.1.
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val toks = docs.select(
+      col(idCol).as("doc"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+    toks
+      .select((col("doc") +: col("pos") +: col("w") +: leads): _*)
+      .filter((1 until n).map(i => col(s"w$i").isNotNull).reduce(_ && _))
+      .select(col("doc"),
+        concat_ws(" ", col("w") +: (1 until n).map(i => col(s"w$i")): _*).as("s"))
+  }
+
   private def hashedPostings(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    docs.select(
-      col(idCol).as("doc"),
-      explode(wordShingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    shingleRows(docs, idCol, textCol, n)
       .select(col("doc"), md5Long(col("s")).as("h"))
+      // set semantics recovered on 8-byte keys (hash-shuffle distinct) —
+      // linear, unlike per-row array_distinct over string arrays
+      .distinct()
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold, found
     * through the inverted index (equi-join on shingle), never O(n²).
@@ -215,7 +254,13 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Int = 1000): DataFrame = {
-    val post0 = hashedPostings(docs, idCol, textCol, n)
+    // Materialize the posting list ONCE: it feeds four consumers (sizes,
+    // hot-list, both self-join sides) and Spark otherwise recomputes the
+    // tokenize→shingle→hash pipeline per consumer (measured ~4× at sf0.1).
+    // localCheckpoint is eager, executor-stored, and auto-released by the
+    // ContextCleaner; a production run at 100 TB would write an
+    // intermediate table instead (same shape, fault-tolerant).
+    val post0 = hashedPostings(docs, idCol, textCol, n).localCheckpoint()
     // set sizes derived from the postings themselves (no re-tokenization)
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // df-cap: a shingle present in > maxDf docs explodes the self-join
@@ -257,7 +302,9 @@ object Dedup {
       bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // signatures feed both self-join sides — materialize once (see
+    // jaccardPairs note)
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint()
     val banded = sigs.select(
       col("doc"),
       col("sig"),

@@ -77,7 +77,7 @@ object DedupQueries {
     s"list_transform(generate_series(0, ${K - 1}), i -> list_min(list_transform(sh, " +
       s"s -> ((2*i+1) * ($Md5Int % 1000000007) + (1000003*i + 12345)) % 1000000007)))"
   private val Postings =
-    "post0 AS (SELECT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM " +
+    "post0 AS (SELECT DISTINCT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM " +
       "(SELECT doc_id AS doc, unnest(sh) AS s FROM shing)), " +
       s"hot AS (SELECT h FROM post0 GROUP BY h HAVING count(*) > $MaxDf), " +
       "post AS (SELECT * FROM post0 ANTI JOIN hot USING (h)), " +
