@@ -16,9 +16,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers once so per-query timings measure the
-    // queries, not first-touch JIT/IO (query order is hash-map order).
+    // queries, not first-touch JIT/IO. Best-effort: a missing table must
+    // not abort the bench (per-query failures degrade individually below).
     Seq("events", "lineitem", "orders", "customer", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
+      .foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

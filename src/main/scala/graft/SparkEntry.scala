@@ -209,8 +209,10 @@ object SparkEntry {
       "FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"),
     "q_dynamic_labels" -> (s"SELECT ${bucket(60)} AS w_start, event_type AS et, " +
       "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // coalesce to '' — the engine's missing-field ⇒ "" label semantics must
+    // hold even for rows whose props lack $.k (latent in current fixtures)
     "q_label_missing" -> (s"SELECT ${bucket(3600)} AS w_start, " +
-      "json_extract_string(props, '$.k') AS kk, '' AS mm, " +
+      "coalesce(json_extract_string(props, '$.k'), '') AS kk, '' AS mm, " +
       "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_multi_metric" -> (s"SELECT 'error_count' AS metric, ${bucket(300)} AS w_start, " +
       "round(CAST(count(*) AS DOUBLE), 3) AS value FROM events WHERE event_type = 'error' GROUP BY 2 " +

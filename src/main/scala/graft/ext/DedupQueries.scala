@@ -67,11 +67,13 @@ object DedupQueries {
   // ---- DuckDB fragments mirroring Dedup/TextOps bit-for-bit ----
 
   private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  // documents with <n tokens have no shingles and therefore NO signature —
+  // the engine's aggregation-based signature builders emit no row for them
+  // (shingleRows produces nothing), so the oracles filter them identically.
   private val WithShingles =
     s"toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
-      "shing AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN []::VARCHAR[] " +
-      "ELSE list_distinct(list_transform(generate_series(1, len(t)-2), " +
-      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS sh FROM toks)"
+      "shing AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)"
   private val Md5Int = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
   private val SigExpr =
     s"list_transform(generate_series(0, ${K - 1}), i -> list_min(list_transform(sh, " +

@@ -46,7 +46,10 @@ object MultimodalQueries {
       "FROM documents GROUP BY 1 ORDER BY 1"),
     // DuckDB substring() has no BLOB overload; the payload is ASCII text,
     // so byte-slicing the blob ≡ char-slicing the VARCHAR (md5 hashes the
-    // same bytes either way).
+    // same bytes either way). PRECONDITION: this equivalence breaks for
+    // multi-byte UTF-8 documents (engine slices bytes, oracle slices
+    // chars) — fine for the driver's [a-z ] corpus; a non-ASCII fixture
+    // would need the oracle dropped to a rows-only check.
     "q_media_frames" -> ("WITH f AS (SELECT doc_id AS id, i AS frame_idx, " +
       "substring(text, i * (length(text) // 4) + 1, length(text) // 4) AS frame " +
       "FROM documents CROSS JOIN generate_series(0, 3) AS g(i)) " +

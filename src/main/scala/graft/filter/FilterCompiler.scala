@@ -102,7 +102,19 @@ object FilterCompiler {
     }
   }
 
-  private def parseDouble(s: String): Option[Double] =
-    try Some(s.trim.toDouble)
-    catch { case _: NumberFormatException => None }
+  /** Decimal-literal grammar only: Scala's `toDouble` accepts Java suffix
+    * forms ("100d", "1.5f") that Python's float() — the reference's parse,
+    * whose failure means the condition never matches — rejects.
+    * (Remaining micro-divergences documented: Python also accepts
+    * underscore separators and inf/nan, which no sane config uses.)
+    */
+  private val DoubleLit = """[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""".r
+
+  private def parseDouble(s: String): Option[Double] = {
+    val t = s.trim
+    if (DoubleLit.matches(t))
+      try Some(t.toDouble)
+      catch { case _: NumberFormatException => None }
+    else None
+  }
 }

@@ -68,13 +68,16 @@ object Ingest {
     * document parsing at all (map-probe), mirroring drop-on-failure; fields
     * missing from a valid document are null (reference `msg.get` ⇒ None).
     */
-  def parseTyped(df: DataFrame, rawCol: String, schema: StructType, msgCol: String = "msg"): DataFrame = {
-    val decoded = decodeMulti(col(rawCol))
-    df.withColumn("_graft_valid", from_json(decoded, MapType(StringType, StringType)).isNotNull)
-      .withColumn(msgCol, from_json(decoded, schema))
+  def parseTyped(df: DataFrame, rawCol: String, schema: StructType, msgCol: String = "msg"): DataFrame =
+    // decode ONCE into a named column: two inline decodeMulti(raw) refs
+    // would each run the UDF (nondeterministic expressions are exempt from
+    // common-subexpression elimination)
+    df.withColumn("_graft_dec", decodeMulti(col(rawCol)))
+      .withColumn("_graft_valid",
+        from_json(col("_graft_dec"), MapType(StringType, StringType)).isNotNull)
+      .withColumn(msgCol, from_json(col("_graft_dec"), schema))
       .filter(col("_graft_valid"))
-      .drop("_graft_valid")
-  }
+      .drop("_graft_valid", "_graft_dec")
 
   /** Spark 4 VARIANT mode: decode → `parse_json` into a `VariantType`
     * column — schemaless like the map mode but with native typed access

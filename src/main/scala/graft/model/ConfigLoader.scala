@@ -47,13 +47,14 @@ object ConfigLoader {
       .readValue(json, classOf[java.util.List[Object]])
       .asScala
       .toSeq
-      .map { c0 =>
-        val c = c0.asInstanceOf[java.util.Map[String, Object]]
-        FilterCondition(
-          String.valueOf(c.get("field")),
-          String.valueOf(c.get("value")),
-          String.valueOf(c.get("operator")))
-      }
+      .map(c0 => conditionFromMap(c0.asInstanceOf[java.util.Map[String, Object]]))
+
+  /** Single shared map→FilterCondition mapping for the YAML and JSON paths. */
+  private def conditionFromMap(c: java.util.Map[String, Object]): FilterCondition =
+    FilterCondition(
+      String.valueOf(c.get("field")),
+      String.valueOf(c.get("value")),
+      String.valueOf(c.get("operator")))
 
   /** Parse a JSON object of string→string (labels flags). */
   def parseStringMap(json: String): Map[String, String] =
@@ -121,13 +122,7 @@ object ConfigLoader {
       val conds = Option(m.get("filter-conditions"))
         .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq)
         .getOrElse(Seq.empty)
-        .map { c0 =>
-          val c = c0.asInstanceOf[java.util.Map[String, Object]]
-          FilterCondition(
-            String.valueOf(c.get("field")),
-            String.valueOf(c.get("value")),
-            String.valueOf(c.get("operator")))
-        }
+        .map(c0 => conditionFromMap(c0.asInstanceOf[java.util.Map[String, Object]]))
       val defn = MetricDefinition(
         name = name,
         metricType = MetricType.parse(

@@ -81,25 +81,37 @@ object LogsToMetrics {
     def labelValue(field: String): Column = coalesce(f(field), lit(""))
   }
 
-  def apply(defs: Seq[MetricDefinition], mode: Mode, tsCol: String = "ts")(
-      df: DataFrame): DataFrame = {
+  /** The shared multi-config fan-out: keep rows matching ANY config (the OR
+    * gate is pushdown-friendly), emit one struct per matching config,
+    * explode. Used by both the batch transform and StreamingMetrics so the
+    * fan-out semantics (null-pred handling, label canonicalization, value
+    * projection) live in exactly one place.
+    * Output: `_ts` + the per-config struct fields (+ `wsize` if requested).
+    */
+  private[graft] def fanOutExplode(
+      df: DataFrame,
+      defs: Seq[MetricDefinition],
+      mode: Mode,
+      tsCol: String,
+      withWsize: Boolean): DataFrame = {
     require(defs.nonEmpty, "at least one metric definition")
-
     val perConfig: Seq[Column] = defs.map { d =>
-      val emit = struct(
-        lit(d.name).as("metric"),
-        lit(d.effectiveWindowSizeSec).as("wsize"),
-        labelEntries(d, mode).as("labels"),
-        valueCol(d, mode).as("value"))
-      when(mode.pred(d.filters), emit)
+      val fields =
+        Seq(lit(d.name).as("metric")) ++
+          (if (withWsize) Seq(lit(d.effectiveWindowSizeSec).as("wsize")) else Nil) ++
+          Seq(labelEntries(d, mode).as("labels"), valueCol(d, mode).as("value"))
+      when(mode.pred(d.filters), struct(fields: _*))
     }
-    // Pre-explode row gate: OR of all config predicates — pushdown-friendly.
     val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
-
     df.filter(anyMatch)
       .select(col(tsCol).as("_ts"),
         explode(filter(array(perConfig: _*), c => c.isNotNull)).as("m"))
       .select(col("_ts"), col("m.*"))
+  }
+
+  def apply(defs: Seq[MetricDefinition], mode: Mode, tsCol: String = "ts")(
+      df: DataFrame): DataFrame = {
+    fanOutExplode(df, defs, mode, tsCol, withWsize = true)
       // epoch-floor tumbling window in integer micros; per-config size.
       .withColumn("_wstart",
         (expr("unix_micros(_ts)") - pmod(expr("unix_micros(_ts)"), col("wsize") * 1000000L)))

@@ -34,7 +34,11 @@ final case class MetricPoint(
     value: Double,
     labels: Map[String, String]) {
 
-  /** Reference local-exporter JSON line shape (metrics_exporter.py:213-220). */
+  /** Reference local-exporter JSON line shape (metrics_exporter.py:213-220).
+    * Timestamp renders as ISO-8601 UTC (Instant) — `java.sql.Timestamp
+    * .toString` uses the JVM default timezone, which would make exported
+    * lines host-dependent.
+    */
   def toJsonLine: String = {
     def esc(s: String) =
       s.flatMap {
@@ -46,7 +50,8 @@ final case class MetricPoint(
     val ls = labels.toSeq.sorted
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
-    s"""{"timestamp": "$timestamp", "metric_name": "${esc(metricName)}", "value": $value, "labels": $ls}"""
+    val ts = java.time.Instant.ofEpochMilli(timestamp.getTime).toString
+    s"""{"timestamp": "$ts", "metric_name": "${esc(metricName)}", "value": $value, "labels": $ls}"""
   }
 }
 

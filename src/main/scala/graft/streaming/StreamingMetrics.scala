@@ -46,7 +46,10 @@ object StreamingMetrics {
     }
   }
 
-  /** Single-window-size variant: one scan, one shuffle, N configs. */
+  /** Single-window-size variant: one scan, one shuffle, N configs. The
+    * fan-out itself is LogsToMetrics.fanOutExplode — identical semantics to
+    * the batch path by construction.
+    */
   private def attachUniform(
       stream: DataFrame,
       defs: Seq[MetricDefinition],
@@ -54,20 +57,13 @@ object StreamingMetrics {
       mode: LogsToMetrics.Mode,
       tsCol: String,
       watermarkDelay: String): DataFrame = {
-    val perConfig = defs.map { d =>
-      val emit = struct(
-        lit(d.name).as("metric"),
-        LogsToMetrics.labelEntries(d, mode).as("labels"),
-        LogsToMetrics.valueCol(d, mode).as("value"))
-      when(mode.pred(d.filters), emit)
-    }
-    val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
-    stream
-      .withWatermark(tsCol, watermarkDelay)
-      .filter(anyMatch)
-      .select(col(tsCol).as("_ts"),
-        explode(filter(array(perConfig: _*), c => c.isNotNull)).as("m"))
-      .select(col("_ts"), col("m.*"))
+    LogsToMetrics
+      .fanOutExplode(
+        stream.withWatermark(tsCol, watermarkDelay),
+        defs,
+        mode,
+        tsCol,
+        withWsize = false)
       .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("labels"))
       .agg(sum(col("value")).as("value"))
       .select(

@@ -25,10 +25,10 @@ class MetricsSinkSpec extends SparkSpec {
     LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
   }
 
-  test("JSON line matches the reference local exporter shape") {
+  test("JSON line matches the reference local exporter shape (ISO-8601 UTC)") {
     val p = MetricPoint(new java.sql.Timestamp(120000L), "errors", 2.0, Map("sev" -> "ERROR"))
     assert(p.toJsonLine ==
-      """{"timestamp": """ + s""""${new java.sql.Timestamp(120000L)}", """ +
+      """{"timestamp": "1970-01-01T00:02:00Z", """ +
         """"metric_name": "errors", "value": 2.0, "labels": {"sev": "ERROR"}}""")
   }
 
