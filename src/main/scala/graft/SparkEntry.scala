@@ -159,6 +159,32 @@ object SparkEntry {
         .orderBy("metric", "w_start")
     },
 
+    // EXT metric types in the single-pass fan-out. min/max are
+    // order-independent (hash-exact); avg is declared separately WITHOUT an
+    // oracle — a double sum's partition order shifts the last bits, and the
+    // data's 2-decimal values make decimal-half rationals (observed
+    // 64.1625) common enough that any rounding grid disagrees cross-engine.
+    "q_metric_min_max" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(
+        MetricDefinition("v_min", MetricType.Min("value"), windowSizeSec = 3600),
+        MetricDefinition("v_max", MetricType.Max("value"), windowSizeSec = 3600))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(
+          col("metric"),
+          secs(col("window_start")).as("w_start"),
+          col("value"))
+        .orderBy("metric", "w_start")
+    },
+    "q_metric_avg" -> { (s, dir) =>
+      val df = ev(s, dir)
+      val defs = Seq(MetricDefinition("v_avg", MetricType.Avg("value"), windowSizeSec = 3600))
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(col("metric"), secs(col("window_start")).as("w_start"),
+          round(col("value"), 3).as("value"))
+        .orderBy("metric", "w_start")
+    },
+
     // Spark 4 VARIANT ingest mode: bytes → decode → try_parse_json →
     // typed variant_get extraction → aggregate.
     "q_variant_extract" -> { (s, dir) =>
@@ -226,6 +252,10 @@ object SparkEntry {
       "round(sum(0.0), 3) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
     "q_ingest_roundtrip" -> (s"SELECT ${bucket(600)} AS w_start, CAST(count(*) AS DOUBLE) AS cnt_value " +
       "FROM events WHERE event_type = 'error' GROUP BY 1 ORDER BY 1"),
+    "q_metric_min_max" -> (s"SELECT 'v_min' AS metric, ${bucket(3600)} AS w_start, " +
+      "min(value) AS value FROM events GROUP BY 2 " +
+      s"UNION ALL SELECT 'v_max' AS metric, ${bucket(3600)} AS w_start, " +
+      "max(value) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
     "q_variant_extract" -> ("SELECT event_type, " +
       "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
       "count(json_extract_string(props, '$.k')) AS k_cnt " +

@@ -38,16 +38,34 @@ object MetricType {
   final case class Sum(field: String) extends MetricType {
     require(field != null && field.nonEmpty, "field is required when metric_type is sum")
   }
-  def parse(metricType: String, field: Option[String]): MetricType =
-    metricType.toLowerCase match {
+  // EXT beyond the reference's count|sum (SURVEY.md §2.3 aggregations):
+  // same field semantics as Sum (missing/unparsable ⇒ null, excluded).
+  final case class Min(field: String) extends MetricType {
+    require(field != null && field.nonEmpty, "field is required when metric_type is min")
+  }
+  final case class Max(field: String) extends MetricType {
+    require(field != null && field.nonEmpty, "field is required when metric_type is max")
+  }
+  final case class Avg(field: String) extends MetricType {
+    require(field != null && field.nonEmpty, "field is required when metric_type is avg")
+  }
+  def parse(metricType: String, field: Option[String]): MetricType = {
+    val t = metricType.toLowerCase
+    def f = {
+      require(field.exists(_.nonEmpty), s"field is required when metric_type is $t")
+      field.get
+    }
+    t match {
       case "count" => Count
-      case "sum" =>
-        require(field.exists(_.nonEmpty), "field is required when metric_type is sum")
-        Sum(field.get)
+      case "sum" => Sum(f)
+      case "min" => Min(f)
+      case "max" => Max(f)
+      case "avg" => Avg(f)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported metric type: $other (must be count or sum)")
+          s"Unsupported metric type: $other (must be count, sum, min, max or avg)")
     }
+  }
 }
 
 /** One metric definition (reference MetricDefinition,

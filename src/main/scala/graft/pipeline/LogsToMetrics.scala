@@ -51,6 +51,11 @@ object LogsToMetrics {
     def pred(conds: Seq[FilterCondition]): Column
     def sumValue(field: String): Column
     def labelValue(field: String): Column
+
+    /** Nullable numeric read (no missing⇒0 coalerce) — min/max/avg exclude
+      * missing/unparsable values instead of counting them as 0.
+      */
+    def numValue(field: String): Column
   }
 
   /** Records have a declared schema; field types known at plan time. */
@@ -69,6 +74,15 @@ object LogsToMetrics {
       if (schema.fieldNames.contains(field))
         coalesce(col(field).cast(StringType), lit("")) // str(msg.get(field, ""))
       else lit("")
+    def numValue(field: String): Column =
+      schema.fields.find(_.name == field) match {
+        case None => lit(null).cast(DoubleType)
+        case Some(f) =>
+          f.dataType match {
+            case _: NumericType => col(field).cast(DoubleType)
+            case _              => col(field).try_cast(DoubleType)
+          }
+      }
   }
 
   /** Records are a `MapType(String,String)` column parsed from JSON. */
@@ -79,6 +93,7 @@ object LogsToMetrics {
     def sumValue(field: String): Column =
       coalesce(f(field).try_cast(DoubleType), lit(0.0))
     def labelValue(field: String): Column = coalesce(f(field), lit(""))
+    def numValue(field: String): Column = f(field).try_cast(DoubleType)
   }
 
   /** The shared multi-config fan-out: keep rows matching ANY config (the OR
@@ -99,7 +114,10 @@ object LogsToMetrics {
       val fields =
         Seq(lit(d.name).as("metric")) ++
           (if (withWsize) Seq(lit(d.effectiveWindowSizeSec).as("wsize")) else Nil) ++
-          Seq(labelEntries(d, mode).as("labels"), valueCol(d, mode).as("value"))
+          Seq(
+            lit(aggKind(d.metricType)).as("kind"),
+            labelEntries(d, mode).as("labels"),
+            valueCol(d, mode).as("value"))
       when(mode.pred(d.filters), struct(fields: _*))
     }
     val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
@@ -115,15 +133,36 @@ object LogsToMetrics {
       // epoch-floor tumbling window in integer micros; per-config size.
       .withColumn("_wstart",
         (expr("unix_micros(_ts)") - pmod(expr("unix_micros(_ts)"), col("wsize") * 1000000L)))
-      .groupBy(col("metric"), col("wsize"), col("_wstart"), col("labels"))
-      .agg(sum(col("value")).as("value"))
+      .groupBy(col("metric"), col("wsize"), col("kind"), col("_wstart"), col("labels"))
+      .agg(aggValues.head, aggValues.tail: _*)
       .select(
         col("metric"),
         timestamp_micros(col("_wstart")).as("window_start"),
         timestamp_micros(col("_wstart") + col("wsize") * 1000000L).as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        col("value"))
+        finalValue.as("value"))
   }
+
+  /** 0 = sum-like (count is sum of 1s), 1 = min, 2 = max, 3 = avg. */
+  private[graft] def aggKind(t: MetricType): Int = t match {
+    case MetricType.Count | MetricType.Sum(_) => 0
+    case MetricType.Min(_)                    => 1
+    case MetricType.Max(_)                    => 2
+    case MetricType.Avg(_)                    => 3
+  }
+
+  /** One pass computes all partial aggregates; kind picks the result. */
+  private[graft] def aggValues: Seq[Column] = Seq(
+    sum(col("value")).as("_sum"),
+    min(col("value")).as("_min"),
+    max(col("value")).as("_max"),
+    count(col("value")).as("_cnt"))
+
+  private[graft] def finalValue: Column =
+    when(col("kind") === 0, col("_sum"))
+      .when(col("kind") === 1, col("_min"))
+      .when(col("kind") === 2, col("_max"))
+      .otherwise(col("_sum") / col("_cnt"))
 
   /** Plan-time canonical labels: static ∪ dynamic, dynamic wins on key
     * conflict (pipeline.py:198), sorted by key (pipeline.py:172).
@@ -137,7 +176,10 @@ object LogsToMetrics {
   }
 
   private[graft] def valueCol(d: MetricDefinition, mode: Mode): Column = d.metricType match {
-    case MetricType.Count      => lit(1.0)
+    case MetricType.Count => lit(1.0)
     case MetricType.Sum(field) => mode.sumValue(field)
+    case MetricType.Min(field) => mode.numValue(field)
+    case MetricType.Max(field) => mode.numValue(field)
+    case MetricType.Avg(field) => mode.numValue(field)
   }
 }

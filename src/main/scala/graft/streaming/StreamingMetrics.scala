@@ -64,13 +64,13 @@ object StreamingMetrics {
         mode,
         tsCol,
         withWsize = false)
-      .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("labels"))
-      .agg(sum(col("value")).as("value"))
+      .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("kind"), col("labels"))
+      .agg(LogsToMetrics.aggValues.head, LogsToMetrics.aggValues.tail: _*)
       .select(
         col("metric"),
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        col("value"))
+        LogsToMetrics.finalValue.as("value"))
   }
 }

@@ -97,6 +97,23 @@ class LogsToMetricsSpec extends SparkSpec {
     assert(out == Map("gone" -> ""))
   }
 
+  test("min/max/avg metric types; missing values excluded, not zeroed") {
+    val df = Seq(
+      ("a", at(10), "5"), ("b", at(20), "15"), ("c", at(30), "not_num"), ("d", at(40), null)
+    ).toDF("id", "ts", "v")
+    val defs = Seq(
+      MetricDefinition("mn", MetricType.Min("v"), windowSizeSec = 3600),
+      MetricDefinition("mx", MetricType.Max("v"), windowSizeSec = 3600),
+      MetricDefinition("av", MetricType.Avg("v"), windowSizeSec = 3600),
+      MetricDefinition("sm", MetricType.Sum("v"), windowSizeSec = 3600))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"metric", $"value").as[(String, Double)].collect().toMap
+    assert(out("mn") == 5.0)
+    assert(out("mx") == 15.0)
+    assert(out("av") == 10.0) // (5+15)/2 — nulls excluded from the mean
+    assert(out("sm") == 20.0) // sum: unparsable/missing contribute 0
+  }
+
   test("per-config window sizes coexist in one pass") {
     val df = Seq(Row1(at(65), "E", 1.0)).toDF
     val defs = Seq(

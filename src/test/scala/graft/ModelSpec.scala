@@ -18,7 +18,12 @@ class ModelSpec extends AnyFunSuite {
   }
 
   test("unsupported metric type rejected (test_main.py:176-194)") {
-    intercept[IllegalArgumentException](MetricType.parse("avg", Some("x")))
+    intercept[IllegalArgumentException](MetricType.parse("median", Some("x")))
+    // EXT types beyond the reference's count|sum parse with a field
+    assert(MetricType.parse("min", Some("v")) == MetricType.Min("v"))
+    assert(MetricType.parse("max", Some("v")) == MetricType.Max("v"))
+    assert(MetricType.parse("avg", Some("v")) == MetricType.Avg("v"))
+    intercept[IllegalArgumentException](MetricType.parse("avg", None))
   }
 
   test("unsupported export type rejected (test_main.py:112-131)") {
