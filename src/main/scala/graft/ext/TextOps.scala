@@ -90,6 +90,38 @@ object TextOps {
     }
   }
 
+  /** Language-ID via token explode + broadcast marker join — semantically
+    * identical to [[langId]] (same profiles, same deterministic argmax) but
+    * the scalable form: the per-row expression evaluates 25 marker-count
+    * filters, each re-tokenizing the text (lambda subexpression recompute);
+    * this version tokenizes once, joins the tiny marker table, and
+    * aggregates. Docs with zero marker hits default to the first profile.
+    * Returns (idCol, predicted).
+    */
+  def langIdByJoin(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = LangProfiles.zipWithIndex
+      .flatMap { case ((lang, words), prio) => words.map(w => (lang, w, prio)) }
+      .toDF("lang", "word", "prio")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val scores = toks
+      .join(broadcast(markers), col("w") === col("word"))
+      .groupBy(col(idCol), col("lang"), col("prio"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("prio").asc)
+    val winners = scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("predicted"))
+    docs
+      .select(col(idCol))
+      .join(winners, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("predicted"), lit(LangProfiles.head._1)).as("predicted"))
+  }
+
   /** Canonical whitespace-normalized form used by fingerprints/dedup. */
   def normalized(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))

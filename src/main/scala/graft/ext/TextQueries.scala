@@ -30,11 +30,13 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // Language-ID confusion: labeled lang × predicted lang counts.
+    // Language-ID confusion: labeled lang × predicted lang counts
+    // (explode + broadcast marker join — see TextOps.langIdByJoin).
     "q_text_langid" -> { (s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+      val d = Tables.documents(s, dir)
+      TextOps
+        .langIdByJoin(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")
