@@ -90,6 +90,27 @@ class StreamingMetricsSpec extends SparkSpec {
     assert(batch == Set(("error_count", 60L, 2.0), ("bytes_sum", 60L, 350.0)))
   }
 
+  test("avg metric type aggregates correctly across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val parsed = Ingest.parseSchemaless(mem.toDF.toDF("ts", "raw"), "raw")
+    val Seq(out) = StreamingMetrics.attach(
+      parsed,
+      Seq(MetricDefinition("avg_bytes", MetricType.Avg("bytes"), windowSizeSec = 60)),
+      LogsToMetrics.Schemaless("msg"))
+    val q = out.writeStream.format("memory").queryName("avg_stream").outputMode("append").start()
+    try {
+      // values arrive in different micro-batches; avg must combine state
+      mem.addData((at(10), msg("ERROR", 10).getBytes("UTF-8")))
+      mem.addData((at(20), msg("ERROR", 30).getBytes("UTF-8")),
+        (at(30), """{"severity": "X"}""".getBytes("UTF-8"))) // no bytes field ⇒ excluded
+      mem.addData((at(200), msg("ERROR", 0).getBytes("UTF-8")))
+      q.processAllAvailable()
+      val vals = spark.table("avg_stream").select($"value").as[Double].collect().toList
+      assert(vals == List(20.0)) // (10+30)/2 — missing-field row excluded
+    } finally q.stop()
+  }
+
   test("multiple window sizes produce one streaming aggregation each") {
     val mixed = defs.head +: Seq(
       MetricDefinition("m5", MetricType.Count, windowSizeSec = 300))
