@@ -75,6 +75,46 @@ class FilterPropertySpec extends SparkSpec {
     }
   }
 
+  test("schemaless mode ≡ stringified-map reference semantics over generated inputs") {
+    // map-mode spec (documented divergence from typed mode, SURVEY.md §2.2):
+    // all values are strings; equals/contains compare strings; gt/lt
+    // try_cast the string value (numeric-LOOKING strings DO match).
+    def refMap(m: Map[String, String], c: FilterCondition): Boolean =
+      try {
+        val v = m.get(c.field)
+        c.operator match {
+          case FilterOps.Equals => v.contains(c.value)
+          case FilterOps.Contains => v.exists(_.contains(c.value))
+          case FilterOps.GreaterThan =>
+            v.flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+              .exists(_ > c.value.trim.toDouble)
+          case FilterOps.LessThan =>
+            v.flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+              .exists(_ < c.value.trim.toDouble)
+          case _ => false
+        }
+      } catch { case _: Exception => false }
+
+    val mapGen: Gen[Map[String, String]] = for {
+      s1 <- Gen.option(Gen.oneOf("a", "ab", "10", "10.5", ""))
+      d1 <- Gen.option(Gen.oneOf("150", "-3", "xyz", "0"))
+    } yield Seq(s1.map("s1" -> _), d1.map("d1" -> _)).flatten.toMap
+
+    samples(Gen.zip(condsGen, Gen.listOfN(6, mapGen)), 30, 99L).foreach { case (conds0, maps) =>
+      // restrict fields to those the map generator produces
+      val conds = conds0.map(c =>
+        c.copy(field = if (c.field == "s2" || c.field == "d2") "missing" else c.field))
+      val df = maps.zipWithIndex.map { case (m, i) => (i, m) }.toDF("i", "msg")
+      val kept = df
+        .filter(FilterCompiler.compileSchemaless(conds, org.apache.spark.sql.functions.col("msg")))
+        .select("i").as[Int].collect().toSet
+      val refKept = maps.zipWithIndex.collect {
+        case (m, i) if conds.forall(refMap(m, _)) => i
+      }.toSet
+      assert(kept == refKept, s"conds=$conds maps=$maps")
+    }
+  }
+
   test("epoch-floor window start law: start ≤ ts < start+size, start % size == 0") {
     import graft.model.{MetricDefinition, MetricType}
     import graft.pipeline.LogsToMetrics
