@@ -90,6 +90,41 @@ object TextOps {
     }
   }
 
+  /** Per-document text statistics via ONE tokenize + explode + aggregation —
+    * semantically identical to the per-row expressions (ratios are the same
+    * integer divisions in the same order ⇒ bit-identical doubles), but each
+    * per-row stat column would re-evaluate the regex tokenization (lambda
+    * subexpression recompute). Returns
+    * (idCol, tok_cnt, ttr, stop_ratio, quality).
+    */
+  def docStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val agg = toks
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_tc"),
+        count_distinct(col("w")).as("_dt"),
+        sum(when(col("w").isInCollection(Stopwords), 1L).otherwise(0L)).as("_sh"),
+        sum(length(col("w")).cast("long")).as("_ls"))
+    val joined = docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+    val tc = coalesce(col("_tc"), lit(0L))
+    val ttr = when(tc === 0, 0.0).otherwise(col("_dt").cast("double") / tc)
+    val stopRatio = when(tc === 0, 0.0).otherwise(col("_sh").cast("double") / tc)
+    val avgLen = when(tc === 0, 0.0).otherwise(col("_ls").cast("double") / tc)
+    val quality =
+      least(tc.cast("double") / 100.0, lit(1.0)) * 0.25 +
+        (lit(1.0) - stopRatio) * 0.25 +
+        least(avgLen / 8.0, lit(1.0)) * 0.25 +
+        ttr * 0.25
+    joined.select(
+      col(idCol),
+      tc.as("tok_cnt"),
+      ttr.as("ttr"),
+      stopRatio.as("stop_ratio"),
+      quality.as("quality"))
+  }
+
   /** Language-ID via token explode + broadcast marker join — semantically
     * identical to [[langId]] (same profiles, same deterministic argmax) but
     * the scalable form: the per-row expression evaluates 25 marker-count

@@ -13,20 +13,18 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats: token count, BPE-ish subword count, type-token
-    // ratio, stopword ratio, composite quality score.
+    // ratio, stopword ratio, composite quality score — via the
+    // tokenize-once aggregation (TextOps.docStats). Ratios/scores are
+    // emitted unrounded: same integer inputs + same op order in both
+    // engines ⇒ bit-identical doubles.
     "q_text_stats" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
-      val toks = TextOps.tokens(col("text"))
-      // Ratios/scores are emitted unrounded: identical op order in both
-      // engines ⇒ bit-identical doubles (rounding at a decimal half is the
-      // only cross-engine divergence — see TextOps.qualityScore).
-      d.select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).as("tok_cnt"),
-        TextOps.bpeishTokenCount(col("text")).as("bpe_cnt"),
-        TextOps.typeTokenRatio(toks).as("ttr"),
-        TextOps.stopwordRatio(toks).as("stop_ratio"),
-        TextOps.qualityScore(col("text")).as("quality"))
+      TextOps
+        .docStats(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("bpe_cnt")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("tok_cnt"), col("bpe_cnt"), col("ttr"),
+          col("stop_ratio"), col("quality"))
         .orderBy("doc_id")
     },
 
@@ -59,11 +57,13 @@ object TextQueries {
     // rounding and cross-row double sums are not) and summed exactly as
     // integers.
     "q_text_by_source" -> { (s, dir) =>
-      Tables
-        .documents(s, dir)
+      val d = Tables.documents(s, dir)
+      TextOps
+        .docStats(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"),
-          floor(TextOps.qualityScore(col("text")) * 10000).cast("long").as("q4"),
-          TextOps.tokenCount(col("text")).as("tc"))
+          floor(col("quality") * 10000).cast("long").as("q4"),
+          col("tok_cnt").as("tc"))
         .groupBy("source")
         .agg(sum(col("q4")).as("sum_quality_q4"), sum(col("tc")).as("total_tokens"))
         .orderBy("source")
