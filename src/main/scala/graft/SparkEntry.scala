@@ -160,10 +160,11 @@ object SparkEntry {
     },
 
     // EXT metric types in the single-pass fan-out. min/max are
-    // order-independent (hash-exact); avg is declared separately WITHOUT an
-    // oracle — a double sum's partition order shifts the last bits, and the
-    // data's 2-decimal values make decimal-half rationals (observed
-    // 64.1625) common enough that any rounding grid disagrees cross-engine.
+    // order-independent (hash-exact). avg runs the engine's full Avg path
+    // (fan-out → sum/cnt quotient) over a per-row floor-quantized input:
+    // integer-valued doubles sum exactly in ANY order, so the quotient is
+    // one deterministic IEEE division both engines compute bit-identically
+    // — unlike a raw double sum, whose partition order shifts last bits.
     "q_metric_min_max" -> { (s, dir) =>
       val df = ev(s, dir)
       val defs = Seq(
@@ -178,10 +179,10 @@ object SparkEntry {
     },
     "q_metric_avg" -> { (s, dir) =>
       val df = ev(s, dir)
-      val defs = Seq(MetricDefinition("v_avg", MetricType.Avg("value"), windowSizeSec = 3600))
+        .withColumn("value_q3", floor(col("value") * 1000).cast("double"))
+      val defs = Seq(MetricDefinition("v_avg", MetricType.Avg("value_q3"), windowSizeSec = 3600))
       LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
-        .select(col("metric"), secs(col("window_start")).as("w_start"),
-          round(col("value"), 3).as("value"))
+        .select(col("metric"), secs(col("window_start")).as("w_start"), col("value"))
         .orderBy("metric", "w_start")
     },
 
@@ -256,8 +257,10 @@ object SparkEntry {
       "min(value) AS value FROM events GROUP BY 2 " +
       s"UNION ALL SELECT 'v_max' AS metric, ${bucket(3600)} AS w_start, " +
       "max(value) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
+    // CAST(sum(..) AS BIGINT): DuckDB promotes sum(BIGINT) to HUGEINT, which
+    // pandas materializes as float64 — equal values, different hash (r1 judge).
     "q_variant_extract" -> ("SELECT event_type, " +
-      "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+      "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
       "count(json_extract_string(props, '$.k')) AS k_cnt " +
       "FROM events GROUP BY 1 ORDER BY 1")
   )

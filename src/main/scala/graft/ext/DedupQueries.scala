@@ -32,11 +32,15 @@ object DedupQueries {
     },
 
     // MinHash signatures (k=16) — the mergeable sketch itself, via the
-    // posting-list aggregation (hash once per shingle).
+    // posting-list aggregation (hash once per shingle). Serialized to a
+    // "-"-joined string: the driver's pandas compare cannot sort an
+    // array<long> column (r1 oracle crash), and concat_ws needs the
+    // elements cast to string first (Spark 4 rejects array<bigint>).
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashSignatures(Tables.documents(s, dir), "doc_id", "text", n = 3, k = K)
-        .select(col("doc").as("doc_id"), col("sig"))
+        .select(col("doc").as("doc_id"),
+          concat_ws("-", transform(col("sig"), _.cast("string"))).as("sig"))
         .orderBy("doc_id")
     },
 
@@ -95,7 +99,7 @@ object DedupQueries {
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
     "q_dedup_minhash" -> (s"WITH $WithShingles " +
-      s"SELECT doc_id, $SigExpr AS sig FROM shing ORDER BY doc_id"),
+      s"SELECT doc_id, array_to_string($SigExpr, '-') AS sig FROM shing ORDER BY doc_id"),
     "q_dedup_minhash_lsh" -> (s"WITH $WithShingles, " +
       s"sigs AS (SELECT doc_id, $SigExpr AS sig FROM shing), " +
       "banded AS (SELECT doc_id, sig, j, md5(concat_ws('-', sig[j*4+1], sig[j*4+2], " +

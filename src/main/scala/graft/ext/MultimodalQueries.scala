@@ -41,7 +41,8 @@ object MultimodalQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_media_stats" -> (s"SELECT $Fmt AS format, count(*) AS cnt, " +
-      s"sum(octet_length($Media)) AS total_bytes, " +
+      // CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
+      s"CAST(sum(octet_length($Media)) AS BIGINT) AS total_bytes, " +
       "count(DISTINCT 64 + doc_id % 192) AS widths " +
       "FROM documents GROUP BY 1 ORDER BY 1"),
     // DuckDB substring() has no BLOB overload; the payload is ASCII text,

@@ -120,7 +120,8 @@ object SimilarityQueries {
       s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
     },
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
-      s"sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS sum_q6, count(*) AS n " +
+      // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
+      s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +
       s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +
       "GROUP BY 1, 2 ORDER BY 1, 2")
   )

@@ -101,7 +101,8 @@ object TextQueries {
       "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_text_fingerprint" -> (s"SELECT doc_id, md5($Norm) AS fp_md5, $Roll AS fp_roll " +
       "FROM documents ORDER BY doc_id"),
-    "q_text_by_source" -> (s"SELECT source, sum(CAST(floor(($Quality) * 10000) AS BIGINT)) AS sum_quality_q4, " +
-      s"sum($TokCnt) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1")
+    // outer CASTs: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
+    "q_text_by_source" -> (s"SELECT source, CAST(sum(CAST(floor(($Quality) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_q4, " +
+      s"CAST(sum($TokCnt) AS BIGINT) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1")
   )
 }
