@@ -182,7 +182,10 @@ object SparkEntry {
         .withColumn("value_q3", floor(col("value") * 1000).cast("double"))
       val defs = Seq(MetricDefinition("v_avg", MetricType.Avg("value_q3"), windowSizeSec = 3600))
       LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
-        .select(col("metric"), secs(col("window_start")).as("w_start"), col("value"))
+        // value_q3_avg: the quotient of integer-valued double sums — a ×1000
+        // scaled average, named so the quantized unit is explicit in dumps.
+        .select(col("metric"), secs(col("window_start")).as("w_start"),
+          col("value").as("value_q3_avg"))
         .orderBy("metric", "w_start")
     },
 
@@ -257,6 +260,11 @@ object SparkEntry {
       "min(value) AS value FROM events GROUP BY 2 " +
       s"UNION ALL SELECT 'v_max' AS metric, ${bucket(3600)} AS w_start, " +
       "max(value) AS value FROM events GROUP BY 2 ORDER BY 1, 2"),
+    // floor(value*1000) is integer-valued, so both engines sum it exactly in
+    // any partition order and the avg is ONE deterministic IEEE division —
+    // bit-identical cross-engine, unlike an avg over raw doubles.
+    "q_metric_avg" -> (s"SELECT 'v_avg' AS metric, ${bucket(3600)} AS w_start, " +
+      "avg(floor(value * 1000)) AS value_q3_avg FROM events GROUP BY 2 ORDER BY 1, 2"),
     // CAST(sum(..) AS BIGINT): DuckDB promotes sum(BIGINT) to HUGEINT, which
     // pandas materializes as float64 — equal values, different hash (r1 judge).
     "q_variant_extract" -> ("SELECT event_type, " +

@@ -37,11 +37,12 @@ object Similarity {
   }
 
   /** Deterministic integer hyperplanes: `planes` × `dim` weights in
-    * [-1000, 1000], derived from md5("plane-p-i"). Integer weights make the
-    * dot-product sign exactly reproducible in any engine.
+    * [-1000, 1000], derived from md5("seed-p-i"). Integer weights make the
+    * dot-product sign exactly reproducible in any engine. Distinct seeds give
+    * statistically independent tables for multi-table LSH.
     */
-  def hyperplanes(planes: Int, dim: Int): Array[Array[Long]] =
-    Array.tabulate(planes, dim)((p, i) => md5LongScala(s"plane-$p-$i") % 2001L - 1000L)
+  def hyperplanes(planes: Int, dim: Int, seed: String = "plane"): Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, i) => md5LongScala(s"$seed-$p-$i") % 2001L - 1000L)
 
   /** Embedding column widened to `array<double>` (do this once, up front —
     * float×int arithmetic differs across engines; double math does not).
@@ -68,15 +69,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** LSH bucket id: `planes` sign bits of integer-hyperplane dot products.
-    * The per-plane dot is unrolled at plan time (64-term sums of
-    * `v[i] * w_pi` literals) — fixed order, engine-portable.
+    * Each per-plane dot is ONE `graft_dot(v, <literal weight array>)` call —
+    * the weights ride along as a plan constant and the loop runs inside
+    * WholeStageCodegen. (An earlier revision unrolled 64-term literal sums
+    * per plane; the resulting 256-term trees cost seconds of constant
+    * planning/codegen time per query. `graft_dot`'s left-fold from 0.0 is
+    * bit-identical to the unrolled left-to-right sum, so bucket ids — and
+    * every downstream hash — are unchanged.)
     */
   def lshBucket(vDouble: Column, planes: Array[Array[Long]]): Column =
     planes.zipWithIndex
       .map { case (w, p) =>
-        val d = w.zipWithIndex
-          .map { case (wi, i) => element_at(vDouble, i + 1) * lit(wi) }
-          .reduce(_ + _)
+        val d = dot(vDouble, typedLit(w.map(_.toDouble).toSeq))
         when(d > 0, lit(1L << p)).otherwise(lit(0L))
       }
       .reduce(_ + _)
@@ -128,21 +132,44 @@ object Similarity {
     * the standard LSH trade (probe count × bucket size, not O(n²)).
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, planes: Array[Array[Long]], k: Int)
-      : DataFrame = {
-    val nPlanes = planes.length
-    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
-      lshBucket(col("vec"), planes).as("bucket"))
-    val masks = 0L +: (0 until nPlanes).map(1L << _)
+      : DataFrame = annTopKMulti(queries, corpus, Seq(planes), k)
+
+  /** Multi-table ANN top-k: `tables.length` independent LSH tables, each
+    * with Hamming-1 multi-probe; candidate sets are unioned, deduped, and
+    * re-ranked by exact cosine. A neighbor is missed only if it hashes > 1
+    * sign-bit away from the query in EVERY table, so recall compounds as
+    * 1-(1-r)^L while cost stays corpus-linear: the corpus is scanned once
+    * and exploded ×L (one (table, bucket) row per table), the query side is
+    * broadcast, and the join is an equi-join on (table, bucket).
+    */
+  def annTopKMulti(
+      queries: DataFrame,
+      corpus: DataFrame,
+      tables: Seq[Array[Array[Long]]],
+      k: Int): DataFrame = {
+    val cb = corpus
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), lshBucket(col("vec"), planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("neighbor_id"), col("cv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val qb = broadcast(
       queries
         .select(col("id").as("query_id"), col("vec").as("qv"),
-          lshBucket(col("vec"), planes).as("qbucket"))
-        .select(col("query_id"), col("qv"),
-          explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket")))
+          explode(array(tables.zipWithIndex.flatMap { case (planes, t) =>
+            val masks = 0L +: planes.indices.map(1L << _)
+            masks.map(m =>
+              struct(lit(t).as("t"),
+                lshBucket(col("vec"), planes).bitwiseXOR(lit(m)).as("bucket")))
+          }: _*)).as("tb"))
+        .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val scored = qb
-      .join(cb, Seq("bucket"))
+      .join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a candidate found by several tables scores identically each time —
+      // dedup before ranking so row_number sees each pair once
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .distinct()
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
   }

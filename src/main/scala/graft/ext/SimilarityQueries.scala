@@ -14,6 +14,11 @@ object SimilarityQueries {
   private val Planes = 4 // 16 buckets; Hamming-1 multi-probe visits 5 of them
   private val Dim = 64
   private val W = Similarity.hyperplanes(Planes, Dim)
+  // 3 independent tables for the ANN path: single-table Hamming-1 recall@5
+  // was 0.52; unioned candidates compound to ≥0.8 (measured in
+  // SimilaritySpec) while the corpus scan count stays 1.
+  val Tables3: Seq[Array[Array[Long]]] =
+    W +: Seq("t1-plane", "t2-plane").map(Similarity.hyperplanes(Planes, Dim, _))
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // graft_dot (idempotent)
@@ -33,13 +38,13 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ANN via 4-plane LSH buckets with Hamming-1 multi-probe + exact
-    // in-bucket re-rank, top-5 for 10 probe vectors — the corpus-linear
-    // scale path.
+    // ANN via 3 independent 4-plane LSH tables, each with Hamming-1
+    // multi-probe, unioned candidates + exact re-rank, top-5 for 10 probe
+    // vectors — the corpus-linear scale path.
     "q_ann_lsh" -> { (s, dir) =>
       val v = vecs(s, dir)
       Similarity
-        .annTopK(v.filter(col("id") < 10), v, W, k = 5)
+        .annTopKMulti(v.filter(col("id") < 10), v, Tables3, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     },
@@ -84,8 +89,8 @@ object SimilarityQueries {
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   /** The same unrolled integer-hyperplane bucket expression, as SQL. */
-  private def bucketSql(v: String): String =
-    W.zipWithIndex
+  private def bucketSql(v: String, planes: Array[Array[Long]] = W): String =
+    planes.zipWithIndex
       .map { case (w, p) =>
         val d = w.zipWithIndex.map { case (wi, i) => s"$v[${i + 1}] * ($wi)" }.mkString(" + ")
         s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
@@ -101,11 +106,14 @@ object SimilarityQueries {
       "WHERE rank <= 10 ORDER BY query_id, rank"),
     "q_ann_lsh" -> {
       val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+      val perTable = Tables3.zipWithIndex
+        .map { case (w, t) => s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v" }
+        .mkString(" UNION ALL ")
       s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
-      s"b AS (SELECT id, vec, ${bucketSql("vec")} AS bucket FROM v), " +
-      s"qp AS (SELECT id, vec, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
-      s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
-      "FROM qp q JOIN b c ON q.bucket = c.bucket AND q.id != c.id) " +
+      s"b AS ($perTable), " +
+      s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
+      s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id) " +
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"

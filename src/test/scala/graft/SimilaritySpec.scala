@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.{Similarity, SimilarityQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN quality + plan-shape checks against the sf0.001 embeddings fixture.
+  * Ground truth is the exact brute-force cosine top-k; recall@5 is the
+  * fraction of true top-5 neighbors the LSH path recovers.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private lazy val vecs: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables
+      .embeddings(spark, SfDir)
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+      .cache()
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+  test("multi-table ANN recall@5 >= 0.8 vs brute-force ground truth") {
+    val queries = vecs.filter(col("id") < 20)
+    val truth = pairs(Similarity.bruteForceTopK(queries, vecs, k = 5))
+    val ann = pairs(Similarity.annTopKMulti(queries, vecs, SimilarityQueries.Tables3, k = 5))
+    val recall = (truth & ann).size.toDouble / truth.size
+    info(f"multi-table (L=3) recall@5 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.8, f"recall@5 $recall%.3f below 0.8")
+  }
+
+  test("multi-table ANN strictly improves on single-table recall") {
+    val queries = vecs.filter(col("id") < 20)
+    val truth = pairs(Similarity.bruteForceTopK(queries, vecs, k = 5))
+    val one = pairs(Similarity.annTopKMulti(queries, vecs, SimilarityQueries.Tables3.take(1), k = 5))
+    val three = pairs(Similarity.annTopKMulti(queries, vecs, SimilarityQueries.Tables3, k = 5))
+    val r1 = (truth & one).size.toDouble / truth.size
+    val r3 = (truth & three).size.toDouble / truth.size
+    info(f"recall@5 single=$r1%.3f multi=$r3%.3f")
+    assert(r3 > r1)
+  }
+
+  test("ANN candidate generation is an equi-join (no cartesian product)") {
+    val queries = vecs.filter(col("id") < 10)
+    val plan = Similarity
+      .annTopKMulti(queries, vecs, SimilarityQueries.Tables3, k = 5)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+  }
+
+  test("collapsed lshBucket matches the reference unrolled-sum semantics") {
+    // independent re-computation: driver-side per-row fold, same order
+    val planes = SimilarityQueries.Tables3.head
+    val rows = vecs.filter(col("id") < 50).collect()
+    val got = vecs
+      .filter(col("id") < 50)
+      .select(col("id"), Similarity.lshBucket(col("vec"), planes).as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val expect = planes.zipWithIndex.map { case (w, p) =>
+        val d = w.zipWithIndex.map { case (wi, i) => v(i) * wi }.sum
+        if (d > 0) 1L << p else 0L
+      }.sum
+      assert(got(r.getLong(0)) == expect, s"bucket mismatch for id ${r.getLong(0)}")
+    }
+  }
+}
