@@ -136,6 +136,10 @@ object Dedup {
     * partial+final aggregates, assemble the fingerprint from vote signs.
     * Integer votes are order-independent ⇒ bit-identical to the per-row
     * fold the oracle computes.
+    *
+    * `ngram = 1` votes per distinct unigram token — the same fingerprint
+    * [[simhash48]] computes per-row, at posting-list cost (docs with zero
+    * tokens emit no row, where the per-row form emits fingerprint 0).
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String, ngram: Int)
       : DataFrame = {
@@ -221,16 +225,19 @@ object Dedup {
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc").orderBy("pos")
     val toks = docs.select(
       col(idCol).as("doc"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
-    val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
-    toks
-      .select((col("doc") +: col("pos") +: col("w") +: leads): _*)
-      .filter((1 until n).map(i => col(s"w$i").isNotNull).reduce(_ && _))
-      .select(col("doc"),
-        concat_ws(" ", col("w") +: (1 until n).map(i => col(s"w$i")): _*).as("s"))
+    if (n == 1) toks.select(col("doc"), col("w").as("s"))
+    else {
+      val w = Window.partitionBy("doc").orderBy("pos")
+      val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+      toks
+        .select((col("doc") +: col("pos") +: col("w") +: leads): _*)
+        .filter((1 until n).map(i => col(s"w$i").isNotNull).reduce(_ && _))
+        .select(col("doc"),
+          concat_ws(" ", col("w") +: (1 until n).map(i => col(s"w$i")): _*).as("s"))
+    }
   }
 
   private def hashedPostings(docs: DataFrame, idCol: String, textCol: String, n: Int)

@@ -51,11 +51,15 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // 48-bit SimHash fingerprint per document.
+    // 48-bit SimHash fingerprint per document (unigram votes), via the
+    // posting-list aggregation — the per-row HOF form re-inlines tokenize+md5
+    // into each of the 48 interpreted vote folds (measured 18.5 s vs ~1 s at
+    // sf0.1 once the bench action stopped pruning it). Docs with ≥1 token
+    // only (oracle mirrors the filter).
     "q_dedup_simhash" -> { (s, dir) =>
-      Tables
-        .documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash48(TextOps.tokens(col("text"))).as("simhash"))
+      Dedup
+        .simhashSignatures(Tables.documents(s, dir), "doc_id", "text", ngram = 1)
+        .select(col("doc").as("doc_id"), col("sh").as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -108,13 +112,16 @@ object DedupQueries {
       "FROM banded x JOIN banded y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id) " +
       s"SELECT DISTINCT a, b, len(list_filter(generate_series(1, $K), i -> sa[i] = sb[i])) " +
       "AS sig_matches FROM cand ORDER BY a, b"),
+    // len(hw) > 0: the aggregation-based engine form emits no row for
+    // token-less documents (integer vote sums are order-independent, so the
+    // value is unchanged for every emitted row)
     "q_dedup_simhash" -> ("WITH t AS (SELECT doc_id, list_transform(list_distinct(" +
       Toks + "), w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hw FROM documents) " +
       "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
       "list_transform(generate_series(0, 47), j -> CASE WHEN " +
       "list_reduce(list_prepend(0::BIGINT, list_transform(hw, h -> ((h >> j) & 1) * 2 - 1)), " +
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
-      "FROM t ORDER BY doc_id"),
+      "FROM t WHERE len(hw) > 0 ORDER BY doc_id"),
     "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +
       "hw AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM shing), " +
       "sims AS (SELECT doc_id AS doc, list_reduce(list_prepend(0::BIGINT, " +

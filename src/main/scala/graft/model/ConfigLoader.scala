@@ -91,6 +91,30 @@ object ConfigLoader {
       : Seq[MetricRoute] =
     fromYaml(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"), defaultWindowSizeSec, project)
 
+  /** `--metrics` inline JSON: an ARRAY of metric entries with the same
+    * schema as the YAML `metrics:` list, wrapped reference-style as
+    * `{"metrics": <parsed>}` (/root/reference/beametrics/main.py:297-301).
+    *
+    * Returns None only when the string is not parseable JSON — mirroring the
+    * reference, which falls back to single-metric flags on json.JSONDecodeError
+    * alone (main.py:302-306); a well-formed document of the wrong shape or
+    * with missing keys fails loudly downstream, exactly as
+    * create_metrics_configs would.
+    */
+  def fromMetricsJson(
+      json: String,
+      defaultWindowSizeSec: Long = 60,
+      project: Option[String] = None): Option[Seq[MetricRoute]] = {
+    val parsed =
+      try Some(jsonMapper.readValue(json, classOf[Object]))
+      catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+    parsed.map { list =>
+      val root = new java.util.HashMap[String, Object]()
+      root.put("metrics", list)
+      asMetrics(root, defaultWindowSizeSec, project)
+    }
+  }
+
   def fromYaml(yaml: String, defaultWindowSizeSec: Long = 60, project: Option[String] = None)
       : Seq[MetricRoute] = {
     val root = yamlMapper.readValue(yaml, classOf[java.util.Map[String, Object]])

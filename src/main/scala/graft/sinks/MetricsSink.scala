@@ -112,12 +112,54 @@ object MetricsSink {
       } finally open.values.foreach(_.close())
     }
 
+  /** GCM CreateTimeSeriesRequest-shaped rows from a [[formatted]] frame.
+    * Reference quirk preserved (metrics_exporter.py:76-78,104-111): the
+    * point interval is the export timestamp floored to the MINUTE, and the
+    * same aligned second is both interval start and end (a gauge-style
+    * instant). The batch analog of export-time `time.time()` is the point's
+    * own timestamp. Transport stays out of scope — an adapter serializes
+    * these rows verbatim.
+    */
+  def gcmRequestShaped(formatted: DataFrame): DataFrame = {
+    val aligned = (unix_timestamp(col("timestamp")) -
+      unix_timestamp(col("timestamp")) % 60).as("interval_end_seconds")
+    formatted.select(
+      col("metric_name").as("metric_type"),
+      lit("global").as("resource_type"), // series.resource.type (metrics_exporter.py:101)
+      col("labels"),
+      col("value").cast("double").as("double_value"),
+      aligned,
+      (unix_timestamp(col("timestamp")) -
+        unix_timestamp(col("timestamp")) % 60).as("interval_start_seconds"))
+  }
+
   /** Streaming entry: `stream.writeStream.foreachBatch(router(...))`. */
   def router(
       sinkFor: String => MetricsSink,
       metricNamePrefix: String = "",
       strict: Boolean = false): (DataFrame, Long) => Unit =
     (batch, _) => writeBatch(formatted(batch, metricNamePrefix), sinkFor, strict)
+
+  /** One export target: its metric-name prefix and per-metric sink factory. */
+  final case class Target(
+      metricNamePrefix: String,
+      sinkFor: String => MetricsSink)
+
+  /** Fan ONE micro-batch out to several export targets (e.g. local JSON +
+    * a monitoring adapter) from a single source read: the batch is cached
+    * once, every target consumes the cached rows, then the cache is
+    * released. The alternative — one writeStream per target — re-reads the
+    * source and re-runs the windowed aggregation per target (SURVEY §7.5
+    * risk 3), which at scale multiplies both the scan and the shuffle by
+    * the number of targets.
+    */
+  def multiRouter(targets: Seq[Target], strict: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val cached = batch.persist()
+      try targets.foreach(t =>
+        writeBatch(formatted(cached, t.metricNamePrefix), t.sinkFor, strict))
+      finally cached.unpersist()
+    }
 
   /** Metric-name prefix validation parity (main.py:134-147):
     * monitoring targets get the `custom.googleapis.com/` prefix.

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics not already pinned by the DuckDB oracles. */
+class DedupSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("aggregation-form unigram simhash equals the per-row fold reference") {
+    val d = Tables.documents(spark, SfDir).cache()
+    val ref = d.select(col("doc_id"),
+      Dedup.simhash48(TextOps.tokens(col("text"))).as("ref_sh"),
+      size(TextOps.tokens(col("text"))).as("n_tok"))
+    val agg = Dedup
+      .simhashSignatures(d, "doc_id", "text", ngram = 1)
+      .select(col("doc").as("doc_id"), col("sh").as("agg_sh"))
+    val joined = ref.join(agg, Seq("doc_id"), "left").cache()
+    // every doc with >=1 token gets the identical fingerprint
+    assert(joined.filter(col("n_tok") > 0 && (col("agg_sh").isNull ||
+      col("agg_sh") =!= col("ref_sh"))).count() == 0)
+    // token-less docs are the only rows the aggregation form omits
+    assert(joined.filter(col("n_tok") === 0 && col("agg_sh").isNotNull).count() == 0)
+    joined.unpersist()
+    d.unpersist()
+  }
+
+  test("n=1 shingle rows are the raw token stream (no window machinery)") {
+    val d = Tables.documents(spark, SfDir).limit(50)
+    val viaSig = Dedup.minhashSignatures(d, "doc_id", "text", n = 1, k = 4)
+    // k-min over unigram hashes must match a direct per-row computation
+    val direct = d
+      .select(col("doc_id").as("doc"),
+        Dedup.minhashSignature(array_distinct(TextOps.tokens(col("text"))), 4).as("sig0"))
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+    val bad = viaSig
+      .join(direct, Seq("doc"))
+      .filter(col("sig") =!= col("sig0"))
+    assert(bad.count() == 0)
+    assert(viaSig.count() == direct.count())
+  }
+}

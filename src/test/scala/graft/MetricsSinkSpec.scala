@@ -39,6 +39,27 @@ class MetricsSinkSpec extends SparkSpec {
     assert(names == Set("custom.googleapis.com/errors", "custom.googleapis.com/values"))
   }
 
+  test("GCM request rows carry the minute-aligned gauge interval (metrics_exporter.py:76-78)") {
+    val shaped = MetricsSink.gcmRequestShaped(
+      MetricsSink.formatted(points(), "custom.googleapis.com/"))
+    assert(shaped.columns.toSeq == Seq("metric_type", "resource_type", "labels",
+      "double_value", "interval_end_seconds", "interval_start_seconds"))
+    val rows = shaped
+      .select($"interval_start_seconds", $"interval_end_seconds", $"resource_type")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, e) = (r.getLong(0), r.getLong(1))
+      assert(s == e, "reference uses the SAME aligned second for start and end")
+      assert(s % 60 == 0, "interval must be floored to the minute")
+      assert(r.getString(2) == "global")
+    }
+    // windows close at :01/:02 minutes over 60-65-70s inputs → aligned
+    // timestamps floor to exactly those minute marks
+    val ends = shaped.select($"interval_end_seconds").as[Long].collect().toSet
+    assert(ends == Set(120L))
+  }
+
   test("failing sink: default mode logs and continues, strict mode fails") {
     val collectedOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // sinks run on executors; in local mode a static set is visible

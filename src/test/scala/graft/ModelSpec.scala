@@ -97,4 +97,46 @@ class ModelSpec extends AnyFunSuite {
       ConfigLoader.fromYaml(
         "metrics:\n  - name: x\n    type: count\n    labels: {}\n    filter-conditions: []\n"))
   }
+
+  // ---- --metrics inline JSON precedence (main.py:288-308, test_main.py:314-352)
+
+  private val MetricsJson =
+    """[{"name": "m-json", "type": "count", "labels": {"L": "1"},
+      |  "filter-conditions": [{"field": "f", "value": "v", "operator": "equals"}],
+      |  "export_type": "local"}]""".stripMargin
+  private val FlagOpts = Map(
+    "--metric-name" -> "m-flag",
+    "--metric-type" -> "count",
+    "--export-type" -> "local")
+
+  test("--metrics inline JSON array builds configs with YAML-list semantics") {
+    val routes = Main.resolveRoutes(Map("--metrics" -> MetricsJson) ++ FlagOpts)
+    assert(routes.map(_.definition.name) == Seq("m-json")) // JSON wins over flags
+    assert(routes.head.definition.filters ==
+      Seq(FilterCondition("f", "v", "equals")))
+    assert(routes.head.export == ExportTarget.Local)
+  }
+
+  test("--config file wins over --metrics (reference precedence)") {
+    val yaml = "metrics:\n  - name: m-yaml\n    type: count\n    labels: {}\n" +
+      "    filter-conditions: []\n    export_type: local\n"
+    val f = java.nio.file.Files.createTempFile("graft-metrics", ".yaml")
+    java.nio.file.Files.write(f, yaml.getBytes("UTF-8"))
+    try {
+      val routes = Main.resolveRoutes(
+        Map("--config" -> f.toString, "--metrics" -> MetricsJson) ++ FlagOpts)
+      assert(routes.map(_.definition.name) == Seq("m-yaml"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("malformed --metrics JSON falls back to single-metric flags (main.py:302-306)") {
+    val routes = Main.resolveRoutes(Map("--metrics" -> "{not json") ++ FlagOpts)
+    assert(routes.map(_.definition.name) == Seq("m-flag"))
+  }
+
+  test("well-formed --metrics with missing required keys fails loudly, no fallback") {
+    // reference catches json.JSONDecodeError ONLY; KeyError propagates
+    intercept[IllegalArgumentException](Main.resolveRoutes(
+      Map("--metrics" -> """[{"name": "x", "type": "count", "labels": {}}]""") ++ FlagOpts))
+  }
 }

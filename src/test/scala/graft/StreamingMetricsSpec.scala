@@ -121,6 +121,43 @@ class StreamingMetricsSpec extends SparkSpec {
     assert(outs.size == 2)
   }
 
+  test("multi-sink fan-out: N targets from one cached micro-batch (one source read)") {
+    import graft.sinks.{MetricPoint, MetricsSink}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val scanned = spark.sparkContext.longAccumulator("rows_scanned")
+    val countingScan = udf { (_: java.sql.Timestamp) => scanned.add(1); true }
+    val parsed = Ingest
+      .parseSchemaless(mem.toDF.toDF("ts", "raw"), "raw")
+      .filter(countingScan(col("ts")))
+    val Seq(out) = StreamingMetrics.attach(parsed, defs, LogsToMetrics.Schemaless("msg"))
+
+    StreamingMetricsSpec.fanout.clear()
+    def target(tag: String) = MetricsSink.Target(s"$tag/", _ => new MetricsSink {
+      def write(p: MetricPoint): Unit = StreamingMetricsSpec.fanout.add(p.metricName)
+    })
+    val q = out.writeStream
+      .outputMode("append")
+      .foreachBatch(MetricsSink.multiRouter(Seq(target("local"), target("gcm"))))
+      .start()
+    try {
+      mem.addData(
+        (at(65), msg("ERROR", 100).getBytes("UTF-8")),
+        (at(110), msg("ERROR", 250).getBytes("UTF-8")))
+      mem.addData((at(200), msg("ERROR", 7).getBytes("UTF-8")))
+      q.processAllAvailable()
+      // both targets received both metrics of the closed window
+      assert(StreamingMetricsSpec.fanout.contains("local/error_count"))
+      assert(StreamingMetricsSpec.fanout.contains("local/bytes_sum"))
+      assert(StreamingMetricsSpec.fanout.contains("gcm/error_count"))
+      assert(StreamingMetricsSpec.fanout.contains("gcm/bytes_sum"))
+      // the cache means the upstream scan ran once per micro-batch per row,
+      // NOT once per target: 3 input rows → exactly 3 scans
+      assert(scanned.value == 3L,
+        s"expected one source read for both targets, saw ${scanned.value} row scans")
+    } finally q.stop()
+  }
+
   test("malformed and non-UTF8-decodable messages are dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
@@ -140,4 +177,9 @@ class StreamingMetricsSpec extends SparkSpec {
       assert(rows == List(1.0)) // only the valid first-window record counted
     } finally query.stop()
   }
+}
+
+object StreamingMetricsSpec {
+  /** Static so executor-side sink writes are visible in local mode. */
+  val fanout: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
