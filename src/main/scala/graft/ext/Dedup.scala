@@ -23,6 +23,40 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
+  /** How a multi-consumer intermediate (posting list, signature table) is
+    * materialized. Spark otherwise recomputes the tokenize→shingle→hash
+    * pipeline once per consumer — measured ~4× at sf0.1 — so the dedup
+    * operators materialize exactly once and fan out.
+    *
+    *  - [[Intermediate.Local]]: eager executor-memory checkpoint
+    *    (auto-released by the ContextCleaner) — right at interactive/test
+    *    scale, lost with an executor.
+    *  - [[Intermediate.Durable]]: parquet round-trip under a work dir — the
+    *    100 TB path: survives executor loss, re-read with fresh file-level
+    *    stats, and restartable (a re-run resumes from the materialized
+    *    table instead of re-tokenizing the corpus).
+    *  - [[Intermediate.None]]: no materialization; the caller owns reuse
+    *    (e.g. it already wrote the postings to a bucketed table).
+    */
+  sealed trait Intermediate extends Serializable {
+    def apply(df: DataFrame, label: String): DataFrame
+  }
+  object Intermediate {
+    case object Local extends Intermediate {
+      def apply(df: DataFrame, label: String): DataFrame = df.localCheckpoint()
+    }
+    final case class Durable(dir: String) extends Intermediate {
+      def apply(df: DataFrame, label: String): DataFrame = {
+        val path = s"$dir/$label.parquet"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      }
+    }
+    case object None extends Intermediate {
+      def apply(df: DataFrame, label: String): DataFrame = df
+    }
+  }
+
   /** Mersenne-ish prime modulus for the universal hash family. */
   val P: Long = 1000000007L
 
@@ -172,7 +206,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int,
       chunks: Int = 8,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
     require(48 % chunks == 0 && maxHamming < chunks,
       "pigeonhole guarantee needs maxHamming < chunks and chunks | 48")
     val w = 48 / chunks
@@ -180,7 +215,7 @@ object Dedup {
     // unigram simhashes collapse (measured 632 hamming-0 pairs / 1 true dup
     // at sf0.01); 3-gram features give 25/25 true dups, 0 false positives
     // at hamming ≤ 7. Materialized once for the two self-join sides.
-    val sigs = simhashSignatures(docs, idCol, textCol, ngram).localCheckpoint()
+    val sigs = intermediate(simhashSignatures(docs, idCol, textCol, ngram), "simhash_sigs")
     val banded = sigs.select(
       col("doc"),
       col("sh"),
@@ -260,14 +295,12 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
     // Materialize the posting list ONCE: it feeds four consumers (sizes,
-    // hot-list, both self-join sides) and Spark otherwise recomputes the
-    // tokenize→shingle→hash pipeline per consumer (measured ~4× at sf0.1).
-    // localCheckpoint is eager, executor-stored, and auto-released by the
-    // ContextCleaner; a production run at 100 TB would write an
-    // intermediate table instead (same shape, fault-tolerant).
-    val post0 = hashedPostings(docs, idCol, textCol, n).localCheckpoint()
+    // hot-list, both self-join sides) — see [[Intermediate]] for the
+    // test-scale vs 100 TB strategies.
+    val post0 = intermediate(hashedPostings(docs, idCol, textCol, n), "jaccard_postings")
     // set sizes derived from the postings themselves (no re-tokenization)
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // df-cap: a shingle present in > maxDf docs explodes the self-join
@@ -306,12 +339,13 @@ object Dedup {
       textCol: String,
       n: Int,
       k: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     // signatures feed both self-join sides — materialize once (see
     // jaccardPairs note)
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint()
+    val sigs = intermediate(minhashSignatures(docs, idCol, textCol, n, k), "minhash_sigs")
     val banded = sigs.select(
       col("doc"),
       col("sig"),

@@ -26,6 +26,27 @@ class DedupSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("durable intermediate: identical pairs, self-join reads the materialized table once") {
+    val d = Tables.documents(spark, SfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val local = Dedup
+      .jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("a", "b")
+      .collect()
+      .toSeq
+    val durable = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8,
+      intermediate = Dedup.Intermediate.Durable(tmp))
+    val plan = durable.queryExecution.executedPlan.toString
+    // every consumer (sizes, hot-list, both join sides) scans the durable
+    // parquet table; the tokenize→shingle→hash pipeline ran once, at write
+    // time, and appears nowhere in the pair-join plan
+    assert(plan.contains("jaccard_postings.parquet"),
+      s"join must scan the materialized postings:\n$plan")
+    assert(!plan.contains("Generate"), "no re-tokenization in the downstream plan")
+    assert(!plan.contains("Window"), "no shingle-window machinery in the downstream plan")
+    assert(durable.orderBy("a", "b").collect().toSeq == local)
+  }
+
   test("n=1 shingle rows are the raw token stream (no window machinery)") {
     val d = Tables.documents(spark, SfDir).limit(50)
     val viaSig = Dedup.minhashSignatures(d, "doc_id", "text", n = 1, k = 4)
