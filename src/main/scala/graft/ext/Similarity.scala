@@ -153,14 +153,25 @@ object Similarity {
           struct(lit(t).as("t"), lshBucket(col("vec"), planes).as("bucket"))
         }: _*)).as("tb"))
       .select(col("neighbor_id"), col("cv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // Each table's query bucket is computed ONCE, then probe-expanded with
+    // cheap XORs. Inlining the bucket into all (planes+1) mask structs (what
+    // CollapseProject would do to a single select) multiplies the generated
+    // code ×(planes+1) — measured +1.2 s of one-time codegen at L=3. The
+    // localCheckpoint is a barrier on the query side only, which is
+    // broadcast-sized by definition.
+    val qbuckets = queries
+      .select(col("id").as("query_id") +: col("vec").as("qv") +:
+        tables.zipWithIndex.map { case (planes, t) =>
+          lshBucket(col("vec"), planes).as(s"qb$t")
+        }: _*)
+      .localCheckpoint()
     val qb = broadcast(
-      queries
-        .select(col("id").as("query_id"), col("vec").as("qv"),
+      qbuckets
+        .select(col("query_id"), col("qv"),
           explode(array(tables.zipWithIndex.flatMap { case (planes, t) =>
             val masks = 0L +: planes.indices.map(1L << _)
             masks.map(m =>
-              struct(lit(t).as("t"),
-                lshBucket(col("vec"), planes).bitwiseXOR(lit(m)).as("bucket")))
+              struct(lit(t).as("t"), col(s"qb$t").bitwiseXOR(lit(m)).as("bucket")))
           }: _*)).as("tb"))
         .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
     val scored = qb
