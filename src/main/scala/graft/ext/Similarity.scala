@@ -184,4 +184,54 @@ object Similarity {
     Relational
       .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
+
+  /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
+    * nearest coarse centroid; each query probes its `nprobe` nearest cells
+    * and candidates are exactly re-ranked.
+    *
+    * The coarse quantizer is whatever `centroids` (cid ∈ [0, nCells),
+    * cvec) holds — the declared query samples the first corpus vectors,
+    * which keeps the whole operator (assignment included) bit-reproducible
+    * in the oracle; a production run fits k-means|| offline and swaps the
+    * fitted table in without touching any plan shape here.
+    *
+    * Scale: assignment is an explode ×nCells + broadcast equi-join on the
+    * cell id (the standard |corpus|·nCells IVF assignment cost — NO
+    * cartesian product in the plan), the cell is a plain column that
+    * composes with partitioning/bucketed writes for repeated query
+    * workloads, and candidate generation is an equi-join on the cell —
+    * corpus-linear, recall controlled by nprobe/nCells.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      nCells: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("cid"), col("cvec")))
+    def nearestCells(side: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
+      Relational
+        .topKPerGroup(
+          side
+            .select(col("id").as(idAs), col("vec").as(vecAs),
+              explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
+            .join(cent, Seq("cid"))
+            .select(col(idAs), col(vecAs), col("cid"),
+              cosine(col(vecAs), col("cvec")).as("ccos")),
+          Seq(idAs),
+          Seq(col("ccos").desc, col("cid").asc),
+          n)
+        .select(col(idAs), col(vecAs), col("cid").as("cell"))
+    val cb = nearestCells(corpus, "neighbor_id", "cv", 1)
+    val qb = broadcast(nearestCells(queries, "query_id", "qv", nprobe))
+    val scored = qb
+      .join(cb, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // nprobe cells can surface the same neighbor once each — dedup
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .distinct()
+    Relational
+      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
 }

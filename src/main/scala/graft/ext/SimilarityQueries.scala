@@ -13,6 +13,7 @@ object SimilarityQueries {
 
   private val Planes = 4 // 16 buckets; Hamming-1 multi-probe visits 5 of them
   private val Dim = 64
+  private val NCells = 16 // IVF coarse cells (sampled quantizer)
   private val W = Similarity.hyperplanes(Planes, Dim)
   // 3 independent tables for the ANN path: single-table Hamming-1 recall@5
   // was 0.52; unioned candidates compound to ≥0.8 (measured in
@@ -45,6 +46,20 @@ object SimilarityQueries {
       val v = vecs(s, dir)
       Similarity
         .annTopKMulti(v.filter(col("id") < 10), v, Tables3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-style ANN: 16 sampled coarse centroids (corpus ids 0-15 — the
+    // deterministic stand-in for an offline-fitted quantizer), corpus
+    // assigned to its nearest cell, queries probe their 2 nearest cells,
+    // exact re-rank top-5 — the second, cell-partitioned scale path.
+    "q_ann_ivf" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("id") < NCells)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Similarity
+        .ivfTopK(v.filter(col("id") < 10), v, cent, NCells, nprobe = 2, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
     },
@@ -118,6 +133,19 @@ object SimilarityQueries {
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
     },
+    "q_ann_ivf" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+      "ccell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c) WHERE rn = 1), " +
+      "qcell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c WHERE v.id < 10) WHERE rn <= 2), " +
+      s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qcell q JOIN ccell c ON q.cell = c.cell AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_embed_neardup" -> {
       val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
       s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
