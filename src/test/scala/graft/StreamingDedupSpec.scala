@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming exact-dedup: first occurrence admitted, repeats dropped,
+  * state keyed on the fingerprint and bounded by the watermark horizon.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+
+  test("admits first occurrence, drops in-batch and cross-batch repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingDedup.firstSeen(
+      mem.toDF.toDF("ts", "text"), "text", watermarkDelay = "300 seconds")
+    val q = out.writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      mem.addData(
+        (at(10), "the quick brown fox"),
+        (at(11), "the  quick   brown fox"), // normalization-equal ⇒ duplicate
+        (at(12), "something else"))
+      q.processAllAvailable()
+      mem.addData((at(20), "the quick brown fox")) // cross-batch duplicate
+      mem.addData((at(30), "a third document"))
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select($"text").as[String].collect().toSet
+      assert(texts == Set("the quick brown fox", "something else", "a third document"))
+      // exactly one representative per fingerprint
+      val fps = spark.table("sdedup").select($"fp").as[String].collect()
+      assert(fps.length == fps.distinct.length)
+    } finally q.stop()
+  }
+
+  test("fingerprint matches the batch exactGroups fingerprint (one curation key)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingDedup.firstSeen(mem.toDF.toDF("ts", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("sdedup_fp").outputMode("append").start()
+    try {
+      mem.addData((at(1), "  Shared   Key \t Document "))
+      q.processAllAvailable()
+      val streamFp = spark.table("sdedup_fp").select($"fp").as[String].head()
+      val batchFp = Seq(("d1", "  Shared   Key \t Document "))
+        .toDF("doc_id", "text")
+        .select(graft.ext.TextOps.fingerprintMd5(col("text")).as("fp"))
+        .as[String]
+        .head()
+      assert(streamFp == batchFp)
+    } finally q.stop()
+  }
+}
