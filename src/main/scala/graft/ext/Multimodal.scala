@@ -78,6 +78,56 @@ object Multimodal {
     out
   }
 
+  /** STUB resize kernel — deterministic nearest-neighbor stand-in for a
+    * real image resize (`???` boundary: replace the body, keep the
+    * signature). Treats the payload as a row-major srcW×srcH byte grid
+    * (clipped to the available bytes) and samples it at dstW×dstH.
+    */
+  def resizeStub(
+      media: Array[Byte],
+      srcW: Int,
+      srcH: Int,
+      dstW: Int,
+      dstH: Int): Array[Byte] = {
+    // real impl: decode → interpolating resample → re-encode
+    val out = new Array[Byte](dstW * dstH)
+    if (media.length == 0) return out
+    var y = 0
+    while (y < dstH) {
+      val sy = (y.toLong * srcH / dstH).toInt
+      var x = 0
+      while (x < dstW) {
+        val sx = (x.toLong * srcW / dstW).toInt
+        out(y * dstW + x) = media(((sy * srcW + sx) % media.length + media.length) % media.length)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-wise batched resize: same plumbing shape as
+    * [[extractFeatures]] (per-partition init, fixed-size batches), emitting
+    * a new envelope whose payload AND metadata reflect the target
+    * dimensions — the metadata propagation is the part a real pipeline gets
+    * wrong most often (a resized image whose meta still claims the source
+    * dims poisons every downstream consumer).
+    */
+  def resize(media: Dataset[MediaRecord], dstW: Int, dstH: Int, batchSize: Int = 64)
+      : Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object // per-partition init (≡ decoder context)
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.map(r =>
+          r.copy(
+            media = resizeStub(r.media, r.meta.width, r.meta.height, dstW, dstH),
+            meta = r.meta.copy(width = dstW, height = dstH)))
+      }
+    }
+  }
+
   /** Partition-wise batched feature extraction — the real plumbing around
     * the stub kernel: "model" loaded once per partition, records buffered
     * into `batchSize` groups, features emitted per record. A real

@@ -38,6 +38,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!frames.exists(_._1 == 2L))
   }
 
+  test("resize emits target-dim payload AND propagates the new metadata") {
+    val recs = Multimodal.asRecords(Multimodal.syntheticMedia(docs).repartition(2))
+    val resized = Multimodal.resize(recs, dstW = 8, dstH = 4, batchSize = 2).collect()
+    assert(resized.length == 3)
+    assert(resized.forall(_.media.length == 8 * 4))
+    // metadata must reflect the TARGET dims, not the source
+    assert(resized.forall(r => r.meta.width == 8 && r.meta.height == 4))
+    // format/duration untouched
+    val src = recs.collect().map(r => r.id -> r.meta).toMap
+    assert(resized.forall(r => r.meta.format == src(r.id).format &&
+      r.meta.durationMs == src(r.id).durationMs))
+    // deterministic kernel
+    val again = Multimodal.resize(recs, dstW = 8, dstH = 4, batchSize = 2).collect()
+    assert(resized.map(r => r.id -> r.media.toSeq).toSet ==
+      again.map(r => r.id -> r.media.toSeq).toSet)
+  }
+
   test("extractFeatures runs batched per partition with stable output") {
     val recs = Multimodal.asRecords(Multimodal.syntheticMedia(docs).repartition(2))
     val feats = Multimodal.extractFeatures(recs, dim = 8, batchSize = 2).collect()

@@ -41,4 +41,37 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_dims_b")
     }
   }
+
+  test("AQE splits a skewed join partition (join-side skew, no salting needed)") {
+    // thresholds lowered so test-scale data trips the same machinery a
+    // 100 TB run relies on; saved and restored around the assertion
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 150k of 200k left rows share key 0 → one reducer partition ~10×
+      // the others
+      val left = spark.range(200000)
+        .select(when($"id" < 150000, 0L).otherwise($"id").as("k"),
+          lpad(lit("x"), 64, "x").as("pad"))
+      val right = spark.range(200000).select($"id".as("k"), lit(1L).as("w"))
+      val joined = left.hint("merge").join(right.hint("merge"), Seq("k"))
+      // execute THIS dataset's own query execution — collect() runs
+      // queryExecution.executedPlan directly, so AQE finalizes the plan we
+      // inspect (a write or .rdd action clones the plan instead)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
