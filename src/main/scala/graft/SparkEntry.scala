@@ -267,6 +267,10 @@ object SparkEntry {
       "avg(floor(value * 1000)) AS value_q3_avg FROM events GROUP BY 2 ORDER BY 1, 2"),
     // CAST(sum(..) AS BIGINT): DuckDB promotes sum(BIGINT) to HUGEINT, which
     // pandas materializes as float64 — equal values, different hash (r1 judge).
+    // Assumption (here and in the ext oracles using the same cast): the true
+    // sum fits int64. DuckDB fails LOUDLY on overflow where Spark's long sum
+    // would wrap silently — at oracle scale factors the summed quantities are
+    // bounded far below 2^63, and a loud oracle error beats a silent wrap.
     "q_variant_extract" -> ("SELECT event_type, " +
       "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
       "count(json_extract_string(props, '$.k')) AS k_cnt " +
