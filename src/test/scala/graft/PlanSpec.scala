@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan regression tests: pin the load-bearing plan properties
+  * PLANS.md documents, so a refactor that silently breaks pushdown, flips
+  * a broadcast, or multiplies a scan fails CI instead of only showing up
+  * as a 100 TB incident. Assertions target strategy choices (join type,
+  * pushed filters, operator counts), not full plan text.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_multi_metric: config-predicate OR reaches the parquet scan") {
+    val p = plan("q_multi_metric")
+    assert(p.contains("PushedFilters: [Or(EqualTo(event_type,error),EqualTo(event_type,click))]"),
+      s"fan-out predicates must push to the scan:\n$p")
+  }
+
+  test("q_multi_metric: one scan, one fan-out, one data shuffle for N configs") {
+    val p = plan("q_multi_metric")
+    assert(count(p, "Scan parquet") == 1, "config count must not multiply scans")
+    assert(count(p, "Generate") == 1, "single-pass fan-out explode")
+    // one hash shuffle for the aggregation + one range shuffle for ORDER BY
+    assert(count(p, "Exchange hashpartitioning") == 1, s"exactly one data shuffle:\n$p")
+  }
+
+  test("q_join_enrich: dimension side broadcasts, fact side stays unshuffled") {
+    val p = plan("q_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the lookup:\n$p")
+  }
+
+  test("q_dedup_ngram_jaccard: corpus-sized self-join is merge, never broadcast") {
+    val p = plan("q_dedup_ngram_jaccard")
+    // the posting-list self-join: stats would say 'small, broadcast it' at
+    // test SF — fatal at scale. The merge hint must hold.
+    assert(p.contains("SortMergeJoin"), s"posting self-join must be a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("q_text_fingerprint: map-only — no shuffle except the declared ORDER BY") {
+    val p = plan("q_text_fingerprint")
+    assert(count(p, "Exchange hashpartitioning") == 0, s"fingerprinting must not shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("declared queries prune columns at the scan (no SELECT *)") {
+    // q_window_count needs only ts — the events scan must not read props/value
+    val p = plan("q_window_count")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("ts"), s"ts must be read:\n$readSchema")
+    assert(!readSchema.contains("props"), s"unused wide column must be pruned:\n$readSchema")
+  }
+}
