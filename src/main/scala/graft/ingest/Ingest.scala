@@ -54,13 +54,30 @@ object Ingest {
     */
   val decodeMulti: UserDefinedFunction = udf(decodeMultiCharset _).asNondeterministic()
 
+  /** Hybrid decode: valid-UTF-8 payloads (the hot path — the cascade's
+    * FIRST charset) are validated and decoded entirely inside
+    * WholeStageCodegen (`is_valid_utf8` guard + built-in `decode`); only
+    * rows failing strict UTF-8 validation fall to the scalar-UDF cascade
+    * for the legacy charsets. CaseWhen evaluates branches per row, so the
+    * UDF's boxing cost (`Array[Byte] → Option[String]` per row) leaves the
+    * hot path entirely — at 100 TB the cascade prices as an exception
+    * handler, not a per-row tax. Semantics are IDENTICAL to
+    * [[decodeMultiCharset]]: strict-UTF-8-first, then the cascade (whose
+    * UTF-8 retry fails the same way its validator did). The UDF child keeps
+    * the whole expression nondeterministic — the optimizer barrier above
+    * still holds.
+    */
+  def decodeCascade(raw: Column): Column =
+    when(call_function("is_valid_utf8", raw), decode(raw, "UTF-8"))
+      .otherwise(decodeMulti(raw))
+
   /** Schemaless parity mode: every JSON value stringified into
     * `MapType(String, String)` — mirrors the reference's untyped
     * `msg.get(field)` access (SURVEY.md §1.3). Malformed/undecodable rows
     * are dropped (`from_json` ⇒ null for broken documents).
     */
   def parseSchemaless(df: DataFrame, rawCol: String, msgCol: String = "msg"): DataFrame =
-    df.withColumn(msgCol, from_json(decodeMulti(col(rawCol)), MapType(StringType, StringType)))
+    df.withColumn(msgCol, from_json(decodeCascade(col(rawCol)), MapType(StringType, StringType)))
       .filter(col(msgCol).isNotNull)
 
   /** Typed mode: user-declared payload schema — enables static filter
@@ -72,7 +89,7 @@ object Ingest {
     // decode ONCE into a named column: two inline decodeMulti(raw) refs
     // would each run the UDF (nondeterministic expressions are exempt from
     // common-subexpression elimination)
-    df.withColumn("_graft_dec", decodeMulti(col(rawCol)))
+    df.withColumn("_graft_dec", decodeCascade(col(rawCol)))
       .withColumn("_graft_valid",
         from_json(col("_graft_dec"), MapType(StringType, StringType)).isNotNull)
       .withColumn(msgCol, from_json(col("_graft_dec"), schema))
@@ -87,7 +104,7 @@ object Ingest {
     * declared schema.
     */
   def parseVariant(df: DataFrame, rawCol: String, msgCol: String = "msg"): DataFrame =
-    df.withColumn(msgCol, try_parse_json(decodeMulti(col(rawCol))))
+    df.withColumn(msgCol, try_parse_json(decodeCascade(col(rawCol))))
       .filter(col(msgCol).isNotNull)
 
   /** Flatten a parsed struct payload to top-level columns, keeping extras. */

@@ -28,6 +28,26 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.decodeMultiCharset(null) == null)
   }
 
+  test("hybrid decodeCascade column equals the UDF cascade on every payload class") {
+    val jp = """{"msg": "テスト"}"""
+    val payloads: Seq[Array[Byte]] = Seq(
+      """{"a": 1}""".getBytes("UTF-8"), // hot path: valid utf-8
+      jp.getBytes("UTF-8"),
+      jp.getBytes("Shift_JIS"), // fallback: cascade picks shift-jis
+      jp.getBytes("EUC-JP"), // fallback: earlier charset (shift-jis) wins
+      Array[Byte](-1, -2, -3), // undecodable in every charset → null
+      Array.empty[Byte])
+    val df = payloads.toDF("raw")
+    val both = df
+      .select(Ingest.decodeCascade(col("raw")).as("hybrid"),
+        Ingest.decodeMulti(col("raw")).as("udf"))
+      .collect()
+    both.foreach(r => assert(r.get(0) == r.get(1), s"hybrid=${r.get(0)} udf=${r.get(1)}"))
+    // and the guard really is in the plan (hot path stays in codegen)
+    val plan = df.select(Ingest.decodeCascade(col("raw"))).queryExecution.executedPlan.toString
+    assert(plan.contains("is_valid_utf8"), s"codegen guard missing:\n$plan")
+  }
+
   test("parseSchemaless drops malformed rows, stringifies values") {
     val df = Seq(
       """{"a": 1, "b": "x"}""".getBytes("UTF-8"),
