@@ -60,9 +60,14 @@ object StreamDemo {
     val Seq(points) =
       StreamingMetrics.attach(parsed, defs, LogsToMetrics.Schemaless("msg"), watermarkDelay = "0 seconds")
 
+    // multi-target fan-out: one cached micro-batch serves both "targets"
+    // (a local JSON-lines sink and a monitoring-prefixed sink) from a
+    // single source read — the shape a real local+GCM deployment uses.
     val query = points.writeStream
       .outputMode("append")
-      .foreachBatch(MetricsSink.router(_ => new ConsoleSink))
+      .foreachBatch(MetricsSink.multiRouter(Seq(
+        MetricsSink.Target("", _ => new ConsoleSink),
+        MetricsSink.Target("custom.googleapis.com/", _ => new ConsoleSink))))
       .start()
     query.awaitTermination(runSecs * 1000L)
     query.stop()
