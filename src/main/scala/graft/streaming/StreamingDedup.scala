@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.ext.TextOps
-import org.apache.spark.sql.DataFrame
+import graft.ext.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming deduplication — the unbounded-corpus analog of
   * [[graft.ext.Dedup.exactGroups]] for ingest-time curation: admit the
@@ -30,4 +31,82 @@ object StreamingDedup {
       .withColumn("fp", TextOps.fingerprintMd5(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  final case class BandedDoc(band: Int, key: Long, docId: Long, sh: Long, tsSec: Long)
+  final case class SeenDoc(docId: Long, sh: Long, tsSec: Long)
+  final case class BucketState(docs: Seq[SeenDoc])
+  final case class NearDupPair(a: Long, b: Long, hamming: Int)
+
+  /** Streaming NEAR-duplicate candidates — the ingest-time analog of
+    * [[graft.ext.Dedup.simhashPairs]]: each document's 48-bit SimHash is
+    * split into `chunks` pigeonhole bands; documents sharing a (band, key)
+    * bucket within `horizonSec` are exact-checked by Hamming distance and
+    * emitted as pairs.
+    *
+    * State design: state lives per (band, key) bucket and holds only
+    * (docId, fingerprint, tsSec) triples seen inside the horizon — entries
+    * older than `horizonSec` relative to the newest arrival are evicted on
+    * every update, so state is bounded by (bucket ingest rate × horizon),
+    * never corpus size. Spark shards buckets across executors by the
+    * grouping key — the same equi-key partitioning the batch banded
+    * self-join shuffles on.
+    *
+    * Caveats (documented trade-offs, both inherent to banding): a pair
+    * sharing several bands is emitted once per shared band (dedup
+    * downstream if exact-once pairs matter), and cross-horizon duplicates
+    * are the offline pass's job, exactly as with [[firstSeen]]. The
+    * per-row `simhash48` expression is fine at ingest rates; bulk
+    * backfills should precompute fingerprints with the aggregation-form
+    * `simhashSignatures` and feed them in.
+    */
+  def simhashNearDups(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      maxHamming: Int = 7,
+      chunks: Int = 8,
+      horizonSec: Long = 3600L): Dataset[NearDupPair] = {
+    require(48 % chunks == 0 && maxHamming < chunks,
+      "pigeonhole guarantee needs maxHamming < chunks and chunks | 48")
+    val w = 48 / chunks
+    implicit val bdEnc = Encoders.product[BandedDoc]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val outEnc = Encoders.product[NearDupPair]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val banded = stream
+      .select(
+        col(idCol).cast("long").as("docId"),
+        Dedup.simhash48(TextOps.tokens(col(textCol))).as("sh"),
+        unix_timestamp(col(tsCol)).as("tsSec"))
+      .select(
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("sh"), c * w).bitwiseAND(lit((1L << w) - 1))): _*))
+          .as(Seq("band", "key")),
+        col("docId"), col("sh"), col("tsSec"))
+      .select(col("band"), col("key"), col("docId"), col("sh"), col("tsSec"))
+      .as[BandedDoc]
+    val fn = (
+        _: (Int, Long),
+        rows: Iterator[BandedDoc],
+        state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
+      var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[NearDupPair]
+      rows.toSeq.sortBy(d => (d.tsSec, d.docId)).foreach { d =>
+        seen = seen.filter(s => d.tsSec - s.tsSec <= horizonSec)
+        seen.foreach { s =>
+          val ham = java.lang.Long.bitCount(s.sh ^ d.sh)
+          if (s.docId != d.docId && ham <= maxHamming)
+            out += NearDupPair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), ham)
+        }
+        seen = seen :+ SeenDoc(d.docId, d.sh, d.tsSec)
+      }
+      state.update(BucketState(seen))
+      out.result().iterator
+    }
+    banded
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
+        stateEnc, outEnc)
+  }
 }

@@ -35,6 +35,45 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dups: cross-batch pairs found, horizon evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val nearA = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearB = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val far = "completely unrelated content about distributed query engines and shuffles"
+    val out = StreamingDedup.simhashNearDups(
+      mem.toDF.toDF("ts", "doc_id", "text"),
+      "doc_id", "text", "ts", maxHamming = 7, horizonSec = 100L)
+    val q = out.writeStream.format("memory").queryName("snear").outputMode("append").start()
+    try {
+      mem.addData((at(10), 1L, nearA), (at(12), 3L, far))
+      q.processAllAvailable()
+      mem.addData((at(20), 2L, nearB)) // near-dup of doc 1, later micro-batch
+      q.processAllAvailable()
+      val pairs = spark.table("snear").select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"expected only the near pair, got $pairs")
+
+      // beyond the horizon the bucket state has evicted doc 1 and 2
+      mem.addData((at(200), 4L, nearA))
+      q.processAllAvailable()
+      val later = spark.table("snear").select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(later == Set((1L, 2L)), s"horizon-expired docs must not pair, got $later")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup hamming agrees with the batch simhash48 fingerprints") {
+    import graft.ext.{Dedup, TextOps}
+    val nearA = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearB = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val fps = Seq((1L, nearA), (2L, nearB))
+      .toDF("doc_id", "text")
+      .select(Dedup.simhash48(TextOps.tokens($"text")).as("sh"))
+      .as[Long]
+      .collect()
+    val ham = java.lang.Long.bitCount(fps(0) ^ fps(1))
+    assert(ham <= 7, s"fixture docs must be near (hamming=$ham)")
+  }
+
   test("fingerprint matches the batch exactGroups fingerprint (one curation key)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
