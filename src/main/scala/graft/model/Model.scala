@@ -49,6 +49,15 @@ object MetricType {
   final case class Avg(field: String) extends MetricType {
     require(field != null && field.nonEmpty, "field is required when metric_type is avg")
   }
+
+  /** Exact median (latency-style metric). Unlike the algebraic aggregates
+    * above, the median buffers the window's values per group — the engine
+    * only pays that cost (ObjectHashAggregate instead of codegen
+    * HashAggregate) for fan-outs that actually declare a p50 metric.
+    */
+  final case class P50(field: String) extends MetricType {
+    require(field != null && field.nonEmpty, "field is required when metric_type is p50")
+  }
   def parse(metricType: String, field: Option[String]): MetricType = {
     val t = metricType.toLowerCase
     def f = {
@@ -61,9 +70,10 @@ object MetricType {
       case "min" => Min(f)
       case "max" => Max(f)
       case "avg" => Avg(f)
+      case "p50" => P50(f)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported metric type: $other (must be count, sum, min, max or avg)")
+          s"Unsupported metric type: $other (must be count, sum, min, max, avg or p50)")
     }
   }
 }

@@ -110,6 +110,7 @@ object LogsToMetrics {
       tsCol: String,
       withWsize: Boolean): DataFrame = {
     require(defs.nonEmpty, "at least one metric definition")
+    val withP50 = hasP50(defs)
     val perConfig: Seq[Column] = defs.map { d =>
       val fields =
         Seq(lit(d.name).as("metric")) ++
@@ -117,7 +118,13 @@ object LogsToMetrics {
           Seq(
             lit(aggKind(d.metricType)).as("kind"),
             labelEntries(d, mode).as("labels"),
-            valueCol(d, mode).as("value"))
+            valueCol(d, mode).as("value")) ++
+          // pval: buffered ONLY by the percentile aggregate — null for every
+          // non-percentile config, so their groups buffer nothing
+          (if (withP50) Seq((d.metricType match {
+            case MetricType.P50(_) => valueCol(d, mode)
+            case _                 => lit(null).cast(DoubleType)
+          }).as("pval")) else Nil)
       when(mode.pred(d.filters), struct(fields: _*))
     }
     val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
@@ -129,40 +136,55 @@ object LogsToMetrics {
 
   def apply(defs: Seq[MetricDefinition], mode: Mode, tsCol: String = "ts")(
       df: DataFrame): DataFrame = {
+    val withP50 = hasP50(defs)
+    val aggs = aggValues(withP50)
     fanOutExplode(df, defs, mode, tsCol, withWsize = true)
       // epoch-floor tumbling window in integer micros; per-config size.
       .withColumn("_wstart",
         (expr("unix_micros(_ts)") - pmod(expr("unix_micros(_ts)"), col("wsize") * 1000000L)))
       .groupBy(col("metric"), col("wsize"), col("kind"), col("_wstart"), col("labels"))
-      .agg(aggValues.head, aggValues.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(
         col("metric"),
         timestamp_micros(col("_wstart")).as("window_start"),
         timestamp_micros(col("_wstart") + col("wsize") * 1000000L).as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        finalValue.as("value"))
+        finalValue(withP50).as("value"))
   }
 
-  /** 0 = sum-like (count is sum of 1s), 1 = min, 2 = max, 3 = avg. */
+  private[graft] def hasP50(defs: Seq[MetricDefinition]): Boolean =
+    defs.exists(_.metricType match { case MetricType.P50(_) => true; case _ => false })
+
+  /** 0 = sum-like (count is sum of 1s), 1 = min, 2 = max, 3 = avg, 4 = p50. */
   private[graft] def aggKind(t: MetricType): Int = t match {
     case MetricType.Count | MetricType.Sum(_) => 0
     case MetricType.Min(_)                    => 1
     case MetricType.Max(_)                    => 2
     case MetricType.Avg(_)                    => 3
+    case MetricType.P50(_)                    => 4
   }
 
-  /** One pass computes all partial aggregates; kind picks the result. */
-  private[graft] def aggValues: Seq[Column] = Seq(
+  /** One pass computes all partial aggregates; kind picks the result.
+    * The exact-median aggregate is included ONLY when some config needs it:
+    * `percentile` is a buffering TypedImperativeAggregate, and its mere
+    * presence downgrades the whole aggregation from codegen HashAggregate
+    * to ObjectHashAggregate — count/sum-only fan-outs must not pay that.
+    */
+  private[graft] def aggValues(withP50: Boolean): Seq[Column] = Seq(
     sum(col("value")).as("_sum"),
     min(col("value")).as("_min"),
     max(col("value")).as("_max"),
-    count(col("value")).as("_cnt"))
+    count(col("value")).as("_cnt")) ++
+    (if (withP50) Seq(percentile(col("pval"), lit(0.5)).as("_p50")) else Nil)
 
-  private[graft] def finalValue: Column =
-    when(col("kind") === 0, col("_sum"))
+  private[graft] def finalValue(withP50: Boolean): Column = {
+    val base = when(col("kind") === 0, col("_sum"))
       .when(col("kind") === 1, col("_min"))
       .when(col("kind") === 2, col("_max"))
-      .otherwise(col("_sum") / col("_cnt"))
+    if (withP50)
+      base.when(col("kind") === 3, col("_sum") / col("_cnt")).otherwise(col("_p50"))
+    else base.otherwise(col("_sum") / col("_cnt"))
+  }
 
   /** Plan-time canonical labels: static ∪ dynamic, dynamic wins on key
     * conflict (pipeline.py:198), sorted by key (pipeline.py:172).
@@ -181,5 +203,6 @@ object LogsToMetrics {
     case MetricType.Min(field) => mode.numValue(field)
     case MetricType.Max(field) => mode.numValue(field)
     case MetricType.Avg(field) => mode.numValue(field)
+    case MetricType.P50(field) => mode.numValue(field)
   }
 }

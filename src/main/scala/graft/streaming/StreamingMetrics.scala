@@ -65,12 +65,13 @@ object StreamingMetrics {
         tsCol,
         withWsize = false)
       .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("kind"), col("labels"))
-      .agg(LogsToMetrics.aggValues.head, LogsToMetrics.aggValues.tail: _*)
+      .agg(LogsToMetrics.aggValues(LogsToMetrics.hasP50(defs)).head,
+        LogsToMetrics.aggValues(LogsToMetrics.hasP50(defs)).tail: _*)
       .select(
         col("metric"),
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        LogsToMetrics.finalValue.as("value"))
+        LogsToMetrics.finalValue(LogsToMetrics.hasP50(defs)).as("value"))
   }
 }

@@ -114,6 +114,30 @@ class LogsToMetricsSpec extends SparkSpec {
     assert(out("sm") == 20.0) // sum: unparsable/missing contribute 0
   }
 
+  test("p50 metric: exact median in the shared pass, buffering only when declared") {
+    val df = Seq(
+      ("a", at(10), "1"), ("b", at(20), "9"), ("c", at(30), "5"),
+      ("d", at(40), "7"), ("e", at(50), null)
+    ).toDF("id", "ts", "v")
+    val defs = Seq(
+      MetricDefinition("p", MetricType.P50("v"), windowSizeSec = 3600),
+      MetricDefinition("c", MetricType.Count, windowSizeSec = 3600))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"metric", $"value").as[(String, Double)].collect().toMap
+    assert(out("p") == 6.0) // sorted {1,5,7,9}, even count → (5+7)/2; null excluded
+    assert(out("c") == 5.0)
+
+    // a p50-free fan-out must keep the codegen HashAggregate: percentile's
+    // mere presence would downgrade the whole agg to ObjectHashAggregate
+    val noP50 = LogsToMetrics(
+      Seq(MetricDefinition("c2", MetricType.Count, windowSizeSec = 60)),
+      LogsToMetrics.Typed(df.schema))(df)
+    val plan = noP50.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), s"count-only agg must stay codegen:\n$plan")
+    val withP50 = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+    assert(withP50.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"))
+  }
+
   test("per-config window sizes coexist in one pass") {
     val df = Seq(Row1(at(65), "E", 1.0)).toDF
     val defs = Seq(

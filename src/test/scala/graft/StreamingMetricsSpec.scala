@@ -111,6 +111,26 @@ class StreamingMetricsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("p50 metric type aggregates across micro-batches (buffering state merges)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
+    val parsed = Ingest.parseSchemaless(mem.toDF.toDF("ts", "raw"), "raw")
+    val Seq(out) = StreamingMetrics.attach(
+      parsed,
+      Seq(MetricDefinition("p50_bytes", MetricType.P50("bytes"), windowSizeSec = 60)),
+      LogsToMetrics.Schemaless("msg"))
+    val q = out.writeStream.format("memory").queryName("p50_stream").outputMode("append").start()
+    try {
+      mem.addData((at(10), msg("ERROR", 1).getBytes("UTF-8")))
+      mem.addData((at(20), msg("ERROR", 9).getBytes("UTF-8")),
+        (at(30), msg("ERROR", 5).getBytes("UTF-8")))
+      mem.addData((at(200), msg("ERROR", 0).getBytes("UTF-8")))
+      q.processAllAvailable()
+      val vals = spark.table("p50_stream").select($"value").as[Double].collect().toList
+      assert(vals == List(5.0)) // median of {1,9,5} buffered across batches
+    } finally q.stop()
+  }
+
   test("multiple window sizes produce one streaming aggregation each") {
     val mixed = defs.head +: Seq(
       MetricDefinition("m5", MetricType.Count, windowSizeSec = 300))
