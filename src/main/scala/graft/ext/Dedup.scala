@@ -328,6 +328,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination — the training-data hygiene operator: for
+    * each corpus document, how many of its distinct word-n-gram shingles
+    * also occur in `benchmark`, and whether the overlap ratio crosses
+    * `ratioThreshold` (the "this document leaks eval data" flag).
+    *
+    * Scale shape: benchmark corpora are SMALL by nature (eval sets), so
+    * their distinct shingle-hash set broadcasts; the 100 TB corpus is
+    * scanned once, its postings hit the broadcast hash join (no corpus
+    * shuffle for the membership test), and only the per-doc counts
+    * aggregate. The overlap ratio is one IEEE division of two exact
+    * integers — engine-portable.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      ratioThreshold: Double): DataFrame = {
+    val bench = hashedPostings(benchmark, idCol, textCol, n).select(col("h")).distinct()
+    val post = hashedPostings(corpus, idCol, textCol, n)
+    val perDoc = post
+      .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("hit_sh"))
+    perDoc.select(
+      col("doc"),
+      col("n_sh"),
+      col("hit_sh"),
+      (col("hit_sh").cast("double") / col("n_sh")).as("overlap"),
+      (col("hit_sh").cast("double") / col("n_sh") >= ratioThreshold).as("contaminated"))
+  }
+
   /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` band buckets,
     * annotated with the signature agreement count (estimated Jaccard =
     * sig_matches/k). The band join is the scale path: each doc lands in

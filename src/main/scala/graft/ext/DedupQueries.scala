@@ -69,6 +69,20 @@ object DedupQueries {
       Dedup
         .simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)
         .orderBy("a", "b")
+    },
+
+    // Benchmark decontamination: docs sharing >= half their 3-gram shingles
+    // with the (deterministic) "benchmark" subset doc_id % 97 == 0 are
+    // flagged. The benchmark's shingle set broadcasts; the corpus never
+    // shuffles for the membership test.
+    "q_contamination" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup
+        .contamination(d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          n = 3, ratioThreshold = 0.5)
+        .select(col("doc").as("doc_id"), col("n_sh"), col("hit_sh"),
+          col("overlap"), col("contaminated"))
+        .orderBy("doc_id")
     }
   )
 
@@ -86,9 +100,11 @@ object DedupQueries {
   private val SigExpr =
     s"list_transform(generate_series(0, ${K - 1}), i -> list_min(list_transform(sh, " +
       s"s -> ((2*i+1) * ($Md5Int % 1000000007) + (1000003*i + 12345)) % 1000000007)))"
-  private val Postings =
+  private val Post0 =
     "post0 AS (SELECT DISTINCT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM " +
-      "(SELECT doc_id AS doc, unnest(sh) AS s FROM shing)), " +
+      "(SELECT doc_id AS doc, unnest(sh) AS s FROM shing))"
+  private val Postings =
+    s"$Post0, " +
       s"hot AS (SELECT h FROM post0 GROUP BY h HAVING count(*) > $MaxDf), " +
       "post AS (SELECT * FROM post0 ANTI JOIN hot USING (h)), " +
       "sz AS (SELECT doc, count(*) AS n_sh FROM post0 GROUP BY 1)"
@@ -122,6 +138,12 @@ object DedupQueries {
       "list_reduce(list_prepend(0::BIGINT, list_transform(hw, h -> ((h >> j) & 1) * 2 - 1)), " +
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
       "FROM t WHERE len(hw) > 0 ORDER BY doc_id"),
+    "q_contamination" -> (s"WITH $WithShingles, $Post0, " +
+      "bench AS (SELECT DISTINCT h FROM post0 WHERE doc % 97 = 0), " +
+      "agg AS (SELECT doc, count(*) AS n_sh, count(b.h) AS hit_sh " +
+      "FROM post0 p LEFT JOIN bench b ON p.h = b.h GROUP BY doc) " +
+      "SELECT doc AS doc_id, n_sh, hit_sh, hit_sh::DOUBLE / n_sh AS overlap, " +
+      "hit_sh::DOUBLE / n_sh >= 0.5 AS contaminated FROM agg ORDER BY doc_id"),
     "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +
       "hw AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM shing), " +
       "sims AS (SELECT doc_id AS doc, list_reduce(list_prepend(0::BIGINT, " +

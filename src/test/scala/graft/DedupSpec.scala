@@ -47,6 +47,29 @@ class DedupSpec extends SparkSpec {
     assert(durable.orderBy("a", "b").collect().toSeq == local)
   }
 
+  test("contamination: benchmark set broadcasts; benchmark docs fully self-overlap") {
+    val d = Tables.documents(spark, SfDir)
+    val out = Dedup.contamination(d, d.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3, ratioThreshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"membership test must broadcast the benchmark shingles:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the membership test:\n$plan")
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // every benchmark doc overlaps itself completely
+    val benchRows = rows.filter(_._1 % 97 == 0)
+    assert(benchRows.nonEmpty)
+    benchRows.foreach { case (id, n, hit, ov, flag) =>
+      assert(n == hit && ov == 1.0 && flag, s"benchmark doc $id must self-overlap fully")
+    }
+    // overlap is always hit/n and the flag mirrors the threshold
+    rows.foreach { case (_, n, hit, ov, flag) =>
+      assert(ov == hit.toDouble / n && flag == (ov >= 0.5))
+    }
+  }
+
   test("n=1 shingle rows are the raw token stream (no window machinery)") {
     val d = Tables.documents(spark, SfDir).limit(50)
     val viaSig = Dedup.minhashSignatures(d, "doc_id", "text", n = 1, k = 4)
