@@ -217,11 +217,16 @@ object SparkEntry {
     },
 
     // O1+O2: full ingest path — bytes → multi-charset decode UDF →
-    // schemaless JSON map → filter → window → agg
+    // schemaless JSON map → filter → window → agg.
+    // repartition after the scan: the fixture parquet is ONE row group, so
+    // without it the whole serialize→decode→parse pipeline runs in a single
+    // task (a real cluster's source has many splits and doesn't need this —
+    // the standard "decouple compute parallelism from source splits" knob).
     "q_ingest_roundtrip" -> { (s, dir) =>
       val raw = ev(s, dir).select(
         col("ts"),
         encode(to_json(struct(col("event_type"), col("user_id"))), "UTF-8").as("raw"))
+        .repartition(s.sparkContext.defaultParallelism)
       val parsed = Ingest.parseSchemaless(raw, "raw")
       val defs = Seq(
         MetricDefinition(
