@@ -26,6 +26,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
           DotProductD(args.head, args(1))
+        }),
+      (
+        FunctionIdentifier("graft_cos"),
+        new ExpressionInfo(classOf[CosineSimD].getName, "graft_cos"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_cos(arrayA, arrayB) takes 2 arguments")
+          CosineSimD(args.head, args(1))
         }))
 
   /** Idempotent imperative registration on an existing session. */

@@ -27,6 +27,28 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_cos ≡ composed dot/(norm*norm) bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rows = vdf
+      .select(Similarity.cosine($"a", $"b").as("fused"),
+        Similarity.cosineComposed($"a", $"b").as("composed"))
+      .as[(Double, Double)]
+      .collect()
+    rows.foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(c))
+    }
+    // zero-norm side: the fused expression yields IEEE NaN, where the
+    // composed Column form THROWS under Spark 4's default ANSI mode
+    // (DIVIDE_BY_ZERO) — a zero embedding must not kill a 100 TB re-rank
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(z.select(Similarity.cosine($"a", $"b")).as[Double].head().isNaN)
+    val e = intercept[Exception] {
+      z.select(Similarity.cosineComposed($"a", $"b")).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("DIVIDE_BY_ZERO"))
+  }
+
   test("usable from SQL after registration") {
     GraftFunctions.register(spark)
     vdf.createOrReplaceTempView("vdf")
