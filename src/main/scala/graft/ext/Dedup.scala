@@ -283,6 +283,15 @@ object Dedup {
       // linear, unlike per-row array_distinct over string arrays
       .distinct()
 
+  /** Public postings builder: the (doc, shingle-hash) table
+    * [[jaccardPairs]] computes internally, exposed so a pipeline can
+    * materialize it once (e.g. via [[Intermediate.Durable]] or a bucketed
+    * table write) and feed [[jaccardPairsIncremental]] on every ingest
+    * increment without re-tokenizing the historical corpus.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    hashedPostings(docs, idCol, textCol, n)
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold, found
     * through the inverted index (equi-join on shingle), never O(n²).
     * Jaccard denominators use UNcapped set sizes, so the df-cap only
@@ -359,6 +368,65 @@ object Dedup {
       col("hit_sh"),
       (col("hit_sh").cast("double") / col("n_sh")).as("overlap"),
       (col("hit_sh").cast("double") / col("n_sh") >= ratioThreshold).as("contaminated"))
+  }
+
+  /** Incremental near-dup detection — the ingest-increment path at scale:
+    * Jaccard pairs touching at least one NEW document, computed against a
+    * PREVIOUSLY MATERIALIZED postings table (see [[postings]]) so the
+    * historical corpus is never re-tokenized — it is only probed by the
+    * increment's shingle hashes through the inverted index.
+    *
+    * Emitted pairs: new×old and new×new with Jaccard ≥ threshold
+    * (old×old pairs were found when those docs were themselves new).
+    * Union with the prior rounds' output ≡ [[jaccardPairs]] over the full
+    * corpus — the exact-equivalence law DedupSpec asserts — up to df-cap
+    * drift (a shingle crossing `maxDf` only once the increment lands
+    * affected old-round candidate generation differently; the standard
+    * incremental-index caveat, absent below the cap).
+    *
+    * Scale shape: the increment's postings are small; the equi-join on the
+    * shingle hash touches only historical postings sharing a shingle with
+    * the increment. The df-cap is computed over the COMBINED postings so a
+    * shingle that became hot through the increment is capped exactly as a
+    * full recompute would cap it.
+    */
+  def jaccardPairsIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      corpusPostings: DataFrame,
+      maxDf: Int = 1000,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+    val newPost0 = intermediate(hashedPostings(newDocs, idCol, textCol, n), "jaccard_inc_postings")
+    val all0 = corpusPostings.select(col("doc"), col("h"), lit(false).as("is_new"))
+      .unionByName(newPost0.select(col("doc"), col("h"), lit(true).as("is_new")))
+    val sizes = all0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val hot = all0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("h")
+    val newPost = newPost0.join(hot, Seq("h"), "left_anti")
+    val allPost = all0.join(hot, Seq("h"), "left_anti")
+    // each {new, old} pair forms once (x strictly new); {new, new} pairs
+    // are ordered by doc id to form once
+    val inter = newPost
+      .as("x")
+      .hint("merge")
+      .join(allPost.as("y").hint("merge"),
+        col("x.h") === col("y.h") &&
+          (( !col("y.is_new") && col("x.doc") =!= col("y.doc")) ||
+            (col("y.is_new") && col("x.doc") < col("y.doc"))))
+      .groupBy(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .select(
+        col("a"),
+        col("b"),
+        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` band buckets,

@@ -70,6 +70,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental jaccard ∪ old-round pairs ≡ full-corpus recompute") {
+    val d = Tables.documents(spark, SfDir)
+    val old = d.filter(col("doc_id") < 250)
+    val fresh = d.filter(col("doc_id") >= 250)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oldPairs = pairSet(Dedup.jaccardPairs(old, "doc_id", "text", n = 3, threshold = 0.8))
+    // the historical corpus participates ONLY through its materialized
+    // postings — no re-tokenization of `old` in the incremental call
+    val corpusPostings = Dedup.postings(old, "doc_id", "text", n = 3).localCheckpoint()
+    val incPairs = pairSet(Dedup.jaccardPairsIncremental(
+      fresh, "doc_id", "text", n = 3, threshold = 0.8, corpusPostings))
+    val fullPairs = pairSet(Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8))
+    assert((oldPairs | incPairs) == fullPairs,
+      s"missing=${fullPairs -- (oldPairs | incPairs)} extra=${(oldPairs | incPairs) -- fullPairs}")
+    // incremental pairs all touch a new document
+    assert(incPairs.forall { case (a, b, _) => a >= 250 || b >= 250 })
+    assert(incPairs.nonEmpty, "fixture must contain cross-increment near-dups for a real test")
+  }
+
   test("n=1 shingle rows are the raw token stream (no window machinery)") {
     val d = Tables.documents(spark, SfDir).limit(50)
     val viaSig = Dedup.minhashSignatures(d, "doc_id", "text", n = 1, k = 4)
