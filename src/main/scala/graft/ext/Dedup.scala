@@ -130,6 +130,14 @@ object Dedup {
       .select(col("doc"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Merge two MinHash signatures: elementwise min. MinHash is a mergeable
+    * sketch — `sig(S1 ∪ S2) = merge(sig(S1), sig(S2))` exactly (each slot
+    * is a min over the union), which is what lets signatures combine
+    * map-side, merge across ingest increments, and roll up hierarchies
+    * without touching raw shingles. Law pinned in DedupSpec.
+    */
+  def mergeMinhash(a: Column, b: Column): Column = zip_with(a, b, (x, y) => least(x, y))
+
   /** LSH band keys for a MinHash signature: `bands` keys, each an md5 of the
     * concatenated band slice. Docs sharing ANY band key are candidates.
     */

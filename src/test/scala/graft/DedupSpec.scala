@@ -90,6 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(incPairs.nonEmpty, "fixture must contain cross-increment near-dups for a real test")
   }
 
+  test("minhash is a mergeable sketch: sig(S1 ∪ S2) == merge(sig(S1), sig(S2))") {
+    val spark0 = spark
+    import spark0.implicits._
+    val parts = Seq(
+      ("alpha beta gamma delta", "echo foxtrot golf hotel"),
+      ("one two three four five", "three four five six seven"), // overlapping sets
+      ("x y z w", "x y z w") // identical sets
+    ).toDF("t1", "t2")
+    val sh1 = Dedup.wordShingles(TextOps.tokens(col("t1")), 2)
+    val sh2 = Dedup.wordShingles(TextOps.tokens(col("t2")), 2)
+    val rows = parts
+      .select(
+        Dedup.minhashSignature(array_union(sh1, sh2), 8).as("whole"),
+        Dedup.mergeMinhash(
+          Dedup.minhashSignature(sh1, 8),
+          Dedup.minhashSignature(sh2, 8)).as("merged"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"union law broken: $r")
+    }
+  }
+
   test("n=1 shingle rows are the raw token stream (no window machinery)") {
     val d = Tables.documents(spark, SfDir).limit(50)
     val viaSig = Dedup.minhashSignatures(d, "doc_id", "text", n = 1, k = 4)
