@@ -47,7 +47,12 @@ object Dedup {
     }
     final case class Durable(dir: String) extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = {
-        val path = s"$dir/$label.parquet"
+        // unique per materialization: two operator calls sharing a work dir
+        // (or the same operator invoked twice) must not clobber each
+        // other's table — the write is eager but the returned reader is
+        // lazy, so a later overwrite would silently corrupt the earlier
+        // call's still-unexecuted plan
+        val path = s"$dir/$label-${Intermediate.seq.incrementAndGet()}.parquet"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
       }
@@ -55,6 +60,7 @@ object Dedup {
     case object None extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = df
     }
+    private[Intermediate] val seq = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** Mersenne-ish prime modulus for the universal hash family. */

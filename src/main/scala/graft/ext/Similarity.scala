@@ -96,13 +96,21 @@ object Similarity {
   /** Exact brute-force cosine top-k: broadcast the query set, scan the
     * corpus once, rank per query. `queries`/`corpus`: (id, vec double[]).
     */
+  /** Drop undefined similarities before any ranking: a zero-norm embedding
+    * (failed embedding job, padding row — routine at corpus scale) scores
+    * NaN, and Spark orders NaN LARGER than every double, so an unfiltered
+    * NaN would silently rank #1 for every query that reaches it.
+    */
+  private def dropNaN(scored: DataFrame): DataFrame = scored.filter(!isnan(col("cos")))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
       .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     Relational
-      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .topKPerGroup(dropNaN(scored), Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
   /** Embedding near-duplicate pairs: candidates share an LSH bucket or sit
@@ -129,7 +137,10 @@ object Similarity {
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         cosine(col("x.vec"), col("y.vec")).as("cos"))
-      .filter(col("cos") >= threshold)
+      // NaN explicitly excluded: Spark evaluates NaN >= threshold as TRUE
+      // (NaN sorts above every double), so zero-norm pairs would otherwise
+      // pass the similarity gate
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .distinct()
   }
 
@@ -190,7 +201,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
       .distinct()
     Relational
-      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .topKPerGroup(dropNaN(scored), Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
   /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
@@ -236,10 +248,13 @@ object Similarity {
     val scored = qb
       .join(cb, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // nprobe cells can surface the same neighbor once each — dedup
+      // NO distinct here, deliberately: each corpus vector lives in exactly
+      // one cell (rank-1 assignment) and a query's nprobe cells are
+      // distinct, so a (query, neighbor) pair arises at most once — a
+      // dedup would only add an exchange over every candidate
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .distinct()
     Relational
-      .topKPerGroup(scored, Seq("query_id"), Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .topKPerGroup(dropNaN(scored), Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 }

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -68,6 +67,4 @@ case class DotProductD(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
       : DotProductD = copy(left = newLeft, right = newRight)
-
-  override def eval(input: InternalRow): Any = super.eval(input)
 }

@@ -121,16 +121,16 @@ object MetricsSink {
     * these rows verbatim.
     */
   def gcmRequestShaped(formatted: DataFrame): DataFrame = {
-    val aligned = (unix_timestamp(col("timestamp")) -
-      unix_timestamp(col("timestamp")) % 60).as("interval_end_seconds")
+    // ONE aligned expression aliased for both interval edges — the gauge
+    // contract is start == end, so they must never drift apart
+    val aligned = unix_timestamp(col("timestamp")) - unix_timestamp(col("timestamp")) % 60
     formatted.select(
       col("metric_name").as("metric_type"),
       lit("global").as("resource_type"), // series.resource.type (metrics_exporter.py:101)
       col("labels"),
       col("value").cast("double").as("double_value"),
-      aligned,
-      (unix_timestamp(col("timestamp")) -
-        unix_timestamp(col("timestamp")) % 60).as("interval_start_seconds"))
+      aligned.as("interval_end_seconds"),
+      aligned.as("interval_start_seconds"))
   }
 
   /** Streaming entry: `stream.writeStream.foreachBatch(router(...))`. */

@@ -32,7 +32,13 @@ object StreamingDedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
-  final case class BandedDoc(band: Int, key: Long, docId: Long, sh: Long, tsSec: Long)
+  final case class BandedDoc(
+      band: Int,
+      key: Long,
+      docId: Long,
+      sh: Long,
+      tsSec: Long,
+      ts: java.sql.Timestamp)
   final case class SeenDoc(docId: Long, sh: Long, tsSec: Long)
   final case class BucketState(docs: Seq[SeenDoc])
   final case class NearDupPair(a: Long, b: Long, hamming: Int)
@@ -46,10 +52,12 @@ object StreamingDedup {
     * State design: state lives per (band, key) bucket and holds only
     * (docId, fingerprint, tsSec) triples seen inside the horizon — entries
     * older than `horizonSec` relative to the newest arrival are evicted on
-    * every update, so state is bounded by (bucket ingest rate × horizon),
-    * never corpus size. Spark shards buckets across executors by the
-    * grouping key — the same equi-key partitioning the batch banded
-    * self-join shuffles on.
+    * every update, and a processing-time timeout removes a bucket's whole
+    * state once it has been idle for a horizon (otherwise a quiet bucket
+    * would hold its last horizon's docs forever). State is therefore
+    * bounded by (bucket ingest rate × horizon), never corpus size. Spark
+    * shards buckets across executors by the grouping key — the same
+    * equi-key partitioning the batch banded self-join shuffles on.
     *
     * Caveats (documented trade-offs, both inherent to banding): a pair
     * sharing several bands is emitted once per shared band (dedup
@@ -75,38 +83,57 @@ object StreamingDedup {
     implicit val outEnc = Encoders.product[NearDupPair]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     val banded = stream
+      // event-time watermark drives BOTH late-data semantics and the
+      // idle-bucket timeout below — timeouts fire as data advances the
+      // watermark, never from a background wall-clock batch
+      .withWatermark(tsCol, s"$horizonSec seconds")
       .select(
         col(idCol).cast("long").as("docId"),
         Dedup.simhash48(TextOps.tokens(col(textCol))).as("sh"),
-        unix_timestamp(col(tsCol)).as("tsSec"))
+        unix_timestamp(col(tsCol)).as("tsSec"),
+        col(tsCol).as("ts"))
       .select(
         posexplode(array((0 until chunks).map(c =>
           shiftright(col("sh"), c * w).bitwiseAND(lit((1L << w) - 1))): _*))
           .as(Seq("band", "key")),
-        col("docId"), col("sh"), col("tsSec"))
-      .select(col("band"), col("key"), col("docId"), col("sh"), col("tsSec"))
+        col("docId"), col("sh"), col("tsSec"), col("ts"))
+      .select(col("band"), col("key"), col("docId"), col("sh"), col("tsSec"), col("ts"))
       .as[BandedDoc]
     val fn = (
         _: (Int, Long),
         rows: Iterator[BandedDoc],
         state: org.apache.spark.sql.streaming.GroupState[BucketState]) => {
-      var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
-      val out = Seq.newBuilder[NearDupPair]
-      rows.toSeq.sortBy(d => (d.tsSec, d.docId)).foreach { d =>
-        seen = seen.filter(s => d.tsSec - s.tsSec <= horizonSec)
-        seen.foreach { s =>
-          val ham = java.lang.Long.bitCount(s.sh ^ d.sh)
-          if (s.docId != d.docId && ham <= maxHamming)
-            out += NearDupPair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), ham)
+      if (state.hasTimedOut) {
+        // idle-bucket eviction: without this, a bucket that stops receiving
+        // rows would hold its last horizon's docs forever (the in-line
+        // filter below only runs on arrival) — state must be bounded by
+        // rate × horizon even for buckets that go quiet
+        state.remove()
+        Iterator.empty
+      } else {
+        var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+        val out = Seq.newBuilder[NearDupPair]
+        rows.toSeq.sortBy(d => (d.tsSec, d.docId)).foreach { d =>
+          seen = seen.filter(s => d.tsSec - s.tsSec <= horizonSec)
+          seen.foreach { s =>
+            val ham = java.lang.Long.bitCount(s.sh ^ d.sh)
+            if (s.docId != d.docId && ham <= maxHamming)
+              out += NearDupPair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), ham)
+          }
+          seen = seen :+ SeenDoc(d.docId, d.sh, d.tsSec)
         }
-        seen = seen :+ SeenDoc(d.docId, d.sh, d.tsSec)
+        state.update(BucketState(seen))
+        // evict the whole bucket once the watermark passes a horizon beyond
+        // its newest doc; must be strictly above the current watermark
+        val maxTsMs = seen.map(_.tsSec).max * 1000L
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs() + 1L, maxTsMs + horizonSec * 1000L))
+        out.result().iterator
       }
-      state.update(BucketState(seen))
-      out.result().iterator
     }
     banded
       .groupByKey(d => (d.band, d.key))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)(
-        stateEnc, outEnc)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        fn)(stateEnc, outEnc)
   }
 }

@@ -57,6 +57,8 @@ object StreamingMetrics {
       mode: LogsToMetrics.Mode,
       tsCol: String,
       watermarkDelay: String): DataFrame = {
+    val withP50 = LogsToMetrics.hasP50(defs)
+    val aggs = LogsToMetrics.aggValues(withP50)
     LogsToMetrics
       .fanOutExplode(
         stream.withWatermark(tsCol, watermarkDelay),
@@ -65,13 +67,12 @@ object StreamingMetrics {
         tsCol,
         withWsize = false)
       .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("kind"), col("labels"))
-      .agg(LogsToMetrics.aggValues(LogsToMetrics.hasP50(defs)).head,
-        LogsToMetrics.aggValues(LogsToMetrics.hasP50(defs)).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(
         col("metric"),
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        LogsToMetrics.finalValue(LogsToMetrics.hasP50(defs)).as("value"))
+        LogsToMetrics.finalValue(withP50).as("value"))
   }
 }

@@ -71,6 +71,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
   }
 
+  test("zero-norm embeddings never enter a top-k (NaN cosine excluded)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus = 20 real vectors + one all-zero row (a failed-embedding row)
+    val dim = 64
+    val real = vecs.filter(col("id") < 20)
+    val zero = Seq((999L, Seq.fill(dim)(0.0))).toDF("id", "vec")
+    val corpus = real.unionByName(zero)
+    val queries = vecs.filter(col("id") < 5)
+    val cent = vecs.filter(col("id") < 8).select(col("id").as("cid"), col("vec").as("cvec"))
+    val paths = Seq(
+      Similarity.bruteForceTopK(queries, corpus, k = 5),
+      Similarity.annTopKMulti(queries, corpus, SimilarityQueries.Tables3, k = 5),
+      Similarity.ivfTopK(queries, corpus, cent, nCells = 8, nprobe = 2, k = 5))
+    paths.foreach { df =>
+      val neighbors = df.select(col("neighbor_id").cast("long")).as[Long].collect().toSet
+      assert(!neighbors.contains(999L),
+        "NaN cosine must be excluded, not ranked first (Spark sorts NaN above all doubles)")
+    }
+    // near-dup pairs: the zero row must not pass the threshold gate either
+    val pairs = Similarity
+      .cosineNearDupPairs(corpus, SimilarityQueries.Tables3.head, threshold = 0.1)
+      .select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+  }
+
   test("collapsed lshBucket matches the reference unrolled-sum semantics") {
     // independent re-computation: driver-side per-row fold, same order
     val planes = SimilarityQueries.Tables3.head
