@@ -34,7 +34,13 @@ object Dedup {
     *  - [[Intermediate.Durable]]: parquet round-trip under a work dir — the
     *    100 TB path: survives executor loss, re-read with fresh file-level
     *    stats, and restartable (a re-run resumes from the materialized
-    *    table instead of re-tokenizing the corpus).
+    *    table instead of re-tokenizing the corpus). The CALLER owns the
+    *    work dir's lifecycle: tables are never deleted by the engine
+    *    (deleting under a returned lazy reader would corrupt downstream
+    *    plans), so a long-lived pipeline should point `dir` at a
+    *    per-run scratch location and remove it after the job. Paths mix in
+    *    the Spark applicationId, so concurrent drivers sharing a dir
+    *    cannot clobber each other's tables.
     *  - [[Intermediate.None]]: no materialization; the caller owns reuse
     *    (e.g. it already wrote the postings to a bucketed table).
     */
@@ -51,8 +57,11 @@ object Dedup {
         // (or the same operator invoked twice) must not clobber each
         // other's table — the write is eager but the returned reader is
         // lazy, so a later overwrite would silently corrupt the earlier
-        // call's still-unexecuted plan
-        val path = s"$dir/$label-${Intermediate.seq.incrementAndGet()}.parquet"
+        // call's still-unexecuted plan. The applicationId token extends
+        // the guarantee across JVMs: two drivers sharing a work dir get
+        // disjoint paths even though the counter is per-JVM.
+        val app = df.sparkSession.sparkContext.applicationId
+        val path = s"$dir/$label-$app-${Intermediate.seq.incrementAndGet()}.parquet"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
       }
@@ -398,6 +407,12 @@ object Dedup {
     * affected old-round candidate generation differently; the standard
     * incremental-index caveat, absent below the cap).
     *
+    * Re-ingestion is handled: historical postings whose doc id reappears
+    * in `newDocs` are dropped (anti-join on the increment's ids) before
+    * the union, so a re-ingested document REPLACES its prior postings —
+    * sizes, df counts, and Jaccard values are computed as if the doc had
+    * arrived once with its new content, never double-counted.
+    *
     * Scale shape: the increment's postings are small; the equi-join on the
     * shingle hash touches only historical postings sharing a shingle with
     * the increment. The df-cap is computed over the COMBINED postings so a
@@ -414,7 +429,11 @@ object Dedup {
       maxDf: Int = 1000,
       intermediate: Intermediate = Intermediate.Local): DataFrame = {
     val newPost0 = intermediate(hashedPostings(newDocs, idCol, textCol, n), "jaccard_inc_postings")
-    val all0 = corpusPostings.select(col("doc"), col("h"), lit(false).as("is_new"))
+    // re-ingested docs replace their historical postings (see scaladoc);
+    // the id set is increment-sized, so the anti-join broadcasts
+    val newIds = newPost0.select(col("doc")).distinct()
+    val oldPost = corpusPostings.join(broadcast(newIds), Seq("doc"), "left_anti")
+    val all0 = oldPost.select(col("doc"), col("h"), lit(false).as("is_new"))
       .unionByName(newPost0.select(col("doc"), col("h"), lit(true).as("is_new")))
     val sizes = all0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val hot = all0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("h")

@@ -16,14 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * candidates the memory traffic drops 3×.
   *
   * Bit-exactness: each accumulator folds left-to-right from 0.0 exactly
-  * like the three separate dots it replaces, so `dot/(sqrt*sqrt)` is the
-  * same IEEE operation sequence and every declared-query hash is
-  * unchanged (pinned by GraftFunctionsSpec and the DuckDB oracles).
+  * like the three separate dots it replaces — `ab` over the common prefix
+  * (the composed `graft_dot(a,b)` bound), `aa`/`bb` over EACH array's
+  * full length (the composed `graft_dot(a,a)`/`graft_dot(b,b)`) — so
+  * `dot/(sqrt*sqrt)` is the same IEEE operation sequence for equal AND
+  * unequal lengths, and every declared-query hash is unchanged (pinned
+  * by GraftFunctionsSpec and the DuckDB oracles).
   *
   * Null handling mirrors [[DotProductD]]: null array ⇒ null; elements
-  * assumed non-null; shorter length bounds the loop. A zero-norm side
-  * yields the IEEE result of x/0.0 (NaN or ±Infinity), identical to the
-  * composed form.
+  * assumed non-null. A zero-norm side yields the IEEE result of x/0.0
+  * (NaN or ±Infinity), identical to the composed form.
   */
 case class CosineSimD(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -45,7 +47,9 @@ case class CosineSimD(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
     var ab = 0.0
     var aa = 0.0
     var bb = 0.0
@@ -56,6 +60,11 @@ case class CosineSimD(left: Expression, right: Expression) extends BinaryExpress
       ab += xi * yi; aa += xi * xi; bb += yi * yi
       i += 1
     }
+    // norm tails: the composed form sums each array's FULL length
+    var j = n
+    while (j < nx) { val xi = x.getDouble(j); aa += xi * xi; j += 1 }
+    j = n
+    while (j < ny) { val yi = y.getDouble(j); bb += yi * yi; j += 1 }
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
@@ -68,14 +77,21 @@ case class CosineSimD(left: Expression, right: Expression) extends BinaryExpress
       val bb = ctx.freshName("bb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val j = ctx.freshName("j")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |}
+         |for (int $j = $n; $j < $nx; $j++) { double $xi = $a.getDouble($j); $aa += $xi * $xi; }
+         |for (int $j = $n; $j < $ny; $j++) { double $yi = $b.getDouble($j); $bb += $yi * $yi; }
          |${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
        """.stripMargin
     })

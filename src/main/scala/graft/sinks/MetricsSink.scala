@@ -152,13 +152,33 @@ object MetricsSink {
     * source and re-runs the windowed aggregation per target (SURVEY §7.5
     * risk 3), which at scale multiplies both the scan and the shuffle by
     * the number of targets.
+    *
+    * Targets degrade INDEPENDENTLY: each target's export is attempted even
+    * when an earlier target throws (otherwise targets past the failing one
+    * would fall behind while earlier ones already exported, and a retried
+    * batch would duplicate to them — divergent histories). In default
+    * (non-strict) mode a target's failure is logged and the batch
+    * succeeds; in strict mode the first failure is rethrown AFTER all
+    * targets were attempted, with later failures attached as suppressed.
     */
   def multiRouter(targets: Seq[Target], strict: Boolean = false): (DataFrame, Long) => Unit =
     (batch, _) => {
       val cached = batch.persist()
-      try targets.foreach(t =>
-        writeBatch(formatted(cached, t.metricNamePrefix), t.sinkFor, strict))
-      finally cached.unpersist()
+      try {
+        val failures = targets.flatMap { t =>
+          try { writeBatch(formatted(cached, t.metricNamePrefix), t.sinkFor, strict); Nil }
+          catch {
+            case e: Exception =>
+              System.err.println(
+                s"[graft-sink] target '${t.metricNamePrefix}' failed: ${e.getMessage}")
+              Seq(e)
+          }
+        }
+        if (strict && failures.nonEmpty) {
+          failures.tail.foreach(failures.head.addSuppressed)
+          throw failures.head
+        }
+      } finally cached.unpersist()
     }
 
   /** Metric-name prefix validation parity (main.py:134-147):

@@ -59,6 +59,16 @@ object StreamingDedup {
     * shards buckets across executors by the grouping key — the same
     * equi-key partitioning the batch banded self-join shuffles on.
     *
+    * Hot buckets are capped: a (band, key) bucket holding many
+    * near-identical documents (boilerplate pages, templated spam) would
+    * otherwise do O(|seen|) Hamming checks per arrival AND grow state
+    * quadratically within the horizon. `maxBucket` bounds per-bucket
+    * state to the NEWEST entries; overflow evicts oldest-first and logs
+    * the dropped count — the streaming mirror of the batch path's
+    * `maxDf` hot-shingle cap (recall on pathological buckets traded for
+    * bounded per-row cost; such buckets are near-cliques, so the kept
+    * tail still links new arrivals into the duplicate cluster).
+    *
     * Caveats (documented trade-offs, both inherent to banding): a pair
     * sharing several bands is emitted once per shared band (dedup
     * downstream if exact-once pairs matter), and cross-horizon duplicates
@@ -74,7 +84,8 @@ object StreamingDedup {
       tsCol: String = "ts",
       maxHamming: Int = 7,
       chunks: Int = 8,
-      horizonSec: Long = 3600L): Dataset[NearDupPair] = {
+      horizonSec: Long = 3600L,
+      maxBucket: Int = 256): Dataset[NearDupPair] = {
     require(48 % chunks == 0 && maxHamming < chunks,
       "pigeonhole guarantee needs maxHamming < chunks and chunks | 48")
     val w = 48 / chunks
@@ -121,6 +132,15 @@ object StreamingDedup {
               out += NearDupPair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), ham)
           }
           seen = seen :+ SeenDoc(d.docId, d.sh, d.tsSec)
+          if (seen.size > maxBucket) {
+            // hot-bucket cap: evict oldest beyond maxBucket (entries are
+            // appended in (tsSec, docId) order, so a prefix drop is an
+            // oldest-first eviction); log so capped recall is observable
+            val dropped = seen.size - maxBucket
+            seen = seen.drop(dropped)
+            System.err.println(
+              s"[graft-stream-dedup] bucket over cap ($maxBucket): dropped $dropped oldest entries")
+          }
         }
         state.update(BucketState(seen))
         // evict the whole bucket once the watermark passes a horizon beyond

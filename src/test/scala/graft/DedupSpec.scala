@@ -90,6 +90,30 @@ class DedupSpec extends SparkSpec {
     assert(incPairs.nonEmpty, "fixture must contain cross-increment near-dups for a real test")
   }
 
+  test("incremental jaccard: a re-ingested doc REPLACES its historical postings") {
+    val spark0 = spark
+    import spark0.implicits._
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    // doc 1 re-arrives with NEW content, now duplicating new doc 4
+    val newText = "red orange yellow green blue indigo violet ultraviolet"
+    val newDocs = Seq((1L, newText), (4L, newText)).toDF("doc_id", "text")
+    val corpusPostings = Dedup.postings(oldDocs, "doc_id", "text", n = 2).localCheckpoint()
+    val inc = Dedup
+      .jaccardPairsIncremental(newDocs, "doc_id", "text", n = 2, threshold = 0.8, corpusPostings)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // effective corpus after replacement: {1:new, 2, 3, 4}; pairs touching
+    // a new id — (1,4) at jaccard 1.0; (1,2) must be GONE (old content
+    // replaced). Without the anti-join doc 1's sizes double-count and
+    // (1,4) drops to 0.5, vanishing below the threshold.
+    assert(inc == Set((1L, 4L, 1.0)), s"got $inc")
+  }
+
   test("minhash is a mergeable sketch: sig(S1 ∪ S2) == merge(sig(S1), sig(S2))") {
     val spark0 = spark
     import spark0.implicits._

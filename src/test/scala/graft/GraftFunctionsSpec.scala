@@ -49,6 +49,27 @@ class GraftFunctionsSpec extends SparkSpec {
       .contains("DIVIDE_BY_ZERO"))
   }
 
+  test("graft_cos ≡ composed form for UNEQUAL lengths too (norm tails)") {
+    GraftFunctions.register(spark)
+    // the composed form bounds dot(a,b) by the shorter array but computes
+    // each norm over its array's FULL length — the fused expression must
+    // match bit-for-bit (interpreted and codegen paths both covered:
+    // collect() runs codegen, the filter below keeps one-row locality)
+    val df = Seq(
+      (Seq(1.0, 2.0, 9.0, -4.5), Seq(3.0, 4.0)),
+      (Seq(0.5), Seq(0.25, -8.0, 1e6)),
+      (Seq(1e-8, 1e8), Seq(1e8, 1e-8, 7.0, -7.0, 0.125))
+    ).toDF("a", "b")
+    val rows = df
+      .select(Similarity.cosine($"a", $"b").as("fused"),
+        Similarity.cosineComposed($"a", $"b").as("composed"))
+      .as[(Double, Double)]
+      .collect()
+    rows.foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(c))
+    }
+  }
+
   test("usable from SQL after registration") {
     GraftFunctions.register(spark)
     vdf.createOrReplaceTempView("vdf")

@@ -81,6 +81,32 @@ class MetricsSinkSpec extends SparkSpec {
     collectedOk.size() // silence unused warning
   }
 
+  test("multiRouter: a failing target does not starve later targets") {
+    MetricsSinkSpec.seen.clear()
+    val ok = MetricsSink.Target("ok/",
+      _ => new MetricsSink {
+        def write(p: MetricPoint): Unit = MetricsSinkSpec.seen.add(p.metricName)
+      })
+    def boom(prefix: String) = MetricsSink.Target(prefix,
+      _ => new MetricsSink {
+        def write(p: MetricPoint): Unit = throw new RuntimeException(s"down: $prefix")
+      })
+    // strict mode: first target fails, the later target must STILL export,
+    // and the batch as a whole must surface the failure
+    val e = intercept[Exception] {
+      MetricsSink.multiRouter(Seq(boom("a/"), ok, boom("b/")), strict = true)(points(), 0L)
+    }
+    assert(MetricsSinkSpec.seen.contains("ok/errors") &&
+      MetricsSinkSpec.seen.contains("ok/values"),
+      s"healthy target must export despite earlier failure, saw ${MetricsSinkSpec.seen}")
+    assert(e.getSuppressed.length == 1, "second failure attached as suppressed")
+
+    // non-strict: failures logged, call succeeds
+    MetricsSinkSpec.seen.clear()
+    MetricsSink.multiRouter(Seq(boom("a/"), ok), strict = false)(points(), 1L)
+    assert(MetricsSinkSpec.seen.contains("ok/errors"))
+  }
+
   test("prefixFor matches reference --export-type naming") {
     assert(MetricsSink.prefixFor(ExportTarget.Local) == "")
     assert(MetricsSink.prefixFor(ExportTarget.parse("monitoring", Some("p"))) ==

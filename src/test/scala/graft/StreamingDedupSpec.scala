@@ -61,6 +61,28 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot-bucket cap bounds state: oldest entries evicted beyond maxBucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // identical text ⇒ identical fingerprint ⇒ all docs share every bucket
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = StreamingDedup.simhashNearDups(
+      mem.toDF.toDF("ts", "doc_id", "text"),
+      "doc_id", "text", "ts", maxHamming = 7, horizonSec = 1000L, maxBucket = 2)
+    val q = out.writeStream.format("memory").queryName("scap").outputMode("append").start()
+    try {
+      mem.addData((at(10), 1L, text)); q.processAllAvailable()
+      mem.addData((at(11), 2L, text)); q.processAllAvailable()
+      mem.addData((at(12), 3L, text)); q.processAllAvailable() // cap drops doc 1
+      mem.addData((at(13), 4L, text)); q.processAllAvailable()
+      val pairs = spark.table("scap").select($"a", $"b").as[(Long, Long)].collect().toSet
+      // doc 4 pairs only with the capped tail {2,3}; (1,4) must be absent,
+      // yet 4 still links into the duplicate cluster (recall trade-off doc)
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)),
+        s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming near-dup hamming agrees with the batch simhash48 fingerprints") {
     import graft.ext.{Dedup, TextOps}
     val nearA = "the quick brown fox jumps over the lazy dog again and again today"
