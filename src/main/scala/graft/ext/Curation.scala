@@ -1,0 +1,211 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for LLM training-data pipelines (north-star
+  * EXT, alongside [[Dedup]]/[[TextOps]]/[[Similarity]]): deterministic
+  * train/val/test splitting, stratified sampling, sequence packing, and
+  * duplicate-cluster resolution.
+  *
+  * Scale design:
+  *  - Split/sample assignment is a pure per-row hash expression — map-only,
+  *    no shuffle, no RNG state: re-running the pipeline (or re-running ONE
+  *    partition after task retry) assigns every document identically, which
+  *    is the property that makes hash-splits the standard over
+  *    `rand()`-based sampling at scale (a retried task re-draws rand() and
+  *    silently duplicates/loses rows; a hash never does).
+  *  - The hash is the engine-portable md5 family from [[Dedup.md5Long]], so
+  *    every assignment is oracle-checkable bit-for-bit.
+  *  - Packing shuffles once on the stream column and runs one window sort
+  *    per stream — the same cost as any per-key ordered operator.
+  *  - Connected components is the iterative min-label-propagation loop
+  *    (the GraphX-free standard); rounds are equi-joins on the (small)
+  *    pair set, never touching the corpus.
+  */
+object Curation {
+
+  /** Buckets per unit of sampling probability: rates are expressed as
+    * integer thresholds out of 10000 (0.01% resolution), so membership
+    * tests are exact integer compares — no float boundary ambiguity.
+    */
+  val Buckets: Int = 10000
+
+  /** Deterministic salted bucket in [0, Buckets): md5 of "salt:id".
+    * Different salts give independent assignments (a doc's split bucket is
+    * uncorrelated with its sample bucket), which is how a pipeline layers
+    * split-then-sample without bias.
+    */
+  def hashBucket(id: Column, salt: String): Column =
+    Dedup.md5Long(concat(lit(salt + ":"), id.cast("string"))) % Buckets
+
+  /** Train/val/test assignment by hash bucket: bucket < trainUpTo ⇒ train,
+    * < valUpTo ⇒ val, else test (thresholds out of [[Buckets]]).
+    * Adds a `split` column; map-only, shuffle-free, retry-stable.
+    */
+  def splitAssign(
+      docs: DataFrame,
+      idCol: String,
+      salt: String,
+      trainUpTo: Int,
+      valUpTo: Int): DataFrame = {
+    require(0 < trainUpTo && trainUpTo < valUpTo && valUpTo < Buckets,
+      s"need 0 < trainUpTo < valUpTo < $Buckets")
+    val b = hashBucket(col(idCol), salt)
+    docs.withColumn(
+      "split",
+      when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test"))
+  }
+
+  /** Deterministic per-stratum sampling: keep a document iff its hash
+    * bucket falls below the stratum's threshold (rate × [[Buckets]]).
+    * The rate table is broadcast (strata are few by nature); unknown
+    * strata fall back to `defaultRate`.
+    *
+    * This is how a curation pipeline re-weights sources (oversample books,
+    * downsample boilerplate web) with exact reproducibility: the kept set
+    * is a pure function of (id, salt, rates) — stable across runs,
+    * retries, and cluster sizes.
+    */
+  def sampleStratified(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateRows = rates.toSeq
+      .map { case (k, r) => (k, math.floor(r * Buckets).toLong) }
+      .toDF(stratumCol, "_keep_below")
+    val dflt = math.floor(defaultRate * Buckets).toLong
+    docs
+      .join(broadcast(rateRows), Seq(stratumCol), "left")
+      .filter(hashBucket(col(idCol), salt) < coalesce(col("_keep_below"), lit(dflt)))
+      .drop("_keep_below")
+  }
+
+  /** Sequence packing — assign documents to fixed-budget bins for LLM
+    * training: within each `streamCol` stream, documents are laid out in
+    * `idCol` order and cut into bins of `budget` cost units (tokens,
+    * chars); a document belongs to the bin where its stream offset starts.
+    * Adds `bin` (0-based within stream) and `bin_offset` (the document's
+    * start offset inside the concatenated stream).
+    *
+    * This is the "concatenate then chunk" packing used by most pretraining
+    * data loaders — deterministic, order-preserving, and expressible as
+    * ONE prefix-sum window (single shuffle on the stream key + one sort).
+    * At 100 TB the per-stream sort is the binding constraint: streams
+    * should be sized by the partitioner (e.g. source × shard), and a
+    * two-pass variant (per-partition local prefix sums + broadcast
+    * partition offsets) removes the global sort if a single stream
+    * outgrows an executor — standard parallel prefix-sum decomposition.
+    */
+  def packBins(
+      docs: DataFrame,
+      idCol: String,
+      costCol: String,
+      streamCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window
+      .partitionBy(streamCol)
+      .orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(costCol)).over(w), lit(0L))
+    docs
+      .withColumn("bin_offset", before % budget)
+      .withColumn("bin", floor(before / budget).cast("long"))
+  }
+
+  /** Connected components over an undirected pair set — duplicate-cluster
+    * resolution: every vertex gets `cluster` = the minimum vertex id
+    * reachable from it, so each near-dup cluster is labeled by its
+    * canonical (smallest-id) member. Input: (aCol, bCol) pairs; output:
+    * (doc, cluster) for every vertex that appears in a pair.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round joins
+    * labels across edges and keeps the per-vertex min; converges in
+    * graph-diameter rounds (near-dup clusters are dense, diameter is
+    * tiny). Each round localCheckpoints to truncate lineage (iterative
+    * DataFrame plans otherwise grow exponentially) and the convergence
+    * check is one count on the changed set. At extreme component sizes
+    * the large-star/small-star variant (same join shape, O(log n) rounds)
+    * drops in without changing the contract.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 30): DataFrame = {
+    // symmetric edge list: propagate labels both directions
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own + each neighbor's current label
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("doc", "src"), Seq("src"))
+        .select(col("dst").as("doc"), col("cluster"))
+      val next = labels
+        .unionByName(viaEdge)
+        .groupBy("doc")
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc"))
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  // ---- scrubbing / redaction ----------------------------------------------
+
+  /** PII patterns for redaction — intentionally simple, high-recall
+    * regexes of the kind every curation pipeline starts from (RFC-exact
+    * email parsing is not the goal; not leaking obvious PII into a
+    * training set is). Patterns use the portable subset shared by Java
+    * regex and RE2, so scrubs stay oracle-checkable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+
+  /** Replace every match of `pattern` with `replacement` and count the
+    * matches — one scan of the text for the count, one for the rewrite,
+    * both codegen'd per-row expressions (map-only at any scale).
+    * Returns (scrubbed, n_hits).
+    */
+  def scrub(text: Column, pattern: String, replacement: String): (Column, Column) =
+    (regexp_replace(text, pattern, replacement),
+      size(regexp_extract_all(text, lit(pattern), lit(0))))
+
+  /** Chain the three PII scrubs: emails → IPv4 → phone-ish numbers.
+    * Order matters (an email scrub can break a phone match inside it);
+    * fixed here so results are reproducible.
+    */
+  def redactPii(text: Column): Column = {
+    val (e, _) = scrub(text, EmailRe, "<EMAIL>")
+    val (i, _) = scrub(e, Ipv4Re, "<IP>")
+    val (p, _) = scrub(i, PhoneRe, "<PHONE>")
+    p
+  }
+
+  /** Blocklist scrub: replace whole-word occurrences of any blocklisted
+    * term. Word boundaries keep `spark` from matching inside `sparkle`.
+    */
+  def blocklistPattern(terms: Seq[String]): String =
+    terms.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+}

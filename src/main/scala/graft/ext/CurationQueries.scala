@@ -1,0 +1,133 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared curation queries + DuckDB oracles over `documents`: the
+  * split / sample / pack / cluster / scrub surface of [[Curation]].
+  * Assignments are pure md5-hash arithmetic, so every query is
+  * oracle-checked bit-for-bit — including the iterative connected
+  * components, whose oracle is a recursive CTE over the same pair set.
+  */
+object CurationQueries {
+
+  private val SplitSalt = "s42"
+  private val SampleSalt = "smp"
+  private val PackBudget = 2000L
+  private val Blocklist = Seq("customer", "spark")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test split (90/5/5 by salted hash bucket),
+    // rolled up per split. Map-only assignment — no shuffle, retry-stable.
+    "q_split_assign" -> { (s, dir) =>
+      Curation
+        .splitAssign(Tables.documents(s, dir), "doc_id", SplitSalt,
+          trainUpTo = 9000, valUpTo = 9500)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")
+    },
+
+    // Stratified source re-weighting: oversample src0/src1, keep 5% of the
+    // rest — the exact kept set, reproducible from (id, salt, rates) alone.
+    "q_sample_stratified" -> { (s, dir) =>
+      Curation
+        .sampleStratified(Tables.documents(s, dir), "doc_id", "source",
+          rates = Map("src0" -> 0.3, "src1" -> 0.2), defaultRate = 0.05,
+          salt = SampleSalt)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: per-source streams cut into 2000-char bins
+    // (concatenate-then-chunk), rolled up per bin. One prefix-sum window.
+    "q_pack_bins" -> { (s, dir) =>
+      Curation
+        .packBins(Tables.documents(s, dir), "doc_id", "n_chars", "source", PackBudget)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "bin")
+    },
+
+    // Duplicate-cluster resolution: connected components over the 3-gram
+    // Jaccard ≥ 0.8 pair set; each cluster labeled by its smallest doc id,
+    // members serialized in numeric order (array columns crash the
+    // driver's pandas compare — r1).
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      Curation
+        .connectedComponents(pairs)
+        .groupBy(col("cluster").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          concat_ws("-",
+            transform(sort_array(collect_list(col("doc"))), _.cast("string")))
+            .as("members"))
+        .orderBy("cluster_id")
+    },
+
+    // Blocklist scrub: whole-word replacement + hit count; the scrubbed
+    // text is emitted as its md5 (full-text parity without megabyte rows).
+    "q_text_scrub" -> { (s, dir) =>
+      val pat = Curation.blocklistPattern(Blocklist)
+      val (scrubbed, hits) = Curation.scrub(col("text"), pat, "<TERM>")
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), hits.as("n_hits"), md5(scrubbed).as("scrub_md5"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB fragments -----------------------------------------------------
+
+  /** Salted bucket in [0, 10000) — mirrors [[Curation.hashBucket]]. */
+  private def bucketSql(salt: String): String =
+    s"(('0x' || substr(md5('$salt:' || doc_id), 1, 15))::BIGINT % ${Curation.Buckets})"
+
+  /** Same Java-and-RE2-portable pattern string the engine compiles —
+    * embedded verbatim (DuckDB string literals keep backslashes as-is).
+    */
+  private val BlockPat = Curation.blocklistPattern(Blocklist)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_split_assign" -> (s"WITH b AS (SELECT ${bucketSql(SplitSalt)} AS bkt, n_chars " +
+      "FROM documents) " +
+      "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
+      "ELSE 'test' END AS split, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    "q_sample_stratified" -> ("SELECT doc_id, source FROM documents " +
+      s"WHERE ${bucketSql(SampleSalt)} < " +
+      "CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000 ELSE 500 END " +
+      "ORDER BY doc_id"),
+    "q_pack_bins" -> ("WITH c AS (SELECT source, n_chars, " +
+      "coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior " +
+      "FROM documents) " +
+      s"SELECT source, CAST(prior // $PackBudget AS BIGINT) AS bin, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars " +
+      "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
+    // transitive closure over the SAME jaccard pair set q_dedup_ngram_jaccard
+    // declares: reach(v, r) = "r reachable from v"; cluster = min reach.
+    "q_dup_clusters" -> (s"WITH RECURSIVE ${DedupQueries.WithShingles}, " +
+      s"${DedupQueries.Postings}, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "pairs AS (SELECT a, b FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
+      "edges AS (SELECT a AS src, b AS dst FROM pairs " +
+      "UNION SELECT b AS src, a AS dst FROM pairs), " +
+      "reach(v, r) AS (SELECT src AS v, src AS r FROM edges " +
+      "UNION SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON e.src = reach.v), " +
+      "labels AS (SELECT v AS doc, min(r) AS cluster FROM reach GROUP BY v) " +
+      "SELECT cluster AS cluster_id, count(*) AS n_docs, " +
+      "string_agg(doc::VARCHAR, '-' ORDER BY doc) AS members " +
+      "FROM labels GROUP BY 1 ORDER BY 1"),
+    "q_text_scrub" -> ("SELECT doc_id, " +
+      s"len(regexp_extract_all(text, '$BlockPat')) AS n_hits, " +
+      s"md5(regexp_replace(text, '$BlockPat', '<TERM>', 'g')) AS scrub_md5 " +
+      "FROM documents ORDER BY doc_id")
+  )
+}

@@ -13,7 +13,7 @@ object DedupQueries {
 
   private val K = 16 // minhash signature length
   private val Bands = 4 // LSH bands (rows per band = 4)
-  private val MaxDf = 1000 // hot-shingle document-frequency cap
+  private[ext] val MaxDf = 1000 // hot-shingle document-frequency cap
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by normalized-content fingerprint.
@@ -92,7 +92,7 @@ object DedupQueries {
   // documents with <n tokens have no shingles and therefore NO signature —
   // the engine's aggregation-based signature builders emit no row for them
   // (shingleRows produces nothing), so the oracles filter them identically.
-  private val WithShingles =
+  private[ext] val WithShingles =
     s"toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
       "shing AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)"
@@ -103,7 +103,7 @@ object DedupQueries {
   private val Post0 =
     "post0 AS (SELECT DISTINCT doc, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM " +
       "(SELECT doc_id AS doc, unnest(sh) AS s FROM shing))"
-  private val Postings =
+  private[ext] val Postings =
     s"$Post0, " +
       s"hot AS (SELECT h FROM post0 GROUP BY h HAVING count(*) > $MaxDf), " +
       "post AS (SELECT * FROM post0 ANTI JOIN hot USING (h)), " +

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operator semantics not already pinned by the DuckDB oracles:
+  * hash-split statistical behavior, salt independence, packing invariants,
+  * connected components on a known graph, PII redaction fixtures.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("hash split: deterministic, near-nominal fractions, salt-independent") {
+    val d = ids(10000)
+    val split = Curation.splitAssign(d, "id", "s1", trainUpTo = 9000, valUpTo = 9500)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    // binomial(10000, p) is within ±3σ of np with overwhelming probability
+    assert(math.abs(counts("train") - 9000) < 3 * math.sqrt(10000 * 0.9 * 0.1))
+    assert(math.abs(counts("val") - 500) < 3 * math.sqrt(10000 * 0.05 * 0.95))
+    // re-running assigns identically (pure hash, no RNG state)
+    val again = Curation.splitAssign(d, "id", "s1", 9000, 9500)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    // a different salt draws an (almost surely) different assignment
+    val other = Curation.splitAssign(d, "id", "s2", 9000, 9500)
+    val agree = split.join(other.withColumnRenamed("split", "split2"), "id")
+      .filter($"split" === $"split2").count()
+    assert(agree < 10000, "distinct salts must not replicate the assignment")
+  }
+
+  test("stratified sample: per-stratum rates honored, default applies") {
+    val d = (0L until 20000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("id", "src")
+    val kept = Curation.sampleStratified(d, "id", "src",
+      rates = Map("big" -> 0.5), defaultRate = 0.1, salt = "x")
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("big") - 5000) < 3 * math.sqrt(10000 * 0.25))
+    assert(math.abs(counts("small") - 1000) < 3 * math.sqrt(10000 * 0.09))
+    // kept set is a subset decided row-locally: re-evaluation is identical
+    val again = Curation.sampleStratified(d, "id", "src",
+      rates = Map("big" -> 0.5), defaultRate = 0.1, salt = "x")
+    assert(kept.exceptAll(again).isEmpty)
+  }
+
+  test("packing: offsets stay under budget, bins are contiguous per stream") {
+    val d = Seq(
+      (1L, "s", 800L), (2L, "s", 800L), (3L, "s", 800L), (4L, "s", 3000L),
+      (5L, "s", 100L), (6L, "t", 50L), (7L, "t", 50L)
+    ).toDF("id", "stream", "cost")
+    val packed = Curation.packBins(d, "id", "cost", "stream", budget = 2000L)
+      .select($"id", $"bin", $"bin_offset")
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toList
+    // stream s prefix sums before each doc: 0, 800, 1600, 2400, 5400
+    // → bins 0,0,0,1,2 with offsets 0,800,1600,400,1400
+    // stream t: 0, 50 → bin 0 twice
+    assert(packed == List(
+      (1L, 0L, 0L), (2L, 0L, 800L), (3L, 0L, 1600L),
+      (4L, 1L, 400L), (5L, 2L, 1400L),
+      (6L, 0L, 0L), (7L, 0L, 50L)))
+    packed.foreach { case (_, bin, off) =>
+      assert(off >= 0 && off < 2000 && bin >= 0)
+    }
+  }
+
+  test("connected components: min label per component, converged") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("a", "b")
+    val labels = Curation.connectedComponents(pairs)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: empty pair set yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Curation.connectedComponents(empty).isEmpty)
+  }
+
+  test("PII redaction: emails, IPs, phone-ish numbers on fixtures") {
+    // the shipped corpora contain no PII (verified), so the redaction
+    // kernel is pinned on inline fixtures; the declared q_text_scrub query
+    // exercises the same scrub machinery on real data via the blocklist
+    val rows = Seq(
+      "contact me at jane.doe+spam@example.co.uk today",
+      "server 10.0.255.7 responded",
+      "call +1 (415) 555-0199 or 020 7946 0958",
+      "no pii here at all"
+    ).toDF("text")
+    val out = rows.select(Curation.redactPii($"text").as("r")).as[String].collect().toList
+    assert(out == List(
+      "contact me at <EMAIL> today",
+      "server <IP> responded",
+      "call <PHONE> or <PHONE>",
+      "no pii here at all"))
+  }
+
+  test("blocklist pattern: whole words only, regex metachars quoted") {
+    val pat = Curation.blocklistPattern(Seq("spark", "a.b"))
+    val (scrubbed, hits) = Curation.scrub(lit("spark sparkle a.b axb"), pat, "<T>")
+    val r = Seq(1).toDF("x").select(scrubbed.as("s"), hits.as("h"))
+      .as[(String, Int)].head()
+    // 'sparkle' survives (word boundary); 'axb' survives (dot quoted)
+    assert(r == ("<T> sparkle <T> axb", 2))
+  }
+}
