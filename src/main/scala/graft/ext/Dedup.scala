@@ -267,6 +267,24 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Duplicate-n-gram repetition stats — the Gopher-style quality filter:
+    * a document whose n-grams repeat heavily (boilerplate, keyword spam,
+    * degenerate generations) is flagged by
+    * `rep_ratio = 1 - distinct_ngrams / total_ngrams`. One explode + one
+    * aggregation per document (same posting-list shape as the signature
+    * builders — no per-row quadratic `array_distinct`); docs with < n
+    * tokens emit no row, like every shingle-based operator here.
+    * Returns (doc, n_sh, n_uniq, rep_ratio) — the ratio is one IEEE
+    * division of two exact integers, engine-portable.
+    */
+  def shingleRepetition(docs: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_sh"), count_distinct(col("s")).as("n_uniq"))
+      .select(col("doc"), col("n_sh"), col("n_uniq"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_sh")).as("rep_ratio"))
+
   /** Posting list (doc, shingle-hash) pairs. Shingles are hashed to their
     * 60-bit md5 longs at emission: all downstream joins/sorts/shuffles move
     * 8-byte keys instead of ~30-byte strings (Jaccard over the hashed

@@ -51,6 +51,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style duplicate-2-gram repetition filter: documents whose
+    // bigrams repeat heavily are flagged. Posting-list aggregation shape
+    // (explode + count/count_distinct), no per-row quadratic distinct.
+    "q_text_repetition" -> { (s, dir) =>
+      Dedup
+        .shingleRepetition(Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .select(col("doc").as("doc_id"), col("n_sh"), col("n_uniq"), col("rep_ratio"),
+          (col("rep_ratio") >= 0.2).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-level quality aggregation by source (the grouping a curation
     // pipeline actually runs). Per-row quality is quantized to 1e-4 via
     // floor (floor of a bit-identical double is engine-portable; decimal
@@ -101,6 +112,15 @@ object TextQueries {
       "FROM documents GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_text_fingerprint" -> (s"SELECT doc_id, md5($Norm) AS fp_md5, $Roll AS fp_roll " +
       "FROM documents ORDER BY doc_id"),
+    // same 1.0 - uniq/total op order as the engine ⇒ bit-identical double;
+    // docs with < 2 tokens emit no row (no bigrams), mirrored by WHERE
+    "q_text_repetition" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "sh AS (SELECT doc_id, list_transform(generate_series(1, len(t)-1), " +
+      "i -> t[i] || ' ' || t[i+1]) AS s FROM toks WHERE len(t) >= 2) " +
+      "SELECT doc_id, len(s) AS n_sh, len(list_distinct(s)) AS n_uniq, " +
+      "1.0 - len(list_distinct(s))::DOUBLE / len(s) AS rep_ratio, " +
+      "(1.0 - len(list_distinct(s))::DOUBLE / len(s)) >= 0.2 AS repetitive " +
+      "FROM sh ORDER BY doc_id"),
     // outer CASTs: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
     "q_text_by_source" -> (s"SELECT source, CAST(sum(CAST(floor(($Quality) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_q4, " +
       s"CAST(sum($TokCnt) AS BIGINT) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1")

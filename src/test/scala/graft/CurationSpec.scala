@@ -88,6 +88,22 @@ class CurationSpec extends SparkSpec {
     assert(Curation.connectedComponents(empty).isEmpty)
   }
 
+  test("split assignment is streaming-safe and batch-identical (stateless map)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val out = Curation.splitAssign(mem.toDF.toDF("id"), "id", "s1", 9000, 9500)
+    val q = out.writeStream.format("memory").queryName("ssplit").outputMode("append").start()
+    try {
+      mem.addData(1L to 100L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssplit").as[(Long, String)].collect().toMap
+      val batch = Curation.splitAssign(ids(101).filter($"id" >= 1), "id", "s1", 9000, 9500)
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch, "hash assignment must not depend on execution mode")
+    } finally q.stop()
+  }
+
   test("PII redaction: emails, IPs, phone-ish numbers on fixtures") {
     // the shipped corpora contain no PII (verified), so the redaction
     // kernel is pinned on inline fixtures; the declared q_text_scrub query
