@@ -171,6 +171,59 @@ object Curation {
     labels
   }
 
+  /** Epoch-weight replication — training-data mixing: each document is
+    * emitted `floor(w)` times, plus one more with probability `frac(w)`
+    * decided by its salted hash bucket, where `w` is its stratum's mixing
+    * weight (e.g. books 2.5 epochs, boilerplate web 0.3). The emitted
+    * `copy` column is 0-based.
+    *
+    * This is the standard "sample with replacement by source weight" step
+    * of assembling a pretraining mixture, made exactly reproducible: the
+    * copy count is a pure function of (id, stratum, weights, salt) — no
+    * RNG, so a re-run or a retried partition produces the identical
+    * mixture. Map-side explode, no shuffle; output size is
+    * Σ weight×|stratum| by construction.
+    */
+  def repeatByWeight(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0, "weights must be >= 0")
+    def parts(w: Double) = (math.floor(w).toLong, math.floor((w - math.floor(w)) * Buckets).toLong)
+    val rateRows = weights.toSeq
+      .map { case (k, w) => val (i, f) = parts(w); (k, i, f) }
+      .toDF(stratumCol, "_w_int", "_w_frac")
+    val (di, df) = parts(defaultWeight)
+    val reps =
+      coalesce(col("_w_int"), lit(di)) +
+        when(hashBucket(col(idCol), salt) < coalesce(col("_w_frac"), lit(df)), 1L).otherwise(0L)
+    docs
+      .join(broadcast(rateRows), Seq(stratumCol), "left")
+      .withColumn("copy",
+        explode(when(reps > 0, sequence(lit(0L), reps - 1)).otherwise(array().cast("array<long>"))))
+      .drop("_w_int", "_w_frac")
+  }
+
+  /** End-to-end near-duplicate removal — the curation deliverable the
+    * pair/cluster operators feed: given the near-dup pair set, keep every
+    * document except non-canonical cluster members (each cluster keeps
+    * its smallest id). Composes [[connectedComponents]] with one
+    * anti-join; docs in no pair are untouched.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val nonCanonical = connectedComponents(pairs)
+      .filter(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    // the removal set is pair-scale (tiny vs the corpus) — broadcast the
+    // anti-join so the corpus side never shuffles
+    docs.join(broadcast(nonCanonical), Seq(idCol), "left_anti")
+  }
+
   // ---- scrubbing / redaction ----------------------------------------------
 
   /** PII patterns for redaction — intentionally simple, high-recall

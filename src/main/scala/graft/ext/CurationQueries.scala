@@ -14,6 +14,7 @@ object CurationQueries {
 
   private val SplitSalt = "s42"
   private val SampleSalt = "smp"
+  private val MixSalt = "mix"
   private val PackBudget = 2000L
   private val Blocklist = Seq("customer", "spark")
 
@@ -68,6 +69,31 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // Training-mixture assembly: per-source epoch weights (src0 ×2.5,
+    // src1 ×1.0, rest ×0.5) replicate documents with a 0-based `copy`
+    // index; the fractional epoch is decided by salted hash — the exact
+    // mixture is reproducible from (id, source, weights, salt).
+    "q_mix_weights" -> { (s, dir) =>
+      Curation
+        .repeatByWeight(Tables.documents(s, dir), "doc_id", "source",
+          weights = Map("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.5,
+          salt = MixSalt)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
+    // End-to-end near-dup removal: drop non-canonical members of every
+    // Jaccard ≥ 0.8 cluster, keep everything else.
+    "q_dedup_keep" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      Curation
+        .dropNearDuplicates(d, "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // Blocklist scrub: whole-word replacement + hit count; the scrubbed
     // text is emitted as its md5 (full-text parity without megabyte rows).
     "q_text_scrub" -> { (s, dir) =>
@@ -91,6 +117,22 @@ object CurationQueries {
     */
   private val BlockPat = Curation.blocklistPattern(Blocklist)
 
+  /** Shared CTE chain (requires a WITH RECURSIVE prefix): jaccard pairs →
+    * symmetric edges → reachability closure → per-doc min-label `labels`.
+    */
+  private val ClusterCtes =
+    s"${DedupQueries.WithShingles}, ${DedupQueries.Postings}, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "pairs AS (SELECT a, b FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
+      "edges AS (SELECT a AS src, b AS dst FROM pairs " +
+      "UNION SELECT b AS src, a AS dst FROM pairs), " +
+      "reach(v, r) AS (SELECT src AS v, src AS r FROM edges " +
+      "UNION SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON e.src = reach.v), " +
+      "labels AS (SELECT v AS doc, min(r) AS cluster FROM reach GROUP BY v)"
+
   def oracleSql: Map[String, String] = Map(
     "q_split_assign" -> (s"WITH b AS (SELECT ${bucketSql(SplitSalt)} AS bkt, n_chars " +
       "FROM documents) " +
@@ -110,21 +152,20 @@ object CurationQueries {
       "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     // transitive closure over the SAME jaccard pair set q_dedup_ngram_jaccard
     // declares: reach(v, r) = "r reachable from v"; cluster = min reach.
-    "q_dup_clusters" -> (s"WITH RECURSIVE ${DedupQueries.WithShingles}, " +
-      s"${DedupQueries.Postings}, " +
-      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
-      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
-      "pairs AS (SELECT a, b FROM inter " +
-      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
-      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
-      "edges AS (SELECT a AS src, b AS dst FROM pairs " +
-      "UNION SELECT b AS src, a AS dst FROM pairs), " +
-      "reach(v, r) AS (SELECT src AS v, src AS r FROM edges " +
-      "UNION SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON e.src = reach.v), " +
-      "labels AS (SELECT v AS doc, min(r) AS cluster FROM reach GROUP BY v) " +
+    "q_dup_clusters" -> (s"WITH RECURSIVE $ClusterCtes " +
       "SELECT cluster AS cluster_id, count(*) AS n_docs, " +
       "string_agg(doc::VARCHAR, '-' ORDER BY doc) AS members " +
       "FROM labels GROUP BY 1 ORDER BY 1"),
+    "q_mix_weights" -> ("WITH d AS (SELECT doc_id, source, " +
+      "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END) + " +
+      s"(CASE WHEN ${bucketSql(MixSalt)} < " +
+      "(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0 ELSE 5000 END) " +
+      "THEN 1 ELSE 0 END) AS reps FROM documents) " +
+      "SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS copy " +
+      "FROM d ORDER BY doc_id, copy"),
+    "q_dedup_keep" -> (s"WITH RECURSIVE $ClusterCtes " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT doc FROM labels WHERE doc != cluster) ORDER BY doc_id"),
     "q_text_scrub" -> ("SELECT doc_id, " +
       s"len(regexp_extract_all(text, '$BlockPat')) AS n_hits, " +
       s"md5(regexp_replace(text, '$BlockPat', '<TERM>', 'g')) AS scrub_md5 " +

@@ -88,6 +88,39 @@ class CurationSpec extends SparkSpec {
     assert(Curation.connectedComponents(empty).isEmpty)
   }
 
+  test("repeatByWeight: floor copies guaranteed, fractional copy near-nominal") {
+    val d = (0L until 10000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("id", "src")
+    val out = Curation.repeatByWeight(d, "id", "src",
+      weights = Map("hi" -> 1.5), defaultWeight = 0.25, salt = "m")
+    val perDoc = out.groupBy("id", "src")
+      .agg(count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+    perDoc.foreach { case (_, src, n, lo, hi) =>
+      assert(lo == 0 && hi == n - 1, "copy indices must be 0..n-1")
+      if (src == "hi") assert(n == 1 || n == 2) else assert(n == 1)
+    }
+    // 'lo' docs with zero copies are absent entirely
+    val totals = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(totals("hi") - 7500) < 3 * math.sqrt(5000 * 0.25),
+      s"hi total ${totals("hi")}")
+    assert(math.abs(totals("lo") - 1250) < 3 * math.sqrt(5000 * 0.1875),
+      s"lo total ${totals("lo")}")
+    // reproducible mixture: identical on re-evaluation
+    val again = Curation.repeatByWeight(d, "id", "src",
+      weights = Map("hi" -> 1.5), defaultWeight = 0.25, salt = "m")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("dropNearDuplicates: one canonical survivor per cluster, others untouched") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Curation.dropNearDuplicates(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("split assignment is streaming-safe and batch-identical (stateless map)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
