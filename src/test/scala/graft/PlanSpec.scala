@@ -50,6 +50,36 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1)
   }
 
+  test("q_split_assign: assignment is map-only; one data shuffle for the rollup") {
+    val p = plan("q_split_assign")
+    assert(count(p, "Exchange hashpartitioning") == 1, s"split must not shuffle the corpus:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("q_sample_stratified / q_mix_weights: rate tables broadcast, corpus unshuffled") {
+    Seq("q_sample_stratified", "q_mix_weights").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q rate join must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q corpus must not shuffle for rates:\n$p")
+      assert(count(p, "Exchange hashpartitioning") == 0,
+        s"$q must be map-side after the broadcast:\n$p")
+    }
+  }
+
+  test("q_pack_bins: the window's stream partitioning is reused by the rollup") {
+    val p = plan("q_pack_bins")
+    // one hash shuffle feeds the prefix-sum Window; the (source, bin)
+    // aggregate must NOT re-shuffle (source prefixes the grouping key)
+    assert(count(p, "Exchange hashpartitioning") == 1, s"packing needs exactly one shuffle:\n$p")
+    assert(count(p, "Window") >= 1)
+  }
+
+  test("q_text_scrub: map-only — no shuffle except the declared ORDER BY") {
+    val p = plan("q_text_scrub")
+    assert(count(p, "Exchange hashpartitioning") == 0, s"scrubbing must not shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
   test("declared queries prune columns at the scan (no SELECT *)") {
     // q_window_count needs only ts — the events scan must not read props/value
     val p = plan("q_window_count")
