@@ -171,6 +171,33 @@ object Curation {
     labels
   }
 
+  /** Exactly-k-per-stratum deterministic sample: rank documents inside
+    * each stratum by salted hash (ties broken by id) and keep the first
+    * `k` — a fixed-size uniform sample per group, reproducible with no
+    * RNG. Complements [[sampleStratified]] (fixed RATE) when the
+    * contract is a fixed COUNT (eval subsets, per-source probes).
+    *
+    * Scale shape: one shuffle on the stratum; Spark 4's WindowGroupLimit
+    * rewrites the `row_number <= k` filter into a per-partition top-k
+    * BEFORE the exchange, so only ~k rows per stratum per input
+    * partition ever shuffle — not the corpus.
+    */
+  def sampleFixedK(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window
+      .partitionBy(stratumCol)
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Epoch-weight replication — training-data mixing: each document is
     * emitted `floor(w)` times, plus one more with probability `frac(w)`
     * decided by its salted hash bucket, where `w` is its stratum's mixing

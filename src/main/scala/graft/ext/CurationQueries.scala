@@ -15,6 +15,7 @@ object CurationQueries {
   private val SplitSalt = "s42"
   private val SampleSalt = "smp"
   private val MixSalt = "mix"
+  private val FixedKSalt = "k8"
   private val PackBudget = 2000L
   private val Blocklist = Seq("customer", "spark")
 
@@ -67,6 +68,16 @@ object CurationQueries {
             transform(sort_array(collect_list(col("doc"))), _.cast("string")))
             .as("members"))
         .orderBy("cluster_id")
+    },
+
+    // Fixed-count per-source sample: exactly 5 docs per source, ranked by
+    // salted hash (WindowGroupLimit turns the rank filter into per-
+    // partition top-k before the shuffle).
+    "q_sample_fixed_k" -> { (s, dir) =>
+      Curation
+        .sampleFixedK(Tables.documents(s, dir), "doc_id", "source", k = 5, salt = FixedKSalt)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
     },
 
     // Training-mixture assembly: per-source epoch weights (src0 ×2.5,
@@ -156,6 +167,9 @@ object CurationQueries {
       "SELECT cluster AS cluster_id, count(*) AS n_docs, " +
       "string_agg(doc::VARCHAR, '-' ORDER BY doc) AS members " +
       "FROM labels GROUP BY 1 ORDER BY 1"),
+    "q_sample_fixed_k" -> ("SELECT doc_id, source FROM documents " +
+      s"QUALIFY row_number() OVER (PARTITION BY source " +
+      s"ORDER BY ${bucketSql(FixedKSalt)}, doc_id) <= 5 ORDER BY doc_id"),
     "q_mix_weights" -> ("WITH d AS (SELECT doc_id, source, " +
       "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END) + " +
       s"(CASE WHEN ${bucketSql(MixSalt)} < " +

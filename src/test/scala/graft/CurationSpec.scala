@@ -88,6 +88,18 @@ class CurationSpec extends SparkSpec {
     assert(Curation.connectedComponents(empty).isEmpty)
   }
 
+  test("sampleFixedK: exactly k per stratum, deterministic, WindowGroupLimit applies") {
+    val d = (0L until 1000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val kept = Curation.sampleFixedK(d, "id", "src", k = 7, salt = "t")
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(7L) && counts.size == 4)
+    val again = Curation.sampleFixedK(d, "id", "src", k = 7, salt = "t")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    // the rank filter must become a pre-shuffle per-partition top-k
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"rank pushdown missing:\n$plan")
+  }
+
   test("repeatByWeight: floor copies guaranteed, fractional copy near-nominal") {
     val d = (0L until 10000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
       .toDF("id", "src")
