@@ -251,6 +251,41 @@ object Curation {
     docs.join(broadcast(nonCanonical), Seq(idCol), "left_anti")
   }
 
+  /** Fixed-window character chunking with stride — the embedding/context
+    * pipeline shape: each document yields substring chunks of `len`
+    * characters starting every `stride` characters (overlap =
+    * len - stride), with `chunk_idx` 0-based. Documents shorter than
+    * `len` yield exactly one (whole-document) chunk.
+    *
+    * Map-side explode — chunking happens where the row lives, no
+    * shuffle; output volume is ~n_chars/stride per document. The
+    * substring lambda slices an attribute (not a computed expression),
+    * so there is no lambda-recompute trap (see SNIPPETS/PLANS notes on
+    * CollapseProject).
+    */
+  def chunkByChars(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      len: Int,
+      stride: Int): DataFrame = {
+    require(len > 0 && stride > 0 && stride <= len,
+      "need 0 < stride <= len (stride > len would drop text)")
+    val n = length(col(textCol))
+    // last chunk start: the largest multiple of stride still < n_chars,
+    // clamped so a final sliver shorter than (len - stride) — already
+    // fully covered by the previous chunk — is not emitted twice
+    val lastStart = greatest(ceil((n - len).cast("double") / stride).cast("long"), lit(0L))
+    docs
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0L), lastStart),
+            i => col(textCol).substr((i * stride + 1).cast("int"), lit(len))))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
   // ---- scrubbing / redaction ----------------------------------------------
 
   /** PII patterns for redaction — intentionally simple, high-recall

@@ -17,6 +17,8 @@ object CurationQueries {
   private val MixSalt = "mix"
   private val FixedKSalt = "k8"
   private val PackBudget = 2000L
+  private val ChunkLen = 200
+  private val ChunkStride = 150
   private val Blocklist = Seq("customer", "spark")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,6 +107,17 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Fixed-window chunking with stride (200-char chunks every 150 chars —
+    // 50-char overlap), the embedding-pipeline shape; chunk text emitted as
+    // md5 (full-content parity without wide rows).
+    "q_chunk_text" -> { (s, dir) =>
+      Curation
+        .chunkByChars(Tables.documents(s, dir), "doc_id", "text",
+          len = ChunkLen, stride = ChunkStride)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Blocklist scrub: whole-word replacement + hit count; the scrubbed
     // text is emitted as its md5 (full-text parity without megabyte rows).
     "q_text_scrub" -> { (s, dir) =>
@@ -180,6 +193,13 @@ object CurationQueries {
     "q_dedup_keep" -> (s"WITH RECURSIVE $ClusterCtes " +
       "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT doc FROM labels WHERE doc != cluster) ORDER BY doc_id"),
+    // same last-start arithmetic as the engine: greatest(ceil((n-len)/stride), 0)
+    "q_chunk_text" -> ("WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+      "idx AS (SELECT doc_id, text, unnest(generate_series(0, " +
+      s"greatest(CAST(ceil((n - $ChunkLen)::DOUBLE / $ChunkStride) AS BIGINT), 0))) " +
+      "AS chunk_idx FROM c) " +
+      s"SELECT doc_id, chunk_idx, md5(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INT), " +
+      s"$ChunkLen)) AS chunk_md5 FROM idx ORDER BY doc_id, chunk_idx"),
     "q_text_scrub" -> ("SELECT doc_id, " +
       s"len(regexp_extract_all(text, '$BlockPat')) AS n_hits, " +
       s"md5(regexp_replace(text, '$BlockPat', '<TERM>', 'g')) AS scrub_md5 " +

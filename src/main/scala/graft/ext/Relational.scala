@@ -58,4 +58,35 @@ object Relational {
       .agg(
         count_distinct(col(valueCol)).as("exact_distinct"),
         approx_count_distinct(col(valueCol), 0.01).as("approx_distinct"))
+
+  /** One-pass column profiler — the data-quality summary a pipeline runs
+    * before trusting a new table: per-column null count, exact distinct
+    * count, and min/max (stringified for a uniform long-format schema).
+    * All columns profile in a SINGLE global aggregation (Spark plans the
+    * multi-column distinct via one Expand — columns+1 passes over rows
+    * inside one shuffle, never one job per column), then the wide result
+    * row unpivots to (col_name, n_null, n_distinct, min_s, max_s) rows.
+    *
+    * Caller picks columns whose min/max stringification is
+    * engine-portable when oracle-checking (integers/strings; raw doubles
+    * render differently across engines).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+        count_distinct(col(c)).as(s"__${c}_distinct"),
+        min(col(c)).cast("string").as(s"__${c}_min"),
+        max(col(c)).cast("string").as(s"__${c}_max")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = array(cols.map(c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__${c}_nulls").as("n_null"),
+        col(s"__${c}_distinct").as("n_distinct"),
+        col(s"__${c}_min").as("min_s"),
+        col(s"__${c}_max").as("max_s"))): _*)
+    wide.select(explode(structs).as("p")).select(col("p.*"))
+  }
 }

@@ -39,6 +39,14 @@ object RelationalQueries {
         .orderBy("event_type", "rank")
     },
 
+    // One-pass multi-column profile over events; integer/string columns
+    // only so min/max stringification is engine-portable.
+    "q_profile_columns" -> { (s, dir) =>
+      Relational
+        .profile(Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))
+        .orderBy("col_name")
+    },
+
     // Exact distinct per group (two-phase expand) — oracle-checked.
     "q_distinct_users" -> { (s, dir) =>
       Tables
@@ -175,6 +183,12 @@ object RelationalQueries {
       "SELECT event_type, user_id, count(*) AS cnt, " +
       "row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rank " +
       "FROM events GROUP BY 1, 2) WHERE rank <= 5 ORDER BY event_type, rank"),
+    "q_profile_columns" -> (Seq("event_id", "user_id", "event_type").map(c =>
+      s"SELECT '$c' AS col_name, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        s"count(DISTINCT $c) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s " +
+        "FROM events").mkString(" UNION ALL ") + " ORDER BY col_name"),
     "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +

@@ -149,6 +149,37 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkByChars: full coverage, stride overlap, short docs yield one chunk") {
+    val d = Seq(
+      (1L, "abcdefghij"),   // 10 chars, len 4 stride 3 → starts 0,3,6 (ceil(6/3)=2)
+      (2L, "abc"),          // shorter than len → one whole-doc chunk
+      (3L, "abcd")          // exactly len → one chunk
+    ).toDF("doc_id", "text")
+    val chunks = Curation.chunkByChars(d, "doc_id", "text", len = 4, stride = 3)
+      .as[(Long, Int, String)].collect().toSet
+    assert(chunks == Set(
+      (1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij"),
+      (2L, 0, "abc"),
+      (3L, 0, "abcd")))
+    // reassembly invariant: concatenating each chunk's first `stride`
+    // chars (plus the last chunk's tail) reproduces the document
+    val text1 = chunks.toSeq.filter(_._1 == 1L).sortBy(_._2)
+    val rebuilt = text1.init.map(_._3.take(3)).mkString + text1.last._3
+    assert(rebuilt == "abcdefghij")
+  }
+
+  test("profile: one row per column with nulls/distinct/min/max") {
+    import graft.ext.Relational
+    val d = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (None, Some("a"))
+    ).toDF("k", "s")
+    val p = Relational.profile(d, Seq("k", "s"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(p("k") == ((1L, 2L, "1", "2")))
+    assert(p("s") == ((1L, 2L, "a", "x")))
+  }
+
   test("PII redaction: emails, IPs, phone-ish numbers on fixtures") {
     // the shipped corpora contain no PII (verified), so the redaction
     // kernel is pinned on inline fixtures; the declared q_text_scrub query
