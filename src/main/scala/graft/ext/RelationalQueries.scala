@@ -117,6 +117,38 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // TPC-H Q6-shaped filtered revenue: pure filter-aggregate — every
+    // predicate (date range, discount band, quantity cap) pushes to the
+    // parquet scan, partial+final agg, no join. The canonical "scan
+    // bandwidth" probe at 100 TB.
+    "q_revenue_forecast" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    // TPC-H Q3-shaped shipping priority: top-10 open orders by revenue.
+    // Customer dim broadcasts (with its segment filter applied below the
+    // join); lineitem⋈orders stays a shuffle join; the top-10 is a sort
+    // of the per-order AGGREGATE, never of raw line items.
+    "q_ship_priority" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust.filter(col("c_mktsegment") === "BUILDING")),
+          ord("o_custkey") === cust("c_custkey"))
+        .filter(ord("o_orderdate") < "1997-06-01" && li("l_shipdate") > "1997-06-01")
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+
     // TPC-H Q5-shaped revenue per nation within one region.
     "q_revenue_by_nation" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
@@ -189,6 +221,16 @@ object RelationalQueries {
         s"count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s " +
         "FROM events").mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "q_revenue_forecast" -> ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
+      "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_ship_priority" -> ("SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, " +
+      "o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-06-01' " +
+      "AND l_shipdate > '1997-06-01' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
     "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +

@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 1)
   }
 
+  test("q_revenue_forecast: every predicate pushes to the scan, columns pruned") {
+    // executedPlan.toString truncates PushedFilters at 100 chars — use the
+    // formatted explain, which prints the full scan metadata
+    val p = SparkEntry.queries("q_revenue_forecast")(spark, SfDir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f =>
+      assert(p.contains(f), s"predicate $f must reach the parquet scan:\n$p"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"unused columns must be pruned:\n$readSchema")
+  }
+
   test("declared queries prune columns at the scan (no SELECT *)") {
     // q_window_count needs only ts — the events scan must not read props/value
     val p = plan("q_window_count")
