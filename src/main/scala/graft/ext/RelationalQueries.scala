@@ -166,6 +166,55 @@ object RelationalQueries {
         .orderBy("nation")
     },
 
+    // Semi-join (EXISTS shape, TPC-H Q4-like): order-priority counts over
+    // orders having at least one returned line item. The probe side is a
+    // distinct key set; left_semi keeps orders unduplicated without a
+    // post-join distinct.
+    "q_priority_with_returns" -> { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+      val returned = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord
+        .join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Analytic running window: per-user daily counts with a running
+    // cumulative — the per-key ordered prefix aggregation (one shuffle on
+    // user, one in-partition sort; the same shape as sequence packing).
+    "q_user_running_total" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cnt"), sum(col("cnt")).over(w).as("running"))
+        .orderBy("user_id", "day")
+    },
+
+    // PIVOT: event-type counts as columns per day (explicit value list —
+    // Spark plans pivot as ONE conditional aggregation pass, no
+    // per-column scans; oracle mirrors with CASE sums).
+    "q_pivot_types" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        // a (day, type) combination with no rows pivots to NULL where the
+        // oracle's conditional sum yields 0 — normalize
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day") +:
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
     // Set operation: (user, day) pairs with clicks but no errors (EXCEPT).
     "q_users_click_not_error" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
@@ -231,6 +280,22 @@ object RelationalQueries {
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-06-01' " +
       "AND l_shipdate > '1997-06-01' " +
       "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q_priority_with_returns" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
+      "WHERE EXISTS (SELECT 1 FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_user_running_total" -> ("WITH daily AS (SELECT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS cnt " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cnt, " +
+      "CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running " +
+      "FROM daily ORDER BY user_id, day"),
+    "q_pivot_types" -> ("SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day, " +
+      Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(", ") +
+      " FROM events GROUP BY 1 ORDER BY 1"),
     "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
