@@ -59,6 +59,91 @@ object Relational {
         count_distinct(col(valueCol)).as("exact_distinct"),
         approx_count_distinct(col(valueCol), 0.01).as("approx_distinct"))
 
+  /** As-of join — match each fact row to the LATEST dimension row at or
+    * before its timestamp (per key): the time-series enrichment operator
+    * (prices, slowly-changing dims, config versions) Spark lacks natively.
+    *
+    * Composition (SURVEY §7.4 tier a — built-ins express it exactly): tag
+    * dim and fact rows, union them on (key, time), and take
+    * `last(dimVal, ignoreNulls)` over a per-key time-ordered window up to
+    * the current row; fact rows then carry the most recent dim value.
+    * At equal timestamps the dim row sorts FIRST, so `time >= dimTime`
+    * is inclusive, matching DuckDB's ASOF JOIN.
+    *
+    * Scale shape: ONE shuffle on the key + one in-partition sort — the
+    * same cost as any per-key ordered operator. The naive alternatives
+    * explode: a theta-join (fact.ts >= dim.ts) is a per-key cross
+    * product, and a windowed subquery re-scans the dim per fact row.
+    * Dim rows must be unique per (key, time) — pre-dedupe upstream
+    * (duplicate keys at one instant have no well-defined "latest").
+    *
+    * Returns fact columns + `asofCols` (null where no dim row precedes).
+    */
+  def asofJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      factTimeCol: String,
+      dimTimeCol: String,
+      asofCols: Seq[String]): DataFrame = {
+    val factCols = fact.columns.toSeq
+    val taggedFact = fact
+      .withColumn("__t", col(factTimeCol))
+      .withColumn("__is_dim", lit(0))
+      .select((factCols.map(col) :+ col("__t") :+ col("__is_dim")) ++
+        asofCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+    val taggedDim = dim
+      .withColumn("__t", col(dimTimeCol))
+      .withColumn("__is_dim", lit(1))
+      .select((factCols.map(c =>
+        if (c == keyCol) col(keyCol) else lit(null).cast(fact.schema(c).dataType).as(c)) :+
+        col("__t") :+ col("__is_dim")) ++ asofCols.map(col): _*)
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col("__t").asc, col("__is_dim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedFact
+      .unionByName(taggedDim)
+      .select((factCols.map(col) :+ col("__is_dim")) ++
+        asofCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__is_dim") === 0)
+      .drop("__is_dim")
+  }
+
+  /** Bucketed range join — match fact values into interval tables without
+    * a cross product: intervals explode into the fixed-width buckets they
+    * cover, facts compute their bucket, and the match is an EQUI-join on
+    * the bucket plus an exact bounds re-check. Catalyst turns a theta
+    * range join into BroadcastNestedLoopJoin (fact × intervals — dead at
+    * 100 TB when the interval table outgrows a broadcast); the bucketed
+    * form shuffles on an 8-byte key like any equi-join, at the cost of
+    * ~(interval width / bucketWidth) index rows per interval.
+    *
+    * Intervals are [lo, hi) half-open; `bucketWidth` should be on the
+    * order of the typical interval width.
+    */
+  def rangeJoinBucketed(
+      fact: DataFrame,
+      valueCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val idx = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"),
+        // hi is exclusive: a hi exactly on a bucket edge contributes
+        // nothing to that bucket
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    fact
+      .withColumn("__bucket", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(idx, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
   /** One-pass column profiler — the data-quality summary a pipeline runs
     * before trusting a new table: per-column null count, exact distinct
     * count, and min/max (stringified for a uniform long-format schema).

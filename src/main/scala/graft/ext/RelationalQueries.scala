@@ -166,6 +166,46 @@ object RelationalQueries {
         .orderBy("nation")
     },
 
+    // As-of join: each non-signup event matched to its user's LATEST
+    // preceding (or simultaneous) signup event — the time-series
+    // enrichment shape, composed as one union + per-key ordered window
+    // (Relational.asofJoin), never a per-key cross product. Events with
+    // no preceding signup keep -1 (coalesced: a nullable BIGINT output
+    // materializes as float64 in the oracle's pandas frame — dtype
+    // mismatch, same artifact class as the HUGEINT sum trap).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val fact = ev.filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("sid"))
+      Relational
+        .asofJoin(fact, dim, "user_id", "ts", "ts", Seq("sid"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("sid"), lit(-1L)).as("last_signup"))
+        .orderBy("event_id")
+    },
+
+    // Bucketed range join: classify event values into bands via the
+    // interval→bucket explode + equi-join + exact re-check
+    // (Relational.rangeJoinBucketed) — the shape that stays an equi-join
+    // at 100 TB where a theta join degenerates to a nested-loop product.
+    "q_range_band" -> { (s, dir) =>
+      val spark0 = s
+      import spark0.implicits._
+      val bands = Seq(
+        (0.0, 50.0, "p_low"), (50.0, 150.0, "p_mid"),
+        (150.0, 300.0, "p_high"), (300.0, 500.0, "p_extreme"))
+        .toDF("lo", "hi", "band")
+      Relational
+        .rangeJoinBucketed(Tables.events(s, dir).select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", bucketWidth = 50.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("band")
+    },
+
     // Semi-join (EXISTS shape, TPC-H Q4-like): order-priority counts over
     // orders having at least one returned line item. The probe side is a
     // distinct key set; left_semi keeps orders unduplicated without a
@@ -280,6 +320,19 @@ object RelationalQueries {
       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1997-06-01' " +
       "AND l_shipdate > '1997-06-01' " +
       "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q_asof_join" -> ("WITH fact AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t " +
+      "FROM events WHERE event_type != 'signup'), " +
+      "dim AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS sid " +
+      "FROM events WHERE event_type = 'signup' GROUP BY 1, 2) " +
+      "SELECT f.event_id, f.user_id, coalesce(d.sid, -1) AS last_signup " +
+      "FROM fact f ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.t >= d.t " +
+      "ORDER BY f.event_id"),
+    "q_range_band" -> ("WITH bands(lo, hi, band) AS (VALUES " +
+      "(0.0, 50.0, 'p_low'), (50.0, 150.0, 'p_mid'), " +
+      "(150.0, 300.0, 'p_high'), (300.0, 500.0, 'p_extreme')) " +
+      "SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value " +
+      "FROM events JOIN bands ON value >= lo AND value < hi " +
+      "GROUP BY 1 ORDER BY 1"),
     "q_priority_with_returns" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
       "WHERE EXISTS (SELECT 1 FROM lineitem " +
       "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +

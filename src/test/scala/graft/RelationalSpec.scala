@@ -25,6 +25,42 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: latest-at-or-before per key, inclusive ties, null before first dim") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val fact = Seq(
+      (1L, "k1", ts(5)),   // before any dim → null
+      (2L, "k1", ts(10)),  // == dim ts → inclusive match
+      (3L, "k1", ts(25)),  // between dims → earlier dim
+      (4L, "k1", ts(40)),  // after both → latest dim
+      (5L, "k2", ts(100))  // key with no dim rows at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val dim = Seq(("k1", ts(10), 100L), ("k1", ts(30), 300L)).toDF("user_id", "ts", "sid")
+    val out = Relational.asofJoin(fact, dim, "user_id", "ts", "ts", Seq("sid"))
+      .select($"event_id", $"sid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out == Map(1L -> None, 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(300L), 5L -> None))
+  }
+
+  test("rangeJoinBucketed: equi-join on buckets, exact half-open bounds, no BNLJ") {
+    val spark0 = spark
+    import spark0.implicits._
+    val fact = Seq((1L, 0.0), (2L, 49.999), (3L, 50.0), (4L, 99.9), (5L, 100.0))
+      .toDF("id", "v")
+    val bands = Seq((0.0, 50.0, "a"), (50.0, 100.0, "b")).toDF("lo", "hi", "band")
+    val joined = Relational.rangeJoinBucketed(fact, "v", bands, "lo", "hi", 25.0)
+    val out = joined.select($"id", $"band").as[(Long, String)].collect().toMap
+    // 100.0 falls outside every half-open band
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("topKPerGroup ranks deterministically under ties") {
     val spark0 = spark
     import spark0.implicits._
