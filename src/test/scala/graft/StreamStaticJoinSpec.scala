@@ -41,6 +41,32 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: views attributed to clicks within 30 s") {
+    // both sides watermarked + a time-interval predicate ⇒ Spark can bound
+    // the join state (expired rows evicted as the watermark advances) —
+    // the attribution-join shape (click ⋈ conversion) at unbounded scale
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val convs = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val c = clicks.toDF.toDF("cts", "cuser").withWatermark("cts", "60 seconds")
+    val v = convs.toDF.toDF("vts", "vuser", "amount").withWatermark("vts", "60 seconds")
+    val joined = c.join(v,
+      expr("cuser = vuser AND vts >= cts AND vts <= cts + INTERVAL 30 seconds"))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData((at(10), 1L), (at(10), 2L), (at(100), 3L))
+      convs.addData(
+        (at(25), 1L, 9.0),   // within 30 s of user 1's click → joins
+        (at(55), 2L, 4.0),   // 45 s after user 2's click → outside window
+        (at(120), 3L, 7.0),  // within window of user 3's click → joins
+        (at(5), 3L, 1.0))    // BEFORE the click → must not join
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select($"cuser", $"amount").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 9.0), (3L, 7.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("approx_count_distinct tracks exact within its rsd at sf0.001") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = ev.groupBy("event_type")
