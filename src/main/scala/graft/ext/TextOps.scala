@@ -165,10 +165,20 @@ object TextOps {
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
   /** Polynomial rolling hash over characters, mod 1e9+7 — an order-sensitive
-    * 31-base fingerprint computed with the `aggregate` higher-order function
-    * (no UDF; the fold runs inside codegen).
+    * 31-base fingerprint. The `aggregate` higher-order fold is the semantic
+    * reference; it materializes a per-character string array and runs the
+    * lambda interpreted, so the hot path is the native
+    * [[graft.functions.RollingHash31]] expression ([[rollingHash]] — one
+    * codegen loop, bit-parity pinned in GraftFunctionsSpec). Requires
+    * [[graft.functions.GraftFunctions.register]] on the session.
     */
   def rollingHash(text: Column): Column =
+    call_function("graft_rollhash", normalized(text))
+
+  /** Interpreted HOF reference for [[rollingHash]] (kept for the parity pin;
+    * registration-free).
+    */
+  def rollingHashFold(text: Column): Column =
     aggregate(
       filter(split(normalized(text), ""), c => c =!= ""),
       lit(0L),

@@ -42,6 +42,7 @@ object TextQueries {
 
     // Document fingerprints: md5 of normalized text + 31-base rolling hash.
     "q_text_fingerprint" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s) // graft_rollhash
       Tables
         .documents(s, dir)
         .select(

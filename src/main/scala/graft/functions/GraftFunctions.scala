@@ -33,6 +33,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_cos(arrayA, arrayB) takes 2 arguments")
           CosineSimD(args.head, args(1))
+        }),
+      (
+        FunctionIdentifier("graft_rollhash"),
+        new ExpressionInfo(classOf[RollingHash31].getName, "graft_rollhash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_rollhash(str) takes 1 argument")
+          RollingHash31(args.head)
         }))
 
   /** Idempotent imperative registration on an existing session. */

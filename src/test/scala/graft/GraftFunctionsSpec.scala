@@ -70,6 +70,23 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_rollhash ≡ HOF ascii fold, incl. unicode and surrogate pairs") {
+    GraftFunctions.register(spark)
+    import graft.ext.TextOps
+    val rows = Seq("", "a", "hello world", "  spaced   out  ",
+      "café", "こんにちは", "mixed é あ ascii", "emoji 😀 pair", "𠜎 supplementary")
+      .toDF("text")
+      .select(TextOps.rollingHash($"text").as("native"),
+        TextOps.rollingHashFold($"text").as("fold"))
+      .as[(Long, Long)]
+      .collect()
+    rows.foreach { case (n, f) => assert(n == f) }
+    // codegen and interpreted paths agree (filter forces a second eval path)
+    val one = Seq(("x y z 😀")).toDF("text")
+      .filter(TextOps.rollingHash($"text") === TextOps.rollingHashFold($"text"))
+    assert(one.count() == 1)
+  }
+
   test("usable from SQL after registration") {
     GraftFunctions.register(spark)
     vdf.createOrReplaceTempView("vdf")

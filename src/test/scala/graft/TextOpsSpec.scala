@@ -26,6 +26,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("rolling hash and fingerprint are deterministic and distinct per text") {
+    graft.functions.GraftFunctions.register(spark)
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c")).toDF("doc_id", "text")
     val fps = d.select($"doc_id", TextOps.rollingHash($"text").as("rh"),
       TextOps.fingerprintMd5($"text").as("fp")).collect()
