@@ -10,12 +10,13 @@ class RelationalSpec extends SparkSpec {
 
   test("approx_count_distinct stays inside its declared error bound vs exact") {
     // q_approx_distinct is rows-only in the oracle gate (engine-specific
-    // HLL sketch); this pins its ACCURACY contract instead: rsd=0.01
-    // declared, |approx-exact|/exact must stay within a few sigma.
+    // HLL sketch); this pins its ACCURACY contract instead: rsd=0.02
+    // declared (registers ∝ 1/rsd² — see the query's cost note),
+    // |approx-exact|/exact must stay within a few sigma.
     val ev = Tables.events(spark, SfDir)
     val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("exact"))
     val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"))
     val joined = exact.join(approx, Seq("event_type")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>

@@ -71,7 +71,7 @@ class StreamStaticJoinSpec extends SparkSpec {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = ev.groupBy("event_type")
       .agg(count_distinct(col("user_id")).as("exact"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
       .collect()
     rows.foreach { r =>
       val (exact, approx) = (r.getLong(1), r.getLong(2))
