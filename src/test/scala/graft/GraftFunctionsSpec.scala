@@ -112,5 +112,9 @@ class GraftFunctionsSpec extends SparkSpec {
     val plan = vdf.select(Similarity.dot($"a", $"b")).queryExecution.executedPlan.toString
     assert(plan.contains("graft_dot"))
     assert(!plan.contains("CodegenFallback"))
+    val rollPlan = Seq("x y").toDF("text")
+      .select(graft.ext.TextOps.rollingHash($"text"))
+      .queryExecution.executedPlan.toString
+    assert(rollPlan.contains("graft_rollhash") && !rollPlan.contains("CodegenFallback"))
   }
 }
