@@ -107,6 +107,35 @@ class MetricsSinkSpec extends SparkSpec {
     assert(MetricsSinkSpec.seen.contains("ok/errors"))
   }
 
+  test("JSON-files sink: formatted points round-trip through a json write") {
+    // the at-scale file sink is the plain DataFrame json writer over the
+    // formatted frame (one file per partition, no driver bottleneck) —
+    // assert the round trip preserves every point
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json-sink").toString + "/points"
+    // label-bearing defs: an empty labels map would be omitted per JSON
+    // line and inference would drop the column entirely
+    val df = Seq(
+      (new java.sql.Timestamp(60000L), "ERROR", 10.0),
+      (new java.sql.Timestamp(70000L), "INFO", 1.0)
+    ).toDF("ts", "severity", "value")
+    val defs = Seq(
+      MetricDefinition("errors", MetricType.Count,
+        Seq(FilterCondition("severity", "ERROR", "equals")),
+        dynamicLabels = Map("sev" -> "severity"), windowSizeSec = 60),
+      MetricDefinition("values", MetricType.Sum("value"),
+        dynamicLabels = Map("sev" -> "severity"), windowSizeSec = 60))
+    val f = MetricsSink.formatted(
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df), "p/")
+    f.write.json(tmp)
+    val back = spark.read.json(tmp)
+    assert(back.count() == f.count())
+    val names = back.select("metric_name").as[String].collect().toSet
+    assert(names == Set("p/errors", "p/values"))
+    // values survive as doubles, labels as a struct/map per line
+    assert(back.schema.fieldNames.toSet ==
+      Set("timestamp", "metric_name", "value", "labels"))
+  }
+
   test("prefixFor matches reference --export-type naming") {
     assert(MetricsSink.prefixFor(ExportTarget.Local) == "")
     assert(MetricsSink.prefixFor(ExportTarget.parse("monitoring", Some("p"))) ==
