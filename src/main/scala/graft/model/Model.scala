@@ -58,6 +58,16 @@ object MetricType {
   final case class P50(field: String) extends MetricType {
     require(field != null && field.nonEmpty, "field is required when metric_type is p50")
   }
+
+  /** Approximate median — the 100 TB percentile: `percentile_approx`'s
+    * quantile summary keeps BOUNDED per-group state (vs the exact
+    * median's full value buffer) and merges across partials, at a
+    * documented rank-error `accuracy` (1/accuracy relative rank error).
+    */
+  final case class P50Approx(field: String, accuracy: Int = 10000) extends MetricType {
+    require(field != null && field.nonEmpty, "field is required when metric_type is p50_approx")
+    require(accuracy > 0, "accuracy must be positive")
+  }
   def parse(metricType: String, field: Option[String]): MetricType = {
     val t = metricType.toLowerCase
     def f = {
@@ -71,9 +81,10 @@ object MetricType {
       case "max" => Max(f)
       case "avg" => Avg(f)
       case "p50" => P50(f)
+      case "p50_approx" => P50Approx(f)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported metric type: $other (must be count, sum, min, max, avg or p50)")
+          s"Unsupported metric type: $other (must be count, sum, min, max, avg, p50 or p50_approx)")
     }
   }
 }

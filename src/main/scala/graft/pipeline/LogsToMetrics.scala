@@ -110,7 +110,7 @@ object LogsToMetrics {
       tsCol: String,
       withWsize: Boolean): DataFrame = {
     require(defs.nonEmpty, "at least one metric definition")
-    val withP50 = hasP50(defs)
+    val pp = pctlPlan(defs)
     val perConfig: Seq[Column] = defs.map { d =>
       val fields =
         Seq(lit(d.name).as("metric")) ++
@@ -119,12 +119,16 @@ object LogsToMetrics {
             lit(aggKind(d.metricType)).as("kind"),
             labelEntries(d, mode).as("labels"),
             valueCol(d, mode).as("value")) ++
-          // pval: buffered ONLY by the percentile aggregate — null for every
-          // non-percentile config, so their groups buffer nothing
-          (if (withP50) Seq((d.metricType match {
+          // pval/pval_a: buffered ONLY by their percentile aggregate — null
+          // for every other config, so those groups buffer nothing
+          (if (pp.withExact) Seq((d.metricType match {
             case MetricType.P50(_) => valueCol(d, mode)
             case _                 => lit(null).cast(DoubleType)
-          }).as("pval")) else Nil)
+          }).as("pval")) else Nil) ++
+          (if (pp.approxAccuracy.nonEmpty) Seq((d.metricType match {
+            case MetricType.P50Approx(_, _) => valueCol(d, mode)
+            case _                          => lit(null).cast(DoubleType)
+          }).as("pval_a")) else Nil)
       when(mode.pred(d.filters), struct(fields: _*))
     }
     val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
@@ -136,8 +140,8 @@ object LogsToMetrics {
 
   def apply(defs: Seq[MetricDefinition], mode: Mode, tsCol: String = "ts")(
       df: DataFrame): DataFrame = {
-    val withP50 = hasP50(defs)
-    val aggs = aggValues(withP50)
+    val pp = pctlPlan(defs)
+    val aggs = aggValues(pp)
     fanOutExplode(df, defs, mode, tsCol, withWsize = true)
       // epoch-floor tumbling window in integer micros; per-config size.
       .withColumn("_wstart",
@@ -149,41 +153,62 @@ object LogsToMetrics {
         timestamp_micros(col("_wstart")).as("window_start"),
         timestamp_micros(col("_wstart") + col("wsize") * 1000000L).as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        finalValue(withP50).as("value"))
+        finalValue(pp).as("value"))
   }
 
-  private[graft] def hasP50(defs: Seq[MetricDefinition]): Boolean =
-    defs.exists(_.metricType match { case MetricType.P50(_) => true; case _ => false })
+  /** Which percentile aggregates this fan-out needs: exact median and/or
+    * approx median (at the MAX declared accuracy — a summary built at
+    * higher accuracy satisfies every lower-accuracy request).
+    */
+  final case class PctlPlan(withExact: Boolean, approxAccuracy: Option[Int])
 
-  /** 0 = sum-like (count is sum of 1s), 1 = min, 2 = max, 3 = avg, 4 = p50. */
+  private[graft] def pctlPlan(defs: Seq[MetricDefinition]): PctlPlan = PctlPlan(
+    withExact = defs.exists(_.metricType match {
+      case MetricType.P50(_) => true
+      case _ => false
+    }),
+    approxAccuracy = defs
+      .collect { case d if d.metricType.isInstanceOf[MetricType.P50Approx] =>
+        d.metricType.asInstanceOf[MetricType.P50Approx].accuracy
+      }
+      .reduceOption(_ max _))
+
+  /** 0 = sum-like (count is sum of 1s), 1 = min, 2 = max, 3 = avg,
+    * 4 = p50 (exact), 5 = p50 (approx).
+    */
   private[graft] def aggKind(t: MetricType): Int = t match {
     case MetricType.Count | MetricType.Sum(_) => 0
     case MetricType.Min(_)                    => 1
     case MetricType.Max(_)                    => 2
     case MetricType.Avg(_)                    => 3
     case MetricType.P50(_)                    => 4
+    case MetricType.P50Approx(_, _)           => 5
   }
 
   /** One pass computes all partial aggregates; kind picks the result.
-    * The exact-median aggregate is included ONLY when some config needs it:
-    * `percentile` is a buffering TypedImperativeAggregate, and its mere
-    * presence downgrades the whole aggregation from codegen HashAggregate
-    * to ObjectHashAggregate — count/sum-only fan-outs must not pay that.
+    * The percentile aggregates are included ONLY when some config needs
+    * them: both `percentile` (full buffer) and `percentile_approx`
+    * (bounded quantile summary) are TypedImperativeAggregates, and their
+    * mere presence downgrades the whole aggregation from codegen
+    * HashAggregate to ObjectHashAggregate — count/sum-only fan-outs must
+    * not pay that.
     */
-  private[graft] def aggValues(withP50: Boolean): Seq[Column] = Seq(
+  private[graft] def aggValues(pp: PctlPlan): Seq[Column] = Seq(
     sum(col("value")).as("_sum"),
     min(col("value")).as("_min"),
     max(col("value")).as("_max"),
     count(col("value")).as("_cnt")) ++
-    (if (withP50) Seq(percentile(col("pval"), lit(0.5)).as("_p50")) else Nil)
+    (if (pp.withExact) Seq(percentile(col("pval"), lit(0.5)).as("_p50")) else Nil) ++
+    pp.approxAccuracy.map(acc =>
+      percentile_approx(col("pval_a"), lit(0.5), lit(acc)).as("_p50a")).toSeq
 
-  private[graft] def finalValue(withP50: Boolean): Column = {
-    val base = when(col("kind") === 0, col("_sum"))
+  private[graft] def finalValue(pp: PctlPlan): Column = {
+    var c = when(col("kind") === 0, col("_sum"))
       .when(col("kind") === 1, col("_min"))
       .when(col("kind") === 2, col("_max"))
-    if (withP50)
-      base.when(col("kind") === 3, col("_sum") / col("_cnt")).otherwise(col("_p50"))
-    else base.otherwise(col("_sum") / col("_cnt"))
+    if (pp.withExact) c = c.when(col("kind") === 4, col("_p50"))
+    if (pp.approxAccuracy.nonEmpty) c = c.when(col("kind") === 5, col("_p50a"))
+    c.otherwise(col("_sum") / col("_cnt")) // kind 3 = avg
   }
 
   /** Plan-time canonical labels: static ∪ dynamic, dynamic wins on key
@@ -204,5 +229,6 @@ object LogsToMetrics {
     case MetricType.Max(field) => mode.numValue(field)
     case MetricType.Avg(field) => mode.numValue(field)
     case MetricType.P50(field) => mode.numValue(field)
+    case MetricType.P50Approx(field, _) => mode.numValue(field)
   }
 }

@@ -57,8 +57,8 @@ object StreamingMetrics {
       mode: LogsToMetrics.Mode,
       tsCol: String,
       watermarkDelay: String): DataFrame = {
-    val withP50 = LogsToMetrics.hasP50(defs)
-    val aggs = LogsToMetrics.aggValues(withP50)
+    val pp = LogsToMetrics.pctlPlan(defs)
+    val aggs = LogsToMetrics.aggValues(pp)
     LogsToMetrics
       .fanOutExplode(
         stream.withWatermark(tsCol, watermarkDelay),
@@ -73,6 +73,6 @@ object StreamingMetrics {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         map_from_entries(col("labels")).as("labels"),
-        LogsToMetrics.finalValue(withP50).as("value"))
+        LogsToMetrics.finalValue(pp).as("value"))
   }
 }

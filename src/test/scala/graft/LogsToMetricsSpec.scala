@@ -138,6 +138,29 @@ class LogsToMetricsSpec extends SparkSpec {
     assert(withP50.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"))
   }
 
+  test("p50_approx metric: bounded-state median tracks exact, gated like p50") {
+    // 101 values 0..100 → exact median 50; percentile_approx at default
+    // accuracy is exact on inputs far smaller than the summary bound
+    val rows = (0 to 100).map(i => (s"r$i", at(10 + i), i.toString))
+    val df = rows.toDF("id", "ts", "v")
+    val defs = Seq(
+      MetricDefinition("pa", MetricType.P50Approx("v"), windowSizeSec = 3600),
+      MetricDefinition("p", MetricType.P50("v"), windowSizeSec = 3600),
+      MetricDefinition("c", MetricType.Count, windowSizeSec = 3600))
+    val out = LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+      .select($"metric", $"value").as[(String, Double)].collect().toMap
+    assert(out("p") == 50.0)
+    assert(math.abs(out("pa") - out("p")) <= 1.0,
+      s"approx median ${out("pa")} must track exact ${out("p")}")
+    assert(out("c") == 101.0)
+    // approx-only fan-outs also gate: count-only stays codegen (covered by
+    // the p50 test); an approx-only fan-out pays ObjectHashAggregate
+    val approxOnly = LogsToMetrics(
+      Seq(MetricDefinition("pa2", MetricType.P50Approx("v"), windowSizeSec = 60)),
+      LogsToMetrics.Typed(df.schema))(df)
+    assert(approxOnly.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"))
+  }
+
   test("per-config window sizes coexist in one pass") {
     val df = Seq(Row1(at(65), "E", 1.0)).toDF
     val defs = Seq(
