@@ -34,6 +34,30 @@ class StreamingMetricsSpec extends SparkSpec {
 
   private def at(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
 
+  test("p50_approx works in streaming aggregation (summary state survives the store)") {
+    // percentile_approx is a TypedImperativeAggregate — its quantile
+    // summary must serialize into (and merge out of) streaming state
+    // across micro-batches; this pins that the SURVEY claim holds e2e
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val typed = mem.toDF.toDF("ts", "v")
+    val pdefs = Seq(
+      MetricDefinition("lat_p50", MetricType.P50Approx("v"), windowSizeSec = 60))
+    val Seq(out) = StreamingMetrics.attach(typed, pdefs, LogsToMetrics.Typed(typed.schema))
+    val q = out.writeStream.format("memory").queryName("sp50a").outputMode("append").start()
+    try {
+      // window [60,120): values across TWO micro-batches → state merge
+      mem.addData((at(65), 1.0), (at(70), 9.0))
+      q.processAllAvailable()
+      mem.addData((at(80), 5.0))
+      mem.addData((at(200), 0.0)) // advance watermark, close the window
+      q.processAllAvailable()
+      val vals = spark.table("sp50a").select($"value").as[Double].collect()
+      assert(vals.length == 1 && vals.head == 5.0,
+        s"median of {1,9,5} across micro-batches must be 5.0, got ${vals.toSeq}")
+    } finally q.stop()
+  }
+
   test("append-mode streaming windows match the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]
