@@ -39,7 +39,11 @@ object Bench {
     // reliably lands one measurement outside a GC pause. A System.gc()
     // between queries (outside the timed region) keeps one query's garbage
     // from being charged to the next.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // clamp to ≥1 and fall back on unparsable input: reps=0 would make
+    // times.min throw on an empty sequence before any query runs
+    val reps = math.max(
+      1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         System.gc()

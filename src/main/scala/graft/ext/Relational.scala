@@ -77,6 +77,11 @@ object Relational {
     * Dim rows must be unique per (key, time) — pre-dedupe upstream
     * (duplicate keys at one instant have no well-defined "latest").
     *
+    * The tracked state is `last(struct(asofCols))` over dim rows — the
+    * whole latest row, not per-column last-non-null — so a dim row whose
+    * asof value is genuinely NULL wins the match and yields NULL (ASOF
+    * semantics), instead of an OLDER row's value leaking through.
+    *
     * Returns fact columns + `asofCols` (null where no dim row precedes).
     */
   def asofJoin(
@@ -87,27 +92,37 @@ object Relational {
       dimTimeCol: String,
       asofCols: Seq[String]): DataFrame = {
     val factCols = fact.columns.toSeq
+    val helperCols = Seq("__t", "__is_dim", "__asof")
+    require(helperCols.forall(h => !factCols.contains(h) && !asofCols.contains(h)),
+      s"fact/asof columns must not use the reserved names ${helperCols.mkString(", ")}")
+    require(asofCols.forall(c => !factCols.contains(c)),
+      s"asofCols ${asofCols.mkString(", ")} must be disjoint from fact columns")
+    val asofStructType = org.apache.spark.sql.types.StructType(
+      asofCols.map(c => dim.schema(c).copy(nullable = true)))
     val taggedFact = fact
-      .withColumn("__t", col(factTimeCol))
-      .withColumn("__is_dim", lit(0))
-      .select((factCols.map(col) :+ col("__t") :+ col("__is_dim")) ++
-        asofCols.map(c => lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+      .select((factCols.map(col) :+
+        col(factTimeCol).as("__t") :+
+        lit(0).as("__is_dim")) :+
+        lit(null).cast(asofStructType).as("__asof"): _*)
     val taggedDim = dim
-      .withColumn("__t", col(dimTimeCol))
-      .withColumn("__is_dim", lit(1))
       .select((factCols.map(c =>
         if (c == keyCol) col(keyCol) else lit(null).cast(fact.schema(c).dataType).as(c)) :+
-        col("__t") :+ col("__is_dim")) ++ asofCols.map(col): _*)
+        col(dimTimeCol).as("__t") :+
+        lit(1).as("__is_dim")) :+
+        struct(asofCols.map(col): _*).cast(asofStructType).as("__asof"): _*)
     val w = Window
       .partitionBy(keyCol)
       .orderBy(col("__t").asc, col("__is_dim").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedFact
       .unionByName(taggedDim)
-      .select((factCols.map(col) :+ col("__is_dim")) ++
-        asofCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      // __asof is non-null exactly on dim rows (a struct of nulls is still a
+      // non-null struct), so last(ignoreNulls) = the latest dim ROW
+      .select((factCols.map(col) :+ col("__is_dim")) :+
+        last(col("__asof"), ignoreNulls = true).over(w).as("__asof"): _*)
       .filter(col("__is_dim") === 0)
-      .drop("__is_dim")
+      .select(factCols.map(col) ++
+        asofCols.map(c => col("__asof").getField(c).as(c)): _*)
   }
 
   /** Bucketed range join — match fact values into interval tables without
@@ -130,13 +145,19 @@ object Relational {
       hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val idx = intervals.withColumn(
-      "__bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: a hi exactly on a bucket edge contributes
-        // nothing to that bucket
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    val idx = intervals
+      // empty/inverted intervals match nothing and would otherwise produce a
+      // DESCENDING bucket sequence (sequence(2,1) counts down in Spark),
+      // indexing buckets the interval does not cover
+      .filter(col(hiCol) > col(loCol))
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          // last covered bucket = largest b with b*width < hi, i.e.
+          // ceil(hi/width)-1 — exact at any magnitude (an epsilon subtraction
+          // breaks down when the interval width approaches the epsilon)
+          (ceil(col(hiCol) / bucketWidth).cast("long") - 1))))
     fact
       .withColumn("__bucket", floor(col(valueCol) / bucketWidth).cast("long"))
       .join(idx, Seq("__bucket"))

@@ -133,11 +133,13 @@ object StreamingDedup {
           }
           seen = seen :+ SeenDoc(d.docId, d.sh, d.tsSec)
           if (seen.size > maxBucket) {
-            // hot-bucket cap: evict oldest beyond maxBucket (entries are
-            // appended in (tsSec, docId) order, so a prefix drop is an
-            // oldest-first eviction); log so capped recall is observable
+            // hot-bucket cap: evict GLOBALLY oldest beyond maxBucket. Append
+            // order is (tsSec, docId)-sorted only within one micro-batch — a
+            // late-but-within-watermark arrival in a later batch lands after
+            // newer entries — so sort before dropping the prefix; log so
+            // capped recall is observable
             val dropped = seen.size - maxBucket
-            seen = seen.drop(dropped)
+            seen = seen.sortBy(s => (s.tsSec, s.docId)).drop(dropped)
             System.err.println(
               s"[graft-stream-dedup] bucket over cap ($maxBucket): dropped $dropped oldest entries")
           }

@@ -47,6 +47,38 @@ class RelationalSpec extends SparkSpec {
       4L -> Some(300L), 5L -> None))
   }
 
+  test("asofJoin: a matched dim row with NULL value yields NULL (no older-value leak)") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val fact = Seq((1L, "k1", ts(15)), (2L, "k1", ts(35))).toDF("event_id", "user_id", "ts")
+    // the ts=30 dim row is the latest match for fact ts=35 and its value is
+    // genuinely NULL — ASOF semantics return that row's NULL, not ts=10's 100
+    val dim = Seq(("k1", ts(10), Some(100L)), ("k1", ts(30), None))
+      .toDF("user_id", "ts", "sid")
+    val out = Relational.asofJoin(fact, dim, "user_id", "ts", "ts", Seq("sid"))
+      .select($"event_id", $"sid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None))
+  }
+
+  test("asofJoin: reserved helper names and asof/fact column collisions are rejected") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val dim = Seq(("k1", ts(10), 1L)).toDF("user_id", "ts", "sid")
+    val factReserved = Seq((1L, "k1", ts(15), 0)).toDF("event_id", "user_id", "ts", "__is_dim")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(factReserved, dim, "user_id", "ts", "ts", Seq("sid"))
+    }
+    val factColliding = Seq((1L, "k1", ts(15), 9L)).toDF("event_id", "user_id", "ts", "sid")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(factColliding, dim, "user_id", "ts", "ts", Seq("sid"))
+    }
+  }
+
   test("rangeJoinBucketed: equi-join on buckets, exact half-open bounds, no BNLJ") {
     val spark0 = spark
     import spark0.implicits._
@@ -60,6 +92,22 @@ class RelationalSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("rangeJoinBucketed: exact at tiny widths, edge-aligned hi, empty intervals") {
+    val spark0 = spark
+    import spark0.implicits._
+    // widths at/below the old 1e-9 epsilon used to under-cover buckets;
+    // the ceil-based last bucket is magnitude-independent
+    val fact = Seq((1L, 0.0), (2L, 4.0e-10), (3L, 9.99e-10), (4L, 1.0e-9)).toDF("id", "v")
+    val bands = Seq(
+      (0.0, 1.0e-9, "tiny"),  // half-open, one epsilon wide
+      (5.0, 5.0, "empty"),    // hi == lo ⇒ matches nothing, no bucket rows
+      (7.0, 3.0, "invalid")   // inverted ⇒ matches nothing
+    ).toDF("lo", "hi", "band")
+    val out = Relational.rangeJoinBucketed(fact, "v", bands, "lo", "hi", 5.0e-10)
+      .select($"id", $"band").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "tiny", 2L -> "tiny", 3L -> "tiny"))
   }
 
   test("topKPerGroup ranks deterministically under ties") {

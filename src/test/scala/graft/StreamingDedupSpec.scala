@@ -83,6 +83,29 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hot-bucket cap evicts globally oldest even when a late row arrives in a later batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = StreamingDedup.simhashNearDups(
+      mem.toDF.toDF("ts", "doc_id", "text"),
+      "doc_id", "text", "ts", maxHamming = 7, horizonSec = 1000L, maxBucket = 2)
+    val q = out.writeStream.format("memory").queryName("slate").outputMode("append").start()
+    try {
+      mem.addData((at(10), 1L, text), (at(20), 2L, text)); q.processAllAvailable()
+      // batch 2: doc 3 is LATE (ts=15 < doc 2's ts=20) but within the
+      // watermark; appended after doc 2 in state. Cap eviction must still be
+      // by event time: after doc 3 the survivors are {3@15, 2@20} (doc 1
+      // out), after doc 4 they are {2@20, 4@25} — a per-batch prefix drop
+      // would wrongly evict the newer doc 2 and keep the late doc 3.
+      mem.addData((at(15), 3L, text), (at(25), 4L, text)); q.processAllAvailable()
+      mem.addData((at(30), 5L, text)); q.processAllAvailable()
+      val pairs = spark.table("slate").select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (2L, 5L), (4L, 5L)),
+        s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming near-dup hamming agrees with the batch simhash48 fingerprints") {
     import graft.ext.{Dedup, TextOps}
     val nearA = "the quick brown fox jumps over the lazy dog again and again today"
