@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter runtime pruning — the 100 TB pattern for membership tests
+  * against a SMALL key set (benchmark shingles, blocklists, deleted-id
+  * tombstones): build a bit array from the small side once, prune the big
+  * side with a pure `Column` membership probe BEFORE any join or shuffle,
+  * then exact-join only the survivors (false positives are removed there,
+  * so results are identical to the un-pruned plan).
+  *
+  * This is the explicit form of Spark's own runtime bloom filtering
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, which only kicks in
+  * for shuffle-join shapes the optimizer recognizes): here the filter is a
+  * first-class value a pipeline can build once, reuse across queries, and
+  * apply at the scan edge where it prunes the most.
+  *
+  * The probe compiles to codegen-friendly built-ins (xxhash64 + array
+  * element + shift) — no UDF, so it pipelines inside WholeStageCodegen at
+  * the parquet scan. The bit array rides along as one array literal
+  * (Spark ships it to executors with the plan; at many-MB filter sizes,
+  * switch to a broadcast variable + `mightContain` rewritten over it).
+  *
+  * Build cost: one narrow aggregation over the SMALL side (numHashes rows
+  * per key, `bit_or` partial+final agg on word index), then a driver
+  * collect of numBits/64 longs — the same driver-side materialization as
+  * `df.stat.bloomFilter`, sized by the filter, never by the data.
+  */
+object Bloom {
+
+  /** An immutable bloom filter: `numBits` bits in 64-bit words,
+    * `numHashes` probes per key. False-positive rate ≈
+    * (1 - e^(-numHashes·n/numBits))^numHashes for n inserted keys.
+    */
+  final case class Filter(numBits: Long, numHashes: Int, words: Array[Long]) {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    require(words.length == (numBits / 64).toInt, "words must hold exactly numBits bits")
+  }
+
+  /** Per-seed bit position of `key` — xxhash64 over (key, seed) gives
+    * numHashes independent hash functions from one codegen'd kernel.
+    */
+  private def bitPos(key: Column, seed: Int, numBits: Long): Column =
+    pmod(xxhash64(key, lit(seed)), lit(numBits))
+
+  /** Build a filter from the distinct values of `keys(keyCol)`.
+    * Distributed: bit positions explode map-side, `bit_or` aggregates
+    * per word (partial+final), and only the word array is collected.
+    */
+  def build(keys: DataFrame, keyCol: String, numBits: Long, numHashes: Int): Filter = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    val words = new Array[Long]((numBits / 64).toInt)
+    keys
+      .select(explode(array((1 to numHashes).map(s => bitPos(col(keyCol), s, numBits)): _*))
+        .as("p"))
+      .select(
+        floor(col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(b)").as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    Filter(numBits, numHashes, words)
+  }
+
+  /** Membership probe as a pure Column: true for every inserted key, true
+    * with probability ≈fpp for absent keys — callers MUST re-check
+    * positives exactly when exactness matters.
+    */
+  def mightContain(f: Filter, key: Column): Column = {
+    val wordsLit = typedlit(f.words.toSeq)
+    (1 to f.numHashes)
+      .map { s =>
+        val p = bitPos(key, s, f.numBits)
+        val word = element_at(wordsLit, floor(p / 64).cast("int") + 1)
+        call_function("shiftright", word, pmod(p, lit(64)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }
+      .reduce(_ && _)
+  }
+}

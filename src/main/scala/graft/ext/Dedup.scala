@@ -411,6 +411,52 @@ object Dedup {
       (col("hit_sh").cast("double") / col("n_sh") >= ratioThreshold).as("contaminated"))
   }
 
+  /** [[contamination]] with a Bloom prefilter at the corpus edge — the
+    * shape that wins when the corpus is 100 TB and the benchmark set,
+    * while broadcastable, is large enough that hashing every corpus
+    * shingle against it dominates: a bloom built from the benchmark
+    * hashes prunes the corpus posting stream INSIDE the scan stage
+    * (codegen'd xxhash64 probes, no join machinery), and only the
+    * surviving ~(hit + fpp) fraction reaches the broadcast hash join,
+    * whose exact membership check removes bloom false positives.
+    *
+    * Results are IDENTICAL to [[contamination]] — the bloom never drops a
+    * true member (no false negatives), and survivors are re-checked
+    * exactly. Per-doc totals (`n_sh`) come from a pre-filter aggregation
+    * of the full posting stream, so the denominator is unaffected.
+    */
+  def contaminationBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      ratioThreshold: Double,
+      numBits: Long = 1 << 20,
+      numHashes: Int = 5,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+    val bench = hashedPostings(benchmark, idCol, textCol, n).select(col("h")).distinct()
+    val bloom = Bloom.build(bench, "h", numBits, numHashes)
+    // materialized once: consumed by BOTH the totals aggregation and the
+    // bloom-pruned hit join — without this the corpus would tokenize twice
+    val post = intermediate(hashedPostings(corpus, idCol, textCol, n), "contam-postings")
+    val totals = post.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val hits = post
+      .filter(Bloom.mightContain(bloom, col("h")))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("hit_sh"))
+    totals
+      .join(hits, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        col("n_sh"),
+        coalesce(col("hit_sh"), lit(0L)).as("hit_sh"),
+        (coalesce(col("hit_sh"), lit(0L)).cast("double") / col("n_sh")).as("overlap"),
+        (coalesce(col("hit_sh"), lit(0L)).cast("double") / col("n_sh") >= ratioThreshold)
+          .as("contaminated"))
+  }
+
   /** Incremental near-dup detection — the ingest-increment path at scale:
     * Jaccard pairs touching at least one NEW document, computed against a
     * PREVIOUSLY MATERIALIZED postings table (see [[postings]]) so the

@@ -83,10 +83,34 @@ object DedupQueries {
         .select(col("doc").as("doc_id"), col("n_sh"), col("hit_sh"),
           col("overlap"), col("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // Same decontamination result through the Bloom-prefilter path: corpus
+    // shingles are pruned by a bloom built from the benchmark set BEFORE
+    // the membership join (codegen probe at the scan edge), survivors are
+    // exact-checked — identical output to q_contamination, so the same
+    // oracle checks both the bloom's no-false-negative property and the
+    // exact re-check end-to-end.
+    "q_contamination_bloom" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      Dedup
+        .contaminationBloom(d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          n = 3, ratioThreshold = 0.5, numBits = 1 << 16, numHashes = 5)
+        .select(col("doc").as("doc_id"), col("n_sh"), col("hit_sh"),
+          col("overlap"), col("contaminated"))
+        .orderBy("doc_id")
     }
   )
 
   // ---- DuckDB fragments mirroring Dedup/TextOps bit-for-bit ----
+
+  private lazy val ContaminationSql =
+    s"WITH $WithShingles, $Post0, " +
+      "bench AS (SELECT DISTINCT h FROM post0 WHERE doc % 97 = 0), " +
+      "agg AS (SELECT doc, count(*) AS n_sh, count(b.h) AS hit_sh " +
+      "FROM post0 p LEFT JOIN bench b ON p.h = b.h GROUP BY doc) " +
+      "SELECT doc AS doc_id, n_sh, hit_sh, hit_sh::DOUBLE / n_sh AS overlap, " +
+      "hit_sh::DOUBLE / n_sh >= 0.5 AS contaminated FROM agg ORDER BY doc_id"
 
   private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
   // documents with <n tokens have no shingles and therefore NO signature —
@@ -138,12 +162,9 @@ object DedupQueries {
       "list_reduce(list_prepend(0::BIGINT, list_transform(hw, h -> ((h >> j) & 1) * 2 - 1)), " +
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
       "FROM t WHERE len(hw) > 0 ORDER BY doc_id"),
-    "q_contamination" -> (s"WITH $WithShingles, $Post0, " +
-      "bench AS (SELECT DISTINCT h FROM post0 WHERE doc % 97 = 0), " +
-      "agg AS (SELECT doc, count(*) AS n_sh, count(b.h) AS hit_sh " +
-      "FROM post0 p LEFT JOIN bench b ON p.h = b.h GROUP BY doc) " +
-      "SELECT doc AS doc_id, n_sh, hit_sh, hit_sh::DOUBLE / n_sh AS overlap, " +
-      "hit_sh::DOUBLE / n_sh >= 0.5 AS contaminated FROM agg ORDER BY doc_id"),
+    "q_contamination" -> ContaminationSql,
+    // bloom prefilter + exact re-check ≡ exact contamination — same oracle
+    "q_contamination_bloom" -> ContaminationSql,
     "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +
       "hw AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM shing), " +
       "sims AS (SELECT doc_id AS doc, list_reduce(list_prepend(0::BIGINT, " +

@@ -165,6 +165,48 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Equi-width histogram — the profiling aggregation for numeric columns:
+    * one hash aggregation on the bucket index (map-side combine shrinks the
+    * shuffle to |buckets| rows per partition), no sort until the final
+    * order-by over |buckets| rows. `bucket_lo` is the bucket's inclusive
+    * lower edge (`bucket * width` — exact when width is representable).
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.groupBy(floor(col(valueCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"), (col("bucket") * width).as("bucket_lo"), col("cnt"))
+  }
+
+  /** Time-series gap fill (resample): per-key counts in `bucketSec` buckets
+    * with MISSING buckets zero-filled over the global [min, max] bucket
+    * range — the densification step before charting/forecasting, where a
+    * absent window must read as 0, not as no row.
+    *
+    * Scale shape: the raw stream aggregates FIRST (partial+final count on
+    * (key, bucket) — the only pass over the data); the spine is
+    * |keys| × |buckets| generated rows (`sequence` + explode on a
+    * 1-row-broadcast bounds frame — never a scan of the input), and the
+    * left join runs at spine size, which is output-sized, not input-sized.
+    */
+  def gapFill(df: DataFrame, tsCol: String, keyCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucketed = df
+      .groupBy(
+        col(keyCol),
+        (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = bucketed.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = bucketed
+      .select(col(keyCol))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"), lit(bucketSec))).as("bucket"))
+    spine
+      .join(bucketed, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** One-pass column profiler — the data-quality summary a pipeline runs
     * before trusting a new table: per-column null count, exact distinct
     * count, and min/max (stringified for a uniform long-format schema).

@@ -298,6 +298,86 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(col("user_id"), secs(col("sw.start")).as("sess_start"), col("cnt"))
         .orderBy("user_id", "sess_start")
+    },
+
+    // Equi-width histogram of event values (Relational.histogram) — one
+    // bucket-keyed hash aggregation, the numeric-profiling primitive.
+    "q_histogram" -> { (s, dir) =>
+      Relational
+        .histogram(Tables.events(s, dir), "value", width = 25.0)
+        .orderBy("bucket")
+    },
+
+    // Time-series gap fill: 10-minute per-type counts with missing buckets
+    // zero-filled over the global range (Relational.gapFill) — the
+    // densification/resample operator.
+    "q_gapfill" -> { (s, dir) =>
+      Relational
+        .gapFill(Tables.events(s, dir), "ts", "event_type", bucketSec = 600)
+        .orderBy("event_type", "bucket")
+    },
+
+    // Arg-max per group (max_by): each user's latest event by the unique,
+    // arrival-ordered event_id — one hash aggregation, no window sort.
+    "q_latest_event" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max(col("event_id")).as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Event-transition counts (lag analytic window): per-user time-ordered
+    // previous→current event-type pairs, aggregated into the transition
+    // matrix a behavioral/sessionization pipeline feeds from. One shuffle
+    // on user + in-partition sort, then a hash agg over pair keys.
+    "q_event_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables
+        .events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // Frame-bounded moving window: 3-order moving sum of (cent-quantized)
+    // order totals per customer — the ROWS-frame analytic shape, distinct
+    // from the unbounded running total. Integer cents sum exactly in any
+    // engine, so the frame sums are hash-stable.
+    "q_moving_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      Tables
+        .orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("moving_cents", sum(col("cents")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("moving_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Skew-safe salted aggregation (Scale.saltedAggregate): two-phase
+    // partial/final sums behind a synthetic salt — oracle = the plain
+    // single-phase GROUP BY, proving salting changes the plan, not the
+    // answer. Values are floor-quantized so both phases sum exact integers.
+    "q_salted_agg" -> { (s, dir) =>
+      Scale
+        .saltedAggregate(
+          Tables.events(s, dir)
+            .select(col("event_type"), floor(col("value") * 1000).cast("long").as("v_q3")),
+          groupCols = Seq("event_type"),
+          sumCols = Seq("v_q3"),
+          saltBuckets = 8)
+        .select(col("event_type"), col("sum_v_q3"), col("count_rows"))
+        .orderBy("event_type")
     }
   )
 
@@ -399,6 +479,40 @@ object RelationalQueries {
       "SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts " +
       "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
       "SELECT user_id, CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS sess_start, " +
-      "count(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start")
+      "count(*) AS cnt FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start"),
+    // bucket_lo cast: DuckDB BIGINT * decimal-literal yields DECIMAL where
+    // Spark yields DOUBLE
+    "q_histogram" -> ("SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, " +
+      "CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bucket_lo, count(*) AS cnt " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // scalar subqueries for the bounds: DuckDB generate_series cannot take
+    // lateral column parameters
+    "q_gapfill" -> ("WITH b AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/600)*600 AS BIGINT) AS bucket, count(*) AS cnt " +
+      "FROM events GROUP BY 1, 2), " +
+      "spine AS (SELECT event_type, unnest(generate_series(lo, hi, 600)) AS bucket " +
+      "FROM (SELECT DISTINCT event_type FROM b) CROSS JOIN " +
+      "(SELECT min(bucket) AS lo, max(bucket) AS hi FROM b)) " +
+      "SELECT s.event_type, s.bucket, coalesce(b.cnt, 0) AS cnt FROM spine s " +
+      "LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket " +
+      "ORDER BY 1, 2"),
+    "q_latest_event" -> ("SELECT user_id, arg_max(event_type, event_id) AS last_type, " +
+      "max(event_id) AS last_event_id, count(*) AS n_events " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_event_paths" -> ("WITH seq AS (SELECT user_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events) " +
+      "SELECT prev_type, event_type AS next_type, count(*) AS cnt FROM seq " +
+      "WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_moving_sum" -> ("SELECT o_custkey, o_orderkey, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (" +
+      "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents " +
+      "FROM orders ORDER BY 1, 2"),
+    // oracle is the PLAIN single-phase GROUP BY — the salted two-phase
+    // engine plan must produce the identical answer
+    "q_salted_agg" -> ("SELECT event_type, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3, " +
+      "count(*) AS count_rows FROM events GROUP BY 1 ORDER BY 1")
   )
 }

@@ -72,6 +72,22 @@ object SimilarityQueries {
         .orderBy("a", "b")
     },
 
+    // L2 normalization — the preprocessing step every cosine/ANN pipeline
+    // runs once at ingest so downstream similarity is a plain dot product.
+    // norm = the same sequential fold both engines run (graft_dot ≡
+    // list_reduce), so x/norm is one IEEE division on bit-identical
+    // doubles; dims emitted floor-quantized at 1e-6. Map-only per row —
+    // no shuffle at any scale.
+    "q_embed_norm" -> { (s, dir) =>
+      val v = vecs(s, dir).filter(col("id") < 100)
+      v.withColumn("nrm", Similarity.norm(col("vec")))
+        .filter(col("nrm") > 0)
+        .select(col("id"), col("nrm"), posexplode(col("vec")).as(Seq("dim0", "x")))
+        .select(col("id"), (col("dim0") + 1).as("dim"),
+          floor((col("x") / col("nrm")) * 1000000).cast("long").as("nx_q6"))
+        .orderBy("id", "dim")
+    },
+
     // Per-label centroid numerators: embeddings quantized to 1e-6 and
     // summed exactly as integers per (label, dimension) — the cluster-
     // centroid building block, engine-exact.
@@ -155,6 +171,11 @@ object SimilarityQueries {
       "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
       s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
     },
+    "q_embed_norm" -> (s"SELECT vec_id AS id, i AS dim, " +
+      s"CAST(floor(($VDouble[i] / ${normSql(VDouble)}) * 1000000) AS BIGINT) AS nx_q6 " +
+      s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +
+      s"WHERE vec_id < 100 AND ${normSql(VDouble)} > 0 " +
+      "ORDER BY 1, 2"),
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
       // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
       s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +

@@ -157,6 +157,71 @@ object TextOps {
       .select(col(idCol), coalesce(col("predicted"), lit(LangProfiles.head._1)).as("predicted"))
   }
 
+  /** Casefold normalization — the canonicalization step before matching /
+    * dedup keying across case and punctuation variants: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Pure per-row codegen
+    * expressions; the regexes use only portable character classes so an
+    * oracle reproduces the bytes exactly.
+    */
+  def caseFolded(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Per-(doc, token) term frequencies via one tokenize + explode +
+    * count — the base relation for TF-IDF, heavy hitters, and inverted
+    * indexes. One shuffle on (doc, token).
+    */
+  def termFrequencies(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-wide top-k tokens by total occurrence count — the heavy-hitter
+    * profile (vocabulary head) of a corpus. Partial+final hash aggregation
+    * on the token, then a global top-k over |vocab| rows — never a sort of
+    * the exploded stream. Ties break on the token for determinism.
+    */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Top-k TF-IDF terms per document. The variant here scores
+    * `tf * N / df` (all-integer numerator, ONE IEEE division — engines
+    * agree bit-for-bit, unlike log-based idf where libm rounding leaks):
+    * rank-equivalent to classic tf·idf for ranking within a document.
+    *
+    * Scale shape: tf and df are both partial+final hash aggregations; the
+    * df side joins back on the token key (at corpus scale, hash tokens to
+    * 8-byte keys first, as [[Dedup.postings]] does for shingles); N rides
+    * in as a 1-row broadcast. The per-doc rank windows over k·|docs|-ish
+    * candidate rows, never the raw exploded stream.
+    */
+  def tfidfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy("doc").orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("token"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
   /** Canonical whitespace-normalized form used by fingerprints/dedup. */
   def normalized(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))

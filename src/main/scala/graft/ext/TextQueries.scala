@@ -79,6 +79,35 @@ object TextQueries {
         .groupBy("source")
         .agg(sum(col("q4")).as("sum_quality_q4"), sum(col("tc")).as("total_tokens"))
         .orderBy("source")
+    },
+
+    // Corpus heavy hitters: top-25 tokens by total count (vocabulary head)
+    // — partial+final hash agg, global top-k over |vocab| rows only.
+    "q_heavy_hitters" -> { (s, dir) =>
+      TextOps
+        .heavyHitters(Tables.documents(s, dir), "text", k = 25)
+        .orderBy(col("cnt").desc, col("token").asc)
+    },
+
+    // Top-3 TF-IDF terms per document — integer-ratio scoring (tf·N/df,
+    // one IEEE division) so ranks and scores are engine-exact.
+    "q_tfidf_terms" -> { (s, dir) =>
+      TextOps
+        .tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc").as("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Casefold normalization: lowercase + punctuation strip + whitespace
+    // collapse, fingerprinted — the canonical matching key across case /
+    // punctuation variants.
+    "q_text_normalize" -> { (s, dir) =>
+      val cf = TextOps.caseFolded(col("text"))
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), md5(cf).as("cf_md5"), length(cf).as("cf_len"))
+        .orderBy("doc_id")
     }
   )
 
@@ -124,6 +153,26 @@ object TextQueries {
       "FROM sh ORDER BY doc_id"),
     // outer CASTs: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
     "q_text_by_source" -> (s"SELECT source, CAST(sum(CAST(floor(($Quality) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_q4, " +
-      s"CAST(sum($TokCnt) AS BIGINT) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1")
+      s"CAST(sum($TokCnt) AS BIGINT) AS total_tokens FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_heavy_hitters" -> (s"SELECT token, count(*) AS cnt FROM " +
+      s"(SELECT unnest($Toks) AS token FROM documents) " +
+      "GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 25"),
+    "q_tfidf_terms" -> (s"WITH tf AS (SELECT doc_id AS doc, token, count(*) AS tf FROM " +
+      s"(SELECT doc_id, unnest($Toks) AS token FROM documents) GROUP BY 1, 2), " +
+      "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "scored AS (SELECT tf.doc, tf.token, tf.tf, dfx.df, " +
+      "(tf.tf * n.n_docs)::DOUBLE / dfx.df AS score, " +
+      "row_number() OVER (PARTITION BY tf.doc ORDER BY " +
+      "(tf.tf * n.n_docs)::DOUBLE / dfx.df DESC, tf.token ASC) AS rank " +
+      "FROM tf JOIN dfx USING (token) CROSS JOIN n) " +
+      "SELECT doc AS doc_id, token, tf, df, score, rank FROM scored " +
+      "WHERE rank <= 3 ORDER BY doc_id, rank"),
+    "q_text_normalize" -> {
+      val cf =
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+      s"SELECT doc_id, md5($cf) AS cf_md5, length($cf) AS cf_len " +
+        "FROM documents ORDER BY doc_id"
+    }
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.{Bloom, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Bloom prefilter contracts: zero false negatives (the property that makes
+  * prefilter + exact re-check ≡ exact), bounded false-positive rate, and
+  * the end-to-end contamination equivalence law.
+  */
+class BloomSpec extends SparkSpec {
+
+  test("mightContain has no false negatives and a sane false-positive rate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val inserted = (0L until 500L).map(i => s"key-$i")
+    val absent = (0L until 5000L).map(i => s"absent-$i")
+    val f = Bloom.build(inserted.toDF("k"), "k", numBits = 1 << 14, numHashes = 5)
+    val hits = inserted.toDF("k")
+      .filter(Bloom.mightContain(f, col("k"))).count()
+    assert(hits == inserted.size, "every inserted key must probe true")
+    val fp = absent.toDF("k").filter(Bloom.mightContain(f, col("k"))).count()
+    // 500 keys in 16384 bits at k=5 ⇒ theoretical fpp ≈ 0.02%; allow 2%
+    assert(fp <= absent.size * 0.02, s"false-positive rate too high: $fp/${absent.size}")
+  }
+
+  test("build rejects invalid shapes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("a").toDF("k")
+    intercept[IllegalArgumentException](Bloom.build(df, "k", numBits = 100, numHashes = 2))
+    intercept[IllegalArgumentException](Bloom.build(df, "k", numBits = 64, numHashes = 0))
+  }
+
+  test("contaminationBloom ≡ contamination (prefilter + exact re-check law)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.contamination(d, bench, "doc_id", "text", n = 3, ratioThreshold = 0.5)
+      .orderBy("doc").collect().toSeq
+    // small filter on purpose: false positives occur and must be removed
+    // by the exact re-check, not by luck
+    val bloomed = Dedup.contaminationBloom(d, bench, "doc_id", "text", n = 3,
+      ratioThreshold = 0.5, numBits = 1 << 12, numHashes = 3)
+      .orderBy("doc").collect().toSeq
+    assert(bloomed == exact)
+  }
+}

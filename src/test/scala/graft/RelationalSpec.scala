@@ -110,6 +110,30 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> "tiny", 2L -> "tiny", 3L -> "tiny"))
   }
 
+  test("gapFill zero-fills missing buckets across the global range per key") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key a: buckets 0 and 120 (gap at 60); key b: only bucket 60 — the
+    // spine still spans [0, 120] for BOTH keys
+    val df = Seq(("a", ts(10)), ("a", ts(130)), ("a", ts(135)), ("b", ts(70)))
+      .toDF("k", "ts")
+    val out = Relational.gapFill(df, "ts", "k", bucketSec = 60)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 1L), ("a", 60L, 0L), ("a", 120L, 2L),
+      ("b", 0L, 0L), ("b", 60L, 1L), ("b", 120L, 0L)))
+  }
+
+  test("histogram: floor bucketing with exact lower edges") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(0.0, 24.999, 25.0, 49.9, 75.0).toDF("v")
+    val out = Relational.histogram(df, "v", width = 25.0)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(out == Set((0L, 0.0, 2L), (1L, 25.0, 2L), (3L, 75.0, 1L)))
+  }
+
   test("topKPerGroup ranks deterministically under ties") {
     val spark0 = spark
     import spark0.implicits._

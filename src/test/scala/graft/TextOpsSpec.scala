@@ -25,6 +25,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == "es") // "la"×3 ties es/fr (both profiles have la); es wins on priority
   }
 
+  test("caseFolded: lowercase, punctuation strip, whitespace collapse") {
+    val d = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... WORLD"),
+      (4L, "unrelated")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextOps.caseFolded($"text").as("cf"))
+      .as[(Long, String)].collect().toMap
+    // all three case/punctuation variants fold to the same matching key
+    assert(out(1L) == "hello world" && out(2L) == "hello world" && out(3L) == "hello world")
+    assert(out(4L) == "unrelated")
+  }
+
+  test("heavyHitters: counts totals and breaks count ties on the token") {
+    val d = Seq((1L, "b a b c"), (2L, "a c d")).toDF("doc_id", "text")
+    val top = TextOps.heavyHitters(d, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // a=2 b=2 c=2 d=1: tie on count ⇒ token ascending
+    assert(top == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; score is tf*N/df") {
+    val d = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val rows = TextOps.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .select($"doc", $"token", $"tf", $"df", $"score", $"rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._6)
+    // doc 1: rare (tf=1, df=1, score=3) beats common (tf=2, df=3, score=2)
+    assert(doc1.map(r => (r._2, r._5)).toSeq == Seq(("rare", 3.0), ("common", 2.0)))
+  }
+
   test("rolling hash and fingerprint are deterministic and distinct per text") {
     graft.functions.GraftFunctions.register(spark)
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c")).toDF("doc_id", "text")
