@@ -364,6 +364,49 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Multi-quantile in ONE pass: exact p25/p50/p75 per group from a
+    // single percentile aggregate (one sort per group inside the agg, not
+    // one job per quantile). Over floor-quantized integer-valued doubles
+    // every interpolation intermediate (quarter fractions of integer
+    // gaps) is exactly representable, so engines agree bit-for-bit
+    // whatever algebraic form their interpolation uses.
+    "q_quantiles" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .withColumn("value_q3", floor(col("value") * 1000).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(percentile(col("value_q3"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("q_idx", "q")))
+        .orderBy("event_type", "q_idx")
+    },
+
+    // Correlation from sufficient statistics — the distributed-stats
+    // pattern: ONE pass accumulates exact integer moments (n, Σx, Σy,
+    // Σxy, Σx², Σy²), then Pearson r is a fixed-order scalar expression
+    // over them. Engine-native corr() streams co-moments in
+    // implementation-specific order (not cross-engine reproducible); the
+    // sufficient-statistics form is exact, mergeable, and — unlike a
+    // two-pass mean-centered formula — never rescans the data.
+    "q_corr_stats" -> { (s, dir) =>
+      val m = Tables
+        .events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 10).cast("long").as("x"),
+          length(col("props")).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      m.select(col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr"))
+        .orderBy("event_type")
+    },
+
     // Skew-safe salted aggregation (Scale.saltedAggregate): two-phase
     // partial/final sums behind a synthetic salt — oracle = the plain
     // single-phase GROUP BY, proving salting changes the plan, not the
@@ -509,6 +552,22 @@ object RelationalQueries {
       "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents " +
       "FROM orders ORDER BY 1, 2"),
+    "q_quantiles" -> ("SELECT event_type, i - 1 AS q_idx, qs[i] AS q FROM " +
+      "(SELECT event_type, quantile_cont(floor(value * 1000), [0.25, 0.5, 0.75]) AS qs " +
+      "FROM events GROUP BY 1) CROSS JOIN generate_series(1, 3) AS g(i) " +
+      "ORDER BY 1, 2"),
+    // BIGINT casts keep the moment arithmetic in int64 (DuckDB sums promote
+    // to HUGEINT); every moment is exact, so the scalar formula matches
+    // Spark's bit-for-bit
+    "q_corr_stats" -> ("WITH m AS (SELECT event_type, count(*) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx, " +
+      "CAST(sum(y*y) AS BIGINT) AS syy FROM (SELECT event_type, " +
+      "CAST(floor(value * 10) AS BIGINT) AS x, CAST(length(props) AS BIGINT) AS y " +
+      "FROM events) GROUP BY 1) " +
+      "SELECT event_type, n, CAST(n*sxy - sx*sy AS DOUBLE) / " +
+      "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr " +
+      "FROM m ORDER BY 1"),
     // oracle is the PLAIN single-phase GROUP BY — the salted two-phase
     // engine plan must produce the identical answer
     "q_salted_agg" -> ("SELECT event_type, " +
