@@ -165,6 +165,31 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Arg-max per group with var-length payloads, at scale: hash-aggregate
+    * `max(ordCol)` per key, then join back on (key, ord) to fetch the
+    * payload columns — BOTH phases stay in codegen'd HashAggregate /
+    * hash join. The direct `max_by(payload, ord)` form is the right call
+    * for fixed-width payloads, but a string payload makes its aggregation
+    * buffer var-length, which demotes the whole aggregate to
+    * SortAggregate — a full per-partition sort of the input. The join
+    * back is co-partitioned with the aggregation (same key), and AQE
+    * broadcasts the |groups|-sized max side when it fits.
+    *
+    * `ordCol` must be unique per key (ties would duplicate rows) — true
+    * for arrival ids, sequence numbers, unique timestamps.
+    */
+  def argMaxJoin(
+      df: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val maxed = df
+      .groupBy(col(keyCol))
+      .agg(max(col(ordCol)).as(ordCol), count(lit(1)).as("n_rows"))
+    df.select((keyCol +: ordCol +: payloadCols).map(col): _*)
+      .join(maxed, Seq(keyCol, ordCol))
+  }
+
   /** Equi-width histogram — the profiling aggregation for numeric columns:
     * one hash aggregation on the bucket index (map-side combine shrinks the
     * shuffle to |buckets| rows per partition), no sort until the final
@@ -188,14 +213,23 @@ object Relational {
     * |keys| × |buckets| generated rows (`sequence` + explode on a
     * 1-row-broadcast bounds frame — never a scan of the input), and the
     * left join runs at spine size, which is output-sized, not input-sized.
+    * The aggregate is materialized once (`intermediate`) — it feeds three
+    * consumers (bounds, key list, join) and Spark does not share common
+    * subplans, so the declarative form would re-scan the raw input 3×.
     */
-  def gapFill(df: DataFrame, tsCol: String, keyCol: String, bucketSec: Long): DataFrame = {
+  def gapFill(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      bucketSec: Long,
+      intermediate: Dedup.Intermediate = Dedup.Intermediate.Local): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
-    val bucketed = df
-      .groupBy(
-        col(keyCol),
-        (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val bucketed = intermediate(
+      df.groupBy(
+          col(keyCol),
+          (floor(unix_timestamp(col(tsCol)) / bucketSec) * bucketSec).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      "gapfill-buckets")
     val bounds = bucketed.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
     val spine = bucketed
       .select(col(keyCol))

@@ -317,16 +317,15 @@ object RelationalQueries {
         .orderBy("event_type", "bucket")
     },
 
-    // Arg-max per group (max_by): each user's latest event by the unique,
-    // arrival-ordered event_id — one hash aggregation, no window sort.
+    // Arg-max per group: each user's latest event by the unique,
+    // arrival-ordered event_id, via Relational.argMaxJoin (hash agg +
+    // co-partitioned join back — max_by with a STRING payload demotes to
+    // SortAggregate, a per-partition sort of the full input at scale).
     "q_latest_event" -> { (s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(
-          max_by(col("event_type"), col("event_id")).as("last_type"),
-          max(col("event_id")).as("last_event_id"),
-          count(lit(1)).as("n_events"))
+      Relational
+        .argMaxJoin(Tables.events(s, dir), "user_id", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("event_id").as("last_event_id"), col("n_rows").as("n_events"))
         .orderBy("user_id")
     },
 

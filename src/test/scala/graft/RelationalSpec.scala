@@ -110,6 +110,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> "tiny", 2L -> "tiny", 3L -> "tiny"))
   }
 
+  test("argMaxJoin: latest payload per key via hash agg + join, no SortAggregate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 30L, "c"), (1L, 20L, "b"), (2L, 5L, "x"))
+      .toDF("k", "seq", "payload")
+    val out = Relational.argMaxJoin(df, "k", "seq", Seq("payload"))
+    val rows = out.select($"k", $"payload", $"n_rows").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows == Set((1L, "c", 3L), (2L, "x", 1L)))
+    // the point of the join-back form: the aggregate stays hash-based even
+    // with a string payload (max_by would demote to SortAggregate)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
   test("gapFill zero-fills missing buckets across the global range per key") {
     val spark0 = spark
     import spark0.implicits._
