@@ -165,6 +165,29 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Per-group mergeable distinct-count sketches (DataSketches HLL via
+    * Spark's `hll_sketch_agg`) — the incremental-aggregation story at
+    * 100 TB: compute fine-grained sketches ONCE (per day, per source),
+    * persist the binary column, and answer any coarser rollup later by
+    * merging sketches ([[hllRollup]]) without rescanning data. Unlike
+    * `approx_count_distinct`, whose HLL state is internal, the sketch is
+    * a first-class value that survives a parquet round-trip.
+    */
+  def hllSketches(df: DataFrame, groupCols: Seq[String], valueCol: String, lgK: Int = 12)
+      : DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Merge previously computed sketches to a coarser grouping and estimate.
+    * Runs over |sketch rows|, never the raw data.
+    */
+  def hllRollup(sketches: DataFrame, rollupCols: Seq[String]): DataFrame = {
+    val merged =
+      if (rollupCols.isEmpty) sketches.agg(hll_union_agg(col("sketch")).as("sketch"))
+      else sketches.groupBy(rollupCols.map(col): _*).agg(hll_union_agg(col("sketch")).as("sketch"))
+    merged.withColumn("estimate", hll_sketch_estimate(col("sketch")))
+  }
+
   /** Arg-max per group with var-length payloads, at scale: hash-aggregate
     * `max(ordCol)` per key, then join back on (key, ord) to fetch the
     * payload columns — BOTH phases stay in codegen'd HashAggregate /

@@ -95,6 +95,38 @@ class PlanSpec extends SparkSpec {
       s"unused columns must be pruned:\n$readSchema")
   }
 
+  test("q_heavy_hitters: top-k via TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must push below the sort:\n$p")
+    // one data shuffle (token aggregation); the limit must not add a range
+    // exchange + full Sort of the vocabulary
+    assert(count(p, "Exchange hashpartitioning") == 1, s"one agg shuffle only:\n$p")
+  }
+
+  test("q_gapfill: single scan of the input (aggregate materialized once)") {
+    val p = plan("q_gapfill")
+    // bounds + key list + join all read the ONE materialized aggregate; the
+    // declarative form re-scans the raw parquet 3×
+    assert(count(p, "Scan parquet") <= 1, s"gap fill must scan the input once:\n$p")
+  }
+
+  test("q_text_normalize / q_embed_norm: map-only — no shuffle except ORDER BY") {
+    Seq("q_text_normalize", "q_embed_norm").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange hashpartitioning") == 0, s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q_contamination_bloom: benchmark set broadcasts; corpus join stays hash") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("BroadcastHashJoin"), s"membership join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$p")
+    // the bloom probe compiles to xxhash64 expressions, not a UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"probe must stay in codegen:\n$p")
+  }
+
   test("declared queries prune columns at the scan (no SELECT *)") {
     // q_window_count needs only ts — the events scan must not read props/value
     val p = plan("q_window_count")

@@ -110,6 +110,22 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(1L -> "tiny", 2L -> "tiny", 3L -> "tiny"))
   }
 
+  test("hll sketches merge across a parquet round-trip to the exact answer's tolerance") {
+    val ev = Tables.events(spark, SfDir)
+    val exact = ev.agg(count_distinct(col("user_id"))).head().getLong(0).toDouble
+    // fine-grained sketches (per event_type), persisted, re-read, merged to
+    // the global estimate — the incremental rollup path: no raw-data rescan
+    val sketches = Relational.hllSketches(ev, Seq("event_type"), "user_id")
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    try {
+      sketches.write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+      val reread = spark.read.parquet(s"$dir/sketches.parquet")
+      val est = Relational.hllRollup(reread, Seq.empty).head().getAs[Long]("estimate").toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 0.05, s"exact=$exact est=$est relErr=$relErr")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("argMaxJoin: latest payload per key via hash agg + join, no SortAggregate") {
     val spark0 = spark
     import spark0.implicits._
