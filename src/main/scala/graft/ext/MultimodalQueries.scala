@@ -33,6 +33,22 @@ object MultimodalQueries {
         .sampleFrames(Multimodal.syntheticMedia(Tables.documents(s, dir)), 4)
         .select(col("id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
         .orderBy("id", "frame_idx")
+    },
+
+    // Batched resize through the mapPartitions kernel path (per-partition
+    // init, fixed-size batches) with METADATA PROPAGATION — the oracle
+    // recomputes the deterministic nearest-neighbor sampling in SQL, so
+    // the whole typed Dataset → kernel → envelope round-trip is
+    // hash-checked, not just row-counted.
+    "q_media_resize" -> { (s, dir) =>
+      val media = Multimodal
+        .syntheticMedia(Tables.documents(s, dir))
+        .filter(length(col("media")) > 0)
+      Multimodal
+        .resize(Multimodal.asRecords(media), dstW = 8, dstH = 8)
+        .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          md5(col("media")).as("resized_md5"))
+        .orderBy("id")
     }
   )
 
@@ -55,6 +71,15 @@ object MultimodalQueries {
       "substring(text, i * (length(text) // 4) + 1, length(text) // 4) AS frame " +
       "FROM documents CROSS JOIN generate_series(0, 3) AS g(i)) " +
       "SELECT id, frame_idx, md5(frame) AS frame_md5 FROM f " +
-      "WHERE length(frame) > 0 ORDER BY id, frame_idx")
+      "WHERE length(frame) > 0 ORDER BY id, frame_idx"),
+    // the resize stub's nearest-neighbor sampling, recomputed in SQL:
+    // dst pixel (y,x) reads src byte ((y*srcH//8)*srcW + (x*srcW//8)) mod
+    // len, row-major; same ASCII byte≡char precondition as q_media_frames
+    "q_media_resize" -> ("SELECT doc_id AS id, 8 AS width, 8 AS height, " +
+      "md5(list_reduce(list_transform(generate_series(0, 63), i -> " +
+      "substring(text, ((((i // 8) * (64 + doc_id % 128)) // 8) * (64 + doc_id % 192) + " +
+      "(((i % 8) * (64 + doc_id % 192)) // 8)) % length(text) + 1, 1)), " +
+      "(a, b) -> a || b)) AS resized_md5 " +
+      "FROM documents WHERE length(text) > 0 ORDER BY id")
   )
 }
