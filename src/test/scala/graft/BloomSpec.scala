@@ -23,6 +23,27 @@ class BloomSpec extends SparkSpec {
     assert(fp <= absent.size * 0.02, s"false-positive rate too high: $fp/${absent.size}")
   }
 
+  test("property: no false negatives for ANY generated key set and shape") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumStr, Gen.long.map(_.toString))))
+    val shapeGen = for {
+      words <- Gen.choose(1, 8) // deliberately tiny filters: saturation ok, misses not
+      k <- Gen.choose(1, 6)
+    } yield (words * 64L, k)
+    var seed = Seed(7L)
+    (1 to 12).foreach { _ =>
+      val keys = keyGen.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val (bits, k) = shapeGen.pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val f = Bloom.build(keys.toDF("k"), "k", bits, k)
+      val misses = keys.toDF("k").filter(!Bloom.mightContain(f, col("k"))).count()
+      assert(misses == 0, s"false negative with numBits=$bits k=$k keys=$keys")
+    }
+  }
+
   test("build rejects invalid shapes") {
     val spark0 = spark
     import spark0.implicits._
