@@ -47,6 +47,33 @@ object Scale {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** Salted equi-join for a SKEWED join key against a dim too large to
+    * broadcast: fact rows get a round-robin salt in [0, saltBuckets), the
+    * dim side replicates ×saltBuckets, and the join key becomes
+    * (key, salt) — each hot key's rows split across saltBuckets reduce
+    * tasks instead of funneling through one. Result ≡ the plain join
+    * (ScaleSpec proves it); cost = dim inflated ×saltBuckets through the
+    * shuffle, the standard skew trade.
+    *
+    * Prefer AQE's automatic skew-join splitting where it applies
+    * (sort-merge joins it can re-plan at runtime); explicit salting is
+    * the fallback for shapes AQE leaves alone or when the skew must be
+    * neutralized BEFORE a downstream stateful op.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      how: String = "inner"): DataFrame = {
+    require(saltBuckets > 0)
+    val sf = fact.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+    val sd = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    sf.hint("merge").join(sd.hint("merge"), Seq(key, "_salt"), how).drop("_salt")
+  }
+
   /** Write a frame bucketed+sorted by `key` into `buckets` files under the
     * session warehouse as `table` — the one-time cost that removes the
     * join-side exchange from every subsequent query on that key.

@@ -205,6 +205,84 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Spherical k-means (Lloyd) fit for the IVF coarse quantizer — the
+    * offline step [[ivfTopK]]'s docs reference, run ON the engine.
+    *
+    * Per iteration, ONE pass over the corpus: assignment is a per-row
+    * argmax of cosine against the k current centroids (k codegen'd
+    * `graft_cos` calls against literal arrays — no join, no shuffle for
+    * assignment), feeding directly into a hash aggregation that
+    * accumulates per-cell, per-dimension sums as `dim` sum columns +
+    * count (partial+final; the shuffle carries k × (dim+1) numbers per
+    * map task, never vectors). The driver holds only the k×dim centroid
+    * matrix — the model — between iterations; there is no per-row
+    * driver-side work and no explode of the vector column.
+    *
+    * Assignment argmax breaks ties on the lowest cell id; empty cells
+    * keep their previous centroid. Centroids are L2-normalized after
+    * each update (spherical k-means), matching the cosine assignment
+    * metric. Deterministic end-to-end: init = the k lowest-id corpus
+    * vectors, no RNG anywhere — a retried fit reproduces bit-identical
+    * centroids.
+    */
+  def kmeansFit(
+      corpus: DataFrame,
+      k: Int,
+      dim: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy("id")
+      .limit(k)
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"corpus has fewer than k=$k vectors")
+    (0 until iters).foreach { _ =>
+      val cell = argmaxCell(col("vec"), centroids)
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("vec"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+      val stats = corpus
+        .select(col("vec"), cell.as("cell"))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cell")
+        val n = r.getAs[Long]("n").toDouble
+        val mean = Array.tabulate(dim)(i => r.getAs[Double](s"s$i") / n)
+        val nrm = math.sqrt(mean.map(x => x * x).sum)
+        if (nrm > 0) next(c) = mean.map(_ / nrm)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Per-row argmax-cosine cell id over literal centroids (first-wins on
+    * ties — deterministic, mirrors [[graft.ext.TextOps.langId]]).
+    */
+  def argmaxCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      (cosine(vec, typedLit(c.toSeq)), i)
+    }
+    val maxS = greatest(scores.map(_._1): _*)
+    scores.reverse.foldLeft(lit(0)) { case (acc, (s, i)) =>
+      when(s === maxS, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Centroid matrix → the (cid, cvec) frame [[ivfTopK]] consumes. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession, centroids: Array[Array[Double]])
+      : DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cid", "cvec")
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nCells` cells by
     * nearest coarse centroid; each query probes its `nprobe` nearest cells
     * and candidates are exactly re-ranked.

@@ -21,6 +21,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exists(t => t._1 == "hot" && t._2 == 10000L * 10001 / 2 && t._3 == 10000L))
   }
 
+  test("salted join equals the plain join and splits the hot key across salts") {
+    // one hot fact key (5k rows), dim with 100 keys — the non-broadcastable
+    // skewed-join shape at scale (miniaturized)
+    val fact = ((1 to 5000).map(_ => 0L) ++ (1L to 200L).map(_ % 100))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("key", "payload")
+    val dim = (0L until 100L).map(i => (i, s"attr_$i")).toDF("key", "attr")
+    val plain = fact.join(dim, Seq("key"))
+      .select($"key", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Scale.saltedJoin(fact, dim, "key", saltBuckets = 8)
+      .select($"key", $"payload", $"attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    // the hot key's rows really do spread across multiple salt values
+    val spread = fact.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .filter($"key" === 0L).select($"_salt").distinct().count()
+    assert(spread > 1, "salting must split the hot key's rows")
+  }
+
   test("bucketed join runs without any exchange") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("key", "payload")
     val dims = (0L until 50L).map(i => (i, s"d$i")).toDF("key", "attr")

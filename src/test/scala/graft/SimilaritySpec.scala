@@ -60,6 +60,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"sampled-centroid IVF recall collapsed: $recall%.3f (measured 0.83)")
   }
 
+  test("kmeansFit: deterministic, improves the quantization objective") {
+    val k = 16
+    val fitted = Similarity.kmeansFit(vecs, k, dim = 64, iters = 4)
+    // deterministic: a second fit reproduces bit-identical centroids
+    val again = Similarity.kmeansFit(vecs, k, dim = 64, iters = 4)
+    assert(fitted.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "fit must be reproducible")
+    fitted.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(n > 0, "no degenerate centroid")
+    }
+    // the Lloyd objective: mean cosine of each vector to its assigned
+    // centroid. The fitted quantizer must beat the init (= the k lowest-id
+    // corpus vectors, i.e. exactly what the sampled-centroid IVF query
+    // uses).
+    def objective(cent: Array[Array[Double]]): Double = {
+      val best = greatest(cent.map(c =>
+        Similarity.cosine(col("vec"), typedLit(c.toSeq))): _*)
+      vecs.select(avg(best)).head().getDouble(0)
+    }
+    val init = vecs.orderBy("id").limit(k).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val objInit = objective(init)
+    val objFitted = objective(fitted)
+    info(f"quantization objective (mean assigned cosine): init=$objInit%.4f fitted=$objFitted%.4f")
+    assert(objFitted > objInit, f"Lloyd iterations must improve the objective")
+
+    // recall at FIXED nprobe is a geometry trade, not the fit objective:
+    // tighter balanced cells can place true neighbors outside 2 probed
+    // cells (measured: sampled 0.83 vs fitted 0.75 @ nprobe=2 on this
+    // fixture); raising nprobe recovers it. Pin that the knob works.
+    val queries = vecs.filter(col("id") < 20)
+    val truth = pairs(Similarity.bruteForceTopK(queries, vecs, k = 5))
+    def recallWith(cent: DataFrame, nprobe: Int): Double = {
+      val got = pairs(Similarity.ivfTopK(queries, vecs, cent, nCells = k, nprobe = nprobe, k = 5))
+      (truth & got).size.toDouble / truth.size
+    }
+    val centDF = Similarity.centroidsDF(spark, fitted)
+    val r2 = recallWith(centDF, 2)
+    val r4 = recallWith(centDF, 4)
+    info(f"fitted IVF recall@5: nprobe=2 $r2%.3f, nprobe=4 $r4%.3f")
+    // deterministic on this fixture: 0.75 → 0.78 (the synthetic embeddings
+    // are weakly clustered, so IVF recall saturates slowly in nprobe)
+    assert(r4 >= r2 && r4 >= 0.75, f"nprobe=4 recall $r4%.3f regressed")
+  }
+
   test("ANN candidate generation is an equi-join (no cartesian product)") {
     val queries = vecs.filter(col("id") < 10)
     val plan = Similarity
