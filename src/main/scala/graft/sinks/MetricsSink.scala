@@ -188,4 +188,39 @@ object MetricsSink {
     case ExportTarget.Local => ""
     case ExportTarget.Monitoring(_, prefix) => s"$prefix/"
   }
+
+  /** Effectively-once wrapper for any foreachBatch body. Structured
+    * Streaming re-delivers a micro-batch — SAME batchId — after a failure
+    * or restart; an export sink without external transactions would then
+    * double-emit every point of the replayed batch. This wrapper skips
+    * batches whose commit marker exists and writes the marker only AFTER
+    * the body succeeds (temp file + atomic rename, so a crash mid-commit
+    * leaves no marker and the batch replays — at-least-once inside one
+    * batch attempt, exactly-once across attempts).
+    *
+    * `commitDir` should live in the same durability domain as the query
+    * checkpoint (the offsets that drive re-delivery); a path on the
+    * checkpoint's filesystem is the natural choice. The marker write is
+    * driver-side (foreachBatch bodies run on the driver) — one tiny file
+    * per batch, independent of batch size.
+    */
+  def idempotent(commitDir: String)(body: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = (batch, id) => {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(commitDir)
+    Files.createDirectories(dir)
+    val marker = dir.resolve(s"batch-$id")
+    if (Files.exists(marker)) {
+      System.err.println(s"[graft-sink] batch $id already committed — skipping replay")
+    } else {
+      body(batch, id)
+      val tmp = dir.resolve(s".batch-$id.${java.util.UUID.randomUUID}.tmp")
+      Files.write(tmp, Array.emptyByteArray)
+      try Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent attempt won the rename — the batch IS committed
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+  }
 }

@@ -141,6 +141,27 @@ class MetricsSinkSpec extends SparkSpec {
     assert(MetricsSink.prefixFor(ExportTarget.parse("monitoring", Some("p"))) ==
       "custom.googleapis.com/")
   }
+
+  test("idempotent: replayed batchIds skip, failed attempts leave no marker") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("commitlog").toString
+    val batch = Seq(1).toDF("x")
+    var delivered = 0
+    var failFirst = true
+    val body: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => {
+      if (failFirst) { failFirst = false; throw new RuntimeException("transient export error") }
+      delivered += 1
+    }
+    val wrapped = MetricsSink.idempotent(dir)(body)
+    // attempt 1 fails → no marker → streaming retries the SAME batchId
+    intercept[RuntimeException](wrapped(batch, 7L))
+    wrapped(batch, 7L) // retry delivers
+    wrapped(batch, 7L) // replay after restart: marker present → skipped
+    assert(delivered == 1, s"batch 7 must export exactly once, got $delivered")
+    wrapped(batch, 8L) // a new batchId still flows
+    assert(delivered == 2)
+  }
 }
 
 object MetricsSinkSpec {
