@@ -270,6 +270,65 @@ object RelationalQueries {
       pairs("click").except(pairs("error")).orderBy("user_id", "day")
     },
 
+    // Set operation: (user, day) pairs with clicks AND errors (INTERSECT —
+    // completes the set-op family next to union/except).
+    "q_users_click_and_error" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def pairs(t: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      pairs("click").intersect(pairs("error")).orderBy("user_id", "day")
+    },
+
+    // Analytic ntile: per-type value quartiles (unique (value, event_id)
+    // ordering makes tile assignment deterministic in both engines).
+    "q_ntile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables
+        .events(s, dir)
+        .select(col("event_type"), col("event_id"), ntile(4).over(w).as("quartile"))
+        .orderBy("event_type", "event_id")
+    },
+
+    // UNPIVOT — the inverse of q_pivot_types: the wide per-day count matrix
+    // melts back to long (day, event_type, cnt) rows via Spark's native
+    // unpivot (zero-filled first: DuckDB's UNPIVOT drops NULL cells).
+    "q_unpivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables
+        .events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("d") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      pivoted
+        .unpivot(Array(col("d")), types.map(col).toArray, "event_type", "cnt")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("event_type"), col("cnt"))
+        .orderBy("day", "event_type")
+    },
+
+    // Ordered event sequences per (user, day) — the behavioral-sequence
+    // builder for session modeling: collect_list of (ts, id, type) structs,
+    // array_sort (deterministic: lexicographic on the unique (ts, id)
+    // prefix), project the type, join with '>'. One shuffle on the group
+    // key; the sort happens per group over that group's events only.
+    "q_user_sequences" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          concat_ws(">",
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("seq"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("seq"), col("n_events"))
+        .orderBy("user_id", "day")
+    },
+
     // Date/time scalar functions: monthly order rollup via date_trunc.
     "q_orders_by_month" -> { (s, dir) =>
       Tables
@@ -551,6 +610,24 @@ object RelationalQueries {
       "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents " +
       "FROM orders ORDER BY 1, 2"),
+    "q_users_click_and_error" -> ("SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events WHERE event_type = 'click' INTERSECT " +
+      "SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events WHERE event_type = 'error' ORDER BY user_id, day"),
+    "q_ntile" -> ("SELECT event_type, event_id, ntile(4) OVER (" +
+      "PARTITION BY event_type ORDER BY value, event_id) AS quartile " +
+      "FROM events ORDER BY 1, 2"),
+    "q_unpivot" -> ("WITH p AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day, " +
+      Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(", ") +
+      " FROM events GROUP BY 1) " +
+      "SELECT day, event_type, cnt FROM p " +
+      "UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view)) " +
+      "ORDER BY day, event_type"),
+    "q_user_sequences" -> ("SELECT user_id, " +
+      "strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day, " +
+      "string_agg(event_type, '>' ORDER BY ts, event_id) AS seq, " +
+      "count(*) AS n_events FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_quantiles" -> ("SELECT event_type, i - 1 AS q_idx, qs[i] AS q FROM " +
       "(SELECT event_type, quantile_cont(floor(value * 1000), [0.25, 0.5, 0.75]) AS qs " +
       "FROM events GROUP BY 1) CROSS JOIN generate_series(1, 3) AS g(i) " +
