@@ -270,6 +270,33 @@ object RelationalQueries {
       pairs("click").except(pairs("error")).orderBy("user_id", "day")
     },
 
+    // TPC-H Q14-shaped promo revenue: one month of lineitem joined to the
+    // part dimension (broadcast — the fact side never shuffles), promo vs
+    // total revenue in a single conditional-aggregation pass.
+    "q_promo_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      li.join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 2)
+            .as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+    },
+
+    // Supplier-dimension rollup: supplier ⋈ nation ⋈ region (both dims
+    // broadcast), account-balance stats per region/nation.
+    "q_supplier_balance" -> { (s, dir) =>
+      Tables
+        .supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("suppliers"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy("region", "nation")
+    },
+
     // Set operation: (user, day) pairs with clicks AND errors (INTERSECT —
     // completes the set-op family next to union/except).
     "q_users_click_and_error" -> { (s, dir) =>
@@ -610,6 +637,15 @@ object RelationalQueries {
       "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents " +
       "FROM orders ORDER BY 1, 2"),
+    "q_promo_revenue" -> ("SELECT " +
+      "round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS promo_rev, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'"),
+    "q_supplier_balance" -> ("SELECT r_name AS region, n_name AS nation, " +
+      "count(*) AS suppliers, round(sum(s_acctbal), 2) AS total_bal " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_users_click_and_error" -> ("SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
       "FROM events WHERE event_type = 'click' INTERSECT " +
       "SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
