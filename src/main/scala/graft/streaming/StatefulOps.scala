@@ -28,6 +28,57 @@ object StatefulOps {
       consecutive: Int,
       kind: String) // "fire" | "resolve"
 
+  /** `ts` carries the event-time column the input's watermark is defined
+    * on — callers build this as
+    * `stream.withWatermark("ts", d).select(...).as[Heartbeat]` (the
+    * EventTimeTimeout below is driven by that watermark).
+    */
+  final case class Heartbeat(key: String, ts: java.sql.Timestamp)
+  final case class HeartbeatState(lastSeenSec: Long, alerted: Boolean)
+  final case class AbsenceAlert(key: String, lastSeenSec: Long, silentForSec: Long)
+
+  /** Absence detection — the alert a windowed aggregation CANNOT express:
+    * a key that stops producing events produces no windows either, so
+    * "no data for N seconds" must come from state + TIMEOUT-driven
+    * emission, not from data-driven emission. Each key's state stores its
+    * last-seen event time; an event-time timeout fires once the watermark
+    * passes lastSeen + silenceSec, emitting one alert per silence (reset
+    * when the key speaks again).
+    *
+    * Scale: state is constant per key (two fields) and sharded by the
+    * grouping key; alerts are driven by watermark advancement — a silent
+    * key costs nothing per batch until its timeout fires. The timeout IS
+    * the eviction: after alerting, state is removed, so dead keys do not
+    * accumulate (a key returning later re-registers as new).
+    */
+  def absenceAlerts(
+      beats: Dataset[Heartbeat],
+      silenceSec: Long): Dataset[AbsenceAlert] = {
+    implicit val outEnc = Encoders.product[AbsenceAlert]
+    implicit val stateEnc = Encoders.product[HeartbeatState]
+    implicit val keyEnc = Encoders.STRING
+    beats
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Heartbeat], state: GroupState[HeartbeatState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove() // alert once, evict — returning keys re-register
+            val silent = state.getCurrentWatermarkMs() / 1000L - s.lastSeenSec
+            Iterator.single(AbsenceAlert(key, s.lastSeenSec, math.max(silent, silenceSec)))
+          } else {
+            val lastSeen = (rows.map(_.ts.getTime / 1000L) ++
+              state.getOption.map(_.lastSeenSec).iterator).max
+            state.update(HeartbeatState(lastSeen, alerted = false))
+            // fire when the WATERMARK (not wall clock) passes the horizon —
+            // replayable and deterministic, like every event-time semantic
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, (lastSeen + silenceSec) * 1000L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Emit "fire" when `value > threshold` in `breaches` consecutive points
     * of a metric, "resolve" on the first non-breaching point after a fire.
     * Exactly one fire per excursion.

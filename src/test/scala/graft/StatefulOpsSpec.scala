@@ -45,4 +45,42 @@ class StatefulOpsSpec extends SparkSpec {
       assert(spark.table("alerts").filter($"kind" === "fire").count() == 2)
     } finally q.stop()
   }
+
+  test("absence alerts fire from watermark advancement, once per silence") {
+    import graft.streaming.StatefulOps.{AbsenceAlert, Heartbeat}
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val beats = mem.toDF.toDF("key", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[Heartbeat]
+    val alerts = StatefulOps.absenceAlerts(beats, silenceSec = 60L)
+    val q = alerts.writeStream.format("memory").queryName("absence").outputMode("append").start()
+    try {
+      // two services heartbeat; then only 'b' keeps beating
+      mem.addData(("a", at(10)), ("b", at(10)))
+      q.processAllAvailable()
+      assert(spark.table("absence").count() == 0, "no silence yet")
+
+      // b's heartbeats advance the watermark past a's horizon (10+60) ⇒
+      // exactly one alert for a, none for the live key b
+      mem.addData(("b", at(50)), ("b", at(100)))
+      q.processAllAvailable()
+      mem.addData(("b", at(160))) // extra advance: timeout fires on the NEXT batch
+      q.processAllAvailable()
+      val fired = spark.table("absence").as[AbsenceAlert].collect().toList
+      assert(fired.map(_.key) == List("a"), s"got $fired")
+      assert(fired.head.lastSeenSec == 10L)
+
+      // a returns: state re-registers; a later silence alerts AGAIN
+      mem.addData(("a", at(200)), ("b", at(200)))
+      q.processAllAvailable()
+      mem.addData(("b", at(300)))
+      q.processAllAvailable()
+      mem.addData(("b", at(400))) // next batch evaluates a's new timeout
+      q.processAllAvailable()
+      val again = spark.table("absence").as[AbsenceAlert].collect().toList
+      assert(again.count(_.key == "a") == 2, s"returning key must re-alert: $again")
+    } finally q.stop()
+  }
 }
