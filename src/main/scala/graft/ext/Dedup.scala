@@ -435,7 +435,12 @@ object Dedup {
       numBits: Long = 1 << 20,
       numHashes: Int = 5,
       intermediate: Intermediate = Intermediate.Local): DataFrame = {
-    val bench = hashedPostings(benchmark, idCol, textCol, n).select(col("h")).distinct()
+    // bench materialized once: consumed by the bloom BUILD (an action) and
+    // again by the exact-membership broadcast join — without this the
+    // benchmark would tokenize + distinct twice
+    val bench = intermediate(
+      hashedPostings(benchmark, idCol, textCol, n).select(col("h")).distinct(),
+      "contam-bench")
     val bloom = Bloom.build(bench, "h", numBits, numHashes)
     // materialized once: consumed by BOTH the totals aggregation and the
     // bloom-pruned hit join — without this the corpus would tokenize twice

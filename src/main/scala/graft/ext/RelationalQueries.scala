@@ -653,9 +653,11 @@ object RelationalQueries {
     "q_ntile" -> ("SELECT event_type, event_id, ntile(4) OVER (" +
       "PARTITION BY event_type ORDER BY value, event_id) AS quartile " +
       "FROM events ORDER BY 1, 2"),
+    // BIGINT casts: DuckDB sum()→HUGEINT→pandas float64 hash artifact —
+    // without them the unpivoted cnt hashes as 5.0 vs Spark's 5
     "q_unpivot" -> ("WITH p AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day, " +
       Seq("click", "error", "purchase", "signup", "view").map(t =>
-        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(", ") +
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(", ") +
       " FROM events GROUP BY 1) " +
       "SELECT day, event_type, cnt FROM p " +
       "UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view)) " +

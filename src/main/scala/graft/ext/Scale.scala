@@ -67,6 +67,15 @@ object Scale {
       saltBuckets: Int,
       how: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // right/full outer would emit each UNMATCHED dim row saltBuckets times
+    // (the dim side is replicated); only fact-preserving joins are sound
+    val validHow = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "semi", "anti")
+    require(validHow.contains(how.toLowerCase.replace("_", "")) ||
+      validHow.contains(how.toLowerCase),
+      s"saltedJoin supports fact-preserving join types only, got '$how'")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     val sf = fact.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
     val sd = dim.withColumn("_salt",

@@ -230,7 +230,7 @@ object Similarity {
       k: Int,
       dim: Int,
       iters: Int): Array[Array[Double]] = {
-    require(k > 0 && iters >= 0, "k and iters must be positive")
+    require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
     var centroids: Array[Array[Double]] = corpus
       .orderBy("id")
       .limit(k)

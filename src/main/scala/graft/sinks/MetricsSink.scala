@@ -203,10 +203,18 @@ object MetricsSink {
     * checkpoint's filesystem is the natural choice. The marker write is
     * driver-side (foreachBatch bodies run on the driver) — one tiny file
     * per batch, independent of batch size.
+    *
+    * Markers are retained for the trailing `retainBatches` ids only:
+    * Structured Streaming replays recent batches, never arbitrarily old
+    * ones, so markers far behind the frontier are dead weight (a 10 s
+    * trigger writes ~3M files/year unbounded). Each commit deletes
+    * markers below `id - retainBatches` — a handful of best-effort
+    * deletes per batch, amortized constant.
     */
-  def idempotent(commitDir: String)(body: (DataFrame, Long) => Unit)
-      : (DataFrame, Long) => Unit = (batch, id) => {
+  def idempotent(commitDir: String, retainBatches: Long = 1000L)(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = (batch, id) => {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(retainBatches > 0, "retainBatches must be positive")
     val dir = Paths.get(commitDir)
     Files.createDirectories(dir)
     val marker = dir.resolve(s"batch-$id")
@@ -220,6 +228,19 @@ object MetricsSink {
       catch {
         // a concurrent attempt won the rename — the batch IS committed
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+      // retention: drop markers far behind the replay frontier
+      val cutoff = id - retainBatches
+      if (cutoff >= 0) {
+        val stream = Files.list(dir)
+        try stream.forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("batch-")) {
+            scala.util.Try(name.stripPrefix("batch-").toLong).toOption
+              .filter(_ < cutoff)
+              .foreach(_ => scala.util.Try(Files.deleteIfExists(p)))
+          }
+        } finally stream.close()
       }
     }
   }

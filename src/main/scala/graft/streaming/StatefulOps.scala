@@ -34,7 +34,7 @@ object StatefulOps {
     * EventTimeTimeout below is driven by that watermark).
     */
   final case class Heartbeat(key: String, ts: java.sql.Timestamp)
-  final case class HeartbeatState(lastSeenSec: Long, alerted: Boolean)
+  final case class HeartbeatState(lastSeenSec: Long)
   final case class AbsenceAlert(key: String, lastSeenSec: Long, silentForSec: Long)
 
   /** Absence detection — the alert a windowed aggregation CANNOT express:
@@ -69,7 +69,7 @@ object StatefulOps {
           } else {
             val lastSeen = (rows.map(_.ts.getTime / 1000L) ++
               state.getOption.map(_.lastSeenSec).iterator).max
-            state.update(HeartbeatState(lastSeen, alerted = false))
+            state.update(HeartbeatState(lastSeen))
             // fire when the WATERMARK (not wall clock) passes the horizon —
             // replayable and deterministic, like every event-time semantic
             state.setTimeoutTimestamp(

@@ -162,6 +162,18 @@ class MetricsSinkSpec extends SparkSpec {
     wrapped(batch, 8L) // a new batchId still flows
     assert(delivered == 2)
   }
+
+  test("idempotent: markers behind the replay frontier are retired") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("commitlog2").toString
+    val batch = Seq(1).toDF("x")
+    val wrapped = MetricsSink.idempotent(dir, retainBatches = 3)((_, _) => ())
+    (0L to 10L).foreach(wrapped(batch, _))
+    val markers = new java.io.File(dir).list().filter(_.startsWith("batch-")).sorted
+    // after batch 10 with retain=3, only ids >= 7 survive
+    assert(markers.toSeq == Seq("batch-10", "batch-7", "batch-8", "batch-9"), markers.mkString(","))
+  }
 }
 
 object MetricsSinkSpec {

@@ -39,6 +39,11 @@ class ScaleSpec extends SparkSpec {
         pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
       .filter($"key" === 0L).select($"_salt").distinct().count()
     assert(spread > 1, "salting must split the hot key's rows")
+    // dim-preserving joins would emit unmatched dim rows saltBuckets times —
+    // rejected up front, as is a colliding _salt column
+    intercept[IllegalArgumentException](Scale.saltedJoin(fact, dim, "key", 8, how = "full"))
+    intercept[IllegalArgumentException](
+      Scale.saltedJoin(fact.withColumn("_salt", lit(1)), dim, "key", 8))
   }
 
   test("bucketed join runs without any exchange") {
