@@ -40,6 +40,21 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "graft_rollhash(str) takes 1 argument")
           RollingHash31(args.head)
+        }),
+      (
+        FunctionIdentifier("graft_topk"),
+        new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 || args.length == 3,
+            "graft_topk(str, k[, cap]) takes 2 or 3 arguments")
+          def intLit(e: Expression, what: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_topk $what must be an integer literal, got $other")
+          }
+          val k = intLit(args(1), "k")
+          val cap = if (args.length == 3) intLit(args(2), "cap") else 8 * k
+          SpaceSavingTopK(args.head, k, cap).toAggregateExpression()
         }))
 
   /** Idempotent imperative registration on an existing session. */
