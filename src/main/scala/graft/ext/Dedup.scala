@@ -567,4 +567,116 @@ object Dedup {
         sigMatches(col("x.sig"), col("y.sig"), k).as("sig_matches"))
       .distinct()
   }
+
+  /** Exact duplicate-SPAN dedup (substring-level, not document-level): any
+    * word n-gram occurring in ≥ `minDocs` distinct documents marks its n
+    * token positions as duplicated; covered positions are cut and the
+    * remainder re-joined. This is the "dedup the repeated boilerplate
+    * span, keep the rest of the page" operation document-level
+    * MinHash/SimHash cannot express (reference surface has no analog;
+    * the technique is the exact-substring variant popularized for LLM
+    * training corpora).
+    *
+    * Returns (doc, n_toks, n_dup_toks, dup_ratio, clean_text).
+    *
+    * Shape: gram generation is a map-side explode; the duplicate-gram
+    * list comes from ONE hash aggregation over grams; coverage is an
+    * equi-join back on the gram key. Per-doc state (the covered-position
+    * set) is bounded by document length — the same bound every text op
+    * here carries. Grams feed both the aggregate and the join-back, so
+    * they materialize once via `intermediate`. Keys are the gram STRINGS
+    * (semantic reference, oracle-exact); a bulk pipeline would key on
+    * xxhash64(gram) like [[hashedPostings]] and carry ~9 bytes/gram
+    * through the shuffle instead of ~n words.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val toksDf = docs.select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("toks"))
+    // (doc, start, gram), start 0-based from posexplode
+    val grams = intermediate(
+      toksDf.select(col("doc"),
+        posexplode(wordShinglesAll(col("toks"), n)).as(Seq("start", "gram"))),
+      "span-grams")
+    val dup = grams
+      .groupBy(col("gram"))
+      .agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gram"))
+    // covered 1-based token positions per doc; both sides are gram-keyed
+    // and corpus-sized, so merge-hint like the jaccard postings join
+    val covered = grams
+      .hint("merge")
+      .join(dup.hint("merge"), Seq("gram"))
+      .select(col("doc"), explode(sequence(col("start") + 1, col("start") + n)).as("p"))
+      .groupBy(col("doc"))
+      .agg(collect_set(col("p")).as("cov"))
+    val cov = coalesce(col("cov"), array().cast("array<int>"))
+    val keepIdx = filter(sequence(lit(1), size(col("toks"))), i => !array_contains(cov, i))
+    toksDf
+      .join(covered, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        size(col("toks")).as("n_toks"),
+        size(cov).as("n_dup_toks"),
+        when(size(col("toks")) === 0, lit(0.0))
+          .otherwise(size(cov).cast("double") / size(col("toks")))
+          .as("dup_ratio"),
+        concat_ws(" ", transform(keepIdx, i => element_at(col("toks"), i))).as("clean_text"))
+  }
+
+  /** Line-level dedup (the CCNet-style boilerplate cut): a line whose
+    * trimmed form appears in ≥ `minDocs` distinct documents is dropped
+    * from every document; survivors re-join in original order. Empty /
+    * whitespace-only lines are never corpus-counted (they'd always be
+    * "duplicates") and are preserved as document structure.
+    *
+    * Returns (doc, n_lines, n_removed, clean_text).
+    *
+    * Shape: explode lines with position, ONE hash aggregation for the hot
+    * set, left-anti join to drop, re-aggregate sorted by position —
+    * all line-keyed shuffles, corpus-linear. Per-doc state is bounded by
+    * document size (the collect_list carries surviving lines only).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = docs.select(
+      col(idCol).as("doc"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val key = trim(col("line"))
+    val hot = lines
+      .filter(key =!= "")
+      .groupBy(key.as("k"))
+      .agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("k"))
+    val kept = lines
+      .filter(key === "")
+      .unionByName(lines.filter(key =!= "").join(hot, key === col("k"), "left_anti"))
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("doc"), (size(split(col(textCol), "\n", -1))).as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(
+        col("doc"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

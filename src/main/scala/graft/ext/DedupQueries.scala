@@ -99,6 +99,19 @@ object DedupQueries {
         .select(col("doc").as("doc_id"), col("n_sh"), col("hit_sh"),
           col("overlap"), col("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // Exact duplicate-SPAN dedup: 8-gram spans occurring in ≥2 docs are cut
+    // from every doc; survivors re-join. clean_text is emitted as md5 +
+    // length (hash-stable; the raw text column would bloat the dump).
+    // dup_ratio is ONE IEEE division of small ints ⇒ engine-exact.
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup
+        .spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+        .select(col("doc").as("doc_id"), col("n_toks"), col("n_dup_toks"),
+          col("dup_ratio"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).as("clean_len"))
+        .orderBy("doc_id")
     }
   )
 
@@ -163,6 +176,27 @@ object DedupQueries {
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS simhash " +
       "FROM t WHERE len(hw) > 0 ORDER BY doc_id"),
     "q_contamination" -> ContaminationSql,
+    // coalesce(array_to_string(..), ''): DuckDB's array_to_string of an
+    // empty list is NULL where Spark's concat_ws is '' (fully-cut docs)
+    "q_span_dedup" -> ("WITH toks AS (SELECT doc_id, " + Toks + " AS t FROM documents), " +
+      "g2 AS (SELECT doc_id, u['s'] AS s, u['g'] AS g FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7), " +
+      "i -> {'s': i, 'g': array_to_string(list_slice(t, i, i + 7), ' ')})) AS u " +
+      "FROM toks WHERE len(t) >= 8)), " +
+      "dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM g2 GROUP BY 1) " +
+      "WHERE df >= 2), " +
+      "cov AS (SELECT DISTINCT doc_id, p FROM (SELECT g2.doc_id, " +
+      "unnest(generate_series(g2.s, g2.s + 7)) AS p FROM g2 JOIN dup USING (g))), " +
+      "pc AS (SELECT doc_id, list(p) AS cov FROM cov GROUP BY 1) " +
+      "SELECT t.doc_id, len(t.t) AS n_toks, coalesce(len(pc.cov), 0) AS n_dup_toks, " +
+      "CASE WHEN len(t.t) = 0 THEN 0.0 ELSE coalesce(len(pc.cov), 0)::DOUBLE / len(t.t) END " +
+      "AS dup_ratio, md5(coalesce(array_to_string(list_transform(list_filter(" +
+      "generate_series(1, len(t.t)), i -> pc.cov IS NULL OR NOT list_contains(pc.cov, i)), " +
+      "i -> t.t[i]), ' '), '')) AS clean_md5, " +
+      "coalesce(length(array_to_string(list_transform(list_filter(" +
+      "generate_series(1, len(t.t)), i -> pc.cov IS NULL OR NOT list_contains(pc.cov, i)), " +
+      "i -> t.t[i]), ' ')), 0) AS clean_len " +
+      "FROM toks t LEFT JOIN pc USING (doc_id) ORDER BY doc_id"),
     // bloom prefilter + exact re-check ≡ exact contamination — same oracle
     "q_contamination_bloom" -> ContaminationSql,
     "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +

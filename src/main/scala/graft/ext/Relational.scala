@@ -294,4 +294,99 @@ object Relational {
         col(s"__${c}_max").as("max_s"))): _*)
     wide.select(explode(structs).as("p")).select(col("p.*"))
   }
+
+  /** Ordered conversion funnel: users reaching each step, where step i+1
+    * counts only events STRICTLY AFTER the user's step-i timestamp (the
+    * product-analytics "did A, then B, then C" question — unordered
+    * presence counting answers a different, weaker question).
+    *
+    * Shape: one aggregation per step, each joined to the previous step's
+    * per-user frame on the user key. Every frame after step 1 only
+    * SHRINKS (funnel monotonicity), and all joins/aggregations share the
+    * user-key partitioning, so at scale the chain is one shuffle of the
+    * filtered fact per step with co-partitioned joins — never a
+    * per-user collect or a sequence materialization. Returns
+    * (step_idx, step, users).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // per-user first-event-time frames, one per completed step
+    val stepFrames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stepType, _)) =>
+        val matching = events
+          .filter(col(typeCol) === stepType)
+          .select(col(userCol), col(tsCol).as("__ev_t"))
+        val reached = prev match {
+          case None => matching
+          case Some(p) =>
+            matching
+              .join(p.select(col(userCol), col("__t").as("__prev_t")), Seq(userCol))
+              .filter(col("__ev_t") > col("__prev_t"))
+              .select(col(userCol), col("__ev_t"))
+        }
+        Some(reached.groupBy(col(userCol)).agg(min(col("__ev_t")).as("__t")))
+    }.flatten
+    val counts = stepFrames.zip(steps).zipWithIndex.map { case ((frame, stepType), i) =>
+      frame.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_idx"), lit(stepType).as("step"), col("users"))
+    }
+    counts.reduce(_.unionByName(_)).orderBy("step_idx")
+  }
+
+  /** Rolling N-day distinct-count (the "7-day active users" KPI). SQL
+    * window frames cannot express COUNT(DISTINCT) over a RANGE frame;
+    * the exact distributed form: project each (entity, day) to the N
+    * days it contributes to (map-side explode, ×N row growth bounded by
+    * the small N), then one distinct + count per contributing day. Two
+    * key-partitioned shuffles, no per-day self-joins, no set unions.
+    * A day appears iff some entity was active within its trailing
+    * window; days past the corpus max are trimmed (1-row broadcast
+    * bound). Compose with [[gapFill]] for a dense zero-filled spine.
+    */
+  def rollingDistinct(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val days = events
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val maxDay = days.agg(max(col("__d")).as("__max")).select(col("__max"))
+    days
+      .select(col("__e"),
+        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))).as("win_day"))
+      .join(broadcast(maxDay), col("win_day") <= col("__max"))
+      .groupBy(col("win_day"))
+      .agg(count_distinct(col("__e")).as("active"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-active day, counted
+    * on each later day-offset — the activation/retention table every
+    * analytics engine ships. One distinct projection of (user, day), one
+    * per-user min (cohort day), one co-partitioned join back, one final
+    * aggregate: two shuffles total regardless of day range, both on keys
+    * that scale with |users|, not |events|.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0, "maxOffsetDays must be non-negative")
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("__d")).distinct()
+    val cohorts = days.groupBy(col(userCol)).agg(min(col("__d")).as("__cohort"))
+    days
+      .join(cohorts, Seq(userCol))
+      .select(col(userCol), col("__cohort"),
+        datediff(col("__d"), col("__cohort")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col(userCol)).as("users"))
+  }
 }

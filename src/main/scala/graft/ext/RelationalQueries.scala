@@ -506,6 +506,88 @@ object RelationalQueries {
           saltBuckets = 8)
         .select(col("event_type"), col("sum_v_q3"), col("count_rows"))
         .orderBy("event_type")
+    },
+
+    // Ordered conversion funnel (view → click → purchase, each step
+    // strictly after the previous step's first event) — Relational.funnel:
+    // per-step co-partitioned join chain, no per-user sequence collect.
+    "q_funnel" -> { (s, dir) =>
+      Relational
+        .funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+    },
+
+    // Cohort retention matrix: first-active day × day offset × distinct
+    // users (offsets 0..7) — two user-keyed shuffles regardless of range.
+    "q_cohort_retention" -> { (s, dir) =>
+      Relational
+        .cohortRetention(Tables.events(s, dir), "user_id", "ts", maxOffsetDays = 7)
+        .orderBy("cohort_day", "day_offset")
+    },
+
+    // Analytic-rank suite over per-user event counts: dense_rank /
+    // percent_rank / cume_dist ordered by the count alone (tie-sharing,
+    // deterministic — they depend on key values, not row order), lead
+    // over the fully-ordered window. percent_rank/cume_dist are ONE IEEE
+    // division of small integers ⇒ engine-exact.
+    "q_rank_suite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCnt = Window.partitionBy("event_type").orderBy(col("cnt").desc)
+      val total = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("user_id").asc)
+      base
+        .select(col("event_type"), col("user_id"), col("cnt"),
+          dense_rank().over(byCnt).as("drank"),
+          percent_rank().over(byCnt).as("prank"),
+          cume_dist().over(byCnt).as("cdist"),
+          lead(col("cnt"), 1).over(total).as("next_cnt"))
+        .orderBy(col("event_type"), col("cnt").desc, col("user_id"))
+    },
+
+    // FULL OUTER join coverage: per-(user, day) error activity vs click
+    // activity — rows surviving from either side, absent side ⇒ 0, with
+    // a category tag. Both inputs share the (user, day) partitioning.
+    "q_error_click_days" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def side(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(as))
+      side("error", "err_cnt")
+        .join(side("click", "click_cnt"), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("err_cnt"), lit(0L)).as("err_cnt"),
+          coalesce(col("click_cnt"), lit(0L)).as("click_cnt"),
+          when(col("err_cnt").isNull, "click_only")
+            .when(col("click_cnt").isNull, "error_only")
+            .otherwise("both").as("category"))
+        .orderBy("user_id", "day")
+    },
+
+    // TPC-H Q13-shaped: distribution of customers by order count, INCLUDING
+    // zero-order customers (left join + double aggregation — the join must
+    // preserve unmatched dimension rows for the 0 bucket to exist).
+    "q_cust_order_dist" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    },
+
+    // Rolling 7-day distinct active users — Relational.rollingDistinct
+    // (map-side ×7 day explode + one distinct, never a per-day self-join).
+    "q_rolling_active" -> { (s, dir) =>
+      Relational
+        .rollingDistinct(Tables.events(s, dir), "user_id", "ts", windowDays = 7)
+        .select(date_format(col("win_day"), "yyyy-MM-dd").as("day"), col("active"))
+        .orderBy("day")
     }
   )
 
@@ -686,6 +768,63 @@ object RelationalQueries {
     // engine plan must produce the identical answer
     "q_salted_agg" -> ("SELECT event_type, " +
       "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3, " +
-      "count(*) AS count_rows FROM events GROUP BY 1 ORDER BY 1")
+      "count(*) AS count_rows FROM events GROUP BY 1 ORDER BY 1"),
+    // step i+1 counts only events STRICTLY AFTER the user's step-i time
+    "q_funnel" -> ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 " +
+      "FROM events WHERE event_type = 'view' GROUP BY 1), " +
+      "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e " +
+      "JOIN v ON e.user_id = v.user_id " +
+      "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1 GROUP BY 1), " +
+      "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
+      "JOIN c ON e.user_id = c.user_id " +
+      "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2 GROUP BY 1) " +
+      "SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM v " +
+      "UNION ALL SELECT 2, 'click', count(*) FROM c " +
+      "UNION ALL SELECT 3, 'purchase', count(*) FROM p ORDER BY step_idx"),
+    "q_cohort_retention" -> ("WITH days AS (SELECT DISTINCT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
+      "cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1) " +
+      "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, " +
+      "CAST(datediff('day', cohort, d) AS INT) AS day_offset, " +
+      "count(DISTINCT days.user_id) AS users " +
+      "FROM days JOIN cohorts ON days.user_id = cohorts.user_id " +
+      "WHERE datediff('day', cohort, d) <= 7 " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // rank fns ordered by cnt alone depend on key values only (tie-sharing,
+    // deterministic); lead runs over the fully-ordered window
+    "q_rank_suite" -> ("WITH base AS (SELECT event_type, user_id, count(*) AS cnt " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, user_id, cnt, " +
+      "dense_rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS drank, " +
+      "percent_rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS prank, " +
+      "cume_dist() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS cdist, " +
+      "lead(cnt, 1) OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS next_cnt " +
+      "FROM base ORDER BY event_type, cnt DESC, user_id"),
+    "q_error_click_days" -> ("WITH e AS (SELECT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS err_cnt " +
+      "FROM events WHERE event_type = 'error' GROUP BY 1, 2), " +
+      "c AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "count(*) AS click_cnt FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+      "SELECT coalesce(e.user_id, c.user_id) AS user_id, " +
+      "strftime(coalesce(e.day, c.day), '%Y-%m-%d') AS day, " +
+      "coalesce(e.err_cnt, 0) AS err_cnt, coalesce(c.click_cnt, 0) AS click_cnt, " +
+      "CASE WHEN e.user_id IS NULL THEN 'click_only' " +
+      "WHEN c.user_id IS NULL THEN 'error_only' ELSE 'both' END AS category " +
+      "FROM e FULL OUTER JOIN c ON e.user_id = c.user_id AND e.day = c.day " +
+      "ORDER BY user_id, day"),
+    "q_cust_order_dist" -> ("SELECT n_orders, count(*) AS n_customers FROM (" +
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer " +
+      "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +
+      "GROUP BY 1 ORDER BY n_customers DESC, n_orders DESC"),
+    // each (user, day) contributes to days d..d+6; trailing days past the
+    // corpus max are trimmed — identical to the engine's 1-row bound join
+    "q_rolling_active" -> ("WITH days AS (SELECT DISTINCT user_id, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
+      "mx AS (SELECT max(d) AS m FROM days), " +
+      "contrib AS (SELECT user_id, unnest(generate_series(d, d + INTERVAL 6 DAY, " +
+      "INTERVAL 1 DAY)) AS win_day FROM days) " +
+      "SELECT strftime(CAST(win_day AS DATE), '%Y-%m-%d') AS day, " +
+      "count(DISTINCT user_id) AS active FROM contrib, mx " +
+      "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1")
   )
 }

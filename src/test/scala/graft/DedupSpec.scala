@@ -150,4 +150,63 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() == 0)
     assert(viaSig.count() == direct.count())
   }
+
+  test("spanDedup cuts exactly the shared n-gram span and keeps the rest") {
+    val spark0 = spark
+    import spark0.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span a4 a5 a6"),       // span + unique prefix/suffix
+      (2L, s"b1 b2 $span b3 b4 b5 b6 b7"),    // same span, different context
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"), // unique — untouched
+      (4L, "short doc")                       // < n tokens — no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc").collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(byDoc(1L) == ((14, 8, "a1 a2 a3 a4 a5 a6")))
+    assert(byDoc(2L) == ((15, 8, "b1 b2 b3 b4 b5 b6 b7")))
+    assert(byDoc(3L) == ((10, 0, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))
+    assert(byDoc(4L) == ((2, 0, "short doc")))
+  }
+
+  test("spanDedup overlapping duplicate grams merge their coverage (no double count)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 9 shared tokens ⇒ two overlapping duplicate 8-grams covering 9 positions
+    val span9 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, s"x1 $span9 x2"), (2L, s"y1 y2 $span9")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc").collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(9, 9))
+    assert(out.map(_.getString(4)).toSeq == Seq("x1 x2", "y1 y2"))
+  }
+
+  test("lineDedup drops corpus-hot lines, keeps order and blank lines") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "unique one\nSHARED FOOTER\n\nunique two"),
+      (2L, "other text\nSHARED FOOTER"),
+      (3L, "solo doc\nsolo line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc").collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(byDoc(1L) == ((4, 1L, "unique one\n\nunique two")))
+    assert(byDoc(2L) == ((2, 1L, "other text")))
+    assert(byDoc(3L) == ((2, 0L, "solo doc\nsolo line")))
+  }
+
+  test("lineDedup: a doc of only hot lines survives as an empty document") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "DUP"), (2L, "DUP"), (3L, "keep\nDUP")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, ""), (2L, ""), (3L, "keep")))
+  }
 }
