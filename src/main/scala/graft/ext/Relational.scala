@@ -354,16 +354,27 @@ object Relational {
       tsCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
+    import org.apache.spark.sql.expressions.Window
     val days = events
       .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d"))
       .distinct()
-    val maxDay = days.agg(max(col("__d")).as("__max")).select(col("__max"))
-    days
+    // offset-0 flag marks "this win_day exists in the source", so the
+    // trailing-edge trim (win_day > corpus max) derives from the
+    // aggregated day-cardinality frame — ONE scan of the input, and the
+    // unpartitioned window runs over |days| rows, not |events|.
+    val agg = days
       .select(col("__e"),
-        explode(sequence(col("__d"), date_add(col("__d"), windowDays - 1))).as("win_day"))
-      .join(broadcast(maxDay), col("win_day") <= col("__max"))
+        posexplode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+          .as(Seq("__i", "win_day")))
       .groupBy(col("win_day"))
-      .agg(count_distinct(col("__e")).as("active"))
+      .agg(
+        count_distinct(col("__e")).as("active"),
+        max(when(col("__i") === 0, 1).otherwise(0)).as("__origin"))
+    agg
+      .withColumn("__max_origin",
+        max(when(col("__origin") === 1, col("win_day"))).over(Window.partitionBy()))
+      .filter(col("win_day") <= col("__max_origin"))
+      .select(col("win_day"), col("active"))
   }
 
   /** Cohort retention matrix: users grouped by first-active day, counted

@@ -243,6 +243,22 @@ object TextOps {
   /** Interpreted HOF reference for [[rollingHash]] (kept for the parity pin;
     * registration-free).
     */
+  /** Compression-ratio quality proxy: deflate_len / utf8_len (requires
+    * [[graft.functions.GraftFunctions.register]] on the session — uses the
+    * native `graft_deflate_len` expression). Near-0 ratios flag templated
+    * or repeated text that token-level repetition metrics miss (e.g. a
+    * long period-k cycle defeats duplicate-2-gram counting but not
+    * deflate's 32 KiB window). Deterministic across executors (fixed
+    * level, JRE zlib); not cross-engine portable — spec-verified, no
+    * DuckDB oracle. Empty text ⇒ ratio 0.0 by convention (the 8-byte
+    * empty stream is header, not content).
+    */
+  def compressionRatio(text: Column): Column = {
+    val rawLen = octet_length(text)
+    when(rawLen === 0, lit(0.0))
+      .otherwise(call_function("graft_deflate_len", text).cast("double") / rawLen)
+  }
+
   def rollingHashFold(text: Column): Column =
     aggregate(
       filter(split(normalized(text), ""), c => c =!= ""),

@@ -42,6 +42,13 @@ object GraftFunctions {
           RollingHash31(args.head)
         }),
       (
+        FunctionIdentifier("graft_deflate_len"),
+        new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_deflate_len(str) takes 1 argument")
+          DeflateLen(args.head)
+        }),
+      (
         FunctionIdentifier("graft_topk"),
         new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk"),
         (args: Seq[Expression]) => {

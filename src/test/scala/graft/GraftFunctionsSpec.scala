@@ -117,4 +117,33 @@ class GraftFunctionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(rollPlan.contains("graft_rollhash") && !rollPlan.contains("CodegenFallback"))
   }
+
+  test("graft_deflate_len: deterministic, matches a direct JRE deflate, codegen-native") {
+    GraftFunctions.register(spark)
+    val texts = Seq("", "abc", "the quick brown fox", "ab" * 5000, "テスト 🎉 mixed")
+    val df = texts.toDF("t")
+    val got = df.select(call_function("graft_deflate_len", $"t")).collect().map(_.getInt(0))
+    val expect = texts.map(s =>
+      graft.functions.DeflateLen.deflatedLength(s.getBytes("UTF-8")))
+    assert(got.toSeq == expect)
+    // repetitive text compresses an order of magnitude below prose
+    val ratio = df.select(graft.ext.TextOps.compressionRatio($"t").as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratio(0) == 0.0, "empty text ratio is 0 by convention")
+    assert(ratio(3) < 0.01, s"10k-char cycle must compress to <1%: ${ratio(3)}")
+    assert(ratio(2) > 0.5, s"short prose stays near-incompressible: ${ratio(2)}")
+    val plan = df.select(call_function("graft_deflate_len", $"t"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_deflate_len") && !plan.contains("CodegenFallback"))
+  }
+
+  test("compressionRatio flags a period-7 cycle that duplicate-2-gram counting misses") {
+    GraftFunctions.register(spark)
+    // 7 distinct tokens repeated: every 2-gram inside one period is unique
+    // ⇒ rep_ratio is high but NOT 1.0-flagged territory; deflate nails it
+    val cycle = Seq.fill(300)((1 to 7).map(i => s"w$i").mkString(" ")).mkString(" ")
+    val df = Seq(cycle).toDF("text")
+    val r = df.select(graft.ext.TextOps.compressionRatio($"text")).head().getDouble(0)
+    assert(r < 0.01, s"cycle must deflate to <1%: $r")
+  }
 }

@@ -134,4 +134,41 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("ts"), s"ts must be read:\n$readSchema")
     assert(!readSchema.contains("props"), s"unused wide column must be pruned:\n$readSchema")
   }
+
+  test("q_funnel: step filters push to the scan; no nested-loop joins") {
+    val p = plan("q_funnel")
+    // each step's event_type equality reaches parquet
+    assert(p.contains("EqualTo(event_type,view)"), s"step filter must push:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"), s"step filter must push:\n$p")
+    // step joins are equi-joins on the user key (hash/merge), never a
+    // cartesian or nested loop — funnel ordering lives in the residual
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"funnel must stay an equi-join chain:\n$p")
+  }
+
+  test("q_span_dedup: gram frame materializes once; dup join never broadcasts the corpus") {
+    val p = plan("q_span_dedup")
+    // the gram-keyed coverage join is merge-hinted: both sides are
+    // corpus-sized, so stats-based broadcast would be fatal at scale
+    assert(p.contains("SortMergeJoin"), s"gram join must stay a merge join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"no all-pairs:\n$p")
+    // grams materialize once (localCheckpoint) — both consumers scan it
+    assert(count(p, "Scan ExistingRDD") >= 2, s"grams must come from the checkpoint:\n$p")
+  }
+
+  test("q_rolling_active: day explode is map-side; one distinct shuffle chain") {
+    val p = plan("q_rolling_active")
+    assert(count(p, "Scan parquet") == 1, "one scan of events")
+    assert(count(p, "Generate") == 1, "one map-side day explode")
+    // (user, day) distinct + per-day distinct-count + ORDER BY = 3 data
+    // exchanges max; a per-day self-join would blow this up
+    assert(count(p, "Exchange hashpartitioning") <= 3, s"no per-day self-join fan-out:\n$p")
+  }
+
+  test("q_cust_order_dist: left join preserves zero-order customers via broadcast") {
+    val p = plan("q_cust_order_dist")
+    assert(p.contains("BroadcastHashJoin"), s"orders-side lookup should hash-join:\n$p")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"join must preserve unmatched customers:\n$p")
+  }
 }
