@@ -79,6 +79,70 @@ object StatefulOps {
       }
   }
 
+  final case class UserEvent(user: String, eventType: String, ts: java.sql.Timestamp)
+  // stage timestamp in ms: the strict-after comparison must not lose
+  // sub-second precision (a cross-batch straggler 200 ms BEFORE the stage
+  // event would wrongly advance under second truncation)
+  final case class FunnelState(stage: Int, stageTsMs: Long)
+  final case class StageAdvance(user: String, stage: Int, step: String, tsSec: Long)
+
+  /** Streaming ordered-funnel progression — the incremental form of
+    * [[graft.ext.Relational.funnel]]: per user, advance to step i+1 only
+    * on an event of that type with ts STRICTLY AFTER the step-i
+    * timestamp, and emit one StageAdvance per advancement. The batch form
+    * re-scans the corpus per step; this form reads each event once as it
+    * arrives.
+    *
+    * Within a micro-batch, events are sorted by event time, so
+    * out-of-order arrivals INSIDE a batch advance correctly (a
+    * view+click arriving together in ts order counts). Cross-batch late
+    * data follows the stream's watermark like every event-time operator.
+    *
+    * Scale: state per user is two ints — constant — and sharded by the
+    * grouping key; an event-time timeout evicts users idle past
+    * `idleEvictSec` (an abandoned funnel never re-fires, so holding its
+    * state is pure cost).
+    */
+  def funnelStages(
+      events: Dataset[UserEvent],
+      steps: Seq[String],
+      idleEvictSec: Long): Dataset[StageAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    implicit val outEnc = Encoders.product[StageAdvance]
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val keyEnc = Encoders.STRING
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: String, rows: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = rows.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+              stepIdx.get(e.eventType) match {
+                // next expected step, strictly after the current stage's time
+                // (stage 0 accepts any time — MinValue sentinel)
+                case Some(i) if i == s.stage && e.ts.getTime > s.stageTsMs =>
+                  s = FunnelState(s.stage + 1, e.ts.getTime)
+                  Some(StageAdvance(user, s.stage, e.eventType, e.ts.getTime / 1000L))
+                case _ => None
+              }
+            }
+            if (s.stage >= steps.length) state.remove() // funnel complete
+            else {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L,
+                  math.max(s.stageTsMs, 0L) + idleEvictSec * 1000L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Emit "fire" when `value > threshold` in `breaches` consecutive points
     * of a metric, "resolve" on the first non-breaching point after a fire.
     * Exactly one fire per excursion.

@@ -83,4 +83,47 @@ class StatefulOpsSpec extends SparkSpec {
       assert(again.count(_.key == "a") == 2, s"returning key must re-alert: $again")
     } finally q.stop()
   }
+
+  test("streaming funnel advances per user in order, across batches, emitting each stage once") {
+    import graft.streaming.StatefulOps.{StageAdvance, UserEvent}
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val events = mem.toDF.toDF("user", "eventType", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[UserEvent]
+    val stages = StatefulOps.funnelStages(events,
+      Seq("view", "click", "purchase"), idleEvictSec = 3600L)
+    val q = stages.writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // batch 1, out of order WITHIN the batch: click(20) + view(10) —
+      // in-batch ts sort means both stages advance in one batch
+      mem.addData(("u1", "click", at(20)), ("u1", "view", at(10)), ("u2", "click", at(5)))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel").as[StageAdvance].collect().toSet
+      assert(b1 == Set(StageAdvance("u1", 1, "view", 10), StageAdvance("u1", 2, "click", 20)),
+        s"u2's click without a view must not advance: $b1")
+
+      // batch 2: u1 completes ACROSS the batch boundary (state survived);
+      // a repeat click must not re-advance; u2 starts its funnel
+      mem.addData(("u1", "click", at(30)), ("u1", "purchase", at(40)), ("u2", "view", at(35)))
+      q.processAllAvailable()
+      val b2 = spark.table("funnel").as[StageAdvance].collect().toSet
+      assert(b2 == b1 + StageAdvance("u1", 3, "purchase", 40) + StageAdvance("u2", 1, "view", 35))
+
+      // batch 3: u1's funnel completed ⇒ state removed ⇒ a new view is a
+      // FRESH funnel (stage 1 again); non-step events are ignored
+      mem.addData(("u1", "view", at(50)), ("u2", "signup", at(55)))
+      q.processAllAvailable()
+      val b3 = spark.table("funnel").as[StageAdvance].collect().toSet
+      assert(b3 == b2 + StageAdvance("u1", 1, "view", 50))
+
+      // an event at a ts NOT strictly after the stage time must not advance:
+      // u2 clicks at exactly its view time
+      mem.addData(("u2", "click", at(35)))
+      q.processAllAvailable()
+      assert(spark.table("funnel").as[StageAdvance].collect().toSet == b3,
+        "tie timestamps must not advance the funnel")
+    } finally q.stop()
+  }
 }
