@@ -588,6 +588,49 @@ object RelationalQueries {
         .rollingDistinct(Tables.events(s, dir), "user_id", "ts", windowDays = 7)
         .select(date_format(col("win_day"), "yyyy-MM-dd").as("day"), col("active"))
         .orderBy("day")
+    },
+
+    // TPC-H Q18-shaped: large-quantity orders. The HAVING subquery becomes
+    // an aggregate-FIRST frame (map-side combine over lineitem, the big
+    // table) joined to orders — never orders⋈lineitem THEN re-aggregate.
+    // l_quantity is integer-valued, so the sum is exact and cast long.
+    "q_big_orders" -> { (s, dir) =>
+      val big = Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(col("sq") > 300.0)
+      Tables
+        .orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("sq").cast("long").as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q10-shaped: top-20 customers by returned-item revenue in one
+    // quarter. Date+flag predicates push to the scans; dims broadcast;
+    // final top-k is TakeOrderedAndProject (never a global sort).
+    "q_returned_revenue" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val ord = Tables
+        .orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        // per-row revenue floor-quantized to 1e-4 (exact integers sum in
+        // any partition order; a raw double sum rounds differently across
+        // engines at the 2nd decimal), ONE division back at the end
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_q4"))
+        .select(col("c_custkey"), col("c_name"), col("nation"),
+          (col("rev_q4") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     }
   )
 
@@ -825,6 +868,20 @@ object RelationalQueries {
       "INTERVAL 1 DAY)) AS win_day FROM days) " +
       "SELECT strftime(CAST(win_day AS DATE), '%Y-%m-%d') AS day, " +
       "count(DISTINCT user_id) AS active FROM contrib, mx " +
-      "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1")
+      "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1"),
+    "q_big_orders" -> ("SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +
+      "CAST(sum_qty AS BIGINT) AS sum_qty FROM orders " +
+      "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
+      "GROUP BY 1 HAVING sum(l_quantity) > 300.0) ON o_orderkey = l_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_returned_revenue" -> ("SELECT c_custkey, c_name, n_name AS nation, " +
+      "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) " +
+      "AS BIGINT) / 10000.0 AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01' " +
+      "AND o_orderdate < '1996-04-01' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20")
   )
 }

@@ -335,4 +335,123 @@ object Similarity {
       .topKPerGroup(dropNaN(scored), Seq("query_id"),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
+
+  // ---- Product quantization (PQ) ----------------------------------------
+
+  /** Fitted PQ codebooks: `tables(sub)(cell)` is the sub-centroid for
+    * subspace `sub` ∈ [0, m), cell ∈ [0, k). Compression: a dim-d float
+    * vector becomes m small-int codes (64 floats → 8 codes here: 32× less
+    * scan bandwidth, the reason PQ exists at corpus scale).
+    */
+  final case class PQCodebooks(m: Int, k: Int, subDim: Int, tables: Seq[Seq[Seq[Double]]]) {
+    def lit: Column = typedLit(tables)
+  }
+
+  /** Squared L2 distance between two double arrays — fixed fold order,
+    * engine-deterministic like [[dotFold]].
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Per-subspace squared distances to every cell of one codebook row:
+    * array of k doubles. `tab` is the full m×k×subDim literal; `sub` may
+    * be a lambda-bound Column.
+    */
+  private def subDists(vec: Column, tab: Column, sub: Column, subDim: Int): Column =
+    transform(element_at(tab, sub + 1),
+      c => sqDist(slice(vec, sub * subDim + 1, lit(subDim)), c))
+
+  /** First-wins argmin as array_position of the min — deterministic on
+    * ties, mirrors [[argmaxCell]]'s first-wins contract.
+    */
+  private def argminIdx(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+
+  /** Fit PQ codebooks: per-subspace plain-L2 Lloyd, ALL m subspaces in ONE
+    * corpus pass per iteration (explode each vector to its m subvectors,
+    * assign against the current codebooks, aggregate per-(sub, cell) dim
+    * sums). Deterministic: init from the first k vectors by id, no RNG.
+    *
+    * Scale: per iteration, the shuffle carries m×k×(subDim+1) numbers per
+    * map partition (partial aggregation) — independent of corpus size;
+    * the driver holds only the m×k×subDim codebook between iterations.
+    * Empty cells keep their previous centroid (the standard Lloyd
+    * convention; k-means++-style re-seeding would add RNG).
+    */
+  def pqFit(corpus: DataFrame, m: Int, k: Int, dim: Int, iters: Int): PQCodebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
+    val subDim = dim / m
+    val init = corpus
+      .orderBy("id")
+      .limit(k)
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == k, s"corpus has fewer than k=$k vectors")
+    var books = PQCodebooks(m, k, subDim,
+      Seq.tabulate(m)(s => Seq.tabulate(k)(j => init(j).slice(s * subDim, (s + 1) * subDim).toSeq)))
+    (0 until iters).foreach { _ =>
+      val tab = books.lit
+      val subRows = corpus.select(
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("vec"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+      val aggs = (0 until subDim).map(i =>
+        sum(element_at(col("sv"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+      val stats = subRows
+        .select(col("sub"), col("sv"),
+          argminIdx(subDists(col("sv"), tab, col("sub"), subDim)).as("cell"))
+        .groupBy("sub", "cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = books.tables.map(_.toArray).toArray
+      stats.foreach { r =>
+        val s = r.getAs[Int]("sub")
+        val c = r.getAs[Int]("cell")
+        val n = r.getAs[Long]("n").toDouble
+        next(s)(c) = Seq.tabulate(subDim)(i => r.getAs[Double](s"s$i") / n)
+      }
+      books = books.copy(tables = next.map(_.toSeq).toSeq)
+    }
+    books
+  }
+
+  /** Map-only PQ encoding: (id, codes array<int> of length m). */
+  def pqEncode(corpus: DataFrame, books: PQCodebooks): DataFrame = {
+    val tab = books.lit
+    corpus.select(
+      col("id"),
+      transform(sequence(lit(0), lit(books.m - 1)),
+        s => argminIdx(subDists(col("vec"), tab, s, books.subDim))).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its m×k lookup table ONCE (O(k·dim) work), then every
+    * (query, code) pair scores in O(m) element_at lookups — the corpus
+    * scan touches only the m-byte codes, never the raw floats. Queries
+    * (with their LUTs) broadcast; candidates rank by approximate squared
+    * distance ascending, neighbor id as the deterministic tiebreak.
+    *
+    * Approximate by construction (distances to centroids, not vectors) —
+    * recall is measured in SimilaritySpec; exact re-ranking joins the
+    * winners back to raw vectors, exactly like [[ivfTopK]]'s re-rank.
+    */
+  def pqTopKAdc(queries: DataFrame, corpusCodes: DataFrame, books: PQCodebooks, k: Int)
+      : DataFrame = {
+    val tab = books.lit
+    val withLut = queries.select(
+      col("id").as("query_id"),
+      transform(sequence(lit(0), lit(books.m - 1)),
+        s => subDists(col("vec"), tab, s, books.subDim)).as("lut"))
+    val scored = broadcast(withLut)
+      .join(corpusCodes.select(col("id").as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
+          (acc, s) => acc +
+            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+          .as("adist"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("adist").asc, col("neighbor_id").asc), k)
+  }
 }

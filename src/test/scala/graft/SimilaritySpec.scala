@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Similarity, SimilarityQueries}
+import graft.ext.{Relational, Similarity, SimilarityQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -160,5 +160,65 @@ class SimilaritySpec extends SparkSpec {
       }.sum
       assert(got(r.getLong(0)) == expect, s"bucket mismatch for id ${r.getLong(0)}")
     }
+  }
+
+  // ---- product quantization ----------------------------------------------
+
+  /** Per-corpus quantization MSE under the given codebooks: Σ_sub of the
+    * min cell distance — the assignment objective, no encode round-trip.
+    */
+  private def pqObjective(books: Similarity.PQCodebooks): Double = {
+    val tab = books.lit
+    vecs.select(
+      aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
+        (acc, s) => acc + array_min(transform(element_at(tab, s + 1),
+          c => Similarity.sqDist(slice(col("vec"), s * books.subDim + 1,
+            lit(books.subDim)), c)))).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
+  test("pqFit: deterministic, Lloyd iterations improve the quantization objective") {
+    val fit0 = Similarity.pqFit(vecs, m = 8, k = 16, dim = 64, iters = 0)
+    val fit3 = Similarity.pqFit(vecs, m = 8, k = 16, dim = 64, iters = 3)
+    val fit3b = Similarity.pqFit(vecs, m = 8, k = 16, dim = 64, iters = 3)
+    assert(fit3.tables == fit3b.tables, "fit must be bit-reproducible (no RNG)")
+    val (e0, e3) = (pqObjective(fit0), pqObjective(fit3))
+    info(f"PQ quantization MSE: init $e0%.4f -> 3 Lloyd iters $e3%.4f")
+    assert(e3 < e0, s"Lloyd must not regress the objective: $e0 -> $e3")
+  }
+
+  test("pqEncode: m codes per vector, all in [0, k)") {
+    val books = Similarity.pqFit(vecs, m = 8, k = 16, dim = 64, iters = 2)
+    val codes = Similarity.pqEncode(vecs, books)
+    val bad = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16))
+    assert(bad.count() == 0)
+  }
+
+  test("PQ ADC shortlist covers the exact L2 top-10 (re-rank pipeline shape)") {
+    // m=16 (subDim 4) — these embeddings are near-uniform (PQ's worst
+    // case: all neighbors at similar distances), so resolution comes from
+    // more, smaller subspaces; still 16x compression (64 floats -> 16
+    // byte codes)
+    val books = Similarity.pqFit(vecs, m = 16, k = 16, dim = 64, iters = 3)
+    val codes = Similarity.pqEncode(vecs, books)
+    val queries = vecs.filter(col("id") < 20)
+    // exact L2 top-10 (same metric as ADC — cosine truth would conflate
+    // metric mismatch with quantization loss)
+    val exact = pairs(Relational.topKPerGroup(
+      broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+        .join(vecs.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.sqDist(col("qv"), col("cv")).as("d")),
+      Seq("query_id"), Seq(col("d").asc, col("neighbor_id").asc), 10))
+    // the production shape: ADC shortlists 50 of 500 (10x cut), exact
+    // re-rank reads raw vectors for the shortlist only
+    val shortlist = pairs(Similarity.pqTopKAdc(queries, codes, books, k = 50))
+    val coverage = (exact & shortlist).size.toDouble / exact.size
+    val direct = pairs(Similarity.pqTopKAdc(queries, codes, books, k = 10))
+    val r10 = (exact & direct).size.toDouble / exact.size
+    info(f"PQ (m=16, k=16) ADC: direct recall@10 $r10%.3f, top-10-in-shortlist-50 $coverage%.3f")
+    assert(coverage >= 0.7, f"shortlist coverage collapsed: $coverage%.3f")
   }
 }
