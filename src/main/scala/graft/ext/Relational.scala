@@ -188,6 +188,44 @@ object Relational {
     merged.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
 
+  /** The 100 TB form of [[rollingDistinct]]: rolling N-day APPROX
+    * distinct via mergeable HLL sketches. Exact rolling distinct re-keys
+    * every (entity, day) pair ×N through a distinct shuffle; here the raw
+    * data is touched ONCE (per-day sketches, map-side partial
+    * aggregation), and the window merge unions N sketches per day over a
+    * frame of |days| rows — the ×N explode moves kilobyte sketches, not
+    * the entity universe. Estimate error is the sketch's rsd (~1.6% hll
+    * default lgK=12); RelationalSpec pins the error envelope against the
+    * exact form.
+    */
+  def rollingDistinctHll(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int,
+      lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val daily = hllSketches(
+      events.select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d")),
+      Seq("__d"), "__e", lgK)
+    val contrib = daily.select(
+      col("__d"),
+      col("sketch"),
+      posexplode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+        .as(Seq("__i", "win_day")))
+    contrib
+      .groupBy(col("win_day"))
+      .agg(
+        hll_union_agg(col("sketch")).as("sketch"),
+        max(when(col("__i") === 0, 1).otherwise(0)).as("__origin"))
+      .withColumn("__max_origin",
+        max(when(col("__origin") === 1, col("win_day"))).over(Window.partitionBy()))
+      .filter(col("win_day") <= col("__max_origin"))
+      .select(col("win_day"),
+        hll_sketch_estimate(col("sketch")).cast("long").as("active_approx"))
+  }
+
   /** Arg-max per group with var-length payloads, at scale: hash-aggregate
     * `max(ordCol)` per key, then join back on (key, ord) to fetch the
     * payload columns — BOTH phases stay in codegen'd HashAggregate /

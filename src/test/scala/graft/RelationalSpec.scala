@@ -179,4 +179,19 @@ class RelationalSpec extends SparkSpec {
     // equal scores break ties on the entity column — stable across runs
     assert(top == Set(("a", 1), ("b", 2)))
   }
+
+  test("rollingDistinctHll tracks the exact rolling distinct within sketch error") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Relational.rollingDistinct(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = Relational.rollingDistinctHll(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "same day spine incl. trailing-edge trim")
+    // lgK=12 rsd ~1.6%; 5% envelope absorbs small-count quantization
+    exact.foreach { case (day, n) =>
+      val a = approx(day)
+      assert(math.abs(a - n) <= math.max(3L, (n * 0.05).toLong),
+        s"day $day: approx $a vs exact $n")
+    }
+  }
 }
