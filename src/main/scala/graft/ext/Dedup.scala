@@ -618,7 +618,11 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(collect_set(col("p")).as("cov"))
     val cov = coalesce(col("cov"), array().cast("array<int>"))
-    val keepIdx = filter(sequence(lit(1), size(col("toks"))), i => !array_contains(cov, i))
+    // token-less docs: sequence(1, 0) would be DESCENDING [1, 0] (Spark
+    // defaults step to -1 when start > stop) and element_at(_, 0) throws —
+    // guard to an empty index list
+    val keepIdx = when(size(col("toks")) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size(col("toks"))), i => !array_contains(cov, i)))
     toksDf
       .join(covered, Seq("doc"), "left")
       .select(

@@ -205,23 +205,13 @@ object Relational {
       windowDays: Int,
       lgK: Int = 12): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val daily = hllSketches(
       events.select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d")),
       Seq("__d"), "__e", lgK)
-    val contrib = daily.select(
-      col("__d"),
-      col("sketch"),
-      posexplode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
-        .as(Seq("__i", "win_day")))
-    contrib
-      .groupBy(col("win_day"))
-      .agg(
-        hll_union_agg(col("sketch")).as("sketch"),
-        max(when(col("__i") === 0, 1).otherwise(0)).as("__origin"))
-      .withColumn("__max_origin",
-        max(when(col("__origin") === 1, col("win_day"))).over(Window.partitionBy()))
-      .filter(col("win_day") <= col("__max_origin"))
+    trimTrailing(
+      dayContributions(daily, windowDays)
+        .groupBy(col("win_day"))
+        .agg(hll_union_agg(col("sketch")).as("sketch"), originFlag))
       .select(col("win_day"),
         hll_sketch_estimate(col("sketch")).cast("long").as("active_approx"))
   }
@@ -392,27 +382,41 @@ object Relational {
       tsCol: String,
       windowDays: Int): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
+    trimTrailing(
+      dayContributions(
+        events.select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d")).distinct(),
+        windowDays)
+        .groupBy(col("win_day"))
+        .agg(count_distinct(col("__e")).as("active"), originFlag))
+      .select(col("win_day"), col("active"))
+  }
+
+  /** Explode each (payload, __d) row to the `windowDays` win_days it
+    * contributes to, keeping the offset for [[originFlag]].
+    */
+  private def dayContributions(withDay: DataFrame, windowDays: Int): DataFrame =
+    withDay.select(
+      col("*"),
+      posexplode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
+        .as(Seq("__i", "win_day")))
+      .drop("__d")
+
+  /** Offset-0 flag: "this win_day exists in the source" — computed inside
+    * the same aggregation that builds the window, so the trailing-edge
+    * trim needs no second input scan.
+    */
+  private def originFlag: Column =
+    max(when(col("__i") === 0, 1).otherwise(0)).as("__origin")
+
+  /** Drop win_days past the corpus max day. The unpartitioned window runs
+    * over the aggregated |days|-row frame, never the raw input.
+    */
+  private def trimTrailing(agg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val days = events
-      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d"))
-      .distinct()
-    // offset-0 flag marks "this win_day exists in the source", so the
-    // trailing-edge trim (win_day > corpus max) derives from the
-    // aggregated day-cardinality frame — ONE scan of the input, and the
-    // unpartitioned window runs over |days| rows, not |events|.
-    val agg = days
-      .select(col("__e"),
-        posexplode(sequence(col("__d"), date_add(col("__d"), windowDays - 1)))
-          .as(Seq("__i", "win_day")))
-      .groupBy(col("win_day"))
-      .agg(
-        count_distinct(col("__e")).as("active"),
-        max(when(col("__i") === 0, 1).otherwise(0)).as("__origin"))
     agg
       .withColumn("__max_origin",
         max(when(col("__origin") === 1, col("win_day"))).over(Window.partitionBy()))
       .filter(col("win_day") <= col("__max_origin"))
-      .select(col("win_day"), col("active"))
   }
 
   /** Cohort retention matrix: users grouped by first-active day, counted

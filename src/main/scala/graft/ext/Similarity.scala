@@ -398,9 +398,13 @@ object Similarity {
           s => slice(col("vec"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
       val aggs = (0 until subDim).map(i =>
         sum(element_at(col("sv"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("n")
+      // `sv` is ALREADY the subvector — distance directly against the
+      // sub-centroids (subDists would re-slice past the array end, null
+      // out every subspace >= 1, and silently corrupt the fit)
       val stats = subRows
         .select(col("sub"), col("sv"),
-          argminIdx(subDists(col("sv"), tab, col("sub"), subDim)).as("cell"))
+          argminIdx(transform(element_at(tab, col("sub") + 1),
+            c => sqDist(col("sv"), c))).as("cell"))
         .groupBy("sub", "cell")
         .agg(aggs.head, aggs.tail: _*)
         .collect()

@@ -54,15 +54,23 @@ object DeflateLen {
     */
   final val Level = 6
 
+  // One native Deflater per executor task thread, reset() between rows:
+  // per-row construction would pay JNI deflateInit + a 32 KiB native
+  // window allocation per document — dominating the actual compression
+  // cost for short strings. Thread-local lifetime is the executor
+  // thread's; zlib native memory is bounded by the thread-pool size.
+  private val local = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+    override def initialValue() =
+      (new java.util.zip.Deflater(Level, /* nowrap = */ false), new Array[Byte](8192))
+  }
+
   def deflatedLength(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(Level, /* nowrap = */ false)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -108,6 +108,10 @@ object StatefulOps {
       steps: Seq[String],
       idleEvictSec: Long): Dataset[StageAdvance] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // stepIdx is type-keyed, so a repeated step type would make its earlier
+    // position unreachable and the funnel silently dead — reject upfront
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct event types (the state machine keys stages by type)")
     implicit val outEnc = Encoders.product[StageAdvance]
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val keyEnc = Encoders.STRING
@@ -132,7 +136,12 @@ object StatefulOps {
               }
             }
             if (s.stage >= steps.length) state.remove() // funnel complete
-            else {
+            else if (s.stage == 0 && state.getOption.isEmpty) {
+              // stage-0 state is semantically identical to absent state:
+              // writing it would cost a state-store entry + checkpoint per
+              // not-yet-in-funnel user — pure churn on high-cardinality
+              // streams where most users never enter the funnel
+            } else {
               state.update(s)
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1L,

@@ -183,6 +183,21 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getString(4)).toSeq == Seq("x1 x2", "y1 y2"))
   }
 
+  test("spanDedup: empty and whitespace-only docs survive untouched (no crash)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, ""), (2L, "   "), (3L, s"$span x"), (4L, s"y $span"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc").collect()
+    val byDoc = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(byDoc(1L) == ((0, 0, "")))
+    assert(byDoc(2L) == ((0, 0, "")))
+    assert(byDoc(3L) == ((9, 8, "x")))
+    assert(byDoc(4L) == ((9, 8, "y")))
+  }
+
   test("lineDedup drops corpus-hot lines, keeps order and blank lines") {
     val spark0 = spark
     import spark0.implicits._
