@@ -1,0 +1,72 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.model._
+import graft.pipeline.LogsToMetrics
+import graft.streaming.StreamingMetrics
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** The reference's unbounded-source path against a REAL directory-watching
+  * file source (`binaryFile` stream): each file's raw bytes are one
+  * message payload — the closest OSS analog to a message-queue body —
+  * driven through the full pipeline: decode cascade (incl. a shift-jis
+  * payload) → parse → filter → watermark → windowed count → append sink.
+  * MemoryStream e2e (StreamingMetricsSpec) pins semantics; this pins that
+  * the same plan runs on a production-shaped source with file discovery.
+  */
+class FileStreamSpec extends SparkSpec {
+
+  test("binaryFile stream: raw payload files → decode/parse → windowed metric") {
+    val dir = Files.createTempDirectory("graft-filestream").toString
+    def write(name: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(dir, name), bytes)
+
+    // three payloads: plain UTF-8, shift-jis (decode cascade's 2nd hop),
+    // malformed (must be dropped, not crash the stream)
+    write("m1.json", """{"severity": "ERROR", "ts_sec": 30}""".getBytes("UTF-8"))
+    write("m2.json", """{"severity": "ERROR", "message": "テスト", "ts_sec": 45}"""
+      .getBytes("shift-jis"))
+    write("m3.json", Array[Byte](-1, -2, -3))
+
+    val raw = spark.readStream
+      .format("binaryFile")
+      // streaming file sources require an explicit schema; this is
+      // binaryFile's fixed one
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dir)
+      .select(col("content").as("raw"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("severity",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("message",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_sec",
+        org.apache.spark.sql.types.LongType)))
+    val parsed = Ingest
+      .parseTyped(raw, "raw", schema) // malformed m3 drops here
+      .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
+        col("msg.severity").as("severity"), col("msg.message").as("message"))
+    val defs = Seq(MetricDefinition(
+      "error_count",
+      MetricType.Count,
+      Seq(FilterCondition("severity", "ERROR", "equals")),
+      windowSizeSec = 60))
+    val Seq(out) = StreamingMetrics.attach(parsed, defs, LogsToMetrics.Typed(parsed.schema))
+    val q = out.writeStream.format("memory").queryName("filestream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // both decodable ERROR payloads land in window [0, 60); the window
+      // is still OPEN (watermark hasn't passed) so append emits nothing yet
+      write("m4.json", """{"severity": "INFO", "ts_sec": 130}""".getBytes("UTF-8"))
+      q.processAllAvailable() // file discovery picks up the new payload
+      write("m5.json", """{"severity": "ERROR", "ts_sec": 140}""".getBytes("UTF-8"))
+      q.processAllAvailable() // watermark at 130 closes [0, 60)
+      val rows = spark.table("filestream")
+        .select(unix_timestamp(col("window_start")).as("w"), col("value"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      assert(rows.toSeq == Seq(0L -> 2.0),
+        s"closed window must hold utf-8 + shift-jis payloads, malformed dropped: ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
