@@ -610,6 +610,27 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // GROUPING SETS — the general form cube/rollup specialize: exactly the
+    // requested aggregation levels ((event_type), (day), ()), ONE pass via
+    // a single Expand, no superfluous cube combinations. Null indicators
+    // coalesce to sentinels so the three levels are distinguishable.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables
+        .events(s, dir)
+        .select(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          floor(col("value") * 1000).cast("long").as("v_q3"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("day")),
+            Seq.empty[org.apache.spark.sql.Column]),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), sum(col("v_q3")).as("sum_v_q3"))
+        .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("day"), lit("<all>")).as("day"),
+          col("cnt"), col("sum_v_q3"))
+        .orderBy("event_type", "day")
+    },
+
     // TPC-H Q10-shaped: top-20 customers by returned-item revenue in one
     // quarter. Date+flag predicates push to the scans; dims broadcast;
     // final top-k is TakeOrderedAndProject (never a global sort).
@@ -869,6 +890,12 @@ object RelationalQueries {
       "SELECT strftime(CAST(win_day AS DATE), '%Y-%m-%d') AS day, " +
       "count(DISTINCT user_id) AS active FROM contrib, mx " +
       "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1"),
+    "q_grouping_sets" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
+      "coalesce(day, '<all>') AS day, count(*) AS cnt, " +
+      "CAST(sum(v_q3) AS BIGINT) AS sum_v_q3 FROM (" +
+      "SELECT event_type, strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day, " +
+      "CAST(floor(value * 1000) AS BIGINT) AS v_q3 FROM events) " +
+      "GROUP BY GROUPING SETS ((event_type), (day), ()) ORDER BY 1, 2"),
     "q_big_orders" -> ("SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +
       "CAST(sum_qty AS BIGINT) AS sum_qty FROM orders " +
       "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
