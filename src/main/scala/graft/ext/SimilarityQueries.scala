@@ -64,6 +64,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Product-quantization ADC top-5: codebooks from the first 16 corpus
+    // vectors (iters=0 — the deterministic stand-in that keeps encode +
+    // LUT scoring bit-reproducible in the oracle, like q_ann_ivf's
+    // sampled quantizer; a production run fits Lloyd offline and swaps
+    // codebooks in without touching the plan). Every distance is the
+    // shared ascending fold, argmin is first-wins, and the ADC sum folds
+    // subspaces in order — doubles bit-identical cross-engine.
+    "q_pq_adc" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val books = Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
+      val codes = Similarity.pqEncode(v, books)
+      Similarity
+        .pqTopKAdc(v.filter(col("id") < 20), codes, books, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding-cosine near-dup pairs (dedup family): LSH bucket + Hamming-1
     // candidates, exact cosine >= 0.45 re-check.
     "q_embed_neardup" -> { (s, dir) =>
@@ -129,6 +146,28 @@ object SimilarityQueries {
       .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // codebooks = per-subspace slices of the 16 lowest-id vectors (cell j
+    // = rank of id); argmin = row_number over (dist, j) = first-wins;
+    // the ADC sum folds the 8 per-subspace LUT terms in subspace order
+    "q_pq_adc" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      "cbsrc AS (SELECT id, vec FROM v ORDER BY id LIMIT 16), " +
+      "cb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS j, " +
+      "list_slice(vec, s*8+1, s*8+8) AS cent FROM cbsrc, generate_series(0, 7) AS g(s)), " +
+      "d AS (SELECT v.id, cb.s, cb.j, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 8), " +
+      "i -> (v.vec[cb.s*8+i] - cb.cent[i]) * (v.vec[cb.s*8+i] - cb.cent[i]))), " +
+      "(acc, x) -> acc + x) AS dist FROM v, cb), " +
+      "codes AS (SELECT id, s, j AS code FROM (SELECT id, s, j, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dist ASC, j ASC) AS rn FROM d) " +
+      "WHERE rn = 1), " +
+      "scores AS (SELECT d.id AS query_id, c.id AS neighbor_id, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list(d.dist ORDER BY d.s)), " +
+      "(acc, x) -> acc + x) AS adist " +
+      "FROM codes c JOIN d ON d.s = c.s AND d.j = c.code " +
+      "WHERE d.id < 20 AND d.id != c.id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, adist, rank FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank " +
+      "FROM scores) WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_cosine_topk" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
       "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id) " +
