@@ -171,6 +171,22 @@ object Curation {
     labels
   }
 
+  /** Per-row WEIGHTED deterministic sample: row kept with probability
+    * `weightCol` (clamped to [0, 1]) — the length/quality-proportional
+    * sampling a byte-budgeted curation pass runs, with the same
+    * no-RNG retry-stability contract as [[sampleStratified]] (keep
+    * decision is a pure function of (id, salt, weight)). Map-only,
+    * shuffle-free.
+    */
+  def sampleWeighted(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      salt: String): DataFrame = {
+    val keepBelow = floor(least(greatest(weightCol, lit(0.0)), lit(1.0)) * Buckets).cast("long")
+    docs.filter(hashBucket(col(idCol), salt) < keepBelow)
+  }
+
   /** Exactly-k-per-stratum deterministic sample: rank documents inside
     * each stratum by salted hash (ties broken by id) and keep the first
     * `k` — a fixed-size uniform sample per group, reproducible with no

@@ -14,6 +14,7 @@ object CurationQueries {
 
   private val SplitSalt = "s42"
   private val SampleSalt = "smp"
+  private val WeightSalt = "wgt"
   private val MixSalt = "mix"
   private val FixedKSalt = "k8"
   private val PackBudget = 2000L
@@ -41,6 +42,17 @@ object CurationQueries {
           rates = Map("src0" -> 0.3, "src1" -> 0.2), defaultRate = 0.05,
           salt = SampleSalt)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // Length-proportional weighted sampling: keep probability
+    // least(n_chars/400, 1) per doc — the byte-budget curation sample,
+    // retry-stable from (id, salt, weight) alone. Map-only.
+    "q_sample_weighted" -> { (s, dir) =>
+      Curation
+        .sampleWeighted(Tables.documents(s, dir), "doc_id",
+          least(col("n_chars") / 400.0, lit(1.0)), salt = WeightSalt)
+        .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     },
 
@@ -167,6 +179,9 @@ object CurationQueries {
       s"WHERE ${bucketSql(SampleSalt)} < " +
       "CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000 ELSE 500 END " +
       "ORDER BY doc_id"),
+    "q_sample_weighted" -> ("SELECT doc_id, n_chars FROM documents " +
+      s"WHERE ${bucketSql(WeightSalt)} < " +
+      "CAST(floor(least(n_chars / 400.0, 1.0) * 10000) AS BIGINT) ORDER BY doc_id"),
     "q_pack_bins" -> ("WITH c AS (SELECT source, n_chars, " +
       "coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior " +

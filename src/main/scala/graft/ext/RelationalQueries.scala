@@ -610,6 +610,30 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Per-group z-score normalization (feature engineering) from integer
+    // sufficient statistics: n, Σx, Σx² over quantized x are exact longs
+    // (one co-partitioned aggregate + join back); each row's
+    // z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²) is a fixed-order scalar over
+    // them — engine-exact, unlike any mean/stddev double pipeline.
+    // (The unnormalized form: z_std = z / sqrt(n) is the usual z-score;
+    // this scaling keeps every intermediate integral.)
+    "q_group_zscore" -> { (s, dir) =>
+      val q = Tables
+        .events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 10).cast("long").as("x"))
+      val stats = q
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      q.join(stats, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          ((col("n") * col("x") - col("sx")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))).as("z"))
+        .orderBy("event_id")
+    },
+
     // GROUPING SETS — the general form cube/rollup specialize: exactly the
     // requested aggregation levels ((event_type), (day), ()), ONE pass via
     // a single Expand, no superfluous cube combinations. Null indicators
@@ -890,6 +914,14 @@ object RelationalQueries {
       "SELECT strftime(CAST(win_day AS DATE), '%Y-%m-%d') AS day, " +
       "count(DISTINCT user_id) AS active FROM contrib, mx " +
       "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1"),
+    "q_group_zscore" -> ("WITH q AS (SELECT event_id, event_type, " +
+      "CAST(floor(value * 10) AS BIGINT) AS x FROM events), " +
+      "stats AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+      "CAST(sum(x*x) AS BIGINT) AS sxx FROM q GROUP BY 1 " +
+      "HAVING count(*) * CAST(sum(x*x) AS BIGINT) - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) > 0) " +
+      "SELECT event_id, q.event_type, CAST(n*x - sx AS DOUBLE) / " +
+      "sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) AS z " +
+      "FROM q JOIN stats ON q.event_type = stats.event_type ORDER BY event_id"),
     "q_grouping_sets" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
       "coalesce(day, '<all>') AS day, count(*) AS cnt, " +
       "CAST(sum(v_q3) AS BIGINT) AS sum_v_q3 FROM (" +
