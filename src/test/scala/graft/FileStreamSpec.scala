@@ -69,4 +69,60 @@ class FileStreamSpec extends SparkSpec {
         s"closed window must hold utf-8 + shift-jis payloads, malformed dropped: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("restart from checkpoint: windows emit exactly once across query restarts") {
+    val dir = Files.createTempDirectory("graft-restart-in").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-restart-out").toString
+    def write(name: String, tsSec: Long): Unit =
+      Files.write(Paths.get(dir, name),
+        s"""{"severity": "ERROR", "ts_sec": $tsSec}""".getBytes("UTF-8"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("severity",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_sec",
+        org.apache.spark.sql.types.LongType)))
+    // the full pipeline as a function: a restart constructs a NEW query
+    // over the same source/checkpoint/sink — the production restart shape
+    def startQuery() = {
+      val raw = spark.readStream
+        .format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .load(dir)
+        .select(col("content").as("raw"))
+      val parsed = Ingest
+        .parseTyped(raw, "raw", schema)
+        .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
+          col("msg.severity").as("severity"))
+      val Seq(out) = StreamingMetrics.attach(parsed,
+        Seq(MetricDefinition("error_count", MetricType.Count,
+          Seq(FilterCondition("severity", "ERROR", "equals")), windowSizeSec = 60)),
+        LogsToMetrics.Typed(parsed.schema))
+      out
+        .select(col("metric"), col("window_start"), col("value"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+
+    write("a.json", 30); write("b.json", 45); write("c.json", 70)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // watermark 70 closed [0, 60)
+
+    write("d.json", 130) // closes [60, 120) after restart
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select(unix_timestamp(col("window_start")).as("w"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    // exactly one emission per closed window — [0,60) from before the
+    // restart must NOT re-emit, [60,120) must emit exactly once after
+    assert(rows.toSeq == Seq(0L -> 2.0, 60L -> 1.0),
+      s"exactly-once per window across restart, got ${rows.toSeq}")
+  }
 }
