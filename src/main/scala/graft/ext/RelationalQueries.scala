@@ -617,6 +617,12 @@ object RelationalQueries {
     // them — engine-exact, unlike any mean/stddev double pipeline.
     // (The unnormalized form: z_std = z / sqrt(n) is the usual z-score;
     // this scaling keeps every intermediate integral.)
+    // Range bound (same convention as q_corr_stats, which shares this
+    // arithmetic): n·Σx² grows ~quadratically with group size — with
+    // x ≤ 2e3 it stays under 2^63 up to ~5e7 rows/group; beyond that,
+    // coarsen the quantization (the caller's lever) or widen to
+    // decimal(38,0). Spark's non-ANSI long multiply would wrap silently;
+    // the DuckDB oracle errors loudly — a mismatch, not silent corruption.
     "q_group_zscore" -> { (s, dir) =>
       val q = Tables
         .events(s, dir)

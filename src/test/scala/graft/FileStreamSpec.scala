@@ -5,7 +5,9 @@ import graft.model._
 import graft.pipeline.LogsToMetrics
 import graft.streaming.StreamingMetrics
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** The reference's unbounded-source path against a REAL directory-watching
   * file source (`binaryFile` stream): each file's raw bytes are one
@@ -13,9 +15,42 @@ import org.apache.spark.sql.functions._
   * driven through the full pipeline: decode cascade (incl. a shift-jis
   * payload) → parse → filter → watermark → windowed count → append sink.
   * MemoryStream e2e (StreamingMetricsSpec) pins semantics; this pins that
-  * the same plan runs on a production-shaped source with file discovery.
+  * the same plan runs on a production-shaped source with file discovery,
+  * and that a restarted query recovers exactly-once from its checkpoint.
   */
 class FileStreamSpec extends SparkSpec {
+
+  private val PayloadSchema = StructType(Seq(
+    StructField("severity", StringType),
+    StructField("message", StringType),
+    StructField("ts_sec", LongType)))
+
+  /** binaryFile dir stream → decode/parse → (ts, severity, message).
+    * Streaming file sources require an explicit schema; the literal one
+    * here is binaryFile's fixed source schema.
+    */
+  private def parsedStream(dir: String): DataFrame = {
+    val raw = spark.readStream
+      .format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dir)
+      .select(col("content").as("raw"))
+    Ingest
+      .parseTyped(raw, "raw", PayloadSchema) // malformed payloads drop here
+      .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
+        col("msg.severity").as("severity"), col("msg.message").as("message"))
+  }
+
+  private val ErrorCount = Seq(MetricDefinition(
+    "error_count",
+    MetricType.Count,
+    Seq(FilterCondition("severity", "ERROR", "equals")),
+    windowSizeSec = 60))
+
+  private def attach(parsed: DataFrame): DataFrame = {
+    val Seq(out) = StreamingMetrics.attach(parsed, ErrorCount, LogsToMetrics.Typed(parsed.schema))
+    out
+  }
 
   test("binaryFile stream: raw payload files → decode/parse → windowed metric") {
     val dir = Files.createTempDirectory("graft-filestream").toString
@@ -29,31 +64,8 @@ class FileStreamSpec extends SparkSpec {
       .getBytes("shift-jis"))
     write("m3.json", Array[Byte](-1, -2, -3))
 
-    val raw = spark.readStream
-      .format("binaryFile")
-      // streaming file sources require an explicit schema; this is
-      // binaryFile's fixed one
-      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-      .load(dir)
-      .select(col("content").as("raw"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("severity",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("message",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ts_sec",
-        org.apache.spark.sql.types.LongType)))
-    val parsed = Ingest
-      .parseTyped(raw, "raw", schema) // malformed m3 drops here
-      .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
-        col("msg.severity").as("severity"), col("msg.message").as("message"))
-    val defs = Seq(MetricDefinition(
-      "error_count",
-      MetricType.Count,
-      Seq(FilterCondition("severity", "ERROR", "equals")),
-      windowSizeSec = 60))
-    val Seq(out) = StreamingMetrics.attach(parsed, defs, LogsToMetrics.Typed(parsed.schema))
-    val q = out.writeStream.format("memory").queryName("filestream").outputMode("append").start()
+    val q = attach(parsedStream(dir))
+      .writeStream.format("memory").queryName("filestream").outputMode("append").start()
     try {
       q.processAllAvailable()
       // both decodable ERROR payloads land in window [0, 60); the window
@@ -78,36 +90,16 @@ class FileStreamSpec extends SparkSpec {
       Files.write(Paths.get(dir, name),
         s"""{"severity": "ERROR", "ts_sec": $tsSec}""".getBytes("UTF-8"))
 
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("severity",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ts_sec",
-        org.apache.spark.sql.types.LongType)))
     // the full pipeline as a function: a restart constructs a NEW query
     // over the same source/checkpoint/sink — the production restart shape
-    def startQuery() = {
-      val raw = spark.readStream
-        .format("binaryFile")
-        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-        .load(dir)
-        .select(col("content").as("raw"))
-      val parsed = Ingest
-        .parseTyped(raw, "raw", schema)
-        .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
-          col("msg.severity").as("severity"))
-      val Seq(out) = StreamingMetrics.attach(parsed,
-        Seq(MetricDefinition("error_count", MetricType.Count,
-          Seq(FilterCondition("severity", "ERROR", "equals")), windowSizeSec = 60)),
-        LogsToMetrics.Typed(parsed.schema))
-      out
-        .select(col("metric"), col("window_start"), col("value"))
-        .writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-    }
+    def startQuery() = attach(parsedStream(dir))
+      .select(col("metric"), col("window_start"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
 
     write("a.json", 30); write("b.json", 45); write("c.json", 70)
     val q1 = startQuery()
