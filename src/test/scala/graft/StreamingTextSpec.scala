@@ -36,4 +36,35 @@ class StreamingTextSpec extends SparkSpec {
       assert(rows == Set((at(0), "spark", 3L), (at(0), "engine", 2L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("graft_topk works in streaming aggregation (SpaceSaving state survives the store)") {
+    // the native TypedImperativeAggregate must serialize into (and merge
+    // out of) streaming state across micro-batches — the same e2e claim
+    // StreamingMetricsSpec pins for percentile_approx
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = mem.toDF.toDF("ts", "term")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "60 seconds"))
+      .agg(call_function("graft_topk", col("term"), lit(2)).as("top"))
+      .select(col("window.start").as("w_start"), explode(col("top")).as("e"))
+      .select(col("w_start"), col("e.item").as("item"), col("e.est").as("cnt"))
+    val q = out.writeStream.format("memory").queryName("stopk").outputMode("append").start()
+    try {
+      // window [0,60) across TWO micro-batches → state serialize + merge
+      mem.addData((at(10), "a"), (at(20), "a"), (at(30), "b"))
+      q.processAllAvailable()
+      mem.addData((at(40), "a"), (at(50), "c"))
+      q.processAllAvailable()
+      mem.addData((at(70), "x")) // closes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("stopk")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      // exact regime (3 distinct ≤ cap): a=3 and one of the 1-count terms
+      assert(rows.exists(r => r._2 == "a" && r._3 == 3L), s"got $rows")
+      assert(rows.size == 2, s"top-2 only: $rows")
+    } finally q.stop()
+  }
 }
