@@ -18,9 +18,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType.typeName) match {
+      case Some("long") => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // DuckDB/pandas-written parquet carries TIMESTAMP_NTZ; under the
+      // engine's fixed UTC session timezone the cast is the identity
+      // instant, and unix_micros/unix_timestamp paths need LTZ
+      case Some("timestamp_ntz") => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

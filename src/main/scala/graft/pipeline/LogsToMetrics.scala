@@ -132,8 +132,16 @@ object LogsToMetrics {
       when(mode.pred(d.filters), struct(fields: _*))
     }
     val anyMatch = defs.map(d => mode.pred(d.filters)).reduce(_ || _)
+    // Accept TIMESTAMP_NTZ event-time columns too (DuckDB/pandas-written
+    // parquet carries NTZ): under the engine's fixed UTC session timezone
+    // the cast is the identity instant, and unix_micros downstream
+    // requires the LTZ type.
+    val tsAsLtz = df.schema.fields.find(_.name == tsCol).map(_.dataType.typeName) match {
+      case Some("timestamp_ntz") => col(tsCol).cast("timestamp")
+      case _                     => col(tsCol)
+    }
     df.filter(anyMatch)
-      .select(col(tsCol).as("_ts"),
+      .select(tsAsLtz.as("_ts"),
         explode(filter(array(perConfig: _*), c => c.isNotNull)).as("m"))
       .select(col("_ts"), col("m.*"))
   }
