@@ -171,6 +171,24 @@ class LogsToMetricsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(out == Set(("w60", 60L), ("w300", 0L)))
   }
+
+  test("TIMESTAMP_NTZ event-time columns window identically (DuckDB/pandas parquet interop)") {
+    val ltz = Seq(Row1(at(10), "E", 1.0), Row1(at(70), "E", 2.0)).toDF
+    val ntz = ltz.withColumn("ts", to_timestamp_ntz(date_format($"ts", "yyyy-MM-dd HH:mm:ss")))
+    assert(ntz.schema("ts").dataType.typeName == "timestamp_ntz")
+    val defs = Seq(MetricDefinition("cnt", MetricType.Count, windowSizeSec = 60))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LogsToMetrics(defs, LogsToMetrics.Typed(df.schema))(df)
+        .select(unix_timestamp($"window_start").as("ws"), $"value")
+        .as[(Long, Double)].collect().toSet
+    assert(run(ntz) == run(ltz), "NTZ must window to the identical instants under UTC")
+    // Tables.load normalizes an NTZ ts column the same way
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    ntz.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.events(spark, dir)
+    assert(loaded.schema("ts").dataType.typeName == "timestamp")
+    assert(run(loaded) == run(ltz))
+  }
 }
 
 object LogsToMetricsSpec {
