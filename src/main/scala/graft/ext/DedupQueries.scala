@@ -179,7 +179,9 @@ object DedupQueries {
     // coalesce(array_to_string(..), ''): DuckDB's array_to_string of an
     // empty list is NULL where Spark's concat_ws is '' (fully-cut docs)
     "q_span_dedup" -> ("WITH toks AS (SELECT doc_id, " + Toks + " AS t FROM documents), " +
-      "g2 AS (SELECT doc_id, u['s'] AS s, u['g'] AS g FROM (" +
+      // gram keys are the engine's 60-bit md5Long — identical hash here
+      "g2 AS (SELECT doc_id, u['s'] AS s, " +
+      "('0x' || substr(md5(u['g']), 1, 15))::BIGINT AS g FROM (" +
       "SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7), " +
       "i -> {'s': i, 'g': array_to_string(list_slice(t, i, i + 7), ' ')})) AS u " +
       "FROM toks WHERE len(t) >= 8)), " +
