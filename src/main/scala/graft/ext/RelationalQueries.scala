@@ -610,6 +610,23 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Scalar-subquery shape: rows above the GLOBAL mean. The 1-row global
+    // aggregate broadcasts into the per-row comparison (never a shuffle of
+    // the fact side); the mean is an exact-integer sum / count — one IEEE
+    // division, and floor-quantized row values compare against it
+    // identically in both engines.
+    "q_above_avg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_q3"))
+      val globalAvg = ev.agg(
+        (sum(col("v_q3")).cast("double") / count(lit(1))).as("avg_q3"))
+      ev.join(broadcast(globalAvg))
+        .filter(col("v_q3") > col("avg_q3"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("event_type")
+    },
+
     // Per-group z-score normalization (feature engineering) from integer
     // sufficient statistics: n, Σx, Σx² over quantized x are exact longs
     // (one co-partitioned aggregate + join back); each row's
@@ -920,6 +937,11 @@ object RelationalQueries {
       "SELECT strftime(CAST(win_day AS DATE), '%Y-%m-%d') AS day, " +
       "count(DISTINCT user_id) AS active FROM contrib, mx " +
       "WHERE CAST(win_day AS DATE) <= mx.m GROUP BY 1 ORDER BY 1"),
+    "q_above_avg" -> ("WITH q AS (SELECT event_type, " +
+      "CAST(floor(value * 1000) AS BIGINT) AS v_q3 FROM events), " +
+      "g AS (SELECT CAST(CAST(sum(v_q3) AS BIGINT) AS DOUBLE) / count(*) AS avg_q3 FROM q) " +
+      "SELECT event_type, count(*) AS n_above FROM q, g " +
+      "WHERE v_q3 > avg_q3 GROUP BY 1 ORDER BY 1"),
     "q_group_zscore" -> ("WITH q AS (SELECT event_id, event_type, " +
       "CAST(floor(value * 10) AS BIGINT) AS x FROM events), " +
       "stats AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +

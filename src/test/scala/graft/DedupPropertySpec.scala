@@ -77,4 +77,58 @@ class DedupPropertySpec extends SparkSpec {
       assert(got == expect, s"corpus=$docs\n got=$got\n exp=$expect")
     }
   }
+
+  test("spanDedup ≡ brute-force duplicate-gram coverage over generated corpora") {
+    val n = 3 // 3-gram spans against the short generated docs
+    samples(corpusGen, 8, 7L).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup
+        .spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", n = n)
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(4))))
+        .toMap
+      // driver-side reference: gram -> doc set; positions covered by any
+      // gram present in >= 2 docs; cleaned text = uncovered tokens
+      val toks = docs.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val gramDocs = docs
+        .flatMap { case (id, _) => toks(id).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ") -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      docs.foreach { case (id, _) =>
+        val ts = toks(id)
+        val covered = ts.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.length == n && gramDocs(g.mkString(" ")).size >= 2 }
+          .flatMap { case (_, i) => i until i + n }
+          .toSet
+        val clean = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }.mkString(" ")
+        assert(got(id) == ((ts.length, covered.size, clean)),
+          s"doc $id corpus=$docs\n got=${got(id)}\n exp=${(ts.length, covered.size, clean)}")
+      }
+    }
+  }
+
+  test("lineDedup invariants over generated multi-line docs") {
+    val lineGen = Gen.oneOf("shared footer", "alpha beta", "gamma", "", "  ")
+    val mlDocGen = Gen.choose(1, 5).flatMap(Gen.listOfN(_, lineGen)).map(_.mkString("\n"))
+    val mlCorpus = Gen.choose(2, 8).flatMap(Gen.listOfN(_, mlDocGen))
+    samples(mlCorpus, 8, 11L).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup
+        .lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val hot = docs
+        .flatMap { case (id, t) => t.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+          .distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).collect { case (k, c) if c >= 2 => k }.toSet
+      docs.foreach { case (id, t) =>
+        val lines = t.split("\n", -1).toSeq
+        val kept = lines.filter(l => l.trim.isEmpty || !hot(l.trim))
+        assert(got(id) == ((lines.length, (lines.length - kept.length).toLong,
+          kept.mkString("\n"))),
+          s"doc $id corpus=$docs\n got=${got(id)}")
+      }
+    }
+  }
 }
