@@ -59,9 +59,16 @@ object StreamingMetrics {
       watermarkDelay: String): DataFrame = {
     val pp = LogsToMetrics.pctlPlan(defs)
     val aggs = LogsToMetrics.aggValues(pp)
+    // Normalize TIMESTAMP_NTZ BEFORE the watermark: Spark rejects NTZ
+    // watermark columns outright ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]),
+    // so fanOutExplode's own NTZ branch can never fire on this path.
+    val tsNorm = stream.schema.fields.find(_.name == tsCol).map(_.dataType.typeName) match {
+      case Some("timestamp_ntz") => stream.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _                     => stream
+    }
     LogsToMetrics
       .fanOutExplode(
-        stream.withWatermark(tsCol, watermarkDelay),
+        tsNorm.withWatermark(tsCol, watermarkDelay),
         defs,
         mode,
         tsCol,

@@ -58,6 +58,29 @@ class StreamingMetricsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TIMESTAMP_NTZ event-time streams window identically (normalized before the watermark)") {
+    // Spark rejects NTZ watermark columns ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]);
+    // attach must normalize BEFORE withWatermark or this start() throws
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val ntz = mem.toDF.toDF("ts", "v")
+      .withColumn("ts", to_timestamp_ntz(date_format($"ts", "yyyy-MM-dd HH:mm:ss")))
+    assert(ntz.schema("ts").dataType.typeName == "timestamp_ntz")
+    val defs = Seq(MetricDefinition("cnt", MetricType.Count, windowSizeSec = 60))
+    val Seq(out) = StreamingMetrics.attach(ntz, defs, LogsToMetrics.Typed(ntz.schema))
+    val q = out.writeStream.format("memory").queryName("sntz").outputMode("append").start()
+    try {
+      mem.addData((at(10), 1.0), (at(20), 2.0))
+      q.processAllAvailable()
+      mem.addData((at(70), 3.0)) // closes [0, 60)
+      q.processAllAvailable()
+      val rows = spark.table("sntz")
+        .select(unix_timestamp($"window_start").as("ws"), $"value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((0L, 2.0)), s"NTZ stream must window at the same instants: $rows")
+    } finally q.stop()
+  }
+
   test("append-mode streaming windows match the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Array[Byte])]

@@ -50,11 +50,15 @@ COPY (SELECT doc_id + i*{OFF} AS doc_id,
              lang, source, n_chars
       FROM read_parquet('{src}/documents.parquet'), {g})
 TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    # stride = 64*factor so (vec_id, i) pairs never alias: with a fixed
+    # stride of 640, factor >= 12 made copy (v, i) bitwise-equal to
+    # (v-1, i+10) — exactly the cross-copy duplicates this scheme avoids
+    stride = 64 * factor
     con.execute(f"""
 COPY (SELECT vec_id + i*{OFF} AS vec_id,
              CASE WHEN i = 0 THEN embedding
                   ELSE list_transform(generate_series(1, 64),
-                       d -> CAST((hash(vec_id*640 + i*64 + d) % 1000) / 1000.0 - 0.5 AS FLOAT))
+                       d -> CAST((hash(vec_id*{stride} + i*64 + d) % 1000) / 1000.0 - 0.5 AS FLOAT))
              END AS embedding,
              label
       FROM read_parquet('{src}/embeddings.parquet'), {g})
