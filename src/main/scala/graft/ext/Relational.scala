@@ -341,9 +341,19 @@ object Relational {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    // per-user first-event-time frames, one per completed step
+    require(maxGapSec.forall(_ > 0), "maxGapSec must be positive when set")
+    // per-user first-event-time frames, one per completed step.
+    // Without a gap, greedy-earliest is existence-optimal (any event
+    // after a later anchor is also after the earliest one). WITH a gap
+    // these are FIRST-TOUCH semantics: the chain anchors at the user's
+    // first step-1 event and each step must convert within maxGapSec of
+    // the previous step's first qualifying event — a user whose first
+    // anchor expires does NOT re-anchor (the standard first-touch
+    // conversion window; re-anchoring "any chain exists" semantics needs
+    // a per-user sequence DP, a different operator).
     val stepFrames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (stepType, _)) =>
         val matching = events
@@ -352,9 +362,15 @@ object Relational {
         val reached = prev match {
           case None => matching
           case Some(p) =>
+            val inWindow = maxGapSec match {
+              case Some(gap) =>
+                col("__ev_t") > col("__prev_t") &&
+                  unix_timestamp(col("__ev_t")) <= unix_timestamp(col("__prev_t")) + gap
+              case None => col("__ev_t") > col("__prev_t")
+            }
             matching
               .join(p.select(col(userCol), col("__t").as("__prev_t")), Seq(userCol))
-              .filter(col("__ev_t") > col("__prev_t"))
+              .filter(inWindow)
               .select(col(userCol), col("__ev_t"))
         }
         Some(reached.groupBy(col(userCol)).agg(min(col("__ev_t")).as("__t")))
