@@ -382,6 +382,66 @@ object Relational {
     counts.reduce(_.unionByName(_)).orderBy("step_idx")
   }
 
+  /** Re-anchoring (EXISTENCE) funnel: does ANY ordered chain
+    * step1 < step2 < … exist with each step within `maxGapSec` of the
+    * previous — the complement of [[funnel]]'s first-touch semantics (a
+    * user whose first anchor expires here re-anchors on a later step-1
+    * event).
+    *
+    * Algorithm: one pass over each user's time-ordered sequence keeping,
+    * per prefix length j, the LATEST achievable completion time. Latest
+    * is optimal for extension: a later step-j completion admits every
+    * future step-(j+1) candidate a smaller one admits and more (events
+    * are processed in time order, so the stored value is always below
+    * the candidate's time; the gap window `t ≤ s[j] + gap` is widest for
+    * the largest s[j]). State per user is m+1 longs.
+    *
+    * Shape: one user-keyed aggregation (collect_list bounded by per-user
+    * activity — the q_user_sequences contract), the DP as a fold
+    * expression, one tiny final aggregate. Returns (step_idx, step,
+    * users) with users = count reaching step ≥ j.
+    */
+  def funnelReanchor(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxGapSec > 0, "maxGapSec must be positive")
+    val m = steps.length
+    val gapMs = maxGapSec * 1000L
+    val stepsLit = typedLit(steps)
+    val seqs = events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        unix_millis(col(tsCol)).as("t"), col(typeCol).as("y")))).as("seq"))
+    // state: s(0)=0 (empty prefix), s(j)=-1 sentinel = stage j unreached
+    val init = array((lit(0L) +: Seq.fill(m)(lit(-1L))): _*)
+    val folded = aggregate(col("seq"), init, (st, e) =>
+      transform(st, (v, j) => {
+        // 0-based j over the state; element_at(st, j) (1-based) = s[j-1]
+        val prev = element_at(st, j)
+        val eq = e.getField("y") === element_at(stepsLit, j)
+        val t = e.getField("t")
+        when(j === 0, lit(0L))
+          .when(eq && j === 1, greatest(v, t)) // first step anchors freely
+          .when(eq && prev >= 0 && t > prev && t <= prev + gapMs, greatest(v, t))
+          .otherwise(v)
+      }))
+    val reached = seqs.select(folded.as("s"))
+    val counts = (1 to m).map(j =>
+      sum(when(element_at(col("s"), j + 1) >= 0, 1L).otherwise(0L)).as(s"c$j"))
+    val wide = reached.agg(counts.head, counts.tail: _*)
+    val rows = array((1 to m).map(j =>
+      struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),
+        col(s"c$j").as("users"))): _*)
+    wide.select(explode(rows).as("r")).select(col("r.*")).orderBy("step_idx")
+  }
+
   /** Rolling N-day distinct-count (the "7-day active users" KPI). SQL
     * window frames cannot express COUNT(DISTINCT) over a RANGE frame;
     * the exact distributed form: project each (entity, day) to the N

@@ -526,6 +526,16 @@ object RelationalQueries {
           Seq("view", "click", "purchase"), maxGapSec = Some(7200L))
     },
 
+    // Re-anchoring EXISTENCE funnel at the same 2 h gap: any view→click→
+    // purchase chain counts (vs q_funnel_window's first-touch anchoring —
+    // the two semantics differ hard on this fixture). Latest-completion
+    // DP over per-user sequences; oracle = literal EXISTS join chains.
+    "q_funnel_exists" -> { (s, dir) =>
+      Relational
+        .funnelReanchor(Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGapSec = 7200L)
+    },
+
     // Cohort retention matrix: first-active day × day offset × distinct
     // users (offsets 0..7) — two user-keyed shuffles regardless of range.
     "q_cohort_retention" -> { (s, dir) =>
@@ -917,6 +927,21 @@ object RelationalQueries {
       "SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM v " +
       "UNION ALL SELECT 2, 'click', count(*) FROM c " +
       "UNION ALL SELECT 3, 'purchase', count(*) FROM p ORDER BY step_idx"),
+    // existence semantics = literal EXISTS chains (any qualifying pair/
+    // triple), time compared at the engine's millisecond truncation
+    "q_funnel_exists" -> ("WITH e AS (SELECT user_id, event_type AS y, " +
+      "epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events " +
+      "WHERE event_type IN ('view', 'click', 'purchase')), " +
+      "s1 AS (SELECT DISTINCT user_id FROM e WHERE y = 'view'), " +
+      "s2 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c ON v.user_id = c.user_id " +
+      "AND v.y = 'view' AND c.y = 'click' AND c.t > v.t AND c.t <= v.t + 7200000), " +
+      "s3 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c ON v.user_id = c.user_id " +
+      "AND v.y = 'view' AND c.y = 'click' AND c.t > v.t AND c.t <= v.t + 7200000 " +
+      "JOIN e p ON p.user_id = v.user_id AND p.y = 'purchase' " +
+      "AND p.t > c.t AND p.t <= c.t + 7200000) " +
+      "SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1 " +
+      "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
+      "UNION ALL SELECT 3, 'purchase', count(*) FROM s3 ORDER BY step_idx"),
     "q_cohort_retention" -> ("WITH days AS (SELECT DISTINCT user_id, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
       "cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1) " +
