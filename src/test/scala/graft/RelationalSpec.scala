@@ -180,6 +180,38 @@ class RelationalSpec extends SparkSpec {
     assert(top == Set(("a", 1), ("b", 2)))
   }
 
+  test("funnel semantics triad: unwindowed vs first-touch vs re-anchoring existence") {
+    val spark0 = spark
+    import spark0.implicits._
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1: first view's window expires (click 3 h later), but a SECOND
+    // view at 4 h converts at 5 h — the exact case separating the three
+    val ev = Seq(
+      (1L, "view", at(0)), (1L, "click", at(3 * 3600)),
+      (1L, "view", at(4 * 3600)), (1L, "click", at(5 * 3600)),
+      (2L, "view", at(10)), (2L, "click", at(20)) // converts under all three
+    ).toDF("user_id", "event_type", "ts")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      df.collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val steps = Seq("view", "click")
+    val plain = counts(Relational.funnel(ev, "user_id", "ts", "event_type", steps))
+    val firstTouch = counts(Relational.funnel(ev, "user_id", "ts", "event_type", steps,
+      maxGapSec = Some(3600L)))
+    val exists = counts(Relational.funnelReanchor(ev, "user_id", "ts", "event_type", steps,
+      maxGapSec = 3600L))
+    assert(plain(2) == 2, "no window: both users convert")
+    assert(firstTouch(2) == 1, "first-touch: u1's first anchor expired, no re-anchor")
+    assert(exists(2) == 2, "existence: u1's second view-click chain qualifies")
+    // boundary: conversion exactly AT the gap is inclusive; 1 ms past is not
+    val edge = Seq((1L, "view", at(0)), (1L, "click", at(3600))).toDF("user_id", "event_type", "ts")
+    assert(counts(Relational.funnelReanchor(edge, "user_id", "ts", "event_type", steps, 3600L))(2) == 1)
+    val past = Seq(
+      (1L, "view", new java.sql.Timestamp(0L)),
+      (1L, "click", new java.sql.Timestamp(3600L * 1000L + 1L))
+    ).toDF("user_id", "event_type", "ts")
+    assert(counts(Relational.funnelReanchor(past, "user_id", "ts", "event_type", steps, 3600L))(2) == 0)
+  }
+
   test("rollingDistinctHll tracks the exact rolling distinct within sketch error") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val exact = Relational.rollingDistinct(ev, "user_id", "ts", windowDays = 7)
