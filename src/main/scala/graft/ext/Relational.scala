@@ -362,10 +362,12 @@ object Relational {
         val reached = prev match {
           case None => matching
           case Some(p) =>
+            // millisecond gap comparison — same boundary semantics as
+            // [[funnelReanchor]] for the identically-named parameter
             val inWindow = maxGapSec match {
               case Some(gap) =>
                 col("__ev_t") > col("__prev_t") &&
-                  unix_timestamp(col("__ev_t")) <= unix_timestamp(col("__prev_t")) + gap
+                  unix_millis(col("__ev_t")) <= unix_millis(col("__prev_t")) + gap * 1000L
               case None => col("__ev_t") > col("__prev_t")
             }
             matching
@@ -414,27 +416,37 @@ object Relational {
     val m = steps.length
     val gapMs = maxGapSec * 1000L
     val stepsLit = typedLit(steps)
+    val Unreached = Long.MinValue // not -1: pre-1970 ms are legitimate
+    // ONE fold step per distinct millisecond, carrying the SET of step
+    // types present at that ms: every stage updates against the
+    // pre-millisecond state, so an equal-timestamp step-(j-1) event can
+    // neither chain into nor SHADOW a same-ms step-j candidate (with
+    // per-event folding, a tie-sorted-earlier completion at time t made
+    // the strict `t > prev` reject chains valid through older
+    // completions — diverging from existence semantics).
     val seqs = events
       .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol), unix_millis(col(tsCol)).as("t"))
+      .agg(collect_set(col(typeCol)).as("ys"))
       .groupBy(col(userCol))
-      .agg(array_sort(collect_list(struct(
-        unix_millis(col(tsCol)).as("t"), col(typeCol).as("y")))).as("seq"))
-    // state: s(0)=0 (empty prefix), s(j)=-1 sentinel = stage j unreached
-    val init = array((lit(0L) +: Seq.fill(m)(lit(-1L))): _*)
+      .agg(array_sort(collect_list(struct(col("t"), col("ys")))).as("seq"))
+    // state: s(0)=0 (empty prefix), s(j)=Unreached sentinel
+    val init = array((lit(0L) +: Seq.fill(m)(lit(Unreached))): _*)
     val folded = aggregate(col("seq"), init, (st, e) =>
       transform(st, (v, j) => {
         // 0-based j over the state; element_at(st, j) (1-based) = s[j-1]
         val prev = element_at(st, j)
-        val eq = e.getField("y") === element_at(stepsLit, j)
+        val eq = array_contains(e.getField("ys"), element_at(stepsLit, j))
         val t = e.getField("t")
         when(j === 0, lit(0L))
           .when(eq && j === 1, greatest(v, t)) // first step anchors freely
-          .when(eq && prev >= 0 && t > prev && t <= prev + gapMs, greatest(v, t))
+          .when(eq && prev =!= Unreached && t > prev && t <= prev + gapMs, greatest(v, t))
           .otherwise(v)
       }))
     val reached = seqs.select(folded.as("s"))
     val counts = (1 to m).map(j =>
-      sum(when(element_at(col("s"), j + 1) >= 0, 1L).otherwise(0L)).as(s"c$j"))
+      coalesce(sum(when(element_at(col("s"), j + 1) =!= Unreached, 1L).otherwise(0L)), lit(0L))
+        .as(s"c$j"))
     val wide = reached.agg(counts.head, counts.tail: _*)
     val rows = array((1 to m).map(j =>
       struct(lit(j).as("step_idx"), lit(steps(j - 1)).as("step"),

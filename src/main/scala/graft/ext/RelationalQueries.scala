@@ -913,17 +913,18 @@ object RelationalQueries {
       "UNION ALL SELECT 3, 'purchase', count(*) FROM p ORDER BY step_idx"),
     // first-touch: anchor at the user's FIRST view; each later step is the
     // first qualifying event strictly after the previous step AND within
-    // the 7200 s gap of it
+    // the 7200 s gap of it (millisecond comparison, same boundary
+    // semantics as the engine's unix_millis)
     "q_funnel_window" -> ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 " +
       "FROM events WHERE event_type = 'view' GROUP BY 1), " +
       "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e " +
       "JOIN v ON e.user_id = v.user_id " +
       "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1 " +
-      "AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT) <= CAST(floor(epoch(v.t1)) AS BIGINT) + 7200 GROUP BY 1), " +
+      "AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= epoch_ms(v.t1) + 7200000 GROUP BY 1), " +
       "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
       "JOIN c ON e.user_id = c.user_id " +
       "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2 " +
-      "AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT) <= CAST(floor(epoch(c.t2)) AS BIGINT) + 7200 GROUP BY 1) " +
+      "AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= epoch_ms(c.t2) + 7200000 GROUP BY 1) " +
       "SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM v " +
       "UNION ALL SELECT 2, 'click', count(*) FROM c " +
       "UNION ALL SELECT 3, 'purchase', count(*) FROM p ORDER BY step_idx"),

@@ -210,6 +210,23 @@ class RelationalSpec extends SparkSpec {
       (1L, "click", new java.sql.Timestamp(3600L * 1000L + 1L))
     ).toDF("user_id", "event_type", "ts")
     assert(counts(Relational.funnelReanchor(past, "user_id", "ts", "event_type", steps, 3600L))(2) == 0)
+    // same-ms tie must not SHADOW: click@5s bumps the click stage at the
+    // same ms as purchase@5s arrives — the purchase still chains through
+    // the EARLIER click@10ms (per-millisecond folding, review finding)
+    val tie = Seq(
+      (1L, "view", new java.sql.Timestamp(0L)),
+      (1L, "click", new java.sql.Timestamp(10L)),
+      (1L, "click", new java.sql.Timestamp(5000L)),
+      (1L, "purchase", new java.sql.Timestamp(5000L))
+    ).toDF("user_id", "event_type", "ts")
+    val triSteps = Seq("view", "click", "purchase")
+    assert(counts(Relational.funnelReanchor(tie, "user_id", "ts", "event_type",
+      triSteps, 7200L))(3) == 1,
+      "purchase@5000ms must chain via click@10ms despite the same-ms click")
+    // empty input: zero counts, never NULL
+    val none = Seq.empty[(Long, String, java.sql.Timestamp)].toDF("user_id", "event_type", "ts")
+    assert(counts(Relational.funnelReanchor(none, "user_id", "ts", "event_type", steps, 60L))
+      == Map(1 -> 0L, 2 -> 0L))
   }
 
   test("rollingDistinctHll tracks the exact rolling distinct within sketch error") {
