@@ -152,20 +152,21 @@ object Curation {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels: own + each neighbor's current label
+      // candidate labels: own + each neighbor's current label; the own-label
+      // rows also carry the previous label, so convergence reads off the
+      // aggregated frame directly — no per-round labels⋈next re-join
+      // (every doc has exactly one non-null prev: labels covers all docs)
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc", "src"), Seq("src"))
-        .select(col("dst").as("doc"), col("cluster"))
+        .select(col("dst").as("doc"), col("cluster"), lit(null).cast("long").as("prev"))
       val next = labels
+        .select(col("doc"), col("cluster"), col("cluster").as("prev"))
         .unionByName(viaEdge)
         .groupBy("doc")
-        .agg(min(col("cluster")).as("cluster"))
+        .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc"))
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select(col("doc"), col("cluster"))
       iter += 1
     }
     labels

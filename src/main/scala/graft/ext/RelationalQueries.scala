@@ -536,6 +536,25 @@ object RelationalQueries {
           Seq("view", "click", "purchase"), maxGapSec = 7200L)
     },
 
+    // Week-over-week growth: weekly counts per event_type + lag + pct
+    // change — the period-comparison every metrics dashboard ships.
+    // Counts are exact longs; the pct is ONE IEEE division of integers
+    // (engine-exact); the first week's change is null on both sides.
+    "q_week_over_week" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly
+        .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+        .withColumn("pct_change",
+          (col("cnt") - col("prev_cnt")).cast("double") * 100.0 / col("prev_cnt"))
+        .orderBy("event_type", "week")
+    },
+
     // Cohort retention matrix: first-active day × day offset × distinct
     // users (offsets 0..7) — two user-keyed shuffles regardless of range.
     "q_cohort_retention" -> { (s, dir) =>
@@ -943,6 +962,15 @@ object RelationalQueries {
       "SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1 " +
       "UNION ALL SELECT 2, 'click', count(*) FROM s2 " +
       "UNION ALL SELECT 3, 'purchase', count(*) FROM s3 ORDER BY step_idx"),
+    // date_trunc('week', ..) is ISO-Monday-start in both engines
+    "q_week_over_week" -> ("WITH weekly AS (SELECT event_type, " +
+      "strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS week, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, week, cnt, " +
+      "lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt, " +
+      "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE) " +
+      "* 100.0 / lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week) AS pct_change " +
+      "FROM weekly ORDER BY event_type, week"),
     "q_cohort_retention" -> ("WITH days AS (SELECT DISTINCT user_id, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
       "cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1) " +
