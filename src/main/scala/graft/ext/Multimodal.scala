@@ -1,5 +1,9 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -7,25 +11,40 @@ import org.apache.spark.sql.functions._
   * image/audio/video travel as opaque `binary` columns with typed metadata;
   * decode / feature-extraction is partition-wise batched compute.
   *
-  * The actual media codecs are NOT in this container, so the decode kernels
-  * here are clearly-marked DETERMINISTIC STUBS — but every piece of Spark
-  * plumbing a real implementation needs is real and tested:
+  * The image kernels are REAL, JDK-only: `javax.imageio.ImageIO` decodes
+  * PNG/BMP/JPEG/GIF payloads, resize is a hand-rolled corner-aligned
+  * bilinear resample (deterministic double arithmetic, per channel),
+  * re-encode is ImageIO's PNG writer. Payloads that are NOT a decodable
+  * image (audio/video — no JDK codec exists) fall back to the documented
+  * deterministic stand-ins [[decodeFeaturesStub]] / [[resizeStub]], so the
+  * same operator runs mixed-modality tables without a schema split.
+  *
+  * The Spark plumbing is the part that carries to 1000-executor scale:
   *  - the envelope schema (`media binary`, `meta struct<…>`),
   *  - column-level header parsing / frame slicing (binary substr — stays in
   *    codegen, no UDF),
   *  - the partition-wise batched-inference shape via `mapPartitions`:
-  *    expensive init (a model) once per PARTITION, records processed in
-  *    fixed-size batches — the JVM analog of pandas-batch UDFs, and the
-  *    layout that keeps GPU/model amortization at 1000-executor scale,
+  *    expensive init (a model / codec context) once per PARTITION, records
+  *    processed in fixed-size batches — the JVM analog of pandas-batch
+  *    UDFs, and the layout that keeps GPU/model amortization at scale,
   *  - explicit `repartition` control so batch compute parallelism is
   *    decoupled from upstream file splits.
   */
 object Multimodal {
 
+  // ImageIO's default stream cache writes temp FILES per decode — a
+  // disk-IO tax per row in an executor hot loop. Heap streams only.
+  ImageIO.setUseCache(false)
+
   /** Typed media envelope. */
   final case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
   final case class MediaRecord(id: Long, media: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(id: Long, format: String, features: Array[Float])
+
+  /** Decoded-image statistics: dims read from the REAL decoded raster (not
+    * the metadata — pixels are the truth), plus the band-0 sample sum.
+    */
+  final case class MediaStats(id: Long, width: Int, height: Int, pixelSum: Long)
 
   /** Deterministic synthetic media table derived from `documents` (the
     * container ships no real media; bytes = encoded text, metadata derived
@@ -41,6 +60,26 @@ object Multimodal {
         (lit(64) + col("doc_id") % 192).cast("int").as("width"),
         (lit(64) + col("doc_id") % 128).cast("int").as("height"),
         (col("n_chars") * 10).as("durationMs")).as("meta"))
+
+  /** Deterministic REAL-image media table: one 8-bit grayscale PNG per
+    * document, dims and pixel values closed-form in `doc_id`
+    * (`pixel(x,y) = (doc_id*31 + y*16 + x*7) mod 256`) so a SQL oracle can
+    * recompute decoded-pixel statistics without any image code. Every
+    * payload goes through the real ImageIO PNG encoder — downstream real
+    * decode is exercised end-to-end.
+    */
+  def syntheticPngMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val png = grayPng(w, h, (x, y) => (((id * 31 + y * 16L + x * 7L) % 256L)).toInt)
+        MediaRecord(id, png, MediaMeta("png", w, h, 0L))
+      }
+    }
+  }
 
   /** Column-level frame sampling: split the payload into `n` equal slices
     * (remainder dropped) and explode to (id, frame_idx, frame). Pure binary
@@ -59,12 +98,192 @@ object Multimodal {
       .filter(length(col("frame")) > 0)
   }
 
-  /** STUB decode kernel — deterministic stand-in for a real image/audio
-    * decoder (`???` boundary: replace the body, keep the signature). Maps
-    * payload bytes to a dim-length float feature vector.
+  // ---- real JDK image kernels ---------------------------------------------
+
+  /** Real image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers ship
+    * in every JRE). Returns None for payloads no installed reader accepts —
+    * the fallback-to-stub signal for non-image modalities.
+    */
+  def decodeImage(media: Array[Byte]): Option[BufferedImage] =
+    if (media == null || media.length < 8) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(media)))
+      catch { case _: java.io.IOException => None }
+
+  /** Real PNG encode (lossless — the only sane re-encode target for a
+    * deterministic pipeline; JPEG would re-quantize every hop).
+    */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Build an 8-bit grayscale PNG from a pixel function. Writes raster
+    * SAMPLES directly (setRGB on TYPE_BYTE_GRAY would round-trip through
+    * sRGB color management and gamma-shift the values; raster access is the
+    * exact path).
+    */
+  def grayPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { r.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Build an RGB PNG from a packed-0xRRGGBB pixel function (exact sRGB
+    * round-trip: PNG truecolor carries the samples verbatim).
+    */
+  def rgbPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Corner-aligned bilinear resample of one channel (row-major Int
+    * samples). Deterministic: IEEE double arithmetic + half-up rounding,
+    * no AWT rendering pipeline involved (AffineTransformOp's rounding is
+    * implementation-defined; this is not).
+    */
+  private[ext] def bilinear(
+      src: Array[Int],
+      srcW: Int,
+      srcH: Int,
+      dstW: Int,
+      dstH: Int): Array[Int] = {
+    val out = new Array[Int](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val fy = if (dstH == 1) 0.0 else y.toDouble * (srcH - 1) / (dstH - 1)
+      val y0 = math.min(fy.toInt, srcH - 1)
+      val y1 = math.min(y0 + 1, srcH - 1)
+      val wy = fy - y0
+      var x = 0
+      while (x < dstW) {
+        val fx = if (dstW == 1) 0.0 else x.toDouble * (srcW - 1) / (dstW - 1)
+        val x0 = math.min(fx.toInt, srcW - 1)
+        val x1 = math.min(x0 + 1, srcW - 1)
+        val wx = fx - x0
+        val v = src(y0 * srcW + x0) * (1 - wy) * (1 - wx) +
+          src(y0 * srcW + x1) * (1 - wy) * wx +
+          src(y1 * srcW + x0) * wy * (1 - wx) +
+          src(y1 * srcW + x1) * wy * wx
+        out(y * dstW + x) = math.round(v).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real image resize: decode → per-channel bilinear → PNG re-encode.
+    * Single-band rasters (grayscale) resample band 0 directly and re-encode
+    * gray (avoiding any colorspace conversion); everything else goes
+    * through packed sRGB per-channel. Returns None when the payload is not
+    * a decodable image.
+    */
+  def resizeImage(media: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] =
+    decodeImage(media).map { img =>
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      if (img.getRaster.getNumBands == 1) {
+        val src = new Array[Int](sw * sh)
+        img.getRaster.getSamples(0, 0, sw, sh, 0, src)
+        val dst = bilinear(src, sw, sh, dstW, dstH)
+        val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_BYTE_GRAY)
+        out.getRaster.setSamples(0, 0, dstW, dstH, 0, dst)
+        encodePng(out)
+      } else {
+        val n = sw * sh
+        val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+        var i = 0
+        var y = 0
+        while (y < sh) {
+          var x = 0
+          while (x < sw) {
+            val p = img.getRGB(x, y)
+            r(i) = (p >> 16) & 0xff; g(i) = (p >> 8) & 0xff; b(i) = p & 0xff
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val (rr, gg, bb) =
+          (bilinear(r, sw, sh, dstW, dstH), bilinear(g, sw, sh, dstW, dstH),
+            bilinear(b, sw, sh, dstW, dstH))
+        val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+        var j = 0
+        var yy = 0
+        while (yy < dstH) {
+          var xx = 0
+          while (xx < dstW) {
+            out.setRGB(xx, yy, (rr(j) << 16) | (gg(j) << 8) | bb(j))
+            j += 1; xx += 1
+          }
+          yy += 1
+        }
+        encodePng(out)
+      }
+    }
+
+  /** Real feature extraction: decode → row-major luminance scan → mean-pool
+    * into `dim` equal buckets, scaled to [0,1]. Luminance is the integer
+    * ITU-R 601 weighting ((299r+587g+114b)/1000) for multi-band images,
+    * the raw band-0 sample for grayscale. Returns None for non-images.
+    */
+  def imageFeatures(media: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeImage(media).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w * h
+      val lum = new Array[Int](n)
+      if (img.getRaster.getNumBands == 1) {
+        img.getRaster.getSamples(0, 0, w, h, 0, lum)
+      } else {
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            lum(i) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+            i += 1; x += 1
+          }
+          y += 1
+        }
+      }
+      val sums = new Array[Long](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * dim / n).toInt
+        sums(b) += lum(i); counts(b) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (counts(j) == 0) 0.0f else (sums(j).toDouble / counts(j) / 255.0).toFloat
+        j += 1
+      }
+      out
+    }
+
+  // ---- deterministic fallbacks for non-image modalities -------------------
+
+  /** FALLBACK decode kernel for payloads ImageIO can't read (audio/video —
+    * no JDK codec exists): deterministic byte-hash features. Replace the
+    * body with a real codec call when one is available; the signature and
+    * the [[extractFeatures]] plumbing don't change.
     */
   def decodeFeaturesStub(media: Array[Byte], dim: Int): Array[Float] = {
-    // real impl: decode → resize → model forward pass
     val out = new Array[Float](dim)
     var acc = 1125899906842597L
     var i = 0
@@ -78,10 +297,9 @@ object Multimodal {
     out
   }
 
-  /** STUB resize kernel — deterministic nearest-neighbor stand-in for a
-    * real image resize (`???` boundary: replace the body, keep the
-    * signature). Treats the payload as a row-major srcW×srcH byte grid
-    * (clipped to the available bytes) and samples it at dstW×dstH.
+  /** FALLBACK resize kernel for non-image payloads: deterministic
+    * nearest-neighbor over the payload treated as a row-major srcW×srcH
+    * byte grid (clipped to the available bytes), sampled at dstW×dstH.
     */
   def resizeStub(
       media: Array[Byte],
@@ -89,7 +307,6 @@ object Multimodal {
       srcH: Int,
       dstW: Int,
       dstH: Int): Array[Byte] = {
-    // real impl: decode → interpolating resample → re-encode
     val out = new Array[Byte](dstW * dstH)
     if (media.length == 0) return out
     var y = 0
@@ -106,12 +323,14 @@ object Multimodal {
     out
   }
 
-  /** Partition-wise batched resize: same plumbing shape as
-    * [[extractFeatures]] (per-partition init, fixed-size batches), emitting
-    * a new envelope whose payload AND metadata reflect the target
-    * dimensions — the metadata propagation is the part a real pipeline gets
-    * wrong most often (a resized image whose meta still claims the source
-    * dims poisons every downstream consumer).
+  // ---- partition-wise batched operators -----------------------------------
+
+  /** Partition-wise batched resize: real bilinear for decodable images
+    * (dims read from the decoded raster — pixels beat metadata), stub grid
+    * sampling otherwise; in BOTH paths the emitted envelope's payload AND
+    * metadata reflect the target dimensions — the metadata propagation is
+    * the part a real pipeline gets wrong most often (a resized image whose
+    * meta still claims the source dims poisons every downstream consumer).
     */
   def resize(media: Dataset[MediaRecord], dstW: Int, dstH: Int, batchSize: Int = 64)
       : Dataset[MediaRecord] = {
@@ -120,18 +339,19 @@ object Multimodal {
       val codecHandle = new Object // per-partition init (≡ decoder context)
       rows.grouped(batchSize).flatMap { batch =>
         require(codecHandle != null)
-        batch.iterator.map(r =>
-          r.copy(
-            media = resizeStub(r.media, r.meta.width, r.meta.height, dstW, dstH),
-            meta = r.meta.copy(width = dstW, height = dstH)))
+        batch.iterator.map { r =>
+          val resized = resizeImage(r.media, dstW, dstH)
+            .getOrElse(resizeStub(r.media, r.meta.width, r.meta.height, dstW, dstH))
+          r.copy(media = resized, meta = r.meta.copy(width = dstW, height = dstH))
+        }
       }
     }
   }
 
-  /** Partition-wise batched feature extraction — the real plumbing around
-    * the stub kernel: "model" loaded once per partition, records buffered
-    * into `batchSize` groups, features emitted per record. A real
-    * implementation swaps [[decodeFeaturesStub]] for a codec+model call;
+  /** Partition-wise batched feature extraction: real decode + luminance
+    * pooling for images, byte-hash fallback for other modalities. "Model"
+    * loaded once per partition, records buffered into `batchSize` groups,
+    * features emitted per record — a real model swaps into the batch loop;
     * nothing else changes.
     */
   def extractFeatures(media: Dataset[MediaRecord], dim: Int, batchSize: Int = 64)
@@ -146,7 +366,34 @@ object Multimodal {
         // call over the whole batch
         require(modelHandle != null)
         batch.iterator.map(r =>
-          MediaFeatures(r.id, r.meta.format, decodeFeaturesStub(r.media, dim)))
+          MediaFeatures(r.id, r.meta.format,
+            imageFeatures(r.media, dim).getOrElse(decodeFeaturesStub(r.media, dim))))
+      }
+    }
+  }
+
+  /** Partition-wise batched decode statistics over REAL images: decoded
+    * width/height + band-0 sample sum. Rows whose payload is not a
+    * decodable image are DROPPED (stats over fake bytes are noise, not
+    * data) — callers running mixed tables filter by `meta.format` first.
+    */
+  def decodeStats(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaStats] = {
+    implicit val enc = Encoders.product[MediaStats]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          decodeImage(r.media).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val s = new Array[Int](w * h)
+            img.getRaster.getSamples(0, 0, w, h, 0, s)
+            var sum = 0L
+            var i = 0
+            while (i < s.length) { sum += s(i); i += 1 }
+            MediaStats(r.id, w, h, sum)
+          }
+        }
       }
     }
   }

@@ -4,11 +4,15 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Declared multimodal queries + DuckDB oracles. The media table is
-  * synthesized deterministically from `documents` (no real media in the
-  * container — see [[Multimodal]]); the ORACLE recomputes the same
-  * synthesis in SQL, so the binary plumbing (payload bytes, header-derived
-  * metadata, frame slicing) is still end-to-end checked.
+/** Declared multimodal queries + DuckDB oracles. The text-payload media
+  * table is synthesized deterministically from `documents` (see
+  * [[Multimodal.syntheticMedia]]); the ORACLE recomputes the same synthesis
+  * in SQL, so the binary plumbing (payload bytes, header-derived metadata,
+  * frame slicing) is end-to-end checked. `q_media_decode` goes further: its
+  * payloads are REAL PNGs (ImageIO-encoded from a closed-form pixel
+  * formula), the engine really decodes them, and the oracle recomputes the
+  * decoded-pixel statistics from the formula — a cross-engine check on an
+  * actual image codec path.
   */
 object MultimodalQueries {
 
@@ -49,6 +53,19 @@ object MultimodalQueries {
         .select(col("id"), col("meta.width").as("width"), col("meta.height").as("height"),
           md5(col("media")).as("resized_md5"))
         .orderBy("id")
+    },
+
+    // REAL image decode, end-to-end: one grayscale PNG per document
+    // (ImageIO-encoded, pixel(x,y) = (doc_id*31 + y*16 + x*7) mod 256),
+    // decoded back through ImageIO in the batched mapPartitions kernel;
+    // the oracle recomputes width/height/pixel-sum from the closed form.
+    // A stub kernel CANNOT pass this — only a working codec returns the
+    // true raster dims and sample sum.
+    "q_media_decode" -> { (s, dir) =>
+      Multimodal
+        .decodeStats(Multimodal.syntheticPngMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("width"), col("height"), col("pixelSum").as("pixel_sum"))
+        .orderBy("id")
     }
   )
 
@@ -80,6 +97,16 @@ object MultimodalQueries {
       "substring(text, ((((i // 8) * (64 + doc_id % 128)) // 8) * (64 + doc_id % 192) + " +
       "(((i % 8) * (64 + doc_id % 192)) // 8)) % length(text) + 1, 1)), " +
       "(a, b) -> a || b)) AS resized_md5 " +
-      "FROM documents WHERE length(text) > 0 ORDER BY id")
+      "FROM documents WHERE length(text) > 0 ORDER BY id"),
+    // decoded dims = the generated dims; band-0 sample sum = the closed
+    // form summed over the w*h grid (row-major i: y = i // w, x = i % w)
+    "q_media_decode" -> ("SELECT doc_id AS id, " +
+      "CAST(8 + doc_id % 9 AS INTEGER) AS width, " +
+      "CAST(8 + doc_id % 7 AS INTEGER) AS height, " +
+      "CAST(list_sum(list_transform(" +
+      "generate_series(0, (8 + doc_id % 9) * (8 + doc_id % 7) - 1), " +
+      "i -> (doc_id * 31 + (i // (8 + doc_id % 9)) * 16 + (i % (8 + doc_id % 9)) * 7) % 256" +
+      ")) AS BIGINT) AS pixel_sum " +
+      "FROM documents ORDER BY id")
   )
 }

@@ -55,6 +55,85 @@ class MultimodalSpec extends SparkSpec {
       again.map(r => r.id -> r.media.toSeq).toSet)
   }
 
+  // ---- real JDK image kernels ---------------------------------------------
+
+  test("grayPng round-trips raster samples exactly through the real codec") {
+    val png = Multimodal.grayPng(5, 4, (x, y) => (x * 7 + y * 16) % 256)
+    // a real PNG, not a stand-in: magic bytes present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.getWidth == 5 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(img.getRaster.getSample(x, y, 0) == (x * 7 + y * 16) % 256)
+  }
+
+  test("rgbPng round-trips packed sRGB exactly") {
+    val pix = (x: Int, y: Int) => (x * 40 << 16) | (y * 50 << 8) | (x + y)
+    val png = Multimodal.rgbPng(3, 2, pix)
+    val img = Multimodal.decodeImage(png).get
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xffffff) == (pix(x, y) & 0xffffff))
+  }
+
+  test("decodeImage returns None for non-image payloads") {
+    assert(Multimodal.decodeImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("resize takes the REAL bilinear path for PNG payloads") {
+    // 2x2 gray [10 20; 30 40] -> 3x3 corner-aligned bilinear is exact
+    val vals = Map((0, 0) -> 10, (1, 0) -> 20, (0, 1) -> 30, (1, 1) -> 40)
+    val png = Multimodal.grayPng(2, 2, (x, y) => vals((x, y)))
+    val recs = Seq(Multimodal.MediaRecord(7L, png, Multimodal.MediaMeta("img", 2, 2, 0L))).toDS()
+    val out = Multimodal.resize(recs, dstW = 3, dstH = 3).collect().head
+    assert(out.meta.width == 3 && out.meta.height == 3)
+    val img = Multimodal.decodeImage(out.media).get // payload is still a real PNG
+    assert(img.getWidth == 3 && img.getHeight == 3)
+    val expected = Array(10, 15, 20, 20, 25, 30, 30, 35, 40)
+    val got = for (y <- 0 until 3; x <- 0 until 3) yield img.getRaster.getSample(x, y, 0)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("resize interpolates RGB payloads per channel") {
+    val pix = (x: Int, y: Int) => ((x * 100 + 10) << 16) | ((y * 100 + 20) << 8) | 40
+    val png = Multimodal.rgbPng(2, 2, pix)
+    val recs = Seq(Multimodal.MediaRecord(8L, png, Multimodal.MediaMeta("img", 2, 2, 0L))).toDS()
+    val out = Multimodal.resize(recs, dstW = 3, dstH = 3).collect().head
+    val img = Multimodal.decodeImage(out.media).get
+    // center pixel: r = mean(10,110,10,110) = 60, g = mean(20,20,120,120) = 70, b = 40
+    assert((img.getRGB(1, 1) & 0xffffff) == ((60 << 16) | (70 << 8) | 40))
+    // corners carry straight through
+    assert((img.getRGB(0, 0) & 0xffffff) == (pix(0, 0) & 0xffffff))
+    assert((img.getRGB(2, 2) & 0xffffff) == (pix(1, 1) & 0xffffff))
+  }
+
+  test("extractFeatures pools REAL decoded luminance for image payloads") {
+    val samples = Array(0, 100, 200, 250)
+    val png = Multimodal.grayPng(4, 1, (x, _) => samples(x))
+    val recs = Seq(Multimodal.MediaRecord(9L, png, Multimodal.MediaMeta("img", 4, 1, 0L))).toDS()
+    val f = Multimodal.extractFeatures(recs, dim = 2).collect().head.features
+    assert(f.toSeq == Seq((50.0 / 255.0).toFloat, (225.0 / 255.0).toFloat))
+    // the stub would NOT produce these pooled means
+    assert(Multimodal.decodeFeaturesStub(png, 2).toSeq != f.toSeq)
+  }
+
+  test("decodeStats matches the closed-form oracle on synthetic PNG media") {
+    val stats = Multimodal
+      .decodeStats(Multimodal.syntheticPngMedia(docs.repartition(2)))
+      .collect()
+      .map(s => s.id -> s)
+      .toMap
+    assert(stats.keySet == Set(0L, 1L, 2L))
+    for ((id, s) <- stats) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      assert(s.width == w && s.height == h)
+      val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + y * 16 + x * 7) % 256).sum
+      assert(s.pixelSum == expectedSum)
+    }
+  }
+
   test("extractFeatures runs batched per partition with stable output") {
     val recs = Multimodal.asRecords(Multimodal.syntheticMedia(docs).repartition(2))
     val feats = Multimodal.extractFeatures(recs, dim = 8, batchSize = 2).collect()
