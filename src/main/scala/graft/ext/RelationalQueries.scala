@@ -737,6 +737,33 @@ object RelationalQueries {
           (col("rev_q4") / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    },
+
+    // TPC-H Q17-shaped: revenue from small-quantity lineitems, where
+    // "small" is CORRELATED — below 20% of that part's own average
+    // quantity. The correlated scalar subquery decorrelates into an
+    // aggregate-join: per-part (n, Σqty) aggregated FIRST (map-side
+    // combine over lineitem, never a per-row re-scan), joined back to
+    // lineitem CO-PARTITIONED on l_partkey (one shuffle key for both the
+    // agg and the probe — no nested loop anywhere), then the part dim.
+    // The threshold compare `qty < 0.2·(Σ/n)` is cross-multiplied to
+    // `5·qty·n < Σ` so it stays in exact integer arithmetic (l_quantity
+    // is integer-valued); revenue is cents-quantized, summed exactly, and
+    // divided once by 700 (Q17's "/7.0 yearly average" convention).
+    "q_small_quantity_revenue" -> { (s, dir) =>
+      val li = Tables
+        .lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("qty") * 5 * col("n") < col("sq"))
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum(col("cents")).cast("double") / 700.0).as("avg_yearly"))
+        .orderBy("p_brand")
     }
   )
 
@@ -1048,6 +1075,18 @@ object RelationalQueries {
       "JOIN nation ON c_nationkey = n_nationkey " +
       "WHERE l_returnflag = 'R' AND o_orderdate >= '1996-01-01' " +
       "AND o_orderdate < '1996-04-01' " +
-      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20")
+      "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
+    // the correlated subquery stays CORRELATED here — DuckDB decorrelates
+    // it itself, which is exactly the cross-check we want against the
+    // engine's hand-decorrelated aggregate-join
+    "q_small_quantity_revenue" -> ("SELECT p_brand, " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) " +
+      "/ 700.0 AS avg_yearly " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE CAST(l_quantity AS BIGINT) * 5 * " +
+      "(SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey) < " +
+      "(SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem l2 " +
+      "WHERE l2.l_partkey = lineitem.l_partkey) " +
+      "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -129,10 +129,22 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame,
       planes: Array[Array[Long]],
-      threshold: Double): DataFrame = {
-    val nPlanes = planes.length
+      threshold: Double): DataFrame =
+    nearDupCandidates(corpus, planes)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.vec"), col("y.vec")).as("cos"))
+      // NaN explicitly excluded: Spark evaluates NaN >= threshold as TRUE
+      // (NaN sorts above every double), so zero-norm pairs would otherwise
+      // pass the similarity gate
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
+      .distinct()
+
+  /** The bucket+probe candidate join behind [[cosineNearDupPairs]] — the
+    * volume the sizing rule must hold corpus-linear.
+    */
+  private def nearDupCandidates(corpus: DataFrame, planes: Array[Array[Long]]): DataFrame = {
     val b = corpus.select(col("id"), col("vec"), lshBucket(col("vec"), planes).as("bucket"))
-    val masks = 0L +: (0 until nPlanes).map(1L << _)
+    val masks = 0L +: (0 until planes.length).map(1L << _)
     // probe-expand the smaller-id side only: pair (a,b) is found once via
     // a's probe ring reaching b's bucket (covers distance 0 and 1).
     val probed = b.select(col("id"), col("vec"),
@@ -142,13 +154,28 @@ object Similarity {
       .hint("merge")
       .join(b.as("y").hint("merge"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.vec"), col("y.vec")).as("cos"))
-      // NaN explicitly excluded: Spark evaluates NaN >= threshold as TRUE
-      // (NaN sorts above every double), so zero-norm pairs would otherwise
-      // pass the similarity gate
-      .filter(!isnan(col("cos")) && col("cos") >= threshold)
-      .distinct()
+  }
+
+  /** Pre-re-check candidate-pair count for [[cosineNearDupPairs]] under
+    * `planes` — the observable the sizing rule governs (exact-cosine work
+    * is proportional to it). Exposed for capacity tests and sizing audits.
+    */
+  def nearDupCandidateCount(corpus: DataFrame, planes: Array[Array[Long]]): Long =
+    nearDupCandidates(corpus, planes).count()
+
+  /** Plane count that holds near-dup candidate volume linear in the corpus:
+    * `ceil(log2(corpusCount / targetBucketSize))`, clamped to [1, 62].
+    * Within-bucket pairs grow with (corpus / 2^planes)² — measured 18.9×
+    * cost for 10× vectors at a FIXED 4 planes — so the bucket count must
+    * track the corpus and per-bucket occupancy stay ≈ `targetBucketSize`.
+    * Recall is unaffected: the Hamming-1 probe ring widens with the plane
+    * count (probes = planes + 1), and the exact-cosine re-check is the
+    * correctness gate either way.
+    */
+  def planesFor(corpusCount: Long, targetBucketSize: Long = 64): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val buckets = math.max(1.0, corpusCount.toDouble / targetBucketSize)
+    math.min(62, math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
   }
 
   /** ANN top-k with Hamming-1 multi-probe: the corpus is bucketed once; each

@@ -82,7 +82,11 @@ object SimilarityQueries {
     },
 
     // Embedding-cosine near-dup pairs (dedup family): LSH bucket + Hamming-1
-    // candidates, exact cosine >= 0.45 re-check.
+    // candidates, exact cosine >= 0.45 re-check. The 4-plane table here is
+    // pinned ONLY so the oracle reproduces the buckets at fixture scale; a
+    // production caller sizes planes = Similarity.planesFor(corpusCount,
+    // targetBucketSize) — SimilaritySpec proves candidate volume stays
+    // ~linear 1×→10× under auto-sizing and blows up without it.
     "q_embed_neardup" -> { (s, dir) =>
       Similarity
         .cosineNearDupPairs(vecs(s, dir), W, threshold = 0.45)

@@ -171,4 +171,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter") || p.contains("RightOuter"),
       s"join must preserve unmatched customers:\n$p")
   }
+
+  test("q_small_quantity_revenue: correlated subquery decorrelates to agg-join") {
+    val p = plan("q_small_quantity_revenue")
+    // the whole point of the hand-decorrelation: NEVER a per-row re-scan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated threshold must not become a nested loop:\n$p")
+    // threshold frame and probe share the l_partkey shuffle key — the join
+    // consumes the aggregate's partitioning instead of adding exchanges
+    assert(count(p, "Exchange hashpartitioning(l_partkey") <= 2,
+      s"agg+probe must co-partition on l_partkey:\n$p")
+  }
 }
