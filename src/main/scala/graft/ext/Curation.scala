@@ -132,8 +132,8 @@ object Curation {
     * tiny). Each round localCheckpoints to truncate lineage (iterative
     * DataFrame plans otherwise grow exponentially) and the convergence
     * check is one count on the changed set. At extreme component sizes
-    * the large-star/small-star variant (same join shape, O(log n) rounds)
-    * drops in without changing the contract.
+    * (pathological high-diameter shapes — chains, lattices) use
+    * [[connectedComponentsStar]]: same contract, O(log n) rounds.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -170,6 +170,108 @@ object Curation {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the scale path for HIGH-DIAMETER graphs, where min-label propagation
+    * ([[connectedComponents]]) needs diameter-many rounds: the alternation
+    * converges in O(log n) rounds regardless of diameter, each round the
+    * same groupBy+join shape over the edge frame. Same contract: every
+    * vertex of `pairs` → (doc, cluster = component-minimum id).
+    *
+    *  - large-star: each vertex u links every LARGER neighbor to
+    *    `m(u) = min(N(u) ∪ u)` — big stars collapse toward small ids.
+    *  - small-star: each vertex u links its smaller neighbors (and itself)
+    *    to its minimum smaller neighbor — chains fold in half.
+    *
+    * Convergence = edge-frame fixpoint, detected by (count, hash-sum)
+    * checksum — one tiny aggregate per round instead of a set-diff join.
+    * Per-round cost: 2 shuffles on the edge frame (groupBy + join), edges
+    * never amplified beyond the symmetric 2|E|; localCheckpoint truncates
+    * the iterative lineage exactly as in [[connectedComponents]].
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsStarCore(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] + the executed round count (exposed so the
+    * O(log n) bound is testable, not asserted).
+    */
+  private[graft] def connectedComponentsStarCore(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    // canonical undirected edge frame (lo < hi), self-loops dropped
+    var e = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    // overflow-free under ANSI mode: XOR is closed over longs, and the
+    // 32-bit-masked sum stays under 2^63 for any realistic edge count
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("lo"), col("hi"))
+      val r = df
+        .agg(count(lit(1)), coalesce(bit_xor(h), lit(0L)),
+          coalesce(sum(h.bitwiseAND(lit(0xFFFFFFFFL))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var prev = checksum(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: ∀u, every neighbor v > u re-links to m(u) = min(N(u)∪u).
+      // Each undirected edge contributes exactly one emission (from its
+      // smaller endpoint's neighborhood), so the frame never amplifies.
+      val sym = e
+        .select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym
+        .filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: ∀u, its smaller neighbors and u itself all link to
+      // min(N⁻(u)) — grouped on the hi side of the canonical frame.
+      val byHi = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = large
+        .join(byHi, "hi")
+        .select(col("m").as("lo"), col("lo").as("hi")) // re-link v ∈ N⁻ to m ≤ v
+        .filter(col("lo") =!= col("hi"))
+        .unionByName(byHi.select(col("m").as("lo"), col("hi"))) // u itself to m
+        .distinct()
+        .localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev || cur._1 == 0L
+      prev = cur
+      e = small
+      iter += 1
+    }
+    // fixpoint frame is a star forest: hi = member, lo = component min;
+    // vertices that only ever appeared in self-loops label themselves
+    val verts = pairs
+      .select(col(aCol).as("doc"))
+      .unionByName(pairs.select(col(bCol).as("doc")))
+      .distinct()
+    val labels = e
+      .select(col("hi").as("doc"), col("lo").as("cluster"))
+      .unionByName(e.select(col("lo").as("doc"), col("lo").as("cluster")))
+      .groupBy("doc")
+      .agg(min(col("cluster")).as("cluster"))
+    (verts
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster")), iter)
   }
 
   /** Per-row WEIGHTED deterministic sample: row kept with probability

@@ -82,7 +82,43 @@ class CurationPropertySpec extends SparkSpec {
       val got = Curation.connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"edges=$edges")
+
+      // the O(log n) star variant must agree with BOTH oracles
+      val star = Curation.connectedComponentsStar(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(star == expected, s"star variant diverged: edges=$edges")
     }
+  }
+
+  test("connectedComponentsStar: worst-case diameter (path graph) in O(log n) rounds") {
+    // a 1000-vertex path is the propagation algorithm's nightmare:
+    // diameter 999 ⇒ ~999 rounds of min-label propagation. The star
+    // alternation folds chains in half every round.
+    val n = 1000L
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Curation.connectedComponentsStarCore(path, "a", "b", maxIter = 50)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "one component, labeled by its minimum")
+    info(s"1000-vertex path converged in $rounds large+small rounds")
+    assert(rounds <= 12, s"star alternation must be O(log n): took $rounds rounds")
+  }
+
+  test("connectedComponentsStar ≡ propagation on mixed dense+chain graphs") {
+    // two dense cliques bridged by a long chain — the shape that mixes the
+    // propagation-friendly (dense) and propagation-hostile (chain) regimes
+    val clique1 = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = (5L until 40L).map(i => (i, i + 1))
+    val clique2 = for (a <- 40L to 45L; b <- (a + 1) to 45L) yield (a, b)
+    val lone = Seq((100L, 100L)) // self-loop-only vertex keeps its own label
+    val edges = (clique1 ++ chain ++ clique2 ++ lone).toDF("a", "b")
+    val prop = Curation.connectedComponents(edges, maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val star = Curation.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star(45L) == 0L, "chain must bridge the cliques into one component")
+    assert(star(100L) == 100L)
   }
 
   test("repeatByWeight: output size is exactly sum of per-doc rep counts") {
