@@ -1,7 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.BloomBitTest
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Bloom-filter runtime pruning — the 100 TB pattern for membership tests
   * against a SMALL key set (benchmark shingles, blocklists, deleted-id
@@ -18,9 +21,13 @@ import org.apache.spark.sql.functions._
   *
   * The probe compiles to codegen-friendly built-ins (xxhash64 + array
   * element + shift) — no UDF, so it pipelines inside WholeStageCodegen at
-  * the parquet scan. The bit array rides along as one array literal
-  * (Spark ships it to executors with the plan; at many-MB filter sizes,
-  * switch to a broadcast variable + `mightContain` rewritten over it).
+  * the parquet scan. Two carriers for the bit array, same bit layout:
+  * [[mightContain]] ships it as one plan literal (fine at kilobytes);
+  * [[broadcastFilter]] ships it ONCE per executor as a broadcast variable
+  * behind the native [[graft.functions.BloomBitTest]] expression, keeping
+  * plan and codegen size FLAT in the filter size — the form for
+  * million-bit decontamination filters (BloomSpec pins both the
+  * equivalence and the flat-plan property).
   *
   * Build cost: one narrow aggregation over the SMALL side (numHashes rows
   * per key, `bit_or` partial+final agg on word index), then a driver
@@ -81,4 +88,29 @@ object Bloom {
       }
       .reduce(_ && _)
   }
+
+  /** A [[Filter]] whose word array lives in a Spark broadcast variable
+    * instead of the plan — build once, probe from any number of queries;
+    * the plan carries a constant-size reference however big the filter is.
+    */
+  final case class BroadcastFilter(numBits: Long, numHashes: Int, words: Broadcast[Array[Long]]) {
+
+    /** [[Bloom.mightContain]] semantics, broadcast carrier: bit-identical
+      * positions (same xxhash64 seeds, same word layout), so the two forms
+      * are interchangeable probe-for-probe.
+      */
+    def mightContain(key: Column): Column =
+      (1 to numHashes)
+        .map { s =>
+          val p = bitPos(key, s, numBits)
+          ColumnBridge.column(BloomBitTest(ColumnBridge.expression(p), words))
+        }
+        .reduce(_ && _)
+
+    def destroy(): Unit = words.destroy()
+  }
+
+  /** Lift a built [[Filter]] onto the cluster as a [[BroadcastFilter]]. */
+  def broadcastFilter(spark: SparkSession, f: Filter): BroadcastFilter =
+    BroadcastFilter(f.numBits, f.numHashes, spark.sparkContext.broadcast(f.words))
 }

@@ -441,13 +441,17 @@ object Dedup {
     val bench = intermediate(
       hashedPostings(benchmark, idCol, textCol, n).select(col("h")).distinct(),
       "contam-bench")
-    val bloom = Bloom.build(bench, "h", numBits, numHashes)
+    // broadcast carrier: the word array ships once per executor, not once
+    // per plan fragment — at the default 2^20 bits (16k longs) the literal
+    // form would bloat every generated function (see BloomBitTest)
+    val bloom = Bloom.broadcastFilter(corpus.sparkSession,
+      Bloom.build(bench, "h", numBits, numHashes))
     // materialized once: consumed by BOTH the totals aggregation and the
     // bloom-pruned hit join — without this the corpus would tokenize twice
     val post = intermediate(hashedPostings(corpus, idCol, textCol, n), "contam-postings")
     val totals = post.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val hits = post
-      .filter(Bloom.mightContain(bloom, col("h")))
+      .filter(bloom.mightContain(col("h")))
       .join(broadcast(bench), Seq("h"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("hit_sh"))

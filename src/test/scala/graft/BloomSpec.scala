@@ -52,6 +52,47 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bloom.build(df, "k", numBits = 64, numHashes = 0))
   }
 
+  test("broadcast probe ≡ literal probe, bit for bit") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keys = ((0L until 300L).map(i => s"key-$i") ++ (0L until 3000L).map(i => s"other-$i"))
+      .toDF("k")
+    val f = Bloom.build(keys.filter(col("k").startsWith("key-")), "k",
+      numBits = 1 << 13, numHashes = 4)
+    val bf = Bloom.broadcastFilter(spark, f)
+    // same hash seeds + word layout ⇒ the two carriers must agree on EVERY
+    // key, false positives included
+    val disagree = keys
+      .filter(Bloom.mightContain(f, col("k")) =!= bf.mightContain(col("k")))
+      .count()
+    assert(disagree == 0, "broadcast and literal probes diverged")
+  }
+
+  test("broadcast probe keeps the plan flat as the filter grows 64x") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keys = (0L until 200L).map(i => s"key-$i").toDF("k")
+    // probe a PARQUET-backed frame: an in-memory relation would be
+    // constant-folded by ConvertToLocalRelation and the measured plan
+    // would collapse to a LocalTableScan regardless of the condition
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def planLen(numBits: Long): (Int, Int) = {
+      val f = Bloom.build(keys, "k", numBits, numHashes = 3)
+      val probe = docs.filter(Bloom.broadcastFilter(spark, f).mightContain(col("text")))
+      val literal = docs.filter(Bloom.mightContain(f, col("text")))
+      (probe.queryExecution.executedPlan.toString.length,
+        literal.queryExecution.executedPlan.toString.length)
+    }
+    val (small, smallLit) = planLen(1L << 12) //   64 words
+    val (big, bigLit) = planLen(1L << 18) // 4096 words
+    info(s"plan chars: broadcast $small -> $big; literal $smallLit -> $bigLit")
+    // broadcast carrier: plan size independent of the word count
+    assert(big <= small + 256, s"broadcast plan grew with the filter: $small -> $big")
+    // no false negatives through the broadcast carrier either
+    val f = Bloom.build(keys, "k", 1L << 12, 3)
+    assert(keys.filter(!Bloom.broadcastFilter(spark, f).mightContain(col("k"))).count() == 0)
+  }
+
   test("contaminationBloom ≡ contamination (prefilter + exact re-check law)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val bench = d.filter(col("doc_id") % 97 === 0)
