@@ -120,6 +120,56 @@ object Curation {
       .withColumn("bin", floor(before / budget).cast("long"))
   }
 
+  /** [[packBins]] without the per-stream serial sort — the documented
+    * two-pass parallel prefix-sum decomposition for streams that outgrow
+    * one executor's sort. `chunkCol` splits each stream into ordered
+    * chunks and MUST be monotone non-decreasing in `idCol` (e.g.
+    * `floor(id / 4096)`, an ingest shard index, a date) so that sorting by
+    * (chunk, id) ≡ sorting by id; granularity is the caller's
+    * parallelism knob (rows/chunk ≈ what one task should sort).
+    *
+    *  - pass 1: per-(stream, chunk) cost totals — an ordinary partial+final
+    *    aggregate, corpus-parallel;
+    *  - prefix: running sum over CHUNK TOTALS per stream — a window over
+    *    the #chunks-sized frame, thousands of rows where the single-window
+    *    form sorts billions;
+    *  - pass 2: local prefix sum within each (stream, chunk) partition +
+    *    the broadcast chunk offset — every chunk sorts independently.
+    *
+    * Output is bit-identical to [[packBins]] (CurationPropertySpec law):
+    * same `bin`/`bin_offset` for every row, any stream/cost shape.
+    */
+  def packBinsTwoPass(
+      docs: DataFrame,
+      idCol: String,
+      costCol: String,
+      streamCol: String,
+      budget: Long,
+      chunkCol: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val d = docs.withColumn("_chunk", chunkCol)
+    val chunkTotals = d
+      .groupBy(col(streamCol), col("_chunk"))
+      .agg(sum(col(costCol)).as("_chunk_total"))
+    val wChunks = Window
+      .partitionBy(streamCol)
+      .orderBy("_chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunkTotals
+      .select(col(streamCol), col("_chunk"),
+        coalesce(sum(col("_chunk_total")).over(wChunks), lit(0L)).as("_chunk_offset"))
+    val wLocal = Window
+      .partitionBy(col(streamCol), col("_chunk"))
+      .orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = col("_chunk_offset") + coalesce(sum(col(costCol)).over(wLocal), lit(0L))
+    d.join(broadcast(offsets), Seq(streamCol, "_chunk"))
+      .withColumn("bin_offset", before % budget)
+      .withColumn("bin", floor(before / budget).cast("long"))
+      // restore the caller's column order (the using-join fronts its keys)
+      .select(docs.columns.map(col) :+ col("bin_offset") :+ col("bin"): _*)
+  }
+
   /** Connected components over an undirected pair set — duplicate-cluster
     * resolution: every vertex gets `cluster` = the minimum vertex id
     * reachable from it, so each near-dup cluster is labeled by its

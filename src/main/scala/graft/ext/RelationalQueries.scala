@@ -710,6 +710,10 @@ object RelationalQueries {
             Seq.empty[org.apache.spark.sql.Column]),
           col("event_type"), col("day"))
         .agg(count(lit(1)).as("cnt"), sum(col("v_q3")).as("sum_v_q3"))
+        // '<all>' sentinel RELIES ON THE FIXTURE: event_type/day are
+        // non-null, never literally '<all>'. Against data where either
+        // could hold, tag levels with grouping_id() instead — a sentinel
+        // cannot distinguish a grouping-null from a data value.
         .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
           coalesce(col("day"), lit("<all>")).as("day"),
           col("cnt"), col("sum_v_q3"))

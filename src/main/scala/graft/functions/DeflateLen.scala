@@ -19,10 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * A Catalyst expression rather than a UDF for the same reason as
   * [[RollingHash31]]: one static call inside WholeStageCodegen, no
-  * closure serialization, no per-row encoder round-trip. The Deflater is
-  * allocated per call but end()'d eagerly — zlib native windows would
-  * otherwise accumulate until GC (measured JRE default 32 KiB native per
-  * live deflater).
+  * closure serialization, no per-row encoder round-trip. One Deflater per
+  * executor thread (ThreadLocal, `reset()` between rows, never end()'d):
+  * native memory is bounded at one 32 KiB zlib window per pool thread for
+  * the executor's lifetime, instead of a per-row deflateInit/end churn —
+  * see the companion's field comment for the rationale.
   *
   * Null in ⇒ null out; empty string ⇒ the 8-byte empty deflate stream.
   */

@@ -102,6 +102,12 @@ object StatefulOps {
     * grouping key; an event-time timeout evicts users idle past
     * `idleEvictSec` (an abandoned funnel never re-fires, so holding its
     * state is pure cost).
+    *
+    * PREREQUISITE: the caller must apply `withWatermark` on the event-time
+    * column UPSTREAM of this operator — eviction uses
+    * `EventTimeTimeout`/`getCurrentWatermarkMs`, which Spark only permits
+    * on a watermarked stream; without one the query fails at START (Spark
+    * rejects EventTimeTimeout with no watermark), not at plan time.
     */
   def funnelStages(
       events: Dataset[UserEvent],

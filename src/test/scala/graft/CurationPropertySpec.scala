@@ -55,6 +55,40 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("packBinsTwoPass ≡ packBins for any monotone chunking (parallel prefix law)") {
+    val costGen = Gen.choose(0L, 900L)
+    val streamGen: Gen[List[Long]] = Gen.choose(1, 40).flatMap(Gen.listOfN(_, costGen))
+    samples(streamGen, 6, 321L).zipWithIndex.foreach { case (costs, si) =>
+      val rows = costs.zipWithIndex.map { case (c, i) => (i.toLong, s"s$si", c) }
+      // sparse ids too: the chunk map must not assume dense ids
+      val sparse = rows.map { case (id, s, c) => (id * 7 + 3, s, c) }
+      (rows ++ sparse.map { case (id, s, c) => (id, s + "x", c) }).toDF("id", "stream", "cost")
+        .createOrReplaceTempView("pb_in")
+      val d = spark.table("pb_in")
+      val one = Curation.packBins(d, "id", "cost", "stream", budget = 1000L)
+        .select($"id", $"stream", $"bin", $"bin_offset")
+        .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      // chunk width 4: several chunks per stream, some single-row, some empty
+      val two = Curation.packBinsTwoPass(d, "id", "cost", "stream", budget = 1000L,
+        chunkCol = floor($"id" / 4))
+        .select($"id", $"stream", $"bin", $"bin_offset")
+        .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      assert(two.toSeq == one.toSeq, s"two-pass diverged for stream s$si")
+    }
+  }
+
+  test("packBinsTwoPass: local prefix windows partition by (stream, chunk)") {
+    val d = (0L until 400L).map(i => (i, s"s${i % 2}", i % 7)).toDF("id", "stream", "cost")
+    val plan = Curation.packBinsTwoPass(d, "id", "cost", "stream", 100L, floor($"id" / 16))
+      .queryExecution.executedPlan.toString
+    // the row-level sort must be per-(stream, chunk) — that's the whole
+    // decomposition: no window in the plan may sort a whole stream's rows
+    val rowWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("id#")).toSeq
+    assert(rowWindows.exists(l => l.contains("_chunk")),
+      s"row-level window must include the chunk key:\n$plan")
+  }
+
   test("connectedComponents ≡ driver-side union-find over generated graphs") {
     val edgeGen = for {
       a <- Gen.choose(0L, 14L)

@@ -42,12 +42,18 @@ COPY (SELECT o_orderkey + i*{OFF} AS o_orderkey, o_custkey, o_orderstatus,
              o_totalprice, o_orderdate, o_orderpriority
       FROM read_parquet('{src}/orders.parquet'), {g})
 TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    # n_chars recomputed for rewritten copies (token suffixes lengthen the
+    # text) so length-weighted queries (q_sample_weighted, q_pack_bins) see
+    # consistent lengths at scale, same as both engines do at sf parity
     con.execute(f"""
 COPY (SELECT doc_id + i*{OFF} AS doc_id,
              CASE WHEN i = 0 THEN text
                   ELSE regexp_replace(text, '(\\S+)', '\\1' || CAST(i AS VARCHAR), 'g')
              END AS text,
-             lang, source, n_chars
+             lang, source,
+             CASE WHEN i = 0 THEN n_chars
+                  ELSE length(regexp_replace(text, '(\\S+)', '\\1' || CAST(i AS VARCHAR), 'g'))
+             END AS n_chars
       FROM read_parquet('{src}/documents.parquet'), {g})
 TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
     # stride = 64*factor so (vec_id, i) pairs never alias: with a fixed
