@@ -84,6 +84,37 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // Same pack as q_pack_bins through the TWO-PASS decomposition
+    // (per-(source, chunk) local prefix + broadcast chunk offsets — the
+    // beyond-executor-scale form): identical bins by the
+    // CurationPropertySpec law, now ALSO oracle-checked against the
+    // single-window SQL.
+    "q_pack_bins_two_pass" -> { (s, dir) =>
+      Curation
+        .packBinsTwoPass(Tables.documents(s, dir), "doc_id", "n_chars", "source",
+          PackBudget, chunkCol = floor(col("doc_id") / 64))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "bin")
+    },
+
+    // Same clusters as q_dup_clusters through the O(log n)
+    // large-star/small-star alternation — the high-diameter scale path,
+    // oracle-checked against the SAME recursive-CTE closure.
+    "q_dup_clusters_star" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      Curation
+        .connectedComponentsStar(pairs)
+        .groupBy(col("cluster").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          concat_ws("-",
+            transform(sort_array(collect_list(col("doc"))), _.cast("string")))
+            .as("members"))
+        .orderBy("cluster_id")
+    },
+
     // Fixed-count per-source sample: exactly 5 docs per source, ranked by
     // salted hash (WindowGroupLimit turns the rank filter into per-
     // partition top-k before the shuffle).
@@ -195,6 +226,20 @@ object CurationQueries {
       "SELECT cluster AS cluster_id, count(*) AS n_docs, " +
       "string_agg(doc::VARCHAR, '-' ORDER BY doc) AS members " +
       "FROM labels GROUP BY 1 ORDER BY 1"),
+    // one truth, two engine algorithms: the star variant must reproduce
+    // the identical closure
+    "q_dup_clusters_star" -> (s"WITH RECURSIVE $ClusterCtes " +
+      "SELECT cluster AS cluster_id, count(*) AS n_docs, " +
+      "string_agg(doc::VARCHAR, '-' ORDER BY doc) AS members " +
+      "FROM labels GROUP BY 1 ORDER BY 1"),
+    // the two-pass engine path must land in the single-window SQL's bins
+    "q_pack_bins_two_pass" -> ("WITH c AS (SELECT source, n_chars, " +
+      "coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior " +
+      "FROM documents) " +
+      s"SELECT source, CAST(prior // $PackBudget AS BIGINT) AS bin, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars " +
+      "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_sample_fixed_k" -> ("SELECT doc_id, source FROM documents " +
       s"QUALIFY row_number() OVER (PARTITION BY source " +
       s"ORDER BY ${bucketSql(FixedKSalt)}, doc_id) <= 5 ORDER BY doc_id"),
