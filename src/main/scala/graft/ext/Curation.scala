@@ -285,13 +285,19 @@ object Curation {
         .select(col("lo").as("u"), col("hi").as("v"))
         .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      val large = sym
+      val largeRaw = sym
         .filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint()
+      // the small-star phase consumes `large` twice (groupBy + join).
+      // Materialize it only when recomputation is the bigger cost: the
+      // previous checksum gives the EXACT current edge count for free, so
+      // small frames skip the checkpoint job (per-round fixed costs
+      // dominate at fixture scale) while big frames keep it (recomputing
+      // a billion-edge phase twice is the real 100 TB cost).
+      val large = if (prev._1 < 1000000L) largeRaw else largeRaw.localCheckpoint()
       // small-star: ∀u, its smaller neighbors and u itself all link to
       // min(N⁻(u)) — grouped on the hi side of the canonical frame.
       val byHi = large.groupBy("hi").agg(min(col("lo")).as("m"))
