@@ -3,6 +3,7 @@ package graft.ext
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
@@ -275,6 +276,102 @@ object Multimodal {
       }
       out
     }
+
+  // ---- real JDK audio kernels ---------------------------------------------
+
+  /** Decoded PCM audio: sample count, rate, and the signed-sample sum —
+    * the provenance stats a real audio pipeline validates before feature
+    * extraction.
+    */
+  final case class AudioStats(id: Long, nSamples: Int, sampleRate: Int, sampleSum: Long)
+
+  /** Build a mono 16-bit little-endian PCM WAV from a sample function —
+    * a REAL RIFF/WAVE container through the JDK's `javax.sound.sampled`
+    * writer (no codec needed: WAV PCM is the one audio format the JRE
+    * fully round-trips).
+    */
+  def pcmWav(nSamples: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
+    val raw = new Array[Byte](nSamples * 2)
+    var k = 0
+    while (k < nSamples) {
+      val v = sample(k).toShort
+      raw(2 * k) = (v & 0xff).toByte
+      raw(2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream(raw.length + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio decode via `AudioSystem`: parse the container header,
+    * stream the PCM frames, reassemble signed 16-bit samples. Returns None
+    * for payloads no installed reader accepts (the non-audio signal,
+    * mirroring [[decodeImage]]).
+    */
+  def decodeAudio(media: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (media == null || media.length < 12) None
+    else
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            out(k) = ((raw(2 * k + 1) << 8) | (raw(2 * k) & 0xff))
+            k += 1
+          }
+          Some((fmt.getSampleRate.toInt, n, out))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
+
+  /** Deterministic REAL-audio media table: one PCM WAV per document,
+    * sample count/rate and sample values closed-form in `doc_id`
+    * (`sample(k) = (doc_id*37 + k*11) mod 2003 − 1001`), so a SQL oracle
+    * recomputes decoded-sample statistics with no audio code — the audio
+    * analog of [[syntheticPngMedia]].
+    */
+  def syntheticWavMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (64 + id % 64).toInt
+        val wav = pcmWav(n, 8000, k => (((id * 37 + k * 11L) % 2003L) - 1001L).toInt)
+        MediaRecord(id, wav, MediaMeta("wav", 0, 0, n * 1000L / 8000L))
+      }
+    }
+  }
+
+  /** Partition-wise batched audio-decode statistics (same plumbing shape
+    * as [[decodeStats]]); non-audio payloads are dropped.
+    */
+  def audioStats(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          decodeAudio(r.media).map { case (rate, n, samples) =>
+            var sum = 0L
+            var k = 0
+            while (k < n) { sum += samples(k); k += 1 }
+            AudioStats(r.id, n, rate, sum)
+          }
+        }
+      }
+    }
+  }
 
   // ---- deterministic fallbacks for non-image modalities -------------------
 

@@ -66,6 +66,33 @@ object MultimodalQueries {
         .decodeStats(Multimodal.syntheticPngMedia(Tables.documents(s, dir)))
         .select(col("id"), col("width"), col("height"), col("pixelSum").as("pixel_sum"))
         .orderBy("id")
+    },
+
+    // REAL feature extraction over the same PNGs: decode → luminance →
+    // mean-pool into 4 buckets. Emitted floor-quantized at 1e-6 after the
+    // float round — the oracle replicates the exact arithmetic chain
+    // (integer sums → double divides → REAL round → quantize), so the
+    // pooled features are hash-checked, not just shaped.
+    "q_media_features" -> { (s, dir) =>
+      Multimodal
+        .extractFeatures(Multimodal.syntheticPngMedia(Tables.documents(s, dir)), dim = 4)
+        .select(col("id"), posexplode(col("features")).as(Seq("dim", "f")))
+        .select(col("id"), col("dim"),
+          floor(col("f").cast("double") * 1e6).cast("long").as("f_q6"))
+        .orderBy("id", "dim")
+    },
+
+    // REAL audio decode: one PCM-16 mono WAV per document (RIFF container
+    // written AND parsed by javax.sound.sampled, sample(k) =
+    // (doc_id*37 + k*11) mod 2003 - 1001), decoded back to signed samples
+    // in the batched kernel; the oracle recomputes count/rate/sum from
+    // the closed form — the audio analog of q_media_decode.
+    "q_media_audio" -> { (s, dir) =>
+      Multimodal
+        .audioStats(Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("nSamples").as("n_samples"),
+          col("sampleRate").as("sample_rate"), col("sampleSum").as("sample_sum"))
+        .orderBy("id")
     }
   )
 
@@ -107,6 +134,29 @@ object MultimodalQueries {
       "generate_series(0, (8 + doc_id % 9) * (8 + doc_id % 7) - 1), " +
       "i -> (doc_id * 31 + (i // (8 + doc_id % 9)) * 16 + (i % (8 + doc_id % 9)) * 7) % 256" +
       ")) AS BIGINT) AS pixel_sum " +
+      "FROM documents ORDER BY id"),
+    // pooled means recomputed exactly: integer bucket sums/counts over the
+    // closed-form pixels, the engine's double-divide chain (sum/cnt/255),
+    // REAL cast replicating the JVM's float round, then the 1e-6 quantize
+    "q_media_features" -> ("WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, " +
+      "(8 + doc_id % 9) * (8 + doc_id % 7) AS npix FROM documents), " +
+      "fb AS (SELECT doc_id, b, " +
+      "list_sum(list_transform(list_filter(generate_series(0, npix - 1), " +
+      "i -> i * 4 // npix = b), " +
+      "i -> (doc_id * 31 + (i // w) * 16 + (i % w) * 7) % 256)) AS s, " +
+      "len(list_filter(generate_series(0, npix - 1), i -> i * 4 // npix = b)) AS c " +
+      "FROM g, unnest([0, 1, 2, 3]) AS u(b)) " +
+      "SELECT doc_id AS id, CAST(b AS INTEGER) AS dim, " +
+      "CAST(floor(CAST(CAST(CAST(s AS DOUBLE) / c / 255.0 AS REAL) AS DOUBLE) * 1000000) " +
+      "AS BIGINT) AS f_q6 " +
+      "FROM fb ORDER BY id, dim"),
+    // decoded sample count/rate = the generated ones; signed-sample sum =
+    // the closed form over k in [0, n)
+    "q_media_audio" -> ("SELECT doc_id AS id, " +
+      "CAST(64 + doc_id % 64 AS INTEGER) AS n_samples, " +
+      "8000 AS sample_rate, " +
+      "CAST(list_sum(list_transform(generate_series(0, 64 + doc_id % 64 - 1), " +
+      "k -> (doc_id * 37 + k * 11) % 2003 - 1001)) AS BIGINT) AS sample_sum " +
       "FROM documents ORDER BY id")
   )
 }

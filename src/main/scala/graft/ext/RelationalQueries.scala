@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declared relational EXT queries + DuckDB oracles (SURVEY.md §2.4 EXT).
@@ -768,6 +769,36 @@ object RelationalQueries {
         .groupBy(col("p_brand"))
         .agg((sum(col("cents")).cast("double") / 700.0).as("avg_yearly"))
         .orderBy("p_brand")
+    },
+
+    // TPC-H Q21-shaped (adapted to this schema's columns): suppliers who
+    // were the SOLE LATEST shipper on a multi-supplier order — the
+    // EXISTS (another supplier on the order) + NOT EXISTS (anyone shipping
+    // later-or-tied) double correlation. Decorrelated to ONE window pass
+    // over lineitem partitioned by l_orderkey: per-order max shipdate,
+    // distinct-supplier count, and the count of suppliers achieving the
+    // max all come from the same shuffle — where the correlated form
+    // re-scans lineitem twice per probe row. The supplier dim broadcasts;
+    // final rank is the usual TakeOrdered top-k.
+    "q_sole_late_shipper" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+      val li = Tables
+        .lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .withColumn("mx", max(col("l_shipdate")).over(w))
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_max_supp",
+          size(collect_set(when(col("l_shipdate") === col("mx"), col("l_suppkey"))).over(w)))
+      li.filter(col("n_supp") > 1 && col("n_max_supp") === 1 &&
+          col("l_shipdate") === col("mx"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
     }
   )
 
@@ -1091,6 +1122,20 @@ object RelationalQueries {
       "(SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey) < " +
       "(SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem l2 " +
       "WHERE l2.l_partkey = lineitem.l_partkey) " +
-      "GROUP BY 1 ORDER BY 1")
+      "GROUP BY 1 ORDER BY 1"),
+    // the DOUBLE correlation stays correlated here (EXISTS + NOT EXISTS,
+    // Q21's shape) — DuckDB decorrelates it itself, cross-checking the
+    // engine's single-window-pass decorrelation
+    "q_sole_late_shipper" -> ("WITH w AS (SELECT DISTINCT l_orderkey, l_suppkey " +
+      "FROM lineitem l1 " +
+      "WHERE l_shipdate = (SELECT max(l_shipdate) FROM lineitem l2 " +
+      "WHERE l2.l_orderkey = l1.l_orderkey) " +
+      "AND EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+      "AND l3.l_suppkey <> l1.l_suppkey) " +
+      "AND NOT EXISTS (SELECT 1 FROM lineitem l4 WHERE l4.l_orderkey = l1.l_orderkey " +
+      "AND l4.l_suppkey <> l1.l_suppkey AND l4.l_shipdate >= l1.l_shipdate)) " +
+      "SELECT s_name, count(*) AS numwait FROM w " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20")
   )
 }

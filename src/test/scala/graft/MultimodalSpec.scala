@@ -134,6 +134,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pcmWav round-trips samples exactly through the real RIFF/PCM codec") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 7)
+    val wav = Multimodal.pcmWav(samples.length, 8000, samples(_))
+    // a real WAV container: RIFF....WAVE magic
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, n, decoded) = Multimodal.decodeAudio(wav).get
+    assert(rate == 8000 && n == samples.length)
+    assert(decoded.toSeq == samples.toSeq)
+  }
+
+  test("decodeAudio returns None for non-audio payloads (including images)") {
+    assert(Multimodal.decodeAudio("definitely not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.grayPng(4, 4, (_, _) => 1)).isEmpty)
+    // and the image decoder rejects WAVs — the modality dispatch is clean
+    assert(Multimodal.decodeImage(Multimodal.pcmWav(8, 8000, _ => 0)).isEmpty)
+  }
+
+  test("audioStats matches the closed-form oracle on synthetic WAV media") {
+    val stats = Multimodal
+      .audioStats(Multimodal.syntheticWavMedia(docs.repartition(2)))
+      .collect()
+      .map(s => s.id -> s)
+      .toMap
+    assert(stats.keySet == Set(0L, 1L, 2L))
+    for ((id, s) <- stats) {
+      val n = (64 + id % 64).toInt
+      assert(s.nSamples == n && s.sampleRate == 8000)
+      val expected = (0 until n).map(k => (id * 37 + k * 11) % 2003 - 1001).sum
+      assert(s.sampleSum == expected)
+    }
+  }
+
   test("extractFeatures runs batched per partition with stable output") {
     val recs = Multimodal.asRecords(Multimodal.syntheticMedia(docs).repartition(2))
     val feats = Multimodal.extractFeatures(recs, dim = 8, batchSize = 2).collect()
