@@ -172,6 +172,16 @@ class PlanSpec extends SparkSpec {
       s"join must preserve unmatched customers:\n$p")
   }
 
+  test("q_sole_late_shipper: double correlation collapses to one window pass") {
+    val p = plan("q_sole_late_shipper")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS/NOT EXISTS must not become nested loops:\n$p")
+    // all three per-order statistics ride ONE l_orderkey exchange
+    assert(count(p, "Exchange hashpartitioning(l_orderkey") == 1,
+      s"window stats must share a single order-keyed shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+  }
+
   test("q_small_quantity_revenue: correlated subquery decorrelates to agg-join") {
     val p = plan("q_small_quantity_revenue")
     // the whole point of the hand-decorrelation: NEVER a per-row re-scan
