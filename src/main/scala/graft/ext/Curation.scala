@@ -285,12 +285,16 @@ object Curation {
         .select(col("lo").as("u"), col("hi").as("v"))
         .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
       val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // NO distinct here: duplicate (lo, hi) emissions (two vertices
+      // re-linking the same pair) are harmless to the small-star phase —
+      // byHi's min ignores them and the round-final distinct removes them
+      // — so deduping early would buy nothing but one extra shuffle per
+      // round. Row count stays ≤ |E| either way (one emission per edge).
       val largeRaw = sym
         .filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
         .filter(col("lo") =!= col("hi"))
-        .distinct()
       // the small-star phase consumes `large` twice (groupBy + join).
       // Materialize it only when recomputation is the bigger cost: the
       // previous checksum gives the EXACT current edge count for free, so
