@@ -799,6 +799,32 @@ object RelationalQueries {
         .select(col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)
+    },
+
+    // TPC-H Q22-shaped: above-average-balance customers with NO orders,
+    // rolled up per nation — scalar-subquery threshold (1-row broadcast)
+    // COMPOSED with an anti-join against the fact table. The balance
+    // compare is cross-multiplied to exact integers (cents·n > Σcents) —
+    // no division reaches the filter — and the anti-join is a plain
+    // left_anti on o_custkey (shuffle or broadcast at AQE's discretion;
+    // never a per-row NOT EXISTS probe).
+    "q_rich_inactive" -> { (s, dir) =>
+      val cust = Tables
+        .customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val stats = cust
+        .filter(col("cents") > 0)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s_cents"))
+      cust
+        .join(broadcast(stats))
+        .filter(col("cents") * col("n") > col("s_cents"))
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
+        .orderBy("nation")
     }
   )
 
@@ -1136,6 +1162,16 @@ object RelationalQueries {
       "AND l4.l_suppkey <> l1.l_suppkey AND l4.l_shipdate >= l1.l_shipdate)) " +
       "SELECT s_name, count(*) AS numwait FROM w " +
       "JOIN supplier ON l_suppkey = s_suppkey " +
-      "GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20")
+      "GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20"),
+    // scalar subquery + NOT EXISTS kept in their correlated/subquery form
+    "q_rich_inactive" -> ("WITH c AS (SELECT c_custkey, c_nationkey, " +
+      "CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer), " +
+      "p AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s_cents " +
+      "FROM c WHERE cents > 0) " +
+      "SELECT c_nationkey AS nation, count(*) AS n_cust, " +
+      "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal " +
+      "FROM c, p WHERE cents * n > s_cents " +
+      "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) " +
+      "GROUP BY 1 ORDER BY 1")
   )
 }
