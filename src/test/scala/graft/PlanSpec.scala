@@ -182,6 +182,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
   }
 
+  test("q_rich_inactive: threshold broadcasts as 1-row build; inactivity is a LeftAnti") {
+    val p = plan("q_rich_inactive")
+    // the 1-row stats frame may ride a BroadcastNestedLoopJoin — that IS
+    // the broadcast-scalar shape (build side is one row); what must never
+    // happen is a per-row NOT EXISTS probe or a cartesian over the facts
+    assert(p.contains("LeftAnti"), s"no-orders check must be an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
   test("q_small_quantity_revenue: correlated subquery decorrelates to agg-join") {
     val p = plan("q_small_quantity_revenue")
     // the whole point of the hand-decorrelation: NEVER a per-row re-scan
