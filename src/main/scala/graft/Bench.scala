@@ -44,7 +44,15 @@ object Bench {
     val reps = math.max(
       1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset for targeted probes (comma-separated names); the
+    // driver leaves it unset → full surface.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case scala.None  => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

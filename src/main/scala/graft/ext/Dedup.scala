@@ -41,11 +41,27 @@ object Dedup {
     *    per-run scratch location and remove it after the job. Paths mix in
     *    the Spark applicationId, so concurrent drivers sharing a dir
     *    cannot clobber each other's tables.
+    *  - [[Intermediate.Bucketed]]: parquet table bucketed + sorted by the
+    *    operator's join/aggregation key ([[Scale.writeBucketed]]). The
+    *    durable path PLUS exchange elimination: every downstream
+    *    `groupBy(key)` / equi-join on `key` reads hash-partitioned,
+    *    per-bucket-sorted files, so the corpus-sized posting frame never
+    *    re-enters a shuffle (the round-6 ×10 span-dedup probe measured the
+    *    posting shuffle as the one super-linear residual — this is its
+    *    lever). Same caller-owned lifecycle as Durable; tables land in the
+    *    session warehouse with app-id + sequence tokens in the name.
     *  - [[Intermediate.None]]: no materialization; the caller owns reuse
     *    (e.g. it already wrote the postings to a bucketed table).
     */
   sealed trait Intermediate extends Serializable {
     def apply(df: DataFrame, label: String): DataFrame
+
+    /** Materialize an intermediate whose downstream consumers aggregate
+      * and join on `key`. Only [[Intermediate.Bucketed]] uses the key (to
+      * co-bucket storage with the consumers' partitioning); every other
+      * strategy delegates to the plain materialization.
+      */
+    def keyed(df: DataFrame, label: String, key: String): DataFrame = apply(df, label)
   }
   object Intermediate {
     case object Local extends Intermediate {
@@ -64,6 +80,35 @@ object Dedup {
         val path = s"$dir/$label-$app-${Intermediate.seq.incrementAndGet()}.parquet"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
+      }
+    }
+    /** Bucketed durable materialization — see the trait doc. `apply`
+      * (no key available) falls back to a plain durable parquet round-trip
+      * under the warehouse so mixed call sites still get persistence;
+      * `keyed` is the point.
+      */
+    final case class Bucketed(buckets: Int) extends Intermediate {
+      require(buckets > 0, "buckets must be > 0")
+      def apply(df: DataFrame, label: String): DataFrame = {
+        val spark = df.sparkSession
+        val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/" +
+          s"${tableName(df, label)}_flat.parquet"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      override def keyed(df: DataFrame, label: String, key: String): DataFrame = {
+        val spark = df.sparkSession
+        val table = tableName(df, label)
+        Scale.writeBucketed(df, table, key, buckets)
+        spark.table(table)
+      }
+      // unique per materialization + JVM, same contract as Durable paths;
+      // metastore table names allow [a-z0-9_] only
+      private def tableName(df: DataFrame, label: String): String = {
+        val app = df.sparkSession.sparkContext.applicationId
+          .toLowerCase.replaceAll("[^a-z0-9]", "_")
+        s"graft_${label.toLowerCase.replaceAll("[^a-z0-9]", "_")}_${app}_" +
+          s"${Intermediate.seq.incrementAndGet()}"
       }
     }
     case object None extends Intermediate {
@@ -350,7 +395,11 @@ object Dedup {
     // Materialize the posting list ONCE: it feeds four consumers (sizes,
     // hot-list, both self-join sides) — see [[Intermediate]] for the
     // test-scale vs 100 TB strategies.
-    val post0 = intermediate(hashedPostings(docs, idCol, textCol, n), "jaccard_postings")
+    // keyed on "h": every corpus-sized consumer below (hot-list groupBy,
+    // both self-join sides) partitions by the shingle hash, so a Bucketed
+    // strategy removes the posting frame's re-shuffles entirely
+    val post0 = intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
+      "jaccard_postings", "h")
     // set sizes derived from the postings themselves (no re-tokenization)
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // df-cap: a shingle present in > maxDf docs explodes the self-join
@@ -606,11 +655,16 @@ object Dedup {
     val toksDf = docs.select(col(idCol).as("doc"), TextOps.tokens(col(textCol)).as("toks"))
     // (doc, start, h): hash the gram BEFORE materializing — the string
     // never enters the shuffle
-    val grams = intermediate(
+    // keyed on "h": the duplicate-gram aggregation and the coverage
+    // join-back both partition by the gram hash — with a Bucketed
+    // strategy the corpus-sized gram frame is shuffled ZERO times after
+    // the one-time bucketed write (the ×10 posting-shuffle spill lever;
+    // see BASELINE.md round-7 re-probe)
+    val grams = intermediate.keyed(
       toksDf.select(col("doc"),
         posexplode(wordShinglesAll(col("toks"), n)).as(Seq("start", "gram")))
         .select(col("doc"), col("start"), md5Long(col("gram")).as("h")),
-      "span-grams")
+      "span_grams", "h")
     val dup = grams
       .groupBy(col("h"))
       .agg(count_distinct(col("doc")).as("df"))

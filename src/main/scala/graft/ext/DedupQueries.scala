@@ -105,9 +105,17 @@ object DedupQueries {
     // from every doc; survivors re-join. clean_text is emitted as md5 +
     // length (hash-stable; the raw text column would bloat the dump).
     // dup_ratio is ONE IEEE division of small ints ⇒ engine-exact.
+    // The declared path runs the PRODUCTION intermediate: the gram frame is
+    // written once bucketed+sorted on the gram hash, so the duplicate-gram
+    // aggregation and the coverage join-back re-shuffle it zero times
+    // (DedupSpec proves bit-equality with the Local form and pins the
+    // exchange-free plan; the round-6 ×10 probe measured the gram-posting
+    // re-shuffle as the one super-linear residual — this removes it).
     "q_span_dedup" -> { (s, dir) =>
       Dedup
-        .spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+        .spanDedup(Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2,
+          intermediate =
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .select(col("doc").as("doc_id"), col("n_toks"), col("n_dup_toks"),
           col("dup_ratio"), md5(col("clean_text")).as("clean_md5"),
           length(col("clean_text")).as("clean_len"))

@@ -224,4 +224,29 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
       Seq((1L, ""), (2L, ""), (3L, "keep")))
   }
+
+  test("bucketed intermediate: spanDedup bit-equal; gram frame never re-shuffles") {
+    val d = Tables.documents(spark, SfDir)
+    val local = Dedup.spanDedup(d, "doc_id", "text", n = 8, minDocs = 2)
+    val bucketed = Dedup.spanDedup(d, "doc_id", "text", n = 8, minDocs = 2,
+      intermediate = Dedup.Intermediate.Bucketed(buckets = 4))
+    val pLocal = local.queryExecution.executedPlan.toString
+    val pBucketed = bucketed.queryExecution.executedPlan.toString
+    def hShuffles(p: String): Int = "hashpartitioning\\(h#".r.findAllIn(p).length
+    // Local re-shuffles the corpus-sized gram frame on h for BOTH the
+    // duplicate-gram aggregation and the coverage join-back...
+    assert(hShuffles(pLocal) >= 2, s"local baseline should shuffle grams on h:\n$pLocal")
+    // ...the bucketed write removes every gram-keyed exchange: the dup
+    // aggregation and both join sides read co-bucketed, per-bucket-sorted
+    // files (this is the round-6 ×10 posting-spill lever)
+    assert(hShuffles(pBucketed) == 0,
+      s"bucketed gram frame must never re-enter an h-keyed exchange:\n$pBucketed")
+    assert(pBucketed.contains("Bucketed: true"),
+      s"consumers must scan the bucketed table:\n$pBucketed")
+    // the only remaining data exchange is the inherent doc-keyed coverage set
+    assert("hashpartitioning\\(doc#".r.findAllIn(pBucketed).length == 1, pBucketed)
+    // and the answer is bit-identical to the unbucketed reference
+    assert(bucketed.orderBy("doc").collect().toSeq ==
+      local.orderBy("doc").collect().toSeq)
+  }
 }

@@ -146,14 +146,19 @@ class PlanSpec extends SparkSpec {
       s"funnel must stay an equi-join chain:\n$p")
   }
 
-  test("q_span_dedup: gram frame materializes once; dup join never broadcasts the corpus") {
+  test("q_span_dedup: gram frame bucketed once; dup join exchange-free, never broadcast") {
     val p = plan("q_span_dedup")
     // the gram-keyed coverage join is merge-hinted: both sides are
     // corpus-sized, so stats-based broadcast would be fatal at scale
     assert(p.contains("SortMergeJoin"), s"gram join must stay a merge join:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), s"no all-pairs:\n$p")
-    // grams materialize once (localCheckpoint) — both consumers scan it
-    assert(count(p, "Scan ExistingRDD") >= 2, s"grams must come from the checkpoint:\n$p")
+    // grams materialize ONCE into an h-bucketed table — the duplicate-gram
+    // aggregation and both join sides read it bucket-aligned, so the
+    // corpus-sized gram frame never re-enters an exchange (the round-6 ×10
+    // posting-shuffle residual, removed)
+    assert(p.contains("Bucketed: true"), s"grams must come from the bucketed table:\n$p")
+    assert(!p.contains("hashpartitioning(h#"),
+      s"bucketed gram frame must not re-shuffle on the gram key:\n$p")
   }
 
   test("q_rolling_active: day explode is map-side; one distinct shuffle chain") {
