@@ -373,6 +373,202 @@ object Multimodal {
     }
   }
 
+  // ---- real video container parsing ---------------------------------------
+  //
+  // No JDK video CODEC exists, so pixel decode stays behind the documented
+  // stubs below — but container METADATA is pure byte parsing, and that is
+  // what a curation pipeline actually reads first (dims / duration / frame
+  // count gate ingest long before any frame is decoded). Both parsers are
+  // hand-rolled over the public container specs: ISO BMFF (MP4 `moov/mvhd`
+  // for timescale+duration, `tkhd` for 16.16-fixed dims) and RIFF AVI
+  // (`hdrl/avih` for frame period, frame count, dims).
+
+  /** Parsed video container metadata: the pre-decode facts. `nFrames` is 0
+    * for MP4 (the movie header carries duration, not a frame count — that
+    * lives in per-track sample tables a minimal parse doesn't need).
+    */
+  final case class VideoMeta(
+      id: Long, container: String, width: Int, height: Int, durationMs: Long, nFrames: Long)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) | ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse MP4 / RIFF-AVI container metadata from the leading bytes.
+    * Returns None for payloads that are neither (the non-video signal,
+    * mirroring [[decodeImage]]/[[decodeAudio]]) or whose declared box/chunk
+    * sizes run past the buffer (truncated or hostile input must yield None,
+    * never an exception in an executor hot loop).
+    */
+  def parseVideoMeta(id: Long, media: Array[Byte]): Option[VideoMeta] =
+    if (media == null || media.length < 12) scala.None
+    else
+      try {
+        if (fourcc(media, 4) == "ftyp") parseMp4(id, media)
+        else if (fourcc(media, 0) == "RIFF" && fourcc(media, 8) == "AVI ") parseAvi(id, media)
+        else scala.None
+      } catch { case _: IndexOutOfBoundsException | _: ArithmeticException => scala.None }
+
+  /** Walk top-level ISO-BMFF boxes (u32-BE size + 4CC; size==1 ⇒ 64-bit
+    * largesize follows) for `moov`; inside it, `mvhd` v0 gives
+    * timescale/duration and the first `trak/tkhd` v0 gives 16.16 dims.
+    */
+  private def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] = {
+    var w = 0; var h = 0; var durMs = -1L
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        var size = be32(b, o.toInt)
+        val typ = fourcc(b, o.toInt + 4)
+        var payload = o + 8
+        if (size == 1L && o + 16 <= end) { // 64-bit largesize
+          size = (be32(b, o.toInt + 8) << 32) | be32(b, o.toInt + 12)
+          payload = o + 16
+        }
+        if (size < 8 || o + size > end) return // malformed ⇒ stop, keep what we have
+        typ match {
+          case "moov" | "trak" if depth < 4 => walk(payload, o + size, depth + 1)
+          case "mvhd" if b(payload.toInt) == 0 && payload + 20 <= end =>
+            val timescale = be32(b, payload.toInt + 12)
+            val duration = be32(b, payload.toInt + 16)
+            if (timescale > 0) durMs = duration * 1000L / timescale
+          case "tkhd" if b(payload.toInt) == 0 && payload + 84 <= end && w == 0 =>
+            w = (be32(b, payload.toInt + 76) >> 16).toInt // 16.16 fixed
+            h = (be32(b, payload.toInt + 80) >> 16).toInt
+          case _ => ()
+        }
+        o += size
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (durMs >= 0) Some(VideoMeta(id, "mp4", w, h, durMs, 0L)) else scala.None
+  }
+
+  /** Walk RIFF chunks (4CC + u32-LE size, LIST carries a subtype) for
+    * `LIST hdrl`; its `avih` payload gives dwMicroSecPerFrame(0),
+    * dwTotalFrames(16), dwWidth(32), dwHeight(36).
+    */
+  private def parseAvi(id: Long, b: Array[Byte]): Option[VideoMeta] = {
+    var o = 12L
+    val end = math.min(12L + le32(b, 4) - 4, b.length.toLong)
+    while (o + 8 <= end) {
+      val typ = fourcc(b, o.toInt)
+      val size = le32(b, o.toInt + 4)
+      if (typ == "LIST" && o + 12 <= end && fourcc(b, o.toInt + 8) == "hdrl") {
+        var c = o + 12
+        val lend = math.min(o + 8 + size, end)
+        while (c + 8 <= lend) {
+          val ct = fourcc(b, c.toInt)
+          val cs = le32(b, c.toInt + 4)
+          if (ct == "avih" && c + 8 + 40 <= lend) {
+            val usPerFrame = le32(b, c.toInt + 8)
+            val frames = le32(b, c.toInt + 8 + 16)
+            val w = le32(b, c.toInt + 8 + 32).toInt
+            val h = le32(b, c.toInt + 8 + 36).toInt
+            return Some(VideoMeta(id, "avi", w, h, usPerFrame * frames / 1000L, frames))
+          }
+          c += 8 + cs + (cs & 1) // chunks are word-aligned
+        }
+      }
+      o += 8 + size + (size & 1)
+    }
+    scala.None
+  }
+
+  /** Build a minimal-but-valid MP4: `ftyp` + `moov(mvhd, trak(tkhd))` with
+    * v0 headers. Every field a reader needs is real; there is simply no
+    * media data (`mdat`) — the shape of a metadata-only sidecar.
+    */
+  def mp4Container(width: Int, height: Int, timescale: Int, duration: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 8 + 92)
+    def box(size: Int, typ: String): Unit = {
+      out.putInt(size); out.put(typ.getBytes("US-ASCII"))
+    }
+    box(20, "ftyp"); out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
+    out.put("isom".getBytes("US-ASCII"))
+    box(8 + 108 + 8 + 92, "moov")
+    box(108, "mvhd"); out.putInt(0) // version 0 + flags
+    out.putInt(0).putInt(0) // ctime, mtime
+    out.putInt(timescale).putInt(duration.toInt)
+    out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+    out.putInt(0).putInt(0) // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.putInt) // identity matrix
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2) // next_track_ID
+    box(8 + 92, "trak")
+    box(92, "tkhd"); out.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+    out.putInt(0).putInt(0).putInt(1).putInt(0) // ctime, mtime, track_ID, reserved
+    out.putInt(duration.toInt)
+    out.putInt(0).putInt(0) // reserved
+    out.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt_group, volume, reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.putInt)
+    out.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+    out.array()
+  }
+
+  /** Build a minimal-but-valid RIFF AVI: `RIFF('AVI ' LIST('hdrl' avih))`.
+    * Same sidecar shape as [[mp4Container]] — real header, no movi data.
+    */
+  def aviContainer(width: Int, height: Int, usPerFrame: Int, frames: Long): Array[Byte] = {
+    val out = java.nio.ByteBuffer
+      .allocate(12 + 12 + 8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); out.putInt(4 + 12 + 8 + 56); cc("AVI ")
+    cc("LIST"); out.putInt(4 + 8 + 56); cc("hdrl")
+    cc("avih"); out.putInt(56)
+    out.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10) // usPerFrame, maxBps, pad, flags
+    out.putInt(frames.toInt).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufSize
+    out.putInt(width).putInt(height)
+    (0 until 4).foreach(_ => out.putInt(0)) // dwReserved[4]
+    out.array()
+  }
+
+  /** Deterministic REAL-container video media table: alternating MP4 / AVI
+    * headers per document, dims/duration closed-form in `doc_id` so a SQL
+    * oracle recomputes the parsed metadata with no video code — the
+    * container analog of [[syntheticPngMedia]]/[[syntheticWavMedia]].
+    * Closed form: w = 160 + id%320, h = 120 + id%240; even ids → MP4 with
+    * timescale 1000, duration (id%9000)+1000; odd ids → AVI with 33333 µs
+    * frames, (id%240)+24 of them.
+    */
+  def syntheticVideoMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (160 + id % 320).toInt
+        val h = (120 + id % 240).toInt
+        if (id % 2 == 0) {
+          val dur = (id % 9000) + 1000
+          MediaRecord(id, mp4Container(w, h, 1000, dur), MediaMeta("mp4", w, h, dur))
+        } else {
+          val frames = (id % 240) + 24
+          MediaRecord(id, aviContainer(w, h, 33333, frames),
+            MediaMeta("avi", w, h, 33333L * frames / 1000L))
+        }
+      }
+    }
+  }
+
+  /** Partition-wise batched container-metadata extraction — the pre-decode
+    * ingest gate. Non-video payloads are DROPPED (same contract as
+    * [[decodeStats]]).
+    */
+  def videoMeta(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    media.mapPartitions { rows =>
+      val parserHandle = new Object // per-partition init (≡ demuxer context)
+      rows.grouped(batchSize).flatMap { batch =>
+        require(parserHandle != null)
+        batch.iterator.flatMap(r => parseVideoMeta(r.id, r.media))
+      }
+    }
+  }
+
   // ---- deterministic fallbacks for non-image modalities -------------------
 
   /** FALLBACK decode kernel for payloads ImageIO can't read (audio/video —

@@ -93,6 +93,22 @@ object MultimodalQueries {
         .select(col("id"), col("nSamples").as("n_samples"),
           col("sampleRate").as("sample_rate"), col("sampleSum").as("sample_sum"))
         .orderBy("id")
+    },
+
+    // REAL video container metadata: alternating hand-built MP4 (ftyp +
+    // moov/mvhd/tkhd) and RIFF-AVI (hdrl/avih) headers per document, parsed
+    // back by the byte-level box/chunk walkers — the pre-decode ingest gate
+    // a curation pipeline runs on every video. Dims/duration/frame-count
+    // are closed-form in doc_id, so the oracle recomputes what the parser
+    // must extract; a parser that misreads any offset fails the hash.
+    // (Pixel decode stays behind the documented stub — no JDK video codec
+    // exists; the container math is the real, testable part.)
+    "q_media_video_meta" -> { (s, dir) =>
+      Multimodal
+        .videoMeta(Multimodal.syntheticVideoMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("container"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"), col("nFrames").as("n_frames"))
+        .orderBy("id")
     }
   )
 
@@ -157,6 +173,19 @@ object MultimodalQueries {
       "8000 AS sample_rate, " +
       "CAST(list_sum(list_transform(generate_series(0, 64 + doc_id % 64 - 1), " +
       "k -> (doc_id * 37 + k * 11) % 2003 - 1001)) AS BIGINT) AS sample_sum " +
-      "FROM documents ORDER BY id")
+      "FROM documents ORDER BY id"),
+    // parsed container metadata = the generated closed form; MP4 duration
+    // units are written at timescale 1000 (duration*1000/1000 = units) and
+    // carry no frame count (n_frames 0); AVI duration is the integer-µs
+    // frame period times the frame count, floor-divided to ms exactly as
+    // the parser's Long division does
+    "q_media_video_meta" -> ("SELECT doc_id AS id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container, " +
+      "CAST(160 + doc_id % 320 AS INTEGER) AS width, " +
+      "CAST(120 + doc_id % 240 AS INTEGER) AS height, " +
+      "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9000) + 1000 " +
+      "ELSE (33333 * ((doc_id % 240) + 24)) // 1000 END AS BIGINT) AS duration_ms, " +
+      "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (doc_id % 240) + 24 END AS BIGINT) " +
+      "AS n_frames FROM documents ORDER BY id")
   )
 }

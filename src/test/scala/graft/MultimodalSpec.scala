@@ -177,4 +177,53 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(recs, dim = 8, batchSize = 2).collect()
     assert(feats.map(_.features.toSeq).toSet == again.map(_.features.toSeq).toSet)
   }
+
+  test("mp4Container round-trips dims, timescale-scaled duration through the box walker") {
+    // non-trivial timescale: 600 units/s, 1800 units → exactly 3000 ms
+    val m = Multimodal.parseVideoMeta(7L, Multimodal.mp4Container(1920, 1080, 600, 1800L))
+    assert(m.contains(Multimodal.VideoMeta(7L, "mp4", 1920, 1080, 3000L, 0L)))
+    // truncating division is the contract (1000 units at 600/s = 1666 ms)
+    val t = Multimodal.parseVideoMeta(1L, Multimodal.mp4Container(640, 480, 600, 1000L))
+    assert(t.get.durationMs == 1666L)
+  }
+
+  test("aviContainer round-trips dims, frame count, µs-per-frame duration") {
+    val m = Multimodal.parseVideoMeta(9L, Multimodal.aviContainer(1280, 720, 33333, 120L))
+    // 33333 µs × 120 frames = 3999960 µs → 3999 ms (Long division)
+    assert(m.contains(Multimodal.VideoMeta(9L, "avi", 1280, 720, 3999L, 120L)))
+  }
+
+  test("parseVideoMeta rejects non-video and truncated payloads, never throws") {
+    assert(Multimodal.parseVideoMeta(1L, null).isEmpty)
+    assert(Multimodal.parseVideoMeta(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseVideoMeta(1L, "not a container at all!!".getBytes).isEmpty)
+    // a real image payload is not a video
+    val png = Multimodal.grayPng(4, 4, (_, _) => 1)
+    assert(Multimodal.parseVideoMeta(1L, png).isEmpty)
+    // truncated mid-box: declared sizes run past the buffer → None, no throw
+    val mp4 = Multimodal.mp4Container(640, 480, 1000, 1000L)
+    assert(Multimodal.parseVideoMeta(1L, mp4.take(40)).isEmpty)
+    val avi = Multimodal.aviContainer(640, 480, 33333, 24L)
+    assert(Multimodal.parseVideoMeta(1L, avi.take(30)).isEmpty)
+  }
+
+  test("videoMeta kernel matches the synthetic closed form (mixed MP4/AVI)") {
+    val metas = Multimodal
+      .videoMeta(Multimodal.syntheticVideoMedia(docs), batchSize = 2)
+      .collect()
+      .map(m => m.id -> m)
+      .toMap
+    assert(metas.size == 3)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val m = metas(id)
+      assert(m.width == (160 + id % 320).toInt && m.height == (120 + id % 240).toInt)
+      if (id % 2 == 0) {
+        assert(m.container == "mp4" && m.durationMs == (id % 9000) + 1000 && m.nFrames == 0L)
+      } else {
+        val fr = (id % 240) + 24
+        assert(m.container == "avi" && m.nFrames == fr &&
+          m.durationMs == 33333L * fr / 1000L)
+      }
+    }
+  }
 }
