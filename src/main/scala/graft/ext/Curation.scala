@@ -196,9 +196,10 @@ object Curation {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc")).distinct()
+    var labelsCkpt = edges.select(col("src").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
       .localCheckpoint()
+    var labels = labelsCkpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -215,12 +216,38 @@ object Curation {
         .groupBy("doc")
         .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev"))
         .localCheckpoint()
+      // `next` is eagerly materialized and lineage-truncated, so the
+      // PREVIOUS round's checkpoint blocks are dead — release them now
+      // instead of waiting for driver-GC ContextCleaner (at 100 TB × many
+      // rounds the leak is executor storage, not an abstraction)
+      releaseCheckpoint(labelsCkpt)
+      labelsCkpt = next
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
       labels = next.select(col("doc"), col("cluster"))
       iter += 1
     }
+    releaseCheckpoint(edges)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — labels would be " +
+          "partially propagated (wrong, not approximate). Raise maxIter (rounds needed = " +
+          "component diameter) or use connectedComponentsStar (O(log n) rounds).")
     labels
   }
+
+  /** Free a localCheckpoint's storage blocks once no live frame references
+    * it. The checkpointed Dataset wraps a `LogicalRDD` over the persisted
+    * RDD; unpersisting that RDD releases the blocks immediately — the
+    * iterative operators here otherwise strand one dead copy of their
+    * working frame per round until the GC-driven ContextCleaner notices
+    * (invisible at fixture scale, real executor storage at 100 TB).
+    * Non-checkpoint frames are a no-op, so callers can pass anything.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _                                            => ()
+    }
 
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -302,6 +329,7 @@ object Curation {
       // dominate at fixture scale) while big frames keep it (recomputing
       // a billion-edge phase twice is the real 100 TB cost).
       val large = if (prev._1 < 1000000L) largeRaw else largeRaw.localCheckpoint()
+      val largeCkpt = large // released once `small` is materialized below
       // small-star: ∀u, its smaller neighbors and u itself all link to
       // min(N⁻(u)) — grouped on the hi side of the canonical frame.
       val byHi = large.groupBy("hi").agg(min(col("lo")).as("m"))
@@ -312,12 +340,23 @@ object Curation {
         .unionByName(byHi.select(col("m").as("lo"), col("hi"))) // u itself to m
         .distinct()
         .localCheckpoint()
+      // `small` is eager and lineage-truncated: the previous round's edge
+      // frame and this round's large-star intermediate are dead — release
+      // their blocks now (see [[releaseCheckpoint]])
+      releaseCheckpoint(largeCkpt)
+      releaseCheckpoint(e)
       val cur = checksum(small)
       converged = cur == prev || cur._1 == 0L
       prev = cur
       e = small
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — the edge frame " +
+          "is a partially contracted star forest and labels read from it would be WRONG. " +
+          "The alternation converges in O(log n) rounds, so exhaustion signals a genuine " +
+          "anomaly (or an absurdly low maxIter), never a tolerable approximation.")
     // fixpoint frame is a star forest: hi = member, lo = component min;
     // vertices that only ever appeared in self-loops label themselves
     val verts = pairs

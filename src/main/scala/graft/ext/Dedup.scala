@@ -473,6 +473,13 @@ object Dedup {
     * true member (no false negatives), and survivors are re-checked
     * exactly. Per-doc totals (`n_sh`) come from a pre-filter aggregation
     * of the full posting stream, so the denominator is unaffected.
+    *
+    * Broadcast lifecycle: each call builds one [[Bloom.BroadcastFilter]]
+    * (~numBits/8 bytes per executor) whose blocks live until the driver's
+    * ContextCleaner GCs the returned plan — fine for a job-per-call
+    * pipeline, an accumulating cost for a long-lived session looping over
+    * benchmark sets. Such callers should use the overload below with a
+    * caller-owned filter and `destroy()` it after materializing the result.
     */
   def contaminationBloom(
       corpus: DataFrame,
@@ -495,6 +502,25 @@ object Dedup {
     // form would bloat every generated function (see BloomBitTest)
     val bloom = Bloom.broadcastFilter(corpus.sparkSession,
       Bloom.build(bench, "h", numBits, numHashes))
+    contaminationBloomWith(corpus, bench, bloom, idCol, textCol, n, ratioThreshold,
+      intermediate)
+  }
+
+  /** [[contaminationBloom]] with a CALLER-OWNED bloom filter (and an
+    * already-distinct benchmark hash frame) — the long-lived-session form:
+    * the caller builds the filter once, reuses it across calls, and
+    * `destroy()`s it after the last result is materialized, instead of
+    * leaving one broadcast per invocation for the ContextCleaner.
+    */
+  def contaminationBloomWith(
+      corpus: DataFrame,
+      bench: DataFrame,
+      bloom: Bloom.BroadcastFilter,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      ratioThreshold: Double,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
     // materialized once: consumed by BOTH the totals aggregation and the
     // bloom-pruned hit join — without this the corpus would tokenize twice
     val post = intermediate(hashedPostings(corpus, idCol, textCol, n), "contam-postings")

@@ -105,4 +105,22 @@ class BloomSpec extends SparkSpec {
       .orderBy("doc").collect().toSeq
     assert(bloomed == exact)
   }
+
+  test("caller-owned bloom: contaminationBloomWith + destroy frees the broadcast") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchDocs = d.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.contamination(d, benchDocs, "doc_id", "text", n = 3,
+      ratioThreshold = 0.5).orderBy("doc").collect().toSeq
+    val bench = Dedup.postings(benchDocs, "doc_id", "text", n = 3)
+      .select(col("h")).distinct().localCheckpoint()
+    val bloom = Bloom.broadcastFilter(spark, Bloom.build(bench, "h", 1 << 12, 3))
+    // one filter, two invocations — the long-lived-session reuse shape
+    val r1 = Dedup.contaminationBloomWith(d, bench, bloom, "doc_id", "text", 3, 0.5)
+      .orderBy("doc").collect().toSeq
+    val r2 = Dedup.contaminationBloomWith(d, bench, bloom, "doc_id", "text", 3, 0.5)
+      .orderBy("doc").collect().toSeq
+    assert(r1 == exact && r2 == exact)
+    // caller owns the lifecycle: destroy after materialization, blocks gone
+    bloom.destroy()
+  }
 }

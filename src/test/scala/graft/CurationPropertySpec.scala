@@ -138,6 +138,39 @@ class CurationPropertySpec extends SparkSpec {
     assert(rounds <= 12, s"star alternation must be O(log n): took $rounds rounds")
   }
 
+  test("iterative CC releases each dead round's checkpoint (bounded persistent RDDs)") {
+    // a 16-vertex path forces ≥15 propagation rounds and ≥4 star rounds;
+    // without the per-round release every round strands one dead
+    // localCheckpoint in executor storage until driver GC notices
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    def persisted(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted()
+    val prop = Curation.connectedComponents(path, maxIter = 30)
+      .as[(Long, Long)].collect().toMap
+    // survivors: the returned frame's final checkpoint only — NOT one per round
+    val afterProp = persisted()
+    assert(afterProp - before <= 1,
+      s"propagation leaked round checkpoints: $before -> $afterProp")
+    assert(prop.size == 16 && prop.values.forall(_ == 0L))
+    val (starLabels, rounds) = Curation.connectedComponentsStarCore(path, "a", "b", 50)
+    val star = starLabels.as[(Long, Long)].collect().toMap
+    val afterStar = persisted()
+    assert(rounds >= 3, s"path graph should need multiple star rounds, took $rounds")
+    assert(afterStar - afterProp <= 1,
+      s"star leaked round checkpoints: $afterProp -> $afterStar")
+    assert(star == prop)
+  }
+
+  test("iterative CC refuses to return partially converged labels at maxIter") {
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    // 15-vertex path needs ~15 propagation rounds / ~4 star rounds
+    val e1 = intercept[IllegalStateException](Curation.connectedComponents(path, maxIter = 3))
+    assert(e1.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException](
+      Curation.connectedComponentsStarCore(path, "a", "b", maxIter = 1))
+    assert(e2.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponentsStar ≡ propagation on mixed dense+chain graphs") {
     // two dense cliques bridged by a long chain — the shape that mixes the
     // propagation-friendly (dense) and propagation-hostile (chain) regimes
