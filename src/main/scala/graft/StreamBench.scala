@@ -90,16 +90,22 @@ object StreamBench {
     spark.stop()
 
     // steady-state span: drop the JIT/state-init head, rows/elapsed over
-    // the rest (timestamps are ISO-8601 UTC)
+    // the rest (timestamps are ISO-8601 UTC trigger-START times). The
+    // span last-minus-first covers the processing of the first N-1
+    // batches only, so the LAST batch's rows are excluded from the
+    // numerator too — counting them against a span that never includes
+    // their processing time inflated the rate ~N/(N-1) (~4.5% at the 23
+    // batches of the round-6 record).
     def ms(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli
     val t0 = progress.headOption.map(p => ms(p.timestamp)).getOrElse(0L)
     val steady = progress.filter(p => ms(p.timestamp) >= t0 + warmupSecs * 1000L)
-    val rows = steady.map(_.numInputRows).sum
+    val counted = steady.dropRight(1)
+    val rows = counted.map(_.numInputRows).sum
     val span = (steady.lastOption.map(p => ms(p.timestamp)).getOrElse(t0) -
       steady.headOption.map(p => ms(p.timestamp)).getOrElse(t0)) / 1000.0
     val eps = if (span > 0) rows / span else 0.0
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.toLong},"unit":"rows/sec",""" +
-        s""""batches":${steady.size},"rows":$rows,"span_sec":$span,"cpus":$cpus}""")
+        s""""batches":${counted.size},"rows":$rows,"span_sec":$span,"cpus":$cpus}""")
   }
 }

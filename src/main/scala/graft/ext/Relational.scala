@@ -530,4 +530,31 @@ object Relational {
       .groupBy(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
       .agg(count_distinct(col(userCol)).as("users"))
   }
+
+  /** TPC-H Q22 shape: above-average-balance customers with NO orders,
+    * rolled up per nation — scalar-subquery threshold (1-row broadcast)
+    * composed with a left-anti join against the fact table. The balance
+    * compare is cross-multiplied to exact integers (cents·n > Σ cents) so
+    * no division reaches the filter; the anti-join is a plain left_anti on
+    * the order custkey (shuffle or broadcast at AQE's discretion; never a
+    * per-row NOT EXISTS probe). Expects TPC-H column names
+    * (`c_custkey`, `c_nationkey`, `c_acctbal`; `o_custkey`).
+    *
+    * Emits (nation, n_cust, total_bal) — callers order as needed.
+    */
+  def richInactive(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val stats = cust
+      .filter(col("cents") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s_cents"))
+    cust
+      .join(broadcast(stats))
+      .filter(col("cents") * col("n") > col("s_cents"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
+  }
 }

@@ -93,6 +93,25 @@ object SimilarityQueries {
         .orderBy("a", "b")
     },
 
+    // The AUTO-SIZED production near-dup path: planes =
+    // planesFor(corpusCount, 64), so the bucket count tracks the corpus
+    // and candidate volume stays linear (the round-5 ×10 blow-up was this
+    // rule missing). Declared rows-only (no SQL oracle, like
+    // q_approx_distinct): the plane count — and with it every bucket
+    // boundary — is a function of the corpus size, so a fixed SQL mirror
+    // can't reproduce it across scale factors; the exact-cosine re-check
+    // inside cosineNearDupPairs and SimilaritySpec's 1×→10× linearity law
+    // are the correctness evidence. One extra corpus count() action sizes
+    // the table — at 100 TB that's a metadata-only parquet row-count read.
+    "q_embed_neardup_auto" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val planes = Similarity.hyperplanes(
+        Similarity.planesFor(v.count(), targetBucketSize = 64), Dim, "auto-neardup")
+      Similarity
+        .cosineNearDupPairs(v, planes, threshold = 0.45)
+        .orderBy("a", "b")
+    },
+
     // L2 normalization — the preprocessing step every cosine/ANN pipeline
     // runs once at ingest so downstream similarity is a plain dot product.
     // norm = the same sequential fold both engines run (graft_dot ≡

@@ -89,6 +89,25 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("token").asc)
     },
 
+    // The same vocabulary head through the SpaceSaving sketch (graft_topk,
+    // a native TypedImperativeAggregate): ONE pass, ≤ cap counters per
+    // partial state through the shuffle — where the exact form shuffles
+    // the whole vocabulary. Declared rows-only (no SQL oracle): estimates
+    // depend on partition merge order by design; the correctness contract
+    // is the SpaceSaving bound true ≤ est ≤ true + err, which
+    // StreamingTextSpec / SpaceSavingSpec pin against exact counts.
+    "q_heavy_hitters_sketch" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables
+        .documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .agg(call_function("graft_topk", col("token"), lit(25), lit(400)).as("top"))
+        .select(posexplode(col("top")).as(Seq("rank0", "e")))
+        .select((col("rank0") + 1).as("rank"), col("e.item").as("token"),
+          col("e.est").as("est"), col("e.err").as("err"))
+        .orderBy("rank")
+    },
+
     // Top-3 TF-IDF terms per document — integer-ratio scoring (tf·N/df,
     // one IEEE division) so ranks and scores are engine-exact.
     "q_tfidf_terms" -> { (s, dir) =>

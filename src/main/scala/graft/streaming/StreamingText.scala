@@ -39,4 +39,36 @@ object StreamingText {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col("window.start").as("w_start"), col("token"), col("cnt"))
+
+  /** Trending terms through the SpaceSaving sketch
+    * ([[graft.functions.SpaceSavingTopK]]): per-window top-k with state
+    * BOUNDED BY `cap` COUNTERS PER OPEN WINDOW — where
+    * [[windowedTokenCounts]] keeps one state row per (window, token) and
+    * its store grows with the live vocabulary, this keeps ≤ cap counters
+    * per window no matter how wide the token stream runs (the adversarial
+    * 100 TB case: crawl spam injecting unbounded fresh tokens). The trade
+    * is SpaceSaving's overcount bound — `true ≤ est ≤ true + err` per
+    * emitted row, any term with true count > N/cap guaranteed present —
+    * which StreamingTextSpec pins against the exact counts. Emission on
+    * window close (append mode), one sketch merge per micro-batch.
+    */
+  def trendingTermsSketch(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      windowDuration: String = "60 seconds",
+      watermarkDelay: String = "0 seconds",
+      k: Int = 10,
+      cap: Int = 200): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(call_function("graft_topk", col("token"), lit(k), lit(cap)).as("top"))
+      .select(col("window.start").as("w_start"),
+        posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("w_start"), (col("rank0") + 1).as("rank"),
+        col("e.item").as("token"), col("e.est").as("est"), col("e.err").as("err"))
+  }
 }

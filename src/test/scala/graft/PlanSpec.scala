@@ -177,14 +177,43 @@ class PlanSpec extends SparkSpec {
       s"join must preserve unmatched customers:\n$p")
   }
 
-  test("q_sole_late_shipper: double correlation collapses to one window pass") {
+  test("q_sole_late_shipper: double correlation collapses to one order-keyed shuffle") {
     val p = plan("q_sole_late_shipper")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"EXISTS/NOT EXISTS must not become nested loops:\n$p")
-    // all three per-order statistics ride ONE l_orderkey exchange
+    // the per-(order,supplier) agg, the per-order max/count windows, and
+    // the sole-winner re-aggregation all ride ONE l_orderkey exchange
+    // (subset-key grouping preserves the repartition's partitioning)
     assert(count(p, "Exchange hashpartitioning(l_orderkey") == 1,
-      s"window stats must share a single order-keyed shuffle:\n$p")
+      s"aggregate+window chain must share a single order-keyed shuffle:\n$p")
+    // the round-6 form materialized two collect_set buffers per window
+    // row; the pre-aggregated form carries only O(1) max/count state
+    assert(!p.contains("collect_set"), s"no per-row set buffers in the chain:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"lineitem must scan once (+supplier):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+  }
+
+  test("q_excess_shipper: correlated IN-threshold rides one part-keyed shuffle") {
+    val p = plan("q_excess_shipper")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested IN + correlated agg must not become nested loops:\n$p")
+    // name-family prune reaches the part scan and semi-joins BEFORE the shuffle
+    assert(p.contains("StartsWith(p_name,large") || p.contains("p_name LIKE large%") ||
+      p.contains("StartsWith(p_name, large"), s"p_name prefix must push down:\n$p")
+    assert(p.contains("LeftSemi"), s"part prune must be a semi-join:\n$p")
+    // per-(part,supplier) agg + per-part window total share ONE exchange
+    assert(count(p, "Exchange hashpartitioning(l_partkey") == 1,
+      s"agg and window total must co-ride the part shuffle:\n$p")
+  }
+
+  test("q_top_supplier: view max is a 1-row broadcast, ties preserved without re-agg") {
+    val p = plan("q_top_supplier")
+    // the max-over-view compare is a broadcast of ONE row over the
+    // |suppliers| aggregate — never a second lineitem scan
+    assert(count(p, "Scan parquet") <= 3, s"lineitem must scan once:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar max must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
   test("q_rich_inactive: threshold broadcasts as 1-row build; inactivity is a LeftAnti") {

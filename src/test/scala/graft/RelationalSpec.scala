@@ -243,4 +243,34 @@ class RelationalSpec extends SparkSpec {
         s"day $day: approx $a vs exact $n")
     }
   }
+
+  test("richInactive: threshold + anti-join verified where a real population survives") {
+    // the driver fixtures have ~zero order-less customers, so the declared
+    // q_rich_inactive row is near-vacuous — this synthesizes frames where
+    // both gates (above-mean balance, no orders) each cut a known set,
+    // and checks against a driver-side brute force
+    val spark0 = spark
+    import spark0.implicits._
+    // 60 customers over 3 nations; balance = 10·key cents (mean rises with
+    // key), negative-balance customer 999 excluded from the mean base
+    val cust = ((1L to 60L).map(k => (k, (k % 3).toInt, k * 0.10)) :+
+      (999L, 0, -5.0)).toDF("c_custkey", "c_nationkey", "c_acctbal")
+    // customers with key % 4 == 0 have orders (incl. some above-mean ones)
+    val orders = (1L to 60L).filter(_ % 4 == 0).map(k => Tuple1(k)).toDF("o_custkey")
+    val got = Relational.richInactive(cust, orders)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force in plain Scala, same cents quantization
+    val cents = (1L to 60L).map(k => (k, (k % 3).toInt, (k * 10).toLong)) :+
+      (999L, 0, -500L)
+    val pos = cents.filter(_._3 > 0)
+    val (n, s) = (pos.size.toLong, pos.map(_._3).sum)
+    val expectRows = cents
+      .filter { case (k, _, c) => c * n > s && k % 4 != 0 }
+    val expect = expectRows.groupBy(_._2).map { case (nat, rows) =>
+      nat -> (rows.size.toLong, rows.map(_._3).sum / 100.0)
+    }
+    assert(expectRows.size >= 15,
+      s"test data must leave a meaningful surviving population, got ${expectRows.size}")
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
 }

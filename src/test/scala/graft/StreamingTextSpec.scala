@@ -67,4 +67,44 @@ class StreamingTextSpec extends SparkSpec {
       assert(rows.size == 2, s"top-2 only: $rows")
     } finally q.stop()
   }
+
+  test("trendingTermsSketch: sketch-vs-exact tolerance law under forced eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    // cap=8 ≪ the 23-term vocabulary → evictions MUST occur; the law under
+    // test is SpaceSaving's, not the exact-regime freebie
+    val out = StreamingText.trendingTermsSketch(
+      mem.toDF.toDF("ts", "text"), "text", "ts",
+      windowDuration = "60 seconds", k = 3, cap = 8)
+    val q = out.writeStream.format("memory").queryName("strend").outputMode("append").start()
+    try {
+      // heavy terms across TWO micro-batches (state round-trip + merge),
+      // plus a 20-term singleton tail that churns the counters
+      mem.addData((at(5), ("h1 " * 15) + ("h2 " * 10)),
+        (at(15), (1 to 10).map(i => s"t$i").mkString(" ")))
+      q.processAllAvailable()
+      mem.addData((at(25), ("h1 " * 15) + ("h2 " * 10) + ("h3 " * 10)),
+        (at(35), (11 to 20).map(i => s"t$i").mkString(" ")))
+      q.processAllAvailable()
+      mem.addData((at(70), "x")) // closes [0, 60)
+      q.processAllAvailable()
+      val rows = spark.table("strend")
+        .select($"rank", $"token", $"est", $"err")
+        .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+      val exact = Map("h1" -> 30L, "h2" -> 20L, "h3" -> 10L) ++
+        (1 to 20).map(i => s"t$i" -> 1L)
+      val n = exact.values.sum // 80 tokens; N/cap = 10
+      assert(rows.length == 3, s"k=3 rows expected: ${rows.toSeq}")
+      // the SpaceSaving bound per emitted row: true ≤ est ≤ true + err
+      rows.foreach { case (_, token, est, err) =>
+        val t = exact(token)
+        assert(t <= est && est <= t + err,
+          s"overcount bound violated for $token: true=$t est=$est err=$err")
+      }
+      // guaranteed-presence: count > N/cap ⇒ in the summary; h1 (30) and
+      // h2 (20) clear 80/8 = 10, and nothing evicted can out-rank them
+      assert(rows(0)._2 == "h1" && rows(1)._2 == "h2",
+        s"guaranteed heavy hitters must lead: ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
