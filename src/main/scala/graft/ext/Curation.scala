@@ -58,6 +58,46 @@ object Curation {
       when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE train/val/test assignment: every member of a near-dup
+    * cluster is bucketed by its CLUSTER label, not its own id, so near
+    * duplicates can never straddle the train/eval boundary — the
+    * contamination a per-doc hash split silently allows (a test document
+    * whose near-copy sits in train is leaked eval data; with ~3% near-dup
+    * rate and a 5% test split, per-doc hashing leaks a few permille of
+    * the eval set at ANY corpus size). `pairs` is a near-dup pair frame
+    * from any detector ([[Dedup.jaccardPairs]], [[Dedup.simhashPairs]],
+    * [[Similarity.cosineNearDupPairs]]); documents outside every pair
+    * form singleton clusters keyed by their own id, reproducing plain
+    * [[splitAssign]] exactly for the non-duplicated bulk.
+    *
+    * Scale shape: cluster labels are PAIR-set-sized (≪ corpus — only
+    * documents that near-duplicate something carry a label), so the
+    * membership join broadcasts; the assignment stays map-only over the
+    * corpus. Deterministic given (pairs, salt, thresholds) — same
+    * retry-stability contract as every sampler here.
+    */
+  def splitAssignLeakageSafe(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      salt: String,
+      trainUpTo: Int,
+      valUpTo: Int,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(0 < trainUpTo && trainUpTo < valUpTo && valUpTo < Buckets,
+      s"need 0 < trainUpTo < valUpTo < $Buckets")
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("doc", idCol)
+    val b = hashBucket(coalesce(col("cluster"), col(idCol)), salt)
+    docs
+      .join(broadcast(labels), Seq(idCol), "left")
+      .withColumn(
+        "split",
+        when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test"))
+      .drop("cluster")
+  }
+
   /** Deterministic per-stratum sampling: keep a document iff its hash
     * bucket falls below the stratum's threshold (rate × [[Buckets]]).
     * The rate table is broadcast (strata are few by nature); unknown
@@ -210,19 +250,25 @@ object Curation {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc", "src"), Seq("src"))
         .select(col("dst").as("doc"), col("cluster"), lit(null).cast("long").as("prev"))
+      // LAZY checkpoint: the full-scan convergence count below is the
+      // materializing action, so each round runs ONE job (an eager
+      // checkpoint + isEmpty probe ran two; per-round fixed costs
+      // dominate the iterative operators at interactive scale)
       val next = labels
         .select(col("doc"), col("cluster"), col("cluster").as("prev"))
         .unionByName(viaEdge)
         .groupBy("doc")
         .agg(min(col("cluster")).as("cluster"), max(col("prev")).as("prev"))
-        .localCheckpoint()
-      // `next` is eagerly materialized and lineage-truncated, so the
-      // PREVIOUS round's checkpoint blocks are dead — release them now
+        .localCheckpoint(false)
+      converged = next.filter(col("cluster") =!= col("prev")).count() == 0L
+      // `next` is now materialized and lineage-truncated, so the PREVIOUS
+      // round's checkpoint blocks are dead — release them immediately
       // instead of waiting for driver-GC ContextCleaner (at 100 TB × many
-      // rounds the leak is executor storage, not an abstraction)
+      // rounds the leak is executor storage, not an abstraction). Order
+      // matters: releasing before the count would tear blocks out from
+      // under the uncomputed lazy checkpoint.
       releaseCheckpoint(labelsCkpt)
       labelsCkpt = next
-      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
       labels = next.select(col("doc"), col("cluster"))
       iter += 1
     }
@@ -328,7 +374,8 @@ object Curation {
       // small frames skip the checkpoint job (per-round fixed costs
       // dominate at fixture scale) while big frames keep it (recomputing
       // a billion-edge phase twice is the real 100 TB cost).
-      val large = if (prev._1 < 1000000L) largeRaw else largeRaw.localCheckpoint()
+      // lazy: materialized by the checksum job below on first use
+      val large = if (prev._1 < 1000000L) largeRaw else largeRaw.localCheckpoint(false)
       val largeCkpt = large // released once `small` is materialized below
       // small-star: ∀u, its smaller neighbors and u itself all link to
       // min(N⁻(u)) — grouped on the hi side of the canonical frame.
@@ -339,13 +386,17 @@ object Curation {
         .filter(col("lo") =!= col("hi"))
         .unionByName(byHi.select(col("m").as("lo"), col("hi"))) // u itself to m
         .distinct()
-        .localCheckpoint()
-      // `small` is eager and lineage-truncated: the previous round's edge
-      // frame and this round's large-star intermediate are dead — release
-      // their blocks now (see [[releaseCheckpoint]])
+        // LAZY: the checksum below is a full-scan aggregate, so it
+        // materializes the checkpoint in the SAME job — one job per round
+        // instead of checkpoint-then-checksum
+        .localCheckpoint(false)
+      val cur = checksum(small)
+      // `small` is now materialized and lineage-truncated: the previous
+      // round's edge frame and this round's large-star intermediate are
+      // dead — release their blocks (AFTER the checksum; releasing first
+      // would tear blocks out from under the uncomputed lazy checkpoint)
       releaseCheckpoint(largeCkpt)
       releaseCheckpoint(e)
-      val cur = checksum(small)
       converged = cur == prev || cur._1 == 0L
       prev = cur
       e = small

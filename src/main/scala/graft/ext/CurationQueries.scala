@@ -84,6 +84,22 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // LEAKAGE-SAFE split: near-dup clusters (same jaccard pair set as
+    // q_dup_clusters) bucket by their CLUSTER label, so no near-dup pair
+    // can straddle train/test; everything else splits exactly like
+    // q_split_assign. Emitted per-doc (split + a leak-visible rollup
+    // would hide singletons) ordered by id; the oracle recomputes the
+    // closure with the recursive CTE and the identical md5 bucket.
+    "q_split_leakage_safe" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      Curation
+        .splitAssignLeakageSafe(Tables.documents(s, dir), "doc_id", pairs,
+          SplitSalt, trainUpTo = 9000, valUpTo = 9500)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Same pack as q_pack_bins through the TWO-PASS decomposition
     // (per-(source, chunk) local prefix + broadcast chunk offsets — the
     // beyond-executor-scale form): identical bins by the
@@ -176,8 +192,10 @@ object CurationQueries {
   // ---- DuckDB fragments -----------------------------------------------------
 
   /** Salted bucket in [0, 10000) — mirrors [[Curation.hashBucket]]. */
-  private def bucketSql(salt: String): String =
-    s"(('0x' || substr(md5('$salt:' || doc_id), 1, 15))::BIGINT % ${Curation.Buckets})"
+  private def bucketSql(salt: String): String = bucketSqlOn(salt, "doc_id")
+
+  private def bucketSqlOn(salt: String, expr: String): String =
+    s"(('0x' || substr(md5('$salt:' || $expr), 1, 15))::BIGINT % ${Curation.Buckets})"
 
   /** Same Java-and-RE2-portable pattern string the engine compiles —
     * embedded verbatim (DuckDB string literals keep backslashes as-is).
@@ -250,6 +268,14 @@ object CurationQueries {
       "THEN 1 ELSE 0 END) AS reps FROM documents) " +
       "SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS copy " +
       "FROM d ORDER BY doc_id, copy"),
+    // the closure's min-label (singletons fall back to doc_id via the
+    // LEFT JOIN coalesce) drives the SAME md5 bucket as q_split_assign
+    "q_split_leakage_safe" -> (s"WITH RECURSIVE $ClusterCtes " +
+      "SELECT doc_id, CASE WHEN bkt < 9000 THEN 'train' " +
+      "WHEN bkt < 9500 THEN 'val' ELSE 'test' END AS split FROM " +
+      s"(SELECT doc_id, ${bucketSqlOn(SplitSalt, "coalesce(l.cluster, d.doc_id)")} " +
+      "AS bkt FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc) " +
+      "ORDER BY doc_id"),
     "q_dedup_keep" -> (s"WITH RECURSIVE $ClusterCtes " +
       "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT doc FROM labels WHERE doc != cluster) ORDER BY doc_id"),

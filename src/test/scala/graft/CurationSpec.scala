@@ -206,4 +206,28 @@ class CurationSpec extends SparkSpec {
     // 'sparkle' survives (word boundary); 'axb' survives (dot quoted)
     assert(r == ("<T> sparkle <T> axb", 2))
   }
+
+  test("splitAssignLeakageSafe: clusters never straddle splits; singletons ≡ splitAssign") {
+    // 400 docs; pairs chain docs {0..9} into one cluster, {100,101},
+    // {200,201,202} into two more — everything else is a singleton
+    val docs = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (201L, 202L))).toDF("a", "b")
+    val out = Curation
+      .splitAssignLeakageSafe(docs, "doc_id", pairs, "lk", trainUpTo = 6000, valUpTo = 8000)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out.size == 400)
+    // THE leakage property: every cluster lands whole in one split
+    for (cluster <- Seq(0L to 9L, 100L to 101L, 200L to 202L))
+      assert(cluster.map(out).toSet.size == 1, s"cluster $cluster straddles splits")
+    // unpaired docs are assigned exactly as the plain per-doc split
+    val plain = Curation.splitAssign(docs, "doc_id", "lk", 6000, 8000)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val clustered = ((0L to 9L) ++ (100L to 101L) ++ (200L to 202L)).toSet
+    (0L until 400L).filterNot(clustered.contains).foreach { id =>
+      assert(out(id) == plain(id), s"singleton $id diverged from splitAssign")
+    }
+    // and a cluster's shared split is its MIN member's plain assignment
+    assert(out(5L) == plain(0L) && out(202L) == plain(200L))
+  }
 }

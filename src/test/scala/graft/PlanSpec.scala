@@ -216,6 +216,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_heavy_hitters_sketch: shuffle carries cap-bounded sketches, never the vocab") {
+    val p = plan("q_heavy_hitters_sketch")
+    // partial SpaceSaving states build map-side, merge at one final agg —
+    // the bytes through the exchange are ≤ cap counters per partition,
+    // where the exact q_heavy_hitters shuffles the whole vocabulary
+    assert(count(p, "ObjectHashAggregate") == 2, s"partial+final sketch agg:\n$p")
+    assert(p.contains("graft_topk"), s"the native aggregate must be in the plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(token"),
+      s"no vocabulary-keyed shuffle in the sketch path:\n$p")
+  }
+
   test("q_rich_inactive: threshold broadcasts as 1-row build; inactivity is a LeftAnti") {
     val p = plan("q_rich_inactive")
     // the 1-row stats frame may ride a BroadcastNestedLoopJoin — that IS
