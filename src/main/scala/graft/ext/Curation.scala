@@ -555,6 +555,46 @@ object Curation {
           .as(Seq("chunk_idx", "chunk")))
   }
 
+  /** CONTENT-DEFINED chunking (word-level CDC): a chunk boundary falls
+    * AFTER every token whose portable 60-bit hash ≡ 0 (mod `boundaryMod`)
+    * — expected chunk length ≈ boundaryMod tokens. Unlike the
+    * fixed-window [[chunkByChars]], boundaries depend only on LOCAL
+    * content, so inserting or deleting a prefix re-chunks ONLY up to the
+    * first surviving boundary and every later chunk is byte-identical —
+    * the property that makes chunk-level dedup and delta-storage work
+    * across document revisions (the storage-dedup CDC idea applied at
+    * token granularity; CurationSpec pins the shift-resistance law).
+    *
+    * Emits (doc, chunk_idx, n_toks, chunk_md5). Shape: one doc-keyed
+    * exchange carries the boundary prefix-count window AND the per-chunk
+    * aggregation (superset grouping key); everything else is map-side.
+    * The boundary hash is [[Dedup.md5Long]], so the whole operator is
+    * oracle-checkable bit-for-bit.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      boundaryMod: Int): DataFrame = {
+    require(boundaryMod > 0, "boundaryMod must be positive")
+    val w = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(pmod(Dedup.md5Long(col("tok")), lit(boundaryMod)) === 0, 1L).otherwise(0L))
+      // chunk of a token = boundaries strictly BEFORE it (a boundary token
+      // closes its own chunk)
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc"), col("chunk_idx"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_md5"))
+  }
+
   // ---- scrubbing / redaction ----------------------------------------------
 
   /** PII patterns for redaction — intentionally simple, high-recall

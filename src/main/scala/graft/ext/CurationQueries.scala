@@ -84,6 +84,17 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // Content-defined chunking: boundary after tokens whose md5-60-bit
+    // hash ≡ 0 (mod 32) — expected ~32-token chunks whose boundaries
+    // survive prefix edits (the chunk-level-dedup property; law in
+    // CurationSpec). One doc-keyed exchange for window + rollup.
+    "q_chunk_cdc" -> { (s, dir) =>
+      Curation
+        .cdcChunks(Tables.documents(s, dir), "doc_id", "text", boundaryMod = 32)
+        .select(col("doc").as("doc_id"), col("chunk_idx"), col("n_toks"), col("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // LEAKAGE-SAFE split: near-dup clusters (same jaccard pair set as
     // q_dup_clusters) bucket by their CLUSTER label, so no near-dup pair
     // can straddle train/test; everything else splits exactly like
@@ -268,6 +279,21 @@ object CurationQueries {
       "THEN 1 ELSE 0 END) AS reps FROM documents) " +
       "SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS copy " +
       "FROM d ORDER BY doc_id, copy"),
+    // same tokenizer mirror as DedupQueries/TextQueries; chunk index =
+    // boundary count over strictly-preceding tokens, chunk hash = md5 of
+    // the space-joined tokens in position order
+    "q_chunk_cdc" -> ("WITH d AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks " +
+      "FROM documents), " +
+      "t AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, " +
+      "unnest(toks) AS tok FROM d WHERE len(toks) > 0), " +
+      "c AS (SELECT doc_id, i, tok, coalesce(sum(CASE WHEN " +
+      "(('0x' || substr(md5(tok), 1, 15))::BIGINT % 32) = 0 THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM t) " +
+      "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+      "count(*) AS n_toks, md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5 " +
+      "FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"),
     // the closure's min-label (singletons fall back to doc_id via the
     // LEFT JOIN coalesce) drives the SAME md5 bucket as q_split_assign
     "q_split_leakage_safe" -> (s"WITH RECURSIVE $ClusterCtes " +

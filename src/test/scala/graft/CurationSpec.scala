@@ -207,6 +207,35 @@ class CurationSpec extends SparkSpec {
     assert(r == ("<T> sparkle <T> axb", 2))
   }
 
+  test("cdcChunks: shift resistance — a prefix edit re-chunks only the first chunk") {
+    // deterministic 150-token stream; boundaryMod=8 gives ~19 boundaries
+    val toksA = (0 until 150).map(i => s"w${(i * 7919) % 1000}")
+    val textA = toksA.mkString(" ")
+    // the inserted prefix must contain no boundary token of its own, so
+    // pick words that hash to a nonzero residue (checked via the engine)
+    val candidates = (0 until 50).map(i => s"p$i")
+    val nonBoundary = {
+      val df = candidates.toDF("tok")
+        .filter(pmod(graft.ext.Dedup.md5Long(col("tok")), lit(8)) =!= 0)
+        .as[String].collect()
+      df.take(3)
+    }
+    assert(nonBoundary.length == 3)
+    val textB = (nonBoundary ++ toksA).mkString(" ")
+    val docs = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(docs, "doc_id", "text", boundaryMod = 8)
+      .select($"doc", $"chunk_idx", $"chunk_md5")
+      .as[(Long, Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val b = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(a.length >= 5, s"need several chunks for a meaningful law, got ${a.length}")
+    assert(a.length == b.length, "a boundary-free prefix must not change the chunk count")
+    // THE CDC law: only the first chunk absorbs the edit; every later
+    // chunk is byte-identical (fixed-window chunking shifts ALL of them)
+    assert(a.head != b.head)
+    assert(a.tail == b.tail, "chunks after the first boundary must be identical")
+  }
+
   test("splitAssignLeakageSafe: clusters never straddle splits; singletons ≡ splitAssign") {
     // 400 docs; pairs chain docs {0..9} into one cluster, {100,101},
     // {200,201,202} into two more — everything else is a singleton
