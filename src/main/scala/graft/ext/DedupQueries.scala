@@ -120,6 +120,36 @@ object DedupQueries {
           col("dup_ratio"), md5(col("clean_text")).as("clean_md5"),
           length(col("clean_text")).as("clean_len"))
         .orderBy("doc_id")
+    },
+
+    // CCNet-style LINE dedup over a deterministically SYNTHESIZED newline
+    // corpus (the driver fixtures have no newlines — the same
+    // synthesize-then-verify move as the media queries): every 6 tokens
+    // form one line, lines appearing in ≥2 docs are cut from every doc,
+    // survivors re-join in order. Token-less docs filtered identically on
+    // both sides.
+    "q_line_dedup" -> { (s, dir) =>
+      // synthesize from EXPLODED token rows — tokenizing once, not once
+      // per line (the nested-HOF form inlines the regex tokenizer into
+      // every line slice: measured 4.6 s vs ~1 s at sf0.1)
+      val lines = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), floor(col("pos") / 6).cast("long").as("li"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            t => t.getField("tok"))).as("line"))
+      val docs2 = lines
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("li"), col("line")))),
+            t => t.getField("line"))).as("text"))
+      Dedup
+        .lineDedup(docs2, "doc_id", "text", minDocs = 2)
+        .select(col("doc").as("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).as("clean_len"))
+        .orderBy("doc_id")
     }
   )
 
@@ -207,6 +237,25 @@ object DedupQueries {
       "generate_series(1, len(t.t)), i -> pc.cov IS NULL OR NOT list_contains(pc.cov, i)), " +
       "i -> t.t[i]), ' ')), 0) AS clean_len " +
       "FROM toks t LEFT JOIN pc USING (doc_id) ORDER BY doc_id"),
+    // the synthesized 6-token lines contain no blanks and no edge spaces,
+    // so the engine's trim-keyed hot set ≡ raw line equality here
+    "q_line_dedup" -> ("WITH d AS (SELECT doc_id, " + Toks + " AS toks FROM documents), " +
+      "d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0), " +
+      "l AS (SELECT doc_id, unnest(generate_series(0, " +
+      "CAST(ceil(len(toks) / 6.0) AS BIGINT) - 1)) AS li, toks FROM d2), " +
+      "lines AS (SELECT doc_id, li, " +
+      "array_to_string(toks[li * 6 + 1 : li * 6 + 6], ' ') AS line FROM l), " +
+      "hot AS (SELECT line FROM lines GROUP BY line " +
+      "HAVING count(DISTINCT doc_id) >= 2), " +
+      "kept AS (SELECT doc_id, li, line FROM lines " +
+      "WHERE line NOT IN (SELECT line FROM hot)), " +
+      "tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1), " +
+      "reb AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(line, chr(10) ORDER BY li) AS clean FROM kept GROUP BY 1) " +
+      "SELECT t.doc_id, t.n_lines, t.n_lines - coalesce(r.n_kept, 0) AS n_removed, " +
+      "md5(coalesce(r.clean, '')) AS clean_md5, " +
+      "length(coalesce(r.clean, '')) AS clean_len " +
+      "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
     // bloom prefilter + exact re-check ≡ exact contamination — same oracle
     "q_contamination_bloom" -> ContaminationSql,
     "q_dedup_simhash_pairs" -> (s"WITH $WithShingles, " +
