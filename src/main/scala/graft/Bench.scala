@@ -45,9 +45,19 @@ object Bench {
       1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2))
     // Optional subset for targeted probes (comma-separated names); the
-    // driver leaves it unset → full surface.
+    // driver leaves it unset → full surface. Unknown names fail FAST — a
+    // typo silently matching nothing would emit a plausible-looking
+    // all-zero benchmark line that could be recorded as a real datapoint.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown query name(s) in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val selected = subset match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case scala.None  => SparkEntry.queries
@@ -70,6 +80,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // warehouse GC for the bucketed-intermediate tables (one per
+    // invocation × reps; dead once the noop writes above completed)
+    graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
     spark.stop()
   }
 }

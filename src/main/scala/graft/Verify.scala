@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // warehouse GC: every result is materialized above, so the bucketed
+    // intermediates (one managed table per invocation) are dead
+    graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
     spark.stop()
   }
 }

@@ -70,10 +70,13 @@ object Curation {
     * form singleton clusters keyed by their own id, reproducing plain
     * [[splitAssign]] exactly for the non-duplicated bulk.
     *
-    * Scale shape: cluster labels are PAIR-set-sized (≪ corpus — only
-    * documents that near-duplicate something carry a label), so the
-    * membership join broadcasts; the assignment stays map-only over the
-    * corpus. Deterministic given (pairs, salt, thresholds) — same
+    * Scale shape: cluster labels cover only documents that near-duplicate
+    * something — typically a few percent of the corpus, but that is
+    * corpus-PROPORTIONAL, not bounded, so the membership join is left to
+    * the planner (AQE broadcasts it while it fits and degrades to a
+    * shuffle join beyond — forcing a broadcast here would OOM the driver
+    * at billion-document scale). The assignment itself stays a map-side
+    * projection. Deterministic given (pairs, salt, thresholds) — same
     * retry-stability contract as every sampler here.
     */
   def splitAssignLeakageSafe(
@@ -91,7 +94,7 @@ object Curation {
       .withColumnRenamed("doc", idCol)
     val b = hashBucket(coalesce(col("cluster"), col(idCol)), salt)
     docs
-      .join(broadcast(labels), Seq(idCol), "left")
+      .join(labels, Seq(idCol), "left")
       .withColumn(
         "split",
         when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test"))

@@ -83,18 +83,23 @@ object Dedup {
       }
     }
     /** Bucketed durable materialization — see the trait doc. `apply`
-      * (no key available) falls back to a plain durable parquet round-trip
-      * under the warehouse so mixed call sites still get persistence;
-      * `keyed` is the point.
+      * (no key available) falls back to a plain (unbucketed) managed table
+      * so mixed call sites still get persistence; `keyed` is the point.
+      *
+      * Lifecycle: every materialization is a MANAGED table in the session
+      * warehouse (unique name per invocation — overwriting would corrupt a
+      * still-unexecuted earlier reader, the Durable contract). They are
+      * NOT dropped by the engine; call [[Intermediate.dropBucketedTables]]
+      * once the results are materialized (Verify/Bench do, per run) or the
+      * warehouse accumulates one gram-sized table per invocation.
       */
     final case class Bucketed(buckets: Int) extends Intermediate {
       require(buckets > 0, "buckets must be > 0")
       def apply(df: DataFrame, label: String): DataFrame = {
         val spark = df.sparkSession
-        val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/" +
-          s"${tableName(df, label)}_flat.parquet"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+        val table = tableName(df, label)
+        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+        spark.table(table)
       }
       override def keyed(df: DataFrame, label: String, key: String): DataFrame = {
         val spark = df.sparkSession
@@ -105,12 +110,34 @@ object Dedup {
       // unique per materialization + JVM, same contract as Durable paths;
       // metastore table names allow [a-z0-9_] only
       private def tableName(df: DataFrame, label: String): String = {
-        val app = df.sparkSession.sparkContext.applicationId
-          .toLowerCase.replaceAll("[^a-z0-9]", "_")
-        s"graft_${label.toLowerCase.replaceAll("[^a-z0-9]", "_")}_${app}_" +
-          s"${Intermediate.seq.incrementAndGet()}"
+        val table = s"graft_${label.toLowerCase.replaceAll("[^a-z0-9]", "_")}_" +
+          s"${Intermediate.appToken(df.sparkSession)}_${Intermediate.seq.incrementAndGet()}"
+        Intermediate.created.add(table)
+        table
       }
     }
+
+    /** Drop every `graft_*` managed table in the catalog — the tables this
+      * JVM created plus stragglers from crashed/previous runs. Dropping a
+      * managed table deletes its files, so this is the warehouse GC a run
+      * calls once its results are materialized (Verify and Bench do).
+      * Safe to sweep other runs' leftovers: the embedded Derby metastore
+      * is single-driver by construction (a second concurrent session
+      * cannot even open it), so any `graft_*` table not created by this
+      * JVM is dead by definition. Returns the number dropped.
+      */
+    def dropBucketedTables(spark: org.apache.spark.sql.SparkSession): Int = {
+      val all = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_"))
+      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      created.clear()
+      all.length
+    }
+
+    private[Intermediate] def appToken(spark: org.apache.spark.sql.SparkSession): String =
+      spark.sparkContext.applicationId.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    private[Intermediate] val created =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     case object None extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = df
     }

@@ -413,11 +413,16 @@ object Multimodal {
       } catch { case _: IndexOutOfBoundsException | _: ArithmeticException => scala.None }
 
   /** Walk top-level ISO-BMFF boxes (u32-BE size + 4CC; size==1 ⇒ 64-bit
-    * largesize follows) for `moov`; inside it, `mvhd` v0 gives
-    * timescale/duration and the first `trak/tkhd` v0 gives 16.16 dims.
+    * largesize follows) for `moov`; inside it, `mvhd` gives
+    * timescale/duration and the first `trak/tkhd` gives 16.16 dims.
+    * BOTH header versions are read: v0 (32-bit times) and v1 (64-bit
+    * creation/modification/duration — what muxers emit for long-form
+    * video or post-2040 timestamps; dropping v1 would silently lose real
+    * videos at the ingest gate).
     */
   private def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] = {
     var w = 0; var h = 0; var durMs = -1L
+    def be64(o: Int): Long = (be32(b, o) << 32) | be32(b, o + 4)
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var o = start
       while (o + 8 <= end) {
@@ -425,19 +430,25 @@ object Multimodal {
         val typ = fourcc(b, o.toInt + 4)
         var payload = o + 8
         if (size == 1L && o + 16 <= end) { // 64-bit largesize
-          size = (be32(b, o.toInt + 8) << 32) | be32(b, o.toInt + 12)
+          size = be64(o.toInt + 8)
           payload = o + 16
         }
         if (size < 8 || o + size > end) return // malformed ⇒ stop, keep what we have
+        val p = payload.toInt
         typ match {
           case "moov" | "trak" if depth < 4 => walk(payload, o + size, depth + 1)
-          case "mvhd" if b(payload.toInt) == 0 && payload + 20 <= end =>
-            val timescale = be32(b, payload.toInt + 12)
-            val duration = be32(b, payload.toInt + 16)
-            if (timescale > 0) durMs = duration * 1000L / timescale
-          case "tkhd" if b(payload.toInt) == 0 && payload + 84 <= end && w == 0 =>
-            w = (be32(b, payload.toInt + 76) >> 16).toInt // 16.16 fixed
-            h = (be32(b, payload.toInt + 80) >> 16).toInt
+          case "mvhd" if b(p) == 0 && payload + 20 <= end =>
+            val timescale = be32(b, p + 12) // after 4+4+4 (verflags, ctime, mtime)
+            if (timescale > 0) durMs = be32(b, p + 16) * 1000L / timescale
+          case "mvhd" if b(p) == 1 && payload + 32 <= end =>
+            val timescale = be32(b, p + 20) // after 4+8+8
+            if (timescale > 0) durMs = be64(p + 24) * 1000L / timescale
+          case "tkhd" if b(p) == 0 && payload + 84 <= end && w == 0 =>
+            w = (be32(b, p + 76) >> 16).toInt // 16.16 fixed
+            h = (be32(b, p + 80) >> 16).toInt
+          case "tkhd" if b(p) == 1 && payload + 96 <= end && w == 0 =>
+            w = (be32(b, p + 88) >> 16).toInt // v1: times are 8 bytes (+12)
+            h = (be32(b, p + 92) >> 16).toInt
           case _ => ()
         }
         o += size
@@ -479,29 +490,43 @@ object Multimodal {
   }
 
   /** Build a minimal-but-valid MP4: `ftyp` + `moov(mvhd, trak(tkhd))` with
-    * v0 headers. Every field a reader needs is real; there is simply no
-    * media data (`mdat`) — the shape of a metadata-only sidecar.
+    * v0 (32-bit) or v1 (64-bit time) headers. Every field a reader needs
+    * is real; there is simply no media data (`mdat`) — the shape of a
+    * metadata-only sidecar.
     */
-  def mp4Container(width: Int, height: Int, timescale: Int, duration: Long): Array[Byte] = {
-    val out = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 8 + 92)
+  def mp4Container(
+      width: Int,
+      height: Int,
+      timescale: Int,
+      duration: Long,
+      version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, "only mvhd/tkhd versions 0 and 1 exist")
+    val v1 = version == 1
+    val mvhdSize = if (v1) 120 else 108
+    val tkhdSize = if (v1) 104 else 92
+    val out = java.nio.ByteBuffer.allocate(20 + 8 + mvhdSize + 8 + tkhdSize)
     def box(size: Int, typ: String): Unit = {
       out.putInt(size); out.put(typ.getBytes("US-ASCII"))
     }
+    def times(): Unit = // ctime, mtime — 8 bytes each in v1
+      if (v1) out.putLong(0L).putLong(0L) else out.putInt(0).putInt(0)
     box(20, "ftyp"); out.put("isom".getBytes("US-ASCII")); out.putInt(0x200)
     out.put("isom".getBytes("US-ASCII"))
-    box(8 + 108 + 8 + 92, "moov")
-    box(108, "mvhd"); out.putInt(0) // version 0 + flags
-    out.putInt(0).putInt(0) // ctime, mtime
-    out.putInt(timescale).putInt(duration.toInt)
+    box(8 + mvhdSize + 8 + tkhdSize, "moov")
+    box(mvhdSize, "mvhd"); out.putInt(version << 24) // version + flags
+    times()
+    out.putInt(timescale)
+    if (v1) out.putLong(duration) else out.putInt(duration.toInt)
     out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
     out.putInt(0).putInt(0) // reserved
     Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.putInt) // identity matrix
     (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
     out.putInt(2) // next_track_ID
-    box(8 + 92, "trak")
-    box(92, "tkhd"); out.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
-    out.putInt(0).putInt(0).putInt(1).putInt(0) // ctime, mtime, track_ID, reserved
-    out.putInt(duration.toInt)
+    box(8 + tkhdSize, "trak")
+    box(tkhdSize, "tkhd"); out.putInt((version << 24) | 7) // version + flags
+    times()
+    out.putInt(1).putInt(0) // track_ID, reserved
+    if (v1) out.putLong(duration) else out.putInt(duration.toInt)
     out.putInt(0).putInt(0) // reserved
     out.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt_group, volume, reserved
     Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.putInt)

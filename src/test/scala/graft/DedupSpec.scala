@@ -248,5 +248,9 @@ class DedupSpec extends SparkSpec {
     // and the answer is bit-identical to the unbucketed reference
     assert(bucketed.orderBy("doc").collect().toSeq ==
       local.orderBy("doc").collect().toSeq)
+    // lifecycle: the warehouse GC drops what this test created
+    assert(Dedup.Intermediate.dropBucketedTables(spark) >= 1)
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.startsWith("graft_")), "GC must empty the graft tables")
   }
 }

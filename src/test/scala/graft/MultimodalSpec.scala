@@ -187,6 +187,18 @@ class MultimodalSpec extends SparkSpec {
     assert(t.get.durationMs == 1666L)
   }
 
+  test("mp4 v1 (64-bit time) headers parse identically to v0") {
+    // muxers emit v1 mvhd/tkhd when durations/timestamps exceed 32 bits —
+    // an ingest gate that only reads v0 silently drops real videos
+    val v1 = Multimodal.parseVideoMeta(3L,
+      Multimodal.mp4Container(3840, 2160, 600, 1800L, version = 1))
+    assert(v1.contains(Multimodal.VideoMeta(3L, "mp4", 3840, 2160, 3000L, 0L)))
+    // a duration that cannot fit 32 bits at all
+    val long64 = Multimodal.parseVideoMeta(4L,
+      Multimodal.mp4Container(640, 480, 1000, 5_000_000_000L, version = 1))
+    assert(long64.get.durationMs == 5_000_000_000L)
+  }
+
   test("aviContainer round-trips dims, frame count, µs-per-frame duration") {
     val m = Multimodal.parseVideoMeta(9L, Multimodal.aviContainer(1280, 720, 33333, 120L))
     // 33333 µs × 120 frames = 3999960 µs → 3999 ms (Long division)
