@@ -370,6 +370,65 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Rank-1 cell assignment: every corpus vector mapped to its nearest
+    * coarse centroid by cosine (ties → lowest cid). The same explode ×
+    * nCells + broadcast equi-join shape as [[ivfTopK]]'s corpus side —
+    * corpus-linear, no cartesian product — exposed standalone because
+    * cluster-scoped operators ([[semanticDedup]]) need the assignment
+    * without the query path.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, nCells: Int): DataFrame =
+    Relational
+      .topKPerGroup(
+        corpus
+          .select(col("id"), col("vec"),
+            explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
+          .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
+          .select(col("id"), col("vec"), col("cid"),
+            cosine(col("vec"), col("cvec")).as("ccos")),
+        Seq("id"),
+        Seq(col("ccos").desc, col("cid").asc),
+        1)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+
+  /** Cluster-scoped semantic dedup (the SemDeDup shape — Abbas et al.,
+    * arXiv:2303.09540; independent Spark formulation): vectors are
+    * assigned to their nearest coarse centroid, and near-duplicate pruning
+    * runs ONLY within a cell, so the quadratic term is bounded by the
+    * largest cell — never the corpus. Drop rule is pair-dominance: a
+    * vector is dropped iff some earlier (lower-id) vector in its cell has
+    * cosine ≥ threshold with it. One pass, no iteration, deterministic;
+    * it guarantees no two survivors in a cell are within threshold (if
+    * x < y both survived with cos ≥ t, x would have dropped y).
+    *
+    * Returns (id, cell, kept 1|0) for every input vector.
+    *
+    * Scale: assignment is the corpus-linear [[assignCells]] shape; the
+    * pair join is an equi-join on the cell id (shuffle key = cell,
+    * bucketable for repeated curation runs). With k ≈ √N cells of bounded
+    * size — the SemDeDup operating point — total pairwise work is O(N·c)
+    * for cell size c, and a skewed giant cell is the signal to refit with
+    * larger k, not a plan problem.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      nCells: Int,
+      threshold: Double): DataFrame = {
+    val assigned = assignCells(corpus, centroids, nCells)
+    val dropped = assigned
+      .select(col("cell"), col("id").as("a"), col("vec").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb")),
+        Seq("cell"))
+      .filter(col("a") < col("b") && cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b").as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   // ---- Product quantization (PQ) ----------------------------------------
 
   /** Fitted PQ codebooks: `tables(sub)(cell)` is the sub-centroid for
@@ -484,6 +543,60 @@ object Similarity {
     val scored = broadcast(withLut)
       .join(corpusCodes.select(col("id").as("neighbor_id"), col("codes")),
         col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
+          (acc, s) => acc +
+            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+          .as("adist"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("adist").asc, col("neighbor_id").asc), k)
+  }
+
+  /** Composed IVF-PQ ADC — the production FAISS shape: corpus codes carry
+    * their coarse cell ([[assignCells]]), each query probes its `nprobe`
+    * nearest cells, and ADC scoring touches ONLY the m-byte codes inside
+    * probed cells. The scan is simultaneously cell-pruned (× nprobe/nCells
+    * of the corpus) and compressed-domain (× m bytes / dim floats of the
+    * bandwidth) — at 100 TB both factors survive verbatim: the cell is a
+    * partition column for the code table, so a probe reads nprobe
+    * partitions of m-byte codes, never raw vectors.
+    *
+    * Candidate generation is an equi-join on the cell id (queries +
+    * per-query LUTs broadcast); (query, neighbor) pairs are unique by
+    * construction — rank-1 corpus assignment × distinct probed cells —
+    * so no dedup exchange is needed (same argument as [[ivfTopK]]).
+    */
+  def ivfPqTopKAdc(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      books: PQCodebooks,
+      nCells: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val corpusSide = pqEncode(corpus, books)
+      .join(assignCells(corpus, centroids, nCells).select(col("id"), col("cell")), Seq("id"))
+    val qcells = Relational
+      .topKPerGroup(
+        queries
+          .select(col("id"), col("vec"),
+            explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
+          .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
+          .select(col("id"), col("vec"), col("cid"),
+            cosine(col("vec"), col("cvec")).as("ccos")),
+        Seq("id"),
+        Seq(col("ccos").desc, col("cid").asc),
+        nprobe)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+    val tab = books.lit
+    val withLut = qcells.select(
+      col("id").as("query_id"), col("cell"),
+      transform(sequence(lit(0), lit(books.m - 1)),
+        s => subDists(col("vec"), tab, s, books.subDim)).as("lut"))
+    val scored = broadcast(withLut)
+      .join(corpusSide.select(col("id").as("neighbor_id"), col("cell"), col("codes")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
           (acc, s) => acc +

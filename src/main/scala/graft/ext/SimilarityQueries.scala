@@ -112,6 +112,39 @@ object SimilarityQueries {
         .orderBy("a", "b")
     },
 
+    // Composed IVF-PQ ADC (the production FAISS shape): corpus codes carry
+    // their coarse cell, queries probe 2 nearest cells, ADC scores only
+    // the codes inside probed cells — cell-pruned AND compressed-domain in
+    // one plan. Same deterministic stand-ins as q_ann_ivf (sampled
+    // centroids) and q_pq_adc (iters=0 codebooks), so every stage is
+    // bit-reproducible in the oracle.
+    "q_ivfpq_adc" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("id") < NCells)
+        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      val books = Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
+      Similarity
+        .ivfPqTopKAdc(v.filter(col("id") < 20), v, cent, books, NCells, nprobe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    // SemDeDup-style cluster-scoped semantic dedup: rank-1 assignment to
+    // 16 sampled coarse centroids (ids 0-15 — the same deterministic
+    // quantizer stand-in as q_ann_ivf; production fits k-means offline),
+    // then pair-dominance pruning WITHIN cells only at cosine ≥ 0.35
+    // (drops ~12% of the fixture corpus at every SF — threshold probed so
+    // the kept=0 path is non-vacuously exercised). The quadratic term is
+    // bounded by the largest cell, never the corpus.
+    "q_semantic_dedup" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("id") < NCells)
+        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      Similarity
+        .semanticDedup(v, cent, NCells, threshold = 0.35)
+        .orderBy("id")
+    },
+
     // L2 normalization — the preprocessing step every cosine/ANN pipeline
     // runs once at ingest so downstream similarity is a plain dot product.
     // norm = the same sequential fold both engines run (graft_dot ≡
@@ -233,6 +266,48 @@ object SimilarityQueries {
       "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
       s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
     },
+    // q_pq_adc's CTEs (codes, d) composed with q_ann_ivf's cell CTEs:
+    // scored pairs additionally require the neighbor's rank-1 cell to be
+    // one of the query's 2 probed cells
+    "q_ivfpq_adc" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      "cbsrc AS (SELECT id, vec FROM v ORDER BY id LIMIT 16), " +
+      "cb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS j, " +
+      "list_slice(vec, s*8+1, s*8+8) AS cent FROM cbsrc, generate_series(0, 7) AS g(s)), " +
+      "d AS (SELECT v.id, cb.s, cb.j, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 8), " +
+      "i -> (v.vec[cb.s*8+i] - cb.cent[i]) * (v.vec[cb.s*8+i] - cb.cent[i]))), " +
+      "(acc, x) -> acc + x) AS dist FROM v, cb), " +
+      "codes AS (SELECT id, s, j AS code FROM (SELECT id, s, j, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dist ASC, j ASC) AS rn FROM d) " +
+      "WHERE rn = 1), " +
+      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+      "ccell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c) WHERE rn = 1), " +
+      "qcell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c WHERE v.id < 20) WHERE rn <= 2), " +
+      "scored AS (SELECT d.id AS query_id, c.id AS neighbor_id, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list(d.dist ORDER BY d.s)), " +
+      "(acc, x) -> acc + x) AS adist " +
+      "FROM codes c JOIN d ON d.s = c.s AND d.j = c.code " +
+      "JOIN ccell nc ON nc.id = c.id " +
+      "JOIN qcell qc ON qc.id = d.id AND qc.cell = nc.cell " +
+      "WHERE d.id < 20 AND d.id != c.id GROUP BY 1, 2) " +
+      "SELECT query_id, neighbor_id, adist, rank FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+    // rank-1 cell = the q_ann_ivf ccell CTE; dropped = distinct greater id
+    // of any within-cell pair at cos ≥ 0.35; kept = anti of dropped
+    "q_semantic_dedup" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+      "ccell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c) WHERE rn = 1), " +
+      "dropped AS (SELECT DISTINCT y.id AS id FROM ccell x JOIN ccell y " +
+      s"ON x.cell = y.cell AND x.id < y.id AND ${cosSql("x.vec", "y.vec")} >= 0.35) " +
+      "SELECT c.id, c.cell, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept " +
+      "FROM ccell c LEFT JOIN dropped d ON c.id = d.id ORDER BY c.id"),
     "q_embed_norm" -> (s"SELECT vec_id AS id, i AS dim, " +
       s"CAST(floor(($VDouble[i] / ${normSql(VDouble)}) * 1000000) AS BIGINT) AS nx_q6 " +
       s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +

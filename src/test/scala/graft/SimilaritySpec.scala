@@ -279,4 +279,61 @@ class SimilaritySpec extends SparkSpec {
     info(f"PQ (m=16, k=16) ADC: direct recall@10 $r10%.3f, top-10-in-shortlist-50 $coverage%.3f")
     assert(coverage >= 0.7, f"shortlist coverage collapsed: $coverage%.3f")
   }
+
+  test("IVF-PQ ADC: neighbors come from probed cells only, tracks full-corpus ADC, no cartesian") {
+    val cent = vecs.filter(col("id") < 16).select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+    val books = Similarity.pqFit(vecs, m = 8, k = 16, dim = 64, iters = 0)
+    val queries = vecs.filter(col("id") < 20)
+    val ivfpq = Similarity.ivfPqTopKAdc(queries, vecs, cent, books, nCells = 16, nprobe = 2, k = 5)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidate generation must be a cell equi-join:\n$plan")
+    val got = pairs(ivfpq)
+    // every returned neighbor sits in one of its query's 2 probed cells
+    val assigned = Similarity.assignCells(vecs, cent, 16)
+      .select(col("id").cast("long"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (_, n) => assert(assigned.contains(n)) }
+    // the cell pruning keeps most of what the full-corpus ADC scan finds
+    val full = pairs(Similarity.pqTopKAdc(queries, Similarity.pqEncode(vecs, books), books, k = 5))
+    val overlap = (full & got).size.toDouble / full.size
+    info(f"IVF-PQ (nprobe=2/16) vs full-ADC top-5 overlap = $overlap%.3f")
+    assert(overlap >= 0.5, f"cell pruning destroyed the ADC ranking: $overlap%.3f")
+  }
+
+  test("semanticDedup: survivor separation law + pair-dominance drops, cell-equi-join plan") {
+    val cent = vecs.filter(col("id") < 16).select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+    val t = 0.35
+    val out = Similarity.semanticDedup(vecs, cent, nCells = 16, threshold = t).cache()
+    try {
+      // total preservation: every input id appears exactly once
+      assert(out.count() == vecs.count())
+      val dropped = out.filter(col("kept") === 0).count()
+      info(s"semanticDedup dropped $dropped of ${out.count()} at cos >= $t")
+      assert(dropped > 0, "threshold chosen to exercise the drop path — 0 drops is vacuous")
+      // separation law: no two SURVIVORS in the same cell within threshold
+      // (pair-dominance guarantees this: x<y both kept && cos>=t is a
+      // contradiction — x would have dropped y)
+      val assigned = Similarity.assignCells(vecs, cent, 16)
+      val kept = out.filter(col("kept") === 1).select(col("id"))
+        .join(assigned, Seq("id"))
+      val violating = kept.select(col("cell"), col("id").as("a"), col("vec").as("va"))
+        .join(kept.select(col("cell"), col("id").as("b"), col("vec").as("vb")), Seq("cell"))
+        .filter(col("a") < col("b") && Similarity.cosine(col("va"), col("vb")) >= t)
+      assert(violating.count() == 0, "two survivors within threshold in one cell")
+      // dominance law: every dropped id has an EARLIER same-cell near-dup
+      val droppedIds = out.filter(col("kept") === 0).select(col("id"))
+        .join(assigned, Seq("id"))
+      val witnessed = droppedIds.select(col("cell"), col("id").as("b"), col("vec").as("vb"))
+        .join(assigned.select(col("cell"), col("id").as("a"), col("vec").as("va")), Seq("cell"))
+        .filter(col("a") < col("b") && Similarity.cosine(col("va"), col("vb")) >= t)
+        .select(col("b")).distinct()
+      assert(witnessed.count() == dropped, "a dropped id lacks a dominating witness")
+      // plan: the pair stage is an equi-join on the cell, never a cartesian
+      val plan = Similarity.semanticDedup(vecs, cent, 16, t)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"within-cell pruning must be a cell equi-join:\n$plan")
+    } finally out.unpersist()
+  }
 }
