@@ -125,6 +125,66 @@ object TextOps {
       quality.as("quality"))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al., arXiv:2112.11446
+    * Table A1 — public paper; independent formulation): per-rule pass
+    * flags plus the composed keep decision. EVERY comparison is integer
+    * cross-multiplied (`3·tc ≤ Σlen` instead of `Σlen/tc ≥ 3`), so both
+    * engines compare exact integers — no ratio doubles anywhere, which is
+    * what makes a keep/drop *decision* (as opposed to a score) safe to
+    * hash cross-engine.
+    *
+    * Rules:
+    *  - `r_len`:   minToks ≤ tok_cnt ≤ maxToks
+    *  - `r_wl`:    mean word length in [3, 10] (3·tc ≤ Σlen ∧ Σlen ≤ 10·tc)
+    *  - `r_alpha`: ≥ 80% of tokens contain a letter (5·alpha ≥ 4·tc)
+    *  - `r_stop`:  ≥ minStopHits stopword occurrences
+    *  - `r_ttr`:   type-token ratio ≥ 0.2 (5·distinct ≥ tc)
+    *
+    * One tokenize + explode + aggregate pass (the [[docStats]] shape);
+    * empty docs re-join with tok_cnt = 0 and fail `r_len`/`r_wl`. Flags
+    * are 0/1 ints. Map + single partial-agg — no second shuffle at any
+    * scale; the gate composes with [[graft.ext.Curation]] scrub/split as
+    * the standard pre-training filter chain.
+    */
+  def gopherGate(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minToks: Int = 5,
+      maxToks: Int = 100000,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val agg = toks
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_tc"),
+        count_distinct(col("w")).as("_dt"),
+        sum(when(col("w").isInCollection(Stopwords), 1L).otherwise(0L)).as("_sh"),
+        sum(length(col("w")).cast("long")).as("_ls"),
+        sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("_ac"))
+    val joined = docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+    val tc = coalesce(col("_tc"), lit(0L))
+    val dt = coalesce(col("_dt"), lit(0L))
+    val sh = coalesce(col("_sh"), lit(0L))
+    val ls = coalesce(col("_ls"), lit(0L))
+    val ac = coalesce(col("_ac"), lit(0L))
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    val rLen = flag(tc >= minToks && tc <= maxToks)
+    val rWl = flag(lit(3) * tc <= ls && ls <= lit(10) * tc && tc > 0)
+    val rAlpha = flag(lit(5) * ac >= lit(4) * tc && tc > 0)
+    val rStop = flag(sh >= minStopHits)
+    val rTtr = flag(lit(5) * dt >= tc && tc > 0)
+    joined.select(
+      col(idCol),
+      tc.as("tok_cnt"),
+      rLen.as("r_len"),
+      rWl.as("r_wl"),
+      rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      rTtr.as("r_ttr"),
+      (rLen * rWl * rAlpha * rStop * rTtr).as("keep"))
+  }
+
   /** Language-ID via token explode + broadcast marker join — semantically
     * identical to [[langId]] (same profiles, same deterministic argmax) but
     * the scalable form: the per-row expression evaluates 25 marker-count

@@ -118,6 +118,21 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // Gopher-style rule-based quality GATE (decision, not score): per-rule
+    // 0/1 flags + composed keep, every threshold integer cross-multiplied
+    // so the keep/drop decision hashes identically cross-engine (a ratio
+    // double would be engine-rounding-dependent exactly at a threshold).
+    // On this clean synthetic corpus only r_stop discriminates (112/500
+    // drops at sf0.01; keep exercised both ways at every SF) — the other
+    // rules' fail paths are covered by TextOpsSpec's crafted violators,
+    // one per rule; thresholds stay pinned to the published Gopher values
+    // rather than being bent to make synthetic text fail them.
+    "q_quality_gate" -> { (s, dir) =>
+      TextOps
+        .gopherGate(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Casefold normalization: lowercase + punctuation strip + whitespace
     // collapse, fingerprinted — the canonical matching key across case /
     // punctuation variants.
@@ -192,6 +207,19 @@ object TextQueries {
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
       s"SELECT doc_id, md5($cf) AS cf_md5, length($cf) AS cf_len " +
         "FROM documents ORDER BY doc_id"
-    }
+    },
+    // same integer cross-multiplied rules as TextOps.gopherGate
+    "q_quality_gate" -> (s"SELECT doc_id, tok_cnt, r_len, r_wl, r_alpha, r_stop, r_ttr, " +
+      "r_len * r_wl * r_alpha * r_stop * r_ttr AS keep FROM (" +
+      s"SELECT doc_id, tc AS tok_cnt, " +
+      "CASE WHEN tc >= 5 AND tc <= 100000 THEN 1 ELSE 0 END AS r_len, " +
+      "CASE WHEN tc > 0 AND 3*tc <= ls AND ls <= 10*tc THEN 1 ELSE 0 END AS r_wl, " +
+      "CASE WHEN tc > 0 AND 5*ac >= 4*tc THEN 1 ELSE 0 END AS r_alpha, " +
+      "CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS r_stop, " +
+      "CASE WHEN tc > 0 AND 5*dt >= tc THEN 1 ELSE 0 END AS r_ttr FROM (" +
+      s"SELECT doc_id, $TokCnt AS tc, len(list_distinct($Toks)) AS dt, ($StopHits) AS sh, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform($Toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS ls, " +
+      s"len(list_filter($Toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac " +
+      "FROM documents)) ORDER BY doc_id")
   )
 }

@@ -25,6 +25,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == "es") // "la"×3 ties es/fr (both profiles have la); es wins on priority
   }
 
+  test("gopherGate: each rule fails on its crafted violator, composed keep") {
+    val d = Seq(
+      (1L, "the river flows past the village and the people watch boats"), // all pass
+      (2L, "the and"), // r_len: 2 tokens < 5
+      (3L, "the and 111 222 333 444 555"), // r_alpha: 2/7 alphabetic < 80%
+      (4L, "the the the the the the the the the the and"), // r_ttr: 2/11 < 0.2
+      (5L, "aa bb cc dd ee the and"), // r_wl: mean word length 16/7 < 3
+      (6L, ""), // empty: tok_cnt 0 fails len/wl/alpha/ttr
+      (7L, "quick brown foxes jumping over lazy dogs today") // r_stop: 0 hits
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherGate(d, "doc_id", "text")
+      .select($"doc_id", $"r_len", $"r_wl", $"r_alpha", $"r_stop", $"r_ttr", $"keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._6 == 0)
+    assert(out(3L)._3 == 0 && out(3L)._6 == 0)
+    assert(out(4L)._5 == 0 && out(4L)._6 == 0)
+    assert(out(5L)._2 == 0 && out(5L)._6 == 0)
+    assert(out(6L) == ((0, 0, 0, 0, 0, 0)))
+    assert(out(7L)._4 == 0 && out(7L)._6 == 0)
+    // exactly one rule fails per violator (isolated thresholds)
+    Seq(2L, 3L, 4L, 5L, 7L).foreach { id =>
+      val t = out(id)
+      assert(Seq(t._1, t._2, t._3, t._4, t._5).count(_ == 0) == 1, s"doc $id: $t")
+    }
+  }
+
   test("caseFolded: lowercase, punctuation strip, whitespace collapse") {
     val d = Seq(
       (1L, "Hello,  World!"),
