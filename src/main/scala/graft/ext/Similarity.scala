@@ -409,13 +409,22 @@ object Similarity {
     * size — the SemDeDup operating point — total pairwise work is O(N·c)
     * for cell size c, and a skewed giant cell is the signal to refit with
     * larger k, not a plan problem.
+    *
+    * The assignment is materialized ONCE via `intermediate` (three
+    * consumers read it: both pair-join sides and the final keep
+    * mark-up) — without it Catalyst re-derives the subtree and the plan
+    * scans the corpus three times. [[Dedup.Intermediate.Bucketed]] keyed
+    * on the cell additionally removes the pair join's exchanges at scale
+    * (the span-dedup lever, same contract).
     */
   def semanticDedup(
       corpus: DataFrame,
       centroids: DataFrame,
       nCells: Int,
-      threshold: Double): DataFrame = {
-    val assigned = assignCells(corpus, centroids, nCells)
+      threshold: Double,
+      intermediate: Dedup.Intermediate = Dedup.Intermediate.Local): DataFrame = {
+    val assigned =
+      intermediate.keyed(assignCells(corpus, centroids, nCells), "semdedup_cells", "cell")
     val dropped = assigned
       .select(col("cell"), col("id").as("a"), col("vec").as("va"))
       .join(assigned.select(col("cell"), col("id").as("b"), col("vec").as("vb")),
@@ -513,14 +522,19 @@ object Similarity {
     books
   }
 
-  /** Map-only PQ encoding: (id, codes array<int> of length m). */
-  def pqEncode(corpus: DataFrame, books: PQCodebooks): DataFrame = {
+  /** The m-code encoding expression over a vec column — shared by
+    * [[pqEncode]] and [[ivfPqTopKAdc]] (which encodes off the
+    * cell-assigned frame so the corpus is scanned once, not joined).
+    */
+  private def codesExpr(vec: Column, books: PQCodebooks): Column = {
     val tab = books.lit
-    corpus.select(
-      col("id"),
-      transform(sequence(lit(0), lit(books.m - 1)),
-        s => argminIdx(subDists(col("vec"), tab, s, books.subDim))).as("codes"))
+    transform(sequence(lit(0), lit(books.m - 1)),
+      s => argminIdx(subDists(vec, tab, s, books.subDim)))
   }
+
+  /** Map-only PQ encoding: (id, codes array<int> of length m). */
+  def pqEncode(corpus: DataFrame, books: PQCodebooks): DataFrame =
+    corpus.select(col("id"), codesExpr(col("vec"), books).as("codes"))
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its m×k lookup table ONCE (O(k·dim) work), then every
@@ -565,6 +579,9 @@ object Similarity {
     * per-query LUTs broadcast); (query, neighbor) pairs are unique by
     * construction — rank-1 corpus assignment × distinct probed cells —
     * so no dedup exchange is needed (same argument as [[ivfTopK]]).
+    * Codes are computed ON the cell-assigned frame (one corpus scan);
+    * encoding separately and equi-joining the two corpus-sized frames on
+    * id would add a full-width shuffle for no information.
     */
   def ivfPqTopKAdc(
       queries: DataFrame,
@@ -574,8 +591,8 @@ object Similarity {
       nCells: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val corpusSide = pqEncode(corpus, books)
-      .join(assignCells(corpus, centroids, nCells).select(col("id"), col("cell")), Seq("id"))
+    val corpusSide = assignCells(corpus, centroids, nCells)
+      .select(col("id"), col("cell"), codesExpr(col("vec"), books).as("codes"))
     val qcells = Relational
       .topKPerGroup(
         queries

@@ -288,6 +288,10 @@ class SimilaritySpec extends SparkSpec {
     val plan = ivfpq.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"IVF-PQ candidate generation must be a cell equi-join:\n$plan")
+    // codes are computed ON the assigned frame: no corpus-sized id-keyed
+    // merge join anywhere (encode-then-join would show as a SortMergeJoin)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must be scanned once, not encoded separately and re-joined on id:\n$plan")
     val got = pairs(ivfpq)
     // every returned neighbor sits in one of its query's 2 probed cells
     val assigned = Similarity.assignCells(vecs, cent, 16)
@@ -329,11 +333,19 @@ class SimilaritySpec extends SparkSpec {
         .filter(col("a") < col("b") && Similarity.cosine(col("va"), col("vb")) >= t)
         .select(col("b")).distinct()
       assert(witnessed.count() == dropped, "a dropped id lacks a dominating witness")
-      // plan: the pair stage is an equi-join on the cell, never a cartesian
+      // plan: the pair stage is an equi-join on the cell, never a cartesian;
+      // the assignment is materialized once — its three consumers read the
+      // checkpoint, so the final plan re-scans NO parquet (the corpus was
+      // scanned exactly once, by the checkpoint job)
       val plan = Similarity.semanticDedup(vecs, cent, 16, t)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"within-cell pruning must be a cell equi-join:\n$plan")
+      // (vecs is cached in this spec, so re-derivation would surface as
+      // InMemoryTableScans of the corpus — with the checkpoint, neither
+      // the cache nor parquet is re-read by any of the three consumers)
+      assert(!plan.contains("Scan parquet") && !plan.contains("InMemoryTableScan"),
+        s"assignment must be materialized once, not re-derived per consumer:\n$plan")
     } finally out.unpersist()
   }
 }
