@@ -188,6 +188,30 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // The end-to-end curation chain in ONE declared plan: Gopher quality
+    // gate → blocklist scrub → train/val/test split → per-(split, keep)
+    // rollup. The chain is what a production pretraining pipeline runs;
+    // declaring it as one query proves the stages COMPOSE — one gate
+    // aggregation + join-back, scrub and split stay map-only on top, one
+    // final rollup exchange.
+    "q_curation_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pat = Curation.blocklistPattern(Blocklist)
+      val (scrubbed, hits) = Curation.scrub(col("text"), pat, "<TERM>")
+      val enriched = Curation
+        .splitAssign(docs, "doc_id", SplitSalt, trainUpTo = 9000, valUpTo = 9500)
+        .select(col("doc_id"), col("split"), hits.as("n_hits"),
+          length(scrubbed).as("scrub_len"))
+        .join(TextOps.gopherGate(docs, "doc_id", "text")
+          .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      enriched
+        .groupBy("split", "keep")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_hits")).as("hits"),
+          sum(col("scrub_len")).as("scrub_chars"))
+        .orderBy("split", "keep")
+    },
+
     // Blocklist scrub: whole-word replacement + hit count; the scrubbed
     // text is emitted as its md5 (full-text parity without megabyte rows).
     "q_text_scrub" -> { (s, dir) =>
@@ -315,6 +339,18 @@ object CurationQueries {
     "q_text_scrub" -> ("SELECT doc_id, " +
       s"len(regexp_extract_all(text, '$BlockPat')) AS n_hits, " +
       s"md5(regexp_replace(text, '$BlockPat', '<TERM>', 'g')) AS scrub_md5 " +
-      "FROM documents ORDER BY doc_id")
+      "FROM documents ORDER BY doc_id"),
+    // gate keep (TextQueries fragment) ⋈ scrub + split, rolled up —
+    // mirrors the composed Spark chain stage for stage
+    "q_curation_pipeline" -> (s"WITH g AS (${TextQueries.GateKeepSql}), " +
+      "d AS (SELECT doc_id, " +
+      s"CASE WHEN ${bucketSql(SplitSalt)} < 9000 THEN 'train' " +
+      s"WHEN ${bucketSql(SplitSalt)} < 9500 THEN 'val' ELSE 'test' END AS split, " +
+      s"len(regexp_extract_all(text, '$BlockPat')) AS n_hits, " +
+      s"length(regexp_replace(text, '$BlockPat', '<TERM>', 'g')) AS scrub_len " +
+      "FROM documents) " +
+      "SELECT split, keep, count(*) AS n_docs, CAST(sum(n_hits) AS BIGINT) AS hits, " +
+      "CAST(sum(scrub_len) AS BIGINT) AS scrub_chars " +
+      "FROM d JOIN g USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -217,9 +217,21 @@ object TextQueries {
       "CASE WHEN tc > 0 AND 5*ac >= 4*tc THEN 1 ELSE 0 END AS r_alpha, " +
       "CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS r_stop, " +
       "CASE WHEN tc > 0 AND 5*dt >= tc THEN 1 ELSE 0 END AS r_ttr FROM (" +
-      s"SELECT doc_id, $TokCnt AS tc, len(list_distinct($Toks)) AS dt, ($StopHits) AS sh, " +
+      s"$GateStatsSql)) ORDER BY doc_id")
+  )
+
+  /** Per-doc integer gate statistics over `documents` — the inner
+    * subquery both gate oracles build on. */
+  private val GateStatsSql: String =
+    s"SELECT doc_id, $TokCnt AS tc, len(list_distinct($Toks)) AS dt, ($StopHits) AS sh, " +
       s"list_reduce(list_prepend(0::BIGINT, list_transform($Toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS ls, " +
       s"len(list_filter($Toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac " +
-      "FROM documents)) ORDER BY doc_id")
-  )
+      "FROM documents"
+
+  /** doc_id → composed gate keep (0/1): the reusable oracle fragment for
+    * pipeline-composition queries (tc > 0 is implied by tc >= 5). */
+  private[ext] val GateKeepSql: String =
+    "SELECT doc_id, CASE WHEN tc >= 5 AND tc <= 100000 AND 3*tc <= ls AND ls <= 10*tc " +
+      "AND 5*ac >= 4*tc AND sh >= 2 AND 5*dt >= tc THEN 1 ELSE 0 END AS keep " +
+      s"FROM ($GateStatsSql)"
 }
