@@ -622,4 +622,27 @@ object Similarity {
     Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("adist").asc, col("neighbor_id").asc), k)
   }
+
+  /** Exact re-rank of a shortlist — the final stage of the production
+    * retrieval stack (IVF-PQ shortlists in the compressed domain, then
+    * raw vectors are read ONLY for the |queries|×K shortlist pairs).
+    * Queries broadcast; the corpus side is an equi-join on the neighbor
+    * id, so the planner pushes the (tiny) shortlist into the corpus scan
+    * as a broadcast build at any corpus size — the raw-vector read is
+    * shortlist-sized in rows even though the scan is corpus-wide in
+    * candidates (a bucketed corpus table by id makes it partition-pruned
+    * too). Ranks by exact cosine, neighbor id as the tiebreak.
+    */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = shortlist
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    Relational.topKPerGroup(dropNaN(scored), Seq("query_id"),
+      Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
 }

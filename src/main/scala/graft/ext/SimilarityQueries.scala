@@ -129,6 +129,24 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // The COMPLETE production retrieval stack, end to end: IVF-PQ ADC
+    // shortlists 25 candidates in the compressed domain, then raw vectors
+    // are read only for the shortlist pairs and re-ranked by exact cosine
+    // — approximate scan, exact answer quality, both stages in one plan.
+    "q_ivfpq_rerank" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("id") < NCells)
+        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      val books = Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
+      val probes = v.filter(col("id") < 20)
+      val short = Similarity
+        .ivfPqTopKAdc(probes, v, cent, books, NCells, nprobe = 2, k = 25)
+      Similarity
+        .rerankExact(short, probes, v, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // SemDeDup-style cluster-scoped semantic dedup: rank-1 assignment to
     // 16 sampled coarse centroids (ids 0-15 — the same deterministic
     // quantizer stand-in as q_ann_ivf; production fits k-means offline),
@@ -191,6 +209,38 @@ object SimilarityQueries {
 
   private def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+
+  /** Shared IVF-PQ CTE chain ending in `scored` (query_id, neighbor_id,
+    * adist): PQ codebooks/codes from the first 16 vectors (iters=0),
+    * rank-1 corpus cells, 2 probed query cells, ADC over probed-cell
+    * codes. Both `q_ivfpq_adc` and `q_ivfpq_rerank` build on it.
+    */
+  private lazy val IvfPqCtes: String =
+    s"v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      "cbsrc AS (SELECT id, vec FROM v ORDER BY id LIMIT 16), " +
+      "cb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS j, " +
+      "list_slice(vec, s*8+1, s*8+8) AS cent FROM cbsrc, generate_series(0, 7) AS g(s)), " +
+      "d AS (SELECT v.id, cb.s, cb.j, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 8), " +
+      "i -> (v.vec[cb.s*8+i] - cb.cent[i]) * (v.vec[cb.s*8+i] - cb.cent[i]))), " +
+      "(acc, x) -> acc + x) AS dist FROM v, cb), " +
+      "codes AS (SELECT id, s, j AS code FROM (SELECT id, s, j, " +
+      "row_number() OVER (PARTITION BY id, s ORDER BY dist ASC, j ASC) AS rn FROM d) " +
+      "WHERE rn = 1), " +
+      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+      "ccell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c) WHERE rn = 1), " +
+      "qcell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c WHERE v.id < 20) WHERE rn <= 2), " +
+      "scored AS (SELECT d.id AS query_id, c.id AS neighbor_id, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list(d.dist ORDER BY d.s)), " +
+      "(acc, x) -> acc + x) AS adist " +
+      "FROM codes c JOIN d ON d.s = c.s AND d.j = c.code " +
+      "JOIN ccell nc ON nc.id = c.id " +
+      "JOIN qcell qc ON qc.id = d.id AND qc.cell = nc.cell " +
+      "WHERE d.id < 20 AND d.id != c.id GROUP BY 1, 2)"
 
   /** The same unrolled integer-hyperplane bucket expression, as SQL. */
   private def bucketSql(v: String, planes: Array[Array[Long]] = W): String =
@@ -269,34 +319,21 @@ object SimilarityQueries {
     // q_pq_adc's CTEs (codes, d) composed with q_ann_ivf's cell CTEs:
     // scored pairs additionally require the neighbor's rank-1 cell to be
     // one of the query's 2 probed cells
-    "q_ivfpq_adc" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
-      "cbsrc AS (SELECT id, vec FROM v ORDER BY id LIMIT 16), " +
-      "cb AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS j, " +
-      "list_slice(vec, s*8+1, s*8+8) AS cent FROM cbsrc, generate_series(0, 7) AS g(s)), " +
-      "d AS (SELECT v.id, cb.s, cb.j, " +
-      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 8), " +
-      "i -> (v.vec[cb.s*8+i] - cb.cent[i]) * (v.vec[cb.s*8+i] - cb.cent[i]))), " +
-      "(acc, x) -> acc + x) AS dist FROM v, cb), " +
-      "codes AS (SELECT id, s, j AS code FROM (SELECT id, s, j, " +
-      "row_number() OVER (PARTITION BY id, s ORDER BY dist ASC, j ASC) AS rn FROM d) " +
-      "WHERE rn = 1), " +
-      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
-      "ccell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
-      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
-      "FROM v, cent c) WHERE rn = 1), " +
-      "qcell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
-      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
-      "FROM v, cent c WHERE v.id < 20) WHERE rn <= 2), " +
-      "scored AS (SELECT d.id AS query_id, c.id AS neighbor_id, " +
-      "list_reduce(list_prepend(0.0::DOUBLE, list(d.dist ORDER BY d.s)), " +
-      "(acc, x) -> acc + x) AS adist " +
-      "FROM codes c JOIN d ON d.s = c.s AND d.j = c.code " +
-      "JOIN ccell nc ON nc.id = c.id " +
-      "JOIN qcell qc ON qc.id = d.id AND qc.cell = nc.cell " +
-      "WHERE d.id < 20 AND d.id != c.id GROUP BY 1, 2) " +
+    "q_ivfpq_adc" -> (s"WITH $IvfPqCtes " +
       "SELECT query_id, neighbor_id, adist, rank FROM (SELECT *, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank " +
       "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+    // the same CTE chain shortlists 25 by adist, then raw vectors re-rank
+    // the shortlist pairs by exact cosine — mirrors rerankExact
+    "q_ivfpq_rerank" -> (s"WITH $IvfPqCtes, " +
+      "short AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank " +
+      "FROM scored) WHERE rank <= 25), " +
+      s"rr AS (SELECT s.query_id, s.neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM short s JOIN v q ON q.id = s.query_id JOIN v c ON c.id = s.neighbor_id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank " +
+      "FROM rr) WHERE rank <= 5 ORDER BY query_id, rank"),
     // rank-1 cell = the q_ann_ivf ccell CTE; dropped = distinct greater id
     // of any within-cell pair at cos ≥ 0.35; kept = anti of dropped
     "q_semantic_dedup" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +

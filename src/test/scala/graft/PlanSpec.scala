@@ -236,6 +236,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
   }
 
+  test("q_quality_gate: one token explode, planner-chosen join-back, no forced broadcast") {
+    val p = plan("q_quality_gate")
+    assert(count(p, "Generate") == 1, s"exactly one tokenize+explode pass:\n$p")
+    assert(count(p, "Scan parquet") == 2,
+      s"one scan feeds the gate agg, one carries the ids for the join-back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the mark-up join must be keyed on doc_id:\n$p")
+  }
+
+  test("q_curation_pipeline: stages compose without extra corpus-sized shuffles") {
+    val p = plan("q_curation_pipeline")
+    // three scans of documents total: the gate's token aggregation, the
+    // gate's id-completion frame (empty docs must surface keep=0), and
+    // the map-only scrub/split carrier; composition must not multiply
+    // them further (each stage re-deriving its input would give 5+)
+    assert(count(p, "Scan parquet") == 3, s"exactly three document scans:\n$p")
+    assert(count(p, "Generate") == 1, s"the gate's explode only — scrub/split stay per-row:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all joins keyed on doc_id:\n$p")
+  }
+
   test("q_small_quantity_revenue: correlated subquery decorrelates to agg-join") {
     val p = plan("q_small_quantity_revenue")
     // the whole point of the hand-decorrelation: NEVER a per-row re-scan

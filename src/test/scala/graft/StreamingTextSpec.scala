@@ -37,6 +37,39 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherGate composes with a stream: per-batch keep decisions match batch") {
+    // the gate is an aggregation + join-back over a BATCH frame; at
+    // ingest time the same decision runs per micro-batch via
+    // foreachBatch — this pins that the composition yields the exact
+    // batch decisions (stateless per doc, so batch boundaries are
+    // irrelevant by construction)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the river flows past the village and the people watch boats"),
+      (2L, "the and"),
+      (3L, "quick brown foxes jumping over lazy dogs today")).toDF("doc_id", "text")
+    val expected = graft.ext.TextOps.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[(Long, Int)]()
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ext.TextOps.gopherGate(batch, "doc_id", "text")
+          .select(col("doc_id"), col("keep"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, "the river flows past the village and the people watch boats"))
+      q.processAllAvailable()
+      mem.addData((2L, "the and"), (3L, "quick brown foxes jumping over lazy dogs today"))
+      q.processAllAvailable()
+      assert(got.toSet == expected, s"streaming gate diverged: $got vs $expected")
+    } finally q.stop()
+  }
+
   test("graft_topk works in streaming aggregation (SpaceSaving state survives the store)") {
     // the native TypedImperativeAggregate must serialize into (and merge
     // out of) streaming state across micro-batches — the same e2e claim
