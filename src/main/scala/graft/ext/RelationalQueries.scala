@@ -894,6 +894,74 @@ object RelationalQueries {
       Relational
         .richInactive(Tables.customer(s, dir), Tables.orders(s, dir))
         .orderBy("nation")
+    },
+
+    // TPC-H Q19-shaped: DISJUNCTIVE predicate join — revenue over an OR
+    // of three (brand ∧ size-range ∧ quantity-range) conjunctions.
+    // Catalyst cannot split a cross-table OR, so the per-side
+    // implications are stated EXPLICITLY (brand∧size disjunction on
+    // part, quantity-range union on lineitem) — the documented TPC-H
+    // Q19 optimization: both scans are cut before the join, and the full
+    // disjunction re-checks after it (PlanSpec pins the pushed filters).
+    "q_disjunctive_revenue" -> { (s, dir) =>
+      val part = Tables.part(s, dir)
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      // raw double compares (quantities are integral-valued): a cast
+      // would block the range predicates from reaching the parquet scan
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 11) || col("l_quantity").between(15, 25) ||
+          col("l_quantity").between(30, 40))
+        .select(col("l_partkey"), col("l_quantity").as("qty"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rev_q4"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("qty").between(15, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("qty").between(30, 40)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("rev_q4")).cast("double") / 10000.0).as("revenue"))
+        .orderBy("p_brand")
+    },
+
+    // TPC-H Q9-shaped (no partsupp in this schema — supply cost stands in
+    // as the part's retail price × quantity): per-(nation, year) profit
+    // over a name-family of parts. Revenue and cost are floor-quantized
+    // per row SEPARATELY, summed exactly as integers, subtracted, ONE
+    // division at the end — the sum-of-differences ≡ difference-of-sums
+    // on exact integers, so engines agree bit-for-bit. Dims broadcast;
+    // the one corpus-sized join (lineitem ⋈ orders for the year) is left
+    // to the planner.
+    "q_profit_by_nation" -> { (s, dir) =>
+      val pk = Tables.part(s, dir)
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rev_q4"),
+          floor(col("p_retailprice") * col("l_quantity") * 10000)
+            .cast("long").as("cost_q4"))
+      li.join(Tables.orders(s, dir).select(col("o_orderkey"),
+          // long: DuckDB's year() is BIGINT, Spark's is INT — pin the wider
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(((sum(col("rev_q4")) - sum(col("cost_q4"))).cast("double") / 10000.0)
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
     }
   )
 
@@ -1262,6 +1330,30 @@ object RelationalQueries {
       "CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal " +
       "FROM c, p WHERE cents * n > s_cents " +
       "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) " +
-      "GROUP BY 1 ORDER BY 1")
+      "GROUP BY 1 ORDER BY 1"),
+    // the disjunction stays in its natural single-WHERE form — DuckDB's
+    // own planner derives the per-side implications, cross-checking the
+    // engine's explicit redundant-conjunct formulation
+    "q_disjunctive_revenue" -> ("SELECT p_brand, count(*) AS n_items, " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) " +
+      "AS BIGINT) AS DOUBLE) / 10000.0 AS revenue " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+      "AND l_quantity BETWEEN 1 AND 11) " +
+      "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+      "AND l_quantity BETWEEN 15 AND 25) " +
+      "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 " +
+      "AND l_quantity BETWEEN 30 AND 40) " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_profit_by_nation" -> ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) - " +
+      "CAST(sum(CAST(floor(p_retailprice * l_quantity * 10000) AS BIGINT)) AS BIGINT) " +
+      "AS DOUBLE) / 10000.0 AS profit " +
+      "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE p_name LIKE '%widget%' " +
+      "GROUP BY 1, 2 ORDER BY nation, o_year DESC")
   )
 }

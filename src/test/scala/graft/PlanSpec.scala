@@ -236,6 +236,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
   }
 
+  test("q_disjunctive_revenue: per-side OR implications reach both scans") {
+    val p = plan("q_disjunctive_revenue")
+    // the explicit redundant conjuncts must surface as pushed filters:
+    // a brand disjunction on the part scan, a quantity-range union on
+    // the lineitem scan (Catalyst can't split the cross-table OR itself)
+    assert(count(p, "Or(Or(And(") >= 2,
+      s"BOTH scans must carry their side's pushed disjunction:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)") &&
+      p.contains("LessThanOrEqual(l_quantity,11.0)"),
+      s"brand OR on the part scan, quantity union on the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+  }
+
   test("q_quality_gate: one token explode, planner-chosen join-back, no forced broadcast") {
     val p = plan("q_quality_gate")
     assert(count(p, "Generate") == 1, s"exactly one tokenize+explode pass:\n$p")
