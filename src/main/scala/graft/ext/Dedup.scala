@@ -67,6 +67,17 @@ object Dedup {
     case object Local extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = df.localCheckpoint()
     }
+    /** [[Local]] with eager = false: the plan is cut at construction
+      * (consumers read one shared RDD, never re-derive the subtree) but
+      * the materializing job runs at the FIRST ACTION, not at
+      * DataFrame-construction time — so building a declared query, or
+      * explaining its plan, stays free like every other lazy plan.
+      * Compute-once still holds: the checkpoint RDD persists on first
+      * computation and later stages read the stored blocks.
+      */
+    case object LocalLazy extends Intermediate {
+      def apply(df: DataFrame, label: String): DataFrame = df.localCheckpoint(eager = false)
+    }
     final case class Durable(dir: String) extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = {
         // unique per materialization: two operator calls sharing a work dir

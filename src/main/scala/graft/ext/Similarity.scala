@@ -370,14 +370,16 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
-  /** Rank-1 cell assignment: every corpus vector mapped to its nearest
-    * coarse centroid by cosine (ties → lowest cid). The same explode ×
-    * nCells + broadcast equi-join shape as [[ivfTopK]]'s corpus side —
-    * corpus-linear, no cartesian product — exposed standalone because
-    * cluster-scoped operators ([[semanticDedup]]) need the assignment
-    * without the query path.
+  /** Nearest-cell assignment: every vector mapped to its `n` nearest
+    * coarse centroids by cosine (ties → lowest cid); n = 1 is the rank-1
+    * corpus assignment, n = nprobe is the query-side probe set. The same
+    * explode × nCells + broadcast equi-join shape as [[ivfTopK]]'s
+    * sides — corpus-linear, no cartesian product — exposed standalone
+    * because cluster-scoped operators ([[semanticDedup]],
+    * [[ivfPqTopKAdc]]) need the assignment without the query path.
     */
-  def assignCells(corpus: DataFrame, centroids: DataFrame, nCells: Int): DataFrame =
+  def assignCells(corpus: DataFrame, centroids: DataFrame, nCells: Int, n: Int = 1)
+      : DataFrame =
     Relational
       .topKPerGroup(
         corpus
@@ -388,7 +390,7 @@ object Similarity {
             cosine(col("vec"), col("cvec")).as("ccos")),
         Seq("id"),
         Seq(col("ccos").desc, col("cid").asc),
-        1)
+        n)
       .select(col("id"), col("vec"), col("cid").as("cell"))
 
   /** Cluster-scoped semantic dedup (the SemDeDup shape — Abbas et al.,
@@ -413,16 +415,18 @@ object Similarity {
     * The assignment is materialized ONCE via `intermediate` (three
     * consumers read it: both pair-join sides and the final keep
     * mark-up) — without it Catalyst re-derives the subtree and the plan
-    * scans the corpus three times. [[Dedup.Intermediate.Bucketed]] keyed
-    * on the cell additionally removes the pair join's exchanges at scale
-    * (the span-dedup lever, same contract).
+    * scans the corpus three times. The default is the LAZY local
+    * checkpoint, so constructing the frame (or explaining its plan)
+    * runs no job; [[Dedup.Intermediate.Bucketed]] keyed on the cell
+    * additionally removes the pair join's exchanges at scale (the
+    * span-dedup lever, same contract).
     */
   def semanticDedup(
       corpus: DataFrame,
       centroids: DataFrame,
       nCells: Int,
       threshold: Double,
-      intermediate: Dedup.Intermediate = Dedup.Intermediate.Local): DataFrame = {
+      intermediate: Dedup.Intermediate = Dedup.Intermediate.LocalLazy): DataFrame = {
     val assigned =
       intermediate.keyed(assignCells(corpus, centroids, nCells), "semdedup_cells", "cell")
     val dropped = assigned
@@ -593,18 +597,7 @@ object Similarity {
       k: Int): DataFrame = {
     val corpusSide = assignCells(corpus, centroids, nCells)
       .select(col("id"), col("cell"), codesExpr(col("vec"), books).as("codes"))
-    val qcells = Relational
-      .topKPerGroup(
-        queries
-          .select(col("id"), col("vec"),
-            explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
-          .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
-          .select(col("id"), col("vec"), col("cid"),
-            cosine(col("vec"), col("cvec")).as("ccos")),
-        Seq("id"),
-        Seq(col("ccos").desc, col("cid").asc),
-        nprobe)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+    val qcells = assignCells(queries, centroids, nCells, n = nprobe)
     val tab = books.lit
     val withLut = qcells.select(
       col("id").as("query_id"), col("cell"),

@@ -28,6 +28,16 @@ object SimilarityQueries {
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
   }
 
+  /** The deterministic sampled-centroid stand-in (ids 0..NCells-1) shared
+    * by the IVF / IVF-PQ / semantic-dedup declared queries. */
+  private def centFrame(v: DataFrame): DataFrame =
+    v.filter(col("id") < NCells)
+      .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+
+  /** The deterministic iters=0 codebooks the PQ-family queries share. */
+  private def books8(v: DataFrame): Similarity.PQCodebooks =
+    Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-10 for 5 probe vectors (broadcast probes,
     // one corpus scan). The correctness baseline for the ANN path.
@@ -120,11 +130,9 @@ object SimilarityQueries {
     // bit-reproducible in the oracle.
     "q_ivfpq_adc" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val cent = v.filter(col("id") < NCells)
-        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
-      val books = Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
       Similarity
-        .ivfPqTopKAdc(v.filter(col("id") < 20), v, cent, books, NCells, nprobe = 2, k = 5)
+        .ivfPqTopKAdc(v.filter(col("id") < 20), v, centFrame(v), books8(v), NCells,
+          nprobe = 2, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy("query_id", "rank")
     },
@@ -135,12 +143,9 @@ object SimilarityQueries {
     // — approximate scan, exact answer quality, both stages in one plan.
     "q_ivfpq_rerank" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val cent = v.filter(col("id") < NCells)
-        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
-      val books = Similarity.pqFit(v, m = 8, k = 16, dim = Dim, iters = 0)
       val probes = v.filter(col("id") < 20)
       val short = Similarity
-        .ivfPqTopKAdc(probes, v, cent, books, NCells, nprobe = 2, k = 25)
+        .ivfPqTopKAdc(probes, v, centFrame(v), books8(v), NCells, nprobe = 2, k = 25)
       Similarity
         .rerankExact(short, probes, v, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -156,10 +161,8 @@ object SimilarityQueries {
     // bounded by the largest cell, never the corpus.
     "q_semantic_dedup" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val cent = v.filter(col("id") < NCells)
-        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
       Similarity
-        .semanticDedup(v, cent, NCells, threshold = 0.35)
+        .semanticDedup(v, centFrame(v), NCells, threshold = 0.35)
         .orderBy("id")
     },
 
@@ -228,12 +231,11 @@ object SimilarityQueries {
       "row_number() OVER (PARTITION BY id, s ORDER BY dist ASC, j ASC) AS rn FROM d) " +
       "WHERE rn = 1), " +
       s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
-      "ccell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
+      "rc AS (SELECT v.id, c.cid AS cell, " +
       s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
-      "FROM v, cent c) WHERE rn = 1), " +
-      "qcell AS (SELECT id, cell FROM (SELECT v.id, c.cid AS cell, " +
-      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
-      "FROM v, cent c WHERE v.id < 20) WHERE rn <= 2), " +
+      "FROM v, cent c), " +
+      "ccell AS (SELECT id, cell FROM rc WHERE rn = 1), " +
+      "qcell AS (SELECT id, cell FROM rc WHERE id < 20 AND rn <= 2), " +
       "scored AS (SELECT d.id AS query_id, c.id AS neighbor_id, " +
       "list_reduce(list_prepend(0.0::DOUBLE, list(d.dist ORDER BY d.s)), " +
       "(acc, x) -> acc + x) AS adist " +
@@ -333,7 +335,10 @@ object SimilarityQueries {
       "FROM short s JOIN v q ON q.id = s.query_id JOIN v c ON c.id = s.neighbor_id) " +
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank " +
-      "FROM rr) WHERE rank <= 5 ORDER BY query_id, rank"),
+      // NaN guard mirrors rerankExact's dropNaN: DuckDB ranks NaN
+      // GREATEST where Spark filters it — a zero-norm vector in the
+      // shortlist would otherwise shift every rank below it
+      "FROM rr WHERE NOT isnan(cos)) WHERE rank <= 5 ORDER BY query_id, rank"),
     // rank-1 cell = the q_ann_ivf ccell CTE; dropped = distinct greater id
     // of any within-cell pair at cos ≥ 0.35; kept = anti of dropped
     "q_semantic_dedup" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +

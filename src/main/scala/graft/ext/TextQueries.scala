@@ -221,12 +221,20 @@ object TextQueries {
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner
-    * subquery both gate oracles build on. */
-  private val GateStatsSql: String =
-    s"SELECT doc_id, $TokCnt AS tc, len(list_distinct($Toks)) AS dt, ($StopHits) AS sh, " +
-      s"list_reduce(list_prepend(0::BIGINT, list_transform($Toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS ls, " +
-      s"len(list_filter($Toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac " +
+    * subquery both gate oracles build on. Tokenizes `coalesce(text, '')`:
+    * Spark's explode of a NULL text produces no token rows and the gate
+    * coalesces every stat to 0, while a bare string_split_regex(NULL)
+    * would propagate NULL through tc — a latent hash divergence the
+    * moment a corpus ships a NULL document. */
+  private val GateStatsSql: String = {
+    val toks = "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '')"
+    val stopHits = TextOps.Stopwords
+      .map(w => s"len(list_filter($toks, t -> t = '$w'))").mkString(" + ")
+    s"SELECT doc_id, len($toks) AS tc, len(list_distinct($toks)) AS dt, ($stopHits) AS sh, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform($toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS ls, " +
+      s"len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac " +
       "FROM documents"
+  }
 
   /** doc_id → composed gate keep (0/1): the reusable oracle fragment for
     * pipeline-composition queries (tc > 0 is implied by tc >= 5). */
