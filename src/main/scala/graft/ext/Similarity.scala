@@ -327,9 +327,9 @@ object Similarity {
     * in the oracle; a production run fits k-means|| offline and swaps the
     * fitted table in without touching any plan shape here.
     *
-    * Scale: assignment is an explode ×nCells + broadcast equi-join on the
-    * cell id (the standard |corpus|·nCells IVF assignment cost — NO
-    * cartesian product in the plan), the cell is a plain column that
+    * Scale: assignment is the MAP-ONLY [[assignCells]] literal-centroid
+    * arg-top-n (the |corpus|·nCells scoring cost runs inside the corpus
+    * scan — no explode, no exchange), the cell is a plain column that
     * composes with partitioning/bucketed writes for repeated query
     * workloads, and candidate generation is an equi-join on the cell —
     * corpus-linear, recall controlled by nprobe/nCells.
@@ -341,20 +341,9 @@ object Similarity {
       nCells: Int,
       nprobe: Int,
       k: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col("cid"), col("cvec")))
     def nearestCells(side: DataFrame, idAs: String, vecAs: String, n: Int): DataFrame =
-      Relational
-        .topKPerGroup(
-          side
-            .select(col("id").as(idAs), col("vec").as(vecAs),
-              explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
-            .join(cent, Seq("cid"))
-            .select(col(idAs), col(vecAs), col("cid"),
-              cosine(col(vecAs), col("cvec")).as("ccos")),
-          Seq(idAs),
-          Seq(col("ccos").desc, col("cid").asc),
-          n)
-        .select(col(idAs), col(vecAs), col("cid").as("cell"))
+      assignCells(side, centroids, nCells, n)
+        .select(col("id").as(idAs), col("vec").as(vecAs), col("cell"))
     val cb = nearestCells(corpus, "neighbor_id", "cv", 1)
     val qb = broadcast(nearestCells(queries, "query_id", "qv", nprobe))
     val scored = qb
@@ -370,28 +359,75 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Centroid frame collected to driver-side literals: (cid, cvec) pairs
+    * plus the cid column's type (preserved so the emitted `cell` column —
+    * and every downstream join key and oracle hash — keeps its type).
+    * Driver-sized by construction: k×(dim+1) numbers, same budget as
+    * [[kmeansFit]]'s own centroid state.
+    */
+  private def collectCentroids(centroids: DataFrame)
+      : (Array[(Long, Array[Double])], org.apache.spark.sql.types.DataType) = {
+    val cidType = centroids.schema("cid").dataType
+    val pairs = centroids
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (pairs, cidType)
+  }
+
+  /** Map-only arg-top-n over literal centroids: an array of the `n`
+    * nearest cids by cosine (ties → lowest cid), computed per row with
+    * ZERO exchanges — k codegen'd [[cosine]] calls against plan-constant
+    * weights, one k-element `array_sort`, one slice. NaN scores order
+    * exactly as the window form did (Spark comparisons treat NaN as
+    * greater than every double, matching desc-NULLS-style NaN-first).
+    * Generalizes [[argmaxCell]] (n = 1) to the probe-set case.
+    */
+  private def nearestCellsExpr(
+      vec: Column,
+      cents: Array[(Long, Array[Double])],
+      cidType: org.apache.spark.sql.types.DataType,
+      n: Int): Column = {
+    val scored = cents.map { case (cid, cvec) =>
+      struct(cosine(vec, typedLit(cvec.toSeq)).as("ccos"),
+        lit(cid).cast(cidType).as("cid"))
+    }
+    val sorted = array_sort(array(scored.toIndexedSeq: _*), (l, r) =>
+      when(l("ccos") > r("ccos"), lit(-1))
+        .when(l("ccos") < r("ccos"), lit(1))
+        .when(l("cid") < r("cid"), lit(-1))
+        .when(l("cid") > r("cid"), lit(1))
+        .otherwise(lit(0)))
+    transform(slice(sorted, 1, n), s => s("cid"))
+  }
+
   /** Nearest-cell assignment: every vector mapped to its `n` nearest
     * coarse centroids by cosine (ties → lowest cid); n = 1 is the rank-1
-    * corpus assignment, n = nprobe is the query-side probe set. The same
-    * explode × nCells + broadcast equi-join shape as [[ivfTopK]]'s
-    * sides — corpus-linear, no cartesian product — exposed standalone
-    * because cluster-scoped operators ([[semanticDedup]],
+    * corpus assignment, n = nprobe is the query-side probe set. Exposed
+    * standalone because cluster-scoped operators ([[semanticDedup]],
     * [[ivfPqTopKAdc]]) need the assignment without the query path.
+    *
+    * MAP-ONLY: centroids always fit the driver (k×dim doubles — they are
+    * literally the k-means state), so assignment is [[nearestCellsExpr]]
+    * against plan constants: no explode×nCells, no broadcast join, no
+    * window — the corpus is scanned once and never exchanged. (The
+    * previous form explode'd every vector × nCells and ranked with a
+    * window partitioned by id — a corpus-sized exchange that pure
+    * per-row argmax never needed.) n > 1 adds only a generator (explode
+    * of an n-element array), still exchange-free.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, nCells: Int, n: Int = 1)
-      : DataFrame =
-    Relational
-      .topKPerGroup(
-        corpus
-          .select(col("id"), col("vec"),
-            explode(sequence(lit(0), lit(nCells - 1))).as("cid"))
-          .join(broadcast(centroids.select(col("cid"), col("cvec"))), Seq("cid"))
-          .select(col("id"), col("vec"), col("cid"),
-            cosine(col("vec"), col("cvec")).as("ccos")),
-        Seq("id"),
-        Seq(col("ccos").desc, col("cid").asc),
-        n)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+      : DataFrame = {
+    val (cents, cidType) = collectCentroids(centroids)
+    require(cents.length == nCells,
+      s"centroid frame has ${cents.length} rows, expected nCells=$nCells")
+    val cells = nearestCellsExpr(col("vec"), cents, cidType, n)
+    if (n == 1)
+      corpus.select(col("id"), col("vec"), element_at(cells, 1).as("cell"))
+    else
+      corpus.select(col("id"), col("vec"), explode(cells).as("cell"))
+  }
 
   /** Cluster-scoped semantic dedup (the SemDeDup shape — Abbas et al.,
     * arXiv:2303.09540; independent Spark formulation): vectors are
