@@ -55,6 +55,10 @@ object Bench {
       if (unknown.nonEmpty) {
         System.err.println(
           s"[bench] unknown query name(s) in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+        // stop the session first: exiting with a live SparkSession leaves
+        // the Derby metastore lock to die with the JVM instead of a clean
+        // shutdown
+        spark.stop()
         sys.exit(2)
       }
     }
@@ -82,7 +86,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // warehouse GC for the bucketed-intermediate tables (one per
     // invocation × reps; dead once the noop writes above completed)
-    graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
+    graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)
     spark.stop()
   }
 }

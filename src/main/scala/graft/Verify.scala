@@ -39,7 +39,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // warehouse GC: every result is materialized above, so the bucketed
     // intermediates (one managed table per invocation) are dead
-    graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
+    graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)
     spark.stop()
   }
 }

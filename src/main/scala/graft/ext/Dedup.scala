@@ -128,21 +128,44 @@ object Dedup {
       }
     }
 
-    /** Drop every `graft_*` managed table in the catalog — the tables this
-      * JVM created plus stragglers from crashed/previous runs. Dropping a
-      * managed table deletes its files, so this is the warehouse GC a run
-      * calls once its results are materialized (Verify and Bench do).
-      * Safe to sweep other runs' leftovers: the embedded Derby metastore
-      * is single-driver by construction (a second concurrent session
-      * cannot even open it), so any `graft_*` table not created by this
-      * JVM is dead by definition. Returns the number dropped.
+    /** Drop the managed tables THIS JVM created (the `created` registry) —
+      * the warehouse GC a run calls once its results are materialized
+      * (Verify and Bench do). Dropping a managed table deletes its files.
+      *
+      * `sweepStragglers = true` additionally drops every other `graft_*`
+      * table in the catalog — leftovers from crashed/previous runs. That
+      * sweep is safe ONLY on the embedded single-driver metastore (where a
+      * concurrent session cannot even open the Derby lock), so it is
+      * gated: on a shared/external Hive metastore, a name-prefix sweep
+      * would delete live tables belonging to concurrent runs despite the
+      * app-id token in the names, and the flag is ignored there.
+      * Returns the number dropped.
       */
-    def dropBucketedTables(spark: org.apache.spark.sql.SparkSession): Int = {
-      val all = spark.catalog.listTables().collect().map(_.name)
-        .filter(_.startsWith("graft_"))
-      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    def dropBucketedTables(
+        spark: org.apache.spark.sql.SparkSession,
+        sweepStragglers: Boolean = false): Int = {
+      val mine = {
+        val it = created.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      // embedded = the default per-session Derby metastore_db; anything
+      // configured away from it (a thrift URI, a JDBC URL to a real DBMS)
+      // is shared and must never be prefix-swept
+      val embedded =
+        spark.sparkContext.getConf.getOption("hive.metastore.uris").isEmpty &&
+          !spark.sparkContext.getConf
+            .getOption("javax.jdo.option.ConnectionURL")
+            .exists(u => !u.contains("derby"))
+      val targets =
+        if (sweepStragglers && embedded)
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(_.startsWith("graft_")).toSeq
+        else mine
+      targets.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
       created.clear()
-      all.length
+      targets.length
     }
 
     private[Intermediate] def appToken(spark: org.apache.spark.sql.SparkSession): String =

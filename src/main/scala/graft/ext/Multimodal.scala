@@ -501,6 +501,14 @@ object Multimodal {
       duration: Long,
       version: Int = 0): Array[Byte] = {
     require(version == 0 || version == 1, "only mvhd/tkhd versions 0 and 1 exist")
+    // tkhd width/height are 16.16 fixed-point: `width << 16` overflows Int
+    // at 32768, and a v0 mvhd/tkhd duration field is 32-bit — out-of-range
+    // inputs must fail loudly here, or a generator bug becomes
+    // indistinguishable from a parser bug in round-trip tests
+    require(width > 0 && width < 32768 && height > 0 && height < 32768,
+      s"tkhd 16.16 fixed-point dimensions must be in (0, 32768): ${width}x$height")
+    require(version == 1 || (duration >= 0 && duration <= 0xFFFFFFFFL),
+      s"v0 duration is a 32-bit field; use version = 1 for duration = $duration")
     val v1 = version == 1
     val mvhdSize = if (v1) 120 else 108
     val tkhdSize = if (v1) 104 else 92

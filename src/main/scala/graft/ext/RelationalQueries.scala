@@ -839,7 +839,12 @@ object RelationalQueries {
       Tables
         .lineitem(s, dir)
         .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
-        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        // floor() BEFORE the cast: Spark cast(double→long) truncates toward
+        // zero while DuckDB CAST rounds half-to-even — floor on both sides
+        // makes the two engines truncate identically for any quantity, not
+        // just the integral-valued fixtures
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity")).cast("long").as("qty"))
         .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("qty")).as("sp_qty"))
@@ -1304,7 +1309,7 @@ object RelationalQueries {
     // CORRELATED aggregate threshold — so the hash compare proves the
     // hand-decorrelation, not just the arithmetic
     "q_excess_shipper" -> ("WITH sp AS (SELECT l_partkey, l_suppkey, " +
-      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sp_qty FROM lineitem " +
+      "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sp_qty FROM lineitem " +
       "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%') " +
       "GROUP BY 1, 2) " +
       "SELECT s_name, count(*) AS n_parts, CAST(sum(sp_qty) AS BIGINT) AS qty_sum " +
