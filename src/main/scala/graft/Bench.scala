@@ -1,10 +1,67 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark main: one JSON line with per-query and total seconds over
   * SparkEntry.queries at SPARK_GRAFT_SF_DIR (driver contract).
+  *
+  * Besides wall-clock, every query row carries plan-truth byte counters
+  * ({shuffle_bytes, spill_bytes} summed over its tasks): wall-clock on a
+  * shared host swings ±20% from GC/contention with the plan unchanged,
+  * while shuffle bytes move only when the PLAN moves — so round-over-round
+  * drift adjudicates itself from the bench file alone.
   */
 object Bench {
+
+  /** Per-job-group task-metric totals. Attribution rides the job group id
+    * (set around each query's reps), so asynchronously-delivered events
+    * from a previous query can never pollute the next one's counters —
+    * each event carries its own group. AQE's runtime-spawned jobs inherit
+    * the group from the submitting thread, so re-planned stages count too.
+    */
+  private final class BytesListener extends SparkListener {
+    final class Counters { val shuffle = new AtomicLong; val spill = new AtomicLong }
+    private val byGroup = new ConcurrentHashMap[String, Counters]()
+    private val stageToGroup = new ConcurrentHashMap[Int, String]()
+
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties).flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      g.foreach(grp => js.stageIds.foreach(sid => stageToGroup.put(sid, grp)))
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val grp = stageToGroup.get(te.stageId)
+      if (grp != null && te.taskMetrics != null) {
+        val c = byGroup.computeIfAbsent(grp, _ => new Counters)
+        c.shuffle.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        c.spill.addAndGet(te.taskMetrics.diskBytesSpilled)
+      }
+      events.incrementAndGet()
+    }
+    private val events = new AtomicLong
+
+    def totals(group: String): (Long, Long) = {
+      val c = byGroup.get(group)
+      if (c == null) (0L, 0L) else (c.shuffle.get, c.spill.get)
+    }
+    /** Listener delivery is async; poll ONCE, globally, until the event
+      * count is stable across two reads (bounded) instead of reaching into
+      * the private listener-bus drain API — after which every group's
+      * totals are final.
+      */
+    def settle(maxMs: Long = 3000): Unit = {
+      var prev = events.get
+      var waited = 0L
+      while (waited < maxMs) {
+        Thread.sleep(100); waited += 100
+        val cur = events.get
+        if (cur == prev) return
+        prev = cur
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
@@ -66,7 +123,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case scala.None  => SparkEntry.queries
     }
+    val bytesListener = new BytesListener
+    spark.sparkContext.addSparkListener(bytesListener)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val group = s"bench:$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
       val times = (0 until reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
@@ -78,12 +139,26 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.sparkContext.clearJobGroup()
       name -> times.min
     }
+    // byte counters are read once, after the last query, behind a single
+    // global stability poll — reps accumulate into the same group, so
+    // report the per-rep average (plans are deterministic; reps differ
+    // only in cache temperature, which bytes don't see)
+    bytesListener.settle()
+    val bytesByQuery = results.map { case (name, _) =>
+      val (sh, sp) = bytesListener.totals(s"bench:$name")
+      name -> (sh / reps, sp / reps)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qb = results.map { case (k, _) =>
+      val (sh, sp) = bytesByQuery(k)
+      s"""\"$k\":{\"shuffle_bytes\":$sh,\"spill_bytes\":$sp}"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$qb,"sf":"$sfDir"}""")
     // warehouse GC for the bucketed-intermediate tables (one per
     // invocation × reps; dead once the noop writes above completed)
     graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)
