@@ -122,6 +122,29 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental near-dup — the daily-ingest path a production crawl
+    // pipeline runs: the historical corpus (doc_id % 7 != 0) exists only
+    // as its materialized inverted index (postings — never re-tokenized,
+    // only PROBED through the shingle-hash equi-join), while the increment
+    // (doc_id % 7 == 0) is tokenized fresh. The oracle is the FULL
+    // recompute restricted to pairs touching the increment — the
+    // union-equivalence law DedupSpec states, promoted to a hash-checked
+    // oracle row. (df-cap is computed over the combined postings, so the
+    // restriction is exact, not approximate.)
+    "q_dedup_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      // compute-once for the index: it feeds the anti-join, the df-cap,
+      // the sizes agg, and the probe join (in production this is a read
+      // of the already-materialized postings table)
+      val oldPost = Dedup.Intermediate.LocalLazy(
+        Dedup.postings(d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", n = 3),
+        "inc-corpus-postings")
+      Dedup
+        .jaccardPairsIncremental(d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          n = 3, threshold = 0.8, corpusPostings = oldPost, maxDf = MaxDf)
+        .orderBy("a", "b")
+    },
+
     // CCNet-style LINE dedup over a deterministically SYNTHESIZED newline
     // corpus (the driver fixtures have no newlines — the same
     // synthesize-then-verify move as the media queries): every 6 tokens
@@ -193,6 +216,15 @@ object DedupQueries {
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // full recompute restricted to increment-touching pairs ≡ the
+    // incremental path (union-equivalence; df-cap over combined postings)
+    "q_dedup_incremental" -> (s"WITH $WithShingles, $Postings, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +
+      "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 " +
+      "AND (a % 7 = 0 OR b % 7 = 0) ORDER BY a, b"),
     "q_dedup_minhash" -> (s"WITH $WithShingles " +
       s"SELECT doc_id, array_to_string($SigExpr, '-') AS sig FROM shing ORDER BY doc_id"),
     "q_dedup_minhash_lsh" -> (s"WITH $WithShingles, " +
