@@ -967,6 +967,93 @@ object RelationalQueries {
         .agg(((sum(col("rev_q4")) - sum(col("cost_q4"))).cast("double") / 10000.0)
           .as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q4-shaped: EXISTS-with-predicate rolled up per order priority.
+    // The fixture lineitem has no commit/receipt dates, so "late" is
+    // l_shipdate > o_orderdate + 60 days — a CORRELATED inequality, which
+    // makes the EXISTS a semi-join with an equi key (l_orderkey) plus a
+    // non-equi residual, NOT a plain key semi-join. The date-range filter
+    // on orders pushes to its scan; lineitem ships only (key, shipdate)
+    // into the join. One order-keyed shuffle pair; no nested loops.
+    "q_late_order_priority" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q7-shaped: two-nation shipping volume with the SYMMETRIC pair
+    // predicate — (supp=A ∧ cust=B) ∨ (supp=B ∧ cust=A) — per shipping
+    // year. The nation filter is applied INSIDE each dim before the fact
+    // joins (supplier broadcasts; customer is corpus-class at TPC-H scale
+    // so its join is left to the planner), and the symmetric disjunction
+    // re-checks after both nations are attached — the same
+    // explicit-implication pattern as q_disjunctive_revenue. Volume is
+    // quantized per row, summed exactly, divided once.
+    "q_nation_volume" -> { (s, dir) =>
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("vol_q4"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg((sum(col("vol_q4")).cast("double") / 10000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q11-shaped: group share vs a GLOBAL scalar HAVING — parts
+    // whose one-nation stock value exceeds 1/1000 of that nation's total.
+    // No partsupp in this schema: value = Σ floor(l_extendedprice·100)
+    // over the nation's suppliers' lineitems (semi-join prune before the
+    // per-part aggregate). The global total is the q_above_avg scalar
+    // composed with q_top_supplier's 1-row broadcast; the HAVING is
+    // cross-multiplied to exact integers (value·1000 > total) so no
+    // division reaches the filter. Per-part agg and the scalar share the
+    // SAME aggregate subtree — Catalyst re-derives it (no common-subplan
+    // reuse), the accepted q_top_supplier trade.
+    "q_important_parts" -> { (s, dir) =>
+      val nat = Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_5")
+        .select(col("n_nationkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val pv = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("val_q2"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("val_q2")).as("value_q2"))
+      val tot = pv.agg(sum(col("value_q2")).as("tot_q2"))
+      pv.join(broadcast(tot))
+        .filter(col("value_q2") * 1000 > col("tot_q2"))
+        .select(col("l_partkey").as("p_partkey"),
+          (col("value_q2").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
     }
   )
 
@@ -1359,6 +1446,36 @@ object RelationalQueries {
       "JOIN supplier ON l_suppkey = s_suppkey " +
       "JOIN nation ON s_nationkey = n_nationkey " +
       "WHERE p_name LIKE '%widget%' " +
-      "GROUP BY 1, 2 ORDER BY nation, o_year DESC")
+      "GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
+    // Q4's EXISTS stays in its natural correlated form — DuckDB's own
+    // decorrelation cross-checks the engine's explicit semi-join
+    "q_late_order_priority" -> ("SELECT o_orderpriority, count(*) AS order_count " +
+      "FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+      "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_nation_volume" -> ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "year(l_shipdate) AS l_year, " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) " +
+      "AS BIGINT) AS DOUBLE) / 10000.0 AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') " +
+      "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) " +
+      "AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01' " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // Q11's HAVING stays a scalar subquery over the same CTE
+    "q_important_parts" -> ("WITH pv AS (SELECT l_partkey, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_q2 " +
+      "FROM lineitem WHERE l_suppkey IN " +
+      "(SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "WHERE n_name = 'NATION_5') " +
+      "GROUP BY 1) " +
+      "SELECT l_partkey AS p_partkey, CAST(value_q2 AS DOUBLE) / 100.0 AS value " +
+      "FROM pv WHERE value_q2 * 1000 > (SELECT CAST(sum(value_q2) AS BIGINT) FROM pv) " +
+      "ORDER BY value DESC, p_partkey")
   )
 }

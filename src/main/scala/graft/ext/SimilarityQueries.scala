@@ -158,11 +158,17 @@ object SimilarityQueries {
     // then pair-dominance pruning WITHIN cells only at cosine ≥ 0.35
     // (drops ~12% of the fixture corpus at every SF — threshold probed so
     // the kept=0 path is non-vacuously exercised). The quadratic term is
-    // bounded by the largest cell, never the corpus.
+    // bounded by the largest cell, never the corpus. The assignment is
+    // materialized BUCKETED + SORTED on the cell id (the span-dedup
+    // lever): the map-only assignment is computed once, written in
+    // pair-join order, and the dup join reads both sides exchange-free —
+    // the declared path is the production shape, not the lazy checkpoint.
     "q_semantic_dedup" -> { (s, dir) =>
       val v = vecs(s, dir)
       Similarity
-        .semanticDedup(v, centFrame(v), NCells, threshold = 0.35)
+        .semanticDedup(v, centFrame(v), NCells, threshold = 0.35,
+          intermediate =
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("id")
     },
 

@@ -134,17 +134,26 @@ object TextOps {
     * hash cross-engine.
     *
     * Rules:
-    *  - `r_len`:   minToks ≤ tok_cnt ≤ maxToks
-    *  - `r_wl`:    mean word length in [3, 10] (3·tc ≤ Σlen ∧ Σlen ≤ 10·tc)
-    *  - `r_alpha`: ≥ 80% of tokens contain a letter (5·alpha ≥ 4·tc)
-    *  - `r_stop`:  ≥ minStopHits stopword occurrences
-    *  - `r_ttr`:   type-token ratio ≥ 0.2 (5·distinct ≥ tc)
+    *  - `r_len`:      minToks ≤ tok_cnt ≤ maxToks
+    *  - `r_wl`:       mean word length in [3, 10] (3·tc ≤ Σlen ∧ Σlen ≤ 10·tc)
+    *  - `r_alpha`:    ≥ 80% of tokens contain a letter (5·alpha ≥ 4·tc)
+    *  - `r_stop`:     ≥ minStopHits stopword occurrences
+    *  - `r_ttr`:      type-token ratio ≥ 0.2 (5·distinct ≥ tc)
+    *  - `r_sym`:      symbol-to-word ratio ≤ 0.1 for `#`/ellipsis
+    *                  (10·(3·hashes + 3·"…" + dotDiff) ≤ 3·tc — the `...`
+    *                  count enters as its raw length-diff, 3× the count,
+    *                  so no division appears anywhere)
+    *  - `r_bullet`:   ≤ 90% of lines start with a bullet (10·bl ≤ 9·nl)
+    *  - `r_ellipsis`: ≤ 30% of lines end with an ellipsis (10·el ≤ 3·nl)
     *
-    * One tokenize + explode + aggregate pass (the [[docStats]] shape);
-    * empty docs re-join with tok_cnt = 0 and fail `r_len`/`r_wl`. Flags
-    * are 0/1 ints. Map + single partial-agg — no second shuffle at any
-    * scale; the gate composes with [[graft.ext.Curation]] scrub/split as
-    * the standard pre-training filter chain.
+    * The token rules ride one tokenize + explode + aggregate pass (the
+    * [[docStats]] shape); the three line/symbol rules are PURE per-row
+    * expressions computed on the docs side of the re-join — no second
+    * tokenize, no extra shuffle. Empty docs re-join with tok_cnt = 0 and
+    * fail `r_len`/`r_wl`. Flags are 0/1 ints. Map + single partial-agg —
+    * no second shuffle at any scale; the gate composes with
+    * [[graft.ext.Curation]] scrub/split as the standard pre-training
+    * filter chain.
     */
   def gopherGate(
       docs: org.apache.spark.sql.DataFrame,
@@ -162,7 +171,23 @@ object TextOps {
         sum(when(col("w").isInCollection(Stopwords), 1L).otherwise(0L)).as("_sh"),
         sum(length(col("w")).cast("long")).as("_ls"),
         sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("_ac"))
-    val joined = docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+    // line/symbol stats: per-row character arithmetic on the docs side —
+    // counts via non-overlapping replace length-diffs (identical greedy
+    // left-to-right semantics in Spark and DuckDB), line predicates via
+    // array filter over the newline split. All map-only.
+    val txt = coalesce(col(textCol), lit(""))
+    val lines = split(txt, "\n")
+    val docSide = docs.select(
+      col(idCol),
+      size(lines).cast("long").as("_nl"),
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "-", "*")))
+        .cast("long").as("_bl"),
+      size(filter(lines, l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .cast("long").as("_el"),
+      (length(txt) - length(replace(txt, lit("#"), lit("")))).cast("long").as("_hc"),
+      (length(txt) - length(replace(txt, lit("..."), lit("")))).cast("long").as("_e3"),
+      (length(txt) - length(replace(txt, lit("…"), lit("")))).cast("long").as("_eu"))
+    val joined = docSide.join(agg, Seq(idCol), "left")
     val tc = coalesce(col("_tc"), lit(0L))
     val dt = coalesce(col("_dt"), lit(0L))
     val sh = coalesce(col("_sh"), lit(0L))
@@ -174,6 +199,10 @@ object TextOps {
     val rAlpha = flag(lit(5) * ac >= lit(4) * tc && tc > 0)
     val rStop = flag(sh >= minStopHits)
     val rTtr = flag(lit(5) * dt >= tc && tc > 0)
+    val rSym = flag(
+      lit(10) * (lit(3) * col("_hc") + col("_e3") + lit(3) * col("_eu")) <= lit(3) * tc)
+    val rBullet = flag(lit(10) * col("_bl") <= lit(9) * col("_nl"))
+    val rEllipsis = flag(lit(10) * col("_el") <= lit(3) * col("_nl"))
     joined.select(
       col(idCol),
       tc.as("tok_cnt"),
@@ -182,7 +211,10 @@ object TextOps {
       rAlpha.as("r_alpha"),
       rStop.as("r_stop"),
       rTtr.as("r_ttr"),
-      (rLen * rWl * rAlpha * rStop * rTtr).as("keep"))
+      rSym.as("r_sym"),
+      rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"),
+      (rLen * rWl * rAlpha * rStop * rTtr * rSym * rBullet * rEllipsis).as("keep"))
   }
 
   /** Language-ID via token explode + broadcast marker join — semantically

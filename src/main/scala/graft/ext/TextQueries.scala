@@ -210,13 +210,18 @@ object TextQueries {
     },
     // same integer cross-multiplied rules as TextOps.gopherGate
     "q_quality_gate" -> (s"SELECT doc_id, tok_cnt, r_len, r_wl, r_alpha, r_stop, r_ttr, " +
-      "r_len * r_wl * r_alpha * r_stop * r_ttr AS keep FROM (" +
+      "r_sym, r_bullet, r_ellipsis, " +
+      "r_len * r_wl * r_alpha * r_stop * r_ttr * r_sym * r_bullet * r_ellipsis AS keep " +
+      "FROM (" +
       s"SELECT doc_id, tc AS tok_cnt, " +
       "CASE WHEN tc >= 5 AND tc <= 100000 THEN 1 ELSE 0 END AS r_len, " +
       "CASE WHEN tc > 0 AND 3*tc <= ls AND ls <= 10*tc THEN 1 ELSE 0 END AS r_wl, " +
       "CASE WHEN tc > 0 AND 5*ac >= 4*tc THEN 1 ELSE 0 END AS r_alpha, " +
       "CASE WHEN sh >= 2 THEN 1 ELSE 0 END AS r_stop, " +
-      "CASE WHEN tc > 0 AND 5*dt >= tc THEN 1 ELSE 0 END AS r_ttr FROM (" +
+      "CASE WHEN tc > 0 AND 5*dt >= tc THEN 1 ELSE 0 END AS r_ttr, " +
+      "CASE WHEN 10*(3*hc + e3 + 3*eu) <= 3*tc THEN 1 ELSE 0 END AS r_sym, " +
+      "CASE WHEN 10*bl <= 9*nl THEN 1 ELSE 0 END AS r_bullet, " +
+      "CASE WHEN 10*el <= 3*nl THEN 1 ELSE 0 END AS r_ellipsis FROM (" +
       s"$GateStatsSql)) ORDER BY doc_id")
   )
 
@@ -230,9 +235,20 @@ object TextQueries {
     val toks = "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), t -> t != '')"
     val stopHits = TextOps.Stopwords
       .map(w => s"len(list_filter($toks, t -> t = '$w'))").mkString(" + ")
+    // line/symbol stats mirror TextOps.gopherGate's map-only doc side:
+    // replace() length-diffs (e3 is 3× the '...' count — it enters the
+    // rule raw, so no division) and newline-split line predicates
+    val t0 = "coalesce(text, '')"
+    val lns = s"string_split($t0, chr(10))"
     s"SELECT doc_id, len($toks) AS tc, len(list_distinct($toks)) AS dt, ($stopHits) AS sh, " +
       s"list_reduce(list_prepend(0::BIGINT, list_transform($toks, t -> length(t)::BIGINT)), (a,b) -> a + b) AS ls, " +
-      s"len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac " +
+      s"len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS ac, " +
+      s"len($lns) AS nl, " +
+      s"len(list_filter($lns, l -> substr(ltrim(l), 1, 1) IN ('•', '-', '*'))) AS bl, " +
+      s"len(list_filter($lns, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS el, " +
+      s"length($t0) - length(replace($t0, '#', '')) AS hc, " +
+      s"length($t0) - length(replace($t0, '...', '')) AS e3, " +
+      s"length($t0) - length(replace($t0, '…', '')) AS eu " +
       "FROM documents"
   }
 
@@ -240,6 +256,8 @@ object TextQueries {
     * pipeline-composition queries (tc > 0 is implied by tc >= 5). */
   private[ext] val GateKeepSql: String =
     "SELECT doc_id, CASE WHEN tc >= 5 AND tc <= 100000 AND 3*tc <= ls AND ls <= 10*tc " +
-      "AND 5*ac >= 4*tc AND sh >= 2 AND 5*dt >= tc THEN 1 ELSE 0 END AS keep " +
+      "AND 5*ac >= 4*tc AND sh >= 2 AND 5*dt >= tc " +
+      "AND 10*(3*hc + e3 + 3*eu) <= 3*tc AND 10*bl <= 9*nl AND 10*el <= 3*nl " +
+      "THEN 1 ELSE 0 END AS keep " +
       s"FROM ($GateStatsSql)"
 }

@@ -306,4 +306,53 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning(l_partkey") <= 2,
       s"agg+probe must co-partition on l_partkey:\n$p")
   }
+
+  test("q_late_order_priority: correlated EXISTS is an equi semi-join with residual") {
+    val p = plan("q_late_order_priority")
+    // the mixed condition (equi key + correlated date inequality) must
+    // split into a HASH semi-join on l_orderkey with the inequality as
+    // residual — a planner that can't extract the equi key degrades to a
+    // nested loop, the per-row re-scan EXISTS is supposed to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS residual must not force nested loops:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS must stay a semi-join:\n$p")
+    // the 6-month window prunes orders AT ITS SCAN, not post-join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate >= 1996"),
+      s"order date range must push down:\n$p")
+    // lineitem ships only (l_orderkey, l_shipdate) into the semi-join
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"),
+      s"lineitem must prune to the 2 semi-join columns:\n$p")
+  }
+
+  test("q_nation_volume: nation prune pre-join, dims broadcast, fact scans once") {
+    val p = plan("q_nation_volume")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"symmetric pair predicate must not become a nested loop:\n$p")
+    // supplier+nation dims broadcast into the fact; customer's join is
+    // planner-chosen (broadcast at fixture SF, shuffle at TPC-H scale)
+    assert(count(p, "BroadcastHashJoin") >= 2, s"dim joins must broadcast:\n$p")
+    // the 2-year window reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate >= 1996"),
+      s"shipdate range must push down:\n$p")
+    // nation filter applied INSIDE each dim: the isin reaches both nation scans
+    assert(count(p, "In(n_name") >= 2 || count(p, "n_name IN") >= 2,
+      s"nation name filter must push into both dim scans:\n$p")
+    assert(count(p, "Scan parquet") <= 6, s"one scan per table (nation twice):\n$p")
+  }
+
+  test("q_important_parts: semi-join prune, 1-row total broadcast, shared part shuffle") {
+    val p = plan("q_important_parts")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // nation's suppliers prune lineitem BEFORE the per-part aggregate
+    assert(p.contains("LeftSemi"), s"supplier prune must be a semi-join:\n$p")
+    // the global total is ONE row — its join must be a broadcast (the
+    // q_top_supplier scalar pattern; BNLJ over 1 build row is O(N))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar total must broadcast:\n$p")
+    // per-part value agg rides one l_partkey exchange per derivation
+    // (Catalyst re-derives pv for the scalar — same accepted trade as
+    // q_top_supplier; what's pinned is that neither derivation re-shuffles)
+    assert(count(p, "Exchange hashpartitioning(l_partkey") <= 2,
+      s"pv and its scalar must each ride one part shuffle, no more:\n$p")
+  }
 }

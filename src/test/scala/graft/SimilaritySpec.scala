@@ -348,4 +348,36 @@ class SimilaritySpec extends SparkSpec {
         s"assignment must be materialized once, not re-derived per consumer:\n$plan")
     } finally out.unpersist()
   }
+
+  test("semanticDedup bucketed: bit-equal; pair join reads co-bucketed cells exchange-free") {
+    val cent = vecs.filter(col("id") < 16)
+      .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+    val t = 0.35
+    // broadcast off: at fixture scale the planner would broadcast the tiny
+    // assignment and hide the exchange the bucketing is there to remove —
+    // the pin must show the SHUFFLE-join shape a 10⁹-row corpus would get
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val local = Similarity.semanticDedup(vecs, cent, 16, t)
+      val bucketed = Similarity.semanticDedup(vecs, cent, 16, t,
+        intermediate = graft.ext.Dedup.Intermediate.Bucketed(buckets = 4))
+      def cellShuffles(p: String): Int = "hashpartitioning\\(cell#".r.findAllIn(p).length
+      val pLocal = local.queryExecution.executedPlan.toString
+      val pBucketed = bucketed.queryExecution.executedPlan.toString
+      // the lazy-checkpoint baseline shuffles the assignment on cell for
+      // both pair-join sides...
+      assert(cellShuffles(pLocal) >= 2,
+        s"local baseline should shuffle the assignment on cell:\n$pLocal")
+      // ...the bucketed write removes every cell-keyed exchange: both
+      // join sides read co-bucketed, per-bucket-sorted files
+      assert(cellShuffles(pBucketed) == 0,
+        s"bucketed assignment must never re-enter a cell-keyed exchange:\n$pBucketed")
+      assert(pBucketed.contains("Bucketed: true"),
+        s"consumers must scan the bucketed table:\n$pBucketed")
+      // and the answer is bit-identical to the unbucketed reference
+      assert(bucketed.orderBy("id").collect().toSeq ==
+        local.orderBy("id").collect().toSeq)
+      assert(graft.ext.Dedup.Intermediate.dropBucketedTables(spark) >= 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }

@@ -33,23 +33,39 @@ class TextOpsSpec extends SparkSpec {
       (4L, "the the the the the the the the the the and"), // r_ttr: 2/11 < 0.2
       (5L, "aa bb cc dd ee the and"), // r_wl: mean word length 16/7 < 3
       (6L, ""), // empty: tok_cnt 0 fails len/wl/alpha/ttr
-      (7L, "quick brown foxes jumping over lazy dogs today") // r_stop: 0 hits
+      (7L, "quick brown foxes jumping over lazy dogs today"), // r_stop: 0 hits
+      // r_sym: 3 hashes on 11 tokens — 10·(3·3) = 90 > 3·11 = 33; the
+      // hashes ride word tails so alpha/stop/ttr stay green
+      (8L, "the river# flows# past the village and the people watch# boats"),
+      // r_bullet: 2/2 lines start with '-' — 10·2 > 9·2; lines are long
+      // enough that '-' tokens don't drag alpha below 80% (14/16)
+      (9L, "- the river flows past the village today\n- and the people watch many boats sail"),
+      // r_ellipsis: 2/3 lines end with '…' — 10·2 > 3·3; 24 tokens keep
+      // the 2 single-char ellipses inside the symbol budget (60 ≤ 72)
+      (10L, "the river flows past the village and onward…\n" +
+        "the people watch many boats sail away today\n" +
+        "the village sleeps while the night grows dark…")
     ).toDF("doc_id", "text")
     val out = TextOps.gopherGate(d, "doc_id", "text")
-      .select($"doc_id", $"r_len", $"r_wl", $"r_alpha", $"r_stop", $"r_ttr", $"keep")
-      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
-    assert(out(1L) == ((1, 1, 1, 1, 1, 1)))
-    assert(out(2L)._1 == 0 && out(2L)._6 == 0)
-    assert(out(3L)._3 == 0 && out(3L)._6 == 0)
-    assert(out(4L)._5 == 0 && out(4L)._6 == 0)
-    assert(out(5L)._2 == 0 && out(5L)._6 == 0)
-    assert(out(6L) == ((0, 0, 0, 0, 0, 0)))
-    assert(out(7L)._4 == 0 && out(7L)._6 == 0)
+      .select($"doc_id", $"r_len", $"r_wl", $"r_alpha", $"r_stop", $"r_ttr",
+        $"r_sym", $"r_bullet", $"r_ellipsis", $"keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._9 == 0)
+    assert(out(3L)._3 == 0 && out(3L)._9 == 0)
+    assert(out(4L)._5 == 0 && out(4L)._9 == 0)
+    assert(out(5L)._2 == 0 && out(5L)._9 == 0)
+    assert(out(6L) == ((0, 0, 0, 0, 0, 1, 1, 1, 0)))
+    assert(out(7L)._4 == 0 && out(7L)._9 == 0)
+    assert(out(8L)._6 == 0 && out(8L)._9 == 0)
+    assert(out(9L)._7 == 0 && out(9L)._9 == 0)
+    assert(out(10L)._8 == 0 && out(10L)._9 == 0)
     // exactly one rule fails per violator (isolated thresholds)
-    Seq(2L, 3L, 4L, 5L, 7L).foreach { id =>
+    Seq(2L, 3L, 4L, 5L, 7L, 8L, 9L, 10L).foreach { id =>
       val t = out(id)
-      assert(Seq(t._1, t._2, t._3, t._4, t._5).count(_ == 0) == 1, s"doc $id: $t")
+      assert(Seq(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8).count(_ == 0) == 1,
+        s"doc $id: $t")
     }
   }
 
