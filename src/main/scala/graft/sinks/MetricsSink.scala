@@ -220,6 +220,14 @@ object MetricsSink {
     val marker = dir.resolve(s"batch-$id")
     if (Files.exists(marker)) {
       System.err.println(s"[graft-sink] batch $id already committed — skipping replay")
+      // Skip the EXPORT only — the batch itself must still be processed: a
+      // replayed micro-batch re-runs the stateful aggregation, and its
+      // state-store commits are what move the query past the crashed
+      // epoch (Spark validates per-batch store commits,
+      // [STATE_STORE_COMMIT_VALIDATION_FAILED], and an unconsumed
+      // foreachBatch frame commits nothing). One no-op pass over the
+      // replayed batch — replays are rare and bounded by one trigger.
+      batch.foreach((_: Row) => ())
     } else {
       body(batch, id)
       val tmp = dir.resolve(s".batch-$id.${java.util.UUID.randomUUID}.tmp")

@@ -244,9 +244,135 @@ class StreamingMetricsSpec extends SparkSpec {
       assert(rows == List(1.0)) // only the valid first-window record counted
     } finally query.stop()
   }
+
+  /** The composed exactly-once story the reference cannot offer (its export
+    * is at-least-once, pipeline.py:211-233): FileStreamSpec proves source
+    * checkpoint recovery and MetricsSinkSpec proves the idempotent wrapper
+    * in isolation; this drives the FULL pipeline — file source → decode →
+    * windowed metric → foreachBatch(idempotent(router(sink))) — through the
+    * exact at-least-once gap: a crash AFTER the export succeeded but BEFORE
+    * Structured Streaming committed the epoch. The restart replays the
+    * batch (same batchId, offsets from the WAL); without the commit marker
+    * the sink would double-emit every point of the replayed window.
+    */
+  test("exactly-once e2e: crash between export and epoch commit, restart, no double-emit") {
+    import java.nio.file.{Files, Paths}
+    import graft.sinks.MetricsSink
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("severity",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_sec",
+        org.apache.spark.sql.types.LongType)))
+    val errCount = Seq(MetricDefinition(
+      "error_count", MetricType.Count,
+      Seq(FilterCondition("severity", "ERROR", "equals")), windowSizeSec = 60))
+
+    def pipeline(inDir: String): org.apache.spark.sql.DataFrame = {
+      val raw = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .load(inDir).select(col("content").as("raw"))
+      val parsed = Ingest.parseTyped(raw, "raw", schema)
+        .select(timestamp_seconds(col("msg.ts_sec")).as("ts"),
+          col("msg.severity").as("severity"))
+      val Seq(out) = StreamingMetrics.attach(parsed, errCount, LogsToMetrics.Typed(parsed.schema))
+      out
+    }
+
+    // crashAfterExport: arm once; the injected failure fires AFTER the
+    // idempotent body returned (export done, marker written) and BEFORE
+    // Spark can write the epoch commit — the worst-ordered crash.
+    // sink writes happen in executor tasks — the sink closure is SERIALIZED
+    // per task even in local mode, so points must land in a static buffer
+    // keyed by run (the fan-out test's pattern), not an instance field
+    def start(inDir: String, ckpt: String, commitDir: String,
+        key: String, crashArm: java.util.concurrent.atomic.AtomicBoolean) = {
+      val inner = MetricsSink.idempotent(commitDir)(
+        MetricsSink.router(_ => new StreamingMetricsSpec.StaticSink(key), strict = true))
+      pipeline(inDir).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val before = StreamingMetricsSpec.pointsFor(key).size
+          inner(df.toDF(), id)
+          val grew = StreamingMetricsSpec.pointsFor(key).size > before
+          if (grew && crashArm.getAndSet(false))
+            throw new RuntimeException("injected crash: export done, epoch uncommitted")
+        }
+        .start()
+    }
+
+    def write(dir: String, name: String, sev: String, tsSec: Long): Unit =
+      Files.write(Paths.get(dir, name),
+        s"""{"severity": "$sev", "ts_sec": $tsSec}""".getBytes("UTF-8"))
+
+    def points(key: String): Seq[(Long, String, Double)] =
+      StreamingMetricsSpec.pointsFor(key)
+        .map(p => (p.timestamp.getTime / 1000L, p.metricName, p.value)).sorted
+
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+
+    // --- crashed-and-restarted run ---
+    val (in1, ck1, cm1) = (tmp("e2e-in"), tmp("e2e-ck"), tmp("e2e-cm"))
+    val arm = new java.util.concurrent.atomic.AtomicBoolean(true)
+    write(in1, "a.json", "ERROR", 30); write(in1, "b.json", "ERROR", 45)
+    write(in1, "c.json", "INFO", 40); write(in1, "d.json", "ERROR", 70)
+    val q1 = start(in1, ck1, cm1, "e2e-run1", arm)
+    // watermark passes 60 → [0,60) exports (2 errors) → injected crash
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+    assert(points("e2e-run1") == Seq((60L, "error_count", 2.0)),
+      s"the pre-crash export must have happened: ${points("e2e-run1")}")
+    // restart over the same checkpoint + commit log: the uncommitted epoch
+    // REPLAYS into the sink — the marker must swallow it — then new data
+    // closes [60,120) exactly once
+    val q2 = start(in1, ck1, cm1, "e2e-run1", new java.util.concurrent.atomic.AtomicBoolean(false))
+    try {
+      q2.processAllAvailable() // replay of the crashed epoch: must be a no-op
+      write(in1, "e.json", "ERROR", 130)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // --- uninterrupted control run, same inputs ---
+    val (in2, ck2, cm2) = (tmp("e2e-in2"), tmp("e2e-ck2"), tmp("e2e-cm2"))
+    write(in2, "a.json", "ERROR", 30); write(in2, "b.json", "ERROR", 45)
+    write(in2, "c.json", "INFO", 40); write(in2, "d.json", "ERROR", 70)
+    val q3 = start(in2, ck2, cm2, "e2e-run2", new java.util.concurrent.atomic.AtomicBoolean(false))
+    try {
+      q3.processAllAvailable()
+      write(in2, "e.json", "ERROR", 130)
+      q3.processAllAvailable()
+    } finally q3.stop()
+
+    assert(points("e2e-run2") == Seq((60L, "error_count", 2.0), (120L, "error_count", 1.0)),
+      s"control run shape: ${points("e2e-run2")}")
+    assert(points("e2e-run1") == points("e2e-run2"),
+      s"crashed+restarted run must emit exactly the uninterrupted run's points:\n" +
+        s"  crashed+restarted: ${points("e2e-run1")}\n  uninterrupted:     ${points("e2e-run2")}")
+  }
 }
 
 object StreamingMetricsSpec {
   /** Static so executor-side sink writes are visible in local mode. */
   val fanout: java.util.Set[String] = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-run point buffers for the exactly-once e2e (same rationale). */
+  val runPoints =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentLinkedQueue[graft.sinks.MetricPoint]]()
+
+  def pointsFor(key: String): Seq[graft.sinks.MetricPoint] = {
+    import scala.jdk.CollectionConverters._
+    Option(runPoints.get(key)).map(_.asScala.toSeq).getOrElse(Nil)
+  }
+
+  final class StaticSink(key: String) extends graft.sinks.MetricsSink {
+    def write(p: graft.sinks.MetricPoint): Unit =
+      runPoints
+        .computeIfAbsent(key,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[graft.sinks.MetricPoint]())
+        .add(p)
+  }
 }
