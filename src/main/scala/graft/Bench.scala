@@ -159,6 +159,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$qb,"sf":"$sfDir"}""")
+    // The driver's artifact keeps only the tail of stdout, and the full
+    // per-query line above outgrew it in round 8 (the bytes map pushed the
+    // timings out of the captured window). Emit a compact summary as the
+    // LAST line so the total and the 10 slowest/heaviest queries always
+    // survive truncation regardless of how many queries the surface grows.
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    val bytesTop = bytesByQuery.toSeq.sortBy { case (_, (sh, _)) => -sh }.take(10)
+      .map { case (k, (sh, _)) => s"\"$k\":$sh" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"top":$top,"bytes_top":$bytesTop,"sf":"$sfDir"}""")
     // warehouse GC for the bucketed-intermediate tables (one per
     // invocation × reps; dead once the noop writes above completed)
     graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)

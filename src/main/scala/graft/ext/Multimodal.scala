@@ -560,6 +560,163 @@ object Multimodal {
     out.array()
   }
 
+  // ---- MJPEG-in-AVI: the one video format the JDK can pixel-decode --------
+  //
+  // Motion-JPEG stores each frame as an INDEPENDENT baseline JPEG inside the
+  // AVI `movi` list (`00dc` chunks) — no inter-frame prediction, no bitstream
+  // state. That makes it the single video codec reachable with a stock JRE:
+  // the container walk is the same RIFF parsing as [[parseAvi]], and each
+  // frame payload is exactly what `ImageIO`'s JPEG reader accepts. Pixel
+  // decode therefore stops being a stub for this format; the stub remains
+  // only for codecs the JDK truly lacks (H.264/VP9/AV1 — inter-frame,
+  // entropy-coded, no JRE decoder).
+
+  /** Encode a solid-gray baseline JPEG at an explicit quality. A constant
+    * image has only DC energy per 8×8 block, so the lossy round-trip error
+    * is bounded by dcQuantStep/16 < 1 gray level at q=0.9 — which is what
+    * lets a closed-form oracle check REAL decoded pixels despite JPEG being
+    * lossy (levels live on a 16-grid; see [[decodeVideoFrames]]).
+    */
+  def grayJpeg(width: Int, height: Int, level: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { r.setSample(x, y, 0, level & 0xff); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.9f) // explicit: JRE default quality is unspecified
+    val bos = new ByteArrayOutputStream(1024)
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Build a playable MJPEG AVI: `RIFF('AVI ' LIST('hdrl' avih)
+    * LIST('movi' 00dc…))` with one real JPEG per frame. The header is the
+    * same [[aviContainer]] shape ([[parseAvi]] reads it unchanged); `movi`
+    * carries the frame payloads word-aligned per the RIFF spec.
+    */
+  def mjpegAvi(width: Int, height: Int, usPerFrame: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val total = 4 + (12 + 8 + 56) + (8 + moviBody)
+    val out = java.nio.ByteBuffer
+      .allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); out.putInt(total); cc("AVI ")
+    cc("LIST"); out.putInt(4 + 8 + 56); cc("hdrl")
+    cc("avih"); out.putInt(56)
+    out.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10)
+    out.putInt(frames.size).putInt(0).putInt(1).putInt(0)
+    out.putInt(width).putInt(height)
+    (0 until 4).foreach(_ => out.putInt(0))
+    cc("LIST"); out.putInt(moviBody); cc("movi")
+    frames.foreach { f =>
+      cc("00dc"); out.putInt(f.length); out.put(f)
+      if ((f.length & 1) == 1) out.put(0.toByte) // RIFF chunks are word-aligned
+    }
+    out.array()
+  }
+
+  /** Iterate the JPEG frame payloads of an MJPEG AVI: walk top-level RIFF
+    * chunks for `LIST movi`, then its `00dc`/`00db` entries. Returns empty
+    * for non-AVI payloads or AVIs without movi data (the metadata-only
+    * sidecars) — never throws on truncated input.
+    */
+  def mjpegFrames(media: Array[Byte]): Seq[Array[Byte]] =
+    if (media == null || media.length < 12 ||
+      fourcc(media, 0) != "RIFF" || fourcc(media, 8) != "AVI ") Seq.empty
+    else
+      try {
+        val end = math.min(12L + le32(media, 4) - 4, media.length.toLong)
+        var o = 12L
+        while (o + 8 <= end) {
+          val typ = fourcc(media, o.toInt)
+          val size = le32(media, o.toInt + 4)
+          if (typ == "LIST" && o + 12 <= end && fourcc(media, o.toInt + 8) == "movi") {
+            val frames = Seq.newBuilder[Array[Byte]]
+            var c = o + 12
+            val lend = math.min(o + 8 + size, end)
+            while (c + 8 <= lend) {
+              val ct = fourcc(media, c.toInt)
+              val cs = le32(media, c.toInt + 4)
+              if ((ct == "00dc" || ct == "00db") && c + 8 + cs <= lend)
+                frames += java.util.Arrays.copyOfRange(media, c.toInt + 8, (c + 8 + cs).toInt)
+              c += 8 + cs + (cs & 1)
+            }
+            return frames.result()
+          }
+          o += 8 + size + (size & 1)
+        }
+        Seq.empty
+      } catch { case _: IndexOutOfBoundsException => Seq.empty }
+
+  /** One decoded MJPEG frame: raster dims (pixel truth, not header claims)
+    * and the mean gray level snapped back to the 16-grid the generator
+    * draws from.
+    */
+  final case class VideoFrame(id: Long, frameIdx: Int, width: Int, height: Int, lumaQ: Int)
+
+  /** Deterministic REAL-video media table: one MJPEG AVI per document,
+    * dims / frame count / per-frame solid gray level closed-form in
+    * `doc_id` (level(f) = 16·(1 + (id+f) mod 13) + 8 — mid-bucket points
+    * of the 16-grid, so the ≤1-level JPEG round-trip error can never cross
+    * a bucket edge). Every frame goes through the real ImageIO JPEG
+    * ENCODER here and the real DECODER in [[decodeVideoFrames]].
+    */
+  def syntheticMjpegMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (16 + (id % 3) * 8).toInt
+        val h = (16 + (id % 2) * 8).toInt
+        val nFrames = (2 + id % 3).toInt
+        val jpegs = (0 until nFrames).map(f => grayJpeg(w, h, (16 * (1 + (id + f) % 13) + 8).toInt))
+        MediaRecord(id, mjpegAvi(w, h, 33333, jpegs),
+          MediaMeta("avi", w, h, 33333L * nFrames / 1000L))
+      }
+    }
+  }
+
+  /** REAL video pixel decode (MJPEG): container walk → per-frame ImageIO
+    * JPEG decode → raster dims + mean gray snapped to the 16-grid
+    * (`lumaQ = 16·floor(mean/16) + 8`). Same partition-wise batched shape
+    * as [[decodeStats]]; payloads that aren't MJPEG AVIs, and frames that
+    * don't decode, are dropped.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object // per-partition init (≡ decoder context reuse)
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          mjpegFrames(r.media).iterator.zipWithIndex.flatMap { case (jpeg, idx) =>
+            decodeImage(jpeg).map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val samples = new Array[Int](w * h)
+              img.getRaster.getSamples(0, 0, w, h, 0, samples)
+              var sum = 0L
+              var i = 0
+              while (i < samples.length) { sum += samples(i); i += 1 }
+              val mean = sum.toDouble / (w * h)
+              VideoFrame(r.id, idx, w, h, 16 * math.floor(mean / 16).toInt + 8)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic REAL-container video media table: alternating MP4 / AVI
     * headers per document, dims/duration closed-form in `doc_id` so a SQL
     * oracle recomputes the parsed metadata with no video code — the

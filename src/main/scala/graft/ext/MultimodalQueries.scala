@@ -109,6 +109,22 @@ object MultimodalQueries {
         .select(col("id"), col("container"), col("width"), col("height"),
           col("durationMs").as("duration_ms"), col("nFrames").as("n_frames"))
         .orderBy("id")
+    },
+
+    // REAL video PIXEL decode: one MJPEG AVI per document (per-frame solid
+    // gray baseline JPEGs inside a RIFF movi list — the one video codec the
+    // stock JRE decodes), walked + frame-decoded through ImageIO in the
+    // batched kernel. Dims come from the decoded RASTER and the mean gray
+    // is snapped to the generator's 16-grid (mid-bucket levels: the ≤1-level
+    // JPEG round-trip error can't cross a bucket edge), so the oracle
+    // recomputes everything closed-form in doc_id — a stub, or a decoder
+    // that misreads the bitstream, cannot hash-match.
+    "q_media_video_frame" -> { (s, dir) =>
+      Multimodal
+        .decodeVideoFrames(Multimodal.syntheticMjpegMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("width"), col("height"),
+          col("lumaQ").as("luma_q"))
+        .orderBy("id", "frame_idx")
     }
   )
 
@@ -186,6 +202,15 @@ object MultimodalQueries {
       "CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9000) + 1000 " +
       "ELSE (33333 * ((doc_id % 240) + 24)) // 1000 END AS BIGINT) AS duration_ms, " +
       "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (doc_id % 240) + 24 END AS BIGINT) " +
-      "AS n_frames FROM documents ORDER BY id")
+      "AS n_frames FROM documents ORDER BY id"),
+    // decoded raster dims and per-frame quantized gray = the generator's
+    // closed form; the correlated generate_series fans each document out to
+    // its own frame count, mirroring the engine's per-frame decode rows
+    "q_media_video_frame" -> ("SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx, " +
+      "CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width, " +
+      "CAST(16 + (doc_id % 2) * 8 AS INTEGER) AS height, " +
+      "CAST(16 * (1 + (doc_id + f) % 13) + 8 AS INTEGER) AS luma_q " +
+      "FROM documents CROSS JOIN generate_series(0, CAST(1 + doc_id % 3 AS BIGINT)) AS g(f) " +
+      "ORDER BY id, frame_idx")
   )
 }
