@@ -204,13 +204,16 @@ object MultimodalQueries {
       "CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (doc_id % 240) + 24 END AS BIGINT) " +
       "AS n_frames FROM documents ORDER BY id"),
     // decoded raster dims and per-frame quantized gray = the generator's
-    // closed form; the correlated generate_series fans each document out to
-    // its own frame count, mirroring the engine's per-frame decode rows
+    // closed form. DuckDB rejects a correlated generate_series argument
+    // ("lateral join column parameters"), so the series is uncorrelated to
+    // the max frame count (1 + 3 = 4 ⇒ upper bound 3) and filtered down to
+    // each document's own count — same rows, binder-legal.
     "q_media_video_frame" -> ("SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx, " +
       "CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS width, " +
       "CAST(16 + (doc_id % 2) * 8 AS INTEGER) AS height, " +
       "CAST(16 * (1 + (doc_id + f) % 13) + 8 AS INTEGER) AS luma_q " +
-      "FROM documents CROSS JOIN generate_series(0, CAST(1 + doc_id % 3 AS BIGINT)) AS g(f) " +
+      "FROM documents CROSS JOIN generate_series(0, 3) AS g(f) " +
+      "WHERE f <= 1 + doc_id % 3 " +
       "ORDER BY id, frame_idx")
   )
 }

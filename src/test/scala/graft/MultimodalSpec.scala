@@ -238,4 +238,95 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- MJPEG-in-AVI pixel decode ------------------------------------------
+
+  test("mjpegFrames walks the movi list and recovers every JPEG payload") {
+    val f0 = Multimodal.grayJpeg(16, 16, 40)
+    val f1 = Multimodal.grayJpeg(16, 16, 120)
+    val avi = Multimodal.mjpegAvi(16, 16, 33333, Seq(f0, f1))
+    val frames = Multimodal.mjpegFrames(avi)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq)
+  }
+
+  test("mjpegFrames honors RIFF word alignment for odd-length frames") {
+    // an odd-size chunk followed by another chunk: a walker that forgets
+    // the RIFF pad byte misreads the second chunk's fourcc and loses it
+    // (mjpegFrames doesn't decode, so raw non-JPEG payloads are fine here)
+    val odd = Array[Byte](1, 2, 3) // 3 bytes → 1 pad byte
+    val even = Array[Byte](9, 8, 7, 6)
+    val avi = Multimodal.mjpegAvi(16, 16, 33333, Seq(odd, even))
+    val frames = Multimodal.mjpegFrames(avi)
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == odd.toSeq && frames(1).toSeq == even.toSeq)
+  }
+
+  test("mjpegFrames accepts 00db (uncompressed-flagged) chunks too") {
+    val f = Multimodal.grayJpeg(16, 16, 88)
+    val avi = Multimodal.mjpegAvi(16, 16, 33333, Seq(f))
+    // rewrite the frame fourcc 00dc → 00db in place
+    val idx = avi.indexOfSlice("00dc".getBytes("US-ASCII"))
+    assert(idx > 0)
+    avi(idx + 3) = 'b'.toByte
+    val frames = Multimodal.mjpegFrames(avi)
+    assert(frames.length == 1 && frames(0).toSeq == f.toSeq)
+  }
+
+  test("mjpegFrames returns empty on hostile input, never throws") {
+    assert(Multimodal.mjpegFrames(null).isEmpty)
+    assert(Multimodal.mjpegFrames(Array[Byte]()).isEmpty)
+    assert(Multimodal.mjpegFrames("RIFF but not really an avi".getBytes).isEmpty)
+    // a valid non-AVI container
+    assert(Multimodal.mjpegFrames(Multimodal.mp4Container(640, 480, 1000, 1000L)).isEmpty)
+    // truncations at every prefix of a real MJPEG AVI must not throw
+    val avi = Multimodal.mjpegAvi(16, 16, 33333,
+      Seq(Multimodal.grayJpeg(16, 16, 40), Multimodal.grayJpeg(16, 16, 56)))
+    (0 until avi.length).foreach { n =>
+      Multimodal.mjpegFrames(avi.take(n)) // must not throw
+    }
+    // chopping into the last frame's payload (3 bytes clears any pad byte)
+    // drops the incomplete frame but keeps the intact one
+    val full = Multimodal.mjpegFrames(avi)
+    assert(full.length == 2)
+    assert(Multimodal.mjpegFrames(avi.dropRight(3)).length == 1)
+  }
+
+  test("decodeVideoFrames round-trips the synthetic MJPEG closed form") {
+    val out = Multimodal
+      .decodeVideoFrames(Multimodal.syntheticMjpegMedia(docs), batchSize = 2)
+      .collect()
+      .map(f => (f.id, f.frameIdx) -> f)
+      .toMap
+    // Σ(2 + id%3) over ids 0,1,2 = 2 + 3 + 4 = 9 frames
+    assert(out.size == 9)
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val n = (2 + id % 3).toInt
+      (0 until n).foreach { f =>
+        val vf = out((id, f))
+        // dims come from the decoded RASTER, not the AVI header
+        assert(vf.width == (16 + (id % 3) * 8).toInt)
+        assert(vf.height == (16 + (id % 2) * 8).toInt)
+        // mean gray snapped to the generator's 16-grid mid-bucket level
+        assert(vf.lumaQ == (16 * (1 + (id + f) % 13) + 8).toInt)
+      }
+    }
+  }
+
+  test("decodeVideoFrames drops non-MJPEG payloads instead of failing") {
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRecord(50L, Multimodal.mp4Container(64, 48, 1000, 1000L),
+        Multimodal.MediaMeta("mp4", 64, 48, 1000L)),
+      Multimodal.MediaRecord(51L,
+        Multimodal.mjpegAvi(16, 16, 33333, Seq(Multimodal.grayJpeg(16, 16, 40))),
+        Multimodal.MediaMeta("avi", 16, 16, 33L)),
+      Multimodal.MediaRecord(52L, "garbage payload".getBytes,
+        Multimodal.MediaMeta("bin", 0, 0, 0L))
+    ).toDS()
+    val out = Multimodal.decodeVideoFrames(mixed).collect()
+    assert(out.map(_.id).toSeq == Seq(51L))
+    // level 40 = 16·2 + 8 is mid-bucket, so the lossy round-trip snaps back
+    assert(out.head.width == 16 && out.head.lumaQ == 40)
+  }
 }
