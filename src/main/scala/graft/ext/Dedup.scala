@@ -708,6 +708,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental MinHash-LSH — the ingest-increment path for the banded
+    * candidate search, composing [[mergeMinhash]]'s mergeable-sketch
+    * property with [[jaccardPairsIncremental]]'s probe-the-index shape:
+    * the historical corpus exists only as its MATERIALIZED signature table
+    * (k longs per doc — never re-shingled), the increment is tokenized
+    * fresh, and candidates come from the increment's band keys probing the
+    * union's band buckets. Pairs emitted: new×old and new×new (old×old
+    * pairs were found when those docs were themselves new).
+    *
+    * A signature depends only on its own document, so incremental banding
+    * is EXACTLY the full recompute restricted to increment-touching pairs
+    * — no df-cap caveat here (unlike the postings path); DedupSpec pins
+    * the equivalence and the declared query's oracle hash-checks it.
+    *
+    * Re-ingestion: corpus signatures whose doc id reappears in `newDocs`
+    * are dropped (broadcast anti-join on the increment-sized id set), so a
+    * re-ingested doc probes with — and is probed as — its NEW content.
+    *
+    * Scale shape: the increment's banded frame is increment-sized ×
+    * `bands`; the band-bucket equi-join touches only historical signatures
+    * sharing a bucket with the increment. The corpus side stays
+    * merge-hinted (corpus-sized at 100 TB — stats-based broadcast would be
+    * wrong); the increment side is small but joins on the same
+    * (band, key) hash partitioning.
+    */
+  def lshCandidatesIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      corpusSigs: DataFrame,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val newSigs = intermediate(
+      minhashSignatures(newDocs, idCol, textCol, n, k), "minhash_inc_sigs")
+    val newIds = newSigs.select(col("doc")).distinct()
+    val oldSigs = corpusSigs.join(broadcast(newIds), Seq("doc"), "left_anti")
+    val allSigs = oldSigs.select(col("doc"), col("sig"), lit(false).as("is_new"))
+      .unionByName(newSigs.select(col("doc"), col("sig"), lit(true).as("is_new")))
+    val bandedNew = newSigs.select(col("doc"), col("sig"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
+    val bandedAll = allSigs.select(col("doc"), col("sig"), col("is_new"),
+      posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
+    // each {new, old} pair forms once (x strictly new); {new, new} pairs
+    // are ordered by doc id to form once — same dedup as the postings path
+    bandedNew
+      .as("x")
+      .hint("merge")
+      .join(bandedAll.as("y").hint("merge"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          ((!col("y.is_new") && col("x.doc") =!= col("y.doc")) ||
+            (col("y.is_new") && col("x.doc") < col("y.doc"))))
+      .select(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"),
+        sigMatches(col("x.sig"), col("y.sig"), k).as("sig_matches"))
+      .distinct()
+  }
+
   /** Exact duplicate-SPAN dedup (substring-level, not document-level): any
     * word n-gram occurring in ≥ `minDocs` distinct documents marks its n
     * token positions as duplicated; covered positions are cut and the

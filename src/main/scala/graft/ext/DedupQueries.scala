@@ -145,6 +145,26 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Incremental MinHash-LSH — the banded analog of q_dedup_incremental:
+    // the historical corpus (doc_id % 7 != 0) exists only as its
+    // materialized SIGNATURE table (mergeMinhash's mergeable-sketch
+    // property is what makes that table maintainable across increments);
+    // the increment (doc_id % 7 == 0) is shingled fresh and its band keys
+    // probe the union's buckets. Signatures are per-document, so the
+    // oracle is EXACTLY the full-LSH recompute restricted to
+    // increment-touching pairs — no df-cap caveat.
+    "q_dedup_minhash_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpusSigs = Dedup.Intermediate.LocalLazy(
+        Dedup.minhashSignatures(d.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          n = 3, k = K),
+        "inc-corpus-minhash")
+      Dedup
+        .lshCandidatesIncremental(d.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          n = 3, k = K, bands = Bands, corpusSigs = corpusSigs)
+        .orderBy("a", "b")
+    },
+
     // CCNet-style LINE dedup over a deterministically SYNTHESIZED newline
     // corpus (the driver fixtures have no newlines — the same
     // synthesize-then-verify move as the media queries): every 6 tokens
@@ -235,6 +255,16 @@ object DedupQueries {
       "FROM banded x JOIN banded y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id) " +
       s"SELECT DISTINCT a, b, len(list_filter(generate_series(1, $K), i -> sa[i] = sb[i])) " +
       "AS sig_matches FROM cand ORDER BY a, b"),
+    // full-LSH recompute restricted to increment-touching pairs ≡ the
+    // incremental path exactly (signatures are per-document)
+    "q_dedup_minhash_incremental" -> (s"WITH $WithShingles, " +
+      s"sigs AS (SELECT doc_id, $SigExpr AS sig FROM shing), " +
+      "banded AS (SELECT doc_id, sig, j, md5(concat_ws('-', sig[j*4+1], sig[j*4+2], " +
+      "sig[j*4+3], sig[j*4+4])) AS key FROM sigs, generate_series(0, 3) AS g(j)), " +
+      "cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb " +
+      "FROM banded x JOIN banded y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id) " +
+      s"SELECT DISTINCT a, b, len(list_filter(generate_series(1, $K), i -> sa[i] = sb[i])) " +
+      "AS sig_matches FROM cand WHERE a % 7 = 0 OR b % 7 = 0 ORDER BY a, b"),
     // len(hw) > 0: the aggregation-based engine form emits no row for
     // token-less documents (integer vote sums are order-independent, so the
     // value is unchanged for every emitted row)

@@ -1054,6 +1054,141 @@ object RelationalQueries {
         .select(col("l_partkey").as("p_partkey"),
           (col("value_q2").cast("double") / 100.0).as("value"))
         .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q5-shaped: local-supplier volume — revenue per nation of a
+    // region, counted only when the CUSTOMER's nation equals the
+    // SUPPLIER's nation (the join cycle that makes Q5 interesting: the
+    // residual s_nationkey = c_nationkey closes the cycle on the last,
+    // broadcast join instead of forcing a second corpus shuffle).
+    // region→nation prunes both dims before any fact is touched; the two
+    // corpus joins (lineitem⋈orders, ⋈customer) stay key-partitioned for
+    // the planner; supplier broadcasts with the cycle predicate attached.
+    "q_local_supplier_volume" -> { (s, dir) =>
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("rev_q4"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg((sum(col("rev_q4")).cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("nation"))
+    },
+
+    // TPC-H Q8-shaped: two-level market share in ONE aggregation pass —
+    // numerator (volume supplied by the focus nation) and denominator
+    // (all volume) as sum(when)/sum over the same rows, never a
+    // self-join or re-scan. The part filter broadcasts into the lineitem
+    // scan FIRST (most selective), the region gate prunes customers via
+    // the broadcast nation⋈region dim, and the focus-nation test rides
+    // the supplier broadcast as a plain column. Exact integer sums; one
+    // double division at the end.
+    "q_market_share" -> { (s, dir) =>
+      val regNat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(regNat), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("c_custkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long").as("vol_q4"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("vol_q4")).otherwise(0L))
+          .cast("double") / sum(col("vol_q4")).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q12-shaped: two-way conditional counts per ship class in ONE
+    // aggregation — high-priority vs low-priority line counts as paired
+    // sum(when)s, never two passes. The fixture has no l_shipmode or
+    // receipt dates, so the class is l_returnflag ∈ {A,R} and "late" is
+    // the Q4-style correlated residual l_shipdate > o_orderdate + 30d on
+    // the order-keyed equi join. Both lineitem filters push to the scan;
+    // orders ships only (key, date, priority).
+    "q_shipmode_priority" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_mode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy("ship_mode")
+    },
+
+    // q_big_orders through the BUCKETED fact⋈fact path: both join sides
+    // are first written bucketed+sorted on the order key
+    // ([[Scale.writeBucketed]] via the Dedup Intermediate machinery, so
+    // Verify/Bench GC the tables), and the join reads bucket-aligned
+    // splits with ZERO exchange on the key — the one-time-write /
+    // every-query-free trade a 100 TB deployment makes for its hottest
+    // join key. `merge` hints pin the SortMergeJoin both sides'
+    // bucket+sort layout feeds (at fixture SF the planner would broadcast
+    // the agg side and never exercise the bucketed path). Same oracle as
+    // q_big_orders — bucketing must be invisible to results.
+    "q_big_orders_bucketed" -> { (s, dir) =>
+      val bucketed = Dedup.Intermediate.Bucketed(buckets = 32)
+      val big = bucketed.keyed(
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sq"))
+          .filter(col("sq") > 300.0),
+        "big_orders_agg", "l_orderkey")
+      val ord = bucketed.keyed(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "big_orders_fact", "o_orderkey")
+      ord.hint("merge")
+        .join(big.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("sq").cast("long").as("sum_qty"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -1476,6 +1611,50 @@ object RelationalQueries {
       "GROUP BY 1) " +
       "SELECT l_partkey AS p_partkey, CAST(value_q2 AS DOUBLE) / 100.0 AS value " +
       "FROM pv WHERE value_q2 * 1000 > (SELECT CAST(sum(value_q2) AS BIGINT) FROM pv) " +
-      "ORDER BY value DESC, p_partkey")
+      "ORDER BY value DESC, p_partkey"),
+    "q_local_supplier_volume" -> ("SELECT n_name AS nation, " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) " +
+      "AS BIGINT) AS DOUBLE) / 10000.0 AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' " +
+      "GROUP BY 1 ORDER BY revenue DESC, nation"),
+    "q_market_share" -> ("SELECT year(o_orderdate) AS o_year, " +
+      "CAST(sum(CASE WHEN n2.n_name = 'NATION_3' " +
+      "THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) " +
+      "ELSE 0 END) AS DOUBLE) / " +
+      "CAST(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) " +
+      "AS BIGINT) AS DOUBLE) AS mkt_share " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+      "JOIN region ON n1.n_regionkey = r_regionkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+      "WHERE r_name = 'AMERICA' AND p_type = 'PROMO' " +
+      "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01' " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_shipmode_priority" -> ("SELECT l_returnflag AS ship_mode, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+      "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_returnflag IN ('A', 'R') " +
+      "AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
+      "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+      "GROUP BY 1 ORDER BY 1"),
+    // identical to q_big_orders: the bucketed layout is a physical choice
+    // and must be invisible to results
+    "q_big_orders_bucketed" -> ("SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +
+      "CAST(sum_qty AS BIGINT) AS sum_qty FROM orders " +
+      "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
+      "GROUP BY 1 HAVING sum(l_quantity) > 300.0) ON o_orderkey = l_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")
   )
 }

@@ -114,6 +114,50 @@ class DedupSpec extends SparkSpec {
     assert(inc == Set((1L, 4L, 1.0)), s"got $inc")
   }
 
+  test("incremental LSH ≡ full-corpus LSH restricted to increment-touching pairs") {
+    val d = Tables.documents(spark, SfDir)
+    val old = d.filter(col("doc_id") < 250)
+    val fresh = d.filter(col("doc_id") >= 250)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the historical corpus participates ONLY through its materialized
+    // signatures — k longs per doc, never re-shingled
+    val corpusSigs = Dedup
+      .minhashSignatures(old, "doc_id", "text", n = 3, k = 16).localCheckpoint()
+    val inc = pairSet(Dedup.lshCandidatesIncremental(
+      fresh, "doc_id", "text", n = 3, k = 16, bands = 4, corpusSigs = corpusSigs))
+    val full = pairSet(Dedup.lshCandidates(d, "doc_id", "text", n = 3, k = 16, bands = 4))
+    // signatures are per-document ⇒ the restriction is EXACT, not approximate
+    val restricted = full.filter { case (a, b, _) => a >= 250 || b >= 250 }
+    assert(inc == restricted,
+      s"missing=${restricted -- inc} extra=${inc -- restricted}")
+    assert(inc.nonEmpty, "fixture must contain cross-increment candidates for a real test")
+  }
+
+  test("incremental LSH: a re-ingested doc probes with its NEW signature") {
+    val spark0 = spark
+    import spark0.implicits._
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val newText = "red orange yellow green blue indigo violet ultraviolet"
+    val newDocs = Seq((1L, newText), (4L, newText)).toDF("doc_id", "text")
+    val corpusSigs = Dedup
+      .minhashSignatures(oldDocs, "doc_id", "text", n = 2, k = 16).localCheckpoint()
+    val inc = Dedup
+      .lshCandidatesIncremental(newDocs, "doc_id", "text", n = 2, k = 16, bands = 4,
+        corpusSigs = corpusSigs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // effective corpus {1:new, 2, 3, 4}: (1,4) agree on all 16 slots;
+    // (1,2) must be GONE — without the anti-join doc 1's OLD signature
+    // still matches doc 2's bands
+    assert(inc == Set((1L, 4L, 16)), s"got $inc")
+  }
+
   test("minhash is a mergeable sketch: sig(S1 ∪ S2) == merge(sig(S1), sig(S2))") {
     val spark0 = spark
     import spark0.implicits._

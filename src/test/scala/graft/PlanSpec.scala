@@ -355,4 +355,66 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning(l_partkey") <= 2,
       s"pv and its scalar must each ride one part shuffle, no more:\n$p")
   }
+
+  test("q_local_supplier_volume: join cycle closes on the broadcast, not a 2nd shuffle") {
+    val p = plan("q_local_supplier_volume")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the nation-cycle residual must ride an equi join:\n$p")
+    // region-pruned nation, and supplier-with-cycle-predicate, broadcast;
+    // only the order/customer corpus joins may shuffle
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"region→nation, nation→dims, and supplier must broadcast:\n$p")
+    // the order-year window prunes orders AT ITS SCAN
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate >= 1996"),
+      s"order date range must push down:\n$p")
+    // lineitem ships only its 3 join/measure columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem must prune to join keys + measure inputs:\n$p")
+  }
+
+  test("q_market_share: numerator and denominator share ONE aggregation pass") {
+    val p = plan("q_market_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested loops in the share computation:\n$p")
+    // sum(when)/sum in one agg: exactly one o_year hash-agg pair, no
+    // self-join of the fact frame against itself
+    assert(count(p, "Exchange hashpartitioning(o_year") <= 1,
+      s"one final-agg shuffle on o_year — a self-join shape would add more:\n$p")
+    // the part-type gate is the most selective filter: it must reach the
+    // part scan and prune lineitem via a semi-join/broadcast, pre-orders
+    assert(p.contains("EqualTo(p_type,PROMO)") || p.contains("p_type = PROMO"),
+      s"part type filter must push to the part scan:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 3, s"part/nation/supplier dims broadcast:\n$p")
+  }
+
+  test("q_shipmode_priority: both lineitem gates push to the scan, one agg") {
+    val p = plan("q_shipmode_priority")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"equi join + date residual must stay a hash join:\n$p")
+    // returnflag IN and the shipdate window both reach the lineitem scan
+    assert(p.contains("In(l_returnflag") || p.contains("l_returnflag IN"),
+      s"ship-class filter must push down:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate >= 1996"),
+      s"shipdate window must push down:\n$p")
+    // paired conditional counts ride a single aggregation
+    assert(count(p, "Exchange hashpartitioning(ship_mode") + count(p, "Exchange hashpartitioning(l_returnflag") <= 1,
+      s"one final-agg shuffle for both counts:\n$p")
+  }
+
+  test("q_big_orders_bucketed: the fact join reads bucket-aligned, zero key exchange") {
+    try {
+      val p = plan("q_big_orders_bucketed")
+      // the whole point of the bucketed layout: the orders⋈agg join must
+      // NOT re-shuffle either side on the order key
+      assert(count(p, "Exchange hashpartitioning(o_orderkey") == 0 &&
+        count(p, "Exchange hashpartitioning(l_orderkey") == 0,
+        s"bucket-aligned join must not exchange on the join key:\n$p")
+      assert(p.contains("SortMergeJoin"), s"bucketed sides must merge-join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"customer dim still broadcasts:\n$p")
+      // both sides really read from the bucketed tables, not the raw parquet
+      assert(p.contains("Bucketed: true"), s"scans must be bucketed reads:\n$p")
+    } finally {
+      graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
+    }
+  }
 }
