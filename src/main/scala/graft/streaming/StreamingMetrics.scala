@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.MetricDefinition
 import graft.pipeline.LogsToMetrics
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming face of the engine — the reference's native mode
@@ -42,21 +42,67 @@ object StreamingMetrics {
       watermarkDelay: String = "0 seconds"): Seq[DataFrame] = {
     require(defs.nonEmpty, "at least one metric definition")
     defs.groupBy(_.effectiveWindowSizeSec).toSeq.sortBy(_._1).map { case (wsize, group) =>
-      attachUniform(stream, group, wsize, mode, tsCol, watermarkDelay)
+      attachWindowed(stream, group, mode, tsCol, watermarkDelay,
+        ts => window(ts, s"$wsize seconds"))
     }
   }
 
-  /** Single-window-size variant: one scan, one shuffle, N configs. The
-    * fan-out itself is LogsToMetrics.fanOutExplode — identical semantics to
-    * the batch path by construction.
+  /** Sliding-window variant: each event lands in windowSize/slide
+    * overlapping windows (Spark's window() with a slide duration — the
+    * streaming twin of the batch q_sliding_window shape). Same one
+    * aggregation per distinct window size, same append-mode
+    * emit-on-window-close; state grows by the overlap factor (each key
+    * holds size/slide live windows), still watermark-evicted.
     */
-  private def attachUniform(
+  def attachSliding(
       stream: DataFrame,
       defs: Seq[MetricDefinition],
-      wsize: Long,
+      slideSec: Long,
+      mode: LogsToMetrics.Mode,
+      tsCol: String = "ts",
+      watermarkDelay: String = "0 seconds"): Seq[DataFrame] = {
+    require(defs.nonEmpty, "at least one metric definition")
+    require(slideSec > 0, "slide must be positive")
+    defs.groupBy(_.effectiveWindowSizeSec).toSeq.sortBy(_._1).map { case (wsize, group) =>
+      attachWindowed(stream, group, mode, tsCol, watermarkDelay,
+        ts => window(ts, s"$wsize seconds", s"$slideSec seconds"))
+    }
+  }
+
+  /** Gap-based session-window variant (Spark's session_window — the
+    * streaming twin of the batch q_session_window shape): windows are
+    * per-key activity bursts separated by ≥ `gapSec` of silence, so
+    * per-config window sizes don't apply — every def shares the gap and
+    * ONE streaming aggregation. A session closes (and emits, append mode)
+    * when the watermark passes its end; state per key is the single open
+    * session, merged as micro-batches extend it.
+    */
+  def attachSession(
+      stream: DataFrame,
+      defs: Seq[MetricDefinition],
+      gapSec: Long,
+      mode: LogsToMetrics.Mode,
+      tsCol: String = "ts",
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(defs.nonEmpty, "at least one metric definition")
+    require(gapSec > 0, "session gap must be positive")
+    attachWindowed(stream, defs, mode, tsCol, watermarkDelay,
+      ts => session_window(ts, s"$gapSec seconds"))
+  }
+
+  /** Shared shape for every window kind: one scan, one shuffle, N configs.
+    * The fan-out itself is LogsToMetrics.fanOutExplode — identical
+    * semantics to the batch path by construction; `winFn` supplies the
+    * tumbling/sliding/session grouping column over the fanned-out
+    * event-time.
+    */
+  private def attachWindowed(
+      stream: DataFrame,
+      defs: Seq[MetricDefinition],
       mode: LogsToMetrics.Mode,
       tsCol: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      winFn: Column => Column): DataFrame = {
     val pp = LogsToMetrics.pctlPlan(defs)
     val aggs = LogsToMetrics.aggValues(pp)
     // Normalize TIMESTAMP_NTZ BEFORE the watermark: Spark rejects NTZ
@@ -73,7 +119,7 @@ object StreamingMetrics {
         mode,
         tsCol,
         withWsize = false)
-      .groupBy(window(col("_ts"), s"$wsize seconds"), col("metric"), col("kind"), col("labels"))
+      .groupBy(winFn(col("_ts")).as("window"), col("metric"), col("kind"), col("labels"))
       .agg(aggs.head, aggs.tail: _*)
       .select(
         col("metric"),

@@ -352,6 +352,93 @@ class StreamingMetricsSpec extends SparkSpec {
       s"crashed+restarted run must emit exactly the uninterrupted run's points:\n" +
         s"  crashed+restarted: ${points("e2e-run1")}\n  uninterrupted:     ${points("e2e-run2")}")
   }
+
+  test("sliding windows stream ≡ batch across 3+ micro-batches (append emit-on-close)") {
+    // the streaming twin of the batch q_sliding_window shape: 300 s
+    // windows sliding by 60 s, each event in 5 buckets
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val typed = mem.toDF.toDF("ts", "v")
+    val sdefs = Seq(MetricDefinition("ev_count", MetricType.Count, windowSizeSec = 300))
+    val Seq(out) =
+      StreamingMetrics.attachSliding(typed, sdefs, slideSec = 60,
+        LogsToMetrics.Typed(typed.schema))
+    val q = out.writeStream.format("memory").queryName("sslide").outputMode("append").start()
+    val batches = Seq(
+      Seq(65L, 80L, 110L),
+      Seq(130L, 170L),
+      Seq(250L))
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(s => (at(s), 1.0)))
+        q.processAllAvailable()
+      }
+      mem.addData((at(10000), 1.0)) // advance the watermark, close every earlier window
+      q.processAllAvailable()
+      val streamed = spark.table("sslide")
+        .select(unix_timestamp($"window_start").as("ws"), $"value")
+        .as[(Long, Double)].collect().toSet
+      // batch reference: the same events through the static window() shape,
+      // restricted to windows CLOSED at the final watermark (end ≤ 10000)
+      val batch = batches.flatten.map(s => Tuple1(at(s))).toDF("ts")
+        .groupBy(window($"ts", "300 seconds", "60 seconds").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(unix_timestamp($"w.end") <= 10000L)
+        .select(unix_timestamp($"w.start"), $"cnt".cast("double"))
+        .as[(Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+      // overlap sanity: 6 events × 5 buckets ⇒ well over 5 distinct windows
+      assert(streamed.size >= 5 && streamed.exists(_._2 > 1.0))
+    } finally q.stop()
+  }
+
+  test("session windows stream ≡ batch across 3+ micro-batches (gap close + merge)") {
+    // the streaming twin of the batch q_session_window shape: per-user
+    // activity bursts with a 60 s silence gap, user as a dynamic label
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val typed = mem.toDF.toDF("ts", "user")
+    val sdefs = Seq(MetricDefinition("sess_count", MetricType.Count,
+      dynamicLabels = Map("user" -> "user")))
+    val out = StreamingMetrics.attachSession(typed, sdefs, gapSec = 60,
+      LogsToMetrics.Typed(typed.schema))
+    val q = out.writeStream.format("memory").queryName("ssess").outputMode("append").start()
+    // u1: burst {10,40,90} then (gap > 60) burst {300}; u2: one burst
+    // {50,100} — spread over 3 micro-batches so sessions MERGE across
+    // batches (u1's 10–40 batch-1 state extends with 90 in batch 2)
+    val batches = Seq(
+      Seq((10L, "u1"), (40L, "u1"), (50L, "u2")),
+      Seq((90L, "u1"), (100L, "u2")),
+      Seq((300L, "u1")))
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map { case (s, u) => (at(s), u) })
+        q.processAllAvailable()
+      }
+      mem.addData((at(10000), "uz")) // watermark past every session's close
+      q.processAllAvailable()
+      val streamed = spark.table("ssess")
+        .select($"labels"("user").as("user"),
+          unix_timestamp($"window_start").as("ss"),
+          unix_timestamp($"window_end").as("se"), $"value")
+        .as[(String, Long, Long, Double)].collect().toSet
+      // batch reference: static session_window over the same events,
+      // sessions closed by the final watermark
+      val batch = batches.flatten.map { case (s, u) => (at(s), u) }.toDF("ts", "user")
+        .groupBy($"user", session_window($"ts", "60 seconds").as("sw"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(unix_timestamp($"sw.end") <= 10000L)
+        .select($"user", unix_timestamp($"sw.start"), unix_timestamp($"sw.end"),
+          $"cnt".cast("double"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${batch -- streamed} extra=${streamed -- batch}")
+      // the cross-batch merge really happened: u1's first session spans
+      // 10→150 (90+gap) with 3 events despite arriving in two batches
+      assert(streamed.contains(("u1", 10L, 150L, 3.0)), s"got $streamed")
+    } finally q.stop()
+  }
 }
 
 object StreamingMetricsSpec {
