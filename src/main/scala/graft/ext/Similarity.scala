@@ -674,4 +674,50 @@ object Similarity {
     Relational.topKPerGroup(dropNaN(scored), Seq("query_id"),
       Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
+
+  /** Per-dimension corpus min/max — the training pass of scalar
+    * quantization. One partial+final aggregation; state is 2×dim numbers
+    * per partial regardless of corpus size.
+    */
+  def scalarQuantStats(corpus: DataFrame): DataFrame =
+    corpus
+      .select(posexplode(col("vec")).as(Seq("dim0", "x")))
+      .groupBy(col("dim0"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** Int8-style scalar quantization (per-dimension affine) — the cheapest
+    * embedding-compression rung below PQ: 4-8× memory cut with ~no recall
+    * loss, the standard first step before a 100 TB corpus's raw float
+    * vectors move anywhere. code = clamp(floor((x−lo)/(hi−lo)·levels)),
+    * reconstruction x̂ = lo + (code+½)·(hi−lo)/levels (mid-rise), both
+    * per-dim affine chains of correctly-rounded IEEE ops in a fixed order
+    * — so codes AND the quantization error hash cross-engine exactly
+    * (the same no-libm discipline as [[graft.ext.TextOps.tfidfTopTerms]]).
+    * A constant dimension (hi = lo) codes to 0 with zero error.
+    *
+    * Returns exploded (id, dim [1-based], code, err_q12) — the integer
+    * code plus the squared reconstruction error floor-quantized at 1e-12.
+    *
+    * Scale shape: [[scalarQuantStats]] is one tiny-state aggregation; the
+    * encode is map-only with the 2×dim stats BROADCAST into the
+    * per-dim join — the corpus never shuffles to get encoded.
+    */
+  def scalarQuantize(corpus: DataFrame, levels: Int = 256): DataFrame = {
+    require(levels > 1, "levels must be >= 2")
+    val stats = scalarQuantStats(corpus)
+    val code = least(greatest(
+      floor((col("x") - col("lo")) / (col("hi") - col("lo")) * levels).cast("long"),
+      lit(0L)), lit(levels - 1L))
+    val xhat = col("lo") + (col("code").cast("double") + 0.5d) *
+      ((col("hi") - col("lo")) / levels)
+    corpus
+      .select(col("id"), posexplode(col("vec")).as(Seq("dim0", "x")))
+      .join(broadcast(stats), Seq("dim0"))
+      .withColumn("code", when(col("hi") === col("lo"), lit(0L)).otherwise(code))
+      .withColumn("err",
+        when(col("hi") === col("lo"), lit(0.0))
+          .otherwise((col("x") - xhat) * (col("x") - xhat)))
+      .select(col("id"), (col("dim0") + 1).as("dim"), col("code"),
+        floor(col("err") * 1e12).cast("long").as("err_q12"))
+  }
 }

@@ -200,6 +200,18 @@ object SimilarityQueries {
         .agg(sum(floor(col("x") * 1000000).cast("long")).as("sum_q6"),
           count(lit(1)).as("n"))
         .orderBy("label", "dim")
+    },
+
+    // Int8 scalar quantization (Similarity.scalarQuantize): per-dim
+    // min/max trained on the FULL corpus, codes + squared reconstruction
+    // error emitted for the first 100 vectors. Every step is a fixed-order
+    // chain of correctly-rounded IEEE ops, so codes AND errors hash
+    // cross-engine — the compression rung below PQ, oracle-checked.
+    "q_embed_sq8" -> { (s, dir) =>
+      Similarity
+        .scalarQuantize(vecs(s, dir), levels = 256)
+        .filter(col("id") < 100)
+        .orderBy("id", "dim")
     }
   )
 
@@ -365,6 +377,21 @@ object SimilarityQueries {
       // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
       s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +
       s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +
-      "GROUP BY 1, 2 ORDER BY 1, 2")
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // identical affine chain: (x−lo)/(hi−lo)·256 floor-clamped, mid-rise
+    // reconstruction, squared error — fixed-order correctly-rounded ops;
+    // stats trained on the FULL corpus, output restricted to id < 100
+    "q_embed_sq8" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"ex AS (SELECT id, i - 1 AS dim0, vec[i] AS x FROM v " +
+      s"CROSS JOIN generate_series(1, $Dim) AS g(i)), " +
+      "st AS (SELECT dim0, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1), " +
+      "q1 AS (SELECT id, dim0, x, lo, hi, CASE WHEN hi = lo THEN 0 ELSE " +
+      "least(greatest(CAST(floor((x - lo) / (hi - lo) * 256) AS BIGINT), 0), 255) END AS code " +
+      "FROM ex JOIN st USING (dim0)) " +
+      "SELECT id, dim0 + 1 AS dim, code, " +
+      "CAST(floor(CASE WHEN hi = lo THEN 0.0 ELSE " +
+      "(x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256))) * " +
+      "(x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256))) END * 1e12) AS BIGINT) " +
+      "AS err_q12 FROM q1 WHERE id < 100 ORDER BY id, dim")
   )
 }

@@ -356,4 +356,66 @@ object TextOps {
       filter(split(normalized(text), ""), c => c =!= ""),
       lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+
+  /** Corpus-fit bigram language-model fluency score — the log-free analog
+    * of the CCNet/KenLM perplexity quality filter (score docs by how
+    * predictable their text is under an n-gram model of the corpus
+    * itself). Classic perplexity needs `ln`, which is NOT correctly
+    * rounded in IEEE — libm vs `java.lang.Math` drift leaks into a
+    * cross-engine hash (the same reason [[tfidfTopTerms]] scores
+    * `tf·N/df` instead of log-idf). This scorer stays hash-exact by
+    * construction: each bigram contributes the MLE conditional
+    * probability c(w1 w2)/c(w1 ·) floor-quantized at 1e-6 — one IEEE
+    * division and one exactly-representable scale per term, both
+    * correctly rounded, so DuckDB and the JVM agree bit-for-bit — and
+    * the per-doc aggregate is an exact integer sum with ONE final
+    * division. Rank-equivalent to (the exponential of) mean bigram
+    * likelihood: repetitive/templated text scores high, garbled or
+    * code-switched text scores low.
+    *
+    * Returns (doc, n_bigrams, score_sum_q6, lm_score) — the exact integer
+    * sufficient statistic rides along so downstream thresholds can stay
+    * integer cross-multiplied. Docs with <2 tokens emit no row (no
+    * bigram, same contract as every aggregation-based text op here).
+    *
+    * Scale shape: bigram generation is a map-side explode; prefix counts
+    * c(w1 ·) and pair counts c(w1 w2) are partial+final hash aggregations
+    * over 60-bit [[Dedup.md5Long]] keys (~9 bytes through the shuffle,
+    * same collision-tolerance contract as the posting pipelines — the
+    * oracle mirrors the identical hash); the count join-backs are
+    * vocab-sized equi joins on those keys, merge-hinted because vocab at
+    * 100 TB is corpus-class, not broadcastable. Per-doc state is one
+    * integer pair.
+    */
+  def bigramCondScore(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    // (doc, h1 = hash(w1), h12 = hash(w1 + ' ' + w2)) — one row per bigram
+    // occurrence; duplicates inside a doc collapse into occ below
+    val bg = docs
+      .select(col(idCol).as("doc"), col(textCol))
+      .where(size(t) >= 2)
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1)).as("big")))).as("b"))
+      .select(col("doc"),
+        Dedup.md5Long(col("b.w1")).as("h1"),
+        Dedup.md5Long(col("b.big")).as("h12"))
+    val docBg = bg.groupBy(col("doc"), col("h1"), col("h12")).agg(count(lit(1)).as("occ"))
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val c12 = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    docBg
+      .hint("merge").join(c12.hint("merge"), Seq("h12"))
+      .hint("merge").join(c1.hint("merge"), Seq("h1"))
+      .select(col("doc"), col("occ"),
+        // per-term quantization: IEEE division + *1e6 + floor are each
+        // correctly rounded ⇒ deterministic across engines
+        (floor(col("c12").cast("double") / col("c1") * 1e6).cast("long") * col("occ"))
+          .as("q6"))
+      .groupBy(col("doc"))
+      .agg(sum(col("occ")).as("n_bigrams"), sum(col("q6")).as("score_sum_q6"))
+      .select(col("doc"), col("n_bigrams"), col("score_sum_q6"),
+        (col("score_sum_q6").cast("double") / col("n_bigrams") / 1e6).as("lm_score"))
+  }
 }

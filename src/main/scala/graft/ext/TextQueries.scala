@@ -142,6 +142,19 @@ object TextQueries {
         .documents(s, dir)
         .select(col("doc_id"), md5(cf).as("cf_md5"), length(cf).as("cf_len"))
         .orderBy("doc_id")
+    },
+
+    // Corpus-fit bigram LM fluency score — the log-free perplexity-filter
+    // analog (see TextOps.bigramCondScore: per-bigram MLE conditional
+    // probability floor-quantized at 1e-6, exact integer sums, one final
+    // division — every step correctly rounded so the doubles hash
+    // cross-engine; libm ln would not).
+    "q_lm_fluency" -> { (s, dir) =>
+      TextOps
+        .bigramCondScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_bigrams"), col("score_sum_q6"),
+          col("lm_score"))
+        .orderBy("doc_id")
     }
   )
 
@@ -222,7 +235,27 @@ object TextQueries {
       "CASE WHEN 10*(3*hc + e3 + 3*eu) <= 3*tc THEN 1 ELSE 0 END AS r_sym, " +
       "CASE WHEN 10*bl <= 9*nl THEN 1 ELSE 0 END AS r_bullet, " +
       "CASE WHEN 10*el <= 3*nl THEN 1 ELSE 0 END AS r_ellipsis FROM (" +
-      s"$GateStatsSql)) ORDER BY doc_id")
+      s"$GateStatsSql)) ORDER BY doc_id"),
+    // identical 60-bit md5 keys, identical per-term quantization chain
+    // (IEEE divide → ×1e6 → floor, each correctly rounded), exact integer
+    // sums, one final division — hash-exact despite being a "probability"
+    "q_lm_fluency" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "b2 AS (SELECT doc_id, " +
+      "('0x' || substr(md5(u['w1']), 1, 15))::BIGINT AS h1, " +
+      "('0x' || substr(md5(u['big']), 1, 15))::BIGINT AS h12 FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), " +
+      "i -> {'w1': t[i], 'big': t[i] || ' ' || t[i+1]})) AS u " +
+      "FROM toks WHERE len(t) >= 2)), " +
+      "docbg AS (SELECT doc_id, h1, h12, count(*) AS occ FROM b2 GROUP BY 1, 2, 3), " +
+      "c1 AS (SELECT h1, count(*) AS c1 FROM b2 GROUP BY 1), " +
+      "c12 AS (SELECT h12, count(*) AS c12 FROM b2 GROUP BY 1), " +
+      "term AS (SELECT doc_id, occ, " +
+      "CAST(floor(CAST(c12 AS DOUBLE) / c1 * 1000000) AS BIGINT) * occ AS q6 " +
+      "FROM docbg JOIN c12 USING (h12) JOIN c1 USING (h1)) " +
+      "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(q6) AS BIGINT) AS score_sum_q6, " +
+      "CAST(CAST(sum(q6) AS BIGINT) AS DOUBLE) / CAST(sum(occ) AS BIGINT) / 1000000 " +
+      "AS lm_score FROM term GROUP BY 1 ORDER BY doc_id")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

@@ -380,4 +380,31 @@ class SimilaritySpec extends SparkSpec {
       assert(graft.ext.Dedup.Intermediate.dropBucketedTables(spark) >= 1)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("scalar quantization: hand-computed codes, error bound, constant dim") {
+    val spark0 = spark
+    import spark0.implicits._
+    // dim 1 spans [0,1]; dim 2 is constant; dim 3 spans [-2,2]
+    val v = Seq(
+      (1L, Seq(0.0, 5.0, -2.0)),
+      (2L, Seq(0.6, 5.0, 0.0)),
+      (3L, Seq(1.0, 5.0, 2.0))
+    ).toDF("id", "vec")
+    val out = Similarity.scalarQuantize(v, levels = 4)
+      .select($"id", $"dim", $"code", $"err_q12")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.size == 9)
+    // dim 1 (lo=0, hi=1, step=0.25): x=0 → code 0, x̂=0.125, err=0.015625
+    assert(out((1L, 1)) == ((0L, 15625000000L)))
+    // x=0.6 → floor(0.6·4)=2, x̂=0.625, err=0.000625
+    assert(out((2L, 1)) == ((2L, 625000000L)))
+    // x=hi → floor(4.0)=4 clamps to 3, x̂=0.875, err=0.015625
+    assert(out((3L, 1)) == ((3L, 15625000000L)))
+    // constant dim codes 0 with zero error
+    assert(Seq(1L, 2L, 3L).forall(id => out((id, 2)) == ((0L, 0L))))
+    // every code in range; every error ≤ (step/2)² = (4/8)² = 0.25 on dim 3
+    assert(out.values.forall { case (c, _) => c >= 0 && c <= 3 })
+    assert(Seq(1L, 2L, 3L).forall(id => out((id, 3))._2 <= 250000000000L))
+  }
 }

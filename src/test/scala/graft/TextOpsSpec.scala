@@ -112,4 +112,25 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(1L) == byId(3L))
     assert(byId(1L) != byId(2L))
   }
+
+  test("bigramCondScore: hand-computed MLE conditional sums, <2-token docs dropped") {
+    // corpus bigrams: "a b"×3 (docs 1,1,2), "b a"×1, "b c"×1
+    // prefix counts: a·→3, b·→2 ; pair counts: ab→3, ba→1, bc→1
+    val d = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab
+      (2L, "a b c"),   // bigrams ab, bc
+      (3L, "z")        // no bigram → no row
+    ).toDF("doc_id", "text")
+    val rows = TextOps.bigramCondScore(d, "doc_id", "text")
+      .select($"doc", $"n_bigrams", $"score_sum_q6", $"lm_score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 2 && !rows.contains(3L))
+    // doc 1: ab(p=3/3)×2 + ba(p=1/2) = 2·1000000 + 500000
+    assert(rows(1L) == ((1L, 3L, 2500000L, 2500000.0 / 3 / 1e6)))
+    // doc 2: ab(p=1) + bc(p=1/2)
+    assert(rows(2L) == ((2L, 2L, 1500000L, 0.75)))
+    // predictable text outscores novel text
+    assert(rows(1L)._4 > rows(2L)._4)
+  }
 }
