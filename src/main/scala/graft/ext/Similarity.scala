@@ -675,6 +675,54 @@ object Similarity {
       Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Pack the sign bits of a vector into 32-bit words (array of longs) —
+    * binary (1-bit) quantization, the cheapest embedding compression rung
+    * (32× under float32; Hamming distance ≈ angular distance for
+    * mean-centered embeddings). 32 bits per word, NOT 64: bit 63 of a
+    * packed long would flip the sign, and while two's-complement wrap is
+    * deterministic on the JVM, keeping every word positive removes the
+    * overflow edge from both engines. Bit j of word w covers dimension
+    * w·32 + j (1-based idx w·32+j+1), assembled by an integer Horner fold
+    * from j = 31 down to 0 — pure integer ops, hash-exact cross-engine.
+    * Ties at exactly 0.0 pack as 0.
+    */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    val words = (dim + 31) / 32
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, j) => {
+        val idx = w * 32 + j + 1
+        acc * 2 + when(idx <= lit(dim) && element_at(vec, idx) > lit(0.0), lit(1L))
+          .otherwise(lit(0L))
+      }))
+  }
+
+  /** Hamming distance between two packed sign-bit arrays. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Brute-force binary top-k: Hamming distance over packed sign bits,
+    * probes broadcast, one corpus scan — the compressed-domain twin of
+    * [[bruteForceTopK]]. At 100 TB the corpus side carries dim/32 longs
+    * per row instead of dim floats (32× narrower scan), which is the
+    * whole point: a first-stage shortlist this cheap feeds
+    * [[rerankExact]] exactly like the PQ shortlist does. Deterministic
+    * tiebreak on neighbor id.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
+    val qb = queries.select(col("id").as("query_id"), signBits(col("vec"), dim).as("qbits"))
+    val cb = corpus.select(col("id").as("neighbor_id"), signBits(col("vec"), dim).as("cbits"))
+    val scored = broadcast(qb)
+      .join(cb, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingPacked(col("qbits"), col("cbits")).as("hamming"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("hamming").asc, col("neighbor_id").asc), k)
+  }
+
   /** Per-dimension corpus min/max — the training pass of scalar
     * quantization. One partial+final aggregation; state is 2×dim numbers
     * per partial regardless of corpus size.

@@ -212,6 +212,18 @@ object SimilarityQueries {
         .scalarQuantize(vecs(s, dir), levels = 256)
         .filter(col("id") < 100)
         .orderBy("id", "dim")
+    },
+
+    // Binary (1-bit) quantization + Hamming top-10 for 5 probes — the
+    // 32×-compressed first-stage shortlist (Similarity.binaryTopK:
+    // sign bits packed into 32-bit words by an integer Horner fold,
+    // bit_count(xor) distance — pure integer ops, hash-exact).
+    "q_embed_binary_hamming" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      Similarity
+        .binaryTopK(v.filter(col("id") < 5), v, dim = Dim, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -392,6 +404,20 @@ object SimilarityQueries {
       "CAST(floor(CASE WHEN hi = lo THEN 0.0 ELSE " +
       "(x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256))) * " +
       "(x - (lo + (CAST(code AS DOUBLE) + 0.5) * ((hi - lo) / 256))) END * 1e12) AS BIGINT) " +
-      "AS err_q12 FROM q1 WHERE id < 100 ORDER BY id, dim")
+      "AS err_q12 FROM q1 WHERE id < 100 ORDER BY id, dim"),
+    // identical 32-bit-word Horner packing and bit_count(xor) distance —
+    // integer ops end to end
+    "q_embed_binary_hamming" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"bits AS (SELECT id, list_transform(generate_series(0, ${Dim / 32 - 1}), w -> " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(31, 0, -1), " +
+      s"j -> CASE WHEN w * 32 + j + 1 <= $Dim AND vec[w * 32 + j + 1] > 0.0 " +
+      "THEN 1::BIGINT ELSE 0::BIGINT END)), (acc, b) -> acc * 2 + b)) AS bw FROM v), " +
+      "scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, " +
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, ${Dim / 32}), " +
+      "i -> bit_count(xor(q.bw[i], c.bw[i]))::BIGINT)), (acc, v2) -> acc + v2) AS hamming " +
+      "FROM bits q JOIN bits c ON q.id < 5 AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, hamming, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank")
   )
 }

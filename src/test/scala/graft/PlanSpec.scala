@@ -401,6 +401,28 @@ class PlanSpec extends SparkSpec {
       s"one final-agg shuffle for both counts:\n$p")
   }
 
+  test("q_lm_fluency: count join-backs stay merge joins, corpus never broadcasts") {
+    val p = plan("q_lm_fluency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested loops in the LM score joins:\n$p")
+    // vocab-sized count frames are corpus-class at 100 TB — the hints must
+    // hold them in the shuffle join even when fixture stats say broadcast
+    assert(!p.contains("BroadcastHashJoin"),
+      s"count join-backs must not broadcast (vocab is corpus-class at scale):\n$p")
+    assert(count(p, "SortMergeJoin") == 2, s"exactly the two count join-backs:\n$p")
+  }
+
+  test("q_embed_sq8: stats broadcast into a map-only encode, corpus unshuffled") {
+    val p = plan("q_embed_sq8")
+    // the 2×dim stats frame joins back via broadcast — the corpus side
+    // must never shuffle to get encoded
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"encode side must stay unshuffled:\n$p")
+    // one aggregation for the stats; no other hash exchange on the data path
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      s"only the stats aggregation may shuffle:\n$p")
+  }
+
   test("q_big_orders_bucketed: the fact join reads bucket-aligned, zero key exchange") {
     try {
       val p = plan("q_big_orders_bucketed")

@@ -407,4 +407,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall { case (c, _) => c >= 0 && c <= 3 })
     assert(Seq(1L, 2L, 3L).forall(id => out((id, 3))._2 <= 250000000000L))
   }
+
+  test("binary quantization: sign packing, Hamming distance, top-k ranking") {
+    val spark0 = spark
+    import spark0.implicits._
+    // dim 4 → one 32-bit word; bits only where x > 0 (0.0 packs as 0)
+    val v = Seq((1L, Seq(1.0, -1.0, 0.0, 0.5))).toDF("id", "vec")
+    val packed = v.select(Similarity.signBits($"vec", dim = 4)).as[Seq[Long]].head()
+    assert(packed == Seq(9L)) // bit 0 (dim 1) + bit 3 (dim 4) = 1 + 8
+    // dim 34 spans two words — dim 33 lands on bit 0 of word 1
+    val v2 = Seq((1L, (Seq.fill(32)(-1.0) :+ 1.0) :+ -1.0)).toDF("id", "vec")
+    assert(v2.select(Similarity.signBits($"vec", dim = 34)).as[Seq[Long]].head() ==
+      Seq(0L, 1L))
+    // topK ranks by Hamming with the neighbor-id tiebreak
+    val corpus = Seq(
+      (0L, Seq(1.0, 1.0, 1.0, 1.0)),   // probe: bits 1111
+      (1L, Seq(1.0, 1.0, 1.0, -1.0)),  // hamming 1
+      (2L, Seq(1.0, -1.0, -1.0, -1.0)),// hamming 3
+      (3L, Seq(1.0, 1.0, 1.0, 1.0))    // hamming 0
+    ).toDF("id", "vec")
+    val top = Similarity.binaryTopK(corpus.filter($"id" === 0L), corpus, dim = 4, k = 3)
+      .select($"neighbor_id", $"hamming", $"rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(top.toSeq == Seq((3L, 0L, 1), (1L, 1L, 2), (2L, 3L, 3)))
+  }
 }
