@@ -224,6 +224,28 @@ object SimilarityQueries {
         .binaryTopK(v.filter(col("id") < 5), v, dim = Dim, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
         .orderBy("query_id", "rank")
+    },
+
+    // Matryoshka-style prefix-dim retrieval check: top-10 by cosine over
+    // the FIRST 16 of 64 dims vs the full-dim top-10, per-probe overlap
+    // count — the truncate-don't-retrain evaluation a pipeline runs
+    // before serving shortened embeddings (4× cheaper scan). Two
+    // brute-force passes share the probe broadcast shape; overlap is an
+    // exact integer per query, zero-filled for probes with none.
+    "q_ann_matryoshka" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val probes = v.filter(col("id") < 5)
+      def trunc(df: DataFrame) = df.select(col("id"), slice(col("vec"), 1, 16).as("vec"))
+      val full = Similarity.bruteForceTopK(probes, v, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val tr = Similarity.bruteForceTopK(trunc(probes), trunc(v), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = full.join(tr, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      probes.select(col("id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("query_id")
     }
   )
 
@@ -418,6 +440,29 @@ object SimilarityQueries {
       "FROM bits q JOIN bits c ON q.id < 5 AND q.id != c.id) " +
       "SELECT query_id, neighbor_id, hamming, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM scored) " +
-      "WHERE rank <= 10 ORDER BY query_id, rank")
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
+    // same fold-order cosine over the 16-dim prefix; overlap via an
+    // integer count join of the two ranked sets
+    "q_ann_matryoshka" -> {
+      def dotN(a: String, b: String, n: Int) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $n), " +
+          s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+      def normN(a: String, n: Int) =
+        s"sqrt(${s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $n), " +
+          s"i -> $a[i] * $a[i])), (acc, x) -> acc + x)"})"
+      def cosN(a: String, b: String, n: Int) =
+        s"${dotN(a, b, n)} / (${normN(a, n)} * ${normN(b, n)})"
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+        s"fullk AS (SELECT query_id, neighbor_id FROM (SELECT q.id AS query_id, c.id AS neighbor_id, " +
+        s"row_number() OVER (PARTITION BY q.id ORDER BY ${cosN("q.vec", "c.vec", Dim)} DESC, c.id ASC) AS rank " +
+        "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id) WHERE rank <= 10), " +
+        s"trk AS (SELECT query_id, neighbor_id FROM (SELECT q.id AS query_id, c.id AS neighbor_id, " +
+        s"row_number() OVER (PARTITION BY q.id ORDER BY ${cosN("q.vec", "c.vec", 16)} DESC, c.id ASC) AS rank " +
+        "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id) WHERE rank <= 10), " +
+        "ov AS (SELECT query_id, count(*) AS n_overlap FROM fullk JOIN trk " +
+        "USING (query_id, neighbor_id) GROUP BY 1) " +
+        "SELECT id AS query_id, coalesce(n_overlap, 0) AS n_overlap " +
+        "FROM (SELECT id FROM v WHERE id < 5) LEFT JOIN ov ON id = query_id ORDER BY query_id"
+    }
   )
 }
