@@ -427,6 +427,66 @@ object Curation {
       .select(col("doc"), coalesce(col("cluster"), col("doc")).as("cluster")), iter)
   }
 
+  /** Integer-arithmetic PageRank over an undirected pair graph — the
+    * centrality-based CANONICAL-MEMBER selection for duplicate clusters
+    * (pick the hub of a near-dup cluster instead of [[dropNearDuplicates]]'
+    * min-id convention: the hub is the version most others resemble).
+    *
+    * All arithmetic is integer: ranks live in q9 fixed point
+    * (r₀ = 10⁹ div N), each node's per-edge share is `r div deg`, and the
+    * damped update is `((den−num)·(10⁹ div N)) div den +
+    * (num·Σshares) div den` — truncating integer division at every step,
+    * so ranks are hash-exact cross-engine (classic float PageRank would
+    * accumulate libm-free but order-dependent sums through `sum(double)`).
+    * The truncation loses ≤1e-9 of mass per edge per round — irrelevant
+    * for ranking, which only compares peers inside a cluster.
+    *
+    * Undirected near-dup graphs have symmetric edges, so every node has
+    * in-degree ≥ 1 and the dangling-mass term of general PageRank never
+    * arises (documented simplification).
+    *
+    * Scale shape per iteration: one edge-keyed equi join (edges ⋈ current
+    * ranks on src) + one hash aggregation on dst — the identical shuffle
+    * pair [[connectedComponents]] pays per round, linear in |edges|.
+    * `iters` is fixed (default 3): ranking stabilizes in a few rounds on
+    * diameter-bounded dup clusters, and a fixed count keeps the oracle
+    * unrollable.
+    */
+  def pagerankInteger(
+      pairs: DataFrame,
+      iters: Int = 3,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be a proper fraction")
+    // pairs are unique with a < b, so the two directions are distinct rows
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("doc")).agg(count(lit(1)).as("deg"))
+    val nNodes = deg.agg(count(lit(1)).as("n"))
+    var r = deg
+      .join(broadcast(nNodes))
+      .select(col("doc"), col("deg"), col("n"), expr("1000000000L div n").as("r_q9"))
+    (0 until iters).foreach { _ =>
+      val shares = r.select(col("doc").as("src"), expr("r_q9 div deg").as("share"))
+      val contrib = edges
+        .join(shares, Seq("src"))
+        .groupBy(col("dst").as("doc"))
+        .agg(sum(col("share")).as("contrib"))
+      r = r
+        .select(col("doc"), col("deg"), col("n"))
+        .join(contrib, Seq("doc"), "left")
+        .select(col("doc"), col("deg"), col("n"),
+          (expr(s"(($dampDen - $dampNum) * (1000000000L div n)) div $dampDen") +
+            expr(s"($dampNum * coalesce(contrib, 0L)) div $dampDen")).as("r_q9"))
+    }
+    r.select(col("doc"), col("r_q9").as("rank_q9"))
+  }
+
   /** Per-row WEIGHTED deterministic sample: row kept with probability
     * `weightCol` (clamped to [0, 1]) — the length/quality-proportional
     * sampling a byte-budgeted curation pass runs, with the same

@@ -95,6 +95,20 @@ object CurationQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Integer PageRank (3 damped rounds, q9 fixed point) over the SAME
+    // Jaccard pair graph the cluster queries use — centrality-based
+    // canonical selection: within a near-dup cluster the hub (the version
+    // most others resemble) outranks the leaves. All-integer update rule
+    // ⇒ hash-exact (see Curation.pagerankInteger).
+    "q_dup_pagerank" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      Curation
+        .pagerankInteger(pairs, iters = 3)
+        .select(col("doc").as("doc_id"), col("rank_q9"))
+        .orderBy("doc_id")
+    },
+
     // LEAKAGE-SAFE split: near-dup clusters (same jaccard pair set as
     // q_dup_clusters) bucket by their CLUSTER label, so no near-dup pair
     // can straddle train/test; everything else splits exactly like
@@ -253,7 +267,33 @@ object CurationQueries {
       "UNION SELECT e.dst AS v, reach.r FROM edges e JOIN reach ON e.src = reach.v), " +
       "labels AS (SELECT v AS doc, min(r) AS cluster FROM reach GROUP BY v)"
 
+  /** One integer-PageRank round as a CTE pair: shares flow along edges,
+    * the damped update truncates at every division — mirrors
+    * [[Curation.pagerankInteger]] exactly. CAST on the sum: DuckDB
+    * sum(BIGINT)→HUGEINT→pandas float64 hash artifact.
+    */
+  private def prRound(prev: String, cur: String): String =
+    s"s$cur AS (SELECT e.dst AS doc, CAST(sum(r.r // r.deg) AS BIGINT) AS contrib " +
+      s"FROM edges e JOIN $prev r ON e.src = r.doc GROUP BY 1), " +
+      s"$cur AS (SELECT p.doc, p.deg, p.n, " +
+      "((100 - 85) * (1000000000 // p.n)) // 100 + " +
+      s"(85 * coalesce(s$cur.contrib, 0)) // 100 AS r " +
+      s"FROM $prev p LEFT JOIN s$cur USING (doc))"
+
   def oracleSql: Map[String, String] = Map(
+    "q_dup_pagerank" -> (s"WITH ${DedupQueries.WithShingles}, ${DedupQueries.Postings}, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "pairs AS (SELECT a, b FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
+      "edges AS (SELECT a AS src, b AS dst FROM pairs " +
+      "UNION ALL SELECT b AS src, a AS dst FROM pairs), " +
+      "deg AS (SELECT src AS doc, count(*) AS deg FROM edges GROUP BY 1), " +
+      "nn AS (SELECT count(*) AS n FROM deg), " +
+      "r0 AS (SELECT doc, deg, n, 1000000000 // n AS r FROM deg CROSS JOIN nn), " +
+      s"${prRound("r0", "r1")}, ${prRound("r1", "r2")}, ${prRound("r2", "r3")} " +
+      "SELECT doc AS doc_id, r AS rank_q9 FROM r3 ORDER BY doc_id"),
     "q_split_assign" -> (s"WITH b AS (SELECT ${bucketSql(SplitSalt)} AS bkt, n_chars " +
       "FROM documents) " +
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +

@@ -259,4 +259,27 @@ class CurationSpec extends SparkSpec {
     // and a cluster's shared split is its MIN member's plain assignment
     assert(out(5L) == plain(0L) && out(202L) == plain(200L))
   }
+
+  test("pagerankInteger: hand-computed integer rounds; the hub outranks leaves") {
+    val spark0 = spark
+    import spark0.implicits._
+    // path graph 1—2—3: node 2 is the hub
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r1 = Curation.pagerankInteger(pairs, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N=3, r0 = 10⁹//3 = 333333333, base = (15·333333333)//100 = 49999999
+    // shares: 1→333333333, 2→166666666 (deg 2), 3→333333333
+    // r1(1) = base + (85·166666666)//100 = 49999999 + 141666666
+    // r1(2) = base + (85·(333333333+333333333))//100 = 49999999 + 566666666
+    assert(r1 == Map(1L -> 191666665L, 2L -> 616666665L, 3L -> 191666665L))
+    // after the default 3 rounds the hub still dominates, symmetrically
+    val r3 = Curation.pagerankInteger(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(2L) > r3(1L) && r3(1L) == r3(3L))
+    // a triangle (regular graph) stays uniform through every round
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val rt = Curation.pagerankInteger(tri, iters = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(rt.size == 1)
+  }
 }
