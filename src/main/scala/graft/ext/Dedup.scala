@@ -404,7 +404,7 @@ object Dedup {
     * regex tokenization for every shingle under CollapseProject — measured
     * 4.6 s vs 0.3 s for the token explode alone at sf0.1.
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int)
+  private[ext] def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(

@@ -155,6 +155,22 @@ object TextQueries {
         .select(col("doc").as("doc_id"), col("n_bigrams"), col("score_sum_q6"),
           col("lm_score"))
         .orderBy("doc_id")
+    },
+
+    // Pruned n-gram count table — the KenLM-prep artifact: RAW (non-
+    // distinct) 3-gram occurrence counts, min-count 3 pruned, top-200 by
+    // count. One partial+final hash aggregation over the exploded gram
+    // stream (the window-based shingleRows shape — tokens materialize
+    // once per doc); the prune drops the long tail BEFORE the global
+    // top-k sort ever sees it.
+    "q_ngram_counts" -> { (s, dir) =>
+      Dedup
+        .shingleRows(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .groupBy(col("s").as("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(200)
     }
   )
 
@@ -255,7 +271,16 @@ object TextQueries {
       "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, " +
       "CAST(sum(q6) AS BIGINT) AS score_sum_q6, " +
       "CAST(CAST(sum(q6) AS BIGINT) AS DOUBLE) / CAST(sum(occ) AS BIGINT) / 1000000 " +
-      "AS lm_score FROM term GROUP BY 1 ORDER BY doc_id")
+      "AS lm_score FROM term GROUP BY 1 ORDER BY doc_id"),
+    // RAW trigram occurrences (no per-doc distinct), pruned then ranked.
+    // scalar-list generate_series, not the table function: DuckDB rejects
+    // correlated table-function arguments (the round-9 lateral lesson)
+    "q_ngram_counts" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "g AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram " +
+      "FROM toks WHERE len(t) >= 3) " +
+      "SELECT gram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 3 " +
+      "ORDER BY cnt DESC, gram LIMIT 200")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner
