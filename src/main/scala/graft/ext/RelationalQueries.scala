@@ -1159,6 +1159,32 @@ object RelationalQueries {
         .orderBy("ship_mode")
     },
 
+    // TPC-H Q16-shaped: distinct-supplier counts per part class with a
+    // NOT IN exclusion — the anti-join decorrelation. The part-class
+    // filter broadcasts its attributes into the lineitem scan (the fact
+    // never shuffles for the dims); the excluded-supplier set (the
+    // "complaints" stand-in: negative balance) is dimension-sized and
+    // broadcasts as a left_anti build. NOT IN ≡ anti-join here because
+    // s_suppkey is non-null by schema — the standard NOT-IN-null caveat
+    // does not arise. count(DISTINCT) rides Spark's two-level distinct
+    // aggregate on the grouped keys.
+    "q_part_supplier_counts" -> { (s, dir) =>
+      val pk = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSup = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
     // q_big_orders through the BUCKETED fact⋈fact path: both join sides
     // are first written bucketed+sorted on the order key
     // ([[Scale.writeBucketed]] via the Dedup Intermediate machinery, so
@@ -1649,6 +1675,15 @@ object RelationalQueries {
       "AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
       "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
       "GROUP BY 1 ORDER BY 1"),
+    // Q16's NOT IN stays in its natural form — DuckDB's own decorrelation
+    // cross-checks the engine's explicit anti-join
+    "q_part_supplier_counts" -> ("SELECT p_brand, p_type, p_size, " +
+      "count(DISTINCT l_suppkey) AS supplier_cnt " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+      "WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO' " +
+      "AND p_size IN (1, 4, 9, 16, 25, 36, 49) " +
+      "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+      "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
     // identical to q_big_orders: the bucketed layout is a physical choice
     // and must be invisible to results
     "q_big_orders_bucketed" -> ("SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, " +

@@ -423,6 +423,22 @@ class PlanSpec extends SparkSpec {
       s"only the stats aggregation may shuffle:\n$p")
   }
 
+  test("q_part_supplier_counts: dims broadcast, NOT IN is a broadcast anti-join") {
+    val p = plan("q_part_supplier_counts")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN must decorrelate to an equi anti-join:\n$p")
+    assert(p.contains("LeftAnti"), s"the exclusion set must anti-join:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"part class and excluded suppliers both broadcast:\n$p")
+    // the part-class filters reach the part scan (attribute ids in the
+    // rendered plan: `p_size#N IN (…)`)
+    assert(p.contains("IN (1,4,9,16,25,36,49)"),
+      s"part size filter must push down:\n$p")
+    // lineitem ships only its two join keys
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"lineitem must prune to the two keys:\n$p")
+  }
+
   test("q_big_orders_bucketed: the fact join reads bucket-aligned, zero key exchange") {
     try {
       val p = plan("q_big_orders_bucketed")
