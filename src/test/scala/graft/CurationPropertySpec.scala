@@ -198,4 +198,36 @@ class CurationPropertySpec extends SparkSpec {
     assert(!counts.contains("s1"), "zero-weight stratum must vanish")
     assert(counts.get("s2").contains(166L))
   }
+
+  test("pagerankInteger: invariants over generated graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(3, 12)
+      m <- Gen.choose(2, 20)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    samples(edgeGen, 12, seed0 = 77L).filter(_.nonEmpty).foreach { es =>
+      val pairs = es.toDF("a", "b")
+      val ranks = Curation.pagerankInteger(pairs, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+      // every node ranked exactly once, all ranks positive
+      assert(ranks.keySet == nodes)
+      assert(ranks.values.forall(_ > 0))
+      // truncating divisions only LOSE mass: Σ ranks ≤ q9 unit
+      assert(ranks.values.sum <= 1000000000L)
+      // deterministic: a second run is bit-identical
+      val again = Curation.pagerankInteger(pairs, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == ranks)
+      // label-shift invariance: adding a constant to every node id
+      // shifts the keys but must not change any rank value
+      val shifted = Curation.pagerankInteger(
+        es.map { case (a, b) => (a + 1000L, b + 1000L) }.toDF("a", "b"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shifted == ranks.map { case (k, v) => (k + 1000L, v) })
+    }
+  }
 }
