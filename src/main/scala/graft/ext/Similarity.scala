@@ -495,13 +495,27 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Per-subspace squared distances to every cell of one codebook row:
-    * array of k doubles. `tab` is the full m×k×subDim literal; `sub` may
-    * be a lambda-bound Column.
+  /** Per-subspace squared distances to every cell of one codebook row,
+    * UNROLLED at plan time: the codebook is a driver-side Scala value, so
+    * each of the k cell distances expands to subDim codegen-able
+    * `(element_at(vec, i) − const)²` terms — no array slice, no lambda,
+    * no interpreted fold on the corpus hot path. The previous HOF form
+    * (`transform(tab(sub), c => sqDist(slice(vec…), c))`) ran m·k
+    * interpreted folds per row: the ×100 probe measured `q_ivfpq_adc` at
+    * 51.6 s with ~all of it in the encode — the same
+    * literal-unroll lesson as the `graft_dot` LSH buckets.
+    *
+    * Left-assoc `reduce(_ + _)` sums in the identical order as
+    * [[sqDist]]'s fold (0.0 + t₁ ≡ t₁ for the non-negative squared
+    * terms), so results — and the DuckDB oracle — are bit-unchanged.
     */
-  private def subDists(vec: Column, tab: Column, sub: Column, subDim: Int): Column =
-    transform(element_at(tab, sub + 1),
-      c => sqDist(slice(vec, sub * subDim + 1, lit(subDim)), c))
+  private def subDistsLit(vec: Column, books: PQCodebooks, sub: Int): Column =
+    array(books.tables(sub).map { cent =>
+      (0 until books.subDim).map { i =>
+        val d = element_at(vec, sub * books.subDim + i + 1) - lit(cent(i))
+        d * d
+      }.reduce(_ + _)
+    }: _*)
 
   /** First-wins argmin as array_position of the min — deterministic on
     * ties, mirrors [[argmaxCell]]'s first-wins contract.
@@ -566,11 +580,8 @@ object Similarity {
     * [[pqEncode]] and [[ivfPqTopKAdc]] (which encodes off the
     * cell-assigned frame so the corpus is scanned once, not joined).
     */
-  private def codesExpr(vec: Column, books: PQCodebooks): Column = {
-    val tab = books.lit
-    transform(sequence(lit(0), lit(books.m - 1)),
-      s => argminIdx(subDists(vec, tab, s, books.subDim)))
-  }
+  private def codesExpr(vec: Column, books: PQCodebooks): Column =
+    array((0 until books.m).map(s => argminIdx(subDistsLit(vec, books, s))): _*)
 
   /** Map-only PQ encoding: (id, codes array<int> of length m). */
   def pqEncode(corpus: DataFrame, books: PQCodebooks): DataFrame =
@@ -589,19 +600,42 @@ object Similarity {
     */
   def pqTopKAdc(queries: DataFrame, corpusCodes: DataFrame, books: PQCodebooks, k: Int)
       : DataFrame = {
-    val tab = books.lit
-    val withLut = queries.select(
-      col("id").as("query_id"),
-      transform(sequence(lit(0), lit(books.m - 1)),
-        s => subDists(col("vec"), tab, s, books.subDim)).as("lut"))
-    val scored = broadcast(withLut)
-      .join(corpusCodes.select(col("id").as("neighbor_id"), col("codes")),
-        col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
-          (acc, s) => acc +
-            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
-          .as("adist"))
+    // The probe set is driver-sized by the operator's contract (ADC
+    // precomputes a per-query LUT — the FAISS shape), so the LUTs become
+    // PLAN CONSTANTS instead of riding a join: the earlier broadcast-join
+    // form copied the m×k-double lut array into every scored row
+    // (~1 KB × |queries|·|corpus| rows — measured 103 s at ×100 for 20
+    // queries × 200k codes, nearly all of it UnsafeRow copying). Here the
+    // corpus is scanned once and fans out to THIN (query_id, neighbor_id,
+    // adist) rows via one posexplode; each adist is m literal-array
+    // lookups inside codegen. Driver-side LUT math replicates sqDist's
+    // left fold exactly (same IEEE op order), so results are bit-unchanged.
+    val qs = queries.select(col("id"), col("vec")).collect().map { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      val lut = (0 until books.m).map { s =>
+        books.tables(s).map { cent =>
+          cent.indices.foldLeft(0.0) { (acc, i) =>
+            val d = v(s * books.subDim + i) - cent(i)
+            acc + d * d
+          }
+        }
+      }
+      (qid, lut)
+    }
+    require(qs.nonEmpty, "pqTopKAdc needs a non-empty probe set")
+    val scored = corpusCodes
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .select(col("neighbor_id"), posexplode(array(qs.map { case (qid, lut) =>
+        struct(
+          lit(qid).as("query_id"),
+          (0 until books.m)
+            .map(s => element_at(typedLit(lut(s)), element_at(col("codes"), s + 1) + 1))
+            .reduce(_ + _)
+            .as("adist"))
+      }.toIndexedSeq: _*)).as(Seq("_pos", "qa")))
+      .select(col("qa.query_id"), col("neighbor_id"), col("qa.adist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
     Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("adist").asc, col("neighbor_id").asc), k)
   }
@@ -634,19 +668,22 @@ object Similarity {
     val corpusSide = assignCells(corpus, centroids, nCells)
       .select(col("id"), col("cell"), codesExpr(col("vec"), books).as("codes"))
     val qcells = assignCells(queries, centroids, nCells, n = nprobe)
-    val tab = books.lit
     val withLut = qcells.select(
       col("id").as("query_id"), col("cell"),
-      transform(sequence(lit(0), lit(books.m - 1)),
-        s => subDists(col("vec"), tab, s, books.subDim)).as("lut"))
+      array((0 until books.m).map(s => subDistsLit(col("vec"), books, s)): _*).as("lut"))
     val scored = broadcast(withLut)
       .join(corpusSide.select(col("id").as("neighbor_id"), col("cell"), col("codes")),
         Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(books.m - 1)), lit(0.0),
-          (acc, s) => acc +
-            element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1))
+        // m is a plan-time constant: unroll the LUT-sum into m codegen
+        // lookups (the interpreted sequence-fold measured q_pq_adc at
+        // 103 s for 200k codes × 10 queries; left-assoc sum ≡ the fold —
+        // 0.0 + t1 = t1 on the non-negative distances)
+        (0 until books.m)
+          .map(s => element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1))
+          .reduce(_ + _)
           .as("adist"))
     Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("adist").asc, col("neighbor_id").asc), k)
