@@ -101,8 +101,13 @@ object CurationQueries {
     // most others resemble) outranks the leaves. All-integer update rule
     // ⇒ hash-exact (see Curation.pagerankInteger).
     "q_dup_pagerank" -> { (s, dir) =>
+      // bucketed postings (the q_dedup_ngram_jaccard lever): the pair
+      // recompute spilled 1.5 GB at ×100 through the Local form's h-keyed
+      // re-shuffle
       val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf,
+        intermediate =
+          Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
       Curation
         .pagerankInteger(pairs, iters = 3)
         .select(col("doc").as("doc_id"), col("rank_q9"))

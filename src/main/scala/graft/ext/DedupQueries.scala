@@ -24,10 +24,18 @@ object DedupQueries {
     },
 
     // Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 via inverted index.
+    // The declared path runs the PRODUCTION intermediate (the span-dedup
+    // lever, extended here in round 10): postings written once
+    // bucketed+sorted on the shingle hash, so the sizes/hot aggregations
+    // and both self-join sides read bucket-aligned files — the ×100 probe
+    // measured the Local form spilling 200 MB through a 4.8 GB h-keyed
+    // re-shuffle that this removes.
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup
         .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
-          threshold = 0.8, maxDf = MaxDf)
+          threshold = 0.8, maxDf = MaxDf,
+          intermediate =
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
         .orderBy("a", "b")
     },
 
