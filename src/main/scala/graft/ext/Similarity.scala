@@ -495,26 +495,28 @@ object Similarity {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** Per-subspace squared distances to every cell of one codebook row,
-    * UNROLLED at plan time: the codebook is a driver-side Scala value, so
-    * each of the k cell distances expands to subDim codegen-able
-    * `(element_at(vec, i) − const)²` terms — no array slice, no lambda,
-    * no interpreted fold on the corpus hot path. The previous HOF form
-    * (`transform(tab(sub), c => sqDist(slice(vec…), c))`) ran m·k
-    * interpreted folds per row: the ×100 probe measured `q_ivfpq_adc` at
-    * 51.6 s with ~all of it in the encode — the same
-    * literal-unroll lesson as the `graft_dot` LSH buckets.
+  /** Per-subspace squared distances to every cell of one codebook row:
+    * the codebook is a driver-side Scala value, so each cell distance is
+    * ONE native `graft_sqdist(slice(vec…), <literal sub-centroid>)` call
+    * ([[graft.functions.SqDistD]] — a codegen primitive loop with the
+    * identical fold order as [[sqDist]], so results and oracles are
+    * bit-unchanged).
     *
-    * Left-assoc `reduce(_ + _)` sums in the identical order as
-    * [[sqDist]]'s fold (0.0 + t₁ ≡ t₁ for the non-negative squared
-    * terms), so results — and the DuckDB oracle — are bit-unchanged.
+    * Two rejected forms, both measured: the original
+    * `transform(tab(sub), c => sqDist(…))` HOF ran m·k INTERPRETED folds
+    * per corpus row (`q_ivfpq_adc` 51.6 s at ×100, ~all encode); a
+    * plan-time unroll into m·k·subDim literal arithmetic terms fixed the
+    * runtime but paid seconds of planning/codegen per invocation
+    * (`q_ivfpq_adc` 1.4 → 5.2 s at sf0.1 — the `lshBucket` literal-sum
+    * lesson). The native call keeps the plan tree small AND the loop
+    * compiled. Requires [[graft.functions.GraftFunctions.register]]
+    * (the declared queries register via their shared `vecs` helper).
     */
   private def subDistsLit(vec: Column, books: PQCodebooks, sub: Int): Column =
     array(books.tables(sub).map { cent =>
-      (0 until books.subDim).map { i =>
-        val d = element_at(vec, sub * books.subDim + i + 1) - lit(cent(i))
-        d * d
-      }.reduce(_ + _)
+      call_function("graft_sqdist",
+        slice(vec, sub * books.subDim + 1, books.subDim),
+        typedLit(cent))
     }: _*)
 
   /** First-wins argmin as array_position of the min — deterministic on

@@ -35,6 +35,13 @@ object GraftFunctions {
           CosineSimD(args.head, args(1))
         }),
       (
+        FunctionIdentifier("graft_sqdist"),
+        new ExpressionInfo(classOf[SqDistD].getName, "graft_sqdist"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_sqdist(arrayA, arrayB) takes 2 arguments")
+          SqDistD(args.head, args(1))
+        }),
+      (
         FunctionIdentifier("graft_rollhash"),
         new ExpressionInfo(classOf[RollingHash31].getName, "graft_rollhash"),
         (args: Seq[Expression]) => {
