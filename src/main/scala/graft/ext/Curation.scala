@@ -101,6 +101,78 @@ object Curation {
       .drop("cluster")
   }
 
+  /** Per-group cap — the Common-Crawl-style per-DOMAIN quota: within each
+    * group keep at most `cap` rows, chosen by a deterministic salted-hash
+    * order (so the kept subset is an unbiased, retry-stable sample of the
+    * group, not "whatever sorted first"). Adds `rn` (1-based hash-order
+    * rank within the group) and `keep` (rn ≤ cap).
+    *
+    * Scale shape: ONE hash exchange on the group key feeding a per-group
+    * sort + row_number — the same envelope as any per-key ordered
+    * operator; the cap predicate is a filterable rank, so consumers that
+    * only read kept rows get Spark 4's WindowGroupLimit (per-partition
+    * top-cap BEFORE the shuffle). Skewed domains are exactly the rows the
+    * cap discards, and the group-limit prunes them map-side.
+    */
+  def capPerGroup(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int,
+      salt: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", (col("rn") <= cap).cast("int"))
+  }
+
+  /** Time-boundary split diagnostics — the TEMPORAL analog of
+    * [[splitAssign]] (train on the past, evaluate on the future — the only
+    * split that measures forward generalization for time-ordered corpora):
+    * events before `boundaryCol < boundary` are train, the rest test, and
+    * the summary surfaces the entity-overlap leak a temporal split must
+    * audit (entities active on BOTH sides carry future information into
+    * train for any entity-level label). Returns three rows —
+    * (split='train'|'test'|'leak', n_events, n_entities) where the leak
+    * row counts crossover entities and their total events.
+    *
+    * Scale shape: one scan, one hash aggregation on the entity key
+    * (per-entity state = two integers), then a 3-row summary — the
+    * assignment itself is a map-side comparison, exactly like the hash
+    * split. Deterministic: the boundary is data, not wall-clock.
+    */
+  def temporalSplit(
+      events: DataFrame,
+      entityCol: String,
+      boundaryCol: String,
+      boundary: String): DataFrame = {
+    val per = events
+      .select(col(entityCol).as("ent"),
+        (col(boundaryCol) < lit(boundary).cast("timestamp")).cast("long").as("is_tr"))
+      .groupBy(col("ent"))
+      .agg(sum(col("is_tr")).as("n_tr"), sum(lit(1) - col("is_tr")).as("n_te"))
+    per.agg(
+      sum(col("n_tr")).as("train_ev"),
+      sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("train_ent"),
+      sum(col("n_te")).as("test_ev"),
+      sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("test_ent"),
+      sum(when(col("n_tr") > 0 && col("n_te") > 0, col("n_tr") + col("n_te")).otherwise(0L))
+        .as("leak_ev"),
+      sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L)).as("leak_ent"))
+      .select(explode(array(
+        struct(lit("train").as("split"), col("train_ev").as("n_events"),
+          col("train_ent").as("n_entities")),
+        struct(lit("test").as("split"), col("test_ev").as("n_events"),
+          col("test_ent").as("n_entities")),
+        struct(lit("leak").as("split"), col("leak_ev").as("n_events"),
+          col("leak_ent").as("n_entities")))).as("r"))
+      .select(col("r.split").as("split"), col("r.n_events").as("n_events"),
+        col("r.n_entities").as("n_entities"))
+  }
+
   /** Deterministic per-stratum sampling: keep a document iff its hash
     * bucket falls below the stratum's threshold (rate × [[Buckets]]).
     * The rate table is broadcast (strata are few by nature); unknown

@@ -21,6 +21,9 @@ object CurationQueries {
   private val ChunkLen = 200
   private val ChunkStride = 150
   private val Blocklist = Seq("customer", "spark")
+  private val CapSalt = "capdom"
+  private val DomainCap = 15
+  private val TemporalBoundary = "2024-01-22 00:00:00"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic train/val/test split (90/5/5 by salted hash bucket),
@@ -31,6 +34,28 @@ object CurationQueries {
           trainUpTo = 9000, valUpTo = 9500)
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")
+    },
+
+    // Per-DOMAIN cap (Common-Crawl-style quota): each source keeps at most
+    // 15 docs, chosen by salted-hash order — an unbiased, retry-stable
+    // per-group sample; rolled up per source with the kept-id checksum.
+    "q_domain_caps" -> { (s, dir) =>
+      Curation
+        .capPerGroup(Tables.documents(s, dir), "doc_id", "source", cap = DomainCap,
+          salt = CapSalt)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep").cast("long")).as("n_kept"),
+          sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_sum"))
+        .orderBy("source")
+    },
+
+    // Temporal split at a fixed boundary (train on the past, test on the
+    // future) + the crossover-entity leak audit — per-user conditional
+    // aggregation, one scan, 3-row summary.
+    "q_split_temporal" -> { (s, dir) =>
+      Curation
+        .temporalSplit(Tables.events(s, dir), "user_id", "ts", TemporalBoundary)
         .orderBy("split")
     },
 
@@ -308,6 +333,28 @@ object CurationQueries {
       s"WHERE ${bucketSql(SampleSalt)} < " +
       "CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000 ELSE 500 END " +
       "ORDER BY doc_id"),
+    // same salted-bucket hash order inside row_number; conditional sums
+    // mirror the engine's keep rollup (CASTs: HUGEINT→pandas artifact)
+    "q_domain_caps" -> (s"WITH r AS (SELECT doc_id, source, row_number() OVER " +
+      s"(PARTITION BY source ORDER BY ${bucketSql(CapSalt)}, doc_id) AS rn FROM documents) " +
+      "SELECT source, count(*) AS n_docs, " +
+      s"CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      s"CAST(sum(CASE WHEN rn <= $DomainCap THEN doc_id END) AS BIGINT) AS kept_id_sum " +
+      "FROM r GROUP BY 1 ORDER BY 1"),
+    // per-user conditional counts then the 3-row train/test/leak summary
+    "q_split_temporal" -> (s"WITH per AS (SELECT user_id, " +
+      s"CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$TemporalBoundary' " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_tr, " +
+      s"CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '$TemporalBoundary' " +
+      "THEN 0 ELSE 1 END) AS BIGINT) AS n_te FROM events GROUP BY 1) " +
+      "SELECT 'train' AS split, CAST(sum(n_tr) AS BIGINT) AS n_events, " +
+      "CAST(sum(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_entities FROM per " +
+      "UNION ALL SELECT 'test', CAST(sum(n_te) AS BIGINT), " +
+      "CAST(sum(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM per " +
+      "UNION ALL SELECT 'leak', " +
+      "CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_tr + n_te ELSE 0 END) AS BIGINT), " +
+      "CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM per " +
+      "ORDER BY split"),
     "q_sample_weighted" -> ("SELECT doc_id, n_chars FROM documents " +
       s"WHERE ${bucketSql(WeightSalt)} < " +
       "CAST(floor(least(n_chars / 400.0, 1.0) * 10000) AS BIGINT) ORDER BY doc_id"),

@@ -373,6 +373,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Cross-source exact-dedup KEEP decision with source priority — the
+    * multi-source corpus merge: when the same content arrives from several
+    * feeds (curated dump, web crawl, mirror), keep exactly one copy and
+    * prefer the highest-priority source (lowest `priorityCol`), breaking
+    * ties on the doc id. Unlike [[exactGroups]] (one row per group) this
+    * returns the per-document verdict — (doc, fp, canonical_id, keep) —
+    * the frame a pipeline anti-joins or filters on.
+    *
+    * Scale shape: one hash exchange on the content fingerprint feeding a
+    * per-group sort window (row_number + running first over the same
+    * window spec — ONE Window operator); group sizes are duplicate
+    * multiplicities, bounded in practice, so the per-group sort is
+    * constant-ish. Deterministic for any (priority, id) total order.
+    */
+  def exactKeepByPriority(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      priorityCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("prio").asc, col("doc").asc)
+    docs
+      .select(col(idCol).as("doc"), priorityCol.as("prio"),
+        TextOps.fingerprintMd5(col(textCol)).as("fp"))
+      .withColumn("canonical_id", first(col("doc")).over(w))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc"), col("fp"), col("canonical_id"), col("keep"))
+  }
+
   /** Duplicate-n-gram repetition stats — the Gopher-style quality filter:
     * a document whose n-grams repeat heavily (boilerplate, keyword spam,
     * degenerate generations) is flagged by
@@ -486,6 +515,50 @@ object Dedup {
         (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Directional shingle-set CONTAINMENT pairs — the asymmetric near-dup
+    * detector Jaccard misses: a short document wholly embedded in a long one
+    * (quote inflation, page-with-boilerplate, excerpt spam) has
+    * `inter/|A| ≈ 1` while its Jaccard `inter/|A∪B|` stays far below any
+    * dedup threshold. Pairs where EITHER direction's containment
+    * (`inter/min-side` — the max of the two directions) reaches `threshold`
+    * are emitted with both directional scores.
+    *
+    * Same plan family as [[jaccardPairs]] (one posting frame feeding sizes /
+    * df-cap / both merge-hinted self-join sides, 60-bit hashed 8-byte keys),
+    * so every scale property audited there carries over; the df-cap again
+    * affects candidate recall only, never an emitted pair's score. Both
+    * containments are single IEEE divisions of exact integers —
+    * engine-portable.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Int = 1000,
+      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+    val post0 = intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
+      "containment_postings", "h")
+    val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val hot = post0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("h")
+    val post = post0.join(hot, Seq("h"), "left_anti")
+    val inter = post
+      .as("x")
+      .hint("merge")
+      .join(post.as("y").hint("merge"), col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .select(col("a"), col("b"), col("inter"),
+        col("sa.n_sh").as("n_a"), col("sb.n_sh").as("n_b"),
+        (col("inter").cast("double") / col("sa.n_sh")).as("cont_a"),
+        (col("inter").cast("double") / col("sb.n_sh")).as("cont_b"))
+      .filter(col("inter").cast("double") / least(col("n_a"), col("n_b")) >= threshold)
   }
 
   /** Benchmark decontamination — the training-data hygiene operator: for

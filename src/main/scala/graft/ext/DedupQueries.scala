@@ -39,6 +39,30 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Directional CONTAINMENT pairs (3-gram shingles, max-direction ≥ 0.8)
+    // — the asymmetric near-dup detector: a short doc embedded in a long
+    // one passes containment while its Jaccard stays low. Same bucketed
+    // posting plan as q_dedup_ngram_jaccard.
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup
+        .containmentPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.8, maxDf = MaxDf,
+          intermediate =
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+        .orderBy("a", "b")
+    },
+
+    // Cross-source exact-dedup keep: same content from several feeds keeps
+    // exactly one copy, preferring the lowest source index ('src3' beats
+    // 'src12' content-twins) — the multi-source corpus merge decision,
+    // per-document.
+    "q_cross_source_dedup" -> { (s, dir) =>
+      Dedup
+        .exactKeepByPriority(Tables.documents(s, dir), "doc_id", "text",
+          substring(col("source"), 4, 10).cast("int"))
+        .orderBy("doc")
+    },
+
     // MinHash signatures (k=16) — the mergeable sketch itself, via the
     // posting-list aggregation (hash once per shingle). Serialized to a
     // "-"-joined string: the driver's pandas compare cannot sort an
@@ -253,6 +277,23 @@ object DedupQueries {
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 " +
       "AND (a % 7 = 0 OR b % 7 = 0) ORDER BY a, b"),
+    // same posting fragments as the jaccard oracle; the filter is the
+    // max-direction containment (inter / min side)
+    "q_dedup_containment" -> (s"WITH $WithShingles, $Postings, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +
+      "SELECT a, b, i AS inter, sa.n_sh AS n_a, sb.n_sh AS n_b, " +
+      "i::DOUBLE / sa.n_sh AS cont_a, i::DOUBLE / sb.n_sh AS cont_b " +
+      "FROM inter JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / least(sa.n_sh, sb.n_sh) >= 0.8 ORDER BY a, b"),
+    // first_value/row_number over the same (prio, doc_id) window ≡ the
+    // engine's single Window operator
+    "q_cross_source_dedup" -> ("WITH f AS (SELECT doc_id, " +
+      "CAST(substr(source, 4) AS INT) AS prio, " +
+      "md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents) " +
+      "SELECT doc_id AS doc, fp, first_value(doc_id) OVER w AS canonical_id, " +
+      "CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS keep " +
+      "FROM f WINDOW w AS (PARTITION BY fp ORDER BY prio, doc_id) ORDER BY doc"),
     "q_dedup_minhash" -> (s"WITH $WithShingles " +
       s"SELECT doc_id, array_to_string($SigExpr, '-') AS sig FROM shing ORDER BY doc_id"),
     "q_dedup_minhash_lsh" -> (s"WITH $WithShingles, " +

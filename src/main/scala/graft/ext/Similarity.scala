@@ -113,6 +113,30 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Hard-negative mining for contrastive training: per probe, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — the "hard"
+    * negatives that dominate the InfoNCE gradient (a random negative is
+    * trivially far; the near-miss with the wrong label is the informative
+    * one). Same plan as [[bruteForceTopK]] — probe set broadcast, one
+    * corpus scan, per-probe WindowGroupLimit rank — with the label
+    * mismatch as a join residual on broadcast-attached columns; at corpus
+    * scale the first-stage shortlist swaps to [[annTopKMulti]]/
+    * [[ivfPqTopKAdc]] and this exact ranking runs on the shortlist (the
+    * [[rerankExact]] composition). Both frames need (id, vec, label).
+    */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(
+      probes.select(col("id").as("query_id"), col("vec").as("qv"), col("label").as("ql")))
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("label").as("nl")),
+        col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
+      .select(col("query_id"), col("neighbor_id"), col("nl").as("neg_label"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    Relational
+      .topKPerGroup(dropNaN(scored), Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+  }
+
   /** Embedding near-duplicate pairs: candidates share an LSH bucket or sit
     * one sign-bit apart (Hamming-1 probe via the smaller-id side), exact
     * cosine ≥ threshold re-check. Corpus-linear like [[annTopK]]; recall

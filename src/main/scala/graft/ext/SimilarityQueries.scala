@@ -172,6 +172,22 @@ object SimilarityQueries {
         .orderBy("id")
     },
 
+    // Hard-negative mining for contrastive training: per probe (ids 0-4),
+    // top-10 by cosine among DIFFERENT-label vectors — the near-miss
+    // negatives that dominate the InfoNCE gradient. Broadcast probes, one
+    // corpus scan, label mismatch as a join residual.
+    "q_hard_negatives" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val v = Tables
+        .embeddings(s, dir)
+        .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"),
+          col("label"))
+      Similarity
+        .hardNegatives(v.filter(col("id") < 5), v, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // L2 normalization — the preprocessing step every cosine/ANN pipeline
     // runs once at ingest so downstream similarity is a plain dot product.
     // norm = the same sequential fold both engines run (graft_dot ≡
@@ -402,6 +418,14 @@ object SimilarityQueries {
       s"ON x.cell = y.cell AND x.id < y.id AND ${cosSql("x.vec", "y.vec")} >= 0.35) " +
       "SELECT c.id, c.cell, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept " +
       "FROM ccell c LEFT JOIN dropped d ON c.id = d.id ORDER BY c.id"),
+    // q_cosine_topk's shape + the label-mismatch predicate in the join
+    "q_hard_negatives" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec, label FROM embeddings), " +
+      "scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, c.label AS neg_label, " +
+      s"${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id AND q.label != c.label) " +
+      "SELECT query_id, neighbor_id, neg_label, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 10 ORDER BY query_id, rank"),
     "q_embed_norm" -> (s"SELECT vec_id AS id, i AS dim, " +
       s"CAST(floor(($VDouble[i] / ${normSql(VDouble)}) * 1000000) AS BIGINT) AS nx_q6 " +
       s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +

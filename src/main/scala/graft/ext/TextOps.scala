@@ -425,4 +425,121 @@ object TextOps {
       .select(col("doc"), col("n_bigrams"), col("score_sum_q6"),
         (col("score_sum_q6").cast("double") / col("n_bigrams") / 1e6).as("lm_score"))
   }
+
+  /** BM25 document scores for a fixed bag of query terms — the lexical
+    * retrieval ranking (Robertson/Sparck Jones) every RAG corpus serves
+    * next to its vector index. The idf factor here is the RATIO form
+    * `(N - df + 0.5) / (df + 0.5)` — the exponential of the classic
+    * `log`-idf, rank-equivalent per term and hash-exact cross-engine
+    * (libm `ln` is not correctly rounded; same determinism move as
+    * [[tfidfTopTerms]] / [[bigramCondScore]]). Per-term BM25 factors
+    * multiply in a fixed order (idf · tf-saturation), each step a
+    * correctly-rounded IEEE op, then floor-quantize at 1e-6 and sum
+    * EXACTLY as integers per doc — a cross-row double sum would be
+    * partition-order-dependent.
+    *
+    * Scale shape: one token explode filtered to the query terms BEFORE
+    * aggregating (the filter reaches the exploded stream; tf rows ≤
+    * |terms|·|docs|); dl comes from a map-side token count, not a second
+    * explode; df (≤ |terms| rows) and the (N, avgdl) singleton broadcast.
+    * The corpus is scanned once; nothing corpus-sized shuffles except the
+    * per-(doc, term) tf aggregation.
+    *
+    * Returns (doc, n_hit, score_q6, bm25) for docs hitting ≥1 term.
+    */
+  def bm25Scores(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+    val dl = base.select(col("doc"), size(col("toks")).as("dl"))
+    // N and avgdl in ONE singleton aggregate: avgdl = one IEEE division of
+    // an exact integer sum — deterministic
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base
+      .select(col("doc"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc"),
+        // fixed op order, every step correctly rounded: idf ratio, tf
+        // saturation numerator/denominator, one multiply, one divide
+        floor(
+          ((col("n_docs") - col("df")).cast("double") + 0.5) / (col("df").cast("double") + 0.5)
+            * (col("tf").cast("double") * (k1 + 1.0))
+            / (col("tf").cast("double")
+              + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+            * 1e6).cast("long").as("q6"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("q6")).as("score_q6"))
+      .select(col("doc"), col("n_hit"), col("score_q6"),
+        (col("score_q6").cast("double") / 1e6).as("bm25"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., Data Selection via
+    * Importance Resampling): score every document by how much its hashed
+    * unigram distribution looks like a TARGET subset's distribution vs the
+    * raw corpus — the cheap, classifier-free quality-targeting selector.
+    * The published form sums `log(p_target(f)/p_raw(f))`; this scorer uses
+    * the log-free analog (same move as [[bigramCondScore]]): each token
+    * occurrence contributes the add-1-smoothed probability RATIO
+    * `((ct+1)·(Tr+V)) / ((cr+1)·(Tt+V))` — exact 64-bit integer products,
+    * ONE IEEE division — floor-quantized at 1e-6 and integer-summed per
+    * doc, with one final division by the doc's token count. Monotone in
+    * the target-likeness of each token, hash-exact cross-engine.
+    *
+    * Scale shape: features are 60-bit [[Dedup.md5Long]] token hashes (the
+    * hashed-ngram move from the paper — the feature table is vocab-sized,
+    * NOT corpus-sized); target/raw counts ride ONE hash aggregation over
+    * the exploded stream (ct = conditional sum, cr = count); the
+    * (Tt, Tr, V) singleton broadcasts; the per-token ratio join-back is a
+    * merge-hinted equi join on the hash (vocab is corpus-class at 100 TB,
+    * same contract as [[bigramCondScore]]'s count joins). The token frame
+    * feeds both the count aggregation and the join-back, so it
+    * materializes once via `intermediate`.
+    *
+    * `targetPred` must be a predicate over `docs`' columns (e.g.
+    * `col("source").isin("src0", "src1")`). Docs with 0 tokens emit no row.
+    */
+  def dsirWeights(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      intermediate: Dedup.Intermediate = Dedup.Intermediate.Local)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = intermediate(
+      docs
+        .select(col(idCol).as("doc"), targetPred.cast("long").as("tgt"),
+          explode(tokens(col(textCol))).as("w"))
+        .select(col("doc"), col("tgt"), Dedup.md5Long(col("w")).as("h")),
+      "dsir_tokens")
+    val counts = tok.groupBy(col("h"))
+      .agg(sum(col("tgt")).as("ct"), count(lit(1)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    val ratios = counts
+      .crossJoin(broadcast(totals))
+      .select(col("h"),
+        // exact long products (bounded far below 2^63 at any plausible
+        // vocab/corpus ratio), one correctly-rounded division, ×1e6, floor
+        floor(((col("ct") + 1) * (col("tr") + col("v"))).cast("double")
+          / ((col("cr") + 1) * (col("tt") + col("v")))
+          * 1e6).cast("long").as("r_q6"))
+    tok
+      .hint("merge").join(ratios.hint("merge"), Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("r_q6")).as("w_sum_q6"))
+      .select(col("doc"), col("n_toks"), col("w_sum_q6"),
+        (col("w_sum_q6").cast("double") / col("n_toks") / 1e6).as("dsir_score"))
+  }
 }

@@ -157,6 +157,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 top-20 for a fixed 4-term query — lexical retrieval over the
+    // corpus (ratio-idf form, per-term scores q6-quantized and
+    // integer-summed; see TextOps.bm25Scores). Deterministic total order
+    // (score desc, doc_id) under the top-k.
+    "q_bm25" -> { (s, dir) =>
+      TextOps
+        .bm25Scores(Tables.documents(s, dir), "doc_id", "text", Bm25Terms)
+        .orderBy(col("score_q6").desc, col("doc").asc)
+        .limit(20)
+        .select(col("doc").as("doc_id"), col("n_hit"), col("score_q6"), col("bm25"))
+    },
+
+    // DSIR-style importance weights: hashed-unigram target-vs-raw
+    // probability ratios (target = sources src0-2), q6-quantized per
+    // occurrence, integer-summed per doc — the classifier-free
+    // quality-targeting selector (log-free analog; TextOps.dsirWeights).
+    "q_dsir_weights" -> { (s, dir) =>
+      TextOps
+        .dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"))
+        .select(col("doc").as("doc_id"), col("n_toks"), col("w_sum_q6"), col("dsir_score"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet-style perplexity bucketing: per-language head/middle/tail
+    // terciles of the bigram-LM fluency score (head = most fluent).
+    // ntile over a TOTAL order (score desc, doc_id) so bucket boundaries
+    // are engine-deterministic even at score ties.
+    "q_perplexity_buckets" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val sc = TextOps.bigramCondScore(d, "doc_id", "text")
+        .join(d.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+      val w = Window.partitionBy("lang").orderBy(col("lm_score").desc, col("doc").asc)
+      sc.withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), min("lm_score").as("min_lm"),
+          max("lm_score").as("max_lm"))
+        .orderBy("lang", "bucket")
+    },
+
     // Pruned n-gram count table — the KenLM-prep artifact: RAW (non-
     // distinct) 3-gram occurrence counts, min-count 3 pruned, top-200 by
     // count. One partial+final hash aggregation over the exploded gram
@@ -192,6 +233,32 @@ object TextQueries {
     // first profile in priority order whose score = max wins
     "CASE " + scores.map { case (l, s) => s"WHEN $s = $maxS THEN '$l'" }.mkString(" ") + " END"
   }
+  /** The fixed query bag for q_bm25 — shared by the engine call and the
+    * oracle's IN list. */
+  private[ext] val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "query")
+
+  /** The bigram-LM scoring chain (TextOps.bigramCondScore's oracle mirror)
+    * up to per-doc `lmscore` — shared by q_lm_fluency and
+    * q_perplexity_buckets. */
+  private val LmCtes: String =
+    s"toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "b2 AS (SELECT doc_id, " +
+      "('0x' || substr(md5(u['w1']), 1, 15))::BIGINT AS h1, " +
+      "('0x' || substr(md5(u['big']), 1, 15))::BIGINT AS h12 FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), " +
+      "i -> {'w1': t[i], 'big': t[i] || ' ' || t[i+1]})) AS u " +
+      "FROM toks WHERE len(t) >= 2)), " +
+      "docbg AS (SELECT doc_id, h1, h12, count(*) AS occ FROM b2 GROUP BY 1, 2, 3), " +
+      "c1 AS (SELECT h1, count(*) AS c1 FROM b2 GROUP BY 1), " +
+      "c12 AS (SELECT h12, count(*) AS c12 FROM b2 GROUP BY 1), " +
+      "term AS (SELECT doc_id, occ, " +
+      "CAST(floor(CAST(c12 AS DOUBLE) / c1 * 1000000) AS BIGINT) * occ AS q6 " +
+      "FROM docbg JOIN c12 USING (h12) JOIN c1 USING (h1)), " +
+      "lmscore AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, " +
+      "CAST(sum(q6) AS BIGINT) AS score_sum_q6, " +
+      "CAST(CAST(sum(q6) AS BIGINT) AS DOUBLE) / CAST(sum(occ) AS BIGINT) / 1000000 " +
+      "AS lm_score FROM term GROUP BY 1)"
+
   private val Norm = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
   private val Roll =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(list_filter(string_split($Norm, ''), c -> c != ''), c -> ascii(c)::BIGINT)), (acc,c) -> (acc * 31 + c) % 1000000007)"
@@ -255,23 +322,54 @@ object TextQueries {
     // identical 60-bit md5 keys, identical per-term quantization chain
     // (IEEE divide → ×1e6 → floor, each correctly rounded), exact integer
     // sums, one final division — hash-exact despite being a "probability"
-    "q_lm_fluency" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
-      "b2 AS (SELECT doc_id, " +
-      "('0x' || substr(md5(u['w1']), 1, 15))::BIGINT AS h1, " +
-      "('0x' || substr(md5(u['big']), 1, 15))::BIGINT AS h12 FROM (" +
-      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), " +
-      "i -> {'w1': t[i], 'big': t[i] || ' ' || t[i+1]})) AS u " +
-      "FROM toks WHERE len(t) >= 2)), " +
-      "docbg AS (SELECT doc_id, h1, h12, count(*) AS occ FROM b2 GROUP BY 1, 2, 3), " +
-      "c1 AS (SELECT h1, count(*) AS c1 FROM b2 GROUP BY 1), " +
-      "c12 AS (SELECT h12, count(*) AS c12 FROM b2 GROUP BY 1), " +
-      "term AS (SELECT doc_id, occ, " +
-      "CAST(floor(CAST(c12 AS DOUBLE) / c1 * 1000000) AS BIGINT) * occ AS q6 " +
-      "FROM docbg JOIN c12 USING (h12) JOIN c1 USING (h1)) " +
-      "SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams, " +
-      "CAST(sum(q6) AS BIGINT) AS score_sum_q6, " +
-      "CAST(CAST(sum(q6) AS BIGINT) AS DOUBLE) / CAST(sum(occ) AS BIGINT) / 1000000 " +
-      "AS lm_score FROM term GROUP BY 1 ORDER BY doc_id"),
+    "q_lm_fluency" -> (s"WITH $LmCtes " +
+      "SELECT doc_id, n_bigrams, score_sum_q6, lm_score FROM lmscore ORDER BY doc_id"),
+    // the lm_fluency chain + per-lang ntile over the same total order
+    // (score desc, doc_id) the engine windows on; head = most fluent
+    "q_perplexity_buckets" -> (s"WITH $LmCtes, " +
+      "j AS (SELECT l.doc_id, d.lang, l.lm_score FROM lmscore l " +
+      "JOIN documents d USING (doc_id)), " +
+      "nt AS (SELECT lang, lm_score, ntile(3) OVER " +
+      "(PARTITION BY lang ORDER BY lm_score DESC, doc_id ASC) AS bucket FROM j) " +
+      "SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs, " +
+      "min(lm_score) AS min_lm, max(lm_score) AS max_lm " +
+      "FROM nt GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same fixed-order BM25 factor chain (ratio idf · tf saturation), same
+    // q6 floor-quantization, integer sums, deterministic top-20
+    "q_bm25" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "dl AS (SELECT doc_id, len(t) AS dl FROM base), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(t) AS token FROM base) " +
+        s"WHERE token IN ($terms) GROUP BY 1, 2), " +
+        "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "q AS (SELECT tf.doc_id, CAST(floor(" +
+        "((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) " +
+        s"* (tf::DOUBLE * ${1.2 + 1.0}) " +
+        "/ (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))) " +
+        "* 1e6) AS BIGINT) AS q6 " +
+        "FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_hit, CAST(sum(q6) AS BIGINT) AS score_q6, " +
+        "CAST(sum(q6) AS BIGINT)::DOUBLE / 1e6 AS bm25 FROM q GROUP BY 1 " +
+        "ORDER BY score_q6 DESC, doc_id ASC LIMIT 20"
+    },
+    // identical 60-bit token hashes, exact integer products, one division,
+    // q6 floor — the engine's add-1-smoothed target/raw ratio chain
+    "q_dsir_weights" -> ("WITH tok AS (SELECT doc_id, tgt, " +
+      "('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM " +
+      "(SELECT doc_id, CASE WHEN source IN ('src0', 'src1', 'src2') " +
+      s"THEN 1 ELSE 0 END AS tgt, unnest($Toks) AS w FROM documents)), " +
+      "cnts AS (SELECT h, CAST(sum(tgt) AS BIGINT) AS ct, count(*) AS cr " +
+      "FROM tok GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr, " +
+      "count(*) AS v FROM cnts), " +
+      "rat AS (SELECT h, CAST(floor(((ct + 1) * (tr + v))::DOUBLE " +
+      "/ ((cr + 1) * (tt + v)) * 1e6) AS BIGINT) AS r_q6 FROM cnts CROSS JOIN tot) " +
+      "SELECT doc_id, count(*) AS n_toks, CAST(sum(r_q6) AS BIGINT) AS w_sum_q6, " +
+      "CAST(sum(r_q6) AS BIGINT)::DOUBLE / count(*) / 1e6 AS dsir_score " +
+      "FROM tok JOIN rat USING (h) GROUP BY 1 ORDER BY doc_id"),
     // RAW trigram occurrences (no per-doc distinct), pruned then ranked.
     // scalar-list generate_series, not the table function: DuckDB rejects
     // correlated table-function arguments (the round-9 lateral lesson)

@@ -282,4 +282,41 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(rt.size == 1)
   }
+
+  test("capPerGroup: kept = min(cap, group size); keep set is order-invariant") {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
+    val capped = Curation.capPerGroup(docs, "doc_id", "grp", cap = 10, salt = "t")
+    val kept = capped.filter(col("keep") === 1)
+    val perGroup = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ == 10), s"every group capped to 10: $perGroup")
+    // a tiny group keeps everything
+    val small = (0L until 3L).map(i => (i, "only")).toDF("doc_id", "grp")
+    assert(Curation.capPerGroup(small, "doc_id", "grp", cap = 10, salt = "t")
+      .filter(col("keep") === 1).count() == 3)
+    // physical input order must not change who is kept (retry stability)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val shuffled = Curation
+      .capPerGroup(docs.orderBy(col("doc_id").desc).repartition(7), "doc_id", "grp",
+        cap = 10, salt = "t")
+      .filter(col("keep") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == shuffled)
+  }
+
+  test("temporalSplit: event conservation and crossover-leak bounds") {
+    // users 1 (train-only), 2 (both sides), 3 (test-only)
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-02 00:00:00"),
+      (2L, "2024-01-03 00:00:00"), (2L, "2024-01-25 00:00:00"),
+      (3L, "2024-01-28 00:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val r = Curation.temporalSplit(ev, "user_id", "ts", "2024-01-22 00:00:00")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("train") == ((3L, 2L)))
+    assert(r("test") == ((2L, 2L)))
+    // user 2 straddles the boundary: 2 of its events leak future signal
+    assert(r("leak") == ((2L, 1L)))
+    // conservation: every event is exactly one of train/test
+    assert(r("train")._1 + r("test")._1 == 5L)
+  }
 }

@@ -297,4 +297,55 @@ class DedupSpec extends SparkSpec {
     assert(spark.catalog.listTables().collect()
       .forall(!_.name.startsWith("graft_")), "GC must empty the graft tables")
   }
+
+  test("containmentPairs: embedded short doc passes containment, fails jaccard") {
+    val spark0 = spark
+    import spark0.implicits._
+    val short = "a b c d e"
+    val long = short + " f g h i j k l m n o p q r s t u v w x y z"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9).collect()
+    assert(cont.length == 1, "the embedded pair must surface")
+    val r = cont.head
+    assert(r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L)
+    // every shingle of the short doc occurs in the long one
+    assert(r.getAs[Double]("cont_a") == 1.0)
+    assert(r.getAs[Double]("cont_b") < 0.9)
+    // the symmetric detector misses exactly this pair
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9).count() == 0)
+  }
+
+  test("containmentPairs ⊇ jaccardPairs at the same threshold (containment ≥ jaccard)") {
+    val d = Tables.documents(spark, SfDir)
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val con = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(con),
+      s"inter/union ≤ inter/min-side, so every jaccard pair is a containment pair: ${jac -- con}")
+  }
+
+  test("containmentPairs: inter bounded by both set sizes, scores in (0, 1]") {
+    val d = Tables.documents(spark, SfDir)
+    Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.8).collect().foreach { r =>
+      val (i, na, nb) = (r.getAs[Long]("inter"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(i > 0 && i <= math.min(na, nb))
+      assert(r.getAs[Double]("cont_a") > 0 && r.getAs[Double]("cont_a") <= 1.0)
+      assert(r.getAs[Double]("cont_b") > 0 && r.getAs[Double]("cont_b") <= 1.0)
+    }
+  }
+
+  test("exactKeepByPriority: one keeper per content group, lowest (prio, id) wins") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "same text", 2), (2L, "same text", 1), (3L, "same text", 1),
+      (4L, "other", 5)).toDF("doc_id", "text", "prio")
+    val r = Dedup.exactKeepByPriority(docs, "doc_id", "text", col("prio"))
+      .collect().map(x => x.getAs[Long]("doc") ->
+        ((x.getAs[Long]("canonical_id"), x.getAs[Int]("keep")))).toMap
+    // canonical = prio 1, tie on id → doc 2; only it keeps
+    assert(r(1L) == ((2L, 0)) && r(2L) == ((2L, 1)) && r(3L) == ((2L, 0)))
+    assert(r(4L) == ((4L, 1)), "singleton groups keep themselves")
+  }
 }

@@ -455,4 +455,70 @@ class PlanSpec extends SparkSpec {
       graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
     }
   }
+
+  test("q_dedup_containment: posting self-join is merge, never broadcast") {
+    try {
+      val p = plan("q_dedup_containment")
+      assert(p.contains("SortMergeJoin"), s"posting self-join must be a shuffle join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    } finally {
+      graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
+    }
+  }
+
+  test("q_cross_source_dedup: one fp exchange feeds a single Window operator") {
+    val p = plan("q_cross_source_dedup")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one content-fingerprint shuffle only:\n$p")
+    // first + row_number share the window spec — ONE Window operator
+    assert(count(p, "Window") == 1, s"shared window spec must not split:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("q_domain_caps: one group exchange; the rollup reuses the window partitioning") {
+    val p = plan("q_domain_caps")
+    // window on source + groupBy source: subset-key grouping keeps the
+    // partitioning — exactly one data exchange (the q_pack_bins property)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"cap + rollup must share one source shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("q_split_temporal: one entity exchange, no join") {
+    val p = plan("q_split_temporal")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"per-entity aggregation is the only data shuffle:\n$p")
+    assert(!p.contains("Join"), s"the split summary needs no join:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("q_hard_negatives: probes broadcast; rank limited below the shuffle") {
+    val p = plan("q_hard_negatives")
+    // the ≠-predicate probe join: build side is the broadcast probe set,
+    // the corpus is streamed once
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe set must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k must prune below the exchange:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"probes + corpus — no extra scans:\n$p")
+  }
+
+  test("q_bm25: df and corpus stats broadcast; no cartesian") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"the ≤|terms|-row df side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row stats frame rides a broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-20 must not sort the corpus:\n$p")
+  }
+
+  test("q_dsir_weights: vocab-keyed ratio join-back is merge, not broadcast") {
+    val p = plan("q_dsir_weights")
+    // the per-feature ratio table is vocab-sized — corpus-class at 100 TB
+    assert(p.contains("SortMergeJoin"), s"feature join-back must be a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"totals ride a 1-row broadcast:\n$p")
+  }
+
+  test("q_perplexity_buckets: bigram count join-backs stay merge joins") {
+    val p = plan("q_perplexity_buckets")
+    assert(p.contains("SortMergeJoin"),
+      s"the c1/c12 vocab joins must not broadcast (corpus-class at scale):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
 }

@@ -431,4 +431,33 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(_._3)
     assert(top.toSeq == Seq((3L, 0L, 1), (1L, 1L, 2), (2L, 3L, 3)))
   }
+
+  test("hardNegatives: same-label neighbors excluded, ≡ label-filtered brute force") {
+    graft.functions.GraftFunctions.register(spark)
+    val spark0 = spark
+    import spark0.implicits._
+    // 30 deterministic 4-d vectors, 3 labels
+    val v = (0L until 30L).map { i =>
+      (i, Seq((i % 5).toDouble + 1, (i * 7 % 11).toDouble, (i * 3 % 13).toDouble, 1.0),
+        (i % 3).toInt)
+    }.toDF("id", "vec", "label")
+    val probes = v.filter($"id" < 3)
+    val hn = Similarity.hardNegatives(probes, v, k = 5).collect()
+    val probeLabel = (0L until 3L).map(i => i -> (i % 3).toInt).toMap
+    assert(hn.length == 15, "k negatives per probe")
+    hn.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != probeLabel(r.getAs[Long]("query_id")),
+        "a hard negative must never share the probe's label")
+    }
+    // reference: brute-force top-k then drop same-label rows and re-rank
+    val bf = Similarity.bruteForceTopK(probes, v, k = 30).collect()
+      .filter(r => probeLabel(r.getAs[Long]("query_id")) !=
+        (r.getAs[Long]("neighbor_id") % 3).toInt)
+      .groupBy(_.getAs[Long]("query_id"))
+      .toSeq
+      .flatMap { case (_, rs) => rs.sortBy(_.getAs[Int]("rank")).take(5).toSeq }
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    assert(hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet == bf)
+  }
 }

@@ -133,4 +133,41 @@ class TextOpsSpec extends SparkSpec {
     // predictable text outscores novel text
     assert(rows(1L)._4 > rows(2L)._4)
   }
+
+  test("bm25Scores: tf-monotone at equal length; rarer term outweighs common") {
+    // equal doc length (10 tokens) isolates tf and df effects
+    val docs = Seq(
+      (1L, "apple apple apple f1 f2 f3 f4 f5 f6 f7"),
+      (2L, "apple g1 g2 g3 g4 g5 g6 g7 g8 g9"),
+      (3L, "zebra h1 h2 h3 h4 h5 h6 h7 h8 h9")).toDF("doc_id", "text")
+    val r = TextOps.bm25Scores(docs, "doc_id", "text", Seq("apple", "zebra"))
+      .collect().map(x => x.getAs[Long]("doc") -> x.getAs[Long]("score_q6")).toMap
+    assert(r(1L) > r(2L), "more occurrences of the same term must score higher")
+    assert(r(3L) > r(2L), "a df=1 term must outscore a df=2 term at equal tf and length")
+    // saturation: tf=3 is far below 3× the tf=1 score (k1 caps term spam)
+    assert(r(1L) < 3 * r(2L), "tf saturation must bound repeated-term gain")
+  }
+
+  test("bm25Scores: docs hitting no query term emit no row") {
+    val docs = Seq((1L, "apple pie"), (2L, "no hits here")).toDF("doc_id", "text")
+    val r = TextOps.bm25Scores(docs, "doc_id", "text", Seq("apple")).collect()
+    assert(r.map(_.getAs[Long]("doc")).toSet == Set(1L))
+  }
+
+  test("dsirWeights: target-distribution docs outrank raw-distribution docs") {
+    // 'aa' is target-heavy, 'bb' raw-only; equal lengths
+    val docs = Seq(
+      (1L, "t", "aa aa aa"), (2L, "r", "bb bb bb"), (3L, "r", "aa bb aa"),
+      (4L, "t", "aa bb bb")).toDF("doc_id", "source", "text")
+    val r = TextOps.dsirWeights(docs, "doc_id", "text", col("source") === "t")
+      .collect().map(x => x.getAs[Long]("doc") -> x.getAs[Double]("dsir_score")).toMap
+    assert(r(1L) > r(3L) && r(3L) > r(2L),
+      s"monotone in target-token fraction: $r")
+    // same text ⇒ same weight regardless of the doc's own split membership
+    val r2 = TextOps.dsirWeights(
+      Seq((1L, "t", "aa bb"), (2L, "r", "aa bb")).toDF("doc_id", "source", "text"),
+      "doc_id", "text", col("source") === "t")
+      .collect().map(x => x.getAs[Long]("doc") -> x.getAs[Long]("w_sum_q6")).toMap
+    assert(r2(1L) == r2(2L), "the weight is a function of content, not membership")
+  }
 }
