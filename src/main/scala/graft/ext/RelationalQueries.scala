@@ -1185,6 +1185,48 @@ object RelationalQueries {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     },
 
+    // TPC-H Q2-shaped: minimum-cost supplier per part, region-restricted —
+    // the classic correlated-min scalar subquery, hand-decorrelated the
+    // q_excess_shipper way: ONE REPARTITION_BY_COL on l_partkey carries the
+    // per-(part, supplier) min-cost aggregate (subset-key grouping keeps
+    // the partitioning) AND the per-part min window; the winner filter is
+    // an exact integer-cents compare. Region prunes suppliers INSIDE the
+    // cost relation (as Q2's subquery does), via a broadcast semi; part
+    // gate broadcasts; the supplier/nation attach is a dimension broadcast
+    // join AFTER the frame has shrunk to winners. Completes the full
+    // 22-query TPC-H shape coverage (Q1-Q22).
+    "q_min_cost_supplier" -> { (s, dir) =>
+      val pk = Tables.part(s, dir)
+        .filter(col("p_size").isin(5, 10, 15) && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val regSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(regSup.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        // integer cents: floor before cast (the q_excess_shipper truncation
+        // parity move) — the min and the winner equality are exact
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cost_c"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("cost_c")).as("cost_c"))
+        .withColumn("min_c", min(col("cost_c")).over(w))
+        .filter(col("cost_c") === col("min_c"))
+        .join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("cost_c"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
     // q_big_orders through the BUCKETED fact⋈fact path: both join sides
     // are first written bucketed+sorted on the order key
     // ([[Scale.writeBucketed]] via the Dedup Intermediate machinery, so
@@ -1556,6 +1598,22 @@ object RelationalQueries {
     // the Q20 oracle keeps the REFERENCE formulation — nested IN + a
     // CORRELATED aggregate threshold — so the hash compare proves the
     // hand-decorrelation, not just the arithmetic
+    // the textbook correlated-min form Q2 is written in — the engine's
+    // window decorrelation must reproduce it exactly
+    "q_min_cost_supplier" -> ("WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name " +
+      "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'), " +
+      "cost AS (SELECT l_partkey, l_suppkey, " +
+      "min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cost_c FROM lineitem " +
+      "WHERE l_partkey IN (SELECT p_partkey FROM part " +
+      "WHERE p_size IN (5, 10, 15) AND p_type = 'LARGE') " +
+      "AND l_suppkey IN (SELECT s_suppkey FROM rs) GROUP BY 1, 2) " +
+      "SELECT l_partkey AS p_partkey, s_name, n_name, " +
+      "round(s_acctbal, 2) AS s_acctbal, cost_c " +
+      "FROM cost c JOIN rs ON l_suppkey = s_suppkey " +
+      "WHERE cost_c = (SELECT min(cost_c) FROM cost c2 " +
+      "WHERE c2.l_partkey = c.l_partkey) " +
+      "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
     "q_excess_shipper" -> ("WITH sp AS (SELECT l_partkey, l_suppkey, " +
       "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sp_qty FROM lineitem " +
       "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%') " +

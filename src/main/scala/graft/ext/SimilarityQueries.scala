@@ -188,6 +188,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // RAG retrieval end-to-end: embedding search (exact cosine top-3 for 3
+    // probes — swap in the ANN/IVF-PQ stack at corpus scale, the ranking
+    // contract is identical) then FETCH — the neighbor ids join back to
+    // the documents table for the source attribution and content handle a
+    // generator actually consumes. The fetch is an id equi-join against
+    // the corpus-sized documents table (planner-chosen; co-partitioned at
+    // scale), emitting md5(text) as the stable content handle.
+    "q_rag_retrieve" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      Similarity
+        .bruteForceTopK(v.filter(col("id") < 3), v, k = 3)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          md5(col("text")).as("text_md5")),
+          col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("source"),
+          col("text_md5"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+
     // L2 normalization — the preprocessing step every cosine/ANN pipeline
     // runs once at ingest so downstream similarity is a plain dot product.
     // norm = the same sequential fold both engines run (graft_dot ≡
@@ -418,6 +437,15 @@ object SimilarityQueries {
       s"ON x.cell = y.cell AND x.id < y.id AND ${cosSql("x.vec", "y.vec")} >= 0.35) " +
       "SELECT c.id, c.cell, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept " +
       "FROM ccell c LEFT JOIN dropped d ON c.id = d.id ORDER BY c.id"),
+    // the cosine-topk ranking joined to documents for the fetch stage
+    "q_rag_retrieve" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM v q JOIN v c ON q.id < 3 AND q.id != c.id), " +
+      "topk AS (SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 3) " +
+      "SELECT query_id, rank, doc_id, source, md5(text) AS text_md5, cos " +
+      "FROM topk JOIN documents ON neighbor_id = doc_id ORDER BY query_id, rank"),
     // q_cosine_topk's shape + the label-mismatch predicate in the join
     "q_hard_negatives" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec, label FROM embeddings), " +
       "scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, c.label AS neg_label, " +

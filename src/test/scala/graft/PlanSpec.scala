@@ -515,6 +515,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"totals ride a 1-row broadcast:\n$p")
   }
 
+  test("q_min_cost_supplier: one part-key exchange carries agg + window; dims broadcast") {
+    val p = plan("q_min_cost_supplier")
+    // the Q2 decorrelation: REPARTITION on l_partkey serves the
+    // (part, supplier) min aggregate AND the per-part min window
+    assert(count(p, "Exchange hashpartitioning(l_partkey") == 1,
+      s"exactly one l_partkey exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part gate + supplier attach broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the correlated min must not plan as a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not sort globally:\n$p")
+  }
+
+  test("q_rag_retrieve: probe broadcast + rank pruned below the shuffle") {
+    val p = plan("q_rag_retrieve")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe set must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k prunes before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast all-pairs:\n$p")
+  }
+
   test("q_perplexity_buckets: bigram count join-backs stay merge joins") {
     val p = plan("q_perplexity_buckets")
     assert(p.contains("SortMergeJoin"),
