@@ -120,11 +120,32 @@ object Dedup {
       }
       // unique per materialization + JVM, same contract as Durable paths;
       // metastore table names allow [a-z0-9_] only
-      private def tableName(df: DataFrame, label: String): String = {
-        val table = s"graft_${label.toLowerCase.replaceAll("[^a-z0-9]", "_")}_" +
-          s"${Intermediate.appToken(df.sparkSession)}_${Intermediate.seq.incrementAndGet()}"
-        Intermediate.created.add(table)
-        table
+      private def tableName(df: DataFrame, label: String): String =
+        Intermediate.freshName(df, label)
+    }
+
+    /** PARTITIONED durable materialization: the table is written
+      * `PARTITIONED BY (key)` (hive-style directory layout), so downstream
+      * filters and joins on the key scan only matching partitions — the
+      * substrate dynamic partition pruning (DPP) needs. Where [[Bucketed]]
+      * removes the EXCHANGE on a co-located join key, Partitioned removes
+      * the SCAN of non-matching key values: at 100 TB a date- or
+      * source-partitioned fact table turns a 3-hot-day join into a 3-day
+      * read instead of a full-corpus scan. Same managed-table lifecycle
+      * and [[Intermediate.dropBucketedTables]] GC as [[Bucketed]].
+      */
+    case object Partitioned extends Intermediate {
+      def apply(df: DataFrame, label: String): DataFrame = {
+        val spark = df.sparkSession
+        val table = Intermediate.freshName(df, label)
+        df.write.mode("overwrite").format("parquet").saveAsTable(table)
+        spark.table(table)
+      }
+      override def keyed(df: DataFrame, label: String, key: String): DataFrame = {
+        val spark = df.sparkSession
+        val table = Intermediate.freshName(df, label)
+        df.write.mode("overwrite").format("parquet").partitionBy(key).saveAsTable(table)
+        spark.table(table)
       }
     }
 
@@ -170,6 +191,15 @@ object Dedup {
 
     private[Intermediate] def appToken(spark: org.apache.spark.sql.SparkSession): String =
       spark.sparkContext.applicationId.toLowerCase.replaceAll("[^a-z0-9]", "_")
+    /** Unique managed-table name per materialization + JVM, registered for
+      * [[dropBucketedTables]]; metastore names allow [a-z0-9_] only.
+      */
+    private[Intermediate] def freshName(df: DataFrame, label: String): String = {
+      val table = s"graft_${label.toLowerCase.replaceAll("[^a-z0-9]", "_")}_" +
+        s"${appToken(df.sparkSession)}_${seq.incrementAndGet()}"
+      created.add(table)
+      table
+    }
     private[Intermediate] val created =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     case object None extends Intermediate {

@@ -1257,6 +1257,34 @@ object RelationalQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"),
           col("sq").cast("long").as("sum_qty"))
         .orderBy("o_orderkey")
+    },
+
+    // Dynamic partition pruning: events materialize once PARTITIONED BY
+    // day (the warehouse layout a 100 TB event store actually uses), then
+    // a join against the top-3 purchase days — recomputed from the raw
+    // feed, broadcast — prunes the partitioned scan to those 3 days AT
+    // RUNTIME (PartitionFilters: dynamicpruningexpression; PlanSpec pins
+    // it). At scale this is a 3-day read instead of a full-corpus scan.
+    // The rank window on the dim side is day-granular (≤ tens of
+    // thousands of rows at any SF) — the unpartitioned window is bounded.
+    "q_dpp_hot_days" -> { (s, dir) =>
+      val raw = Tables.events(s, dir)
+      val part = Dedup.Intermediate.Partitioned.keyed(
+        raw.withColumn("dt", to_date(col("ts"))), "events_bydt", "dt")
+      val hot = raw
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("purchases"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("purchases").desc, col("dt").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("dt"), col("purchases"))
+      part
+        .join(broadcast(hot), Seq("dt"))
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
+          max(col("purchases")).as("purchases"))
+        .orderBy("dt")
     }
   )
 
@@ -1748,6 +1776,16 @@ object RelationalQueries {
       "CAST(sum_qty AS BIGINT) AS sum_qty FROM orders " +
       "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
       "GROUP BY 1 HAVING sum(l_quantity) > 300.0) ON o_orderkey = l_orderkey " +
-      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    // identical to the unpartitioned computation: the day-partitioned
+    // layout + DPP is a physical choice and must be invisible to results
+    "q_dpp_hot_days" -> ("WITH hot AS (SELECT dt, purchases FROM (" +
+      "SELECT CAST(ts AS DATE) AS dt, count(*) AS purchases, " +
+      "row_number() OVER (ORDER BY count(*) DESC, CAST(ts AS DATE) ASC) AS rk " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1) WHERE rk <= 3) " +
+      "SELECT dt, count(*) AS n_events, round(sum(value), 2) AS sum_value, " +
+      "max(purchases) AS purchases " +
+      "FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e " +
+      "JOIN hot USING (dt) GROUP BY 1 ORDER BY 1")
   )
 }

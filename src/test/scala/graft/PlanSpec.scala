@@ -540,4 +540,39 @@ class PlanSpec extends SparkSpec {
       s"the c1/c12 vocab joins must not broadcast (corpus-class at scale):\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
   }
+
+  test("q_dpp_hot_days: the partitioned scan carries a dynamic pruning filter") {
+    val p = plan("q_dpp_hot_days")
+    assert(p.contains("dynamicpruningexpression"),
+      s"the day-partitioned fact scan must prune at runtime from the hot-day dim:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the ≤3-row dim must broadcast:\n$p")
+    graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
+  }
+
+  test("Bpe.pairCounts: one corpus scan, symbols explode once, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val vocab = graft.ext.Bpe
+      .wordVocab(Tables.documents(spark, SfDir), "text")
+      .select(col("w"), col("freq"), graft.ext.Bpe.charSeq(col("w")).as("seq"))
+    val p = graft.ext.Bpe.pairCounts(vocab).queryExecution.executedPlan.toString
+    assert(count(p, "Scan parquet") == 1, s"vocab derives from ONE corpus scan:\n$p")
+    // two explodes total (corpus→words, vocab→symbols), each exactly once
+    assert(count(p, "Generate") == 2, s"words and symbols each explode once:\n$p")
+    // two exchanges total: word-count agg + pair agg — the per-word lead
+    // window REUSES the word-count partitioning (no third exchange)
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"the lead window must reuse the vocab's word partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("q_bpe_encode: word-keyed vocab join is a shuffle join, never broadcast") {
+    // the trained vocab is corpus-class at 100 TB — a stats-driven
+    // broadcast at test SF would be fatal at scale; the checkpointed
+    // vocab carries no stats, so the planner must pick a shuffle join
+    val p = plan("q_bpe_encode")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"encode join must shuffle on the word key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop/all-pairs in the encode path:\n$p")
+  }
 }
