@@ -26,6 +26,35 @@ object CurationQueries {
   private val TemporalBoundary = "2024-01-22 00:00:00"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-budget corpus selection: greedily keep the highest-quality
+    // documents until a global token budget (half the corpus's tokens) is
+    // spent — the data-constrained-scaling selection step (choose what to
+    // train on when compute affords only a fraction of the corpus).
+    // Quality is the docStats composite q4-quantized so the greedy order
+    // (q4 DESC, doc_id) is integer-deterministic; the budget derives from
+    // one singleton aggregate (broadcast); kept = running token sum ≤
+    // budget via a prefix-sum window. The global-order window is the
+    // declared form; at corpus scale the selection runs exactly like
+    // packBinsTwoPass — per-chunk local prefix sums + broadcast chunk
+    // offsets — since prefix-sum decomposition is associative.
+    "q_token_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stats = TextOps
+        .docStats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("tok_cnt"),
+          floor(col("quality") * 10000).cast("long").as("q4"))
+      val budget = stats.agg(floor(sum(col("tok_cnt")) / 2).cast("long").as("budget"))
+      val w = Window
+        .orderBy(col("q4").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stats
+        .withColumn("cum_tokens", sum(col("tok_cnt")).over(w).cast("long"))
+        .crossJoin(broadcast(budget))
+        .select(col("doc_id"), col("q4"), col("tok_cnt"), col("cum_tokens"),
+          (col("cum_tokens") <= col("budget")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic train/val/test split (90/5/5 by salted hash bucket),
     // rolled up per split. Map-only assignment — no shuffle, retry-stable.
     "q_split_assign" -> { (s, dir) =>
@@ -443,6 +472,15 @@ object CurationQueries {
       "FROM documents) " +
       "SELECT split, keep, count(*) AS n_docs, CAST(sum(n_hits) AS BIGINT) AS hits, " +
       "CAST(sum(scrub_len) AS BIGINT) AS scrub_chars " +
-      "FROM d JOIN g USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2")
+      "FROM d JOIN g USING (doc_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same integer greedy order (q4 DESC, doc_id), same prefix-sum window,
+    // same half-the-corpus budget from one aggregate
+    "q_token_budget" -> (s"WITH s AS (SELECT doc_id, ${TextQueries.TokCnt} AS tok_cnt, " +
+      s"CAST(floor((${TextQueries.Quality}) * 10000) AS BIGINT) AS q4 FROM documents), " +
+      "b AS (SELECT CAST(floor(CAST(sum(tok_cnt) AS BIGINT) / 2.0) AS BIGINT) AS budget FROM s), " +
+      "c AS (SELECT doc_id, q4, tok_cnt, CAST(sum(tok_cnt) OVER (" +
+      "ORDER BY q4 DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s) " +
+      "SELECT doc_id, q4, tok_cnt, cum_tokens, cum_tokens <= budget AS kept " +
+      "FROM c CROSS JOIN b ORDER BY doc_id")
   )
 }

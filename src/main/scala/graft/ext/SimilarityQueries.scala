@@ -281,6 +281,39 @@ object SimilarityQueries {
         .join(overlap, Seq("query_id"), "left")
         .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
         .orderBy("query_id")
+    },
+
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack et al.):
+    // lexical BM25 top-20 ⊕ vector cosine top-20 (probe = vec 0) fused by
+    // rrf(d) = Σ 1/(60 + rank_s(d)) — the production hybrid-search
+    // primitive serving next to every RAG index. Per-system contribution
+    // floor-quantized at 1e-6 (one IEEE division on integer rank) and
+    // integer-summed, so the fused ordering is hash-exact. Plan shape:
+    // each arm is its own scale-path (BM25's filtered explode + broadcast
+    // stats; cosine's broadcast probe — ANN swaps in at corpus scale);
+    // fusion is a full outer join of two ≤k-row shortlists, then rank
+    // arithmetic — fusion cost is k-sized, never corpus-sized.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      // rank assignment happens on the 20-row TakeOrdered shortlist, not
+      // the corpus-sized score frame (the window input is k rows)
+      val bm = TextOps.bm25Scores(d, "doc_id", "text", TextQueries.Bm25Terms)
+        .select(col("doc").as("doc_id"), col("score_q6"))
+        .orderBy(col("score_q6").desc, col("doc_id").asc)
+        .limit(20)
+        .withColumn("bm_rank",
+          row_number().over(Window.orderBy(col("score_q6").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("bm_rank").cast("long").as("bm_rank"))
+      val v = vecs(s, dir)
+      val cs = Similarity.bruteForceTopK(v.filter(col("id") === 0), v, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("cos_rank"))
+      bm.join(cs, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("bm_rank"), col("cos_rank"),
+          (coalesce(floor(lit(1000000.0) / (col("bm_rank") + 60)).cast("long"), lit(0L)) +
+            coalesce(floor(lit(1000000.0) / (col("cos_rank") + 60)).cast("long"), lit(0L)))
+            .as("rrf_q6"))
+        .orderBy(col("rrf_q6").desc, col("doc_id").asc)
     }
   )
 
@@ -515,6 +548,23 @@ object SimilarityQueries {
         "USING (query_id, neighbor_id) GROUP BY 1) " +
         "SELECT id AS query_id, coalesce(n_overlap, 0) AS n_overlap " +
         "FROM (SELECT id FROM v WHERE id < 5) LEFT JOIN ov ON id = query_id ORDER BY query_id"
-    }
+    },
+    // the shared BM25 chain + the cosine-topk chain, fused: per-system
+    // floor(1e6/(60+rank)) contributions (integer rank, one IEEE division
+    // each) summed as integers — rank-arithmetic only, no float ordering
+    "q_hybrid_rrf" -> (s"WITH ${TextQueries.Bm25Ctes}, " +
+      "bmr AS (SELECT doc_id, CAST(rank AS BIGINT) AS bm_rank FROM (" +
+      "SELECT doc_id, row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS rank " +
+      "FROM bmscore) WHERE rank <= 20), " +
+      s"v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"scored AS (SELECT c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM v q JOIN v c ON q.id = 0 AND c.id != 0), " +
+      "csr AS (SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS cos_rank FROM (" +
+      "SELECT neighbor_id, row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS rank " +
+      "FROM scored) WHERE rank <= 20) " +
+      "SELECT doc_id, bm_rank, cos_rank, " +
+      "coalesce(CAST(floor(1000000.0 / (bm_rank + 60)) AS BIGINT), 0) + " +
+      "coalesce(CAST(floor(1000000.0 / (cos_rank + 60)) AS BIGINT), 0) AS rrf_q6 " +
+      "FROM bmr FULL JOIN csr USING (doc_id) ORDER BY rrf_q6 DESC, doc_id")
   )
 }

@@ -219,12 +219,12 @@ object TextQueries {
   private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
   private def wc(w: String) = s"len(list_filter($Toks, t -> t = '$w'))"
   private val StopHits = TextOps.Stopwords.map(wc).mkString(" + ")
-  private val TokCnt = s"len($Toks)"
+  private[ext] val TokCnt = s"len($Toks)"
   private val Ttr = s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE len(list_distinct($Toks))::DOUBLE / $TokCnt END"
   private val StopRatio = s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE ($StopHits)::DOUBLE / $TokCnt END"
   private val AvgLen =
     s"CASE WHEN $TokCnt = 0 THEN 0.0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform($Toks, t -> length(t)::BIGINT)), (a,b) -> a + b)::DOUBLE / $TokCnt END"
-  private val Quality =
+  private[ext] val Quality =
     s"least($TokCnt::DOUBLE / 100.0, 1.0) * 0.25 + (1.0 - $StopRatio) * 0.25 + least($AvgLen / 8.0, 1.0) * 0.25 + $Ttr * 0.25"
   private def langScoreSql(words: Seq[String]) = words.map(wc).mkString(" + ")
   private val LangPredicted = {
@@ -236,6 +236,28 @@ object TextQueries {
   /** The fixed query bag for q_bm25 — shared by the engine call and the
     * oracle's IN list. */
   private[ext] val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "query")
+
+  /** The BM25 scoring chain (TextOps.bm25Scores's oracle mirror) up to
+    * per-doc `bmscore(doc_id, n_hit, score_q6, bm25)` — shared by q_bm25
+    * and the hybrid-fusion query. */
+  private[ext] val Bm25Ctes: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"base AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "dl AS (SELECT doc_id, len(t) AS dl FROM base), " +
+      "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
+      "(SELECT doc_id, unnest(t) AS token FROM base) " +
+      s"WHERE token IN ($terms) GROUP BY 1, 2), " +
+      "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+      "q AS (SELECT tf.doc_id, CAST(floor(" +
+      "((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) " +
+      s"* (tf::DOUBLE * ${1.2 + 1.0}) " +
+      "/ (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))) " +
+      "* 1e6) AS BIGINT) AS q6 " +
+      "FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "bmscore AS (SELECT doc_id, count(*) AS n_hit, CAST(sum(q6) AS BIGINT) AS score_q6, " +
+      "CAST(sum(q6) AS BIGINT)::DOUBLE / 1e6 AS bm25 FROM q GROUP BY 1)"
+  }
 
   /** The bigram-LM scoring chain (TextOps.bigramCondScore's oracle mirror)
     * up to per-doc `lmscore` — shared by q_lm_fluency and
@@ -336,25 +358,9 @@ object TextQueries {
       "FROM nt GROUP BY 1, 2 ORDER BY 1, 2"),
     // same fixed-order BM25 factor chain (ratio idf · tf saturation), same
     // q6 floor-quantization, integer sums, deterministic top-20
-    "q_bm25" -> {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"WITH base AS (SELECT doc_id, $Toks AS t FROM documents), " +
-        "dl AS (SELECT doc_id, len(t) AS dl FROM base), " +
-        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)::DOUBLE / count(*) AS avgdl FROM dl), " +
-        "tf AS (SELECT doc_id, token, count(*) AS tf FROM " +
-        "(SELECT doc_id, unnest(t) AS token FROM base) " +
-        s"WHERE token IN ($terms) GROUP BY 1, 2), " +
-        "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
-        "q AS (SELECT tf.doc_id, CAST(floor(" +
-        "((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5) " +
-        s"* (tf::DOUBLE * ${1.2 + 1.0}) " +
-        "/ (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))) " +
-        "* 1e6) AS BIGINT) AS q6 " +
-        "FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id) CROSS JOIN st) " +
-        "SELECT doc_id, count(*) AS n_hit, CAST(sum(q6) AS BIGINT) AS score_q6, " +
-        "CAST(sum(q6) AS BIGINT)::DOUBLE / 1e6 AS bm25 FROM q GROUP BY 1 " +
-        "ORDER BY score_q6 DESC, doc_id ASC LIMIT 20"
-    },
+    "q_bm25" -> (s"WITH $Bm25Ctes " +
+      "SELECT doc_id, n_hit, score_q6, bm25 FROM bmscore " +
+      "ORDER BY score_q6 DESC, doc_id ASC LIMIT 20"),
     // identical 60-bit token hashes, exact integer products, one division,
     // q6 floor — the engine's add-1-smoothed target/raw ratio chain
     "q_dsir_weights" -> ("WITH tok AS (SELECT doc_id, tgt, " +

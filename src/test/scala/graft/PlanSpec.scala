@@ -549,6 +549,22 @@ class PlanSpec extends SparkSpec {
     graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
   }
 
+  test("q_hybrid_rrf: BM25 arm ranks a TakeOrdered shortlist; fusion joins k-row frames") {
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the BM25 rank window must consume the top-20 shortlist, not the score frame:\n$p")
+    assert(p.contains("FullOuter"), s"fusion must be a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the cosine probe rides a broadcast:\n$p")
+  }
+
+  test("q_token_budget: one corpus scan feeds stats; budget rides a broadcast") {
+    val p = plan("q_token_budget")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the singleton budget must broadcast:\n$p")
+    assert(count(p, "Window") == 1, s"exactly one prefix-sum window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
+  }
+
   test("Bpe.pairCounts: one corpus scan, symbols explode once, no cartesian") {
     import org.apache.spark.sql.functions.col
     val vocab = graft.ext.Bpe
