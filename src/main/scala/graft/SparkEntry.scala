@@ -239,6 +239,36 @@ object SparkEntry {
       LogsToMetrics(defs, LogsToMetrics.Schemaless("msg"))(parsed)
         .select(secs(col("window_start")).as("w_start"), col("value").as("cnt_value"))
         .orderBy("w_start")
+    },
+
+    // O2 hardening — PERMISSIVE parse with corrupt-record QUARANTINE: the
+    // production JSONL ingest split (parse what parses; quarantine the
+    // rest for replay/audit instead of dropping or failing the job) in
+    // one map-only pass + one aggregation. Corruption is synthesized
+    // deterministically (event_id % 7 truncates the closing chars) so the
+    // quarantine decision is itself oracle-checkable. Spark's
+    // FailureSafeParser may keep fields parsed BEFORE the error in
+    // PERMISSIVE mode, so valid/corrupt is decided by _corrupt_record
+    // alone and k sums only over clean rows — the oracle mirrors that
+    // exact rule via json_valid.
+    "q_ingest_quarantine" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val sch = StructType(Seq(
+        StructField("k", DoubleType), StructField("_corrupt_record", StringType)))
+      val lines = ev(s, dir).select(
+        col("event_type"),
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, greatest(length(props) - 2, 0))"))
+          .otherwise(col("props")).as("line"))
+      lines
+        .withColumn("p", from_json(col("line"), sch,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          round(sum(when(col("p._corrupt_record").isNull, col("p.k"))), 3).as("sum_k"))
+        .orderBy("event_type")
     }
   )
 
@@ -298,6 +328,17 @@ object SparkEntry {
     "q_variant_extract" -> ("SELECT event_type, " +
       "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
       "count(json_extract_string(props, '$.k')) AS k_cnt " +
-      "FROM events GROUP BY 1 ORDER BY 1")
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // same deterministic truncation rule; corrupt = NOT json_valid (the
+    // CASE guards keep json_extract off invalid input, which would error)
+    "q_ingest_quarantine" -> ("WITH l AS (SELECT event_type, " +
+      "CASE WHEN event_id % 7 = 0 THEN substring(props, 1, greatest(length(props) - 2, 0)) " +
+      "ELSE props END AS line FROM events) " +
+      "SELECT event_type, count(*) AS n_total, " +
+      "CAST(sum(CASE WHEN line IS NOT NULL AND NOT json_valid(line) THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_quarantined, " +
+      "round(sum(CASE WHEN line IS NOT NULL AND json_valid(line) " +
+      "THEN CAST(json_extract_string(line, '$.k') AS DOUBLE) END), 3) AS sum_k " +
+      "FROM l GROUP BY 1 ORDER BY 1")
   )
 }
