@@ -1259,6 +1259,36 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     },
 
+    // Incremental view maintenance: the base period's aggregate is
+    // MATERIALIZED (managed table — the stored rollup a production
+    // pipeline maintains), the delta period aggregates alone, and the
+    // merge of the two partials must equal the full recompute (the
+    // oracle) EXACTLY. Values ride the integer-moments pattern
+    // (floor(value*1000) summed as longs) so partial merge is exactly
+    // associative — a raw double sum would make incremental ≠ recompute
+    // in the last bits. At 100 TB this is THE shape: only the delta is
+    // ever scanned; the base rollup is group-count-sized.
+    "q_incremental_agg" -> { (s, dir) =>
+      val boundary = lit("2024-01-01 08:00:00").cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("v_q3"))
+      val base = Dedup.Intermediate.Bucketed(32)(
+        ev.filter(col("ts") < boundary)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("v_q3")).as("sv")),
+        "inc_base")
+      val delta = ev.filter(col("ts") >= boundary)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("v_q3")).as("sv"))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("cnt")).as("n_events"), sum(col("sv")).as("sum_v_q3"))
+        .select(col("event_type"), col("n_events"), col("sum_v_q3"),
+          (col("sum_v_q3").cast("double") / col("n_events") / 1000.0).as("avg_v"))
+        .orderBy("event_type")
+    },
+
     // Dynamic partition pruning: events materialize once PARTITIONED BY
     // day (the warehouse layout a 100 TB event store actually uses), then
     // a join against the top-3 purchase days — recomputed from the raw
@@ -1777,6 +1807,11 @@ object RelationalQueries {
       "JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem " +
       "GROUP BY 1 HAVING sum(l_quantity) > 300.0) ON o_orderkey = l_orderkey " +
       "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    // the FULL recompute — base ⊎ delta must merge to exactly this
+    "q_incremental_agg" -> ("SELECT event_type, count(*) AS n_events, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)::DOUBLE / count(*) / 1000.0 " +
+      "AS avg_v FROM events GROUP BY 1 ORDER BY 1"),
     // identical to the unpartitioned computation: the day-partitioned
     // layout + DPP is a physical choice and must be invisible to results
     "q_dpp_hot_days" -> ("WITH hot AS (SELECT dt, purchases FROM (" +
