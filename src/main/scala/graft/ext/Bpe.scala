@@ -170,8 +170,36 @@ object Bpe {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // End-to-end TOKENIZE → PACK: per-doc BPE token counts (trained vocab
+    // join, as q_bpe_encode) feed sequence packing into 2048-token
+    // context windows per source stream (Curation.packBins's
+    // concatenate-then-chunk prefix-sum) — the "prepare training
+    // batches" composition: tokenizer-aware bin boundaries instead of
+    // char-count proxies. Docs with zero tokens pack nothing (inner
+    // join), mirrored by the oracle. At scale the pack stage swaps to
+    // packBinsTwoPass (bit-identical by CurationPropertySpec law).
+    "q_bpe_pack" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val (_, vocab) = train(d, "text", Rounds)
+      val counts = d
+        .select(col("doc_id"), col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .hint("merge")
+        .join(vocab.select(col("w"), symbolCount(col("seq")).as("n_sym")).hint("merge"),
+          Seq("w"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n_sym")).as("n_bpe"))
+      Curation.packBins(counts, "doc_id", "n_bpe", "source", PackBudget)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("bpe_tokens"))
+        .orderBy("source", "bin")
     }
   )
+
+  /** Context-window token budget for [[q_bpe_pack]] — shared with the
+    * oracle. */
+  private[ext] val PackBudget = 2048L
 
   // ---- DuckDB oracle: the same Rounds-round loop unrolled as CTEs ----
 
@@ -209,6 +237,18 @@ object Bpe {
       "SELECT doc_id, count(*) AS n_words, " +
       "CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS n_bpe " +
       s"FROM (SELECT doc_id, unnest($Toks) AS w FROM documents) " +
-      s"JOIN v$Rounds USING (w) GROUP BY 1 ORDER BY doc_id")
+      s"JOIN v$Rounds USING (w) GROUP BY 1 ORDER BY doc_id"),
+    // the encode chain + the q_pack_bins prefix-sum, on BPE counts
+    "q_bpe_pack" -> (s"WITH ${bpeCtes(Rounds)}, " +
+      "enc AS (SELECT doc_id, source, " +
+      "CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT) AS n_bpe " +
+      s"FROM (SELECT doc_id, source, unnest($Toks) AS w FROM documents) " +
+      s"JOIN v$Rounds USING (w) GROUP BY 1, 2), " +
+      "c AS (SELECT source, n_bpe, coalesce(sum(n_bpe) OVER (" +
+      "PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM enc) " +
+      s"SELECT source, CAST(prior // $PackBudget AS BIGINT) AS bin, " +
+      "count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens " +
+      "FROM c GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }
