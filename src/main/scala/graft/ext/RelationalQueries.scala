@@ -72,6 +72,39 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // KMV (bottom-k / k-minimum-values) distinct sketch — the
+    // DETERMINISTIC approximate distinct count: where HLL's estimate
+    // depends on register-merge internals (q_approx_distinct is rows-only
+    // for exactly that reason), the k smallest 60-bit hashes of a set are
+    // a pure function of the set — order-independent, mergeable (union of
+    // bottom-k sets → bottom-k), and bit-exact cross-engine. Estimator:
+    // (k-1)·M/h_k over hash space M = 2^60 (Bar-Yossef et al.); groups
+    // with fewer than k distinct hashes report exactly. Every output is
+    // an integer ((k-1)·M and h_k are exactly representable doubles, ONE
+    // IEEE division, floored) so the ESTIMATE itself hash-matches the
+    // oracle. Plan shape: one distinct aggregation, then per-group rank ≤
+    // k with WindowGroupLimit pruning below the shuffle — partial
+    // bottom-k per partition, exactly how the sketch merges at 1000
+    // executors.
+    "q_distinct_kmv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val m = math.pow(2, 60) // hash space of md5Long — exact double
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), Dedup.md5Long(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("event_type").orderBy("h")
+      d.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+        .select(col("event_type"), col("n_kept"), col("h_k"),
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(floor(lit((k - 1).toDouble * m) / col("h_k")).cast("long"))
+            .as("est_distinct"))
+        .orderBy("event_type")
+    },
+
     // CUBE over label columns: all 4 grouping sets in one shuffle (Expand).
     "q_cube_labels" -> { (s, dir) =>
       Tables
@@ -1373,6 +1406,18 @@ object RelationalQueries {
       " FROM events GROUP BY 1 ORDER BY 1"),
     "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    // identical 60-bit hashes, identical k-th-minimum, identical one-division
+    // estimator — the approximate COUNT is itself hash-checked
+    "q_distinct_kmv" -> ("WITH d AS (SELECT DISTINCT event_type, " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+      "r AS (SELECT event_type, h, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY h) AS rn FROM d), " +
+      "g AS (SELECT event_type, count(*) AS n_kept, max(h) AS h_k " +
+      "FROM r WHERE rn <= 64 GROUP BY 1) " +
+      "SELECT event_type, n_kept, h_k, " +
+      "CASE WHEN n_kept < 64 THEN n_kept " +
+      s"ELSE CAST(floor(${63.0 * math.pow(2, 60)} / h_k) AS BIGINT) END AS est_distinct " +
+      "FROM g ORDER BY 1"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
       "coalesce(CAST(json_extract_string(props, '$.k') IS NOT NULL AS VARCHAR), '<all>') AS has_k, " +
       "count(*) AS cnt FROM events " +

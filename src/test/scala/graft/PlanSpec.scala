@@ -549,6 +549,13 @@ class PlanSpec extends SparkSpec {
     graft.ext.Dedup.Intermediate.dropBucketedTables(spark)
   }
 
+  test("q_distinct_kmv: bottom-k prunes below the shuffle (partial sketch per partition)") {
+    val p = plan("q_distinct_kmv")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank ≤ k must prune per-partition BEFORE the group exchange — that IS the sketch merge:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"one-table plan:\n$p")
+  }
+
   test("q_hybrid_rrf: BM25 arm ranks a TakeOrdered shortlist; fusion joins k-row frames") {
     val p = plan("q_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"),

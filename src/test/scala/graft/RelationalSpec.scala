@@ -26,6 +26,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("KMV bottom-k sketch: exact below k, within the KMV error band above it") {
+    // q_distinct_kmv's estimate IS oracle-checked (deterministic bottom-k);
+    // this pins the statistical contract the hash equality can't: accuracy
+    // vs exact, and the exact-path guarantee for small sets.
+    val spark0 = spark
+    import spark0.implicits._
+    val k = 64
+    val m = math.pow(2, 60)
+    def kmv(ids: Seq[Long]): Long = {
+      val df = ids.distinct.toDF("id")
+        .select(graft.ext.Dedup.md5Long(col("id").cast("string")).as("h"))
+        .orderBy("h").limit(k)
+      val rows = df.collect().map(_.getLong(0))
+      if (rows.length < k) rows.length.toLong
+      else math.floor((k - 1).toDouble * m / rows.max).toLong
+    }
+    // exact path: fewer than k distinct values reports exactly
+    assert(kmv((1L to 40L)) == 40L)
+    // estimate path: 2000 distinct values, KMV sigma ≈ 1/sqrt(k-2) ≈ 12.7%;
+    // assert a generous 3-sigma band
+    val est = kmv((1L to 2000L))
+    assert(math.abs(est - 2000.0) / 2000.0 <= 0.38, s"est=$est for 2000 distinct")
+  }
+
   test("asofJoin: latest-at-or-before per key, inclusive ties, null before first dim") {
     val spark0 = spark
     import spark0.implicits._
