@@ -105,6 +105,41 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // KMV sketch ALGEBRA — the mergeability law, end-to-end: the union of
+    // two bottom-k sketches re-ranked to bottom-k equals the bottom-k of
+    // the union EXACTLY (both sides keep the k globally-smallest hashes),
+    // so the MERGED estimate is oracle-checked against the direct
+    // computation. This is the distributed path: per-segment sketches
+    // (64 longs each) merge at the coordinator instead of re-scanning
+    // either segment — the oracle recomputes from raw data and must land
+    // on the identical h_k and estimate.
+    "q_kmv_union" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val m = math.pow(2, 60)
+      val ev = Tables.events(s, dir)
+      def sketch(pred: org.apache.spark.sql.Column) = {
+        val w = Window.orderBy("h")
+        ev.filter(pred)
+          .select(Dedup.md5Long(col("user_id").cast("string")).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("h"))
+      }
+      val merged = sketch(col("event_type") === "click")
+        .unionByName(sketch(col("event_type") === "error"))
+        .distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("h")))
+        .filter(col("rn") <= k)
+      merged
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+        .select(col("n_kept"), col("h_k"),
+          when(col("n_kept") < k, col("n_kept"))
+            .otherwise(floor(lit((k - 1).toDouble * m) / col("h_k")).cast("long"))
+            .as("est_distinct"))
+    },
+
     // CUBE over label columns: all 4 grouping sets in one shuffle (Expand).
     "q_cube_labels" -> { (s, dir) =>
       Tables
@@ -1418,6 +1453,16 @@ object RelationalQueries {
       "CASE WHEN n_kept < 64 THEN n_kept " +
       s"ELSE CAST(floor(${63.0 * math.pow(2, 60)} / h_k) AS BIGINT) END AS est_distinct " +
       "FROM g ORDER BY 1"),
+    // the DIRECT bottom-k over the raw union — the merged sketches must
+    // land on the identical h_k and estimate (mergeability is exact)
+    "q_kmv_union" -> ("WITH d AS (SELECT DISTINCT " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h " +
+      "FROM events WHERE event_type IN ('click', 'error')), " +
+      "r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM d), " +
+      "g AS (SELECT count(*) AS n_kept, max(h) AS h_k FROM r WHERE rn <= 64) " +
+      "SELECT n_kept, h_k, CASE WHEN n_kept < 64 THEN n_kept " +
+      s"ELSE CAST(floor(${63.0 * math.pow(2, 60)} / h_k) AS BIGINT) END AS est_distinct " +
+      "FROM g"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
       "coalesce(CAST(json_extract_string(props, '$.k') IS NOT NULL AS VARCHAR), '<all>') AS has_k, " +
       "count(*) AS cnt FROM events " +
