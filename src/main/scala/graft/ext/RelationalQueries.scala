@@ -114,24 +114,24 @@ object RelationalQueries {
     // either segment — the oracle recomputes from raw data and must land
     // on the identical h_k and estimate.
     "q_kmv_union" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val k = 64
       val m = math.pow(2, 60)
       val ev = Tables.events(s, dir)
-      def sketch(pred: org.apache.spark.sql.Column) = {
-        val w = Window.orderBy("h")
+      // global bottom-k via orderBy+limit → TakeOrderedAndProject: each
+      // partition keeps its own k smallest, one k-sized merge — the
+      // partial-sketch shape (a global rank window would single-partition
+      // sort the whole distinct frame; PlanSpec pins the operator)
+      def sketch(pred: org.apache.spark.sql.Column) =
         ev.filter(pred)
           .select(Dedup.md5Long(col("user_id").cast("string")).as("h"))
           .distinct()
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
-          .select(col("h"))
-      }
+          .orderBy("h")
+          .limit(k)
       val merged = sketch(col("event_type") === "click")
         .unionByName(sketch(col("event_type") === "error"))
         .distinct()
-        .withColumn("rn", row_number().over(Window.orderBy("h")))
-        .filter(col("rn") <= k)
+        .orderBy("h")
+        .limit(k)
       merged
         .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
         .select(col("n_kept"), col("h_k"),

@@ -556,6 +556,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"one-table plan:\n$p")
   }
 
+  test("q_kmv_union: global bottom-k runs as TakeOrdered, never a global sort") {
+    // each segment's k smallest hashes (and the merge re-rank) must be
+    // TakeOrderedAndProject — per-partition partial top-k, one k-sized
+    // merge. A global rank window here would single-partition sort the
+    // whole distinct-hash frame at 100 TB (measured: no WindowGroupLimit
+    // fires for empty partition specs — hence the operator choice).
+    val p = plan("q_kmv_union")
+    assert(count(p, "TakeOrderedAndProject") >= 2,
+      s"segment sketches must be partial top-k:\n$p")
+    assert(!p.contains("Window"), s"no global rank window in the sketch path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
   test("q_hybrid_rrf: BM25 arm ranks a TakeOrdered shortlist; fusion joins k-row frames") {
     val p = plan("q_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"),
