@@ -39,10 +39,16 @@ object CurationQueries {
     // offsets — since prefix-sum decomposition is associative.
     "q_token_budget" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val stats = TextOps
-        .docStats(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("doc_id"), col("tok_cnt"),
-          floor(col("quality") * 10000).cast("long").as("q4"))
+      // lazy checkpoint: the stats frame feeds the budget aggregate AND
+      // the window subtree — uncut, the corpus tokenizes once per
+      // consumer (measured 37 s at ×100; the quality/token expressions
+      // dominate)
+      val stats = Dedup.Intermediate.LocalLazy(
+        TextOps
+          .docStats(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("tok_cnt"),
+            floor(col("quality") * 10000).cast("long").as("q4")),
+        "budget_stats")
       val budget = stats.agg(floor(sum(col("tok_cnt")) / 2).cast("long").as("budget"))
       val w = Window
         .orderBy(col("q4").desc, col("doc_id").asc)
