@@ -199,4 +199,52 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  // ---- bounded-state streaming cardinality (KMV bottom-k) ----
+
+  final case class KmvInput(key: String, value: String)
+  final case class KmvState(mins: Seq[Long])
+  final case class KmvEstimate(key: String, nKept: Int, hK: Long, estDistinct: Long)
+
+  /** The exact 60-bit hash the batch KMV queries use
+    * (`Dedup.md5Long` ≡ first 15 md5 hex digits as a long), computed
+    * JVM-side so the streaming sketch and the batch oracle land on
+    * identical minima.
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Streaming distinct-count per key with O(k) state FOREVER: each key's
+    * state is its KMV bottom-k sketch (≤ k longs), merged with every
+    * micro-batch's new hashes (bottom-k of a union = bottom-k of merged
+    * bottom-ks — the exact mergeability law `q_kmv_union` oracle-checks in
+    * batch), and the updated estimate emits per batch. Exact below k;
+    * (k−1)·M/h_k above. Where Spark's `dropDuplicates` streaming distinct
+    * grows state with TRUE cardinality (unbounded on a high-cardinality
+    * key), this is the production cardinality monitor: deterministic,
+    * mergeable, and replay-stable — a batch recompute over the stream's
+    * full history lands on the IDENTICAL estimate (StatefulOpsSpec law).
+    */
+  def kmvDistinct(rows: Dataset[KmvInput], k: Int): Dataset[KmvEstimate] = {
+    require(k >= 2, "k must be >= 2")
+    val m = math.pow(2, 60)
+    implicit val outEnc = Encoders.product[KmvEstimate]
+    implicit val stateEnc = Encoders.product[KmvState]
+    implicit val keyEnc = Encoders.STRING
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[KmvInput], state: GroupState[KmvState]) =>
+          val mins = (state.getOption.map(_.mins).getOrElse(Seq.empty) ++
+            it.map(r => hash60(r.value))).distinct.sorted.take(k)
+          state.update(KmvState(mins))
+          val n = mins.length
+          val est = if (n < k) n.toLong
+          else math.floor((k - 1).toDouble * m / mins.last).toLong
+          Iterator.single(KmvEstimate(key, n, mins.last, est))
+      }
+  }
 }

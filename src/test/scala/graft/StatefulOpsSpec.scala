@@ -126,4 +126,63 @@ class StatefulOpsSpec extends SparkSpec {
         "tie timestamps must not advance the funnel")
     } finally q.stop()
   }
+
+  test("hash60 ≡ the batch engine's md5Long (streaming and batch share minima)") {
+    import org.apache.spark.sql.functions.col
+    val vals = Seq("", "a", "user-42", "テスト", "0", "u119")
+    val fromCol = vals.toDF("s")
+      .select(graft.ext.Dedup.md5Long(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals.map(StatefulOps.hash60) == fromCol)
+  }
+
+  test("streaming KMV: bounded state, per-batch estimates ≡ batch recompute on the prefix") {
+    import graft.streaming.StatefulOps.{KmvEstimate, KmvInput}
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val m = math.pow(2, 60)
+    // driver-side reference: bottom-k over a full prefix of the stream
+    def ref(values: Seq[String]): (Int, Long, Long) = {
+      val mins = values.distinct.map(StatefulOps.hash60).sorted.take(k)
+      val est =
+        if (mins.length < k) mins.length.toLong
+        else math.floor((k - 1).toDouble * m / mins.last).toLong
+      (mins.length, mins.last, est)
+    }
+    val mem = MemoryStream[KmvInput]
+    val est = StatefulOps.kmvDistinct(mem.toDS(), k)
+    val q = est.writeStream.format("memory").queryName("kmv").outputMode("append").start()
+    try {
+      def latest(): KmvEstimate =
+        spark.table("kmv").as[KmvEstimate].collect().maxBy(_.nKept)
+
+      // batch 1: below k → exact path
+      val b1 = (1 to 10).map(i => s"u$i")
+      mem.addData(b1.map(KmvInput("users", _)): _*)
+      q.processAllAvailable()
+      assert(latest() == { val (n, h, e) = ref(b1); KmvEstimate("users", n, h, e) })
+      assert(latest().estDistinct == 10L, "below k the sketch reports exactly")
+
+      // batch 2: duplicates + growth past k → estimate path; the streaming
+      // sketch merged across batches must equal a batch recompute over the
+      // WHOLE prefix (mergeability, exactly)
+      val b2 = (5 to 120).map(i => s"u$i")
+      mem.addData(b2.map(KmvInput("users", _)): _*)
+      q.processAllAvailable()
+      val full = b1 ++ b2
+      val (n2, h2, e2) = ref(full)
+      assert(latest() == KmvEstimate("users", n2, h2, e2))
+      assert(latest().nKept == k, "state is bounded at k entries")
+      // accuracy sanity at k=16: sigma ≈ 1/sqrt(k-2) ≈ 27%; 3-sigma band
+      val exact = full.distinct.size.toDouble
+      assert(math.abs(latest().estDistinct - exact) / exact <= 0.8,
+        s"est=${latest().estDistinct} exact=$exact")
+
+      // batch 3: replaying already-seen values must not move the sketch
+      mem.addData(b1.map(KmvInput("users", _)): _*)
+      q.processAllAvailable()
+      assert(latest() == KmvEstimate("users", n2, h2, e2),
+        "re-observing known values is a no-op (replay-stable)")
+    } finally q.stop()
+  }
 }
