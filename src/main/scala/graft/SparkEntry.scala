@@ -252,22 +252,34 @@ object SparkEntry {
     // alone and k sums only over clean rows — the oracle mirrors that
     // exact rule via json_valid.
     "q_ingest_quarantine" -> { (s, dir) =>
-      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      // k stays STRING in the parse schema: a field-level conversion
+      // failure would set _corrupt_record in Spark but not fail DuckDB's
+      // json_valid — string-typed fields make "quarantined" mean exactly
+      // "not a parseable JSON object" in BOTH engines (the sum then
+      // try-casts identically on each side). p.isNull catches inputs
+      // from_json maps to a null struct without a corrupt record ('' and
+      // JSON null); non-object JSON (arrays, scalars) lands in
+      // _corrupt_record — both classified non-object by the oracle's
+      // json_type(line) = 'OBJECT' rule.
       val sch = StructType(Seq(
-        StructField("k", DoubleType), StructField("_corrupt_record", StringType)))
+        StructField("k", StringType), StructField("_corrupt_record", StringType)))
       val lines = ev(s, dir).select(
         col("event_type"),
         when(col("event_id") % 7 === 0,
           expr("substring(props, 1, greatest(length(props) - 2, 0))"))
           .otherwise(col("props")).as("line"))
+      val quarantined =
+        col("line").isNotNull && (col("p").isNull || col("p._corrupt_record").isNotNull)
       lines
         .withColumn("p", from_json(col("line"), sch,
           Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_total"),
-          sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
-          round(sum(when(col("p._corrupt_record").isNull, col("p.k"))), 3).as("sum_k"))
+          sum(when(quarantined, 1L).otherwise(0L)).as("n_quarantined"),
+          round(sum(when(!quarantined && col("line").isNotNull,
+            col("p.k").cast("double"))), 3).as("sum_k"))
         .orderBy("event_type")
     }
   )
@@ -329,16 +341,25 @@ object SparkEntry {
       "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
       "count(json_extract_string(props, '$.k')) AS k_cnt " +
       "FROM events GROUP BY 1 ORDER BY 1"),
-    // same deterministic truncation rule; corrupt = NOT json_valid (the
-    // CASE guards keep json_extract off invalid input, which would error)
+    // same deterministic truncation rule; quarantined = "not a parseable
+    // JSON OBJECT" (json_type gate mirrors Spark's null-struct/corrupt
+    // classification for '', JSON null, arrays, and scalars); TRY_CAST
+    // mirrors Spark's null-on-garbage string→double cast. The CASE
+    // guards keep json_type/json_extract off invalid input.
     "q_ingest_quarantine" -> ("WITH l AS (SELECT event_type, " +
       "CASE WHEN event_id % 7 = 0 THEN substring(props, 1, greatest(length(props) - 2, 0)) " +
-      "ELSE props END AS line FROM events) " +
+      "ELSE props END AS line FROM events), " +
+      // nested CASE, not AND: DuckDB's AND does not short-circuit scalar
+      // evaluation, and json_type ERRORS on malformed input — only a CASE
+      // branch keeps it off invalid lines
+      "l2 AS (SELECT event_type, line, " +
+      "CASE WHEN line IS NULL THEN NULL WHEN NOT json_valid(line) THEN FALSE " +
+      "ELSE json_type(line) = 'OBJECT' END AS is_obj FROM l) " +
       "SELECT event_type, count(*) AS n_total, " +
-      "CAST(sum(CASE WHEN line IS NOT NULL AND NOT json_valid(line) THEN 1 ELSE 0 END) AS BIGINT) " +
-      "AS n_quarantined, " +
-      "round(sum(CASE WHEN line IS NOT NULL AND json_valid(line) " +
-      "THEN CAST(json_extract_string(line, '$.k') AS DOUBLE) END), 3) AS sum_k " +
-      "FROM l GROUP BY 1 ORDER BY 1")
+      "CAST(sum(CASE WHEN line IS NOT NULL AND NOT coalesce(is_obj, FALSE) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
+      "round(sum(CASE WHEN coalesce(is_obj, FALSE) " +
+      "THEN TRY_CAST(json_extract_string(line, '$.k') AS DOUBLE) END), 3) AS sum_k " +
+      "FROM l2 GROUP BY 1 ORDER BY 1")
   )
 }

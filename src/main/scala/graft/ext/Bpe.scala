@@ -203,7 +203,10 @@ object Bpe {
 
   // ---- DuckDB oracle: the same Rounds-round loop unrolled as CTEs ----
 
-  private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  /** The shared tokenizer SQL — one definition (TextQueries) so a
+    * tokenization-rule change can never desynchronize the BPE oracles.
+    */
+  private def Toks = TextQueries.Toks
 
   /** `v0 … v$Rounds` + `b1 … b$Rounds` CTE chain mirroring [[train]]
     * exactly: same wrapped-symbol encoding, same weighted pair counts,

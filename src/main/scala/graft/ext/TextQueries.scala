@@ -216,7 +216,7 @@ object TextQueries {
   )
 
   // DuckDB-side building blocks mirroring TextOps exactly.
-  private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  private[ext] val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
   private def wc(w: String) = s"len(list_filter($Toks, t -> t = '$w'))"
   private val StopHits = TextOps.Stopwords.map(wc).mkString(" + ")
   private[ext] val TokCnt = s"len($Toks)"

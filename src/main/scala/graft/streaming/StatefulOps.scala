@@ -207,15 +207,11 @@ object StatefulOps {
   final case class KmvEstimate(key: String, nKept: Int, hK: Long, estDistinct: Long)
 
   /** The exact 60-bit hash the batch KMV queries use
-    * (`Dedup.md5Long` ≡ first 15 md5 hex digits as a long), computed
-    * JVM-side so the streaming sketch and the batch oracle land on
-    * identical minima.
+    * (`Dedup.md5Long` ≡ first 15 md5 hex digits as a long) — delegates to
+    * the engine's single JVM-side implementation so the streaming sketch
+    * and the batch oracle can never diverge on minima.
     */
-  def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+  def hash60(s: String): Long = graft.ext.Similarity.md5LongScala(s)
 
   /** Streaming distinct-count per key with O(k) state FOREVER: each key's
     * state is its KMV bottom-k sketch (≤ k longs), merged with every
@@ -238,13 +234,22 @@ object StatefulOps {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[KmvInput], state: GroupState[KmvState]) =>
-          val mins = (state.getOption.map(_.mins).getOrElse(Seq.empty) ++
-            it.map(r => hash60(r.value))).distinct.sorted.take(k)
-          state.update(KmvState(mins))
-          val n = mins.length
+          // k-capped ordered merge: O(log k) per row, O(k) memory DURING
+          // the batch too — a collect-then-sort would build an O(batch)
+          // buffer for a hot key, breaking the operator's whole point
+          val mins = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.mins.foreach(mins.add))
+          it.foreach { r =>
+            val h = hash60(r.value)
+            if (mins.size < k) mins.add(h)
+            else if (h < mins.last && mins.add(h)) mins.remove(mins.last)
+          }
+          val kept = mins.toSeq
+          state.update(KmvState(kept))
+          val n = kept.length
           val est = if (n < k) n.toLong
-          else math.floor((k - 1).toDouble * m / mins.last).toLong
-          Iterator.single(KmvEstimate(key, n, mins.last, est))
+          else math.floor((k - 1).toDouble * m / kept.last).toLong
+          Iterator.single(KmvEstimate(key, n, kept.last, est))
       }
   }
 }
