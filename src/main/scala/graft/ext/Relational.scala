@@ -188,6 +188,27 @@ object Relational {
     merged.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Per-set KMV (bottom-k) sketch frame: `(s, h)` = the k smallest 60-bit
+    * hashes of each set's distinct ids. One distinct pass over
+    * (set, hash); the rank ≤ k filter prunes per-partition BEFORE the
+    * group exchange (WindowGroupLimit) — each partition forwards at most
+    * k hashes per set, which IS the partial-sketch merge at 1000
+    * executors. Unlike HLL ([[hllSketches]]) the sketch is a pure
+    * function of the set — deterministic, order-independent, and closed
+    * under the theta-sketch set algebra (union: re-rank the merged
+    * hashes; intersection: see q_kmv_intersect) — so estimates are
+    * bit-exact cross-engine.
+    */
+  def kmvSketch(df: DataFrame, setCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val w = Window.partitionBy("s").orderBy("h")
+    df.select(col(setCol).as("s"), Dedup.md5Long(col(idCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("s"), col("h"))
+  }
+
   /** The 100 TB form of [[rollingDistinct]]: rolling N-day APPROX
     * distinct via mergeable HLL sketches. Exact rolling distinct re-keys
     * every (entity, day) pair ×N through a distinct shuffle; here the raw
@@ -321,6 +342,75 @@ object Relational {
         col(s"__${c}_min").as("min_s"),
         col(s"__${c}_max").as("max_s"))): _*)
     wide.select(explode(structs).as("p")).select(col("p.*"))
+  }
+
+  /** Deequ-style data-quality audit, row-level checks: evaluate every
+    * predicate in ONE aggregation pass over the table (sum-of-CASE
+    * partial+final HashAggregate — the scan count never depends on the
+    * number of checks), then unpivot the wide result row to one
+    * `(check_name, n_checked, violations)` row per check. A row where
+    * the predicate evaluates NULL (null operand in a comparison) counts
+    * as a VIOLATION — a completeness failure must not pass a range
+    * check.
+    */
+  def auditRowChecks(
+      df: DataFrame,
+      checks: Seq[(String, Column)],
+      uniqueChecks: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    require(uniqueChecks.forall(_._2.nonEmpty), "uniqueness checks need key columns")
+    val aggs = (count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case ((_, ok), i) =>
+        sum(when(ok, 0L).otherwise(1L)).as(s"__v$i")
+      }) ++
+      uniqueChecks.zipWithIndex.map { case ((_, keyCols), i) =>
+        count_distinct(struct(keyCols.map(col): _*)).as(s"__d$i")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(
+        lit(name).as("check_name"),
+        col("__n").as("n_checked"),
+        col(s"__v$i").as("violations"))
+    } ++
+      // uniqueness violations = rows beyond the first per key. Exact
+      // composite distinct — the same scan via one Expand (Catalyst's
+      // multi-distinct rewrite), the price of an exact gate; monitoring
+      // dashboards can run the mergeable HLL form ([[hllSketches]]).
+      uniqueChecks.zipWithIndex.map { case ((name, _), i) =>
+        struct(
+          lit(name).as("check_name"),
+          col("__n").as("n_checked"),
+          (col("__n") - col(s"__d$i")).as("violations"))
+      }
+    wide.select(explode(array(entries: _*)).as("c")).select(col("c.*"))
+  }
+
+  /** Referential-integrity audit: fact keys with no match in the
+    * dimension's key set. Both sides pre-aggregate to DISTINCT keys
+    * before the join (map-side combine shrinks the shuffle to key
+    * cardinality), then ONE left join counts total and orphan keys in
+    * the same aggregation — no second pass, no anti-join + count pair.
+    * `n_checked` is the distinct fact-key count; a violation is an
+    * orphan KEY, not an orphan row.
+    */
+  def auditReferential(
+      fact: DataFrame,
+      name: String,
+      factKey: String,
+      dim: DataFrame,
+      dimKey: String): DataFrame = {
+    val factKeys = fact.select(col(factKey).as("__k")).distinct()
+    val dimKeys = dim.select(col(dimKey).as("__k")).distinct().withColumn("__hit", lit(1))
+    factKeys
+      .join(dimKeys, Seq("__k"), "left")
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("__v"))
+      .select(
+        lit(name).as("check_name"),
+        col("__n").as("n_checked"),
+        col("__v").as("violations"))
   }
 
   /** Ordered conversion funnel: users reaching each step, where step i+1

@@ -48,6 +48,34 @@ object RelationalQueries {
         .orderBy("col_name")
     },
 
+    // Deequ-style data-quality gate over lineitem: 5 row-level checks
+    // AND a composite-key uniqueness check in ONE aggregation pass (scan
+    // count independent of check count; the exact composite distinct
+    // rides the same scan via Expand), plus a referential check against
+    // orders (distinct keys both sides, one left join + one agg). The
+    // fixture makes it non-trivial: tax/discount caps FAIL with real
+    // violation counts and the line-number PK is genuinely non-unique,
+    // while range/domain/completeness and the FK check PASS — the audit
+    // must report both outcomes, not just zeros.
+    "q_constraint_audit" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val rowChecks = Relational.auditRowChecks(li,
+        checks = Seq(
+          "quantity_in_range" -> col("l_quantity").between(1, 50),
+          "tax_at_most_5pct" -> (col("l_tax") <= 0.05),
+          "discount_at_most_8pct" -> (col("l_discount") <= 0.08),
+          "quantity_complete" -> col("l_quantity").isNotNull,
+          "returnflag_in_domain" -> col("l_returnflag").isin("A", "N", "R")),
+        uniqueChecks = Seq("pk_line_unique" -> Seq("l_orderkey", "l_linenumber")))
+      val fk = Relational.auditReferential(
+        li, "fk_orderkey_in_orders", "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+      rowChecks
+        .unionByName(fk)
+        .select(col("check_name"), col("n_checked"), col("violations"),
+          (col("violations") === 0).as("passed"))
+        .orderBy("check_name")
+    },
+
     // Exact distinct per group (two-phase expand) — oracle-checked.
     "q_distinct_users" -> { (s, dir) =>
       Tables
@@ -138,6 +166,43 @@ object RelationalQueries {
           when(col("n_kept") < k, col("n_kept"))
             .otherwise(floor(lit((k - 1).toDouble * m) / col("h_k")).cast("long"))
             .as("est_distinct"))
+    },
+
+    // KMV/theta-sketch INTERSECTION — the set-algebra step union can't do:
+    // |A ∩ B| from the two per-set sketches alone. With θ = min(θ_A, θ_B)
+    // (θ_X = the set's k-th-minimum hash, or the full hash space M when
+    // the set is exact, n < k), every hash of A ∩ B below θ is present in
+    // BOTH sketches, and those retained hashes are a uniform θ/M-rate
+    // sample of A ∩ B ⇒ est = floor(|retained| · M / θ) (the theta-sketch
+    // a-not-b/intersect algebra). All inputs to the estimator are
+    // integers or exact powers of two with ONE IEEE division, so the
+    // ESTIMATE hash-matches the oracle like the other KMV queries. Plan:
+    // both sketches come from a SINGLE distinct + WindowGroupLimit pass
+    // (one corpus scan), lazy-checkpointed so the θ aggregate and the
+    // hash-join probe reuse the ≤2k-row frame, not the scan.
+    "q_kmv_intersect" -> { (s, dir) =>
+      val k = 64
+      val mD = math.pow(2, 60) // hash space of md5Long — exact double
+      val mL = 1L << 60
+      val sk = Dedup.Intermediate.LocalLazy(
+        Relational.kmvSketch(
+          Tables.events(s, dir).filter(col("event_type").isin("click", "error")),
+          "event_type", "user_id", k),
+        "kmv_sketches")
+      val theta = sk
+        .groupBy("s")
+        .agg(count(lit(1)).as("n"), max(col("h")).as("h_k"))
+        .agg(min(when(col("n") < k, mL).otherwise(col("h_k"))).as("theta"))
+      val retained = sk.filter(col("s") === "click").select("h")
+        .join(sk.filter(col("s") === "error").select("h"), "h")
+        .crossJoin(broadcast(theta))
+        .filter(col("h") < col("theta"))
+        .agg(count(lit(1)).as("n_retained"))
+      retained
+        .crossJoin(broadcast(theta))
+        .select(col("n_retained"), col("theta"),
+          floor(col("n_retained").cast("double") * mD / col("theta"))
+            .cast("long").as("est_intersect"))
     },
 
     // CUBE over label columns: all 4 grouping sets in one shuffle (Expand).
@@ -1400,6 +1465,28 @@ object RelationalQueries {
         s"count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s " +
         "FROM events").mkString(" UNION ALL ") + " ORDER BY col_name"),
+    // same checks, same null-counts-as-violation CASE semantics, same
+    // exact composite distinct and distinct-key FK join
+    "q_constraint_audit" -> ("WITH rc AS (SELECT count(*) AS n, " +
+      "CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_range, " +
+      "CAST(sum(CASE WHEN l_tax <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax, " +
+      "CAST(sum(CASE WHEN l_discount <= 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc, " +
+      "CAST(sum(CASE WHEN l_quantity IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_comp, " +
+      "CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT) AS v_dom, " +
+      "count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq FROM lineitem), " +
+      "fk AS (SELECT count(*) AS n, " +
+      "CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v " +
+      "FROM (SELECT DISTINCT l_orderkey FROM lineitem) k " +
+      "LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON k.l_orderkey = o.o_orderkey), " +
+      "u AS (SELECT 'quantity_in_range' AS check_name, n AS n_checked, v_range AS violations FROM rc " +
+      "UNION ALL SELECT 'tax_at_most_5pct', n, v_tax FROM rc " +
+      "UNION ALL SELECT 'discount_at_most_8pct', n, v_disc FROM rc " +
+      "UNION ALL SELECT 'quantity_complete', n, v_comp FROM rc " +
+      "UNION ALL SELECT 'returnflag_in_domain', n, v_dom FROM rc " +
+      "UNION ALL SELECT 'pk_line_unique', n, v_uniq FROM rc " +
+      "UNION ALL SELECT 'fk_orderkey_in_orders', n, v FROM fk) " +
+      "SELECT check_name, n_checked, violations, violations = 0 AS passed " +
+      "FROM u ORDER BY check_name"),
     "q_revenue_forecast" -> ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
       "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
@@ -1463,6 +1550,23 @@ object RelationalQueries {
       "SELECT n_kept, h_k, CASE WHEN n_kept < 64 THEN n_kept " +
       s"ELSE CAST(floor(${63.0 * math.pow(2, 60)} / h_k) AS BIGINT) END AS est_distinct " +
       "FROM g"),
+    // identical sketches, identical θ = min of the two k-th minimums
+    // (or M for an exact set), identical retained count and one-division
+    // estimator — the theta-sketch INTERSECTION estimate is hash-checked
+    "q_kmv_intersect" -> ("WITH d AS (SELECT DISTINCT event_type AS s, " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h " +
+      "FROM events WHERE event_type IN ('click', 'error')), " +
+      "r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM d), " +
+      "sk AS (SELECT s, h FROM r WHERE rn <= 64), " +
+      "t AS (SELECT min(CASE WHEN n < 64 THEN 1152921504606846976 ELSE h_k END) AS theta " +
+      "FROM (SELECT s, count(*) AS n, max(h) AS h_k FROM sk GROUP BY 1)), " +
+      "i AS (SELECT count(*) AS n_retained " +
+      "FROM (SELECT h FROM sk WHERE s = 'click') a " +
+      "JOIN (SELECT h FROM sk WHERE s = 'error') b USING (h) " +
+      "CROSS JOIN t WHERE h < t.theta) " +
+      "SELECT i.n_retained, t.theta, " +
+      "CAST(floor(i.n_retained * 1152921504606846976.0 / t.theta) AS BIGINT) " +
+      "AS est_intersect FROM i CROSS JOIN t"),
     "q_cube_labels" -> ("SELECT coalesce(event_type, '<all>') AS event_type, " +
       "coalesce(CAST(json_extract_string(props, '$.k') IS NOT NULL AS VARCHAR), '<all>') AS has_k, " +
       "count(*) AS cnt FROM events " +

@@ -252,4 +252,50 @@ object StatefulOps {
           Iterator.single(KmvEstimate(key, n, kept.last, est))
       }
   }
+
+  // ---- bounded-state streaming heavy hitters (SpaceSaving) ----
+
+  final case class TopKInput(key: String, item: String)
+  final case class TopKState(counters: Seq[(String, Long, Long)])
+  final case class TopKRow(key: String, rank: Int, item: String, est: Long, err: Long)
+
+  /** Streaming per-key heavy hitters with O(cap) state FOREVER: each
+    * key's state IS a SpaceSaving counter set — the batch `graft_topk`
+    * aggregate's own [[graft.functions.SpaceSavingTopK.State]], one
+    * implementation for both engines, exactly as [[hash60]] shares the
+    * KMV hash — updated with every micro-batch, re-emitting the current
+    * top k per batch in Append mode.
+    *
+    * Carried sketch guarantees hold regardless of arrival order or batch
+    * boundaries: every estimate overcounts within its err
+    * (true ≤ est ≤ true + err), any item with true count > N/cap is
+    * present, and when a key's distinct items fit within cap the counts
+    * are EXACT — so the streaming emit equals a batch
+    * groupBy-count-rank over the stream's full prefix (the parity law
+    * StatefulOpsSpec pins). The unbounded alternative
+    * (streaming explode → groupBy(item) count) grows state with the TRUE
+    * vocabulary and reshuffles it every trigger; this keeps ≤ cap
+    * counters per key in the state store and moves k rows per batch.
+    */
+  def spaceSavingTopK(rows: Dataset[TopKInput], k: Int, cap: Int): Dataset[TopKRow] = {
+    require(k > 0, "k must be positive")
+    require(cap >= k, "cap must be >= k")
+    implicit val outEnc = Encoders.product[TopKRow]
+    implicit val stateEnc = Encoders.product[TopKState]
+    implicit val keyEnc = Encoders.STRING
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[TopKInput], state: GroupState[TopKState]) =>
+          val s = new graft.functions.SpaceSavingTopK.State(cap)
+          state.getOption.foreach(_.counters.foreach { case (i, e, r) => s.add(i, e, r) })
+          it.foreach(r => s.add(r.item, 1L, 0L))
+          val kept = Seq.newBuilder[(String, Long, Long)]
+          s.foreach((i, e, r) => kept += ((i, e, r)))
+          state.update(TopKState(kept.result()))
+          s.top(k).iterator.zipWithIndex.map { case ((item, est, err), i) =>
+            TopKRow(key, i + 1, item, est, err)
+          }
+      }
+  }
 }

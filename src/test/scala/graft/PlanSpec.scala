@@ -569,6 +569,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
   }
 
+  test("q_constraint_audit: check count never multiplies scans") {
+    val p = plan("q_constraint_audit")
+    // 6 aggregation checks (5 row-level + pk uniqueness) share ONE
+    // lineitem scan; the FK branch adds one lineitem-keys + one
+    // orders-keys scan → exactly 3 scans however many checks are added
+    assert(count(p, "Scan parquet") == 3,
+      s"row+uniqueness checks must share a single scan; FK adds two key scans:\n$p")
+    // the single distinct aggregate plans as the group-then-merge rewrite
+    // (partial sums carried per key group — no Expand, no second scan);
+    // the shared-scan assert above is what pins the property
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the distinct-key FK probe must broadcast the dim keys:\n$p")
+  }
+
+  test("q_kmv_intersect: one corpus scan builds both sketches, bottom-k pruned below the shuffle") {
+    import org.apache.spark.sql.functions.col
+    // the sketch-build subtree sits behind the lazy checkpoint in the
+    // declared query's plan, so pin it directly: ONE scan for both sets,
+    // WindowGroupLimit = per-partition partial sketches before the exchange
+    val skP = graft.ext.Relational
+      .kmvSketch(
+        Tables.events(spark, SfDir).filter(col("event_type").isin("click", "error")),
+        "event_type", "user_id", 64)
+      .queryExecution.executedPlan.toString
+    assert(count(skP, "Scan parquet") == 1, s"both sketches from ONE corpus scan:\n$skP")
+    assert(skP.contains("WindowGroupLimit"),
+      s"rank ≤ k must prune per-partition BEFORE the group exchange:\n$skP")
+    assert(skP.contains("PushedFilters"), s"the set predicate pushes to the scan:\n$skP")
+    // the declared query's own plan: singleton θ rides broadcasts, and the
+    // sketch∩sketch probe is a ≤k-row hash join — no cartesian anywhere
+    val p = plan("q_kmv_intersect")
+    assert(!p.contains("CartesianProduct"), s"θ and the count row must broadcast:\n$p")
+  }
+
   test("q_hybrid_rrf: BM25 arm ranks a TakeOrdered shortlist; fusion joins k-row frames") {
     val p = plan("q_hybrid_rrf")
     assert(p.contains("TakeOrderedAndProject"),

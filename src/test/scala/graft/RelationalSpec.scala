@@ -50,6 +50,62 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(est - 2000.0) / 2000.0 <= 0.38, s"est=$est for 2000 distinct")
   }
 
+  test("KMV theta-sketch intersection: exact when both sets are below k, in-band above") {
+    // q_kmv_intersect's estimate IS oracle-checked; this pins the set
+    // algebra the hash equality can't: the estimator applied to known
+    // sets. Deterministic hashes ⇒ deterministic estimates, no flake.
+    val spark0 = spark
+    import spark0.implicits._
+    val k = 64
+    val m = math.pow(2, 60)
+    val mL = 1L << 60
+    def est(a: Seq[Long], b: Seq[Long]): Long = {
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("s0", "id")
+      val sk = Relational.kmvSketch(df, "s0", "id", k).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      def th(s: String) = {
+        val hs = sk.filter(_._1 == s).map(_._2)
+        if (hs.length < k) mL else hs.max
+      }
+      val theta = math.min(th("a"), th("b"))
+      val ha = sk.filter(_._1 == "a").map(_._2).toSet
+      val retained = sk.filter(_._1 == "b").map(_._2).count(h => ha.contains(h) && h < theta)
+      math.floor(retained.toDouble * m / theta).toLong
+    }
+    // exact mode: both sets below k ⇒ θ = M, every hash retained ⇒ the
+    // estimate IS the exact |A ∩ B|
+    assert(est(1L to 40L, 21L to 60L) == 20L)
+    // estimate mode: |A|=|B|=2000, |A∩B|=1000; retained ≈ k/2 ⇒ sigma ≈
+    // 1/sqrt(32) ≈ 18% — assert a 3-sigma band (deterministic value)
+    val e = est(1L to 2000L, 1001L to 3000L)
+    assert(math.abs(e - 1000.0) / 1000.0 <= 0.55, s"est=$e for true 1000")
+  }
+
+  test("audit operators: null operands fail checks; uniqueness and FK arithmetic exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "a"), (60L, "c"))
+      .toDF("v", "k")
+    val rc = Relational
+      .auditRowChecks(df,
+        checks = Seq(
+          "v_in_range" -> col("v").between(1, 50),
+          "v_complete" -> col("v").isNotNull),
+        uniqueChecks = Seq("k_unique" -> Seq("k")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the NULL row fails the range check (null predicate = violation,
+    // not a silent pass) alongside the out-of-range 60
+    assert(rc("v_in_range") == ((4L, 2L)))
+    assert(rc("v_complete") == ((4L, 1L)))
+    assert(rc("k_unique") == ((4L, 1L))) // "a" appears twice
+    val dim = Seq("a", "b").toDF("dk")
+    val fk = Relational.auditReferential(df, "k_fk", "k", dim, "dk").collect().head
+    // 3 DISTINCT fact keys checked, "c" is the one orphan KEY
+    assert((fk.getString(0), fk.getLong(1), fk.getLong(2)) == (("k_fk", 3L, 1L)))
+  }
+
   test("asofJoin: latest-at-or-before per key, inclusive ties, null before first dim") {
     val spark0 = spark
     import spark0.implicits._

@@ -191,4 +191,47 @@ class StatefulOpsSpec extends SparkSpec {
         s"re-observing known values is a no-op (replay-stable): $rows")
     } finally q.stop()
   }
+
+  test("streaming SpaceSaving: bounded state, exact-within-cap parity, heavy item survives churn") {
+    import graft.streaming.StatefulOps.{TopKInput, TopKRow}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TopKInput]
+    val top = StatefulOps.spaceSavingTopK(mem.toDS(), k = 3, cap = 8)
+    val q = top.writeStream.format("memory").queryName("sstopk").outputMode("append").start()
+    try {
+      def rowsAfter(n: Int): Seq[TopKRow] = {
+        val all = spark.table("sstopk").as[TopKRow].collect().toSeq
+        all.drop(n)
+      }
+      // batch 1: 4 distinct items ≤ cap → EXACT counts, batch-parity law:
+      // the emit equals groupBy-count-rank over the prefix
+      val b1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+      mem.addData(b1.map(TopKInput("t", _)): _*)
+      q.processAllAvailable()
+      val r1 = rowsAfter(0)
+      assert(r1 == Seq(
+        TopKRow("t", 1, "a", 5L, 0L),
+        TopKRow("t", 2, "b", 3L, 0L),
+        TopKRow("t", 3, "c", 2L, 0L)), s"exact within cap: $r1")
+      // batch 2: 12 new singleton items churn past cap=8, plus more "a".
+      // The heavy item must survive (true count 9 > N/cap) with its true
+      // count still bounded: est - err ≤ true ≤ est.
+      val b2 = Seq.fill(4)("a") ++ (1 to 12).map(i => s"x$i")
+      mem.addData(b2.map(TopKInput("t", _)): _*)
+      q.processAllAvailable()
+      val r2 = rowsAfter(r1.length)
+      assert(r2.length == 3)
+      val aRow = r2.find(_.item == "a").getOrElse(fail(s"heavy item evicted: $r2"))
+      assert(aRow.rank == 1, s"the 9-count item must lead: $r2")
+      assert(aRow.est - aRow.err <= 9L && 9L <= aRow.est, s"overcount bound: $aRow")
+      // state bounded: a third batch re-observing "a" emits a top-3 whose
+      // leader still dominates — and every estimate stays an overcount
+      mem.addData(TopKInput("t", "a"))
+      q.processAllAvailable()
+      val r3 = rowsAfter(r1.length + r2.length)
+      val a3 = r3.find(_.item == "a").getOrElse(fail(s"leader lost: $r3"))
+      assert(a3.est == aRow.est + 1 && a3.err == aRow.err,
+        s"an in-state increment adds exactly one: $aRow -> $a3")
+    } finally q.stop()
+  }
 }
