@@ -344,6 +344,60 @@ object Relational {
     wide.select(explode(structs).as("p")).select(col("p.*"))
   }
 
+  /** Distribution-drift monitor between two cohorts of one table
+    * (reference vs current ingestion period): equi-width histogram of
+    * `valueCol` with BOTH cohorts counted in ONE scan (conditional
+    * sums), per-bucket quantized frequencies and absolute
+    * frequency-difference, plus a total row carrying the
+    * total-variation distance TVD = ½·Σ|p_i − q_i|.
+    *
+    * Determinism is the design constraint: per-bucket deviations use the
+    * common-denominator INTEGER numerator |cnt_ref·n_cur − cnt_cur·n_ref|
+    * (long sums are exactly associative — a float Σ|p−q| would depend on
+    * Spark's partial-aggregation order and could never hash-match an
+    * oracle), with ONE IEEE division at the end. The integer form is
+    * exact while cnt·n < 2^63 (≈3·10⁹ rows per cohort); beyond that
+    * scale the float path with a tolerance compare is the documented
+    * fallback. The bucket frame (≤ |buckets| rows) is lazy-checkpointed:
+    * totals and the output rows reuse it, not the corpus scan.
+    *
+    * Output: `(bucket, cnt_ref, cnt_cur, freq_ref_q6, freq_cur_q6,
+    * dev_q6)` per bucket, and a `bucket = -1` total row whose `dev_q6`
+    * is the TVD (q6 = floor(·10⁶)).
+    */
+  def distDrift(df: DataFrame, valueCol: String, isRef: Column, width: Double): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val b = Dedup.Intermediate.LocalLazy(
+      df.select(
+        floor(col(valueCol) / width).cast("long").as("bucket"),
+        isRef.as("__ref"))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("__ref"), 1L).otherwise(0L)).as("cnt_ref"),
+          sum(when(col("__ref"), 0L).otherwise(1L)).as("cnt_cur")),
+      "drift_buckets")
+    val tot = b.agg(sum(col("cnt_ref")).as("__na"), sum(col("cnt_cur")).as("__nb"))
+    val perBucket = b
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"), col("cnt_ref"), col("cnt_cur"),
+        floor(col("cnt_ref").cast("double") * 1e6 / col("__na")).cast("long").as("freq_ref_q6"),
+        floor(col("cnt_cur").cast("double") * 1e6 / col("__nb")).cast("long").as("freq_cur_q6"),
+        floor(abs(col("cnt_ref") * col("__nb") - col("cnt_cur") * col("__na")).cast("double") * 1e6
+          / (col("__na") * col("__nb")).cast("double")).cast("long").as("dev_q6"))
+    val total = b
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(sum(abs(col("cnt_ref") * col("__nb") - col("cnt_cur") * col("__na"))).as("__num"))
+      .select(
+        lit(-1L).as("bucket"),
+        col("__na").as("cnt_ref"), col("__nb").as("cnt_cur"),
+        lit(1000000L).as("freq_ref_q6"), lit(1000000L).as("freq_cur_q6"),
+        floor(col("__num").cast("double") * 1e6
+          / (lit(2.0) * col("__na") * col("__nb"))).cast("long").as("dev_q6"))
+    perBucket.unionByName(total)
+  }
+
   /** Deequ-style data-quality audit, row-level checks: evaluate every
     * predicate in ONE aggregation pass over the table (sum-of-CASE
     * partial+final HashAggregate — the scan count never depends on the

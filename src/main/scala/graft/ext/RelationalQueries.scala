@@ -528,6 +528,45 @@ object RelationalQueries {
         .orderBy("bucket")
     },
 
+    // Distribution drift between ingestion periods: order-price histogram
+    // of pre-1996 (reference) vs later (current) orders in ONE scan,
+    // per-bucket quantized frequency deltas + the total-variation
+    // distance on the bucket = -1 row — the corpus-composition-shift
+    // monitor a continuously-ingesting training pipeline runs per batch.
+    // Integer common-denominator deviations (exactly associative sums)
+    // make the drift METRIC hash-checkable; see Relational.distDrift.
+    "q_dist_drift" -> { (s, dir) =>
+      Relational
+        .distDrift(Tables.orders(s, dir), "o_totalprice",
+          col("o_orderdate") < "1996-01-01", width = 50000.0)
+        .orderBy("bucket")
+    },
+
+    // Schema/profile drift between ingestion periods: the existing
+    // one-pass profile operator run per cohort (ts-halves of events,
+    // predicate pushed to each scan), joined on col_name — null-count
+    // and distinct-cardinality deltas plus a min/max-stability flag per
+    // column. Completes the monitoring triad: q_constraint_audit
+    // (quality), q_dist_drift (value distributions), this (shape).
+    "q_schema_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def prof(pred: org.apache.spark.sql.Column, tag: String) =
+        Relational
+          .profile(ev.filter(pred), Seq("event_type", "user_id", "props"))
+          .select(col("col_name"), col("n_null").as(s"n_null_$tag"),
+            col("n_distinct").as(s"n_distinct_$tag"),
+            col("min_s").as(s"min_$tag"), col("max_s").as(s"max_$tag"))
+      prof(col("ts") < "2024-01-16", "ref")
+        .join(prof(col("ts") >= "2024-01-16", "cur"), "col_name")
+        .select(col("col_name"), col("n_null_ref"), col("n_null_cur"),
+          col("n_distinct_ref"), col("n_distinct_cur"),
+          floor(col("n_distinct_cur").cast("double") * 1e6 / col("n_distinct_ref"))
+            .cast("long").as("distinct_ratio_q6"),
+          (col("min_ref") === col("min_cur") && col("max_ref") === col("max_cur"))
+            .as("minmax_stable"))
+        .orderBy("col_name")
+    },
+
     // Time-series gap fill: 10-minute per-type counts with missing buckets
     // zero-filled over the global range (Relational.gapFill) — the
     // densification/resample operator.
@@ -1627,6 +1666,41 @@ object RelationalQueries {
       "SELECT s.event_type, s.bucket, coalesce(b.cnt, 0) AS cnt FROM spine s " +
       "LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket " +
       "ORDER BY 1, 2"),
+    // per-cohort profiles recomputed column-by-column, identical ratio
+    // quantization and stability flags
+    "q_schema_drift" -> {
+      def side(where: String) = Seq("event_type", "user_id", "props").map(c =>
+        s"SELECT '$c' AS col_name, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"count(DISTINCT $c) AS nd, " +
+          s"CAST(min($c) AS VARCHAR) AS mn, CAST(max($c) AS VARCHAR) AS mx " +
+          s"FROM events WHERE $where").mkString(" UNION ALL ")
+      s"WITH ref AS (${side("ts < '2024-01-16'")}), " +
+        s"cur AS (${side("ts >= '2024-01-16'")}) " +
+        "SELECT col_name, r.n_null AS n_null_ref, c.n_null AS n_null_cur, " +
+        "r.nd AS n_distinct_ref, c.nd AS n_distinct_cur, " +
+        "CAST(floor(c.nd * 1000000.0 / r.nd) AS BIGINT) AS distinct_ratio_q6, " +
+        "(r.mn = c.mn AND r.mx = c.mx) AS minmax_stable " +
+        "FROM ref r JOIN cur c USING (col_name) ORDER BY col_name"
+    },
+    // same one-pass conditional histogram, same integer numerators with
+    // one final IEEE division — the TVD row is hash-checked, not banded
+    "q_dist_drift" -> ("WITH b AS (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, " +
+      "CAST(sum(CASE WHEN o_orderdate < '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref, " +
+      "CAST(sum(CASE WHEN o_orderdate < '1996-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS cnt_cur " +
+      "FROM orders GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS na, CAST(sum(cnt_cur) AS BIGINT) AS nb FROM b) " +
+      "SELECT bucket, cnt_ref, cnt_cur, " +
+      "CAST(floor(cnt_ref * 1000000.0 / na) AS BIGINT) AS freq_ref_q6, " +
+      "CAST(floor(cnt_cur * 1000000.0 / nb) AS BIGINT) AS freq_cur_q6, " +
+      "CAST(floor(abs(cnt_ref * nb - cnt_cur * na) * 1000000.0 / (na * nb)) AS BIGINT) AS dev_q6 " +
+      "FROM b CROSS JOIN t " +
+      "UNION ALL " +
+      "SELECT -1, na, nb, 1000000, 1000000, " +
+      "CAST(floor(CAST(sum(abs(cnt_ref * nb - cnt_cur * na)) AS DOUBLE) * 1000000.0 " +
+      "/ (2.0 * na * nb)) AS BIGINT) " +
+      "FROM b CROSS JOIN t GROUP BY na, nb " +
+      "ORDER BY bucket"),
     "q_latest_event" -> ("SELECT user_id, arg_max(event_type, event_id) AS last_type, " +
       "max(event_id) AS last_event_id, count(*) AS n_events " +
       "FROM events GROUP BY 1 ORDER BY 1"),

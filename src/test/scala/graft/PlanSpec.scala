@@ -584,6 +584,36 @@ class PlanSpec extends SparkSpec {
       s"the distinct-key FK probe must broadcast the dim keys:\n$p")
   }
 
+  test("q_dist_drift: one conditional-histogram scan; consumers reuse the checkpointed buckets") {
+    import org.apache.spark.sql.functions.col
+    // the one-scan conditional histogram (both cohorts in one pass) is
+    // the pre-checkpoint subtree — pin it directly
+    val histP = Tables.orders(spark, SfDir)
+      .select(org.apache.spark.sql.functions.floor(col("o_totalprice") / 50000.0).as("bucket"),
+        (col("o_orderdate") < "1996-01-01").as("__ref"))
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(col("__ref"), 1L).otherwise(0L)).as("cnt_ref"))
+      .queryExecution.executedPlan.toString
+    assert(count(histP, "Scan parquet") == 1, s"both cohorts count in ONE scan:\n$histP")
+    // the declared plan reads the ≤|buckets|-row checkpoint, never the
+    // corpus: totals and output rows must not re-derive the scan
+    val p = plan("q_dist_drift")
+    assert(count(p, "Scan parquet") == 0,
+      s"every consumer reads the checkpointed bucket frame, not parquet:\n$p")
+    assert(!p.contains("CartesianProduct"), s"singleton totals must broadcast:\n$p")
+  }
+
+  test("q_schema_drift: cohort predicates push to the scans; 3-row profiles broadcast-join") {
+    val p = plan("q_schema_drift")
+    assert(count(p, "Scan parquet") == 2, s"one scan per cohort profile, never more:\n$p")
+    assert(count(p, "PushedFilters: [IsNotNull(ts), LessThan(ts,") +
+      count(p, "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") == 2,
+      s"each cohort's ts predicate must reach its parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"3-row profile frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
   test("q_kmv_intersect: one corpus scan builds both sketches, bottom-k pruned below the shuffle") {
     import org.apache.spark.sql.functions.col
     // the sketch-build subtree sits behind the lazy checkpoint in the

@@ -81,6 +81,23 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(e - 1000.0) / 1000.0 <= 0.55, s"est=$e for true 1000")
   }
 
+  test("distDrift: hand-computed TVD, integer-exact per-bucket deviations") {
+    val spark0 = spark
+    import spark0.implicits._
+    // ref = {5,10,60}, cur = {5,60,70,80}, width 50 ⇒ bucket0 ref2/cur1,
+    // bucket1 ref1/cur3; p=(2/3,1/3), q=(1/4,3/4) ⇒ TVD = 5/12
+    val df = Seq((5.0, true), (10.0, true), (60.0, true),
+      (5.0, false), (60.0, false), (70.0, false), (80.0, false)).toDF("v", "ref")
+    val out = Relational.distDrift(df, "v", col("ref"), width = 50.0)
+      .orderBy("bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (-1L, 3L, 4L, 1000000L, 1000000L, 416666L), // TVD = floor(10/24·1e6)
+      (0L, 2L, 1L, 666666L, 250000L, 416666L),
+      (1L, 1L, 3L, 333333L, 750000L, 416666L)))
+  }
+
   test("audit operators: null operands fail checks; uniqueness and FK arithmetic exact") {
     val spark0 = spark
     import spark0.implicits._
