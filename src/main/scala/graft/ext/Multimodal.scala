@@ -373,6 +373,50 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameFeat(
+      id: Long, frameIdx: Int, nSamples: Int, energy: Long, zeroCrossings: Int)
+
+  /** Per-frame audio features over REAL decoded PCM: non-overlapping
+    * `frameSize`-sample windows, each emitting energy (Σ s² — the
+    * loudness gate) and zero-crossing count (the cheap voiced/unvoiced &
+    * noise discriminator) — the two integer-exact features an audio
+    * curation pass filters on before any model-based scoring. Same
+    * batched `mapPartitions` kernel shape as [[audioStats]]; both
+    * features are integers, so the oracle recomputes them closed-form
+    * from the synthetic sample formula with zero float risk.
+    */
+  def audioFrameFeatures(
+      media: Dataset[MediaRecord],
+      frameSize: Int = 32,
+      batchSize: Int = 64): Dataset[AudioFrameFeat] = {
+    require(frameSize > 0, "frameSize must be positive")
+    implicit val enc = Encoders.product[AudioFrameFeat]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          decodeAudio(r.media).iterator.flatMap { case (_, n, samples) =>
+            (0 until (n + frameSize - 1) / frameSize).iterator.map { f =>
+              val start = f * frameSize
+              val end = math.min(start + frameSize, n)
+              var e = 0L
+              var zc = 0
+              var k = start
+              while (k < end) {
+                val s = samples(k)
+                e += s.toLong * s
+                if (k > start && ((samples(k - 1) < 0) != (s < 0))) zc += 1
+                k += 1
+              }
+              AudioFrameFeat(r.id, f, end - start, e, zc)
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ---- real video container parsing ---------------------------------------
   //
   // No JDK video CODEC exists, so pixel decode stays behind the documented

@@ -95,6 +95,20 @@ object MultimodalQueries {
         .orderBy("id")
     },
 
+    // REAL audio FEATURE extraction over the same WAVs: decode → split
+    // into non-overlapping 32-sample frames → per-frame energy (Σ s²)
+    // and zero-crossing count — the loudness / voiced-unvoiced gates an
+    // audio curation pass filters on. Both features are integers from
+    // the closed-form samples, so the oracle recomputes them exactly.
+    "q_media_audio_frames" -> { (s, dir) =>
+      Multimodal
+        .audioFrameFeatures(Multimodal.syntheticWavMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("nSamples").as("n_samples"), col("energy"),
+          col("zeroCrossings").as("zero_crossings"))
+        .orderBy("id", "frame_idx")
+    },
+
     // REAL video container metadata: alternating hand-built MP4 (ftyp +
     // moov/mvhd/tkhd) and RIFF-AVI (hdrl/avih) headers per document, parsed
     // back by the byte-level box/chunk walkers — the pre-decode ingest gate
@@ -190,6 +204,25 @@ object MultimodalQueries {
       "CAST(list_sum(list_transform(generate_series(0, 64 + doc_id % 64 - 1), " +
       "k -> (doc_id * 37 + k * 11) % 2003 - 1001)) AS BIGINT) AS sample_sum " +
       "FROM documents ORDER BY id"),
+    // per-frame energy and zero crossings recomputed closed-form over
+    // each frame's sample range; the zero-crossing series starts at
+    // frame_start+1 (a crossing needs an in-frame predecessor) and
+    // COALESCEs to 0 for single-sample tail frames; uncorrelated
+    // generate_series + filter = the binder-legal frame fan-out
+    "q_media_audio_frames" -> ("SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx, " +
+      "CAST(least((f + 1) * 32, 64 + doc_id % 64) - f * 32 AS INTEGER) AS n_samples, " +
+      "CAST(list_sum(list_transform(" +
+      "generate_series(f * 32, least((f + 1) * 32, 64 + doc_id % 64) - 1), " +
+      "k -> ((doc_id * 37 + k * 11) % 2003 - 1001) * ((doc_id * 37 + k * 11) % 2003 - 1001)" +
+      ")) AS BIGINT) AS energy, " +
+      "CAST(coalesce(list_sum(list_transform(" +
+      "generate_series(f * 32 + 1, least((f + 1) * 32, 64 + doc_id % 64) - 1), " +
+      "k -> CASE WHEN ((doc_id * 37 + (k - 1) * 11) % 2003 - 1001 < 0) != " +
+      "((doc_id * 37 + k * 11) % 2003 - 1001 < 0) THEN 1 ELSE 0 END)), 0) AS BIGINT) " +
+      "AS zero_crossings " +
+      "FROM documents CROSS JOIN generate_series(0, 3) AS g(f) " +
+      "WHERE f * 32 < 64 + doc_id % 64 " +
+      "ORDER BY id, frame_idx"),
     // parsed container metadata = the generated closed form; MP4 duration
     // units are written at timescale 1000 (duration*1000/1000 = units) and
     // carry no frame count (n_frames 0); AVI duration is the integer-µs

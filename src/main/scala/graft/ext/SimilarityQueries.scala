@@ -60,6 +60,32 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN QUALITY EVALUATION — recall@5 of the production LSH path
+    // against the exact brute-force baseline, per query: the monitoring
+    // query an ANN deployment runs continuously (index drift, plane
+    // re-fits, corpus growth all move recall; an eval harness that is
+    // itself a declared, oracle-checked query keeps the metric honest).
+    // Both arms already exist as operators; the eval is one broadcast
+    // join of two ≤50-row shortlists + rational recall arithmetic
+    // (n_hits·10⁶/5 — integer-exact, hash-checkable).
+    "q_ann_recall" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val probes = v.filter(col("id") < 10)
+      val ann = Similarity
+        .annTopKMulti(probes, v, Tables3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val exact = Similarity
+        .bruteForceTopK(probes, v, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          floor(col("n_hits").cast("double") * 1e6 / 5).cast("long").as("recall_q6"))
+        .orderBy("query_id")
+    },
+
     // IVF-style ANN: 16 sampled coarse centroids (corpus ids 0-15 — the
     // deterministic stand-in for an offline-fitted quantizer), corpus
     // assigned to its nearest cell, queries probe their 2 nearest cells,
@@ -415,6 +441,31 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    // q_ann_lsh's candidate chain (b/qp/cands) and q_cosine_topk's exact
+    // shape, both ranked to 5, joined — identical shortlists, identical
+    // rational recall
+    "q_ann_recall" -> {
+      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+      val perTable = Tables3.zipWithIndex
+        .map { case (w, t) => s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v" }
+        .mkString(" UNION ALL ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"b AS ($perTable), " +
+      s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
+      s"cands AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id), " +
+      "ann AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM cands) WHERE rank <= 5), " +
+      s"exs AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM v q JOIN v c ON q.id < 10 AND q.id != c.id), " +
+      "ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM exs) WHERE rank <= 5) " +
+      "SELECT e.query_id, " +
+      "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+      "CAST(floor(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / 5) AS BIGINT) AS recall_q6 " +
+      "FROM ex e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id " +
+      "GROUP BY 1 ORDER BY 1"
     },
     "q_ann_ivf" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +

@@ -167,6 +167,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFrameFeatures: hand-computed energy/zero-crossings, in-frame crossings only") {
+    val spark0 = spark
+    import spark0.implicits._
+    // samples [1,-1,2,-2, 3,3,-3,0]: frameSize 4 ⇒
+    //  f0 = [1,-1,2,-2]: energy 1+1+4+4=10, crossings at k=1,2,3 ⇒ 3
+    //  f1 = [3,3,-3,0]:  energy 9+9+9+0=27, crossings: 3→-3 flips, -3→0
+    //  flips back (0 counts as non-negative) ⇒ 2; and the f0→f1 boundary
+    //  (-2 → 3) must NOT count — crossings are per-frame
+    val samples = Array(1, -1, 2, -2, 3, 3, -3, 0)
+    val wav = Multimodal.pcmWav(samples.length, 8000, samples(_))
+    val media = Seq(Multimodal.MediaRecord(7L, wav, Multimodal.MediaMeta("wav", 0, 0, 1L))).toDS()
+    val out = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().sortBy(_.frameIdx)
+      .map(f => (f.frameIdx, f.nSamples, f.energy, f.zeroCrossings)).toSeq
+    assert(out == Seq((0, 4, 10L, 3), (1, 4, 27L, 2)))
+    // a 1-sample tail frame has zero crossings by definition
+    val wav2 = Multimodal.pcmWav(5, 8000, k => if (k % 2 == 0) 5 else -5)
+    val media2 = Seq(Multimodal.MediaRecord(8L, wav2, Multimodal.MediaMeta("wav", 0, 0, 1L))).toDS()
+    val tail = Multimodal.audioFrameFeatures(media2, frameSize = 4)
+      .collect().sortBy(_.frameIdx).toSeq
+    assert(tail.map(f => (f.frameIdx, f.nSamples, f.zeroCrossings)) == Seq((0, 4, 3), (1, 1, 0)))
+    // non-audio payloads are dropped, never crash the kernel
+    val junk = Seq(Multimodal.MediaRecord(9L, Array[Byte](1, 2, 3), Multimodal.MediaMeta("x", 0, 0, 0L))).toDS()
+    assert(Multimodal.audioFrameFeatures(junk).collect().isEmpty)
+  }
+
   test("extractFeatures runs batched per partition with stable output") {
     val recs = Multimodal.asRecords(Multimodal.syntheticMedia(docs).repartition(2))
     val feats = Multimodal.extractFeatures(recs, dim = 8, batchSize = 2).collect()
