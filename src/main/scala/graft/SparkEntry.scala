@@ -281,6 +281,37 @@ object SparkEntry {
           round(sum(when(!quarantined && col("line").isNotNull,
             col("p.k").cast("double"))), 3).as("sum_k"))
         .orderBy("event_type")
+    },
+
+    // O1 source breadth — CSV round-trip: the events feed serialized to
+    // REAL CSV files (header + quoting: props is JSON carrying the
+    // delimiter and quote characters, so the writer must quote/escape
+    // and the reader must unquote, or the length/distinct checksums
+    // shift), read back with an explicit schema, aggregated. The oracle
+    // computes the same aggregate over the PARQUET table — equal hashes
+    // prove the serialize→parse cycle is lossless, including the
+    // shortest-round-trip double formatting. The write is part of the
+    // measured work (an ingest pipeline pays it too); app-id-unique
+    // path, overwrite mode — rerun-safe within and across sessions.
+    "q_ingest_csv" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-csv-${s.sparkContext.applicationId}"
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(sch).option("header", "true").csv(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          sum(length(col("props"))).as("props_chars"),
+          count_distinct(col("props")).as("distinct_props"))
+        .orderBy("event_type")
     }
   )
 
@@ -360,6 +391,13 @@ object SparkEntry {
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined, " +
       "round(sum(CASE WHEN coalesce(is_obj, FALSE) " +
       "THEN TRY_CAST(json_extract_string(line, '$.k') AS DOUBLE) END), 3) AS sum_k " +
-      "FROM l2 GROUP BY 1 ORDER BY 1")
+      "FROM l2 GROUP BY 1 ORDER BY 1"),
+    // the same aggregate over the PARQUET table: matching hashes prove
+    // the engine's CSV write→read cycle lost nothing
+    "q_ingest_csv" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+      "CAST(sum(length(props)) AS BIGINT) AS props_chars, " +
+      "count(DISTINCT props) AS distinct_props " +
+      "FROM events GROUP BY 1 ORDER BY 1")
   )
 }

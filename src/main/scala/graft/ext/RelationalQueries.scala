@@ -588,6 +588,51 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // CDC MERGE with tombstones: a change log (op = delete on every 10th
+    // event, else upsert; version = the unique arrival-ordered event_id)
+    // compacted to current state — latest version wins per key, and a
+    // winning DELETE removes the key entirely. This is the upsert /
+    // compaction step every CDC ingest pipeline runs before serving.
+    // Same two-phase argMaxJoin shape as q_latest_event (hash agg +
+    // co-partitioned join back — codegen-safe with string payloads);
+    // the tombstone filter runs on the |keys|-sized merged frame.
+    "q_cdc_merge" -> { (s, dir) =>
+      val log = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"),
+          col("event_type"))
+      Relational
+        .argMaxJoin(log, "user_id", "event_id", Seq("op", "event_type"))
+        .filter(col("op") =!= "D")
+        .select(col("user_id"), col("event_id").as("ver"),
+          col("event_type").as("state"))
+        .orderBy("user_id")
+    },
+
+    // SCD TYPE 2 dimension build from a raw change feed: per-user
+    // time-ordered states collapsed to CHANGES (lag ≠ current filter),
+    // then effective-dated validity intervals (valid_to = the next
+    // change's valid_from; the open interval is the current row) — the
+    // slowly-changing-dimension table warehouse modeling derives from
+    // event streams. Both analytic windows share the SAME (user_id)
+    // partitioning, so the change-collapse and the interval lead ride
+    // ONE exchange (pinned).
+    "q_scd2_build" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables
+        .events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          secs(col("ts")).as("valid_from"),
+          coalesce(secs(col("next_ts")), lit(-1L)).as("valid_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+
     // Event-transition counts (lag analytic window): per-user time-ordered
     // previous→current event-type pairs, aggregated into the transition
     // matrix a behavioral/sessionization pipeline feeds from. One shuffle
@@ -1704,6 +1749,25 @@ object RelationalQueries {
     "q_latest_event" -> ("SELECT user_id, arg_max(event_type, event_id) AS last_type, " +
       "max(event_id) AS last_event_id, count(*) AS n_events " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+    // arg_max per key over the synthesized op log, tombstones dropped
+    "q_cdc_merge" -> ("WITH log AS (SELECT user_id, event_id, " +
+      "CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op, event_type FROM events) " +
+      "SELECT user_id, max(event_id) AS ver, " +
+      "arg_max(event_type, event_id) AS state FROM log GROUP BY user_id " +
+      "HAVING arg_max(op, event_id) != 'D' ORDER BY user_id"),
+    // identical change-collapse + interval windows; epoch-floor seconds
+    "q_scd2_build" -> ("WITH seq AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events), " +
+      "chg AS (SELECT user_id, ts, event_id, event_type FROM seq " +
+      "WHERE prev_type IS NULL OR prev_type != event_type), " +
+      "iv AS (SELECT user_id, event_type AS state, ts, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts FROM chg) " +
+      "SELECT user_id, state, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS valid_from, " +
+      "coalesce(CAST(floor(epoch(CAST(next_ts AS TIMESTAMP))) AS BIGINT), -1) AS valid_to, " +
+      "next_ts IS NULL AS is_current " +
+      "FROM iv ORDER BY user_id, valid_from, state"),
     "q_event_paths" -> ("WITH seq AS (SELECT user_id, event_type, " +
       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
       "FROM events) " +

@@ -604,6 +604,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"singleton totals must broadcast:\n$p")
   }
 
+  test("q_scd2_build: change-collapse and interval windows share one exchange") {
+    val p = plan("q_scd2_build")
+    // lag (change detection) and lead (valid_to) both partition by
+    // user_id with the same ordering — the second window must reuse the
+    // first's partitioning; + the declared ORDER BY range exchange only
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"both analytic windows must ride ONE user exchange:\n$p")
+    assert(count(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
   test("q_schema_drift: cohort predicates push to the scans; 3-row profiles broadcast-join") {
     val p = plan("q_schema_drift")
     assert(count(p, "Scan parquet") == 2, s"one scan per cohort profile, never more:\n$p")
