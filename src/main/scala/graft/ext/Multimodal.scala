@@ -291,48 +291,105 @@ object Multimodal {
     * fully round-trips).
     */
   def pcmWav(nSamples: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
-    val raw = new Array[Byte](nSamples * 2)
+    // hand-built canonical RIFF/WAVE container (44-byte header + LE
+    // PCM16 payload). AudioSystem.write produces the same format but
+    // funnels EVERY call through JDK13Services' synchronized provider
+    // cache — measured 2.8× over linear at ×100 under local[32] (500k
+    // writes+reads serialize on one lock; BASELINE session-3). The
+    // container is 44 fixed bytes; build it directly.
+    // MultimodalSpec pins AudioSystem-compatibility of the output.
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(1) // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var k = 0
-    while (k < nSamples) {
-      val v = sample(k).toShort
-      raw(2 * k) = (v & 0xff).toByte
-      raw(2 * k + 1) = ((v >> 8) & 0xff).toByte
-      k += 1
-    }
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, nSamples.toLong)
-    val bos = new ByteArrayOutputStream(raw.length + 64)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (k < nSamples) { buf.putShort(sample(k).toShort); k += 1 }
+    buf.array()
   }
 
-  /** Real audio decode via `AudioSystem`: parse the container header,
-    * stream the PCM frames, reassemble signed 16-bit samples. Returns None
-    * for payloads no installed reader accepts (the non-audio signal,
-    * mirroring [[decodeImage]]).
+  /** Real audio decode: canonical PCM16-mono-LE WAVs parse through the
+    * hand-rolled RIFF walker (the hot path — no shared lock, like the
+    * AVI/MP4 parsers below); anything else falls back to the JDK's
+    * `AudioSystem` reader (AIFF/AU/non-canonical WAV), whose
+    * synchronized provider cache prices as an exception handler — the
+    * same hot-path/fallback split as the charset-cascade ingest UDF.
+    * Returns None for payloads neither path accepts (the non-audio
+    * signal, mirroring [[decodeImage]]).
     */
   def decodeAudio(media: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (media == null || media.length < 12) None
-    else
-      try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
-        else {
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
-          val out = new Array[Int](n)
+    else parseWavPcm(media).orElse(decodeAudioJdk(media))
+
+  /** Hand-rolled RIFF/WAVE chunk walk for the canonical PCM case:
+    * requires `fmt ` declaring PCM, mono, 16-bit (little-endian by the
+    * WAV spec) and a `data` chunk; word-aligned chunk stepping; any
+    * deviation → None (the JDK fallback decides, not this parser).
+    */
+  private[graft] def parseWavPcm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 44 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE") None
+    else {
+      var off = 12
+      var rate = -1
+      var ok = false
+      var data: Array[Int] = null
+      while (off + 8 <= b.length && (data == null || !ok)) {
+        val id = fourcc(b, off)
+        val size = le32(b, off + 4).toInt
+        val payload = off + 8
+        if (size < 0 || payload + size > b.length) return None
+        if (id == "fmt " && size >= 16) {
+          val audioFormat = (b(payload) & 0xff) | ((b(payload + 1) & 0xff) << 8)
+          val channels = (b(payload + 2) & 0xff) | ((b(payload + 3) & 0xff) << 8)
+          val bits = (b(payload + 14) & 0xff) | ((b(payload + 15) & 0xff) << 8)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          rate = le32(b, payload + 4).toInt
+          ok = true
+        } else if (id == "data") {
+          val n = size / 2
+          data = new Array[Int](n)
           var k = 0
           while (k < n) {
-            out(k) = ((raw(2 * k + 1) << 8) | (raw(2 * k) & 0xff))
+            data(k) = (b(payload + 2 * k + 1) << 8) | (b(payload + 2 * k) & 0xff)
             k += 1
           }
-          Some((fmt.getSampleRate.toInt, n, out))
         }
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException                               => None
+        off = payload + size + (size & 1) // RIFF chunks are word-aligned
       }
+      if (ok && data != null) Some((rate, data.length, data)) else None
+    }
+  }
+
+  /** The JDK `AudioSystem` fallback path (see [[decodeAudio]]). */
+  private def decodeAudioJdk(media: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(media))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          out(k) = ((raw(2 * k + 1) << 8) | (raw(2 * k) & 0xff))
+          k += 1
+        }
+        Some((fmt.getSampleRate.toInt, n, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException                               => None
+    }
 
   /** Deterministic REAL-audio media table: one PCM WAV per document,
     * sample count/rate and sample values closed-form in `doc_id`

@@ -145,6 +145,38 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.toSeq == samples.toSeq)
   }
 
+  test("hand-rolled WAV fast path ≡ the JDK codec, both directions") {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Array(12, -7, 32767, -32768, 0, 255)
+    // direction 1: the hand-built container must be a VALID WAV to the
+    // JDK's own reader — identical rate, count, and samples
+    val ours = Multimodal.pcmWav(samples.length, 8000, samples(_))
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(ours))
+    assert(ais.getFormat.getSampleRate.toInt == 8000 &&
+      ais.getFormat.getChannels == 1 && ais.getFormat.getSampleSizeInBits == 16)
+    val raw = ais.readAllBytes()
+    val jdkSamples = (0 until raw.length / 2).map(k => (raw(2 * k + 1) << 8) | (raw(2 * k) & 0xff))
+    assert(jdkSamples == samples.toSeq)
+    // direction 2: a WAV written BY the JDK parses through the
+    // hand-rolled fast path with identical results
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      pcm(2 * k) = (s & 0xff).toByte; pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val (r2, n2, d2) = Multimodal.parseWavPcm(bos.toByteArray).get
+    assert(r2 == 8000 && n2 == samples.length && d2.toSeq == samples.toSeq)
+    // the fast path rejects what it cannot prove canonical (truncated,
+    // non-RIFF) instead of guessing
+    assert(Multimodal.parseWavPcm(ours.take(30)).isEmpty)
+    assert(Multimodal.parseWavPcm("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("decodeAudio returns None for non-audio payloads (including images)") {
     assert(Multimodal.decodeAudio("definitely not audio".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeAudio(Multimodal.grayPng(4, 4, (_, _) => 1)).isEmpty)
