@@ -86,6 +86,26 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // FILTERED vector search — ANN under a metadata predicate (tenant /
+    // partition / language scoping, the standard production requirement):
+    // the label filter applies to the CORPUS side BEFORE bucketing, so
+    // the predicate pushes to the parquet scan and the bucket join only
+    // ever sees qualifying vectors (pre-filter strategy — no recall loss
+    // to post-filtering a shortlist that was ranked over excluded rows).
+    // Same 3-table Hamming-1 LSH + exact re-rank as q_ann_lsh.
+    "q_ann_filtered" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val all = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"),
+          col("label"))
+      val corpus = all.filter(col("label") < 5).select("id", "vec")
+      val probes = all.filter(col("id") < 10).select("id", "vec")
+      Similarity
+        .annTopKMulti(probes, corpus, Tables3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-style ANN: 16 sampled coarse centroids (corpus ids 0-15 — the
     // deterministic stand-in for an offline-fitted quantizer), corpus
     // assigned to its nearest cell, queries probe their 2 nearest cells,
@@ -436,6 +456,30 @@ object SimilarityQueries {
       s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"b AS ($perTable), " +
       s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
+      s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+    },
+    // q_ann_lsh's chain with the corpus CTE label-filtered before
+    // bucketing — probes bucket from the unfiltered table
+    "q_ann_filtered" -> {
+      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+      val corpusTables = Tables3.zipWithIndex
+        .map { case (w, t) =>
+          s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v WHERE label < 5"
+        }
+        .mkString(" UNION ALL ")
+      val probeTables = Tables3.zipWithIndex
+        .map { case (w, t) =>
+          s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v WHERE id < 10"
+        }
+        .mkString(" UNION ALL ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec, label FROM embeddings), " +
+      s"b AS ($corpusTables), " +
+      s"p AS ($probeTables), " +
+      s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM p, unnest([$masks]::BIGINT[]) AS u(m)), " +
       s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
       "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id) " +
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +

@@ -604,6 +604,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"singleton totals must broadcast:\n$p")
   }
 
+  test("q_ann_filtered: the metadata predicate pushes below the bucket join") {
+    val p = plan("q_ann_filtered")
+    // pre-filter strategy: the corpus scan itself carries the label
+    // predicate — the bucket join never sees excluded vectors (a
+    // post-filter would rank over them and silently lose recall)
+    assert(p.contains("LessThan(label,5)"),
+      s"the label filter must reach the corpus parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"candidates come from the bucket equi-join:\n$p")
+  }
+
   test("q_scd2_build: change-collapse and interval windows share one exchange") {
     val p = plan("q_scd2_build")
     // lag (change detection) and lead (valid_to) both partition by
