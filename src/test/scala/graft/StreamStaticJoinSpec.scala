@@ -67,6 +67,43 @@ class StreamStaticJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched clicks emit nulls on watermark close") {
+    // the "clicks WITHOUT conversions" attribution question: an outer
+    // interval join emits the null row ONLY once the watermark proves no
+    // match can still arrive — bounded state AND complete answers, where
+    // an inner join silently drops the unconverted side
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val convs = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val c = clicks.toDF.toDF("cts", "cuser").withWatermark("cts", "10 seconds")
+    val v = convs.toDF.toDF("vts", "vuser", "amount").withWatermark("vts", "10 seconds")
+    val joined = c.join(v,
+      expr("cuser = vuser AND vts >= cts AND vts <= cts + INTERVAL 30 seconds"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssoj").outputMode("append").start()
+    try {
+      clicks.addData((at(10), 1L), (at(10), 2L)) // user 2 never converts
+      convs.addData((at(25), 1L, 9.0))
+      q.processAllAvailable()
+      // push both watermarks far past cts + 30 s + delay so user 2's
+      // click provably cannot match anymore; a second nudge batch lets
+      // the outer row flush
+      clicks.addData((at(500), 9L))
+      convs.addData((at(500), 9L, 1.0))
+      q.processAllAvailable()
+      clicks.addData((at(600), 8L))
+      convs.addData((at(600), 8L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssoj")
+        .select($"cuser", $"amount").as[(Long, Option[Double])].collect().toSet
+      assert(rows.contains((1L, Some(9.0))), s"matched click must join: $rows")
+      assert(rows.contains((2L, None)),
+        s"the unconverted click must emit with NULL once closed: $rows")
+      // and it emits exactly once — no duplicate outer rows across batches
+      assert(spark.table("ssoj").filter($"cuser" === 2L).count() == 1L)
+    } finally q.stop()
+  }
+
   test("approx_count_distinct tracks exact within its rsd at sf0.001") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val rows = ev.groupBy("event_type")
