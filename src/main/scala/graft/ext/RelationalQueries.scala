@@ -1532,6 +1532,67 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"),
           max(col("purchases")).as("purchases"))
         .orderBy("dt")
+    },
+
+    // Dense global row numbering WITHOUT the empty-over window's
+    // single-reducer sort ([[Scale.globalRowNumber]]): range-repartition +
+    // per-partition local numbering + broadcast prefix-sum offsets. The
+    // oracle IS `row_number() OVER (ORDER BY …)` — the scalable plan must
+    // reproduce the single-task semantics bit-for-bit. Driver traffic is
+    // one count per partition; PlanSpec pins the absence of a
+    // SinglePartition exchange.
+    "q_global_rownum" -> { (s, dir) =>
+      Scale
+        .globalRowNumber(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", partitions = 8)
+        .select(col("doc_id"), col("source"), col("rownum"))
+        .orderBy("doc_id")
+    },
+
+    // Z-order layout statistics: events keyed by (user, day) get a Morton
+    // z-value ([[Scale.zValue]], pure bit-algebra Column — codegen, no
+    // UDF), and per z-bucket (top 4 z-bits = 16 buckets) min/max spans of
+    // BOTH dimensions are computed. The law a z-layout buys: every bucket
+    // bounds x AND y to ≤ 1/4 of their domain simultaneously — per-file
+    // min/max stats can prune two-axis predicates, where a single-column
+    // sort leaves the second dimension at full width. Oracle recomputes
+    // the interleave closed-form per row.
+    "q_zorder_locality" -> { (s, dir) =>
+      // 5-bit dims (32×32 grid) so the fixture's user/day domains FILL the
+      // space and all 16 top-4-bit buckets populate at every SF — the
+      // locality law (both spans ≤ domain/4 per bucket) is then visible in
+      // the output, not vacuously true of one giant bucket
+      val bits = 5
+      val ev = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(1 << bits)).as("x"),
+        pmod(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+          lit(1 << bits)).as("y"))
+      ev.withColumn("z", Scale.zValue(col("x"), col("y"), bits))
+        .withColumn("bucket", shiftright(col("z"), 2 * bits - 4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("bucket")
+    },
+
+    // Skew-salted fact⋈dim equi-join ([[Scale.saltedJoin]]): the hot fact
+    // key's rows split across 8 (key, salt) reduce groups, the dim side
+    // replicates ×8, merge hints pin the SortMergeJoin (modeling a dim too
+    // large to broadcast — at fixture SF the planner would broadcast and
+    // never exercise the salted path). Oracle = the plain join + GROUP BY:
+    // salting is a physical choice and must be invisible to results.
+    "q_join_salted" -> { (s, dir) =>
+      val fact = Tables.events(s, dir)
+        .select(col("user_id").as("c_custkey"),
+          floor(col("value") * 1000).cast("long").as("v_q3"))
+      val dim = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      Scale
+        .saltedJoin(fact, dim, "c_custkey", saltBuckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v_q3")).as("sum_v_q3"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -2153,6 +2214,27 @@ object RelationalQueries {
       "SELECT dt, count(*) AS n_events, round(sum(value), 2) AS sum_value, " +
       "max(purchases) AS purchases " +
       "FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e " +
-      "JOIN hot USING (dt) GROUP BY 1 ORDER BY 1")
+      "JOIN hot USING (dt) GROUP BY 1 ORDER BY 1"),
+    // the oracle IS the single-reducer window the engine refuses to run —
+    // the range-partitioned prefix-sum plan must match it exactly
+    "q_global_rownum" -> ("SELECT doc_id, source, " +
+      "row_number() OVER (ORDER BY doc_id) - 1 AS rownum " +
+      "FROM documents ORDER BY doc_id"),
+    // Morton interleave recomputed closed-form per row (x bits on even
+    // z positions, y bits on odd), bucketed by the top 4 z-bits
+    "q_zorder_locality" -> ("WITH d AS (SELECT user_id % 32 AS x, " +
+      "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 32 AS y FROM events), " +
+      "z AS (SELECT x, y, list_sum(list_transform(generate_series(0, 4), " +
+      "i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS zv FROM d) " +
+      "SELECT CAST(zv >> 6 AS BIGINT) AS bucket, count(*) AS n_events, " +
+      "CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x, " +
+      "CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y " +
+      "FROM z GROUP BY 1 ORDER BY 1"),
+    // the PLAIN join + GROUP BY — the salted (key, salt) two-sided plan
+    // must produce the identical answer
+    "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3 " +
+      "FROM events JOIN customer ON user_id = c_custkey " +
+      "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale machinery for skew and co-location — the knobs a 100 TB deployment
   * turns that never show up at test scale:
@@ -108,4 +110,86 @@ object Scale {
   /** Convenience: does this frame's physical plan contain a shuffle? */
   def hasExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange")
+
+  /** Dense global row numbering (0-based, ordered by `orderCol`) WITHOUT the
+    * single-reducer sort that `row_number() OVER (ORDER BY …)` compiles to —
+    * an empty-over window moves the ENTIRE input through one task, the
+    * canonical 100 TB cliff.
+    *
+    * Scale path instead: range-repartition on the order column (parallel
+    * sampled-boundary sort, every task gets a contiguous key range), sort
+    * within partitions, then number each partition locally and add a
+    * broadcast prefix-sum offset. The only driver-side data is ONE count per
+    * partition; the corpus itself never converges on a single task.
+    *
+    * The ranged frame is localCheckpoint-ed so the counting pass and the
+    * numbering pass read the SAME physical partitioning (RangePartitioner
+    * samples per-RDD; recomputation could draw different boundaries). A
+    * durable pipeline would stage to storage instead — same contract.
+    *
+    * `orderCol` must be unique for the numbering to be deterministic
+    * (ties across a range boundary would otherwise order arbitrarily).
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      orderCol: String,
+      partitions: Int,
+      outCol: String = "rownum"): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
+    val ranged = df
+      .repartitionByRange(partitions, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .localCheckpoint()
+    // one row per non-empty partition — driver-sized by construction
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets = new Array[Long](partitions)
+    var acc = 0L
+    (0 until partitions).foreach { pid =>
+      offsets(pid) = acc
+      acc += counts.getOrElse(pid, 0L)
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = df.schema.add(outCol, LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val off = bc.value(TaskContext.getPartitionId())
+      var i = 0L
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ (off + i))
+        i += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Z-order (Morton) value of two non-negative dimension columns: the low
+    * `bits` bits of `x` and `y` interleaved (x on even positions, y on odd).
+    * Pure `Column` bit algebra — shifts/masks/ors stay inside whole-stage
+    * codegen, no UDF.
+    *
+    * Sorting or range-partitioning a table by this value gives every
+    * contiguous run of rows BOUNDED ranges in BOTH dimensions at once
+    * (fixing the top 2k bits of z fixes the top k bits of each dimension),
+    * which is what makes per-file min/max statistics prune multi-dimension
+    * predicates — a single-column sort clusters one dimension and leaves
+    * the other's span at full domain width. This is the layout lever for
+    * 100 TB scans filtered on two axes (tenant × time, user × day).
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits)
+      .flatMap { i =>
+        Seq(
+          shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i),
+          shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      .reduce(_ bitwiseOR _)
+  }
 }

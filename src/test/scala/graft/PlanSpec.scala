@@ -697,4 +697,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"no nested-loop/all-pairs in the encode path:\n$p")
   }
+
+  test("q_global_rownum: numbering never converges on a single partition") {
+    // the window form (row_number over an empty-over ORDER BY) compiles to
+    // Exchange SinglePartition + a full sort on one task — the 100 TB
+    // cliff this operator exists to avoid. Only the declared output
+    // ORDER BY may range-shuffle.
+    val p = plan("q_global_rownum")
+    assert(!p.contains("SinglePartition"),
+      s"numbering must stay range-partitioned, never single-task:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the scale path:\n$p")
+  }
+
+  test("q_zorder_locality: interleave is pure codegen bit-algebra, one data shuffle") {
+    val p = plan("q_zorder_locality")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEval"),
+      s"z-value must be Column bit-ops, not a UDF:\n$p")
+    // one hash shuffle for the bucket agg; the ORDER BY adds a range one
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"exactly one aggregation shuffle:\n$p")
+  }
+
+  test("q_join_salted: salted join is a shuffle join on (key, salt), never broadcast") {
+    val p = plan("q_join_salted")
+    assert(p.contains("SortMergeJoin"),
+      s"salted path models a non-broadcastable dim — merge join required:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a broadcast would bypass the salt entirely:\n$p")
+  }
 }

@@ -99,4 +99,57 @@ class ScaleSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("globalRowNumber equals the single-reducer window, including empty ranges") {
+    // unsorted, gap-heavy keys; more partitions than distinct ranges can
+    // fill → some partitions end up empty and their offsets must still
+    // chain correctly through the prefix sum
+    val df = Seq(907L, 3L, 500L, 17L, 42L, 999L, 1L, 250L).map(k => (k, s"p$k"))
+      .toDF("k", "payload").repartition(5)
+    val got = Scale.globalRowNumber(df, "k", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Seq(1L, 3L, 17L, 42L, 250L, 500L, 907L, 999L).zipWithIndex
+      .map { case (k, i) => (k, s"p$k", i.toLong) }.toSet
+    assert(got == want)
+    // numbering is dense 0..n-1 — no gaps, no duplicates
+    assert(got.map(_._3) == (0L until 8L).toSet)
+    intercept[IllegalArgumentException](
+      Scale.globalRowNumber(df.withColumn("rownum", lit(1)), "k", 4))
+  }
+
+  test("globalRowNumber at table scale matches row_number over the full order") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select($"doc_id")
+    val got = Scale.globalRowNumber(docs, "doc_id", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = docs.collect().map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got == want)
+  }
+
+  test("zValue interleaves exactly and fixing top z-bits bounds BOTH dimensions") {
+    // reference interleave in plain Scala
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val bits = 6
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .withColumn("z", Scale.zValue($"x", $"y", bits))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(x, y, bits), s"interleave mismatch at ($x, $y)")
+    }
+    // bijective on the grid
+    assert(got.values.toSet.size == grid.size)
+    // locality law: the top 4 z-bits fix the top 2 bits of each dimension,
+    // so every bucket's span in x AND y is < domain/4
+    val byBucket = got.toSeq.groupBy { case (_, z) => z >> (2 * bits - 4) }
+    byBucket.foreach { case (b, members) =>
+      val xs = members.map(_._1._1)
+      val ys = members.map(_._1._2)
+      assert(xs.max - xs.min < 16, s"bucket $b x-span must stay < domain/4")
+      assert(ys.max - ys.min < 16, s"bucket $b y-span must stay < domain/4")
+    }
+  }
 }
