@@ -100,6 +100,51 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark's InjectRuntimeFilter: a selective predicate on the dim side
+    // of a shuffle join grows a bloom filter of the surviving join keys,
+    // and the FACT side is pre-filtered by might_contain BEFORE its
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // full fact table and shuffling only rows that can match. The
+    // application-side size threshold defaults to 10 GB (never trips at
+    // test SF); lowering it exercises the same machinery a production
+    // run relies on.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shape = {
+        val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+          .filter($"o_orderpriority" === "1-URGENT")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sq"))
+      }
+      val filtered = shape
+      val opt = filtered.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg"),
+        s"dim side must build a runtime bloom of surviving keys:\n$opt")
+      assert(opt.contains("might_contain"),
+        s"fact side must be pre-filtered by the bloom before its shuffle:\n$opt")
+      // the filter is a physical pruning aid only — results are identical
+      // to the plain join (bloom false positives pass through to the real
+      // join predicate, false negatives are impossible)
+      val got = filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val want = shape.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("globalRowNumber equals the single-reducer window, including empty ranges") {
     // unsorted, gap-heavy keys; more partitions than distinct ranges can
     // fill → some partitions end up empty and their offsets must still
