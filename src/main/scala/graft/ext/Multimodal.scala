@@ -277,6 +277,76 @@ object Multimodal {
       out
     }
 
+  /** Difference-hash (dHash) of a decoded image over `dim` flat-index
+    * luminance buckets: bit j is set iff bucket j's mean luminance exceeds
+    * bucket j+1's — the classic perceptual fingerprint for image near-dup
+    * detection (brightness-invariant-ish, layout-sensitive). The
+    * comparison is INTEGER cross-multiplication (`s_j·c_{j+1} >
+    * s_{j+1}·c_j`), never a float divide, so an SQL oracle reproduces
+    * every bit exactly and two JVMs can't disagree in the last ulp.
+    * Pooling matches [[imageFeatures]] (bucket = i·dim/n over the
+    * row-major flat index).
+    */
+  def imageDHash(media: Array[Byte], dim: Int): Option[Long] = {
+    require(dim >= 2 && dim <= 64, "dim must be in [2, 64]")
+    decodeImage(media).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w * h
+      val lum = new Array[Int](n)
+      if (img.getRaster.getNumBands == 1) {
+        img.getRaster.getSamples(0, 0, w, h, 0, lum)
+      } else {
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            lum(i) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+            i += 1; x += 1
+          }
+          y += 1
+        }
+      }
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < n) {
+        val b = (i.toLong * dim / n).toInt
+        sums(b) += lum(i); counts(b) += 1
+        i += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < dim - 1) {
+        if (sums(j) * counts(j + 1) > sums(j + 1) * counts(j)) hash |= (1L << j)
+        j += 1
+      }
+      hash
+    }
+  }
+
+  /** Per-image id + dHash. */
+  final case class ImageHash(id: Long, dhash: Long)
+
+  /** Batched dHash over a media table — same map-only per-partition kernel
+    * lifecycle as [[decodeStats]]; undecodable payloads are dropped.
+    * Downstream, a plain `groupBy(dhash)` (or a window over it) turns the
+    * fingerprints into near-dup buckets — the image analog of exact text
+    * dedup, at one hash-keyed exchange over |images| rows.
+    */
+  def perceptualHash(media: Dataset[MediaRecord], dim: Int, batchSize: Int = 64)
+      : Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap(r => imageDHash(r.media, dim).map(ImageHash(r.id, _)))
+      }
+    }
+  }
+
   // ---- real JDK audio kernels ---------------------------------------------
 
   /** Decoded PCM audio: sample count, rate, and the signed-sample sum —

@@ -139,6 +139,23 @@ object MultimodalQueries {
         .select(col("id"), col("frameIdx").as("frame_idx"), col("width"), col("height"),
           col("lumaQ").as("luma_q"))
         .orderBy("id", "frame_idx")
+    },
+
+    // Image near-dup via perceptual dHash ([[Multimodal.imageDHash]]): real
+    // PNG decode → 16-bucket luminance pooling → adjacent-bucket comparison
+    // bits (integer cross-multiplication, no float divide — every bit
+    // oracle-exact), then a window over the hash turns fingerprints into
+    // dup-bucket sizes: the image analog of exact text dedup, one
+    // hash-keyed exchange over |images| rows. The oracle recomputes hash
+    // bits closed-form from the pixel formula.
+    "q_media_dhash" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Multimodal
+        .perceptualHash(Multimodal.syntheticPngMedia(Tables.documents(s, dir)), dim = 16)
+        .toDF
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("dhash"))))
+        .select(col("id"), col("dhash"), col("bucket_n"))
+        .orderBy("id")
     }
   )
 
@@ -247,6 +264,26 @@ object MultimodalQueries {
       "CAST(16 * (1 + (doc_id + f) % 13) + 8 AS INTEGER) AS luma_q " +
       "FROM documents CROSS JOIN generate_series(0, 3) AS g(f) " +
       "WHERE f <= 1 + doc_id % 3 " +
-      "ORDER BY id, frame_idx")
+      "ORDER BY id, frame_idx"),
+    // dHash bits recomputed closed-form: per-bucket integer sums/counts
+    // over the generator's pixels (16 flat-index buckets, same pooling as
+    // q_media_features), bit j from the cross-multiplied adjacent-bucket
+    // compare — all integer arithmetic, so the hash is exact on both
+    // sides; bucket sizes via a window over the hash
+    "q_media_dhash" -> ("WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w, " +
+      "(8 + doc_id % 9) * (8 + doc_id % 7) AS npix FROM documents), " +
+      "fb AS (SELECT doc_id, b, " +
+      "list_sum(list_transform(list_filter(generate_series(0, npix - 1), " +
+      "i -> i * 16 // npix = b), " +
+      "i -> (doc_id * 31 + (i // w) * 16 + (i % w) * 7) % 256)) AS s, " +
+      "len(list_filter(generate_series(0, npix - 1), i -> i * 16 // npix = b)) AS c " +
+      "FROM g CROSS JOIN generate_series(0, 15) AS u(b)), " +
+      "agg AS (SELECT doc_id, list(s ORDER BY b) AS ss, list(c ORDER BY b) AS cs " +
+      "FROM fb GROUP BY doc_id), " +
+      "h AS (SELECT doc_id AS id, CAST(list_sum(list_transform(generate_series(1, 15), " +
+      "j -> CASE WHEN ss[j] * cs[j + 1] > ss[j + 1] * cs[j] " +
+      "THEN 1 << (j - 1) ELSE 0 END)) AS BIGINT) AS dhash FROM agg) " +
+      "SELECT id, dhash, count(*) OVER (PARTITION BY dhash) AS bucket_n " +
+      "FROM h ORDER BY id")
   )
 }

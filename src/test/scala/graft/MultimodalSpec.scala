@@ -387,4 +387,43 @@ class MultimodalSpec extends SparkSpec {
     // level 40 = 16·2 + 8 is mid-bucket, so the lossy round-trip snaps back
     assert(out.head.width == 16 && out.head.lumaQ == 40)
   }
+
+  test("imageDHash bits follow the adjacent-bucket law exactly") {
+    // 4×1 gradient image, dim=4 → one pixel per bucket; descending
+    // luminance sets every compare bit, ascending sets none
+    val desc = Multimodal.grayPng(4, 1, (x, _) => 200 - x * 50)
+    assert(Multimodal.imageDHash(desc, dim = 4).contains(7L)) // bits 0,1,2
+    val asc = Multimodal.grayPng(4, 1, (x, _) => x * 50)
+    assert(Multimodal.imageDHash(asc, dim = 4).contains(0L))
+    // equal means produce a 0 bit (strict >): constant image hashes to 0
+    val flat = Multimodal.grayPng(8, 8, (_, _) => 99)
+    assert(Multimodal.imageDHash(flat, dim = 16).contains(0L))
+    // the cross-multiplied compare is exact where a float mean would tie-
+    // break unpredictably: buckets [3,1] vs [2] → means 2 vs 2 → bit 0
+    val tie = Multimodal.grayPng(3, 1, (x, _) => Seq(3, 1, 2)(x))
+    assert(Multimodal.imageDHash(tie, dim = 2).contains(0L))
+    // non-image bytes decode to None, never throw
+    assert(Multimodal.imageDHash("not a png".getBytes, dim = 16).isEmpty)
+    // identical content → identical hash through the real codec round-trip
+    val again = Multimodal.grayPng(4, 1, (x, _) => 200 - x * 50)
+    assert(Multimodal.imageDHash(again, 4) == Multimodal.imageDHash(desc, 4))
+  }
+
+  test("perceptualHash buckets duplicate images together and drops junk") {
+    import spark.implicits._
+    val imgA1 = Multimodal.grayPng(6, 6, (x, y) => (x * 20 + y * 10) % 256)
+    val imgA2 = Multimodal.grayPng(6, 6, (x, y) => (x * 20 + y * 10) % 256)
+    val imgB = Multimodal.grayPng(6, 6, (x, y) => (250 - x * 30 + y) % 256)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, imgA1, Multimodal.MediaMeta("png", 6, 6, 0L)),
+      Multimodal.MediaRecord(2L, imgA2, Multimodal.MediaMeta("png", 6, 6, 0L)),
+      Multimodal.MediaRecord(3L, imgB, Multimodal.MediaMeta("png", 6, 6, 0L)),
+      Multimodal.MediaRecord(4L, "junk".getBytes, Multimodal.MediaMeta("bin", 0, 0, 0L))
+    ).toDS()
+    val hashes = Multimodal.perceptualHash(ds, dim = 16).collect()
+      .map(h => h.id -> h.dhash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L), "junk payload must drop")
+    assert(hashes(1L) == hashes(2L), "identical images must share a bucket")
+    assert(hashes(1L) != hashes(3L), "different layout must split buckets")
+  }
 }
