@@ -171,6 +171,54 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("z-ordered parquet files prune a two-dimensional box predicate via min/max stats") {
+    // end-to-end proof of the layout claim: the SAME 256×256 grid written
+    // (a) range-partitioned by z-value and (b) range-partitioned by x —
+    // then a box predicate on BOTH dims. Parquet file/row-group min-max
+    // stats prune z-files on both axes (each file is a compact quad), but
+    // x-files only on x (each spans the full y domain). The scan metric
+    // counts rows surviving stats pruning — the 100 TB read-amplification
+    // difference, measured.
+    val grid = spark.range(65536L).select(
+      ($"id" % 256).cast("int").as("x"),
+      ($"id" / 256).cast("int").as("y"),
+      $"id".as("payload"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val xDir = java.nio.file.Files.createTempDirectory("xsort").toString
+    try {
+      grid.withColumn("z", Scale.zValue($"x", $"y", 8))
+        .repartitionByRange(64, $"z").drop("z")
+        .write.mode("overwrite").parquet(zDir)
+      grid.repartitionByRange(64, $"x", $"y")
+        .write.mode("overwrite").parquet(xDir)
+      def scannedRows(dir: String): Long = {
+        val q = spark.read.parquet(dir)
+          .filter($"x" >= 32 && $"x" < 64 && $"y" >= 96 && $"y" < 128)
+        // collect() executes THIS queryExecution — its scan metrics are
+        // the ones inspected (a count() would run a separate plan and
+        // leave these metrics at zero)
+        assert(q.collect().length == 1024, "box holds exactly one 32x32 quad")
+        val scan = q.queryExecution.executedPlan.collectLeaves().head
+        val rows = scan.metrics("numOutputRows").value
+        assert(rows > 0, "metric must come from the executed scan")
+        rows
+      }
+      val zRows = scannedRows(zDir)
+      val xRows = scannedRows(xDir)
+      info(s"rows surviving stats pruning: z-layout $zRows, x-layout $xRows")
+      // z layout: the box is (nearly) one file — sampling fuzz allows a
+      // few; x layout: every file overlapping x∈[32,64) spans all of y,
+      // so ~8 files' worth of rows survive stats pruning
+      assert(zRows <= 4096, s"z layout must prune to the quad's files, read $zRows")
+      assert(xRows >= 2 * zRows,
+        s"single-dim layout must read ≥2× the z layout ($xRows vs $zRows)")
+    } finally {
+      Seq(zDir, xDir).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      }
+    }
+  }
+
   test("zValue interleaves exactly and fixing top z-bits bounds BOTH dimensions") {
     // reference interleave in plain Scala
     def ref(x: Long, y: Long, bits: Int): Long =
