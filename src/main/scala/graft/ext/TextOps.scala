@@ -542,4 +542,52 @@ object TextOps {
       .select(col("doc"), col("n_toks"), col("w_sum_q6"),
         (col("w_sum_q6").cast("double") / col("n_toks") / 1e6).as("dsir_score"))
   }
+
+  /** Count-Min Sketch bucket for hash row `r` and a token column: the
+    * portable 60-bit md5 of "r-token" mod `w`. Deterministic by
+    * construction — the same pairwise-independent-enough family on any
+    * engine, so estimates are exactly reproducible (and SQL-oracle-able),
+    * unlike seed-dependent native sketch states.
+    */
+  private def cmsBucket(r: Column, token: Column, w: Int): Column =
+    pmod(Dedup.md5Long(concat(r.cast("string"), lit("-"), token)), lit(w.toLong))
+
+  /** Build a d×w Count-Min Sketch of corpus token frequencies.
+    *
+    * Scale shape: token counts aggregate FIRST (partial+final hash agg —
+    * the shuffle carries |vocab| rows, never the raw token stream), then
+    * each vocab row folds into d counters. The sketch is ≤ d·w rows
+    * regardless of corpus size, and counters are sums — partial sketches
+    * from disjoint corpus shards MERGE BY ADDITION, the property that lets
+    * 1000 executors build it in one pass with constant reduce state (same
+    * contract as the KMV/HLL/SpaceSaving family).
+    */
+  def cmsSketch(docs: org.apache.spark.sql.DataFrame, textCol: String, d: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(d >= 1 && w >= 2, "need at least one hash row and two buckets")
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .select(col("token"), col("c"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(col("r"), cmsBucket(col("r"), col("token"), w).as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Point-estimate token frequencies from a CMS: est(t) = min over the d
+    * rows of counter[r][bucket(r, t)] — never an under-estimate, over by
+    * at most ε·N with the usual CMS bound. The d·w-row sketch broadcasts;
+    * the probe side never shuffles.
+    */
+  def cmsEstimate(
+      cms: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame,
+      tokenCol: String,
+      d: Int,
+      w: Int): org.apache.spark.sql.DataFrame =
+    probes
+      .select(col(tokenCol).as("token"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("token"), w))
+      .join(broadcast(cms), Seq("r", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

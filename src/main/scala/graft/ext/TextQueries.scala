@@ -212,6 +212,30 @@ object TextQueries {
         .filter(col("cnt") >= 3)
         .orderBy(col("cnt").desc, col("gram"))
         .limit(200)
+    },
+
+    // Count-Min Sketch frequency estimation ([[TextOps.cmsSketch]] /
+    // [[TextOps.cmsEstimate]]): a 4×256 counter matrix over the corpus
+    // token stream (vocab-sized shuffle, d·w-bounded sketch, partial
+    // counters MERGE BY ADDITION — the 1000-executor one-pass contract),
+    // probed with the distinct tokens of the first five documents.
+    // Because the hash family is the portable md5-derived one rather than
+    // a seeded native state, the ESTIMATES THEMSELVES are deterministic
+    // and the oracle recomputes them bit-for-bit — est ≥ exact (one-sided
+    // CMS error) is visible in the output rather than asserted blind.
+    "q_cms_estimate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val d = 4
+      val w = 256
+      val cms = TextOps.cmsSketch(docs, "text", d, w)
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val probes = toks.filter(col("doc_id") < 5).select("token").distinct()
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      TextOps.cmsEstimate(cms, probes, "token", d, w)
+        .join(exact, Seq("token"))
+        .select(col("token"), col("est"), col("exact"))
+        .orderBy("token")
     }
   )
 
@@ -384,7 +408,24 @@ object TextQueries {
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram " +
       "FROM toks WHERE len(t) >= 3) " +
       "SELECT gram, count(*) AS cnt FROM g GROUP BY 1 HAVING count(*) >= 3 " +
-      "ORDER BY cnt DESC, gram LIMIT 200")
+      "ORDER BY cnt DESC, gram LIMIT 200"),
+    // the full CMS recomputed closed-form: vocab counts → d×w counters
+    // (portable md5 bucket hash) → per-probe min over the d rows; joined
+    // with exact counts so the one-sided error is in the output
+    "q_cms_estimate" -> (s"WITH toks AS (SELECT doc_id, t AS token FROM documents " +
+      s"CROSS JOIN unnest($Toks) AS u(t)), " +
+      "cnts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1), " +
+      "cms AS (SELECT r, ('0x' || substr(md5(concat(CAST(r AS VARCHAR), '-', token)), " +
+      "1, 15))::BIGINT % 256 AS bucket, CAST(sum(c) AS BIGINT) AS cnt " +
+      "FROM cnts CROSS JOIN generate_series(0, 3) AS g(r) GROUP BY 1, 2), " +
+      "probes AS (SELECT DISTINCT token FROM toks WHERE doc_id < 5), " +
+      "est AS (SELECT p.token, min(coalesce(m.cnt, 0)) AS est " +
+      "FROM probes p CROSS JOIN generate_series(0, 3) AS g(r) " +
+      "LEFT JOIN cms m ON m.r = g.r AND m.bucket = " +
+      "('0x' || substr(md5(concat(CAST(g.r AS VARCHAR), '-', p.token)), 1, 15))::BIGINT % 256 " +
+      "GROUP BY 1) " +
+      "SELECT e.token, CAST(e.est AS BIGINT) AS est, c.c AS exact " +
+      "FROM est e JOIN cnts c USING (token) ORDER BY token")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

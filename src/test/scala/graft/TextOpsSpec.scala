@@ -170,4 +170,40 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(x => x.getAs[Long]("doc") -> x.getAs[Long]("w_sum_q6")).toMap
     assert(r2(1L) == r2(2L), "the weight is a function of content, not membership")
   }
+
+  test("cmsSketch/cmsEstimate: one-sided error, bounded size, additive merge") {
+    val d = 4
+    val w = 16 // tiny width → forced collisions, so over-estimation is exercised
+    val docsA = Seq((1L, "aa bb aa cc"), (2L, "bb dd ee aa")).toDF("doc_id", "text")
+    val docsB = Seq((3L, "cc cc ff aa"), (4L, "gg bb aa hh")).toDF("doc_id", "text")
+    val all = docsA.unionByName(docsB)
+    val cms = TextOps.cmsSketch(all, "text", d, w)
+    assert(cms.count() <= d.toLong * w, "sketch is d*w-bounded regardless of corpus")
+    val exact = all.select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = exact.keys.toSeq.toDF("token")
+    val est = TextOps.cmsEstimate(cms, probes, "token", d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS must never under-estimate: $t est ${est(t)} < exact $c")
+    }
+    // total over-estimate is bounded by collisions: each of the d rows
+    // holds the full token mass, so no estimate can exceed it
+    val mass = exact.values.sum
+    est.values.foreach(e => assert(e <= mass))
+    // the 1000-executor property: sketches of disjoint shards merge by
+    // plain addition into exactly the whole-corpus sketch
+    val merged = TextOps.cmsSketch(docsA, "text", d, w)
+      .unionByName(TextOps.cmsSketch(docsB, "text", d, w))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val wholeSet = cms.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val mergedSet = merged.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mergedSet == wholeSet, "shard sketches must merge additively")
+    // a probe against an empty sketch estimates 0 (the coalesce path —
+    // absent buckets are zero counters, not nulls)
+    val emptyCms = TextOps.cmsSketch(docsA.filter($"doc_id" < 0), "text", d, w)
+    val unseen = TextOps.cmsEstimate(emptyCms, Seq("zz").toDF("token"), "token", d, w)
+    assert(unseen.collect().head.getLong(1) == 0L)
+  }
 }
