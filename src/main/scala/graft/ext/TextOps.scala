@@ -573,6 +573,25 @@ object TextOps {
       .agg(sum(col("c")).as("cnt"))
   }
 
+  /** Streaming-legal CMS build: ONE aggregation (explode tokens ×d →
+    * groupBy(r, bucket) count), because Structured Streaming allows a
+    * single aggregation per query. Trade vs [[cmsSketch]]: the shuffle
+    * carries the token stream ×d instead of |vocab| rows (map-side
+    * partial agg still combines), but the STATE is ≤ d·w counters forever
+    * — the bounded-state answer to "token frequencies over an unbounded
+    * stream", where exact streaming counts grow state with vocabulary.
+    * Works identically on a batch frame (StreamingTextSpec pins parity).
+    */
+  def cmsSketchStreaming(docs: org.apache.spark.sql.DataFrame, textCol: String, d: Int, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(d >= 1 && w >= 2, "need at least one hash row and two buckets")
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(col("r"), cmsBucket(col("r"), col("token"), w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Point-estimate token frequencies from a CMS: est(t) = min over the d
     * rows of counter[r][bucket(r, t)] — never an under-estimate, over by
     * at most ε·N with the usual CMS bound. The d·w-row sketch broadcasts;

@@ -140,4 +140,42 @@ class StreamingTextSpec extends SparkSpec {
         s"guaranteed heavy hitters must lead: ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming CMS equals the batch sketch and keeps bounded state") {
+    // the bounded-state answer to token frequencies over an unbounded
+    // stream: counters live on ≤ d·w keys forever, where exact streaming
+    // counts grow state with vocabulary. Complete mode re-emits the d·w
+    // result table per batch; the FINAL table must equal the batch-built
+    // sketch of the same corpus exactly (counter-for-counter).
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val d = 4
+    val w = 32
+    val mem = MemoryStream[String]
+    val sketch = TextOps.cmsSketchStreaming(mem.toDF.toDF("text"), "text", d, w)
+    val q = sketch.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq("aa bb aa cc", "bb dd ee aa")
+      val b2 = Seq("cc cc ff aa", "gg bb aa hh")
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scms")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed.size <= d * w, "state is d*w-bounded")
+      val batch = TextOps
+        .cmsSketchStreaming((b1 ++ b2).toDF("text"), "text", d, w)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream/batch sketch parity: ${streamed.toSeq.sorted} vs ${batch.toSeq.sorted}")
+      // and the streaming-built sketch serves the same estimator
+      val est = TextOps.cmsEstimate(
+        spark.table("scms"), Seq("aa").toDF("token"), "token", d, w)
+        .collect().head.getLong(1)
+      assert(est >= 5L, s"aa appears 5 times; CMS must not under-estimate ($est)")
+    } finally q.stop()
+  }
 }
