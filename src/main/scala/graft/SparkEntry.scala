@@ -312,6 +312,28 @@ object SparkEntry {
           sum(length(col("props"))).as("props_chars"),
           count_distinct(col("props")).as("distinct_props"))
         .orderBy("event_type")
+    },
+
+    // O1 source breadth — ORC round-trip, the TYPED columnar cycle CSV
+    // can't exercise: timestamps and doubles ride ORC's native types (no
+    // string formatting anywhere), so matching hashes prove the
+    // write→read cycle preserves timestamp seconds and IEEE doubles
+    // bit-for-bit. Same measured-write / app-id-unique-path contract as
+    // q_ingest_csv; the oracle aggregates the PARQUET table.
+    "q_ingest_orc" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-orc-${s.sparkContext.applicationId}"
+      ev(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_q3"),
+          min(unix_timestamp(col("ts"))).as("min_ts_s"),
+          max(unix_timestamp(col("ts"))).as("max_ts_s"))
+        .orderBy("event_type")
     }
   )
 
@@ -398,6 +420,16 @@ object SparkEntry {
       "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
       "CAST(sum(length(props)) AS BIGINT) AS props_chars, " +
       "count(DISTINCT props) AS distinct_props " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // the same aggregate over the PARQUET table: matching hashes prove
+    // the engine's typed ORC write→read cycle preserved timestamps and
+    // IEEE doubles exactly
+    "q_ingest_orc" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_q3, " +
+      // floor before the BIGINT cast: DuckDB epoch() carries fractional
+      // seconds and CAST rounds, where Spark's unix_timestamp floors
+      "CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS min_ts_s, " +
+      "CAST(floor(max(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_ts_s " +
       "FROM events GROUP BY 1 ORDER BY 1")
   )
 }
