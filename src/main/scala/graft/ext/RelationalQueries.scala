@@ -1577,6 +1577,32 @@ object RelationalQueries {
         .orderBy("bucket")
     },
 
+    // The z-order layout EXERCISED end-to-end inside a declared query:
+    // events get the 5-bit (user, day) z-value, are written
+    // z-range-partitioned to parquet (the layout write a warehouse pays
+    // once), read back under a two-dimensional box predicate — file-level
+    // min/max stats prune most files (ScaleSpec measures the row
+    // reduction) — and aggregated. The oracle runs the same box filter on
+    // the ORIGINAL parquet: stats pruning must be invisible to results,
+    // the same physical-choice contract as bucketing/salting/DPP.
+    "q_zorder_scan" -> { (s, dir) =>
+      val bits = 5
+      val keyed = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(1 << bits)).as("x"),
+        pmod(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+          lit(1 << bits)).as("y"),
+        floor(col("value") * 1000).cast("long").as("v_q3"))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-zorder-${s.sparkContext.applicationId}"
+      keyed.withColumn("z", Scale.zValue(col("x"), col("y"), bits))
+        .repartitionByRange(16, col("z")).drop("z")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("x") >= 8 && col("x") < 16 && col("y") >= 16 && col("y") < 24)
+        .agg(count(lit(1)).as("n_events"), sum(col("v_q3")).as("sum_v_q3"),
+          count_distinct(col("x") * 32 + col("y")).as("n_cells"))
+    },
+
     // Skew-salted fact⋈dim equi-join ([[Scale.saltedJoin]]): the hot fact
     // key's rows split across 8 (key, salt) reduce groups, the dim side
     // replicates ×8, merge hints pin the SortMergeJoin (modeling a dim too
@@ -2230,6 +2256,14 @@ object RelationalQueries {
       "CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x, " +
       "CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y " +
       "FROM z GROUP BY 1 ORDER BY 1"),
+    // the same box filter + aggregate over the ORIGINAL parquet — the
+    // z-layout write/read cycle and its stats pruning must be invisible
+    "q_zorder_scan" -> ("WITH d AS (SELECT user_id % 32 AS x, " +
+      "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 32 AS y, " +
+      "CAST(floor(value * 1000) AS BIGINT) AS v_q3 FROM events) " +
+      "SELECT count(*) AS n_events, CAST(sum(v_q3) AS BIGINT) AS sum_v_q3, " +
+      "count(DISTINCT x * 32 + y) AS n_cells FROM d " +
+      "WHERE x >= 8 AND x < 16 AND y >= 16 AND y < 24"),
     // the PLAIN join + GROUP BY — the salted (key, salt) two-sided plan
     // must produce the identical answer
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +
