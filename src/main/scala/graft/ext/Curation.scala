@@ -767,4 +767,27 @@ object Curation {
     */
   def blocklistPattern(terms: Seq[String]): String =
     terms.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+
+  /** Snapshot diff between two corpus versions: per key, classify as
+    * `added` (only in v2), `removed` (only in v1), `changed` (both, payload
+    * fingerprints differ) or `unchanged` — the release audit every
+    * versioned dataset runs (what moved between crawl N and crawl N+1).
+    *
+    * Scale shape: each side projects to (key, fingerprint) BEFORE the full
+    * outer join, so only 16-byte fingerprints — never document payloads —
+    * ride the join shuffle; one key exchange per side, no driver-side
+    * state. `fingerprint` is any deterministic Column over the version's
+    * payload (md5 of the text, a struct hash, …).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String, fingerprint: Column): DataFrame = {
+    val a = v1.select(col(key).as("k1"), fingerprint.as("fp1"))
+    val b = v2.select(col(key).as("k2"), fingerprint.as("fp2"))
+    a.join(b, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as(key),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("change"))
+  }
 }

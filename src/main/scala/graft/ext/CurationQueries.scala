@@ -300,6 +300,30 @@ object CurationQueries {
         .documents(s, dir)
         .select(col("doc_id"), hits.as("n_hits"), md5(scrubbed).as("scrub_md5"))
         .orderBy("doc_id")
+    },
+
+    // Corpus release audit ([[Curation.snapshotDiff]]): v2 is derived
+    // deterministically from v1 (÷7 ids removed, ÷5 texts revised, ÷11
+    // re-keyed copies added), the diff classifies every key via a full
+    // outer join of (key, fingerprint) pairs — payloads never ride the
+    // join shuffle — and the output is per-class counts + an id checksum.
+    // The oracle rebuilds v2 and classifies by direct text comparison:
+    // fingerprint-based classification must agree exactly.
+    "q_corpus_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v2 = docs
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation
+        .snapshotDiff(docs, v2, "doc_id", md5(col("text")))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("change")
     }
   )
 
@@ -487,6 +511,18 @@ object CurationQueries {
       "c AS (SELECT doc_id, q4, tok_cnt, CAST(sum(tok_cnt) OVER (" +
       "ORDER BY q4 DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s) " +
       "SELECT doc_id, q4, tok_cnt, cum_tokens, cum_tokens <= budget AS kept " +
-      "FROM c CROSS JOIN b ORDER BY doc_id")
+      "FROM c CROSS JOIN b ORDER BY doc_id"),
+    // v2 rebuilt from the same derivation; classes by DIRECT text compare
+    // — the engine's md5-fingerprint classification must agree
+    "q_corpus_diff" -> ("WITH v2 AS (" +
+      "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 7 <> 0 " +
+      "UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0), " +
+      "j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id, " +
+      "CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' " +
+      "WHEN a.text <> b.text THEN 'changed' ELSE 'unchanged' END AS change " +
+      "FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id) " +
+      "SELECT change, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_sum " +
+      "FROM j GROUP BY 1 ORDER BY 1")
   )
 }

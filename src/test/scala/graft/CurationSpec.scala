@@ -319,4 +319,22 @@ class CurationSpec extends SparkSpec {
     // conservation: every event is exactly one of train/test
     assert(r("train")._1 + r("test")._1 == 5L)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged and ships only fingerprints") {
+    val v1 = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "bravo"), (3L, "charlie v2"), (4L, "delta")).toDF("doc_id", "text")
+    val diff = Curation.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+    val got = diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // conservation: every key of either version is classified exactly once
+    assert(diff.count() == 4)
+    // scale contract: the join shuffles (key, fingerprint) pairs only —
+    // the payload column must be projected away BELOW the join
+    val joinNode = diff.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.head
+    val joinInputs = joinNode.children.flatMap(_.output).map(_.name)
+    assert(!joinInputs.contains("text"),
+      s"payloads must not reach the join, got inputs: $joinInputs")
+  }
 }
