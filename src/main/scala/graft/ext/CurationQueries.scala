@@ -324,6 +324,32 @@ object CurationQueries {
         .groupBy("change")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy("change")
+    },
+
+    // Chunking must be LOSSLESS: fixed-window chunks (stride = len, no
+    // overlap) reassembled per document — collect_list of (idx, chunk)
+    // structs, array_sort (per-doc chunk counts are bounded, so the
+    // per-group array is small at any corpus size), positional concat —
+    // must md5-match the original text exactly. The oracle recomputes the
+    // closed-form chunk count and asserts intactness; an engine that
+    // drops a final sliver, double-emits an overlap, or reorders chunks
+    // cannot hash-match.
+    "q_chunk_roundtrip" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rebuilt = Curation
+        .chunkByChars(docs, "doc_id", "text", len = 100, stride = 100)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+              x => x.getField("chunk")),
+            "").as("rebuilt"))
+      docs.select(col("doc_id"), md5(col("text")).as("orig_md5"))
+        .join(rebuilt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_chunks"),
+          (md5(col("rebuilt")) === col("orig_md5")).as("intact"))
+        .orderBy("doc_id")
     }
   )
 
@@ -523,6 +549,11 @@ object CurationQueries {
       "WHEN a.text <> b.text THEN 'changed' ELSE 'unchanged' END AS change " +
       "FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id) " +
       "SELECT change, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_sum " +
-      "FROM j GROUP BY 1 ORDER BY 1")
+      "FROM j GROUP BY 1 ORDER BY 1"),
+    // chunk count closed-form from the engine's lastStart formula
+    // (stride = len = 100); intact must be TRUE for every document
+    "q_chunk_roundtrip" -> ("SELECT doc_id, " +
+      "greatest(CAST(ceil((length(text) - 100) / 100.0) AS BIGINT), 0) + 1 AS n_chunks, " +
+      "TRUE AS intact FROM documents ORDER BY doc_id")
   )
 }
