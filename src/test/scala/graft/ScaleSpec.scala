@@ -206,12 +206,17 @@ class ScaleSpec extends SparkSpec {
       val zRows = scannedRows(zDir)
       val xRows = scannedRows(xDir)
       info(s"rows surviving stats pruning: z-layout $zRows, x-layout $xRows")
-      // z layout: the box is (nearly) one file — sampling fuzz allows a
-      // few; x layout: every file overlapping x∈[32,64) spans all of y,
-      // so ~8 files' worth of rows survive stats pruning
-      assert(zRows <= 4096, s"z layout must prune to the quad's files, read $zRows")
-      assert(xRows >= 2 * zRows,
-        s"single-dim layout must read ≥2× the z layout ($xRows vs $zRows)")
+      // z layout: the box is ideally ONE 1024-row file; repartitionByRange
+      // samples boundaries per-RDD (seeded by RDD id, so suite order moves
+      // it), splitting the quad across a few files — bound at 8 files'
+      // worth. x layout: every file overlapping x∈[32,64) spans all of y,
+      // so ~8 files' worth of rows MUST survive stats pruning regardless
+      // of where the sampled boundaries land.
+      assert(zRows <= 8192, s"z layout must prune to a handful of files, read $zRows")
+      assert(xRows >= 8000,
+        s"single-dim layout cannot prune the y axis, must read ~8 files ($xRows)")
+      assert(xRows * 2 >= zRows * 3,
+        s"z layout must beat single-dim by ≥1.5× ($xRows vs $zRows)")
     } finally {
       Seq(zDir, xDir).foreach { d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
