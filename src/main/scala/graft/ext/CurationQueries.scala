@@ -345,8 +345,12 @@ object CurationQueries {
               array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
               x => x.getField("chunk")),
             "").as("rebuilt"))
-      docs.select(col("doc_id"), md5(col("text")).as("orig_md5"))
-        .join(rebuilt, Seq("doc_id"))
+      // merge hints: BOTH sides are corpus-sized at scale (stats at test
+      // SF would broadcast the md5 side — fatal at 100 TB); the rebuilt
+      // side arrives already hash-partitioned by doc_id from its groupBy,
+      // so the join adds one exchange for the md5 side only
+      docs.select(col("doc_id"), md5(col("text")).as("orig_md5")).hint("merge")
+        .join(rebuilt.hint("merge"), Seq("doc_id"))
         .select(col("doc_id"), col("n_chunks"),
           (md5(col("rebuilt")) === col("orig_md5")).as("intact"))
         .orderBy("doc_id")

@@ -718,6 +718,24 @@ class PlanSpec extends SparkSpec {
       s"exactly one aggregation shuffle:\n$p")
   }
 
+  test("q_chunk_roundtrip: the md5 join-back shuffles — both sides are corpus-sized") {
+    val p = plan("q_chunk_roundtrip")
+    assert(p.contains("SortMergeJoin"),
+      s"reassembly join-back must shuffle on doc_id:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"neither side is broadcastable at corpus scale:\n$p")
+  }
+
+  test("q_corpus_diff: full-outer version join is a merge join of fingerprint pairs") {
+    // (payload columns ARE read at the scans — md5 needs them — but never
+    // reach the join; CurationSpec pins that on the optimized join inputs)
+    val p = plan("q_corpus_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"the diff needs a full-outer shuffle join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested-loop fallback:\n$p")
+  }
+
   test("q_join_salted: salted join is a shuffle join on (key, salt), never broadcast") {
     val p = plan("q_join_salted")
     assert(p.contains("SortMergeJoin"),
