@@ -334,6 +334,36 @@ object SparkEntry {
           min(unix_timestamp(col("ts"))).as("min_ts_s"),
           max(unix_timestamp(col("ts"))).as("max_ts_s"))
         .orderBy("event_type")
+    },
+
+    // O1/O2 schema EVOLUTION: an early feed generation lacks a column
+    // (here: user_id) that a later generation added — the single most
+    // common warehouse ingest reality. Both generations land under one
+    // root (split by event-id parity), and a mergeSchema read unifies
+    // them: old rows surface the new column as NULL, and the aggregate
+    // proves no row or value was lost or misaligned across generations.
+    // Oracle recomputes from the unsplit table with the same parity rule.
+    // (mergeSchema is an explicit opt-in — it footer-scans every file;
+    // a production feed pins the evolved schema explicitly once known.)
+    "q_ingest_evolved" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-evo-${s.sparkContext.applicationId}"
+      val base = ev(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_q3"), col("user_id"))
+      base.filter(pmod(col("event_id"), lit(2)) === 0)
+        .drop("user_id") // generation 1: the column does not exist yet
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      base.filter(pmod(col("event_id"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("v_q3")).as("sum_v_q3"),
+          sum(col("user_id").isNotNull.cast("long")).as("with_user"),
+          sum(coalesce(col("user_id"), lit(0L))).as("user_sum"))
+        .orderBy("event_type")
     }
   )
 
@@ -430,6 +460,13 @@ object SparkEntry {
       // seconds and CAST rounds, where Spark's unix_timestamp floors
       "CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS min_ts_s, " +
       "CAST(floor(max(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_ts_s " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // recomputed from the unsplit table with the same parity rule: only
+    // odd event ids (generation 2) carry user_id
+    "q_ingest_evolved" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3, " +
+      "CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS with_user, " +
+      "CAST(sum(CASE WHEN event_id % 2 = 1 THEN user_id ELSE 0 END) AS BIGINT) AS user_sum " +
       "FROM events GROUP BY 1 ORDER BY 1")
   )
 }

@@ -167,6 +167,33 @@ object Scale {
     }(Encoders.row(outSchema))
   }
 
+  /** Compact a directory of many small parquet files into ≈`targetBytes`
+    * outputs — the maintenance job every streaming/micro-batch sink needs
+    * (per-trigger writes leave thousands of KB-sized files; at warehouse
+    * scale the footer-and-task overhead of small files dominates scans).
+    *
+    * Default path is `coalesce` (NARROW — no shuffle, existing partitions
+    * concatenate; file sizes may vary with input skew). `evenSizes = true`
+    * pays one round-robin shuffle for uniform outputs. Returns the target
+    * file count. Sizing uses the SOURCE byte size; compressed output can
+    * land under target, never pathologically over.
+    */
+  def compact(
+      spark: SparkSession,
+      srcDir: String,
+      dstDir: String,
+      targetBytes: Long,
+      evenSizes: Boolean = false): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcDir)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val out = if (evenSizes) df.repartition(n) else df.coalesce(n)
+    out.write.mode("overwrite").parquet(dstDir)
+    n
+  }
+
   /** Z-order (Morton) value of two non-negative dimension columns: the low
     * `bits` bits of `x` and `y` interleaved (x on even positions, y on odd).
     * Pure `Column` bit algebra — shifts/masks/ors stay inside whole-stage

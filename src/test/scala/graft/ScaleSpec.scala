@@ -145,6 +145,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses a small-files directory losslessly, shuffle-free by default") {
+    val src = java.nio.file.Files.createTempDirectory("compact-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("compact-dst").toString
+    try {
+      spark.range(20000).select($"id", lpad(lit("x"), 50, "x").as("pad"))
+        .repartition(64).write.mode("overwrite").parquet(src)
+      def parquetFiles(dir: String) =
+        new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+      assert(parquetFiles(src) == 64, "fixture must start fragmented")
+      val bytes = new java.io.File(src).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val n = Scale.compact(spark, src, dst, targetBytes = bytes / 4)
+      assert(n <= 5, s"~4 target files expected, got $n")
+      assert(parquetFiles(dst) == n, "one output file per target partition")
+      // lossless: same rows, same content checksum
+      val before = spark.read.parquet(src).agg(count(lit(1)), sum($"id")).collect().head
+      val after = spark.read.parquet(dst).agg(count(lit(1)), sum($"id")).collect().head
+      assert(before == after)
+      // the default path is NARROW — no shuffle for the rewrite
+      assert(!Scale.hasExchange(spark.read.parquet(src).coalesce(n)),
+        "coalesce compaction must not shuffle")
+      assert(Scale.hasExchange(spark.read.parquet(src).repartition(n)),
+        "evenSizes pays the round-robin shuffle")
+    } finally Seq(src, dst).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("globalRowNumber equals the single-reducer window, including empty ranges") {
     // unsorted, gap-heavy keys; more partitions than distinct ranges can
     // fill → some partitions end up empty and their offsets must still
