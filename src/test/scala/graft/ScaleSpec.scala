@@ -145,6 +145,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("observe() audits an ETL write in-flight — no second scan") {
+    // the 100 TB telemetry pattern: row counts / value sums / null counts
+    // ride the SAME pass as the write via Dataset.observe — a follow-up
+    // audit query would re-scan the corpus. The listener receives the
+    // metrics when the write's query execution finishes.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dst = java.nio.file.Files.createTempDirectory("observe-dst").toString
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val latch = new CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("write_audit").foreach { m =>
+          observed = Some(m); latch.countDown()
+        }
+      }
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.range(10000)
+        .select($"id", when($"id" % 100 === 0, lit(null).cast("long"))
+          .otherwise($"id" * 2).as("v"))
+        .observe("write_audit",
+          count(lit(1)).as("rows"),
+          sum($"v").as("v_total"),
+          sum($"v".isNull.cast("long")).as("v_nulls"))
+        .write.mode("overwrite").parquet(dst)
+      assert(latch.await(30, TimeUnit.SECONDS), "metrics must arrive with the write")
+      val m = observed.get
+      assert(m.getAs[Long]("rows") == 10000L)
+      assert(m.getAs[Long]("v_nulls") == 100L)
+      val expected = (0L until 10000L).filter(_ % 100 != 0).map(_ * 2).sum
+      assert(m.getAs[Long]("v_total") == expected)
+      // and the written data is untouched by the observation
+      assert(spark.read.parquet(dst).count() == 10000L)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+    }
+  }
+
   test("compact collapses a small-files directory losslessly, shuffle-free by default") {
     val src = java.nio.file.Files.createTempDirectory("compact-src").toString
     val dst = java.nio.file.Files.createTempDirectory("compact-dst").toString
