@@ -103,6 +103,29 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Candidate VERIFICATION — the confirm stage every sketch-based dedup
+    // pipeline ends with: simhash-banding candidates are joined back to
+    // both texts and checked by exact edit distance (Spark's codegen
+    // levenshtein), confirmed iff dist ≤ 20 % of the longer text. The
+    // corpus never shuffles: the candidate frame is output-bounded and
+    // rides the join's small side; only candidate pairs pay the O(n·m)
+    // DP. Oracle = the same candidate chain + DuckDB's levenshtein.
+    "q_dedup_edit_verify" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      val ta = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+      cands
+        .join(ta, Seq("a")).join(tb, Seq("b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .withColumn("rel_q3",
+          floor(col("dist") * 1000 / greatest(length(col("ta")), length(col("tb"))))
+            .cast("long"))
+        .select(col("a"), col("b"), col("dist"), col("rel_q3"),
+          (col("rel_q3") <= 200).as("confirmed"))
+        .orderBy("a", "b")
+    },
+
     // Benchmark decontamination: docs sharing >= half their 3-gram shingles
     // with the (deterministic) "benchmark" subset doc_id % 97 == 0 are
     // flagged. The benchmark's shingle set broadcasts; the corpus never
@@ -377,6 +400,25 @@ object DedupQueries {
       "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS sh FROM hw) " +
       "SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.sh, y.sh)) AS hamming " +
       "FROM sims x JOIN sims y ON x.doc < y.doc " +
-      "WHERE bit_count(xor(x.sh, y.sh)) <= 7 ORDER BY a, b")
+      "WHERE bit_count(xor(x.sh, y.sh)) <= 7 ORDER BY a, b"),
+    // same candidate chain (pigeonhole banding ≡ all-pairs at h ≤ 7),
+    // exact-edit-distance confirmed via DuckDB's levenshtein; the
+    // rel-thousandths floor divides exact integers in IEEE doubles on
+    // both engines
+    "q_dedup_edit_verify" -> (s"WITH $WithShingles, " +
+      "hw AS (SELECT doc_id, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM shing), " +
+      "sims AS (SELECT doc_id AS doc, list_reduce(list_prepend(0::BIGINT, " +
+      "list_transform(generate_series(0, 47), j -> CASE WHEN " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(h, x -> ((x >> j) & 1) * 2 - 1)), " +
+      "(a,b) -> a + b) > 0 THEN (1::BIGINT << j) ELSE 0 END)), (a,b) -> a + b) AS sh FROM hw), " +
+      "cand AS (SELECT x.doc AS a, y.doc AS b FROM sims x JOIN sims y ON x.doc < y.doc " +
+      "WHERE bit_count(xor(x.sh, y.sh)) <= 7), " +
+      "v AS (SELECT c.a, c.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist, " +
+      "greatest(length(da.text), length(db.text)) AS mx " +
+      "FROM cand c JOIN documents da ON c.a = da.doc_id " +
+      "JOIN documents db ON c.b = db.doc_id) " +
+      "SELECT a, b, dist, CAST(floor(dist * 1000 / mx) AS BIGINT) AS rel_q3, " +
+      "CAST(floor(dist * 1000 / mx) AS BIGINT) <= 200 AS confirmed " +
+      "FROM v ORDER BY a, b")
   )
 }
