@@ -718,6 +718,25 @@ class PlanSpec extends SparkSpec {
       s"exactly one aggregation shuffle:\n$p")
   }
 
+  test("q_media_dhash: only (id, hash) pairs shuffle for the dup-bucket window") {
+    val p = plan("q_media_dhash")
+    // the codec kernel is map-only; the single data shuffle is the window
+    // over the 16-bit hash (plus the declared ORDER BY range exchange)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"exactly one hash exchange (the dhash window):\n$p")
+    assert(!p.contains("ScalaUDF"), s"kernel rides mapPartitions, not a UDF:\n$p")
+  }
+
+  test("q_cms_estimate: the bounded sketch broadcasts to the probe join") {
+    // the ONE join where broadcast is right at any scale — the build side
+    // is d*w-bounded by construction, never corpus-sized
+    val p = plan("q_cms_estimate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d*w sketch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop fallback:\n$p")
+  }
+
   test("q_chunk_roundtrip: the md5 join-back shuffles — both sides are corpus-sized") {
     val p = plan("q_chunk_roundtrip")
     assert(p.contains("SortMergeJoin"),
