@@ -787,7 +787,10 @@ object Curation {
         coalesce(col("k1"), col("k2")).as(key),
         when(col("k1").isNull, "added")
           .when(col("k2").isNull, "removed")
-          .when(col("fp1") =!= col("fp2"), "changed")
+          // null-safe: a NULL fingerprint (md5 of a NULL payload) must
+          // compare as a real value — plain =!= yields NULL here and
+          // would fall through to 'unchanged', silently hiding a change
+          .when(!(col("fp1") <=> col("fp2")), "changed")
           .otherwise("unchanged").as("change"))
   }
 }

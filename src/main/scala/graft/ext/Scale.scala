@@ -185,8 +185,12 @@ object Scale {
       targetBytes: Long,
       evenSizes: Boolean = false): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcDir)).getLength
+    // resolve the filesystem FROM the path — FileSystem.get(conf) returns
+    // the default FS and breaks for object-store paths (s3a://, gs://),
+    // which are the norm for the streaming-sink dirs this targets
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(srcPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(srcDir)
     val out = if (evenSizes) df.repartition(n) else df.coalesce(n)

@@ -563,12 +563,29 @@ object TextOps {
     * contract as the KMV/HLL/SpaceSaving family).
     */
   def cmsSketch(docs: org.apache.spark.sql.DataFrame, textCol: String, d: Int, w: Int)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    cmsSketchFromCounts(
+      docs
+        .select(explode(tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c")),
+      "token", "c", d, w)
+
+  /** [[cmsSketch]] from an ALREADY-AGGREGATED (token, count) frame —
+    * callers that also need the counts for other work (exact joins, df
+    * stats) compute them once, materialize, and feed both consumers,
+    * instead of paying the corpus tokenize+aggregate twice (Catalyst does
+    * not dedupe the identical subtrees).
+    */
+  def cmsSketchFromCounts(
+      counts: org.apache.spark.sql.DataFrame,
+      tokenCol: String,
+      countCol: String,
+      d: Int,
+      w: Int): org.apache.spark.sql.DataFrame = {
     require(d >= 1 && w >= 2, "need at least one hash row and two buckets")
-    docs
-      .select(explode(tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .select(col("token"), col("c"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+    counts
+      .select(col(tokenCol).as("token"), col(countCol).as("c"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
       .groupBy(col("r"), cmsBucket(col("r"), col("token"), w).as("bucket"))
       .agg(sum(col("c")).as("cnt"))
   }

@@ -227,13 +227,19 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val d = 4
       val w = 256
-      val cms = TextOps.cmsSketch(docs, "text", d, w)
       val toks = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
+      // ONE corpus tokenize+aggregate: the vocab counts are checkpointed
+      // and feed BOTH the sketch build and the exact side (Catalyst would
+      // otherwise recompute the identical subtree for each consumer); the
+      // probe branch reads only the doc_id < 5 slice (filter pushes to
+      // the scan)
+      val counts = Dedup.Intermediate.LocalLazy(
+        toks.groupBy("token").agg(count(lit(1)).as("c")), "cms_vocab")
+      val cms = TextOps.cmsSketchFromCounts(counts, "token", "c", d, w)
       val probes = toks.filter(col("doc_id") < 5).select("token").distinct()
-      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
       TextOps.cmsEstimate(cms, probes, "token", d, w)
-        .join(exact, Seq("token"))
+        .join(counts.select(col("token"), col("c").as("exact")), Seq("token"))
         .select(col("token"), col("est"), col("exact"))
         .orderBy("token")
     }

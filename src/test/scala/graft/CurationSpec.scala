@@ -337,4 +337,14 @@ class CurationSpec extends SparkSpec {
     assert(!joinInputs.contains("text"),
       s"payloads must not reach the join, got inputs: $joinInputs")
   }
+
+  test("snapshotDiff treats NULL fingerprints null-safely") {
+    // md5(NULL) = NULL: a plain =!= would evaluate NULL and fall through
+    // to 'unchanged', silently hiding a real change
+    val v1 = Seq((1L, null), (2L, null), (3L, "same")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "now set"), (2L, null), (3L, "same")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(v1, v2, "doc_id", md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"))
+  }
 }
