@@ -296,7 +296,7 @@ object SparkEntry {
     "q_ingest_csv" -> { (s, dir) =>
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft-csv-${s.sparkContext.applicationId}"
+        Tables.scratchDir(s, "csv")
       ev(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").option("header", "true").csv(path)
@@ -322,7 +322,7 @@ object SparkEntry {
     // q_ingest_csv; the oracle aggregates the PARQUET table.
     "q_ingest_orc" -> { (s, dir) =>
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft-orc-${s.sparkContext.applicationId}"
+        Tables.scratchDir(s, "orc")
       ev(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(path)
@@ -347,7 +347,7 @@ object SparkEntry {
     // a production feed pins the evolved schema explicitly once known.)
     "q_ingest_evolved" -> { (s, dir) =>
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft-evo-${s.sparkContext.applicationId}"
+        Tables.scratchDir(s, "evo")
       val base = ev(s, dir)
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 1000).cast("long").as("v_q3"), col("user_id"))

@@ -38,4 +38,27 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Session-scoped scratch path under java.io.tmpdir, DELETED at JVM
+    * exit. The round-trip queries (CSV/ORC/evolved/z-order) write full
+    * table copies; the applicationId token prevents concurrent-driver
+    * clobber but also defeats cross-session overwrite, so without the
+    * cleanup hook every Verify/Bench session would leak one full-table
+    * dump per query. Registration is idempotent per path; one hook
+    * serves all paths.
+    */
+  def scratchDir(spark: SparkSession, label: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-$label-${spark.sparkContext.applicationId}"
+    if (scratchPaths.add(path) && scratchHooked.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        scratchPaths.forEach { p =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+          catch { case _: Throwable => () }
+        }))
+    }
+    path
+  }
+  private val scratchPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val scratchHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -563,10 +563,14 @@ object Dedup {
     *
     * Same plan family as [[jaccardPairs]] (one posting frame feeding sizes /
     * df-cap / both merge-hinted self-join sides, 60-bit hashed 8-byte keys),
-    * so every scale property audited there carries over; the df-cap again
-    * affects candidate recall only, never an emitted pair's score. Both
-    * containments are single IEEE divisions of exact integers —
-    * engine-portable.
+    * so every scale property audited there carries over. NOTE the df-cap's
+    * effect is STRONGER here than candidate recall: `inter` is counted
+    * over the CAPPED postings while |A|/|B| come from the uncapped sets,
+    * so a pair sharing a hotter-than-maxDf shingle scores BELOW its true
+    * inter/min-side and can drop under the threshold — raising maxDf
+    * changes scores, not just recall (the oracle mirrors the same capped
+    * computation, so hashes stay exact either way). Both containments are
+    * single IEEE divisions of exact integers — engine-portable.
     */
   def containmentPairs(
       docs: DataFrame,

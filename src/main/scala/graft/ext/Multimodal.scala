@@ -416,7 +416,10 @@ object Multimodal {
         val id = fourcc(b, off)
         val size = le32(b, off + 4).toInt
         val payload = off + 8
-        if (size < 0 || payload + size > b.length) return None
+        // bound in LONG: a crafted size near Int.MaxValue overflows the
+        // Int sum negative, sails past the check, and the data loop then
+        // throws (or allocates ~4 GB) instead of returning None
+        if (size < 0 || payload.toLong + size > b.length) return None
         if (id == "fmt " && size >= 16) {
           val audioFormat = (b(payload) & 0xff) | ((b(payload + 1) & 0xff) << 8)
           val channels = (b(payload + 2) & 0xff) | ((b(payload + 3) & 0xff) << 8)

@@ -209,6 +209,19 @@ object Relational {
       .select(col("s"), col("h"))
   }
 
+  /** The KMV estimator as a Column: `(k-1)·M / h_k` floored (Bar-Yossef
+    * et al., hash space M = 2^60 of [[Dedup.md5Long]]), exact count when
+    * the sketch is unsaturated (`n_kept < k`). Shared by every batch KMV
+    * query so the estimator can never drift between them (the streaming
+    * twin in `StatefulOps.kmvDistinct` computes the same formula over its
+    * TreeSet state — its spec pins stream ≡ batch).
+    */
+  def kmvEstimate(nKept: Column, hK: Column, k: Int): Column = {
+    val m = math.pow(2, 60) // exactly representable double
+    when(nKept < k, nKept)
+      .otherwise(floor(lit((k - 1).toDouble * m) / hK).cast("long"))
+  }
+
   /** The 100 TB form of [[rollingDistinct]]: rolling N-day APPROX
     * distinct via mergeable HLL sketches. Exact rolling distinct re-keys
     * every (entity, day) pair ×N through a distinct shuffle; here the raw

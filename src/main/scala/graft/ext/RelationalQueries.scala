@@ -115,21 +115,13 @@ object RelationalQueries {
     // bottom-k per partition, exactly how the sketch merges at 1000
     // executors.
     "q_distinct_kmv" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val k = 64
-      val m = math.pow(2, 60) // hash space of md5Long — exact double
-      val d = Tables.events(s, dir)
-        .select(col("event_type"), Dedup.md5Long(col("user_id").cast("string")).as("h"))
-        .distinct()
-      val w = Window.partitionBy("event_type").orderBy("h")
-      d.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .groupBy("event_type")
+      Relational
+        .kmvSketch(Tables.events(s, dir), "event_type", "user_id", k)
+        .groupBy(col("s").as("event_type"))
         .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
         .select(col("event_type"), col("n_kept"), col("h_k"),
-          when(col("n_kept") < k, col("n_kept"))
-            .otherwise(floor(lit((k - 1).toDouble * m) / col("h_k")).cast("long"))
-            .as("est_distinct"))
+          Relational.kmvEstimate(col("n_kept"), col("h_k"), k).as("est_distinct"))
         .orderBy("event_type")
     },
 
@@ -143,7 +135,6 @@ object RelationalQueries {
     // on the identical h_k and estimate.
     "q_kmv_union" -> { (s, dir) =>
       val k = 64
-      val m = math.pow(2, 60)
       val ev = Tables.events(s, dir)
       // global bottom-k via orderBy+limit → TakeOrderedAndProject: each
       // partition keeps its own k smallest, one k-sized merge — the
@@ -163,9 +154,7 @@ object RelationalQueries {
       merged
         .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
         .select(col("n_kept"), col("h_k"),
-          when(col("n_kept") < k, col("n_kept"))
-            .otherwise(floor(lit((k - 1).toDouble * m) / col("h_k")).cast("long"))
-            .as("est_distinct"))
+          Relational.kmvEstimate(col("n_kept"), col("h_k"), k).as("est_distinct"))
     },
 
     // KMV/theta-sketch INTERSECTION — the set-algebra step union can't do:
@@ -1593,7 +1582,7 @@ object RelationalQueries {
           lit(1 << bits)).as("y"),
         floor(col("value") * 1000).cast("long").as("v_q3"))
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft-zorder-${s.sparkContext.applicationId}"
+        Tables.scratchDir(s, "zorder")
       keyed.withColumn("z", Scale.zValue(col("x"), col("y"), bits))
         .repartitionByRange(16, col("z")).drop("z")
         .write.mode("overwrite").parquet(path)

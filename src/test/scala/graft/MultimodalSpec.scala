@@ -175,6 +175,14 @@ class MultimodalSpec extends SparkSpec {
     // non-RIFF) instead of guessing
     assert(Multimodal.parseWavPcm(ours.take(30)).isEmpty)
     assert(Multimodal.parseWavPcm("RIFFxxxxJUNK".getBytes("US-ASCII")).isEmpty)
+    // hostile chunk size near Int.MaxValue: the payload+size bound must
+    // be computed in Long — an Int sum wraps negative, passes the check,
+    // and the data loop would throw or allocate ~4 GB instead of None
+    val hostile = ours.clone()
+    hostile(40) = 0xf0.toByte; hostile(41) = 0xff.toByte
+    hostile(42) = 0xff.toByte; hostile(43) = 0x7f.toByte // data size 0x7ffffff0
+    assert(Multimodal.parseWavPcm(hostile).isEmpty,
+      "overflowing declared chunk size must reject, not crash")
   }
 
   test("decodeAudio returns None for non-audio payloads (including images)") {
