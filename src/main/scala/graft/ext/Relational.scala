@@ -714,4 +714,63 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"),
         (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
   }
+
+  /** Poisson(1) bootstrap weight for replicate `b` of row key `key`:
+    * the md5-uniform draw u = md5Long("b-key") over hash space 2^60 is
+    * pushed through the Poisson(1) inverse CDF as INTEGER threshold
+    * compares (thresholds are floor(cdf·2^60) literals — no float
+    * arithmetic anywhere, so any engine computes the identical weight).
+    * Tail truncated at 6 (cdf ≈ 0.999999).
+    */
+  def bootWeight(b: Column, key: Column): Column = {
+    val u = Dedup.md5Long(concat(b.cast("string"), lit("-"), key.cast("string")))
+    // floor(CDF(k) * 2^60) for Poisson(1): k = 0..5
+    val t = Seq(424136118829305344L, 848272237658610688L, 1060340297073263360L,
+      1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+    t.zipWithIndex.foldRight(lit(6): Column) { case ((thr, k), rest) =>
+      when(u < thr, k).otherwise(rest)
+    }
+  }
+
+  /** Poissonized bootstrap of a per-group mean in ONE corpus pass: each
+    * row contributes to all `reps` replicates with an independent
+    * deterministic Poisson(1) weight ([[bootWeight]]) — the
+    * resampling-without-resampling trick that makes bootstrap feasible
+    * at corpus scale (a literal resample would shuffle the corpus per
+    * replicate; this explodes ×reps integers and pays one group shuffle
+    * of `groups × reps` partial sums). Returns per-group point mean and
+    * the min/max replicate means — the extreme-order-stat confidence
+    * envelope (with reps = 32 these are the ~3%/97% band). All outputs
+    * are single IEEE divisions of exact integer sums, ×1e6 floored —
+    * engine-exact.
+    */
+  def bootstrapMean(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      reps: Int): DataFrame = {
+    require(reps >= 2, "need at least two replicates")
+    val reped = df
+      .select(col(groupCol).as("g"), col(keyCol).as("k"), col(valueCol).as("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("w", bootWeight(col("b"), col("k")))
+    val repMeans = reped
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("v")).as("wv"), sum(col("w")).as("wn"))
+      // an all-zero-weight replicate (vanishingly rare beyond tiny groups)
+      // contributes no mean rather than a 0/0
+      .filter(col("wn") > 0)
+      .select(col("g"), floor(col("wv").cast("double") / col("wn") * 1e6)
+        .cast("long").as("m_q6"))
+    val point = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        floor(sum(col(valueCol)).cast("double") / count(lit(1)) * 1e6)
+          .cast("long").as("mean_q6"))
+    point
+      .join(repMeans.groupBy("g")
+        .agg(min(col("m_q6")).as("boot_lo_q6"), max(col("m_q6")).as("boot_hi_q6")),
+        Seq("g"))
+  }
 }

@@ -1592,6 +1592,24 @@ object RelationalQueries {
           count_distinct(col("x") * 32 + col("y")).as("n_cells"))
     },
 
+    // Poissonized bootstrap confidence band ([[Relational.bootstrapMean]]):
+    // each row joins all 32 replicates with a deterministic hash-derived
+    // Poisson(1) weight (integer inverse-CDF thresholds — no float draw),
+    // so the whole bootstrap is ONE corpus pass + one (group × reps)
+    // shuffle instead of 32 resample shuffles — and, being deterministic,
+    // the replicate means and the min/max envelope are bit-exactly
+    // oracle-checkable, which no RNG-based bootstrap can be.
+    "q_bootstrap_ci" -> { (s, dir) =>
+      Relational
+        .bootstrapMean(
+          Tables.events(s, dir).select(col("event_type"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("v_q3")),
+          "event_type", "event_id", "v_q3", reps = 32)
+        .select(col("g").as("event_type"), col("n_rows"), col("mean_q6"),
+          col("boot_lo_q6"), col("boot_hi_q6"))
+        .orderBy("event_type")
+    },
+
     // Skew-salted fact⋈dim equi-join ([[Scale.saltedJoin]]): the hot fact
     // key's rows split across 8 (key, salt) reduce groups, the dim side
     // replicates ×8, merge hints pin the SortMergeJoin (modeling a dim too
@@ -2253,6 +2271,28 @@ object RelationalQueries {
       "SELECT count(*) AS n_events, CAST(sum(v_q3) AS BIGINT) AS sum_v_q3, " +
       "count(DISTINCT x * 32 + y) AS n_cells FROM d " +
       "WHERE x >= 8 AND x < 16 AND y >= 16 AND y < 24"),
+    // the full bootstrap recomputed: same md5-uniform draw, same integer
+    // Poisson(1) inverse-CDF thresholds, same two-IEEE-op mean quantize
+    "q_bootstrap_ci" -> ("WITH e AS (SELECT event_type AS g, event_id AS k, " +
+      "CAST(floor(value * 1000) AS BIGINT) AS v FROM events), " +
+      "r AS (SELECT g, k, v, b, ('0x' || substr(md5(concat(CAST(b AS VARCHAR), '-', " +
+      "CAST(k AS VARCHAR))), 1, 15))::BIGINT AS u " +
+      "FROM e CROSS JOIN generate_series(0, 31) AS gs(b)), " +
+      "w AS (SELECT g, b, v, CASE " +
+      "WHEN u < 424136118829305344 THEN 0 " +
+      "WHEN u < 848272237658610688 THEN 1 " +
+      "WHEN u < 1060340297073263360 THEN 2 " +
+      "WHEN u < 1131029650211480960 THEN 3 " +
+      "WHEN u < 1148701988496035328 THEN 4 " +
+      "WHEN u < 1152236456152946176 THEN 5 ELSE 6 END AS w FROM r), " +
+      "rm AS (SELECT g, b, CAST(floor(CAST(sum(w * v) AS DOUBLE) / sum(w) * 1e6) " +
+      "AS BIGINT) AS m_q6 FROM w GROUP BY 1, 2 HAVING sum(w) > 0), " +
+      "pt AS (SELECT g, count(*) AS n_rows, " +
+      "CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1e6) AS BIGINT) AS mean_q6 " +
+      "FROM e GROUP BY 1) " +
+      "SELECT pt.g AS event_type, n_rows, mean_q6, " +
+      "min(m_q6) AS boot_lo_q6, max(m_q6) AS boot_hi_q6 " +
+      "FROM pt JOIN rm ON pt.g = rm.g GROUP BY 1, 2, 3 ORDER BY 1"),
     // the PLAIN join + GROUP BY — the salted (key, salt) two-sided plan
     // must produce the identical answer
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +

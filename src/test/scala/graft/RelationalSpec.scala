@@ -370,4 +370,33 @@ class RelationalSpec extends SparkSpec {
       s"test data must leave a meaningful surviving population, got ${expectRows.size}")
     assert(got == expect, s"got $got\nexpected $expect")
   }
+
+  test("bootstrapMean: Poisson(1) weights, envelope brackets the mean, deterministic") {
+    import graft.ext.Relational
+    import spark.implicits._
+    // weights must behave like Poisson(1): mean ≈ 1, P(0) ≈ e^-1
+    val n = 20000
+    val w = spark.range(n).select(Relational.bootWeight(lit(7), $"id").as("w"))
+      .groupBy("w").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = w.map { case (k, c) => k.toLong * c }.sum.toDouble / n
+    assert(math.abs(mean - 1.0) < 0.05, s"Poisson(1) weight mean ≈ 1, got $mean")
+    val p0 = w.getOrElse(0, 0L).toDouble / n
+    assert(math.abs(p0 - math.exp(-1)) < 0.02, s"P(w=0) ≈ 1/e, got $p0")
+    assert(w.keys.forall(k => k >= 0 && k <= 6))
+    // envelope law on a two-group frame
+    val df = (1 to 500).map(i => ("a", i.toLong, (i % 37).toLong)) ++
+      (1 to 400).map(i => ("b", 1000L + i, (i % 11).toLong))
+    val out = Relational.bootstrapMean(df.toDF("g", "k", "v"), "g", "k", "v", reps = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.foreach { case (g, (m, lo, hi)) =>
+      assert(lo <= m && m <= hi, s"group $g: envelope [$lo, $hi] must bracket mean $m")
+      assert(lo < hi, s"group $g: 32 replicates must spread")
+    }
+    // deterministic end to end: a second evaluation is bit-identical
+    val again = Relational.bootstrapMean(df.toDF("g", "k", "v"), "g", "k", "v", reps = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == out)
+  }
 }
