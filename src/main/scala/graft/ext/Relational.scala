@@ -715,15 +715,40 @@ object Relational {
         (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
   }
 
-  /** Poisson(1) bootstrap weight for replicate `b` of row key `key`:
-    * the md5-uniform draw u = md5Long("b-key") over hash space 2^60 is
-    * pushed through the Poisson(1) inverse CDF as INTEGER threshold
-    * compares (thresholds are floor(cdf·2^60) literals — no float
-    * arithmetic anywhere, so any engine computes the identical weight).
-    * Tail truncated at 6 (cdf ≈ 0.999999).
+  /** Per-replicate affine-hash constants: a 60-bit ODD multiplier a_b
+    * (split into 30-bit limbs ah/al for overflow-free modular multiply)
+    * and a 60-bit additive c_b, md5-derived from the replicate index —
+    * deterministic, and INTERPOLATED VERBATIM into the oracle SQL so
+    * both engines use the same numbers by construction.
     */
-  def bootWeight(b: Column, key: Column): Column = {
-    val u = Dedup.md5Long(concat(b.cast("string"), lit("-"), key.cast("string")))
+  private[ext] def bootConsts(reps: Int): (Seq[Long], Seq[Long], Seq[Long]) = {
+    val a = (0 until reps).map(b => Similarity.md5LongScala(s"boot-a-$b") | 1L)
+    (a.map(_ >> 30), a.map(_ & ((1L << 30) - 1)),
+      (0 until reps).map(b => Similarity.md5LongScala(s"boot-c-$b")))
+  }
+
+  /** Poisson(1) bootstrap weight for replicate `b` of a row: ONE md5 per
+    * row (`h = md5Long(key)`, computed by the caller and split into
+    * 30-bit halves), then the per-replicate affine draw
+    * `u_b = (a_b·h + c_b) mod 2^60` computed limb-wise
+    * (`al·hl + ((ah·hl + al·hh) mod 2^30)·2^30 + c`, every intermediate
+    * < 2^62 — no BIGINT overflow on either engine). a_b is ODD, so the
+    * map is a BIJECTION of Z_2^60: u_b is exactly as uniform as the md5
+    * hash, per replicate — a handful of integer ops instead of the
+    * per-(row, replicate) md5 that first cost 6.4 s at sf0.1. The draw
+    * goes through the Poisson(1) inverse CDF as INTEGER threshold
+    * compares (floor(cdf·2^60) literals) — no float arithmetic anywhere,
+    * so any engine computes the identical weight. Tail truncated at 6
+    * (cdf ≈ 0.999999).
+    */
+  def bootWeight(b: Column, hLo: Column, hHi: Column, reps: Int): Column = {
+    val (ahs, als, cs) = bootConsts(reps)
+    val ah = element_at(array(ahs.map(lit): _*), b + 1)
+    val al = element_at(array(als.map(lit): _*), b + 1)
+    val cB = element_at(array(cs.map(lit): _*), b + 1)
+    val mid = (ah * hLo + al * hHi).bitwiseAND(lit((1L << 30) - 1))
+    val u = (al * hLo + shiftleft(mid, 30) + cB)
+      .bitwiseAND(lit((1L << 60) - 1))
     // floor(CDF(k) * 2^60) for Poisson(1): k = 0..5
     val t = Seq(424136118829305344L, 848272237658610688L, 1060340297073263360L,
       1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
@@ -751,26 +776,31 @@ object Relational {
       valueCol: String,
       reps: Int): DataFrame = {
     require(reps >= 2, "need at least two replicates")
-    val reped = df
-      .select(col(groupCol).as("g"), col(keyCol).as("k"), col(valueCol).as("v"),
-        explode(sequence(lit(0), lit(reps - 1))).as("b"))
-      .withColumn("w", bootWeight(col("b"), col("k")))
-    val repMeans = reped
-      .groupBy(col("g"), col("b"))
-      .agg(sum(col("w") * col("v")).as("wv"), sum(col("w")).as("wn"))
-      // an all-zero-weight replicate (vanishingly rare beyond tiny groups)
-      // contributes no mean rather than a 0/0
-      .filter(col("wn") > 0)
-      .select(col("g"), floor(col("wv").cast("double") / col("wn") * 1e6)
-        .cast("long").as("m_q6"))
-    val point = df
-      .groupBy(col(groupCol).as("g"))
-      .agg(count(lit(1)).as("n_rows"),
-        floor(sum(col(valueCol)).cast("double") / count(lit(1)) * 1e6)
-          .cast("long").as("mean_q6"))
-    point
-      .join(repMeans.groupBy("g")
-        .agg(min(col("m_q6")).as("boot_lo_q6"), max(col("m_q6")).as("boot_hi_q6")),
-        Seq("g"))
+    val h = Dedup.md5Long(col(keyCol).cast("string"))
+    val withH = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+      h.bitwiseAND(lit((1L << 30) - 1)).as("h_lo"),
+      shiftright(h, 30).as("h_hi"))
+    // ONE wide aggregation, no ×reps row explosion: with the replicate
+    // index a LITERAL, each weight's constant lookups fold at plan time,
+    // so a row pays one md5 + reps cheap integer draws, and the shuffle
+    // carries 2·reps+2 longs per group — nothing else
+    val repAggs = (0 until reps).flatMap { b =>
+      val w = bootWeight(lit(b), col("h_lo"), col("h_hi"), reps)
+      Seq(sum(w * col("v")).as(s"wv_$b"), sum(w).as(s"wn_$b"))
+    }
+    val allAggs = Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv")) ++ repAggs
+    val wide = withH
+      .groupBy(col("g"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    // an all-zero-weight replicate (vanishingly rare beyond tiny groups)
+    // yields NULL and drops out of least/greatest rather than a 0/0
+    val repMeans = (0 until reps).map { b =>
+      when(col(s"wn_$b") > 0,
+        floor(col(s"wv_$b").cast("double") / col(s"wn_$b") * 1e6).cast("long"))
+    }
+    wide.select(col("g"), col("n_rows"),
+      floor(col("sv").cast("double") / col("n_rows") * 1e6).cast("long").as("mean_q6"),
+      least(repMeans: _*).as("boot_lo_q6"),
+      greatest(repMeans: _*).as("boot_hi_q6"))
   }
 }

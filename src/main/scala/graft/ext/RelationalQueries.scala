@@ -2271,13 +2271,22 @@ object RelationalQueries {
       "SELECT count(*) AS n_events, CAST(sum(v_q3) AS BIGINT) AS sum_v_q3, " +
       "count(DISTINCT x * 32 + y) AS n_cells FROM d " +
       "WHERE x >= 8 AND x < 16 AND y >= 16 AND y < 24"),
-    // the full bootstrap recomputed: same md5-uniform draw, same integer
-    // Poisson(1) inverse-CDF thresholds, same two-IEEE-op mean quantize
-    "q_bootstrap_ci" -> ("WITH e AS (SELECT event_type AS g, event_id AS k, " +
+    // the full bootstrap recomputed: same one-md5 row hash, same
+    // per-replicate affine constants (INTERPOLATED from the same Scala
+    // values the engine bakes into its plan — parity by construction),
+    // same integer Poisson(1) inverse-CDF thresholds, same two-IEEE-op
+    // mean quantize
+    "q_bootstrap_ci" -> {
+      val (bootAh, bootAl, bootC) = Relational.bootConsts(32)
+      "WITH e AS (SELECT event_type AS g, event_id AS k, " +
       "CAST(floor(value * 1000) AS BIGINT) AS v FROM events), " +
-      "r AS (SELECT g, k, v, b, ('0x' || substr(md5(concat(CAST(b AS VARCHAR), '-', " +
-      "CAST(k AS VARCHAR))), 1, 15))::BIGINT AS u " +
-      "FROM e CROSS JOIN generate_series(0, 31) AS gs(b)), " +
+      "hh AS (SELECT g, v, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h " +
+      "FROM e), " +
+      s"r AS (SELECT g, v, b, ((${bootAl.mkString("[", ", ", "]")}[b + 1] * (h & 1073741823)) " +
+      s"+ (((${bootAh.mkString("[", ", ", "]")}[b + 1] * (h & 1073741823) " +
+      s"+ ${bootAl.mkString("[", ", ", "]")}[b + 1] * (h >> 30)) & 1073741823) << 30) " +
+      s"+ ${bootC.mkString("[", ", ", "]")}[b + 1]) & 1152921504606846975 AS u " +
+      "FROM hh CROSS JOIN generate_series(0, 31) AS gs(b)), " +
       "w AS (SELECT g, b, v, CASE " +
       "WHEN u < 424136118829305344 THEN 0 " +
       "WHEN u < 848272237658610688 THEN 1 " +
@@ -2292,7 +2301,8 @@ object RelationalQueries {
       "FROM e GROUP BY 1) " +
       "SELECT pt.g AS event_type, n_rows, mean_q6, " +
       "min(m_q6) AS boot_lo_q6, max(m_q6) AS boot_hi_q6 " +
-      "FROM pt JOIN rm ON pt.g = rm.g GROUP BY 1, 2, 3 ORDER BY 1"),
+      "FROM pt JOIN rm ON pt.g = rm.g GROUP BY 1, 2, 3 ORDER BY 1"
+    },
     // the PLAIN join + GROUP BY — the salted (key, salt) two-sided plan
     // must produce the identical answer
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +

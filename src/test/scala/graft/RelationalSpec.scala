@@ -376,7 +376,10 @@ class RelationalSpec extends SparkSpec {
     import spark.implicits._
     // weights must behave like Poisson(1): mean ≈ 1, P(0) ≈ e^-1
     val n = 20000
-    val w = spark.range(n).select(Relational.bootWeight(lit(7), $"id").as("w"))
+    val h = graft.ext.Dedup.md5Long($"id".cast("string"))
+    val w = spark.range(n)
+      .select(Relational.bootWeight(lit(7),
+        h.bitwiseAND(lit((1L << 30) - 1)), shiftright(h, 30), reps = 32).as("w"))
       .groupBy("w").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val mean = w.map { case (k, c) => k.toLong * c }.sum.toDouble / n
     assert(math.abs(mean - 1.0) < 0.05, s"Poisson(1) weight mean ≈ 1, got $mean")
