@@ -41,13 +41,13 @@ object SparkEntry {
     coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries ++
       graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries ++ graft.ext.CurationQueries.queries ++
-      graft.ext.Bpe.queries
+      graft.ext.GraphQueries.queries ++ graft.ext.Bpe.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql ++
       graft.ext.DedupQueries.oracleSql ++ graft.ext.SimilarityQueries.oracleSql ++
       graft.ext.MultimodalQueries.oracleSql ++ graft.ext.CurationQueries.oracleSql ++
-      graft.ext.Bpe.oracleSql
+      graft.ext.GraphQueries.oracleSql ++ graft.ext.Bpe.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O3 filter semantics (SURVEY.md §2.2), compiled by FilterCompiler

@@ -364,7 +364,7 @@ object Curation {
     * (invisible at fixture scale, real executor storage at 100 TB).
     * Non-checkpoint frames are a no-op, so callers can pass anything.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ext] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
       case _                                            => ()

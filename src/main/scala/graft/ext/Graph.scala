@@ -1,0 +1,229 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over similarity graphs — the curation-side view of an
+  * embedding corpus as a mutual-kNN graph.
+  *
+  * A large-scale training-data pipeline reads its embedding table as a
+  * graph more often than as a point set: near-dup clusters are dense
+  * subgraphs, diversity filters peel low-connectivity shells, and
+  * label-quality audits read edge homophily. The operators here take a
+  * plain canonical `(lo, hi)` undirected edge frame, so the graph source
+  * is swappable — the exact mutual-kNN builder below at test scale, an
+  * ANN shortlist ([[Similarity.annTopKMulti]] / [[Similarity.ivfPqTopKAdc]]
+  * candidates) at corpus scale, or the Jaccard pair frame the dedup
+  * family already produces.
+  *
+  * Scale design:
+  *  - Triangle counting uses degree-ordered edge orientation: every
+  *    out-neighborhood is bounded by O(√(2|E|)), so the wedge join does
+  *    O(|E|^1.5) work regardless of hubs — the naive id-ordered join
+  *    explodes quadratically on one low-id hub vertex.
+  *  - k-core peels iteratively with per-round `localCheckpoint` lineage
+  *    truncation and eager release of the previous round's blocks (the
+  *    [[Curation.connectedComponents]] idiom); each round is one
+  *    degree aggregate + two semi-joins on the shrinking edge frame.
+  *  - Homophily is two keyed joins + one aggregate — label frames at
+  *    corpus scale are |V|-sized, so they ride hash joins, not broadcasts.
+  */
+object Graph {
+
+  /** Exact directed kNN edges (a → b, rank ≤ k by cosine DESC, id ASC) via
+    * one all-pairs scan: the query side is broadcast and ranking uses
+    * [[Relational.topKPerGroup]] (WindowGroupLimit pushes per-partition
+    * top-k below the shuffle). Exact all-pairs is the TEST-scale builder;
+    * at corpus scale swap the scored frame for an ANN candidate shortlist —
+    * every downstream operator only sees `(a, b)` edges. Zero-norm vectors
+    * score NaN and are dropped before ranking (Spark sorts NaN above every
+    * double — see [[Similarity.bruteForceTopK]]).
+    */
+  def knnEdges(vecs: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(vecs.select(col("id").as("a"), col("vec").as("av")))
+      .join(vecs.select(col("id").as("b"), col("vec").as("bv")), col("a") =!= col("b"))
+      .select(col("a"), col("b"), Similarity.cosine(col("av"), col("bv")).as("cos"))
+      .filter(!isnan(col("cos")))
+    Relational
+      .topKPerGroup(scored, Seq("a"), Seq(col("cos").desc, col("b").asc), k)
+      .select(col("a"), col("b"))
+  }
+
+  /** Mutual-kNN symmetrization: canonical edge (lo, hi) iff BOTH a→b and
+    * b→a are kNN edges — the hubness-robust graph (a hub that everyone
+    * ranks highly but that ranks almost nobody back contributes no edges),
+    * which is why curation pipelines cluster on mutual rather than union
+    * kNN. One self-join of the directed edge frame on the reversed key.
+    */
+  def mutualKnnEdges(vecs: DataFrame, k: Int): DataFrame = {
+    // checkpoint the directed edges: they feed BOTH sides of the mutual
+    // self-join, and an unmaterialized plan would run the all-pairs
+    // cosine scan — the dominant cost — once per reference
+    val knn = knnEdges(vecs, k).localCheckpoint()
+    // merge hint: the directed edge frame is corpus×k-sized — at test SF
+    // stats would broadcast it (fatal at corpus scale, the
+    // q_dedup_ngram_jaccard lesson)
+    val out = knn
+      .join(
+        knn.select(col("b").as("a"), col("a").as("b")).hint("merge"),
+        Seq("a", "b"),
+        "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("lo"), col("b").as("hi"))
+      .localCheckpoint()
+    Curation.releaseCheckpoint(knn)
+    out
+  }
+
+  /** Per-vertex triangle counts via degree-ordered orientation: orient
+    * every undirected edge from its lower (degree, id) endpoint to the
+    * higher one — the orientation is acyclic and bounds every
+    * out-neighborhood by O(√(2|E|)) — then close each oriented wedge
+    * (u→v, u→w with v before w in orientation order) against the oriented
+    * edge set. Each triangle is found exactly once (at its
+    * lowest-(degree, id) vertex) and credited to all three corners.
+    * Output: (id, deg, tri) for every vertex incident to an edge.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // materialize the frames that feed multiple joins (input edges ×3,
+    // degrees ×3, oriented edges ×3): DataFrame DAG references recompute
+    // their whole lineage per reference, so without the checkpoints the
+    // upstream graph builder would re-run once per join side. Same
+    // storage discipline as [[Curation.connectedComponents]] — eager
+    // result, then release the intermediates' blocks.
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    val deg = symDegrees(e, "deg").localCheckpoint()
+    // every join below is corpus-sized on BOTH sides (edge or vertex
+    // frames), so all carry merge hints — test-SF stats would broadcast
+    // them, which cannot survive a 100× scale-up
+    val withDeg = e
+      .join(deg.select(col("v").as("lo"), col("deg").as("dlo")).hint("merge"), Seq("lo"))
+      .join(deg.select(col("v").as("hi"), col("deg").as("dhi")).hint("merge"), Seq("hi"))
+    val loFirst =
+      col("dlo") < col("dhi") || (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = withDeg
+      .select(
+        when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+        when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+        when(loFirst, col("dhi")).otherwise(col("dlo")).as("ddeg"))
+      .localCheckpoint()
+    val wedges = oriented
+      .select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
+      .join(
+        oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg")).hint("merge"),
+        Seq("src"))
+      .filter(col("vdeg") < col("wdeg") || (col("vdeg") === col("wdeg") && col("v") < col("w")))
+    val tris = wedges
+      .join(
+        oriented.select(col("src").as("v"), col("dst").as("w")).hint("merge"),
+        Seq("v", "w"),
+        "left_semi")
+    val perVertex = tris
+      .select(col("src").as("v"))
+      .unionByName(tris.select(col("v")))
+      .unionByName(tris.select(col("w").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("tri"))
+    val out = deg
+      .join(perVertex, Seq("v"), "left")
+      .select(col("v").as("id"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .localCheckpoint()
+    Seq(e, deg, oriented).foreach(Curation.releaseCheckpoint)
+    out
+  }
+
+  /** k-core: the maximal subgraph in which every vertex has degree ≥ k,
+    * by iterative peeling to fixpoint — drop every vertex of degree < k,
+    * recompute degrees, repeat until nothing changes. Peeling only removes
+    * edges, so an unchanged edge COUNT is an unchanged edge SET — the
+    * convergence check is one count, no checksum. Per round:
+    * `localCheckpoint` truncates the iterative lineage and the previous
+    * round's blocks are released eagerly (the
+    * [[Curation.connectedComponents]] storage discipline).
+    * Output: (id, core_deg) for every core member, core_deg = its degree
+    * WITHIN the core (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame =
+    kCoreCore(edges, k, maxIter)._1
+
+  /** [[kCore]] + the executed peel-round count (exposed so specs can pin
+    * convergence behavior, not just the fixpoint).
+    */
+  private[graft] def kCoreCore(edges: DataFrame, k: Int, maxIter: Int): (DataFrame, Int) = {
+    var e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      val keep = symDegrees(e, "d").filter(col("d") >= k)
+      // merge hints: the survivor vertex frame is |V|-sized every round
+      val next = e
+        .join(keep.select(col("v").as("lo")).hint("merge"), Seq("lo"), "left_semi")
+        .join(keep.select(col("v").as("hi")).hint("merge"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi"))
+        .localCheckpoint(false)
+      val m = next.count()
+      converged = m == n
+      Curation.releaseCheckpoint(e)
+      e = next
+      n = m
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not reach a fixpoint in $maxIter rounds — the surviving edge set would " +
+          "still contain sub-k vertices (wrong, not approximate). Raise maxIter.")
+    (symDegrees(e, "core_deg").select(col("v").as("id"), col("core_deg")), rounds)
+  }
+
+  /** Label-homophily audit: per label, how many graph vertices carry it
+    * and how many of their edges stay inside the label vs cross out — the
+    * embedding-quality read ("do my labels cluster in embedding space?")
+    * a curation pipeline runs before trusting labels for stratification.
+    * All counts integer ⇒ hash-exact. `labels`: (id, label).
+    * Output: (label, n_nodes, intra_edges, cross_edges); cross edges are
+    * credited to BOTH endpoint labels.
+    */
+  def labelHomophily(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // edges feed the labeled-edge join AND the degree frame; the labeled
+    // edges feed intra + both cross arms — materialize each once
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    val lab = e
+      .join(labels.select(col("id").as("lo"), col("label").as("la")).hint("merge"), Seq("lo"))
+      .join(labels.select(col("id").as("hi"), col("label").as("lb")).hint("merge"), Seq("hi"))
+      .localCheckpoint()
+    val nodes = symDegrees(e, "deg")
+      .join(labels.select(col("id").as("v"), col("label")).hint("merge"), Seq("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"))
+    val intra = lab
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val cross = lab
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("label"))
+      .unionByName(lab.filter(col("la") =!= col("lb")).select(col("lb").as("label")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cross_edges"))
+    val out = nodes
+      .join(intra, Seq("label"), "left")
+      .join(cross, Seq("label"), "left")
+      .select(
+        col("label"),
+        col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("cross_edges"), lit(0L)).as("cross_edges"))
+      .localCheckpoint()
+    Seq(e, lab).foreach(Curation.releaseCheckpoint)
+    out
+  }
+
+  /** Symmetric degree frame (v, <name>) of a canonical (lo, hi) edge set. */
+  private def symDegrees(edges: DataFrame, name: String): DataFrame =
+    edges
+      .select(col("lo").as("v"))
+      .unionByName(edges.select(col("hi").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as(name))
+}

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declared queries for the [[Graph]] operators, all over the SAME graph:
+  * the mutual-8-NN cosine graph of the `embeddings` table. The kNN builder
+  * reuses the oracle-proven cosine machinery (`graft_cos` ≡ the oracle's
+  * fold, rank ties broken (cos DESC, id ASC) — the q_cosine_topk
+  * contract), and DuckDB's `list_dot_product` is bit-identical to the
+  * fold (verified exhaustively on every pair at sf0.01 and on 81k sf0.1
+  * pairs), so the edge set — and everything downstream — hash-matches.
+  */
+object GraphQueries {
+
+  /** Mutual-kNN neighborhood size. 8 keeps the graph non-degenerate at
+    * every driver SF (measured: 1.6k/1.6k/6.5k mutual edges, 141/161/355
+    * triangles at sf0.001/0.01/0.1) — small enough that the 4-core
+    * actually peels (3/5/4 rounds) instead of being a no-op.
+    */
+  private val K = 8
+
+  /** The 4-core: the "deeply connected" shell — vertices in ≥4-way mutual
+    * similarity neighborhoods, the dense-cluster candidates a diversity
+    * pass would down-sample.
+    */
+  private val CoreK = 4
+
+  /** Oracle unroll depth for the k-core peel. The engine peels to an
+    * exact fixpoint at ANY scale; the unrolled oracle is valid whenever
+    * convergence takes ≤ this many rounds — measured 3/5/4 rounds at
+    * sf0.001/0.01/0.1, re-checked by the tri-SF sweeps.
+    */
+  private val PeelRounds = 8
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // graft_cos (idempotent)
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+  }
+
+  private def graph(s: SparkSession, dir: String): DataFrame =
+    Graph.mutualKnnEdges(vecs(s, dir), K)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-vertex triangle participation + degree over the mutual-kNN
+    // graph — the local-density signal (a vertex with high tri/deg sits
+    // in a near-clique = near-dup neighborhood; tri = 0 at deg ≥ 2 is a
+    // chain/star artifact). Degree-ordered orientation keeps the wedge
+    // join O(|E|^1.5) at corpus scale.
+    "q_graph_triangles" -> { (s, dir) =>
+      Graph
+        .triangleCounts(graph(s, dir))
+        .orderBy("id")
+    },
+
+    // 4-core membership + in-core degree: the dense-shell extraction a
+    // diversity filter peels before down-sampling over-represented
+    // neighborhoods. Iterative peel, edge-count fixpoint.
+    "q_graph_kcore" -> { (s, dir) =>
+      Graph
+        .kCore(graph(s, dir), CoreK)
+        .orderBy("id")
+    },
+
+    // Label-homophily audit: per label, graph nodes + intra/cross edge
+    // counts — "do labels cluster in embedding space?" read before
+    // trusting labels for stratified splits. Integer counts, hash-exact.
+    "q_graph_homophily" -> { (s, dir) =>
+      Graph
+        .labelHomophily(
+          graph(s, dir),
+          Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label")))
+        .orderBy("label")
+    }
+  )
+
+  /** Shared oracle CTE chain: embeddings → all-pairs cosine → directed
+    * 8-NN → mutual edges. `list_dot_product` ≡ the left-fold the engine
+    * codegens (verified bit-exact on every sf0.01 pair). `knn` and
+    * `mutual` are MATERIALIZED: both are referenced more than once
+    * downstream, and DuckDB's default CTE inlining would re-run the
+    * all-pairs scan per reference — exponentially so through the unrolled
+    * peel chain (the un-hinted form exhausted file handles re-opening the
+    * parquet 2^rounds times).
+    */
+  private val KnnCtes =
+    "v AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
+      "FROM embeddings), " +
+      "scored AS (SELECT q.id AS a, c.id AS b, " +
+      "list_dot_product(q.vec, c.vec) / (sqrt(list_dot_product(q.vec, q.vec)) * " +
+      "sqrt(list_dot_product(c.vec, c.vec))) AS cos FROM v q JOIN v c ON q.id != c.id), " +
+      s"knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
+      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored) WHERE rn <= $K), " +
+      "mutual AS MATERIALIZED (SELECT x.a AS lo, x.b AS hi FROM knn x " +
+      "JOIN knn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
+
+  /** One peel round: degrees of e{i-1}, then keep edges whose both
+    * endpoints have degree ≥ k. Mirrors one engine iteration exactly.
+    * Every round CTE is MATERIALIZED — each is referenced 2-3 times by
+    * the next, so inlining would blow up 2^rounds.
+    */
+  private def peelRound(i: Int): String =
+    s"d$i AS MATERIALIZED (SELECT v, count(*) AS d FROM (SELECT lo AS v FROM e${i - 1} " +
+      s"UNION ALL SELECT hi FROM e${i - 1}) GROUP BY 1), " +
+      s"e$i AS MATERIALIZED (SELECT lo, hi FROM e${i - 1} JOIN d$i x ON x.v = lo " +
+      s"JOIN d$i y ON y.v = hi WHERE x.d >= $CoreK AND y.d >= $CoreK)"
+
+  def oracleSql: Map[String, String] = Map(
+    // id-ordered triple join (correctness-equivalent to the engine's
+    // degree orientation: both count each triangle exactly once)
+    "q_graph_triangles" -> (s"WITH $KnnCtes, " +
+      "deg AS (SELECT v, count(*) AS deg FROM (SELECT lo AS v FROM mutual " +
+      "UNION ALL SELECT hi FROM mutual) GROUP BY 1), " +
+      "tri AS (SELECT p1.lo AS x, p1.hi AS y, p2.hi AS z FROM mutual p1 " +
+      "JOIN mutual p2 ON p1.hi = p2.lo JOIN mutual p3 ON p3.lo = p1.lo AND p3.hi = p2.hi), " +
+      "pv AS (SELECT v, count(*) AS tri FROM (SELECT x AS v FROM tri " +
+      "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) " +
+      "SELECT deg.v AS id, deg.deg, coalesce(pv.tri, 0) AS tri " +
+      "FROM deg LEFT JOIN pv USING (v) ORDER BY id"),
+    // the engine peels to fixpoint; the oracle unrolls PeelRounds rounds
+    // (strictly more than the measured 3/5/4 at the driver SFs — extra
+    // rounds past the fixpoint are no-ops)
+    "q_graph_kcore" -> (s"WITH $KnnCtes, e0 AS MATERIALIZED (SELECT lo, hi FROM mutual), " +
+      (1 to PeelRounds).map(peelRound).mkString(", ") + " " +
+      s"SELECT v AS id, count(*) AS core_deg FROM (SELECT lo AS v FROM e$PeelRounds " +
+      s"UNION ALL SELECT hi FROM e$PeelRounds) GROUP BY 1 ORDER BY id"),
+    "q_graph_homophily" -> (s"WITH $KnnCtes, " +
+      "lab AS (SELECT m.lo, m.hi, a.label AS la, b.label AS lb FROM mutual m " +
+      "JOIN embeddings a ON a.vec_id = m.lo JOIN embeddings b ON b.vec_id = m.hi), " +
+      "verts AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mutual " +
+      "UNION ALL SELECT hi FROM mutual)), " +
+      "nodes AS (SELECT e.label, count(*) AS n_nodes FROM embeddings e " +
+      "JOIN verts ON verts.v = e.vec_id GROUP BY 1), " +
+      "intra AS (SELECT la AS label, count(*) AS intra_edges FROM lab WHERE la = lb GROUP BY 1), " +
+      "crossx AS (SELECT label, count(*) AS cross_edges FROM " +
+      "(SELECT la AS label FROM lab WHERE la != lb " +
+      "UNION ALL SELECT lb FROM lab WHERE la != lb) GROUP BY 1) " +
+      "SELECT nodes.label, n_nodes, coalesce(intra_edges, 0) AS intra_edges, " +
+      "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
+      "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label")
+  )
+}

@@ -803,4 +803,62 @@ object Relational {
       least(repMeans: _*).as("boot_lo_q6"),
       greatest(repMeans: _*).as("boot_hi_q6"))
   }
+
+  /** Integer EWMA over a keyed, bucket-ordered counter series:
+    * `s_0 = x_0; s_t = floor((aNum·x_t + (aDen−aNum)·s_{t−1}) / aDen)` —
+    * the trend-smoothing recurrence a monitoring/forecast pass runs over
+    * daily counters, in all-integer arithmetic (floor division on both
+    * engines) so the whole trajectory is hash-exact.
+    *
+    * The recurrence is serial BY DESIGN (each s_t reads s_{t−1} after its
+    * own floor — no window function or closed form exists once the
+    * truncation is inside the loop), so each key's series folds in ONE
+    * array aggregate over its (tiny — |buckets| per key) collected list.
+    * The corpus-scale work is the upstream scan+aggregate that produced
+    * `series`; that stays fully distributed, and the fold costs
+    * O(|buckets|²) array building on |keys| rows — thousands of entries
+    * at most (buckets are time-grain-bounded), never corpus-sized.
+    *
+    * `series`: one row per (key, bucket); `bucketCol`/`valueCol` LONG
+    * (quantize floats upstream); intermediate products must stay under
+    * 2^52 (the doubles-exact integer range — aDen·|x| bounded, checked by
+    * the caller's quantization). Output: (key, bucket, x, ewma).
+    */
+  def ewmaInteger(
+      series: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      aNum: Int,
+      aDen: Int): DataFrame = {
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen, got $aNum/$aDen")
+    val stepType = "array<struct<b:bigint,x:bigint,s:bigint>>"
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("x")))).as("xs"))
+      .select(
+        col(keyCol),
+        aggregate(
+          col("xs"),
+          array().cast(stepType),
+          (acc, e) =>
+            concat(acc, array(struct(
+              e.getField("b").as("b"),
+              e.getField("x").as("x"),
+              when(size(acc) === 0, e.getField("x"))
+                .otherwise(floor(
+                  (lit(aNum) * e.getField("x") +
+                    lit(aDen - aNum) * element_at(acc, -1).getField("s")) / lit(aDen))
+                  .cast("long"))
+                .as("s"))))).as("ys"))
+    folded
+      .select(col(keyCol), explode(col("ys")).as("y"))
+      .select(
+        col(keyCol),
+        col("y.b").as(bucketCol),
+        col("y.x").as(valueCol),
+        col("y.s").as("ewma"))
+  }
 }

@@ -770,6 +770,23 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // EWMA trend smoothing (α = 0.25) over per-type daily revenue cents —
+    // the serial floor-division recurrence a forecasting pass runs after
+    // the distributed daily aggregate; all-integer so the full trajectory
+    // is hash-exact (Relational.ewmaInteger; the oracle replays the same
+    // recurrence with a recursive CTE).
+    "q_ewma_daily" -> { (s, dir) =>
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      Relational
+        .ewmaInteger(daily, "event_type", "day", "cents", aNum = 25, aDen = 100)
+        .select(col("event_type"), col("day"), col("cents"), col("ewma").as("ewma_cents"))
+        .orderBy("event_type", "day")
+    },
+
     // Analytic-rank suite over per-user event counts: dense_rank /
     // percent_rank / cume_dist ordered by the count alone (tie-sharing,
     // deterministic — they depend on key values, not row order), lead
@@ -1975,6 +1992,19 @@ object RelationalQueries {
       "CAST(cnt - lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE) " +
       "* 100.0 / lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week) AS pct_change " +
       "FROM weekly ORDER BY event_type, week"),
+    // the same serial recurrence replayed per key by a recursive CTE
+    // chained on the per-key row number; `//` is floor division = the
+    // engine's floor(double-div) on sub-2^52 integers
+    "q_ewma_daily" -> ("WITH RECURSIVE d AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
+      "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM events GROUP BY 1, 2), " +
+      "n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d), " +
+      "rec(event_type, rn, day, cents, s) AS (" +
+      "SELECT event_type, rn, day, cents, cents FROM n WHERE rn = 1 " +
+      "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
+      "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
+      "SELECT event_type, day, cents, s AS ewma_cents FROM rec ORDER BY 1, 2"),
     "q_cohort_retention" -> ("WITH days AS (SELECT DISTINCT user_id, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
       "cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1) " +

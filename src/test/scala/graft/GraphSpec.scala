@@ -1,0 +1,116 @@
+package graft
+
+import graft.ext.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operator semantics on known hand-built graphs: triangle counting
+  * (orientation correctness incl. degree ties and hubs), k-core peeling
+  * (multi-round cascades, fixpoint, empty core), mutual-kNN edge
+  * construction, and label homophily accounting.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("lo", "hi")
+
+  private def triMap(e: DataFrame): Map[Long, (Long, Long)] =
+    Graph
+      .triangleCounts(e)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (id, deg, tri) => id -> (deg, tri) }
+      .toMap
+
+  test("triangles: single triangle credits all three corners") {
+    val m = triMap(edges((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(m === Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (2L, 1L)))
+  }
+
+  test("triangles: path has none; 4-clique has three per vertex") {
+    val path = triMap(edges((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path.values.forall(_._2 == 0L))
+    val k4 = triMap(edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // C(4,3)=4 triangles, each vertex in C(3,2)=3 of them
+    assert(k4 === (1L to 4L).map(_ -> (3L, 3L)).toMap)
+  }
+
+  test("triangles: hub star plus one closing edge — only that wedge closes") {
+    // hub 1 connected to 2..6 (deg 5), plus edge (2,3): exactly one triangle
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 3L))
+    val m = triMap(e)
+    assert(m(1L) === (5L, 1L) && m(2L) === (2L, 1L) && m(3L) === (2L, 1L))
+    assert(Seq(4L, 5L, 6L).forall(v => m(v) === (1L, 0L)))
+  }
+
+  test("triangles: equal-degree cycles orient by id without double counting") {
+    // C5: all degrees 2 (every orientation comparison falls to the id
+    // tie-break), no triangle
+    val c5 = triMap(edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)))
+    assert(c5.values.forall { case (d, t) => d == 2L && t == 0L })
+    // C3: equal degrees AND a real triangle — counted exactly once
+    val c3 = triMap(edges((7L, 8L), (8L, 9L), (7L, 9L)))
+    assert(c3.values.forall { case (d, t) => d == 2L && t == 1L })
+  }
+
+  test("kCore: pendant chain peels in cascading rounds to the inner clique") {
+    // 4-clique {1,2,3,4} with a chain 4-5-6 hanging off: k=2 peels 6 then 5
+    // (two cascade rounds + the fixpoint-observation round)
+    val e = edges(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val (core, rounds) = Graph.kCoreCore(e, k = 2, maxIter = 10)
+    val m = core.as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(rounds === 3, s"expected 2 cascade rounds + 1 fixpoint check, got $rounds")
+  }
+
+  test("kCore: k above max degree yields the empty core; k=1 is a no-op round") {
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(Graph.kCore(e, k = 3).isEmpty)
+    val (all, rounds) = Graph.kCoreCore(e, k = 1, maxIter = 10)
+    assert(all.count() === 3L && rounds === 1)
+  }
+
+  test("kCore: core degree is the degree WITHIN the core, not the input graph") {
+    // triangle {1,2,3} plus pendant 4 on vertex 1: input deg(1)=3 but
+    // core deg(1)=2 after the pendant peels
+    val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val m = Graph.kCore(e, k = 2).as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("mutualKnnEdges: asymmetric neighborhoods drop non-mutual edges") {
+    // 2D-ish vectors embedded in 3 dims. a and b point the same way
+    // (mutual top-1); c points the same way but is everyone's #2, while
+    // c's own top-1 is a — only (a,b) and (a,c) can be mutual at k=1... so
+    // use k=1: a's top-1 is b (cos=1 exactly), b's top-1 is a, c's top-1
+    // is a but a's is b → mutual graph = {(a,b)} only.
+    val v = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), // a
+      (2L, Seq(2.0, 0.0, 0.0)), // b: cos(a,b)=1
+      (3L, Seq(1.0, 1.0, 0.0))  // c: cos(a,c)=cos(b,c)=0.707...
+    ).toDF("id", "vec")
+    graft.functions.GraftFunctions.register(spark)
+    val m = Graph.mutualKnnEdges(v, k = 1).as[(Long, Long)].collect().toSet
+    assert(m === Set((1L, 2L)))
+  }
+
+  test("labelHomophily: intra stays inside, cross credits both endpoint labels") {
+    // edges: (1,2) both label x; (2,3) x-y; (3,4) both y; (1,5) x-z
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L))
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"), (6L, "w"))
+      .toDF("id", "label")
+    val m = Graph
+      .labelHomophily(e, labels)
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .map { case (l, n, i, c) => l -> (n, i, c) }
+      .toMap
+    // label w has no graph vertex → absent entirely
+    assert(m === Map(
+      "x" -> (2L, 1L, 2L), // nodes 1,2; intra (1,2); cross (2,3) and (1,5)
+      "y" -> (2L, 1L, 1L), // nodes 3,4; intra (3,4); cross (2,3)
+      "z" -> (1L, 0L, 1L)))
+  }
+}

@@ -762,4 +762,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"),
       s"a broadcast would bypass the salt entirely:\n$p")
   }
+
+  test("Graph.knnEdges: one corpus scan per side, top-k below the rank shuffle") {
+    // the graph family's shared builder (downstream operators are
+    // checkpoint-backed, so this is the one plan Catalyst still shows)
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id").as("id"), graft.ext.Similarity.asDouble(col("embedding")).as("vec"))
+    val p = graft.ext.Graph.knnEdges(vecs, 8).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs scoring broadcasts the query side (exact test-scale builder):\n$p")
+    assert(count(p, "WindowGroupLimit") == 2,
+      s"per-partition top-k must prune below the per-query rank shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"one embeddings scan per join side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never an unbroadcast all-pairs:\n$p")
+  }
 }

@@ -402,4 +402,29 @@ class RelationalSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(again == out)
   }
+
+  test("ewmaInteger: hand-checked recurrence, per-key isolation, constant fixpoint") {
+    import spark.implicits._
+    val series = Seq(
+      // key a: 100, 0, 0 → s = 100, floor(75*100/100)=75, floor(75*75/100)=56
+      ("a", 1L, 100L), ("a", 2L, 0L), ("a", 3L, 0L),
+      // key b: constant series is an EWMA fixpoint at any α
+      ("b", 1L, 40L), ("b", 2L, 40L), ("b", 3L, 40L),
+      // key c: single bucket → s_0 = x_0 regardless of α
+      ("c", 9L, 7L)
+    ).toDF("k", "b", "x")
+    val out = Relational.ewmaInteger(series, "k", "b", "x", aNum = 25, aDen = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out === Map(
+      ("a", 1L) -> 100L, ("a", 2L) -> 75L, ("a", 3L) -> 56L,
+      ("b", 1L) -> 40L, ("b", 2L) -> 40L, ("b", 3L) -> 40L,
+      ("c", 9L) -> 7L))
+    // smoothing law: for a step-to-zero input, s_t = floor(s_{t-1}·(1−α))
+    // decays monotonically but never crosses zero from a positive start
+    val long = (1 to 40).map(i => ("d", i.toLong, if (i == 1) 1000000L else 0L))
+    val decay = Relational.ewmaInteger(long.toDF("k", "b", "x"), "k", "b", "x", 25, 100)
+      .orderBy("b").collect().map(_.getLong(3))
+    assert(decay.head === 1000000L && decay.zip(decay.tail).forall { case (p, n) => n <= p }
+      && decay.forall(_ >= 0L))
+  }
 }
