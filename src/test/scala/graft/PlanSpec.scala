@@ -776,6 +776,8 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "WindowGroupLimit") == 2,
       s"per-partition top-k must prune below the per-query rank shuffle:\n$p")
     assert(count(p, "Scan parquet") == 2, s"one embeddings scan per join side:\n$p")
+    assert(count(p, "Generate") == 1,
+      s"each unordered pair scores once, fanned to both directions by one explode:\n$p")
     assert(!p.contains("CartesianProduct"), s"never an unbroadcast all-pairs:\n$p")
   }
 }
