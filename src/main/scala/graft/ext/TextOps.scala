@@ -626,4 +626,62 @@ object TextOps {
       .join(broadcast(cms), Seq("r", "bucket"), "left")
       .groupBy(col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** C4-style per-LINE keep predicate (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" §2.2 — the C4 cleaning rules): a line
+    * survives iff it has ≥ `minToks` whitespace tokens, contains none of
+    * `badTokens` (C4 drops lines mentioning "javascript" — the
+    * cookie-banner / JS-warning boilerplate class), and — when
+    * `requireTerminal` — ends in terminal punctuation (`.` `!` `?` `"`,
+    * C4's sentence heuristic). Pure codegen Column algebra; the token
+    * membership test is an `exists` over ONE tokenize of the line.
+    */
+  def c4LineKeep(
+      line: Column,
+      minToks: Int,
+      badTokens: Seq[String],
+      requireTerminal: Boolean): Column = {
+    val toks = tokens(line)
+    val base = size(toks) >= minToks &&
+      (if (badTokens.isEmpty) lit(true)
+       else !exists(toks, t => t.isInCollection(badTokens)))
+    if (requireTerminal)
+      base && substring(rtrim(line), -1, 1).isin(".", "!", "?", "\"")
+    else base
+  }
+
+  /** C4-style line-level page cleaning — the web-corpus curation step
+    * between raw extraction and document-level gates like [[gopherGate]]:
+    * drop boilerplate LINES (too short, marker words, no terminal
+    * punctuation), then drop whole PAGES left with fewer than
+    * `minKeptLines` surviving lines (C4's "at least 3 sentences" rule).
+    * Returns one row per doc: `(idCol, n_lines, n_kept, keep, clean_text)`
+    * where `clean_text` re-joins the kept lines in order ("" when nothing
+    * survives — the row stays, carrying the keep=false verdict).
+    *
+    * Scale shape: entirely per-row higher-order-function Column algebra
+    * over the newline split — ZERO shuffle at any corpus size (the text
+    * is tokenized once per LINE inside one `filter` lambda, never once
+    * per rule). Composes ahead of [[gopherGate]] / [[graft.ext.Curation]]
+    * scrub+split as the standard C4→Gopher pre-training filter chain.
+    */
+  def c4Clean(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineToks: Int = 5,
+      badTokens: Seq[String] = Seq("javascript"),
+      minKeptLines: Int = 3,
+      requireTerminal: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(minLineToks >= 1, "minLineToks must be positive")
+    require(minKeptLines >= 1, "minKeptLines must be positive")
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val kept = filter(lines, l => c4LineKeep(l, minLineToks, badTokens, requireTerminal))
+    docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      (size(kept) >= minKeptLines).as("keep"),
+      array_join(kept, "\n").as("clean_text"))
+  }
 }

@@ -242,6 +242,58 @@ object TextQueries {
         .join(counts.select(col("token"), col("c").as("exact")), Seq("token"))
         .select(col("token"), col("est"), col("exact"))
         .orderBy("token")
+    },
+
+    // C4-style line-level page cleaning ([[TextOps.c4Clean]]): the corpus
+    // has no newlines, so lines are SYNTHESIZED from exploded token rows
+    // (6 tokens per line — the q_line_dedup convention; tokenize once, not
+    // once per line slice), then the per-row C4 rules run on the
+    // reassembled text: a line survives with ≥5 tokens and no 'slow'
+    // marker (the boilerplate-token analog of C4's "javascript" rule), a
+    // page survives with ≥3 kept lines. Token-less docs emit no row,
+    // mirrored by the oracle's len(toks) > 0. The c4Clean stage itself is
+    // zero-shuffle HOF algebra — on a real newline corpus the whole query
+    // is map-only.
+    "q_c4_clean" -> { (s, dir) =>
+      val lines = Tables
+        .documents(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), floor(col("pos") / 6).cast("long").as("li"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            t => t.getField("tok"))).as("line"))
+      val docs2 = lines
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("li"), col("line")))),
+            t => t.getField("line"))).as("text"))
+      TextOps
+        .c4Clean(docs2, "doc_id", "text", minLineToks = 5, badTokens = Seq("slow"),
+          minKeptLines = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("keep"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).as("clean_len"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility per language — the multilingual token-budget
+    // planning number (BPE-ish subwords per character, q4 fixed point):
+    // languages whose scripts fragment under a given tokenizer cost more
+    // context per character. Map + ONE partial+final aggregation keyed by
+    // the low-cardinality lang column; the ratio is integer division of
+    // exact sums ⇒ hash-exact cross-engine.
+    "q_token_fertility" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("chars"),
+          sum(TextOps.bpeishTokenCount(col("text")).cast("long")).as("bpe_toks"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("bpe_toks"),
+          when(col("chars") === 0, lit(null).cast("long"))
+            .otherwise(expr("(bpe_toks * 10000L) div chars")).as("fert_q4"))
+        .orderBy("lang")
     }
   )
 
@@ -431,7 +483,34 @@ object TextQueries {
       "('0x' || substr(md5(concat(CAST(g.r AS VARCHAR), '-', p.token)), 1, 15))::BIGINT % 256 " +
       "GROUP BY 1) " +
       "SELECT e.token, CAST(e.est AS BIGINT) AS est, c.c AS exact " +
-      "FROM est e JOIN cnts c USING (token) ORDER BY token")
+      "FROM est e JOIN cnts c USING (token) ORDER BY token"),
+    // same 6-token synthesized lines as q_line_dedup, same C4 rules as
+    // TextOps.c4Clean (≥5 tokens, no 'slow', page keeps ≥3 lines);
+    // token-less docs emit no row on both sides
+    "q_c4_clean" -> (s"WITH d AS (SELECT doc_id, $Toks AS toks FROM documents), " +
+      "d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0), " +
+      "l AS (SELECT doc_id, unnest(generate_series(0, " +
+      "CAST(ceil(len(toks) / 6.0) AS BIGINT) - 1)) AS li, toks FROM d2), " +
+      "lines AS (SELECT doc_id, li, " +
+      "array_to_string(toks[li * 6 + 1 : li * 6 + 6], ' ') AS line FROM l), " +
+      "kf AS (SELECT doc_id, li, line, " +
+      "len(list_filter(string_split(line, ' '), t -> t != '')) >= 5 " +
+      "AND NOT list_contains(string_split(line, ' '), 'slow') AS lk FROM lines), " +
+      "agg AS (SELECT doc_id, count(*) AS n_lines, count(*) FILTER (lk) AS n_kept, " +
+      "string_agg(line, chr(10) ORDER BY li) FILTER (lk) AS clean FROM kf GROUP BY 1) " +
+      "SELECT doc_id, n_lines, n_kept, n_kept >= 3 AS keep, " +
+      "md5(coalesce(clean, '')) AS clean_md5, " +
+      "length(coalesce(clean, '')) AS clean_len FROM agg ORDER BY doc_id"),
+    // integer floor-division of exact BIGINT sums (// and Spark's div
+    // agree on non-negatives); sums cast to BIGINT to dodge the
+    // HUGEINT→float64 hash artifact
+    "q_token_fertility" -> ("SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(length(text)) AS BIGINT) AS chars, " +
+      "CAST(sum(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) AS bpe_toks, " +
+      "CASE WHEN CAST(sum(length(text)) AS BIGINT) = 0 THEN NULL ELSE " +
+      "(CAST(sum(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) * 10000) " +
+      "// CAST(sum(length(text)) AS BIGINT) END AS fert_q4 " +
+      "FROM documents GROUP BY lang ORDER BY lang")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

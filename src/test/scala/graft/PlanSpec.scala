@@ -780,4 +780,23 @@ class PlanSpec extends SparkSpec {
       s"each unordered pair scores once, fanned to both directions by one explode:\n$p")
     assert(!p.contains("CartesianProduct"), s"never an unbroadcast all-pairs:\n$p")
   }
+
+  test("q_c4_clean: one scan, one tokenize explode; the C4 stage adds no shuffle") {
+    val p = plan("q_c4_clean")
+    assert(count(p, "Scan parquet") == 1, s"corpus scans once:\n$p")
+    assert(count(p, "Generate") == 1, s"tokenize once via one explode:\n$p")
+    // line synthesis pays (doc,li) + doc hash shuffles; c4Clean itself is
+    // per-row HOF algebra — any third hash exchange means it regressed
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"exactly the two line-synthesis shuffles:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in page cleaning:\n$p")
+  }
+
+  test("q_token_fertility: map + one partial+final agg on the lang key") {
+    val p = plan("q_token_fertility")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"one data shuffle, keyed by the low-cardinality lang column:\n$p")
+    assert(count(p, "HashAggregate") == 2, s"partial+final combine must hold:\n$p")
+  }
 }

@@ -206,4 +206,61 @@ class TextOpsSpec extends SparkSpec {
     val unseen = TextOps.cmsEstimate(emptyCms, Seq("zz").toDF("token"), "token", d, w)
     assert(unseen.collect().head.getLong(1) == 0L)
   }
+
+  test("c4Clean: each C4 rule drops its crafted line, page rule composes") {
+    val d = Seq(
+      // 3 good lines + one short + one marker line ⇒ kept page
+      (1L, "the river flows past the village today.\n" +
+        "too short line\n" +
+        "please enable javascript to view this page now\n" +
+        "the people watch many boats sail away.\n" +
+        "the village sleeps while the night grows dark."),
+      // only 2 surviving lines ⇒ page dropped but row emitted
+      (2L, "the river flows past the village today.\nthe people watch many boats.\nx"),
+      (3L, ""), // empty text: split yields one empty line, nothing survives
+      (4L, "one two three four five six seven") // 1 good line < minKeptLines
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .c4Clean(d, "doc_id", "text", minLineToks = 5, badTokens = Seq("javascript"),
+        minKeptLines = 3)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 4, "every doc keeps its row; keep carries the verdict")
+    val r1 = out(0)
+    assert(r1.getInt(1) == 5 && r1.getInt(2) == 3 && r1.getBoolean(3))
+    assert(r1.getString(4) ==
+      "the river flows past the village today.\n" +
+        "the people watch many boats sail away.\n" +
+        "the village sleeps while the night grows dark.",
+      "kept lines re-join in original order with dropped lines cut")
+    assert(out(1).getInt(2) == 2 && !out(1).getBoolean(3))
+    assert(out(2).getInt(1) == 1 && out(2).getInt(2) == 0 && out(2).getString(4) == "")
+    assert(out(3).getInt(2) == 1 && !out(3).getBoolean(3))
+  }
+
+  test("c4LineKeep: terminal-punctuation rule accepts . ! ? \" and rejects the rest") {
+    val lines = Seq(
+      "the quick brown fox jumps high.", "does the fox jump very high?",
+      "watch the fox jump so high!", "he said \"the fox jumps\"",
+      "the quick brown fox jumps high", "the quick brown fox jumps high,").toDF("line")
+    val got = lines
+      .select(col("line"),
+        TextOps.c4LineKeep(col("line"), 3, Seq.empty, requireTerminal = true).as("k"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("the quick brown fox jumps high."))
+    assert(got("does the fox jump very high?"))
+    assert(got("watch the fox jump so high!"))
+    assert(got("he said \"the fox jumps\""))
+    assert(!got("the quick brown fox jumps high"))
+    assert(!got("the quick brown fox jumps high,"))
+  }
+
+  test("c4Clean: null text behaves as empty, never NPEs or drops the row") {
+    val d = Seq((1L, null: String), (2L, "a good line with five words.")).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(d, "doc_id", "text", minLineToks = 5,
+        badTokens = Seq.empty, minKeptLines = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(2) == 0 && !out(0).getBoolean(3) && out(0).getString(4) == "")
+    assert(out(1).getBoolean(3))
+  }
 }
