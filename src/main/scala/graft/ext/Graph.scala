@@ -76,17 +76,79 @@ object Graph {
       .select(col("a"), col("b"))
   }
 
+  /** Directed kNN edges over LSH-bucketed candidates — the CORPUS-SCALE
+    * builder the exact [[knnEdges]] scaladoc promises: candidates are
+    * pairs sharing a bucket (or one sign-bit apart, Hamming-1 probe ring
+    * from the smaller-id side) in ANY of the `tables` independent LSH
+    * tables — the [[Similarity.annTopKMulti]] recall-compounding trade —
+    * then exact cosine + rank ≤ k over the candidate set only. Candidate
+    * volume is corpus-linear when plane counts follow
+    * [[Similarity.planesFor]] (within-bucket pairs grow with
+    * (n / 2^planes)²; the declared query keeps the 3 fixed oracle tables,
+    * the ×10 BASELINE probe re-sizes). Approximation is confined to
+    * RECALL: an edge can only be missed (its pair hashing ≥ 2 sign-bits
+    * apart in every table), never mis-scored — scoring stays exact, so
+    * the oracle recomputing the same buckets hash-agrees.
+    */
+  def knnEdgesLsh(vecs: DataFrame, k: Int, tables: Seq[Array[Array[Long]]]): DataFrame = {
+    require(tables.nonEmpty && tables.forall(_.length == tables.head.length),
+      "need ≥1 LSH tables with a uniform plane count (one probe ring serves all)")
+    val masks = 0L +: tables.head.indices.map(1L << _)
+    val cb = vecs
+      .select(col("id"), col("vec"),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), Similarity.lshBucket(col("vec"), planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // probe-expand the smaller-id side only: the XOR ring is symmetric,
+    // so pair (a, b) with a < b is found exactly when a's ring reaches
+    // b's bucket — probing both sides would double candidates for nothing
+    val pb = cb.select(col("id"), col("vec"), col("t"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // merge hints: both sides are corpus×L-sized (the q_dedup_ngram_jaccard
+    // lesson — test-SF stats would broadcast, fatal at corpus scale)
+    val half = pb
+      .as("x")
+      .hint("merge")
+      .join(cb.as("y").hint("merge"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
+      // a pair found by several tables/probes scores bit-identically each
+      // time — dedup before ranking so row_number sees it once
+      .distinct()
+    val scored = half
+      .select(explode(array(
+        struct(col("a"), col("b"), col("cos")),
+        struct(col("b").as("a"), col("a").as("b"), col("cos")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.cos").as("cos"))
+      .filter(!isnan(col("cos")))
+    Relational
+      .topKPerGroup(scored, Seq("a"), Seq(col("cos").desc, col("b").asc), k)
+      .select(col("a"), col("b"))
+  }
+
   /** Mutual-kNN symmetrization: canonical edge (lo, hi) iff BOTH a→b and
     * b→a are kNN edges — the hubness-robust graph (a hub that everyone
     * ranks highly but that ranks almost nobody back contributes no edges),
     * which is why curation pipelines cluster on mutual rather than union
     * kNN. One self-join of the directed edge frame on the reversed key.
     */
-  def mutualKnnEdges(vecs: DataFrame, k: Int): DataFrame = {
+  def mutualKnnEdges(vecs: DataFrame, k: Int): DataFrame =
+    mutualize(knnEdges(vecs, k))
+
+  /** [[mutualKnnEdges]] over the [[knnEdgesLsh]] candidate builder — the
+    * corpus-scale mutual graph (same downstream operators, linear build).
+    */
+  def mutualKnnEdgesLsh(vecs: DataFrame, k: Int, tables: Seq[Array[Array[Long]]]): DataFrame =
+    mutualize(knnEdgesLsh(vecs, k, tables))
+
+  private def mutualize(directed: DataFrame): DataFrame = {
     // checkpoint the directed edges: they feed BOTH sides of the mutual
-    // self-join, and an unmaterialized plan would run the all-pairs
-    // cosine scan — the dominant cost — once per reference
-    val knn = knnEdges(vecs, k).localCheckpoint()
+    // self-join, and an unmaterialized plan would run the kNN build —
+    // the dominant cost — once per reference
+    val knn = directed.localCheckpoint()
     // merge hint: the directed edge frame is corpus×k-sized — at test SF
     // stats would broadcast it (fatal at corpus scale, the
     // q_dedup_ngram_jaccard lesson)

@@ -75,6 +75,37 @@ object GraphQueries {
           graph(s, dir),
           Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label")))
         .orderBy("label")
+    },
+
+    // The corpus-scale graph BUILDER itself, hash-checked: mutual-8-NN
+    // edges over LSH-bucketed candidates (3 fixed tables, Hamming-1
+    // multi-probe — the q_ann_lsh machinery turned symmetric). Same
+    // downstream operators as the exact graph; the build is corpus-linear
+    // under the planesFor sizing rule instead of quadratic. Approximation
+    // is recall-only (an edge can be missed, never mis-scored), so the
+    // oracle recomputing identical buckets matches bit-for-bit.
+    "q_graph_mutual_lsh" -> { (s, dir) =>
+      Graph
+        .mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
+        .orderBy("lo", "hi")
+    },
+
+    // The SIZED production form (rows-only by design, the
+    // q_embed_neardup_auto precedent): 3 LSH tables whose plane count
+    // follows planesFor(corpus) so within-bucket candidate volume stays
+    // corpus-linear at ANY scale — plane count depends on the row count,
+    // which no fixed oracle can reproduce across SFs. Correctness
+    // evidence: the fixed-table q_graph_mutual_lsh hash row (identical
+    // machinery) + GraphSpec's recall law. One metadata-only count()
+    // sizes the tables.
+    "q_graph_mutual_lsh_auto" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val nPlanes = Similarity.planesFor(v.count(), targetBucketSize = 64)
+      val tables = Seq("t0-plane", "t1-plane", "t2-plane")
+        .map(seed => Similarity.hyperplanes(nPlanes, 64, seed))
+      Graph
+        .mutualKnnEdgesLsh(v, K, tables)
+        .orderBy("lo", "hi")
     }
   )
 
@@ -144,6 +175,39 @@ object GraphQueries {
       "UNION ALL SELECT lb FROM lab WHERE la != lb) GROUP BY 1) " +
       "SELECT nodes.label, n_nodes, coalesce(intra_edges, 0) AS intra_edges, " +
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
-      "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label")
+      "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
+    "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi")
   )
+
+  /** LSH-candidate oracle chain mirroring [[Graph.knnEdgesLsh]] +
+    * mutualization: the q_ann_lsh bucket/probe SQL (same 3 plane tables,
+    * same Hamming-1 XOR ring, probe from the smaller-id side only), exact
+    * cosine on candidates, DISTINCT before ranking (multi-table dups carry
+    * bit-identical cos), directed rank ≤ K, then the mutual self-join.
+    * `b` and `cand` are MATERIALIZED — each is referenced twice and
+    * DuckDB's CTE inlining would re-run the bucket scan per reference.
+    */
+  private lazy val LshKnnCtes: String = {
+    val masks = (0L +: (0 until SimilarityQueries.Planes).map(1L << _)).mkString(", ")
+    val perTable = SimilarityQueries.Tables3.zipWithIndex
+      .map { case (w, t) =>
+        s"SELECT id, vec, $t AS t, ${SimilarityQueries.bucketSql("vec", w)} AS bucket FROM v"
+      }
+      .mkString(" UNION ALL ")
+    "v AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
+      "FROM embeddings), " +
+      s"b AS MATERIALIZED ($perTable), " +
+      s"p AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, " +
+      s"unnest([$masks]::BIGINT[]) AS u(m)), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT p.id AS a, c.id AS b, " +
+      s"${SimilarityQueries.cosSql("p.vec", "c.vec")} AS cos " +
+      "FROM p JOIN b c ON p.t = c.t AND p.bucket = c.bucket AND p.id < c.id), " +
+      "sym AS (SELECT a, b, cos FROM cand " +
+      "UNION ALL SELECT b AS a, a AS b, cos FROM cand), " +
+      "lknn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
+      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM sym " +
+      s"WHERE NOT isnan(cos)) WHERE rn <= $K), " +
+      "lmutual AS (SELECT x.a AS lo, x.b AS hi FROM lknn x " +
+      "JOIN lknn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
+  }
 }

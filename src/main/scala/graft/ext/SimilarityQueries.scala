@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val Planes = 4 // 16 buckets; Hamming-1 multi-probe visits 5 of them
+  private[ext] val Planes = 4 // 16 buckets; Hamming-1 multi-probe visits 5 of them
   private val Dim = 64
   private val NCells = 16 // IVF coarse cells (sampled quantizer)
   private val W = Similarity.hyperplanes(Planes, Dim)
@@ -376,7 +376,7 @@ object SimilarityQueries {
   private def normSql(a: String) =
     s"sqrt(${foldSumSql(s"list_transform($a, x -> x * x)")})"
 
-  private def cosSql(a: String, b: String) =
+  private[ext] def cosSql(a: String, b: String) =
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
 
   /** Shared IVF-PQ CTE chain ending in `scored` (query_id, neighbor_id,
@@ -411,7 +411,7 @@ object SimilarityQueries {
       "WHERE d.id < 20 AND d.id != c.id GROUP BY 1, 2)"
 
   /** The same unrolled integer-hyperplane bucket expression, as SQL. */
-  private def bucketSql(v: String, planes: Array[Array[Long]] = W): String =
+  private[ext] def bucketSql(v: String, planes: Array[Array[Long]] = W): String =
     planes.zipWithIndex
       .map { case (w, p) =>
         val d = w.zipWithIndex.map { case (wi, i) => s"$v[${i + 1}] * ($wi)" }.mkString(" + ")

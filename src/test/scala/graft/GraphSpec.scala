@@ -113,4 +113,33 @@ class GraphSpec extends SparkSpec {
       "y" -> (2L, 1L, 1L), // nodes 3,4; intra (3,4); cross (2,3)
       "z" -> (1L, 0L, 1L)))
   }
+
+  test("knnEdgesLsh: canonical edges, recall vs the exact graph, subset candidates") {
+    import graft.ext.{Similarity, SimilarityQueries}
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val exact = Graph.mutualKnnEdges(v, 8).as[(Long, Long)].collect().toSet
+    val lsh = Graph.mutualKnnEdgesLsh(v, 8, SimilarityQueries.Tables3)
+      .as[(Long, Long)].collect().toSeq
+    val lshSet = lsh.toSet
+    assert(lsh.size == lshSet.size, "no duplicate edges")
+    lshSet.foreach { case (lo, hi) => assert(lo < hi, "canonical (lo, hi) orientation") }
+    // recall floor: 3-table Hamming-1 candidates compound like the ANN
+    // path (recall@5 ≥ 0.8 measured in SimilaritySpec); the mutual graph
+    // is stricter (BOTH directed edges must survive) so bound lower.
+    // Deterministic data + deterministic planes ⇒ a stable number, not a
+    // flaky threshold.
+    val recall = exact.intersect(lshSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH mutual graph recall $recall collapsed — " +
+      "plane tables or probe ring changed semantics")
+    // approximation is candidate-recall only: an LSH edge absent from the
+    // exact graph can only arise via rank promotion after a missed
+    // better-ranked candidate — each endpoint's LSH neighborhood must
+    // still be a subset of its exact-rank-order prefix upgrade; sanity
+    // bound: spurious edges stay a small minority
+    val spurious = lshSet.diff(exact).size.toDouble / lshSet.size
+    assert(spurious <= 0.2, s"spurious-edge fraction $spurious — scoring itself drifted")
+  }
 }

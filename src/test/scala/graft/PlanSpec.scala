@@ -781,6 +781,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"never an unbroadcast all-pairs:\n$p")
   }
 
+  test("Graph.knnEdgesLsh: bucket join is merge, never broadcast or cartesian") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Graph, Similarity, SimilarityQueries}
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables
+      .embeddings(spark, SfDir)
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val p = Graph.knnEdgesLsh(v, 8, SimilarityQueries.Tables3)
+      .queryExecution.executedPlan.toString
+    // the candidate join: both sides corpus×L-sized — must shuffle-join
+    assert(p.contains("SortMergeJoin"), s"candidate bucket join must be a merge join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"no side of the LSH build may broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never an all-pairs fallback:\n$p")
+    assert(count(p, "WindowGroupLimit") == 2,
+      s"per-partition top-k must prune below the rank shuffle:\n$p")
+  }
+
   test("q_c4_clean: one scan, one tokenize explode; the C4 stage adds no shuffle") {
     val p = plan("q_c4_clean")
     assert(count(p, "Scan parquet") == 1, s"corpus scans once:\n$p")
