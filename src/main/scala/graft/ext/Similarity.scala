@@ -254,13 +254,22 @@ object Similarity {
     val scored = qb
       .join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // a candidate found by several tables scores identically each time —
-      // dedup before ranking so row_number sees each pair once
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    // A candidate found by several tables scores bit-identically each
+    // time, so duplicates share one DENSE rank — rank first
+    // (WindowGroupLimit prunes below the rank shuffle), dedup the ≤k
+    // survivors after. A global distinct() BEFORE ranking would exchange
+    // the whole candidate set (the [[Graph.knnEdgesLsh]] ×100 lesson:
+    // 237 → 60 s there); here the probe side bounds candidates, but the
+    // same plan shape keeps the corpus-sized candidate frame out of any
+    // full exchange when the query set is large.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    dropNaN(scored)
+      .withColumn("rank", dense_rank().over(w))
+      .filter(col("rank") <= k)
       .distinct()
-    Relational
-      .topKPerGroup(dropNaN(scored), Seq("query_id"),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
   /** Spherical k-means (Lloyd) fit for the IVF coarse quantizer — the
