@@ -70,6 +70,42 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c4Clean runs directly on an unbounded stream: per-row algebra, zero state") {
+    // unlike the gate (aggregation → foreachBatch), C4 cleaning is pure
+    // per-row HOF algebra — it composes INTO the streaming plan itself
+    // (append mode, no watermark, no state store), the ingest-time shape:
+    // readStream → c4Clean → writeStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "the river flows past the village today.\ntoo short\n" +
+        "the people watch many boats sail away.\n" +
+        "the village sleeps while the night grows dark."),
+      (2L, "a\nb"),
+      (3L, "please enable javascript to view this page now\none two three four five six."))
+    val expected = graft.ext.TextOps
+      .c4Clean(rows.toDF("doc_id", "text"), "doc_id", "text",
+        minLineToks = 5, badTokens = Seq("javascript"), minKeptLines = 2)
+      .select($"doc_id", $"n_kept", $"keep", $"clean_text")
+      .as[(Long, Int, Boolean, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ext.TextOps
+      .c4Clean(mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        minLineToks = 5, badTokens = Seq("javascript"), minKeptLines = 2)
+      .select(col("doc_id"), col("n_kept"), col("keep"), col("clean_text"))
+      .writeStream.format("memory").queryName("c4stream").outputMode("append").start()
+    try {
+      mem.addData(rows(0))
+      q.processAllAvailable()
+      mem.addData(rows(1), rows(2))
+      q.processAllAvailable()
+      val got = spark.table("c4stream")
+        .as[(Long, Int, Boolean, String)].collect()
+      assert(got.length == 3, "each doc emits exactly once across micro-batches")
+      assert(got.toSet == expected, s"streaming C4 diverged: ${got.toSet} vs $expected")
+    } finally q.stop()
+  }
+
   test("graft_topk works in streaming aggregation (SpaceSaving state survives the store)") {
     // the native TypedImperativeAggregate must serialize into (and merge
     // out of) streaming state across micro-batches — the same e2e claim
