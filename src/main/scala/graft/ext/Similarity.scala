@@ -223,13 +223,38 @@ object Similarity {
       queries: DataFrame,
       corpus: DataFrame,
       tables: Seq[Array[Array[Long]]],
-      k: Int): DataFrame = {
-    val cb = corpus
+      k: Int): DataFrame =
+    annTopKFromIndex(queries, lshIndexFrame(corpus, tables), tables, k)
+
+  /** The `(neighbor_id, cv, t, bucket)` LSH index frame of `corpus` under
+    * `tables` — [[annTopKMulti]]'s build side, exposed so it can be
+    * PERSISTED (index-once / probe-many, the production vector-search
+    * lifecycle): at corpus scale the per-vector plane dots (L tables × P
+    * planes × dim mul-adds each) are the dominant map-side cost of every
+    * probe batch, and a stored index pays them exactly once. Pass the
+    * result through an [[graft.ext.Dedup.Intermediate]] (Bucketed keyed
+    * by "bucket" co-clusters storage with the probe join) and feed
+    * [[annTopKFromIndex]].
+    */
+  def lshIndexFrame(corpus: DataFrame, tables: Seq[Array[Array[Long]]]): DataFrame =
+    corpus
       .select(col("id").as("neighbor_id"), col("vec").as("cv"),
         explode(array(tables.zipWithIndex.map { case (planes, t) =>
           struct(lit(t).as("t"), lshBucket(col("vec"), planes).as("bucket"))
         }: _*)).as("tb"))
       .select(col("neighbor_id"), col("cv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  /** Probe a (possibly persisted) [[lshIndexFrame]]: the query side is
+    * bucketed with the SAME plane tables the index was built with (the
+    * caller's contract), probe-expanded Hamming-1, broadcast into the
+    * equi-join — the index side never shuffles.
+    */
+  def annTopKFromIndex(
+      queries: DataFrame,
+      index: DataFrame,
+      tables: Seq[Array[Array[Long]]],
+      k: Int): DataFrame = {
+    val cb = index
     // Each table's query bucket is computed ONCE, then probe-expanded with
     // cheap XORs. Inlining the bucket into all (planes+1) mask structs (what
     // CollapseProject would do to a single select) multiplies the generated

@@ -60,6 +60,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // INDEX-ONCE / PROBE-MANY: the q_ann_lsh result with the corpus index
+    // frame PERSISTED as a bucketed managed table first — the production
+    // vector-search lifecycle (build tax visible at fixture scale,
+    // amortized over every later probe batch — the q_big_orders_bucketed
+    // precedent; probe-only cost measured separately in BASELINE). Same
+    // oracle as q_ann_lsh: identical results, different physical plan.
+    "q_ann_lsh_indexed" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val idx = Dedup.Intermediate
+        .Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .keyed(Similarity.lshIndexFrame(v, Tables3), "ann_lsh_index", "bucket")
+      Similarity
+        .annTopKFromIndex(v.filter(col("id") < 10), idx, Tables3, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+
     // ANN QUALITY EVALUATION — recall@5 of the production LSH path
     // against the exact brute-force baseline, per query: the monitoring
     // query an ANN deployment runs continuously (index drift, plane
@@ -448,20 +465,10 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 10 ORDER BY query_id, rank"),
-    "q_ann_lsh" -> {
-      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
-      val perTable = Tables3.zipWithIndex
-        .map { case (w, t) => s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v" }
-        .mkString(" UNION ALL ")
-      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
-      s"b AS ($perTable), " +
-      s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
-      s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
-      "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id) " +
-      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
-      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
-      "WHERE rank <= 5 ORDER BY query_id, rank"
-    },
+    "q_ann_lsh" -> AnnLshSql,
+    // identical result contract to q_ann_lsh — the engine differs only in
+    // the index frame's physical lifecycle (persisted bucketed table)
+    "q_ann_lsh_indexed" -> AnnLshSql,
     // q_ann_lsh's chain with the corpus CTE label-filtered before
     // bucketing — probes bucket from the unfiltered table
     "q_ann_filtered" -> {
@@ -662,4 +669,23 @@ object SimilarityQueries {
       "coalesce(CAST(floor(1000000.0 / (cos_rank + 60)) AS BIGINT), 0) AS rrf_q6 " +
       "FROM bmr FULL JOIN csr USING (doc_id) ORDER BY rrf_q6 DESC, doc_id")
   )
+
+  /** The 3-table Hamming-1 multi-probe ANN chain as SQL — shared verbatim
+    * by `q_ann_lsh` and `q_ann_lsh_indexed` (identical results; the
+    * engines differ only in whether the index frame is persisted).
+    */
+  private lazy val AnnLshSql: String = {
+    val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
+    val perTable = Tables3.zipWithIndex
+      .map { case (w, t) => s"SELECT id, vec, $t AS t, ${bucketSql("vec", w)} AS bucket FROM v" }
+      .mkString(" UNION ALL ")
+    s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"b AS ($perTable), " +
+      s"qp AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m) WHERE id < 10), " +
+      s"scored AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+      "FROM qp q JOIN b c ON q.t = c.t AND q.bucket = c.bucket AND q.id != c.id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "WHERE rank <= 5 ORDER BY query_id, rank"
+  }
 }

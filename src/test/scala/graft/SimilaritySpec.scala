@@ -35,6 +35,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"recall@5 $recall%.3f below 0.8")
   }
 
+  test("probing a persisted LSH index equals the inline build, exchange-free index side") {
+    val queries = vecs.filter(col("id") < 20)
+    val inline = Similarity.annTopKMulti(queries, vecs, SimilarityQueries.Tables3, k = 5)
+      .collect().map(_.toString).toSet
+    val idx = graft.ext.Dedup.Intermediate.Bucketed(8)
+      .keyed(Similarity.lshIndexFrame(vecs, SimilarityQueries.Tables3),
+        "spec_ann_index", "bucket")
+    val probed = Similarity.annTopKFromIndex(queries, idx, SimilarityQueries.Tables3, k = 5)
+    assert(probed.collect().map(_.toString).toSet == inline,
+      "index-once/probe-many must be result-identical to the inline build")
+    // the index side rides the broadcast probe join straight off its
+    // bucketed scan: no hash exchange may sit between the join and the
+    // index FileScan (inspect the FINAL plan section only — AQE appends
+    // an "Initial Plan" echo that repeats upstream operators)
+    val full = probed.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$plan")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    val scanAt = plan.indexOf("FileScan parquet", joinAt)
+    assert(scanAt > joinAt && plan.substring(scanAt).startsWith("FileScan parquet spark_catalog"),
+      s"index join must stream straight from the stored table scan:\n$plan")
+    assert(!plan.substring(joinAt, scanAt).contains("Exchange hashpartitioning"),
+      s"stored index must reach the probe join without a shuffle:\n$plan")
+    assert(plan.substring(scanAt, plan.indexOf('\n', scanAt).max(scanAt))
+      .contains("Bucketed: true") || plan.contains("Bucketed: true"),
+      s"index scan must read the bucketed layout:\n$plan")
+  }
+
   test("multi-table ANN strictly improves on single-table recall") {
     val queries = vecs.filter(col("id") < 20)
     val truth = pairs(Similarity.bruteForceTopK(queries, vecs, k = 5))
