@@ -10,6 +10,14 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split-size the single-file driver fixtures to the core count: the
+      // defaults (128 MB partitions, 4 MB open cost) hand a one-file
+      // 10 MB-compressed events table to 3 of 32 cores — measured 46×
+      // instead of ~10× on the JSON-parse-bound q_label_missing at ×10.
+      // This is the documented sizing knob (partitions track data ÷
+      // executors); a real cluster sizes it to ITS core count the same way.
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
