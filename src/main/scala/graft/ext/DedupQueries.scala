@@ -227,21 +227,8 @@ object DedupQueries {
     // survivors re-join in order. Token-less docs filtered identically on
     // both sides.
     "q_line_dedup" -> { (s, dir) =>
-      // synthesize from EXPLODED token rows — tokenizing once, not once
-      // per line (the nested-HOF form inlines the regex tokenizer into
-      // every line slice: measured 4.6 s vs ~1 s at sf0.1)
-      val lines = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"), floor(col("pos") / 6).cast("long").as("li"))
-        .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            t => t.getField("tok"))).as("line"))
-      val docs2 = lines
-        .groupBy(col("doc_id"))
-        .agg(concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("li"), col("line")))),
-            t => t.getField("line"))).as("text"))
+      val docs2 = TextOps.synthesizeLines(Tables.documents(s, dir), "doc_id", "text",
+        tokensPerLine = 6)
       Dedup
         .lineDedup(docs2, "doc_id", "text", minDocs = 2)
         .select(col("doc").as("doc_id"), col("n_lines"), col("n_removed"),

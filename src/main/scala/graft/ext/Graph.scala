@@ -65,16 +65,25 @@ object Graph {
     val half = broadcast(unit.select(col("id").as("a"), col("uv").as("av")))
       .join(stream, col("a") < col("b"))
       .select(col("a"), col("b"), Similarity.dot(col("av"), col("bv")).as("cos"))
-    val scored = half
+    Relational
+      .topKPerGroup(symmetrize(half), Seq("a"), Seq(col("cos").desc, col("b").asc), k)
+      .select(col("a"), col("b"))
+  }
+
+  /** Fan half-pair scores `(a, b, cos)` with `a < b` to both directed
+    * forms and drop NaN scores — the shared tail of both kNN builders.
+    * Scoring is term-commutative, so the shared value is bit-equal to
+    * scoring each direction (the oracle recomputes both independently and
+    * hash-agrees); NaN (zero-norm vectors) must go before ranking because
+    * Spark sorts NaN above every double.
+    */
+  private def symmetrize(half: DataFrame): DataFrame =
+    half
       .select(explode(array(
         struct(col("a"), col("b"), col("cos")),
         struct(col("b").as("a"), col("a").as("b"), col("cos")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.cos").as("cos"))
       .filter(!isnan(col("cos")))
-    Relational
-      .topKPerGroup(scored, Seq("a"), Seq(col("cos").desc, col("b").asc), k)
-      .select(col("a"), col("b"))
-  }
 
   /** Directed kNN edges over LSH-bucketed candidates — the CORPUS-SCALE
     * builder the exact [[knnEdges]] scaladoc promises: candidates are
@@ -85,21 +94,24 @@ object Graph {
     * volume is corpus-linear when plane counts follow
     * [[Similarity.planesFor]] (within-bucket pairs grow with
     * (n / 2^planes)²; the declared query keeps the 3 fixed oracle tables,
-    * the ×10 BASELINE probe re-sizes). Approximation is confined to
-    * RECALL: an edge can only be missed (its pair hashing ≥ 2 sign-bits
-    * apart in every table), never mis-scored — scoring stays exact, so
-    * the oracle recomputing the same buckets hash-agrees.
+    * the ×10 BASELINE probe re-sizes). The approximation enters ONLY
+    * through the candidate set: a pair hashing ≥ 2 sign-bits apart in
+    * every table is never scored, and a vertex whose true rank-j neighbor
+    * was missed PROMOTES its later candidates — so the LSH edge set both
+    * misses exact edges and contains promoted edges absent from the exact
+    * graph (GraphSpec bounds both fractions). Scores of the candidates
+    * that ARE emitted stay exact cosine, so the oracle recomputing the
+    * same buckets hash-agrees bit-for-bit.
     */
   def knnEdgesLsh(vecs: DataFrame, k: Int, tables: Seq[Array[Array[Long]]]): DataFrame = {
     require(tables.nonEmpty && tables.forall(_.length == tables.head.length),
       "need ≥1 LSH tables with a uniform plane count (one probe ring serves all)")
     val masks = 0L +: tables.head.indices.map(1L << _)
-    val cb = vecs
-      .select(col("id"), col("vec"),
-        explode(array(tables.zipWithIndex.map { case (planes, t) =>
-          struct(lit(t).as("t"), Similarity.lshBucket(col("vec"), planes).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("id"), col("vec"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // the corpus bucket frame IS the ANN index frame — one bucketing
+    // implementation serves the probe path and both graph builders
+    val cb = Similarity
+      .lshIndexFrame(vecs, tables)
+      .select(col("neighbor_id").as("id"), col("cv").as("vec"), col("t"), col("bucket"))
     // probe-expand the smaller-id side only: the XOR ring is symmetric,
     // so pair (a, b) with a < b is found exactly when a's ring reaches
     // b's bucket — probing both sides would double candidates for nothing
@@ -115,24 +127,14 @@ object Graph {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
-    val scored = half
-      .select(explode(array(
-        struct(col("a"), col("b"), col("cos")),
-        struct(col("b").as("a"), col("a").as("b"), col("cos")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.cos").as("cos"))
-      .filter(!isnan(col("cos")))
-    // A pair found by several tables/probes scores bit-identically each
-    // time, so duplicates share one DENSE rank — rank first, dedup the ≤k
-    // survivors after. A global distinct() BEFORE ranking (the first cut)
-    // exchanged the whole candidate set; dense_rank keeps WindowGroupLimit
-    // pruning below the rank shuffle, so only ~(k + dups) rows per vertex
-    // per partition ever move (measured at ×100: 237 s / 6.8 GB shuffle →
-    // the candidate exchange was 97% of the query).
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b").asc)
-    scored
-      .withColumn("rank", dense_rank().over(w))
-      .filter(col("rank") <= k)
+    // Duplicate candidates (same pair via several tables/probes) carry
+    // bit-identical cos, so DENSE rank-then-dedup applies (see
+    // [[Relational.topKPerGroupDense]] — measured ×100: 237 → 60 s vs the
+    // distinct-first form); (cos DESC, b ASC) totally orders distinct
+    // candidates per vertex, the dense-rank precondition.
+    Relational
+      .topKPerGroupDense(symmetrize(half), Seq("a"),
+        Seq(col("cos").desc, col("b").asc), k)
       .select(col("a"), col("b"))
       .distinct()
   }

@@ -127,8 +127,12 @@ object GraphQueries {
       "AS vec FROM v0), " +
       "scored AS (SELECT q.id AS a, c.id AS b, " +
       "list_dot_product(q.vec, c.vec) AS cos FROM v q JOIN v c ON q.id != c.id), " +
+      // NaN guard mirrors the engine's filter(!isnan(cos)): a zero-norm
+      // vector normalizes to NaNs and DuckDB's ORDER BY cos DESC would
+      // otherwise rank NaN above every double (same trap as Spark)
       s"knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
-      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored) WHERE rn <= $K), " +
+      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored " +
+      s"WHERE NOT isnan(cos)) WHERE rn <= $K), " +
       "mutual AS MATERIALIZED (SELECT x.a AS lo, x.b AS hi FROM knn x " +
       "JOIN knn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
 

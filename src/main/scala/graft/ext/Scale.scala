@@ -87,15 +87,22 @@ object Scale {
 
   /** Write a frame bucketed+sorted by `key` into `buckets` files under the
     * session warehouse as `table` — the one-time cost that removes the
-    * join-side exchange from every subsequent query on that key.
+    * join-side exchange from every subsequent query on that key. `key`
+    * may be a comma-separated list: Spark's co-partition check
+    * (`requireAllClusterKeysForCoPartition`, default on) only elides the
+    * exchange when the JOIN keys exactly match the bucket columns, so a
+    * composite-key join needs a composite-key bucket spec.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val keys = key.split(",").map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "need at least one bucket column")
     df.write
       .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables previously written with [[writeBucketed]] on the same
     * key/bucket count: bucket-aligned SortMergeJoin, zero exchanges.

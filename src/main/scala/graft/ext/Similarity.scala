@@ -232,9 +232,15 @@ object Similarity {
     * lifecycle): at corpus scale the per-vector plane dots (L tables × P
     * planes × dim mul-adds each) are the dominant map-side cost of every
     * probe batch, and a stored index pays them exactly once. Pass the
-    * result through an [[graft.ext.Dedup.Intermediate]] (Bucketed keyed
-    * by "bucket" co-clusters storage with the probe join) and feed
-    * [[annTopKFromIndex]].
+    * result through an [[graft.ext.Dedup.Intermediate]] and feed
+    * [[annTopKFromIndex]]. Storage layout note: a BROADCAST probe batch
+    * (the common small-query case) reads any layout exchange-free, so
+    * bucketing buys it nothing; persisting Bucketed keyed by "t,bucket"
+    * (BOTH join columns — Spark's co-partition check only elides the
+    * exchange when join keys exactly match the bucket spec) pays off
+    * when a probe batch is too large to broadcast: the join falls back
+    * to SortMergeJoin on (t, bucket) and the INDEX side still reads
+    * without an exchange (spec-pinned both ways in SimilaritySpec).
     */
   def lshIndexFrame(corpus: DataFrame, tables: Seq[Array[Array[Long]]]): DataFrame =
     corpus
@@ -253,7 +259,8 @@ object Similarity {
       queries: DataFrame,
       index: DataFrame,
       tables: Seq[Array[Array[Long]]],
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     val cb = index
     // Each table's query bucket is computed ONCE, then probe-expanded with
     // cheap XORs. Inlining the bucket into all (planes+1) mask structs (what
@@ -267,33 +274,33 @@ object Similarity {
           lshBucket(col("vec"), planes).as(s"qb$t")
         }: _*)
       .localCheckpoint()
-    val qb = broadcast(
-      qbuckets
-        .select(col("query_id"), col("qv"),
-          explode(array(tables.zipWithIndex.flatMap { case (planes, t) =>
-            val masks = 0L +: planes.indices.map(1L << _)
-            masks.map(m =>
-              struct(lit(t).as("t"), col(s"qb$t").bitwiseXOR(lit(m)).as("bucket")))
-          }: _*)).as("tb"))
-        .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket")))
+    val probeRing = qbuckets
+      .select(col("query_id"), col("qv"),
+        explode(array(tables.zipWithIndex.flatMap { case (planes, t) =>
+          val masks = 0L +: planes.indices.map(1L << _)
+          masks.map(m =>
+            struct(lit(t).as("t"), col(s"qb$t").bitwiseXOR(lit(m)).as("bucket")))
+        }: _*)).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // small probe batches broadcast (index side reads ANY layout without
+    // an exchange); batches too large to broadcast take the merge join —
+    // a Bucketed-by-"bucket" stored index then STILL reads exchange-free,
+    // because HashPartitioning(bucket) satisfies the (t, bucket)
+    // clustering (spec-pinned both ways)
+    val qb = if (broadcastProbes) broadcast(probeRing) else probeRing.hint("merge")
     val scored = qb
       .join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    // A candidate found by several tables scores bit-identically each
-    // time, so duplicates share one DENSE rank — rank first
-    // (WindowGroupLimit prunes below the rank shuffle), dedup the ≤k
-    // survivors after. A global distinct() BEFORE ranking would exchange
-    // the whole candidate set (the [[Graph.knnEdgesLsh]] ×100 lesson:
-    // 237 → 60 s there); here the probe side bounds candidates, but the
-    // same plan shape keeps the corpus-sized candidate frame out of any
+    // Duplicate candidates (several tables/probes) carry bit-identical
+    // cos → DENSE rank-then-dedup ([[Relational.topKPerGroupDense]], the
+    // [[graft.ext.Graph.knnEdgesLsh]] ×100 lesson: 237 → 60 s vs the
+    // distinct-first form); here the probe side bounds candidates, but
+    // the same shape keeps the corpus-sized candidate frame out of any
     // full exchange when the query set is large.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    dropNaN(scored)
-      .withColumn("rank", dense_rank().over(w))
-      .filter(col("rank") <= k)
+    Relational
+      .topKPerGroupDense(dropNaN(scored), Seq("query_id"),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
       .distinct()
   }
 

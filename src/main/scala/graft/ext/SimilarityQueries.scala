@@ -70,7 +70,7 @@ object SimilarityQueries {
       val v = vecs(s, dir)
       val idx = Dedup.Intermediate
         .Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt)
-        .keyed(Similarity.lshIndexFrame(v, Tables3), "ann_lsh_index", "bucket")
+        .keyed(Similarity.lshIndexFrame(v, Tables3), "ann_lsh_index", "t,bucket")
       Similarity
         .annTopKFromIndex(v.filter(col("id") < 10), idx, Tables3, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

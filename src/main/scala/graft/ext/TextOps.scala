@@ -627,6 +627,34 @@ object TextOps {
       .groupBy(col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Synthesize newline-delimited "lines" of `tokensPerLine` tokens from a
+    * corpus that ships none (the driver fixtures) — the shared convention
+    * of every line-granularity query (q_line_dedup, q_c4_clean): tokenize
+    * ONCE via posexplode (the nested-HOF form re-inlines the regex
+    * tokenizer into every line slice — measured 4.6 s vs ~1 s at sf0.1),
+    * group exploded rows into lines, reassemble per doc in order.
+    * Token-less docs emit no row (mirrored by the oracles' len(toks) > 0).
+    * Returns `(idCol, textCol)` with the synthesized newline text.
+    */
+  def synthesizeLines(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensPerLine: Int): org.apache.spark.sql.DataFrame = {
+    require(tokensPerLine >= 1, "tokensPerLine must be positive")
+    val lines = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .groupBy(col(idCol), floor(col("pos") / tokensPerLine).cast("long").as("li"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok"))).as("line"))
+    lines
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("li"), col("line")))),
+          t => t.getField("line"))).as(textCol))
+  }
+
   /** C4-style per-LINE keep predicate (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning…" §2.2 — the C4 cleaning rules): a line
     * survives iff it has ≥ `minToks` whitespace tokens, contains none of

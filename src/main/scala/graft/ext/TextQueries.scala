@@ -255,18 +255,8 @@ object TextQueries {
     // zero-shuffle HOF algebra — on a real newline corpus the whole query
     // is map-only.
     "q_c4_clean" -> { (s, dir) =>
-      val lines = Tables
-        .documents(s, dir)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-        .groupBy(col("doc_id"), floor(col("pos") / 6).cast("long").as("li"))
-        .agg(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            t => t.getField("tok"))).as("line"))
-      val docs2 = lines
-        .groupBy(col("doc_id"))
-        .agg(concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("li"), col("line")))),
-            t => t.getField("line"))).as("text"))
+      val docs2 = TextOps.synthesizeLines(Tables.documents(s, dir), "doc_id", "text",
+        tokensPerLine = 6)
       TextOps
         .c4Clean(docs2, "doc_id", "text", minLineToks = 5, badTokens = Seq("slow"),
           minKeptLines = 3)

@@ -41,7 +41,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).toSet
     val idx = graft.ext.Dedup.Intermediate.Bucketed(8)
       .keyed(Similarity.lshIndexFrame(vecs, SimilarityQueries.Tables3),
-        "spec_ann_index", "bucket")
+        "spec_ann_index", "t,bucket")
     val probed = Similarity.annTopKFromIndex(queries, idx, SimilarityQueries.Tables3, k = 5)
     assert(probed.collect().map(_.toString).toSet == inline,
       "index-once/probe-many must be result-identical to the inline build")
@@ -61,6 +61,23 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.substring(scanAt, plan.indexOf('\n', scanAt).max(scanAt))
       .contains("Bucketed: true") || plan.contains("Bucketed: true"),
       s"index scan must read the bucketed layout:\n$plan")
+    // the too-big-to-broadcast path: merge-join probes — the bucket
+    // layout is WHY the stored index still reads exchange-free
+    // (HashPartitioning(bucket) satisfies the (t, bucket) clustering)
+    val smj = Similarity.annTopKFromIndex(queries, idx, SimilarityQueries.Tables3,
+        k = 5, broadcastProbes = false)
+    assert(smj.collect().map(_.toString).toSet == inline,
+      "merge-join probe path must be result-identical too")
+    val splan = smj.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(splan.contains("SortMergeJoin"), s"non-broadcast probes must merge-join:\n$splan")
+    assert(splan.contains("FileScan parquet spark_catalog"),
+      s"index side must read the stored table:\n$splan")
+    // exactly ONE (t, bucket) exchange: the probe side shuffles to match
+    // the index's bucket count; the index side contributes none — two
+    // would mean the stored layout was ignored and both sides re-shuffled
+    val joinKeyExchanges = "Exchange hashpartitioning\\(t#".r.findAllIn(splan).size
+    assert(joinKeyExchanges == 1,
+      s"only the probe side may shuffle to the bucket layout (saw $joinKeyExchanges):\n$splan")
   }
 
   test("multi-table ANN strictly improves on single-table recall") {
