@@ -28,6 +28,13 @@ object GraphQueries {
     */
   private val CoreK = 4
 
+  /** Mutual-neighborhood size for the components query: k=2 keeps only
+    * each vector's two strongest reciprocated ties, so the graph
+    * FRAGMENTS into micro-clusters (k=8 is one giant component at every
+    * driver SF — a 1-row result checks the closure but shows nothing).
+    */
+  private val ComponentsK = 2
+
   /** Oracle unroll depth for the k-core peel. The engine peels to an
     * exact fixpoint at ANY scale; the unrolled oracle is valid whenever
     * convergence takes ≤ this many rounds — measured 3/5/4 rounds at
@@ -82,8 +89,10 @@ object GraphQueries {
     // multi-probe — the q_ann_lsh machinery turned symmetric). Same
     // downstream operators as the exact graph; the build is corpus-linear
     // under the planesFor sizing rule instead of quadratic. Approximation
-    // is recall-only (an edge can be missed, never mis-scored), so the
-    // oracle recomputing identical buckets matches bit-for-bit.
+    // enters only through the candidate set (missed pairs can also
+    // PROMOTE later neighbors — see [[Graph.knnEdgesLsh]]); emitted
+    // candidates score exact cosine, so the oracle recomputing identical
+    // buckets matches bit-for-bit.
     "q_graph_mutual_lsh" -> { (s, dir) =>
       Graph
         .mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
@@ -106,6 +115,25 @@ object GraphQueries {
       Graph
         .mutualKnnEdgesLsh(v, K, tables)
         .orderBy("lo", "hi")
+    },
+
+    // Connected components of the mutual-kNN graph — embedding-space
+    // CLUSTERS (the grouping SemDeDup's cells approximate): min-label
+    // propagation over the same edge frame the other graph queries read;
+    // isolated vectors (no mutual edge) are absent on both sides. Same
+    // [[Curation.connectedComponents]] machinery the doc dedup clusters
+    // use, same recursive-CTE oracle shape — one truth, two graphs.
+    "q_graph_components" -> { (s, dir) =>
+      Curation
+        .connectedComponents(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK),
+          aCol = "lo", bCol = "hi")
+        .groupBy(col("cluster").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_nodes"),
+          concat_ws("-",
+            transform(sort_array(collect_list(col("doc"))), _.cast("string")))
+            .as("members"))
+        .orderBy("cluster_id")
     }
   )
 
@@ -118,7 +146,11 @@ object GraphQueries {
     * peel chain (the un-hinted form exhausted file handles re-opening the
     * parquet 2^rounds times).
     */
-  private val KnnCtes =
+  private val KnnCtes = knnCtes(K)
+
+  /** The same chain at an arbitrary neighborhood size (the components
+    * query reads a sparser k=2 graph so clusters actually fragment). */
+  private def knnCtes(k: Int): String =
     "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
       "FROM embeddings), " +
       // unit-normalize ONCE per row, exactly like the engine (divide each
@@ -132,7 +164,7 @@ object GraphQueries {
       // otherwise rank NaN above every double (same trap as Spark)
       s"knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
       s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored " +
-      s"WHERE NOT isnan(cos)) WHERE rn <= $K), " +
+      s"WHERE NOT isnan(cos)) WHERE rn <= $k), " +
       "mutual AS MATERIALIZED (SELECT x.a AS lo, x.b AS hi FROM knn x " +
       "JOIN knn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
 
@@ -180,7 +212,18 @@ object GraphQueries {
       "SELECT nodes.label, n_nodes, coalesce(intra_edges, 0) AS intra_edges, " +
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
-    "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi")
+    "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
+    // transitive closure over the SAME mutual edge set the other graph
+    // oracles read (the q_dup_clusters recursive shape on the kNN graph)
+    "q_graph_components" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+      "gedges AS (SELECT lo AS src, hi AS dst FROM mutual " +
+      "UNION SELECT hi AS src, lo AS dst FROM mutual), " +
+      "reach(v, r) AS (SELECT src AS v, src AS r FROM gedges " +
+      "UNION SELECT e.dst AS v, reach.r FROM gedges e JOIN reach ON e.src = reach.v), " +
+      "glabels AS (SELECT v AS id, min(r) AS cluster FROM reach GROUP BY v) " +
+      "SELECT cluster AS cluster_id, count(*) AS n_nodes, " +
+      "string_agg(id::VARCHAR, '-' ORDER BY id) AS members " +
+      "FROM glabels GROUP BY 1 ORDER BY 1")
   )
 
   /** LSH-candidate oracle chain mirroring [[Graph.knnEdgesLsh]] +
