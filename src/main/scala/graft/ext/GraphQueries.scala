@@ -118,14 +118,19 @@ object GraphQueries {
     },
 
     // Connected components of the mutual-kNN graph — embedding-space
-    // CLUSTERS (the grouping SemDeDup's cells approximate): min-label
-    // propagation over the same edge frame the other graph queries read;
-    // isolated vectors (no mutual edge) are absent on both sides. Same
-    // [[Curation.connectedComponents]] machinery the doc dedup clusters
-    // use, same recursive-CTE oracle shape — one truth, two graphs.
+    // CLUSTERS (the grouping SemDeDup's cells approximate). The k=2 graph
+    // is chain-like (long thin micro-clusters), exactly the high-diameter
+    // regime where min-label propagation pays one round per HOP and its
+    // 30-round cap becomes a hard diameter bound (it throws rather than
+    // return partial labels). The STAR-contraction variant converges in
+    // O(log n) rounds at ANY diameter — measured ≈ equal wall at ×10
+    // (115 vs 110 s; per-round fixed costs dominate at this size, and
+    // both sit on the same quadratic exact-kNN build) but it cannot hit
+    // the round cap. Same machinery as the doc dedup clusters
+    // (q_dup_clusters_star), same recursive-CTE oracle shape.
     "q_graph_components" -> { (s, dir) =>
       Curation
-        .connectedComponents(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK),
+        .connectedComponentsStar(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK),
           aCol = "lo", bCol = "hi")
         .groupBy(col("cluster").as("cluster_id"))
         .agg(
