@@ -793,4 +793,21 @@ object Curation {
           .when(!(col("fp1") <=> col("fp2")), "changed")
           .otherwise("unchanged").as("change"))
   }
+
+  /** HTML boilerplate removal — the main-content extraction step every
+    * web-crawl pipeline runs before any text op (the trafilatura /
+    * jusText stage, reduced to its deterministic regex core): drop
+    * non-content blocks (`script`/`style`/`nav`/`header`/`footer`), strip
+    * the remaining tags to spaces, collapse whitespace. Pure per-row
+    * `regexp_replace` chain — map-only, inside WholeStageCodegen, zero
+    * shuffle at any scale; RE2-portable patterns (lazy `.*?` + `(?s)`)
+    * so the oracle replays them verbatim. A real extractor swaps in a
+    * DOM-aware kernel behind the same Column contract.
+    */
+  def htmlMainText(html: Column): Column = {
+    val blocks = Seq("script", "style", "nav", "header", "footer")
+    val noBlocks = blocks.foldLeft(html)((c, t) =>
+      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", ""))
+    trim(regexp_replace(regexp_replace(noBlocks, "<[^>]*>", " "), "\\s+", " "))
+  }
 }

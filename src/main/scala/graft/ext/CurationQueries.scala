@@ -25,7 +25,34 @@ object CurationQueries {
   private val DomainCap = 15
   private val TemporalBoundary = "2024-01-22 00:00:00"
 
+  /** The deterministic HTML page wrapped around each document for
+    * q_html_extract (chrome = title/style/script/header/nav/footer
+    * boilerplate; `text` is the main content). Synthesized identically in
+    * the oracle — the multimodal synthesize-then-process pattern. */
+  private def syntheticHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>.x{color:red}</style><script>var a=1;</script>" +
+        "</head><body><header>Site "), col("source"),
+      lit("</header><nav>home | about</nav><p>"), col("text"),
+      lit("</p><footer>(c) 2026 example.org</footer></body></html>"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML boilerplate removal (the web-crawl main-content stage):
+    // synthesize a deterministic page around each doc, strip
+    // script/style/nav/header/footer + tags, collapse whitespace.
+    // Map-only regex chain — zero shuffle.
+    "q_html_extract" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), syntheticHtml.as("html"))
+        .select(col("doc_id"), length(col("html")).cast("long").as("html_chars"),
+          Curation.htmlMainText(col("html")).as("t"))
+        .select(col("doc_id"), col("html_chars"), md5(col("t")).as("text_md5"),
+          length(col("t")).cast("long").as("text_chars"),
+          (length(col("t")).cast("double") / col("html_chars")).as("content_ratio"))
+        .orderBy("doc_id")
+    },
     // Token-budget corpus selection: greedily keep the highest-quality
     // documents until a global token budget (half the corpus's tokens) is
     // spent — the data-constrained-scaling selection step (choose what to
@@ -400,6 +427,21 @@ object CurationQueries {
       s"FROM $prev p LEFT JOIN s$cur USING (doc))"
 
   def oracleSql: Map[String, String] = Map(
+    // same synthesized page, same block-strip order, same RE2-portable
+    // patterns with explicit 'g' (Spark's regexp_replace is global)
+    "q_html_extract" -> ("WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || " +
+      "'</title><style>.x{color:red}</style><script>var a=1;</script></head><body><header>Site ' " +
+      "|| source || '</header><nav>home | about</nav><p>' || text || " +
+      "'</p><footer>(c) 2026 example.org</footer></body></html>' AS html FROM documents), " +
+      "x AS (SELECT doc_id, length(html)::BIGINT AS html_chars, " +
+      "trim(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+      "'(?s)<script[^>]*>.*?</script>', '', 'g'), '(?s)<style[^>]*>.*?</style>', '', 'g'), " +
+      "'(?s)<nav[^>]*>.*?</nav>', '', 'g'), '(?s)<header[^>]*>.*?</header>', '', 'g'), " +
+      "'(?s)<footer[^>]*>.*?</footer>', '', 'g'), " +
+      "'<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS t FROM h) " +
+      "SELECT doc_id, html_chars, md5(t) AS text_md5, length(t)::BIGINT AS text_chars, " +
+      "length(t)::DOUBLE / html_chars AS content_ratio FROM x ORDER BY doc_id"),
     "q_dup_pagerank" -> (s"WITH ${DedupQueries.WithShingles}, ${DedupQueries.Postings}, " +
       "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
       "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +

@@ -137,6 +137,82 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** One retrieval shortlist entry inside [[mmrRerank]]'s per-query group. */
+  private[ext] case class MmrCand(cand_id: Long, rel: Double)
+
+  /** One candidate-candidate similarity inside [[mmrRerank]]'s group. */
+  private[ext] case class MmrSim(ia: Long, ib: Long, sim: Double)
+
+  /** A query's complete MMR state: shortlist + pairwise sims. */
+  private[ext] case class MmrGroup(query_id: Long, cands: Seq[MmrCand], sims: Seq[MmrSim])
+
+  /** One diversified pick: `cand_id` selected at 1-based `rank`. */
+  private[ext] case class MmrPick(query_id: Long, rank: Int, cand_id: Long)
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR '98)
+    * — the diversification stage RAG retrieval runs after top-k: greedily
+    * pick argmax of `λ·rel(c) − (1−λ)·max_{p∈picked} sim(c, p)` so the
+    * final k trade relevance against redundancy (plain top-k returns k
+    * near-copies of the best hit; MMR spends the budget on coverage).
+    *
+    * Plan: [[bruteForceTopK]] shortlist (at corpus scale the shortlist
+    * stage swaps to [[annTopKMulti]]/[[ivfPqTopKAdc]] — MMR only ever sees
+    * `shortlistK` rows per query) → candidate vectors re-attached by a
+    * broadcast semi-join (the corpus scans once; only shortlist rows
+    * survive) → shortlist² pairwise sims per query (bounded: shortlistK²
+    * rows, query-keyed) → per-query greedy in ONE `flatMap` over grouped
+    * rows. The greedy loop is genuinely sequential in k, so it runs as
+    * bounded per-key executor logic — the [[graft.streaming.StatefulOps]]
+    * pattern, not a driver loop; queries parallelize freely.
+    *
+    * Determinism: rel and sim are the same left-fold [[cosine]] doubles
+    * the oracle computes; the marginal is two IEEE mults + one sub in the
+    * same order; ties break on smaller cand_id. Bit-reproducible.
+    */
+  def mmrRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      shortlistK: Int,
+      k: Int,
+      lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val short = bruteForceTopK(queries, corpus, shortlistK)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("cos").as("rel"))
+    val withVec = broadcast(short)
+      .join(corpus.select(col("id").as("cand_id"), col("vec")), Seq("cand_id"))
+    val a = withVec.select(col("query_id"), col("cand_id").as("ia"), col("vec").as("va"))
+    val b = withVec.select(col("query_id").as("qb"), col("cand_id").as("ib"), col("vec").as("vb"))
+    val pairs = a
+      .join(b, col("query_id") === col("qb") && col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"), cosine(col("va"), col("vb")).as("sim"))
+    val grouped = short
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("cand_id"), col("rel"))).as("cands"))
+      .join(
+        pairs.groupBy("query_id")
+          .agg(collect_list(struct(col("ia"), col("ib"), col("sim"))).as("sims")),
+        Seq("query_id"))
+    grouped.as[MmrGroup].flatMap { g =>
+      val simOf = g.sims.map(s => (s.ia, s.ib) -> s.sim).toMap
+      val ordered = g.cands.sortBy(_.cand_id)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (picked.size < k && picked.size < ordered.size) {
+        var best: MmrCand = null
+        var bestM = Double.NegativeInfinity
+        for (c <- ordered if !picked.contains(c.cand_id)) {
+          val maxSim =
+            if (picked.isEmpty) 0.0
+            else picked.map(p => simOf((c.cand_id, p))).max
+          val m = lambda * c.rel - (1 - lambda) * maxSim
+          if (m > bestM) { bestM = m; best = c } // ascending scan ⇒ ties keep smaller id
+        }
+        picked += best.cand_id
+      }
+      picked.zipWithIndex.map { case (id, i) => MmrPick(g.query_id, i + 1, id) }
+    }.toDF()
+  }
+
   /** Embedding near-duplicate pairs: candidates share an LSH bucket or sit
     * one sign-bit apart (Hamming-1 probe via the smaller-id side), exact
     * cosine ≥ threshold re-check. Corpus-linear like [[annTopK]]; recall

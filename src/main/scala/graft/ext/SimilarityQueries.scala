@@ -270,6 +270,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // MMR diversified re-rank after retrieval: top-20 shortlist per probe,
+    // greedy λ=0.5 pick of 5 trading relevance vs redundancy (Similarity
+    // .mmrRerank — shortlist² pairwise sims, per-query bounded greedy).
+    "q_rag_mmr" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      Similarity
+        .mmrRerank(v.filter(col("id") < 3), v, shortlistK = 20, k = 5, lambda = 0.5)
+        .orderBy("query_id", "rank")
+    },
+
     // L2 normalization — the preprocessing step every cosine/ANN pipeline
     // runs once at ingest so downstream similarity is a plain dot product.
     // norm = the same sequential fold both engines run (graft_dot ≡
@@ -581,6 +591,34 @@ object SimilarityQueries {
       "WHERE rank <= 3) " +
       "SELECT query_id, rank, doc_id, source, md5(text) AS text_md5, cos " +
       "FROM topk JOIN documents ON neighbor_id = doc_id ORDER BY query_id, rank"),
+    // the same greedy as Similarity.mmrRerank, replayed as a recursive
+    // CTE carrying the picked list; marginal = 0.5·rel − 0.5·max(sim to
+    // picked) in the identical IEEE order, ties on smaller cand_id.
+    // generate_series indexes the final list (WITH ORDINALITY is
+    // unimplemented in DuckDB; the series is uncorrelated — the round-9
+    // lateral lesson).
+    "q_rag_mmr" -> (s"WITH RECURSIVE v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"rel AS (SELECT q.id AS query_id, c.id AS cand_id, ${cosSql("q.vec", "c.vec")} AS rel " +
+      "FROM v q JOIN v c ON q.id < 3 AND q.id != c.id), " +
+      "shortlist AS (SELECT query_id, cand_id, rel FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS rn FROM rel) WHERE rn <= 20), " +
+      "pairs AS (SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib, " +
+      s"${cosSql("va.vec", "vb.vec")} AS sim " +
+      "FROM shortlist a JOIN shortlist b ON a.query_id = b.query_id AND a.cand_id != b.cand_id " +
+      "JOIN v va ON va.id = a.cand_id JOIN v vb ON vb.id = b.cand_id), " +
+      "sel(query_id, step, picked) AS (" +
+      "SELECT DISTINCT query_id, 0, []::BIGINT[] FROM shortlist " +
+      "UNION ALL " +
+      "SELECT query_id, step + 1, list_append(picked, (" +
+      "SELECT s.cand_id FROM shortlist s " +
+      "WHERE s.query_id = sel.query_id AND NOT list_contains(sel.picked, s.cand_id) " +
+      "ORDER BY (0.5 * s.rel - 0.5 * coalesce((SELECT max(p.sim) FROM pairs p " +
+      "WHERE p.query_id = sel.query_id AND p.ia = s.cand_id " +
+      "AND list_contains(sel.picked, p.ib)), 0.0)) DESC, s.cand_id ASC LIMIT 1)) " +
+      "FROM sel WHERE step < 5) " +
+      "SELECT query_id, CAST(g.rank AS INTEGER) AS rank, picked[g.rank] AS cand_id " +
+      "FROM sel CROSS JOIN generate_series(1, 5) AS g(rank) WHERE step = 5 " +
+      "ORDER BY query_id, rank"),
     // q_cosine_topk's shape + the label-mismatch predicate in the join
     "q_hard_negatives" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec, label FROM embeddings), " +
       "scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, c.label AS neg_label, " +

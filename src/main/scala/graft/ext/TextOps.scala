@@ -712,4 +712,71 @@ object TextOps {
       (size(kept) >= minKeptLines).as("keep"),
       array_join(kept, "\n").as("clean_text"))
   }
+
+  /** Hashed linear quality-classifier INFERENCE — the fastText-style model
+    * shape behind published quality filters (CCNet, FineWeb-Edu): hash each
+    * token to a weight, score = mean weight, keep above a threshold. The
+    * weights here are a deterministic md5-derived stand-in
+    * (`md5Long(tok) % 1001 - 500` ∈ [-500, 500]) so the oracle can replay
+    * them; a trained model swaps in a broadcast `Map[hash → weight]`
+    * without changing the plan. Score = Σw / (500·n) — one IEEE division
+    * of exact integers, engine-portable. Shape: tokenize-once explode +
+    * one doc-keyed aggregation (map-side combine; the 100 TB plan is one
+    * scan + one shuffle of (doc, partial-sum) rows).
+    * Returns (idCol, n_tokens, score, keep). Docs with zero tokens carry
+    * score 0 and are dropped (keep = false) like the length gates do.
+    */
+  def classifierScores(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val w = (Dedup.md5Long(col("w")) % 1001L - 500L).as("wt")
+    val agg = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .select(col(idCol), w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("_ws"))
+    val score = col("_ws").cast("double") / (col("n_tokens") * 500L)
+    docs
+      .select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(score, lit(0.0)).as("score"),
+        coalesce(score > threshold, lit(false)).as("keep"))
+  }
+
+  /** Per-document character-distribution statistics — the gibberish /
+    * encoding-noise signal class (a natural-language doc has a skewed but
+    * wide char distribution; base64 blobs, minified JS and mojibake do
+    * not). Emits exact-integer counters plus the Rényi-2 collision
+    * probability Σc² / n² (the no-log entropy proxy: high ⇒ few chars
+    * dominate ⇒ repetitive; ~uniform text ⇒ 1/|alphabet|) as ONE IEEE
+    * division of exact integers. Shape: char explode + (doc, char) count +
+    * doc rollup — two map-side-combining aggregations on the doc key, no
+    * joins; at 100 TB the (doc, char) frame is ≤ alphabet-size rows per
+    * doc. Returns (idCol, n_chars, distinct_chars, max_char_cnt,
+    * collision_prob).
+    */
+  def charStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col(idCol), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        max(col("cnt")).as("max_char_cnt"),
+        sum(col("cnt") * col("cnt")).as("_sq"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        col("distinct_chars"),
+        col("max_char_cnt"),
+        (col("_sq").cast("double") / (col("n_chars") * col("n_chars"))).as("collision_prob"))
 }

@@ -284,6 +284,25 @@ object TextQueries {
           when(col("chars") === 0, lit(null).cast("long"))
             .otherwise(expr("(bpe_toks * 10000L) div chars")).as("fert_q4"))
         .orderBy("lang")
+    },
+
+    // fastText-style hashed linear classifier inference (the model shape
+    // behind CCNet / FineWeb-Edu quality filters) with deterministic
+    // md5-derived weights — tokenize-once explode + one doc-keyed agg;
+    // score is one IEEE division of exact integer sums.
+    "q_quality_classifier" -> { (s, dir) =>
+      TextOps
+        .classifierScores(Tables.documents(s, dir), "doc_id", "text", threshold = 0.0)
+        .orderBy("doc_id")
+    },
+
+    // Char-distribution gibberish signal: exact counters + Rényi-2
+    // collision probability (Σc²/n², the no-log entropy proxy). Two
+    // map-side-combining aggregations on the doc key, no joins.
+    "q_char_stats" -> { (s, dir) =>
+      TextOps
+        .charStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -500,7 +519,29 @@ object TextQueries {
       "CASE WHEN CAST(sum(length(text)) AS BIGINT) = 0 THEN NULL ELSE " +
       "(CAST(sum(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))) AS BIGINT) * 10000) " +
       "// CAST(sum(length(text)) AS BIGINT) END AS fert_q4 " +
-      "FROM documents GROUP BY lang ORDER BY lang")
+      "FROM documents GROUP BY lang ORDER BY lang"),
+    // same md5-derived weights (md5Long % 1001 - 500), same Σw/(500·n)
+    // single division; token-less docs left-join back with score 0 /
+    // keep false on both sides
+    "q_quality_classifier" -> (s"WITH tok AS (SELECT doc_id, unnest($Toks) AS w FROM documents), " +
+      "sc AS (SELECT doc_id, count(*) AS n_tokens, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(ws::DOUBLE / (n_tokens * 500), 0.0) AS score, " +
+      "coalesce(ws::DOUBLE / (n_tokens * 500) > 0.0, false) AS keep " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"),
+    // char explode (empty splinters filtered like Spark's split('')) →
+    // (doc, char) counts → doc rollup; collision_prob = Σc²/n² as one
+    // division; sums CAST to BIGINT to dodge the HUGEINT hash artifact
+    "q_char_stats" -> ("WITH ch AS (SELECT doc_id, " +
+      "unnest(list_filter(string_split(text, ''), c -> c != '')) AS c FROM documents), " +
+      "cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars, count(*) AS distinct_chars, " +
+      "CAST(max(cnt) AS BIGINT) AS max_char_cnt, " +
+      "CAST(sum(cnt * cnt) AS BIGINT)::DOUBLE / " +
+      "(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)) AS collision_prob " +
+      "FROM cc GROUP BY doc_id ORDER BY doc_id")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

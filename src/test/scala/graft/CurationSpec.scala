@@ -347,4 +347,24 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"))
   }
+
+  test("htmlMainText: drops chrome blocks, strips tags, collapses whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      // block elements with attributes + a multi-line script (dotall)
+      ("<html><head><script type=\"text/js\">var x = 1;\nalert(x);</script>" +
+        "<style>.a { color: red }</style></head>" +
+        "<body><nav class=\"top\">home | about</nav>" +
+        "<header>Site</header><p>real   content\nhere</p>" +
+        "<footer>(c) 2026</footer></body></html>", "real content here"),
+      // unclosed / bare tags still strip; entities pass through untouched
+      ("<div class='x'>a &amp; b<br>c", "a &amp; b c"),
+      // no markup at all is the identity (modulo whitespace collapse)
+      ("plain  text", "plain text"))
+    val got = cases.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
+      .toDF("id", "html")
+      .select(col("id"), Curation.htmlMainText(col("html")).as("t"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(got.toSeq == cases.map(_._2))
+  }
 }

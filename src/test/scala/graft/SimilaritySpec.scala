@@ -505,4 +505,32 @@ class SimilaritySpec extends SparkSpec {
       .toSet
     assert(hn.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet == bf)
   }
+
+  test("mmrRerank: diversification beats the near-duplicate, ties break on id") {
+    import spark.implicits._
+    val s = math.sqrt(0.19)
+    // a and b are identical directions (sim 1, both rel 0.9); c mirrors a
+    // across the query axis (rel 0.9, sim(a,c) = 0.81 − 0.19 = 0.62).
+    // Plain top-3 is [1, 2, 3]; MMR must demote the duplicate: [1, 3, 2].
+    val corpus = Seq(
+      (1L, Seq(0.9, s)), (2L, Seq(0.9, s)), (3L, Seq(0.9, -s))
+    ).toDF("id", "vec")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.mmrRerank(q, corpus, shortlistK = 3, k = 3, lambda = 0.5)
+      .orderBy("rank").as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((100L, 1, 1L), (100L, 2, 3L), (100L, 3, 2L)))
+  }
+
+  test("mmrRerank: rank 1 is always the pure top-1; k caps at the shortlist") {
+    import spark.implicits._
+    val corpus = (1L to 8L)
+      .map(i => (i, Seq(1.0 / i, math.sqrt(1.0 - 1.0 / (i * i)))))
+      .toDF("id", "vec")
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val got = Similarity.mmrRerank(q, corpus, shortlistK = 4, k = 10, lambda = 0.5)
+      .orderBy("rank").as[(Long, Int, Long)].collect()
+    assert(got.length == 4) // k > shortlist ⇒ everything picked once
+    assert(got.head == ((0L, 1, 1L))) // empty picked set ⇒ argmax rel
+    assert(got.map(_._3).distinct.length == 4)
+  }
 }

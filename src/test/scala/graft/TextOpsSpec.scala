@@ -263,4 +263,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getInt(2) == 0 && !out(0).getBoolean(3) && out(0).getString(4) == "")
     assert(out(1).getBoolean(3))
   }
+
+  test("classifierScores: mean-weight invariance, bounds, empty-doc contract") {
+    val d = Seq(
+      (1L, "alpha"),
+      (2L, "alpha alpha alpha"), // same single token ⇒ identical mean score
+      (3L, "alpha beta gamma delta"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.classifierScores(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out(0)._3 == out(1)._3) // repetition never moves a mean
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    assert(out.forall(r => r._4 == (r._3 > 0.0))) // keep ⇔ threshold
+    assert(out(3) == ((4L, 0L, 0.0, false))) // token-less doc: score 0, dropped
+    assert(out(2)._2 == 4L)
+  }
+
+  test("charStats: exact counters and collision probability on crafted docs") {
+    val d = Seq((1L, "aaab"), (2L, "a a"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.charStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // "aaab": n=4, {a:3, b:1}, Σc²=10 ⇒ prob 10/16
+    assert(out(0) == ((1L, 4L, 2L, 3L, 0.625)))
+    // "a a": the space is a char — n=3, {a:2, ' ':1}, Σc²=5 ⇒ 5/9
+    assert(out(1) == ((2L, 3L, 2L, 2L, 5.0 / 9.0)))
+    assert(out.length == 2) // empty text yields no char rows ⇒ no row
+  }
+
+  test("charStats: uniform text minimizes collision prob at 1/n") {
+    val d = Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.charStats(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect()
+    assert(got(0)._5 == 0.25) // all-distinct: 4·1/16
+    assert(got(1)._5 == 1.0) // single repeated char: the gibberish pole
+  }
 }
