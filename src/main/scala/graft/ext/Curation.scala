@@ -794,6 +794,31 @@ object Curation {
           .otherwise("unchanged").as("change"))
   }
 
+  /** k-anonymity audit — the re-identification compliance gate a dataset
+    * passes before release: group by the quasi-identifier columns; any
+    * group smaller than `k` is re-identifiable (its members are uniquely
+    * described by attributes an adversary can look up). Also emits the
+    * l-diversity count over `sensitiveCol` (a group whose sensitive value
+    * is constant leaks it even at size ≥ k). ONE partial+final aggregation
+    * keyed by the quasi tuple — the same plan as any rollup; at 100 TB the
+    * group count is bounded by the quasi-space, not the corpus.
+    * Returns (quasiCols…, group_size, distinct_sensitive, at_risk).
+    */
+  def kAnonymityAudit(
+      recs: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k below 2 never flags anything")
+    recs
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("group_size"),
+        count_distinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("at_risk", col("group_size") < k)
+  }
+
   /** HTML boilerplate removal — the main-content extraction step every
     * web-crawl pipeline runs before any text op (the trafilatura /
     * jusText stage, reduced to its deterministic regex core): drop

@@ -38,6 +38,18 @@ object CurationQueries {
       lit("</p><footer>(c) 2026 example.org</footer></body></html>"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-anonymity + l-diversity audit on customers: quasi-identifiers
+    // (nation, segment, acctbal rounded to 1000s), sensitive = exact
+    // balance; groups under k=3 are re-identifiable. One rollup exchange.
+    "q_k_anonymity" -> { (s, dir) =>
+      Curation
+        .kAnonymityAudit(
+          Tables.customer(s, dir)
+            .withColumn("bal_kb", floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_kb"), "c_acctbal", k = 3)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_kb")
+    },
+
     // HTML boilerplate removal (the web-crawl main-content stage):
     // synthesize a deterministic page around each doc, strip
     // script/style/nav/header/footer + tags, collapse whitespace.
@@ -427,6 +439,12 @@ object CurationQueries {
       s"FROM $prev p LEFT JOIN s$cur USING (doc))"
 
   def oracleSql: Map[String, String] = Map(
+    // same quasi grouping; count(DISTINCT) over exact doubles is portable
+    "q_k_anonymity" -> ("SELECT c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb, " +
+      "count(*) AS group_size, count(DISTINCT c_acctbal) AS distinct_sensitive, " +
+      "count(*) < 3 AS at_risk FROM customer GROUP BY 1, 2, 3 " +
+      "ORDER BY c_nationkey, c_mktsegment, bal_kb"),
     // same synthesized page, same block-strip order, same RE2-portable
     // patterns with explicit 'g' (Spark's regexp_replace is global)
     "q_html_extract" -> ("WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || " +

@@ -1005,4 +1005,32 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Blocked record-linkage candidate matching (entity resolution): pair
+    * records only WITHIN a blocking key (the standard quadratic-taming
+    * move — candidate generation is Σ block² instead of corpus², and the
+    * block key rides one hash shuffle per side), then confirm with exact
+    * edit distance ≤ `maxDist` on the name field. `levenshtein` is
+    * integer and engine-portable (the q_dedup_edit_verify precedent).
+    * Skewed blocks at 100 TB get the [[graft.ext.Curation]] salting /
+    * a second blocking pass — the knob is the block-column choice.
+    * Returns (a, b, blockCols…, dist) with a < b.
+    */
+  def entityMatches(
+      recs: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCols: Seq[String],
+      maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "blocking requires at least one key column")
+    val a = recs.select(
+      (blockCols.map(col) :+ col(idCol).as("a")) :+ col(nameCol).as("na"): _*)
+    val b = recs.select(
+      (blockCols.map(col) :+ col(idCol).as("b")) :+ col(nameCol).as("nb"): _*)
+    a.join(b, blockCols)
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select((col("a") +: col("b") +: blockCols.map(col)) :+ col("dist"): _*)
+  }
 }

@@ -63,6 +63,16 @@ object DedupQueries {
         .orderBy("doc")
     },
 
+    // Blocked entity resolution on customer names: pair only within the
+    // (nation, segment) block, confirm with levenshtein ≤ 2 — candidate
+    // generation is Σ block², never corpus².
+    "q_entity_match" -> { (s, dir) =>
+      Dedup
+        .entityMatches(Tables.customer(s, dir), "c_custkey", "c_name",
+          Seq("c_nationkey", "c_mktsegment"), maxDist = 2)
+        .orderBy("a", "b")
+    },
+
     // MinHash signatures (k=16) — the mergeable sketch itself, via the
     // posting-list aggregation (hash once per shingle). Serialized to a
     // "-"-joined string: the driver's pandas compare cannot sort an
@@ -304,6 +314,13 @@ object DedupQueries {
       "SELECT doc_id AS doc, fp, first_value(doc_id) OVER w AS canonical_id, " +
       "CASE WHEN row_number() OVER w = 1 THEN 1 ELSE 0 END AS keep " +
       "FROM f WINDOW w AS (PARTITION BY fp ORDER BY prio, doc_id) ORDER BY doc"),
+    // same blocking join, same integer levenshtein (both engines implement
+    // plain edit distance — the q_dedup_edit_verify parity precedent)
+    "q_entity_match" -> ("SELECT x.c_custkey AS a, y.c_custkey AS b, " +
+      "x.c_nationkey, x.c_mktsegment, levenshtein(x.c_name, y.c_name)::BIGINT AS dist " +
+      "FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey " +
+      "AND x.c_mktsegment = y.c_mktsegment AND x.c_custkey < y.c_custkey " +
+      "WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b"),
     "q_dedup_minhash" -> (s"WITH $WithShingles " +
       s"SELECT doc_id, array_to_string($SigExpr, '-') AS sig FROM shing ORDER BY doc_id"),
     "q_dedup_minhash_lsh" -> (s"WITH $WithShingles, " +

@@ -748,6 +748,44 @@ object TextOps {
         coalesce(score > threshold, lit(false)).as("keep"))
   }
 
+  /** Positional postings (idCol, pos, tok) — the inverted-index frame with
+    * 0-based token positions that phrase / proximity search builds on.
+    * One tokenize + posexplode; pos is widened to long so the frame joins
+    * against position arithmetic without implicit casts.
+    */
+  def positionalPostings(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("tok"))
+
+  /** Exact phrase search over [[positionalPostings]]: a document matches at
+    * position p when word_i sits at p+i for every phrase word — the
+    * positional-index join every search engine runs for quoted queries.
+    * Each word's posting sub-frame is filtered BEFORE the join (token
+    * equality pushes to the posting scan), so the join touches only the
+    * phrase's own postings — corpus-independent once the index frame is
+    * materialized; `n − 1` co-keyed joins for an n-word phrase.
+    * Returns (idCol, n_hits, first_pos).
+    */
+  def phraseMatches(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val post = positionalPostings(docs, idCol, textCol)
+    val first = post.filter(col("tok") === phrase.head).select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        post.filter(col("tok") === w).select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }
+    matched
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+  }
+
   /** Per-document character-distribution statistics — the gibberish /
     * encoding-noise signal class (a natural-language doc has a skewed but
     * wide char distribution; base64 blobs, minified JS and mojibake do

@@ -303,6 +303,16 @@ object TextQueries {
       TextOps
         .charStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Exact phrase search on the positional inverted index: "order fast"
+    // matches where the words sit at adjacent positions — token-filtered
+    // postings joined on (doc, pos+1).
+    "q_phrase_search" -> { (s, dir) =>
+      TextOps
+        .phraseMatches(Tables.documents(s, dir), "doc_id", "text",
+          Seq("order", "fast"))
+        .orderBy("doc_id")
     }
   )
 
@@ -541,7 +551,18 @@ object TextQueries {
       "CAST(max(cnt) AS BIGINT) AS max_char_cnt, " +
       "CAST(sum(cnt * cnt) AS BIGINT)::DOUBLE / " +
       "(CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT)) AS collision_prob " +
-      "FROM cc GROUP BY doc_id ORDER BY doc_id")
+      "FROM cc GROUP BY doc_id ORDER BY doc_id"),
+    // positional postings via the scalar-list generate_series index frame
+    // (the LmCtes pattern), 0-based to match posexplode; adjacency join
+    "q_phrase_search" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "post AS (SELECT doc_id, u['pos'] AS pos, u['tok'] AS tok FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t)), " +
+      "i -> {'pos': i - 1, 'tok': t[i]})) AS u FROM toks WHERE len(t) >= 1)), " +
+      "m AS (SELECT a.doc_id, a.pos FROM post a JOIN post b " +
+      "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
+      "AND a.tok = 'order' AND b.tok = 'fast') " +
+      "SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos " +
+      "FROM m GROUP BY doc_id ORDER BY doc_id")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

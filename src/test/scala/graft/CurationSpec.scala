@@ -348,6 +348,22 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"))
   }
 
+  test("kAnonymityAudit flags small groups and counts sensitive diversity") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "US", "A", 10.0), (2L, "US", "A", 20.0), (3L, "US", "A", 20.0),
+      (4L, "US", "B", 30.0), // lone record ⇒ at risk
+      (5L, "FR", "A", 40.0), (6L, "FR", "A", 40.0) // size 2 < 3 ⇒ at risk
+    ).toDF("id", "country", "seg", "salary")
+    val got = Curation.kAnonymityAudit(d, Seq("country", "seg"), "salary", k = 3)
+      .orderBy("country", "seg")
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      ("FR", "A", 2L, 1L, true),
+      ("US", "A", 3L, 2L, false),
+      ("US", "B", 1L, 1L, true)))
+  }
+
   test("htmlMainText: drops chrome blocks, strips tags, collapses whitespace") {
     import spark.implicits._
     val cases = Seq(

@@ -348,4 +348,18 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == ((2L, 0)) && r(2L) == ((2L, 1)) && r(3L) == ((2L, 0)))
     assert(r(4L) == ((4L, 1)), "singleton groups keep themselves")
   }
+
+  test("entityMatches: pairs only within the block, dist-gated, a < b") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "US", "smith john"), (2L, "US", "smith jon"), // dist 1 — match
+      (3L, "US", "wilson kate"), // dist > 2 to both — no pair
+      (4L, "FR", "smith john"), // identical name, different block — no pair
+      (5L, "FR", "smith johm") // dist 1 to #4 within FR — match
+    ).toDF("id", "country", "name")
+    val got = Dedup.entityMatches(d, "id", "name", Seq("country"), maxDist = 2)
+      .orderBy("a", "b")
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, "US", 1L), (4L, 5L, "FR", 1L)))
+  }
 }

@@ -293,6 +293,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.length == 2) // empty text yields no char rows ⇒ no row
   }
 
+  test("phraseMatches: adjacency only, overlapping hits, repeated words") {
+    val d = Seq(
+      (1L, "the order fast ship order fast done"), // two hits at 1 and 4
+      (2L, "fast order"), // reversed ⇒ no hit
+      (3L, "order slow fast"), // gap ⇒ no hit
+      (4L, "order order fast"), // hit at 1 (second 'order' starts it)
+      (5L, "order fast")
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseMatches(d, "doc_id", "text", Seq("order", "fast"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1L), (4L, 1L, 1L), (5L, 1L, 0L)))
+  }
+
+  test("phraseMatches: three-word phrase chains the position joins") {
+    val d = Seq((1L, "a b c a b"), (2L, "a b x c")).toDF("doc_id", "text")
+    val got = TextOps.phraseMatches(d, "doc_id", "text", Seq("a", "b", "c"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 0L)))
+  }
+
   test("charStats: uniform text minimizes collision prob at 1/n") {
     val d = Seq((1L, "abcd"), (2L, "aaaa")).toDF("doc_id", "text")
     val got = TextOps.charStats(d, "doc_id", "text")
