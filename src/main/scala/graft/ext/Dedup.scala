@@ -1010,10 +1010,15 @@ object Dedup {
     * records only WITHIN a blocking key (the standard quadratic-taming
     * move — candidate generation is Σ block² instead of corpus², and the
     * block key rides one hash shuffle per side), then confirm with exact
-    * edit distance ≤ `maxDist` on the name field. `levenshtein` is
-    * integer and engine-portable (the q_dedup_edit_verify precedent).
-    * Skewed blocks at 100 TB get the [[graft.ext.Curation]] salting /
-    * a second blocking pass — the knob is the block-column choice.
+    * edit distance ≤ `maxDist` on the name field. The confirm uses the
+    * BANDED `levenshtein(a, b, threshold)` (O(d·n) early-exit diagonal
+    * band, −1 beyond the threshold) plus a length-difference prefilter
+    * (|len a − len b| > d ⇒ dist > d), so non-matches — the overwhelming
+    * majority of block pairs — pay the cheapest possible reject.
+    * Surviving distances are the true edit distance, integer and
+    * engine-portable (the q_dedup_edit_verify precedent). Skewed blocks
+    * at 100 TB get the [[graft.ext.Curation]] salting / a second
+    * blocking pass — the knob is the block-column choice.
     * Returns (a, b, blockCols…, dist) with a < b.
     */
   def entityMatches(
@@ -1028,9 +1033,10 @@ object Dedup {
     val b = recs.select(
       (blockCols.map(col) :+ col(idCol).as("b")) :+ col(nameCol).as("nb"): _*)
     a.join(b, blockCols)
-      .filter(col("a") < col("b"))
-      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .filter(col("a") < col("b") &&
+        abs(length(col("na")) - length(col("nb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("na"), col("nb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select((col("a") +: col("b") +: blockCols.map(col)) :+ col("dist"): _*)
   }
 }
