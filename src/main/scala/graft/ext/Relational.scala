@@ -187,6 +187,75 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Bucketed interval OVERLAP join — the interval×interval twin of
+    * [[rangeJoinBucketed]]: both sides explode into the fixed-width
+    * buckets they cover and meet on an equi-join, so the theta overlap
+    * predicate (`a.lo < b.hi AND b.lo < a.hi`, half-open intervals) never
+    * degenerates into a nested-loop product. A pair whose intervals share
+    * several buckets would match once per shared bucket; instead of a
+    * post-join distinct (a full exchange of the match set) each pair is
+    * kept only in its FIRST shared bucket — `max(bucket(a.lo),
+    * bucket(b.lo))`, which both sides cover whenever they overlap — so
+    * the join output is duplicate-free by construction. Cost model is the
+    * same as the point form: ~(interval width / bucketWidth) index rows
+    * per interval per side; size `bucketWidth` to the typical interval.
+    * Column sets must be disjoint; bounds must be integral (epoch micros
+    * in the declared queries — exact LONG math, no float drift).
+    */
+  def intervalJoinBucketed(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must be disjoint")
+    def covered(lo: String, hi: String)(df: DataFrame): DataFrame = df
+      .filter(col(hi) > col(lo))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        (ceil(col(hi).cast("double") / bucketWidth).cast("long") - 1))))
+    covered(lLoCol, lHiCol)(left)
+      .join(covered(rLoCol, rHiCol)(right), Seq("__bucket"))
+      .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      // first shared bucket: dedup-free single match per overlapping pair
+      .filter(col("__bucket") === greatest(
+        floor(col(lLoCol) / bucketWidth).cast("long"),
+        floor(col(rLoCol) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
+
+  /** Merge overlapping (or touching, half-open) intervals per key — the
+    * gaps-and-islands pattern: one shuffle on the key, one in-partition
+    * sort by (lo, hi), then a running `max(hi)` over PRECEDING rows marks
+    * island starts (`lo >` the running max) and a running sum of the
+    * flags numbers the islands; a final per-(key, island) agg emits the
+    * merged [min lo, max hi). No self-join, no collect — the same
+    * window-over-aggregate discipline as sequence packing, so a key's
+    * intervals only ever meet inside their own partition. Returns
+    * keyCols + (island, lo, hi).
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      loCol: String,
+      hiCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(loCol).asc, col(hiCol).asc)
+    val prevMax = max(col(hiCol)).over(
+      byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__new_island",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("__new_island")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keyCols.map(col) :+ col("island"): _*)
+      .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol))
+  }
+
   /** Per-group mergeable distinct-count sketches (DataSketches HLL via
     * Spark's `hll_sketch_agg`) — the incremental-aggregation story at
     * 100 TB: compute fine-grained sketches ONCE (per day, per source),

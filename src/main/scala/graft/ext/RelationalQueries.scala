@@ -334,6 +334,71 @@ object RelationalQueries {
         .orderBy("band")
     },
 
+    // Interval OVERLAP join (Relational.intervalJoinBucketed): per-user
+    // daily activity spans × hourly error-incident spans, matched where
+    // the half-open micro-epoch intervals intersect. Both sides explode
+    // into 1-hour buckets and meet on an equi-join with a first-shared-
+    // bucket dedup — the theta overlap never becomes a nested loop, which
+    // is the only form that survives when neither interval set broadcasts.
+    // All bounds are integral micros: exact LONG overlap arithmetic.
+    "q_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val us = unix_micros(col("ts"))
+      val a = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(us).as("a_lo"), (max(us) + lit(60000000L)).as("a_hi"))
+      val b = ev.filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(min(us).as("b_lo"), (max(us) + lit(60000000L)).as("b_hi"))
+      Relational
+        .intervalJoinBucketed(a.drop("day"), "a_lo", "a_hi",
+          b.drop("hour"), "b_lo", "b_hi", bucketWidth = 3600000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_incidents"),
+          sum(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+            .as("overlap_us"))
+        .orderBy("user_id")
+    },
+
+    // Gaps-and-islands interval merge (Relational.mergeIntervals): each
+    // click opens a deterministic [ts, ts + 60..600 s) attention span;
+    // overlapping spans per user merge into islands, and the query reports
+    // per-user island count + exact covered micros. One key shuffle + one
+    // in-partition sort — the coverage/uptime computation at 100 TB.
+    "q_interval_coverage" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val iv = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), us.as("lo"),
+          (us + (lit(60L) + col("event_id") % 540L) * 1000000L).as("hi"))
+      Relational
+        .mergeIntervals(iv, Seq("user_id"), "lo", "hi")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), sum(col("hi") - col("lo")).as("covered_us"))
+        .orderBy("user_id")
+    },
+
+    // Last-touch attribution: every purchase credits the user's latest
+    // preceding (or simultaneous) click/view — the marketing-analytics
+    // shape, composed on Relational.asofJoin (union + one ordered window
+    // per user, never a per-user cross product). Touches are pre-deduped
+    // per (user, ts) with max_by on event_id so simultaneous touches have
+    // a well-defined winner; purchases with no preceding touch land in
+    // the 'none' channel.
+    "q_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("channel"))
+      Relational
+        .asofJoin(purchases, touches, "user_id", "ts", "ts", Seq("channel"))
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("attr_value"))
+        .orderBy("channel")
+    },
+
     // Semi-join (EXISTS shape, TPC-H Q4-like): order-priority counts over
     // orders having at least one returned line item. The probe side is a
     // distinct key set; left_semi keeps orders unduplicated without a
@@ -1704,6 +1769,46 @@ object RelationalQueries {
       "(150.0, 300.0, 'p_high'), (300.0, 500.0, 'p_extreme')) " +
       "SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value " +
       "FROM events JOIN bands ON value >= lo AND value < hi " +
+      "GROUP BY 1 ORDER BY 1"),
+    // the oracle states overlap as the plain theta join the bucketed
+    // engine form is provably equivalent to
+    "q_interval_join" -> ("WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "min(epoch_us(CAST(ts AS TIMESTAMP))) AS a_lo, " +
+      "max(epoch_us(CAST(ts AS TIMESTAMP))) + 60000000 AS a_hi " +
+      "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2), " +
+      "b AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, " +
+      "min(epoch_us(CAST(ts AS TIMESTAMP))) AS b_lo, " +
+      "max(epoch_us(CAST(ts AS TIMESTAMP))) + 60000000 AS b_hi " +
+      "FROM events WHERE event_type = 'error' GROUP BY 1) " +
+      "SELECT a.user_id, count(*) AS n_incidents, " +
+      "sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS overlap_us " +
+      "FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_interval_coverage" -> ("WITH iv AS (SELECT user_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS lo, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) + (60 + event_id % 540) * 1000000 AS hi " +
+      "FROM events WHERE event_type = 'click'), " +
+      "flagged AS (SELECT user_id, lo, hi, CASE WHEN " +
+      "max(hi) OVER w1 IS NULL OR lo > max(hi) OVER w1 THEN 1 ELSE 0 END AS ni " +
+      "FROM iv WINDOW w1 AS (PARTITION BY user_id ORDER BY lo, hi " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+      "isl AS (SELECT user_id, lo, hi, sum(ni) OVER (PARTITION BY user_id " +
+      "ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island " +
+      "FROM flagged), " +
+      "merged AS (SELECT user_id, island, min(lo) AS lo, max(hi) AS hi " +
+      "FROM isl GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_islands, sum(hi - lo) AS covered_us " +
+      "FROM merged GROUP BY 1 ORDER BY 1"),
+    // DuckDB's native ASOF picks the greatest touch ts <= purchase ts —
+    // the same inclusive-simultaneous contract as Relational.asofJoin
+    "q_attribution" -> ("WITH p AS (SELECT event_id, user_id, " +
+      "CAST(ts AS TIMESTAMP) AS t, value FROM events WHERE event_type = 'purchase'), " +
+      "tch AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, " +
+      "arg_max(event_type, event_id) AS channel FROM events " +
+      "WHERE event_type IN ('click', 'view') GROUP BY 1, 2) " +
+      "SELECT coalesce(tch.channel, 'none') AS channel, count(*) AS cnt, " +
+      "round(sum(p.value), 2) AS attr_value " +
+      "FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.t >= tch.t " +
       "GROUP BY 1 ORDER BY 1"),
     "q_priority_with_returns" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
       "WHERE EXISTS (SELECT 1 FROM lineitem " +

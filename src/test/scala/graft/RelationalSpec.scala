@@ -427,4 +427,45 @@ class RelationalSpec extends SparkSpec {
     assert(decay.head === 1000000L && decay.zip(decay.tail).forall { case (p, n) => n <= p }
       && decay.forall(_ >= 0L))
   }
+
+  test("intervalJoinBucketed: one match per overlapping pair, half-open edges") {
+    import spark.implicits._
+    // pair (1, 10) spans MANY shared buckets (width 10) — must match ONCE;
+    // (2, 20) touch exactly at 100 (half-open ⇒ no overlap);
+    // (3, 30) disjoint; (4, 40) contained interval
+    val left = Seq(
+      (1L, 0L, 100L), (2L, 90L, 100L), (3L, 0L, 10L), (4L, 50L, 90L)
+    ).toDF("lid", "a_lo", "a_hi")
+    val right = Seq(
+      (10L, 5L, 95L), (20L, 100L, 120L), (30L, 500L, 510L), (40L, 60L, 70L)
+    ).toDF("rid", "b_lo", "b_hi")
+    val out = Relational
+      .intervalJoinBucketed(left, "a_lo", "a_hi", right, "b_lo", "b_hi", bucketWidth = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // exact expected set = the theta-join truth: every (l, r) with
+    // l.lo < r.hi && r.lo < l.hi, each exactly once
+    val ls = Seq((1L, 0L, 100L), (2L, 90L, 100L), (3L, 0L, 10L), (4L, 50L, 90L))
+    val rs = Seq((10L, 5L, 95L), (20L, 100L, 120L), (30L, 500L, 510L), (40L, 60L, 70L))
+    val expected = (for {
+      (li, llo, lhi) <- ls; (ri, rlo, rhi) <- rs
+      if llo < rhi && rlo < lhi
+    } yield (li, ri)).sorted
+    assert(out.toSeq === expected)
+    assert(expected.contains((1L, 10L)) && !expected.contains((2L, 20L)))
+  }
+
+  test("mergeIntervals: overlapping and touching spans merge, gaps split islands") {
+    import spark.implicits._
+    val iv = Seq(
+      // key a: [0,10) + [5,20) overlap; [20,30) touches (half-open ⇒ merge);
+      // [40,50) is a new island
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 30L), ("a", 40L, 50L),
+      // key b: contained interval collapses into its container
+      ("b", 0L, 100L), ("b", 10L, 20L)
+    ).toDF("k", "lo", "hi")
+    val out = Relational.mergeIntervals(iv, Seq("k"), "lo", "hi")
+      .select("k", "lo", "hi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq === Seq(("a", 0L, 30L), ("a", 40L, 50L), ("b", 0L, 100L)))
+  }
 }
