@@ -256,6 +256,38 @@ object Relational {
       .agg(min(col(loCol)).as(loCol), max(col(hiCol)).as(hiCol))
   }
 
+  /** Robust per-key outlier flags via median absolute deviation — the
+    * monitoring-grade anomaly detector (vs q_group_zscore's mean/σ,
+    * which an outlier inflates into masking itself; the median/MAD pair
+    * has a 50% breakdown point). Input is an already-aggregated frame
+    * (key, value) — the 100 TB discipline is aggregate-then-robust-stats:
+    * the raw scan reduces to |keys × buckets| rows first, so the two
+    * exact `percentile` passes and their join-backs run on frames the
+    * size of the key space, broadcast both times. Flags `|x − med| >
+    * k·MAD` strictly, so a constant series (MAD 0) only flags genuine
+    * departures. Exact interpolating percentile on both sides (DuckDB
+    * `quantile_cont` twin) — order-free, no summation drift.
+    */
+  def madOutliers(
+      perKey: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keys = keyCols.map(col)
+    val med = perKey.groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withAd = perKey
+      .join(broadcast(med), keyCols)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = withAd.groupBy(keys: _*)
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    withAd
+      .join(broadcast(mad), keyCols)
+      .withColumn("is_anomaly", col("__ad") > lit(k) * col("mad"))
+      .drop("__ad")
+  }
+
   /** Per-group mergeable distinct-count sketches (DataSketches HLL via
     * Spark's `hll_sketch_agg`) — the incremental-aggregation story at
     * 100 TB: compute fine-grained sketches ONCE (per day, per source),

@@ -399,6 +399,26 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // Robust anomaly flags (Relational.madOutliers): daily value sums per
+    // event_type, flagged where |x − median| > 3·MAD — the
+    // outlier-resistant twin of q_group_zscore (a spike inflates σ and
+    // masks itself; it barely moves the median). The raw scan reduces to
+    // a |types × days| frame FIRST; both exact-percentile passes and
+    // their join-backs run on that tiny aggregate (broadcast). Median /
+    // MAD are order statistics of already-rounded sums — no cross-engine
+    // summation drift enters the interpolation.
+    "q_anomaly_mad" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+      Relational
+        .madOutliers(daily, Seq("event_type"), "daily", k = 3.0)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("daily"), round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // Semi-join (EXISTS shape, TPC-H Q4-like): order-priority counts over
     // orders having at least one returned line item. The probe side is a
     // distinct key set; left_semi keeps orders unduplicated without a
@@ -1810,6 +1830,18 @@ object RelationalQueries {
       "round(sum(p.value), 2) AS attr_value " +
       "FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.t >= tch.t " +
       "GROUP BY 1 ORDER BY 1"),
+    // quantile_cont is the interpolating twin of Spark's exact percentile
+    "q_anomaly_mad" -> ("WITH daily AS (SELECT event_type, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
+      "FROM events GROUP BY 1, 2), " +
+      "st AS (SELECT event_type, quantile_cont(daily, 0.5) AS med FROM daily GROUP BY 1), " +
+      "j AS (SELECT d.event_type, d.day, d.daily, st.med, " +
+      "abs(d.daily - st.med) AS ad FROM daily d JOIN st USING (event_type)), " +
+      "m AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM j GROUP BY 1) " +
+      "SELECT j.event_type, strftime(j.day, '%Y-%m-%d') AS day, j.daily, " +
+      "round(j.med, 6) AS med, round(m.mad, 6) AS mad, " +
+      "j.ad > 3 * m.mad AS is_anomaly " +
+      "FROM j JOIN m USING (event_type) ORDER BY 1, 2"),
     "q_priority_with_returns" -> ("SELECT o_orderpriority, count(*) AS cnt FROM orders " +
       "WHERE EXISTS (SELECT 1 FROM lineitem " +
       "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +

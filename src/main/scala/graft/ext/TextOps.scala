@@ -713,6 +713,64 @@ object TextOps {
       array_join(kept, "\n").as("clean_text"))
   }
 
+  /** Per-SOURCE boilerplate line removal — the RefinedWeb/CCNet
+    * template-stripping step that global line dedup
+    * ([[graft.ext.Dedup.lineDedup]]) cannot express: a navigation bar or
+    * cookie banner repeats across a DOMAIN's pages, so the hot set is
+    * keyed (source, line) and the threshold is RELATIVE — a line is
+    * boilerplate in its source iff it appears in
+    * `max(minDf, ceil(minFrac · n_docs(source)))` distinct docs of that
+    * source. Plan: posexplode lines ONCE (never re-inline the tokenizer
+    * per reference), one (source, line)-keyed agg for the df counts
+    * joined to the per-source doc counts (broadcast — |sources| rows),
+    * then a left-anti join drops hot lines and a doc-keyed agg rebuilds
+    * the residual in line order. Every exchange is on a hashable key;
+    * nothing is quadratic in docs or sources. Returns
+    * (doc, source, n_lines, n_removed, clean_text) for every input doc.
+    */
+  def boilerplateStrip(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String,
+      minFrac: Double,
+      minDf: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "minFrac must be in (0, 1]")
+    require(minDf >= 2, "minDf must be >= 2 (a df-1 line is content, not template)")
+    val lines = docs.select(
+      col(idCol).as("doc"), col(srcCol).as("src"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val key = trim(col("line"))
+    val nonBlank = lines.filter(key =!= "")
+    val nDocs = nonBlank.groupBy(col("src"))
+      .agg(count_distinct(col("doc")).as("n_docs"))
+    val hot = nonBlank
+      .groupBy(col("src"), key.as("k"))
+      .agg(count_distinct(col("doc")).as("df"))
+      .join(broadcast(nDocs), Seq("src"))
+      .filter(col("df") >= greatest(lit(minDf.toLong),
+        ceil(lit(minFrac) * col("n_docs")).cast("long")))
+      .select(col("src"), col("k"))
+    val kept = lines.filter(key === "")
+      .unionByName(nonBlank.join(hot,
+        nonBlank("src") === hot("src") && key === hot("k"), "left_anti"))
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("doc"), col(srcCol).as("source"),
+        size(split(col(textCol), "\n", -1)).as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(
+        col("doc"), col("source"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Hashed linear quality-classifier INFERENCE — the fastText-style model
     * shape behind published quality filters (CCNet, FineWeb-Edu): hash each
     * token to a weight, score = mean weight, keep above a threshold. The

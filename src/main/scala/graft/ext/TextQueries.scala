@@ -266,6 +266,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source boilerplate stripping (TextOps.boilerplateStrip): a line
+    // is template iff ≥ max(2, ceil(5% of the source's docs)) docs of the
+    // SAME source carry it — the domain-relative threshold global line
+    // dedup can't express. Lines are the synthesized 6-token frame (one
+    // posexplode, the q_line_dedup convention).
+    "q_boilerplate_lines" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val withSrc = TextOps.synthesizeLines(docs, "doc_id", "text", tokensPerLine = 6)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      TextOps
+        .boilerplateStrip(withSrc, "doc_id", "text", "source", minFrac = 0.05, minDf = 2)
+        .select(col("doc").as("doc_id"), col("source"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).as("clean_len"))
+        .orderBy("doc_id")
+    },
+
     // Tokenizer fertility per language — the multilingual token-budget
     // planning number (BPE-ish subwords per character, q4 fixed point):
     // languages whose scripts fragment under a given tokenizer cost more
@@ -520,6 +537,30 @@ object TextQueries {
       "SELECT doc_id, n_lines, n_kept, n_kept >= 3 AS keep, " +
       "md5(coalesce(clean, '')) AS clean_md5, " +
       "length(coalesce(clean, '')) AS clean_len FROM agg ORDER BY doc_id"),
+    // per-source line df vs max(2, ceil(5% of source docs)) — the
+    // synthesized lines contain no blanks, so the engine's trim-keyed
+    // hot set ≡ raw line equality (the q_line_dedup precedent)
+    "q_boilerplate_lines" -> (s"WITH d AS (SELECT doc_id, source, $Toks AS toks " +
+      "FROM documents), " +
+      "d2 AS (SELECT doc_id, source, toks FROM d WHERE len(toks) > 0), " +
+      "l AS (SELECT doc_id, source, unnest(generate_series(0, " +
+      "CAST(ceil(len(toks) / 6.0) AS BIGINT) - 1)) AS li, toks FROM d2), " +
+      "lines AS (SELECT doc_id, source, li, " +
+      "array_to_string(toks[li * 6 + 1 : li * 6 + 6], ' ') AS line FROM l), " +
+      "nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1), " +
+      "hot AS (SELECT source, line FROM lines JOIN nd USING (source) " +
+      "GROUP BY source, line, n_docs " +
+      "HAVING count(DISTINCT doc_id) >= greatest(2, CAST(ceil(0.05 * n_docs) AS BIGINT))), " +
+      "kept AS (SELECT l.doc_id, l.li, l.line FROM lines l ANTI JOIN hot h " +
+      "ON l.source = h.source AND l.line = h.line), " +
+      "tot AS (SELECT doc_id, source, count(*) AS n_lines FROM lines GROUP BY 1, 2), " +
+      "reb AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(line, chr(10) ORDER BY li) AS clean FROM kept GROUP BY 1) " +
+      "SELECT t.doc_id, t.source, t.n_lines, " +
+      "t.n_lines - coalesce(r.n_kept, 0) AS n_removed, " +
+      "md5(coalesce(r.clean, '')) AS clean_md5, " +
+      "length(coalesce(r.clean, '')) AS clean_len " +
+      "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
     // integer floor-division of exact BIGINT sums (// and Spark's div
     // agree on non-negatives); sums cast to BIGINT to dodge the
     // HUGEINT→float64 hash artifact

@@ -468,4 +468,22 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
     assert(out.toSeq === Seq(("a", 0L, 30L), ("a", 40L, 50L), ("b", 0L, 100L)))
   }
+
+  test("madOutliers: hand-checked median/MAD, spike flagged, constant series silent") {
+    import spark.implicits._
+    val df = Seq(
+      // key a: values 1..5 plus spike 100 → med of {1,2,3,4,5,100} = 3.5,
+      // |x−med| = {2.5,1.5,0.5,0.5,1.5,96.5} → MAD = 1.5; only 100 exceeds 3·1.5
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("a", 100.0),
+      // key b: constant series — MAD 0, strict > never fires
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)
+    ).toDF("k", "x")
+    val out = Relational.madOutliers(df, Seq("k"), "x", k = 3.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(("a", 3.0)) == ((3.5, 1.5, false)))
+    assert(out(("a", 100.0)) == ((3.5, 1.5, true)))
+    assert(out.count { case ((k, _), (_, _, flag)) => k == "a" && flag } == 1)
+    assert(out(("b", 7.0)) == ((7.0, 0.0, false)))
+  }
 }

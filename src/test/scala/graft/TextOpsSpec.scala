@@ -320,4 +320,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0)._5 == 0.25) // all-distinct: 4·1/16
     assert(got(1)._5 == 1.0) // single repeated char: the gibberish pole
   }
+
+  test("boilerplateStrip: source-relative threshold, hot only within its source") {
+    // src A: 4 docs, 'nav bar' in 3 of them (75% ≥ max(2, ceil(50%·4)=2) ⇒ hot);
+    // src B: 2 docs, the SAME line in 1 (df 1 < 2 ⇒ content, survives);
+    // blank lines never count toward df and always survive
+    val d = Seq(
+      (1L, "A", "nav bar\nalpha"), (2L, "A", "nav bar\nbeta"),
+      (3L, "A", "nav bar\n\ngamma"), (4L, "A", "delta"),
+      (5L, "B", "nav bar\nepsilon"), (6L, "B", "zeta")
+    ).toDF("doc_id", "src", "text")
+    val byDoc = TextOps.boilerplateStrip(d, "doc_id", "text", "src", 0.5, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2).toLong, r.getLong(3), r.getString(4)))).toMap
+    assert(byDoc(1L) == ((2L, 1L, "alpha")))
+    assert(byDoc(2L) == ((2L, 1L, "beta")))
+    // blank line survives and keeps its position in the residual
+    assert(byDoc(3L) == ((3L, 1L, "\ngamma")))
+    assert(byDoc(4L) == ((1L, 0L, "delta")))
+    // same line text, different source: below B's df threshold ⇒ kept
+    assert(byDoc(5L) == ((2L, 0L, "nav bar\nepsilon")))
+    assert(byDoc(6L) == ((1L, 0L, "zeta")))
+  }
 }
