@@ -948,4 +948,97 @@ object Similarity {
       .select(col("id"), (col("dim0") + 1).as("dim"), col("code"),
         floor(col("err") * 1e12).cast("long").as("err_q12"))
   }
+
+  /** Top-1 principal component via INTEGER-EXACT moments + driver-side
+    * power iteration — the dimensionality-reduction front of an ANN
+    * pipeline (project-then-index), built so the oracle can replay every
+    * bit:
+    *
+    *  1. Each vector quantizes to `floor(x·1000)` (exact per-element op,
+    *     both engines). The scatter moments are then pure integer sums —
+    *     `T_i = Σq_i`, `S_ij = Σ q_i·q_j` — summation-order-FREE, computed
+    *     in ONE pass: posexplode to dim rows and aggregate `dim` product
+    *     sums per row-dim (shuffle = dim × (dim+2) longs after partial
+    *     agg; never a dim² row blowup per input row).
+    *  2. The scaled covariance `C = n·S − T·Tᵀ` (scale doesn't move
+    *     eigenvectors) is a dim×dim DRIVER matrix — the k-means-centroid
+    *     precedent: fit state is tiny, the corpus never collects.
+    *     Exactness guard: all magnitudes must stay below 2^53; at corpus
+    *     sizes where n·S crosses that, drop to double moments and accept
+    *     the documented ulp drift (the eigenvector is a fit artifact, not
+    *     a per-row answer).
+    *  3. `iters` fixed power-iteration steps from the exact-rational
+    *     1/√dim start, every fold left-to-right seeded 0.0 — the DuckDB
+    *     recursive CTE runs the identical op sequence, so the eigenvector
+    *     is bit-identical cross-engine and needs no sign canonicalization
+    *     (output magnitude |proj| makes even a global sign flip harmless).
+    *  4. Projection is map-only: both constant arrays (mean, component)
+    *     ride the plan as literals; `(x_j − μ_j)·v_j` folds in index
+    *     order per row.
+    *
+    * Returns (idCol, pa) — the ABSOLUTE centered projection, unrounded;
+    * callers rank/round.
+    */
+  def pcaPowerProjections(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 20): DataFrame = {
+    require(dim >= 2 && dim <= 1024, "dim out of range")
+    require(iters >= 1, "iters must be positive")
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val qv = embeddings.select(
+      col(idCol), vecD.as("__vec"),
+      transform(vecD, x => floor(x * lit(1000)).cast("long")).as("__q"))
+    val momRows = qv
+      .select(col("__q"), posexplode(col("__q")).as(Seq("__i", "__qi")))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__qi")).as("__t") +: (0 until dim).map(j =>
+          sum(col("__qi") * col("__q").getItem(j)).as(s"__s$j")): _*)
+      .collect()
+    require(momRows.length == dim, s"expected $dim moment rows, got ${momRows.length}")
+    val n = momRows.head.getLong(1)
+    require(n > 0, "empty corpus")
+    val t = Array.ofDim[Long](dim)
+    val s = Array.ofDim[Long](dim, dim)
+    momRows.foreach { r =>
+      val i = r.getInt(0)
+      t(i) = r.getLong(2)
+      var j = 0
+      while (j < dim) { s(i)(j) = r.getLong(3 + j); j += 1 }
+    }
+    val maxS = s.flatten.map(math.abs).max
+    val maxT = t.map(math.abs).max
+    require(maxS.toDouble * n < (1L << 53).toDouble &&
+      maxT.toDouble * maxT < (1L << 53).toDouble,
+      "integer moments exceed double exactness — use double moments at this scale")
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      n.toDouble * s(i)(j).toDouble - t(i).toDouble * t(j).toDouble)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var it = 0
+    while (it < iters) {
+      val mv = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc = acc + c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nrm = 0.0
+      var i = 0
+      while (i < dim) { nrm = nrm + mv(i) * mv(i); i += 1 }
+      val inv = math.sqrt(nrm)
+      v = mv.map(x => x / inv)
+      it += 1
+    }
+    val mu = t.map(_.toDouble / (1000.0 * n))
+    val muLit = array(mu.map(lit): _*)
+    val vLit = array(v.map(lit): _*)
+    qv.select(
+      col(idCol),
+      abs(foldSum(zip_with(
+        zip_with(col("__vec"), muLit, (x, m) => x - m),
+        vLit, (d, w) => d * w))).as("pa"))
+  }
 }

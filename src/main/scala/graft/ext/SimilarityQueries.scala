@@ -296,6 +296,22 @@ object SimilarityQueries {
         .orderBy("id", "dim")
     },
 
+    // Top-1 PCA projections (Similarity.pcaPowerProjections): integer-
+    // exact scatter moments in one pass, 20 driver-side power-iteration
+    // steps (dim×dim fit state — the k-means precedent), then a map-only
+    // centered projection with the component as a plan literal. Output =
+    // the 50 most extreme docs along PC1 by |projection| (sign-flip-proof
+    // by construction); the oracle replays the identical op sequence via
+    // a recursive CTE, so doubles match bit-for-bit.
+    "q_embed_pca" -> { (s, dir) =>
+      Similarity
+        .pcaPowerProjections(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = Dim, iters = 20)
+        .orderBy(col("pa").desc, col("vec_id"))
+        .limit(50)
+        .select(col("vec_id"), round(col("pa"), 6).as("proj_abs"))
+    },
+
     // Per-label centroid numerators: embeddings quantized to 1e-6 and
     // summed exactly as integers per (label, dimension) — the cluster-
     // centroid building block, engine-exact.
@@ -632,6 +648,41 @@ object SimilarityQueries {
       s"FROM embeddings CROSS JOIN generate_series(1, $Dim) AS g(i) " +
       s"WHERE vec_id < 100 AND ${normSql(VDouble)} > 0 " +
       "ORDER BY 1, 2"),
+    // the recursive CTE replays the engine's power iteration op-for-op:
+    // integer scatter moments → scaled covariance n·S − T·Tᵀ → 20 steps of
+    // normalize(C·v) from the exact 1/√64 start, every fold left-to-right
+    // seeded 0.0 — bit-identical doubles, so ranking and rounding agree
+    "q_embed_pca" -> ("WITH RECURSIVE " +
+      s"v AS (SELECT vec_id, $VDouble AS vec FROM embeddings), " +
+      "q AS (SELECT vec_id, list_transform(vec, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM v), " +
+      "nn AS (SELECT count(*) AS n FROM q), " +
+      "mom AS (SELECT i, j, sum(qv[i] * qv[j]) AS s " +
+      s"FROM q CROSS JOIN generate_series(1, $Dim) g1(i) " +
+      s"CROSS JOIN generate_series(1, $Dim) g2(j) GROUP BY 1, 2), " +
+      "tsum AS (SELECT i, sum(qv[i]) AS t " +
+      s"FROM q CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY 1), " +
+      "c AS (SELECT m.i, m.j, CAST(nn.n * m.s - ti.t * tj.t AS DOUBLE) AS cv " +
+      "FROM mom m, nn, tsum ti, tsum tj WHERE ti.i = m.i AND tj.i = m.j), " +
+      "crow AS (SELECT i, list(cv ORDER BY j) AS row FROM c GROUP BY 1), " +
+      "cmat AS (SELECT list(row ORDER BY i) AS m FROM crow), " +
+      "it(k, vv) AS (" +
+      // ::DOUBLE: a bare 0.125 literal is DECIMAL(4,3) in DuckDB, which
+      // would poison the first matvec with decimal arithmetic
+      s"SELECT 0, list_transform(generate_series(1, $Dim), x -> 0.125::DOUBLE) " +
+      "UNION ALL SELECT k + 1, " +
+      "list_transform(mv, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(mv, y -> y * y)), (a, b) -> a + b))) " +
+      s"FROM (SELECT k, list_transform(generate_series(1, $Dim), i -> " +
+      "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), j -> m[i][j] * vv[j])), " +
+      "(a, b) -> a + b)) AS mv FROM it, cmat WHERE k < 20) s), " +
+      "pc AS (SELECT vv FROM it WHERE k = 20), " +
+      "mean AS (SELECT list(t / (1000.0 * n) ORDER BY i) AS mu FROM tsum, nn GROUP BY n), " +
+      "proj AS (SELECT vec_id, abs(list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), jj -> (vec[jj] - mu[jj]) * vv[jj])), " +
+      "(a, b) -> a + b)) AS pa FROM v, pc, mean) " +
+      "SELECT vec_id, round(pa, 6) AS proj_abs FROM proj " +
+      "ORDER BY pa DESC, vec_id LIMIT 50"),
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
       // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
       s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +

@@ -533,4 +533,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head == ((0L, 1, 1L))) // empty picked set ⇒ argmax rel
     assert(got.map(_._3).distinct.length == 4)
   }
+
+  test("pcaPowerProjections recovers the dominant axis of rank-1 data") {
+    import spark.implicits._
+    // points t·(1, 2) — covariance is rank 1 with PC1 ∝ (1, 2)/√5, so the
+    // centered |projection| must be |t − mean(t)|·√5 up to the 1e-3
+    // quantization of the integer moments
+    val ts = Seq(-2.0, -1.0, 0.0, 1.0, 3.0)
+    val meanT = ts.sum / ts.length
+    val df = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq(t.toFloat, (2 * t).toFloat)) }
+      .toDF("id", "vec")
+    val got = Similarity.pcaPowerProjections(df, "id", "vec", dim = 2, iters = 20)
+      .orderBy("id").as[(Long, Double)].collect()
+    ts.zipWithIndex.foreach { case (t, i) =>
+      val expected = math.abs(t - meanT) * math.sqrt(5.0)
+      assert(math.abs(got(i)._2 - expected) < 0.01,
+        s"id $i: got ${got(i)._2}, expected $expected")
+    }
+  }
 }
