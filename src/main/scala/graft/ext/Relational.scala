@@ -261,12 +261,14 @@ object Relational {
     * which an outlier inflates into masking itself; the median/MAD pair
     * has a 50% breakdown point). Input is an already-aggregated frame
     * (key, value) — the 100 TB discipline is aggregate-then-robust-stats:
-    * the raw scan reduces to |keys × buckets| rows first, so the two
-    * exact `percentile` passes and their join-backs run on frames the
-    * size of the key space, broadcast both times. Flags `|x − med| >
-    * k·MAD` strictly, so a constant series (MAD 0) only flags genuine
-    * departures. Exact interpolating percentile on both sides (DuckDB
-    * `quantile_cont` twin) — order-free, no summation drift.
+    * the raw scan reduces to |keys × buckets| rows first. Both exact
+    * `percentile` passes run as whole-partition WINDOW aggregates over
+    * the SAME key partitioning, so the plan is one exchange + two Window
+    * operators — never a join-back that would re-execute (re-scan) the
+    * input aggregate per reference. Flags `|x − med| > k·MAD` strictly,
+    * so a constant series (MAD 0) only flags genuine departures. Exact
+    * interpolating percentile on both sides (DuckDB `quantile_cont`
+    * twin) — order statistics of the input multiset, no summation drift.
     */
   def madOutliers(
       perKey: DataFrame,
@@ -274,16 +276,11 @@ object Relational {
       valueCol: String,
       k: Double): DataFrame = {
     require(k > 0, "k must be positive")
-    val keys = keyCols.map(col)
-    val med = perKey.groupBy(keys: _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withAd = perKey
-      .join(broadcast(med), keyCols)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    perKey
+      .withColumn("med", expr(s"percentile($valueCol, 0.5)").over(w))
       .withColumn("__ad", abs(col(valueCol) - col("med")))
-    val mad = withAd.groupBy(keys: _*)
-      .agg(expr("percentile(__ad, 0.5)").as("mad"))
-    withAd
-      .join(broadcast(mad), keyCols)
+      .withColumn("mad", expr("percentile(__ad, 0.5)").over(w))
       .withColumn("is_anomaly", col("__ad") > lit(k) * col("mad"))
       .drop("__ad")
   }

@@ -816,4 +816,44 @@ class PlanSpec extends SparkSpec {
       s"one data shuffle, keyed by the low-cardinality lang column:\n$p")
     assert(count(p, "HashAggregate") == 2, s"partial+final combine must hold:\n$p")
   }
+
+  test("q_interval_join: bucketed overlap stays an equi-join, never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the theta overlap must ride the __bucket equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket match must be a hash-keyed join:\n$p")
+  }
+
+  test("q_interval_coverage: both island windows share one key exchange") {
+    val p = plan("q_interval_coverage")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Window") == 2, s"running-max + island-sum windows:\n$p")
+    // ONE shuffle on user_id serves both windows AND both downstream
+    // group-bys ((user_id, island) and user_id are co-partitioned with it)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"windows and aggs over the same key must reuse one exchange:\n$p")
+  }
+
+  test("q_anomaly_mad: one scan, join-free — both percentile passes are windows") {
+    val p = plan("q_anomaly_mad")
+    assert(count(p, "Scan parquet") == 1,
+      s"a join-back formulation would re-scan the raw input per reference:\n$p")
+    assert(count(p, "Window") == 2, s"median + MAD window passes:\n$p")
+    assert(!p.contains("Join"), s"no join-back in the robust-stats path:\n$p")
+  }
+
+  test("q_boilerplate_lines: df-threshold drop is an anti-join, no cartesian") {
+    val p = plan("q_boilerplate_lines")
+    assert(p.contains("LeftAnti"), s"hot lines must drop via anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be hash-keyed:\n$p")
+  }
+
+  test("q_embed_pca: the projection pass is map-only — one scan, no data shuffle") {
+    val p = plan("q_embed_pca")
+    assert(count(p, "Scan parquet") == 1, s"apply phase scans once:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"component + mean are plan literals; projection must not shuffle:\n$p")
+  }
 }
