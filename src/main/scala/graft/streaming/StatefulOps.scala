@@ -298,4 +298,85 @@ object StatefulOps {
           }
       }
   }
+
+  // ---- streaming robust anomaly flags (median/MAD over histogram state) ----
+
+  final case class MadInput(key: String, bucketSec: Long, valueQ: Long)
+  final case class MadState(hist: Seq[(Long, Long)])
+  final case class MadFlag(
+      key: String,
+      bucketSec: Long,
+      valueQ: Long,
+      medQ: Long,
+      madQ: Long,
+      isAnomaly: Boolean,
+      nSeen: Long)
+
+  /** Streaming twin of [[graft.ext.Relational.madOutliers]]: per-key
+    * robust anomaly flags over an unbounded stream of (already
+    * aggregated, integer-QUANTIZED) metric points. Each key's state is
+    * the exact value HISTOGRAM of its full history — (quantized value →
+    * count) pairs — so the state size is bounded by the value DOMAIN at
+    * the chosen quantization, not by stream length (the quantization
+    * grain is the state knob; a metrics pipeline's values live in a known
+    * range). Points process in bucket order; each point is judged against
+    * the history INCLUDING itself: `med` = lower weighted median,
+    * `mad` = lower weighted median of |x − med| (both integer-exact walks
+    * over the histogram — no interpolation, no floats), flag strictly
+    * `|x − med| > k·mad` once the key has seen ≥ `minN` points (cold
+    * start: a 2-point history has MAD 0 and would flag ANY deviation —
+    * the warm-up gate is what makes the detector deployable, the same
+    * reason thresholdAlerts requires N consecutive breaches). Pure
+    * integer arithmetic ⇒ flags are
+    * deterministic AND batching-invariant: a point's flag depends only on
+    * the history prefix up to it, never on micro-batch boundaries
+    * (StatefulOpsSpec law), so a replay from any checkpoint re-derives
+    * identical output.
+    */
+  def madAnomalies(points: Dataset[MadInput], k: Long, minN: Long = 5L): Dataset[MadFlag] = {
+    require(k > 0, "k must be positive")
+    require(minN >= 1, "minN must be positive")
+    implicit val outEnc = Encoders.product[MadFlag]
+    implicit val stateEnc = Encoders.product[MadState]
+    implicit val keyEnc = Encoders.STRING
+
+    // lower weighted median: smallest v with cumulative count ≥ ceil(n/2)
+    def lowerMedian(hist: scala.collection.SortedMap[Long, Long]): Long = {
+      val n = hist.valuesIterator.sum
+      val target = (n + 1) / 2
+      var cum = 0L
+      val it = hist.iterator
+      var res = hist.firstKey
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, c) = it.next()
+        cum += c
+        if (cum >= target) { res = v; found = true }
+      }
+      res
+    }
+
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[MadInput], state: GroupState[MadState]) =>
+          val hist = scala.collection.mutable.TreeMap.empty[Long, Long]
+          state.getOption.foreach(_.hist.foreach { case (v, c) => hist(v) = c })
+          val out = it.toSeq.sortBy(_.bucketSec).map { p =>
+            hist(p.valueQ) = hist.getOrElse(p.valueQ, 0L) + 1L
+            val med = lowerMedian(hist)
+            val dev = scala.collection.mutable.TreeMap.empty[Long, Long]
+            hist.foreach { case (v, c) =>
+              val d = math.abs(v - med)
+              dev(d) = dev.getOrElse(d, 0L) + c
+            }
+            val mad = lowerMedian(dev)
+            val n = hist.valuesIterator.sum
+            MadFlag(key, p.bucketSec, p.valueQ, med, mad,
+              n >= minN && math.abs(p.valueQ - med) > k * mad, n)
+          }
+          state.update(MadState(hist.toSeq))
+          out.iterator
+      }
+  }
 }

@@ -234,4 +234,57 @@ class StatefulOpsSpec extends SparkSpec {
         s"an in-state increment adds exactly one: $aRow -> $a3")
     } finally q.stop()
   }
+
+  test("madAnomalies: spike flagged, constants silent, batching-invariant") {
+    import graft.streaming.StatefulOps.{MadFlag, MadInput}
+
+    // reference: prefix-wise lower-median/MAD over the quantized history,
+    // with the minN=5 warm-up (a 2-point history has MAD 0 — without the
+    // gate it flags ANY deviation, which is why the operator carries one)
+    def refFlags(vals: Seq[Long], k: Long): Seq[MadFlag] = {
+      def lowMed(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s(((xs.length + 1) / 2 - 1).toInt)
+      }
+      vals.zipWithIndex.map { case (v, i) =>
+        val hist = vals.take(i + 1)
+        val med = lowMed(hist)
+        val mad = lowMed(hist.map(x => math.abs(x - med)))
+        MadFlag("m", i.toLong, v, med, mad,
+          i + 1 >= 5 && math.abs(v - med) > k * mad, i + 1L)
+      }
+    }
+
+    // steady 100±2 series with one 10× spike at bucket 6, then recovery
+    val series = Seq(100L, 102L, 98L, 101L, 99L, 100L, 1000L, 100L, 102L)
+    val expected = refFlags(series, 3L)
+    assert(expected.count(_.isAnomaly) == 1 && expected(6).isAnomaly,
+      "the fixture must flag exactly the spike")
+
+    def run(batches: Seq[Seq[(Long, Long)]], name: String): Seq[MadFlag] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[MadInput]
+      val q = StatefulOps.madAnomalies(mem.toDS(), k = 3L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          mem.addData(b.map { case (t, v) => MadInput("m", t, v) }: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[MadFlag].collect().toSeq.sortBy(_.bucketSec)
+      } finally q.stop()
+    }
+
+    val pts = series.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // one big batch vs three uneven batches: identical flags — a point's
+    // verdict depends only on its history prefix, never batch boundaries
+    val oneShot = run(Seq(pts), "mad1")
+    val split = run(Seq(pts.take(4), pts.slice(4, 7), pts.drop(7)), "mad2")
+    assert(oneShot == expected, s"streaming must equal the prefix reference:\n$oneShot")
+    assert(split == oneShot, "micro-batch boundaries must not move any flag")
+
+    // constant series: MAD 0, strict > never fires even on repeats
+    val const = run(Seq((0L to 5L).map(i => (i, 42L))), "mad3")
+    assert(const.forall(f => !f.isAnomaly && f.medQ == 42L && f.madQ == 0L))
+  }
 }
