@@ -283,6 +283,16 @@ object CurationQueries {
         .orderBy("doc_id", "copy")
     },
 
+    // Temperature flattening at α=0.5 (Curation.temperatureShares): char-
+    // mass shares per source at α=1 vs α=0.5 side by side — the
+    // multilingual re-balancing table (sqrt is the one fractional power
+    // both engines round identically; pow would drift).
+    "q_mix_temperature" -> { (s, dir) =>
+      Curation
+        .temperatureShares(Tables.documents(s, dir), "source", "n_chars")
+        .orderBy("source")
+    },
+
     // End-to-end near-dup removal: drop non-canonical members of every
     // Jaccard ≥ 0.8 cluster, keep everything else.
     "q_dedup_keep" -> { (s, dir) =>
@@ -537,6 +547,16 @@ object CurationQueries {
     "q_sample_fixed_k" -> ("SELECT doc_id, source FROM documents " +
       s"QUALIFY row_number() OVER (PARTITION BY source " +
       s"ORDER BY ${bucketSql(FixedKSalt)}, doc_id) <= 5 ORDER BY doc_id"),
+    // BIGINT casts dodge the HUGEINT→float64 hash artifact; // is exact
+    // integer floor division on non-negatives like Spark's div
+    "q_mix_temperature" -> ("WITH per AS (SELECT source, " +
+      "CAST(sum(n_chars) AS BIGINT) AS size FROM documents GROUP BY 1), " +
+      "w AS (SELECT source, size, " +
+      "CAST(floor(sqrt(size::DOUBLE * 1000000000000)) AS BIGINT) AS w FROM per), " +
+      "t AS (SELECT CAST(sum(size) AS BIGINT) AS tot_size, " +
+      "CAST(sum(w) AS BIGINT) AS tot_w FROM w) " +
+      "SELECT source, size, size * 1000000 // tot_size AS share_q6, " +
+      "w * 1000000 // tot_w AS share_half_q6 FROM w, t ORDER BY source"),
     "q_mix_weights" -> ("WITH d AS (SELECT doc_id, source, " +
       "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END) + " +
       s"(CASE WHEN ${bucketSql(MixSalt)} < " +

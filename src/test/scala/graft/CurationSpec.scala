@@ -383,4 +383,23 @@ class CurationSpec extends SparkSpec {
       .orderBy("id").as[(Long, String)].collect().map(_._2)
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("temperatureShares: α=0.5 flattens toward uniform, order-preserving") {
+    import spark.implicits._
+    // 100:16:4 size skew — √ should compress it to 10:4:2
+    val d = Seq.fill(10)(("big", 10L)) ++ Seq(("mid", 16L), ("tiny", 4L))
+    val got = Curation.temperatureShares(d.toDF("src", "n"), "src", "n")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val (big, mid, tiny) = (got("big"), got("mid"), got("tiny"))
+    // size ordering preserved under the flattening
+    assert(big._2 > mid._2 && mid._2 > tiny._2)
+    // the dominant source sheds share, the small ones gain
+    assert(big._2 < big._1, s"big must shed: $big")
+    assert(mid._2 > mid._1 && tiny._2 > tiny._1, s"small must gain: $mid $tiny")
+    // exact expectation: w = 10⁶·√size exactly for perfect squares
+    // (100, 16, 4 → 10:4:2) ⇒ α=0.5 shares = 625000, 250000, 125000
+    assert(big._2 == 625000L && mid._2 == 250000L && tiny._2 == 125000L)
+    // α=1 shares: 100/120, 16/120, 4/120 at q6 floor
+    assert(big._1 == 833333L && mid._1 == 133333L && tiny._1 == 33333L)
+  }
 }
