@@ -979,6 +979,47 @@ object Similarity {
     * Returns (idCol, pa) — the ABSOLUTE centered projection, unrounded;
     * callers rank/round.
     */
+  /** Distance-to-own-centroid outlier scan — the embedding-space QA pass
+    * (mislabeled / noise / off-distribution candidates sit far from their
+    * label's centroid). Centroid numerators are the integer-exact
+    * per-(label, dim) q6 sums (the `q_embed_centroids` arithmetic), so
+    * the centroid itself is order-free; per-row squared distance
+    * `Σ (x_j − s_j/(10⁶·n))²` folds left-to-right on doubles — the same
+    * fixed-order contract as every similarity score, bit-identical
+    * cross-engine. Plan: one explode+agg pass builds |labels|×dim sums,
+    * re-packed to |labels| centroid ARRAYS and broadcast into a map-only
+    * distance pass — the corpus never shuffles to get scored.
+    * Returns (idCol, labelCol, dist2).
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val rows = emb.select(col(idCol), col(labelCol), vecD.as("__vec"))
+    val sums = rows
+      .select(col(labelCol),
+        posexplode(transform(col("__vec"), x => floor(x * lit(1000000)).cast("long")))
+          .as(Seq("__i", "__q")))
+      .groupBy(col(labelCol), col("__i"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+    val cents = sums
+      .groupBy(col(labelCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__i"), col("__s")))),
+          t => t.getField("__s")).as("__cs"),
+        max(col("__n")).as("__n"))
+    rows
+      .join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        foldSum(zip_with(col("__vec"), col("__cs"),
+          (x, s) => {
+            val d = x - s.cast("double") / (lit(1000000.0) * col("__n"))
+            d * d
+          })).as("dist2"))
+  }
+
   def pcaPowerProjections(
       embeddings: DataFrame,
       idCol: String,

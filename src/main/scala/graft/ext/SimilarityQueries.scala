@@ -312,6 +312,18 @@ object SimilarityQueries {
         .select(col("vec_id"), round(col("pa"), 6).as("proj_abs"))
     },
 
+    // Embedding-space QA (Similarity.centroidOutliers): the 20 vectors
+    // farthest from their own label's centroid — mislabel/noise
+    // candidates. Integer-exact centroid numerators broadcast into a
+    // map-only fixed-order distance pass.
+    "q_embed_outliers" -> { (s, dir) =>
+      Similarity
+        .centroidOutliers(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("label"), round(col("dist2"), 6).as("dist2"))
+    },
+
     // Per-label centroid numerators: embeddings quantized to 1e-6 and
     // summed exactly as integers per (label, dimension) — the cluster-
     // centroid building block, engine-exact.
@@ -683,6 +695,20 @@ object SimilarityQueries {
       "(a, b) -> a + b)) AS pa FROM v, pc, mean) " +
       "SELECT vec_id, round(pa, 6) AS proj_abs FROM proj " +
       "ORDER BY pa DESC, vec_id LIMIT 50"),
+    // centroid numerators = the q_embed_centroids integer sums; distance
+    // folds (x − s/(10⁶·n))² left-to-right like every similarity score
+    "q_embed_outliers" -> (s"WITH v AS (SELECT vec_id, label, $VDouble AS vec FROM embeddings), " +
+      s"s AS (SELECT label, i, CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS s, " +
+      s"count(*) AS n FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY 1, 2), " +
+      "c AS (SELECT label, list(s ORDER BY i) AS cs, max(n) AS n FROM s GROUP BY 1), " +
+      "d AS (SELECT vec_id, v.label, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), j -> " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)) * " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)))), (a, b) -> a + b) AS dist2 " +
+      "FROM v JOIN c USING (label)) " +
+      "SELECT vec_id, label, round(dist2, 6) AS dist2 FROM d " +
+      "ORDER BY d.dist2 DESC, vec_id LIMIT 20"),
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
       // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
       s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +

@@ -283,6 +283,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Quality-gate ENSEMBLE: majority vote (2 of 3) across independent
+    // filter families — rule-based (Gopher), model-based (hashed linear
+    // classifier), distributional (char collision probability < 0.08,
+    // the gibberish pole) — the production pattern: no single filter is
+    // trusted to kill a document alone. Three scans by construction
+    // (three independent models over the corpus); each arm stays its own
+    // one-pass plan, the vote is two doc-keyed joins of 0/1 columns.
+    "q_quality_ensemble" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val g = TextOps.gopherGate(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("k_gopher"))
+      val c = TextOps.classifierScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("k_clf"))
+      val ch = TextOps.charStats(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("collision_prob") < 0.08).cast("long").as("k_char"))
+      g.join(c, Seq("doc_id")).join(ch, Seq("doc_id"))
+        .withColumn("votes", col("k_gopher") + col("k_clf") + col("k_char"))
+        .withColumn("keep", col("votes") >= 2)
+        .orderBy("doc_id")
+    },
+
     // Tokenizer fertility per language — the multilingual token-budget
     // planning number (BPE-ish subwords per character, q4 fixed point):
     // languages whose scripts fragment under a given tokenizer cost more
@@ -561,6 +582,26 @@ object TextQueries {
       "md5(coalesce(r.clean, '')) AS clean_md5, " +
       "length(coalesce(r.clean, '')) AS clean_len " +
       "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    // three independent keep CTEs (Gopher = the factored GateKeepSql,
+    // classifier score > 0, char collision < 0.08) joined into the vote
+    "q_quality_ensemble" -> (s"WITH gk AS ($GateKeepSql), " +
+      s"tok AS (SELECT doc_id, unnest($Toks) AS w FROM documents), " +
+      "sc AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "ck AS (SELECT d.doc_id, CASE WHEN coalesce(ws::DOUBLE / (n * 500), 0.0) > 0.0 " +
+      "THEN 1 ELSE 0 END AS k_clf FROM documents d LEFT JOIN sc USING (doc_id)), " +
+      "chx AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c != '')) AS c " +
+      "FROM documents), " +
+      "cc AS (SELECT doc_id, c, count(*) AS cnt FROM chx GROUP BY 1, 2), " +
+      "cs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS nch, " +
+      "CAST(sum(cnt * cnt) AS BIGINT) AS sq FROM cc GROUP BY 1), " +
+      "chk AS (SELECT doc_id, CASE WHEN sq::DOUBLE / (nch * nch) < 0.08 " +
+      "THEN 1 ELSE 0 END AS k_char FROM cs) " +
+      "SELECT gk.doc_id, gk.keep AS k_gopher, ck.k_clf, chk.k_char, " +
+      "gk.keep + ck.k_clf + chk.k_char AS votes, " +
+      "gk.keep + ck.k_clf + chk.k_char >= 2 AS keep " +
+      "FROM gk JOIN ck USING (doc_id) JOIN chk USING (doc_id) ORDER BY doc_id"),
     // integer floor-division of exact BIGINT sums (// and Spark's div
     // agree on non-negatives); sums cast to BIGINT to dodge the
     // HUGEINT→float64 hash artifact

@@ -534,6 +534,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == 4)
   }
 
+  test("centroidOutliers: the planted off-cluster vector carries the max distance") {
+    import spark.implicits._
+    // label 0 clusters at (1, 0) with one planted outlier at (9, 0);
+    // label 1 sits far away at (−5, 5) — per-label centroids mean the
+    // outlier is judged against ITS OWN cluster, not the global mean
+    val d = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)), (3L, 0, Seq(1.0f, 0.0f)),
+      (4L, 0, Seq(9.0f, 0.0f)),
+      (5L, 1, Seq(-5.0f, 5.0f)), (6L, 1, Seq(-5.0f, 5.0f))
+    ).toDF("id", "label", "vec")
+    val got = Similarity.centroidOutliers(d, "id", "vec", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // label-0 centroid = (3, 0): outlier dist² = 36, cluster members 4
+    assert(math.abs(got(4L) - 36.0) < 1e-6, s"outlier: ${got(4L)}")
+    Seq(1L, 2L, 3L).foreach(i => assert(math.abs(got(i) - 4.0) < 1e-6))
+    // label-1 members sit ON their centroid
+    assert(got(5L) < 1e-9 && got(6L) < 1e-9)
+    assert(got.maxBy(_._2)._1 == 4L)
+  }
+
   test("pcaPowerProjections recovers the dominant axis of rank-1 data") {
     import spark.implicits._
     // points t·(1, 2) — covariance is rank 1 with PC1 ∝ (1, 2)/√5, so the
