@@ -336,6 +336,33 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // O1 source breadth — XML round-trip on Spark 4's NATIVE xml source:
+    // the markup cycle CSV/ORC can't exercise — the JSON props payload
+    // carries quotes and braces that must survive XML entity
+    // escape/unescape, and doubles ride the shortest-round-trip text
+    // path. Matching hashes prove serialize→parse lossless. Same
+    // measured-write / unique-scratch-path contract as q_ingest_csv;
+    // oracle aggregates the PARQUET table.
+    "q_ingest_xml" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val path = Tables.scratchDir(s, "xml")
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("rowTag", "event").format("xml").save(path)
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(sch).option("rowTag", "event").format("xml").load(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          sum(length(col("props"))).as("props_chars"),
+          count_distinct(col("props")).as("distinct_props"))
+        .orderBy("event_type")
+    },
+
     // O1/O2 schema EVOLUTION: an early feed generation lacks a column
     // (here: user_id) that a later generation added — the single most
     // common warehouse ingest reality. Both generations land under one
@@ -460,6 +487,13 @@ object SparkEntry {
       // seconds and CAST rounds, where Spark's unix_timestamp floors
       "CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS min_ts_s, " +
       "CAST(floor(max(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_ts_s " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // the same aggregate over the PARQUET table: matching hashes prove
+    // the XML entity escape/unescape cycle returned every byte
+    "q_ingest_xml" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+      "CAST(sum(length(props)) AS BIGINT) AS props_chars, " +
+      "count(DISTINCT props) AS distinct_props " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     // recomputed from the unsplit table with the same parity rule: only
     // odd event ids (generation 2) carry user_id

@@ -853,6 +853,36 @@ object Curation {
     * Plan: one partial+final agg on the group key, a 1-row broadcast
     * total, map-only division — group-count-sized everything.
     */
+  /** Right-to-erasure cascade audit — the GDPR/DSAR delete applied across
+    * every table that carries the subject key, with per-table
+    * before/removed/after accounting in ONE result (the evidence a
+    * compliance run must produce). The deletion list arrives as DATA (a
+    * key frame, typically thousands of rows — broadcast), never as a
+    * predicate: each fact table takes ONE scan — a broadcast left join
+    * marks doomed rows and a single conditional aggregation counts both
+    * populations; no per-table anti-join + recount double scan. Returns
+    * one row per table: (table_name, rows_before, rows_removed,
+    * rows_after).
+    */
+  def erasureAudit(
+      tables: Seq[(String, DataFrame, String)],
+      del: DataFrame,
+      delKeyCol: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    val marks = del.select(col(delKeyCol).as("__k")).distinct()
+      .withColumn("__doomed", lit(1L))
+    tables.map { case (name, df, keyCol) =>
+      df
+        .join(broadcast(marks), df(keyCol) === col("__k"), "left")
+        .agg(
+          count(lit(1)).as("rows_before"),
+          coalesce(sum(col("__doomed")), lit(0L)).as("rows_removed"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"))
+    }.reduce(_ unionByName _)
+  }
+
   def temperatureShares(df: DataFrame, groupCol: String, sizeCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol))
       .agg(sum(col(sizeCol)).as("size"))

@@ -293,6 +293,24 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // GDPR right-to-erasure cascade (Curation.erasureAudit): a DSAR key
+    // list (stand-in: custkeys ≡ 7 mod 10) cascades across customer /
+    // orders / events with per-table before/removed/after evidence — one
+    // scan per table, the list broadcast as data (a real run feeds the
+    // same frame to the delete writer).
+    "q_erasure_cascade" -> { (s, dir) =>
+      val del = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 10 === 7).select(col("c_custkey"))
+      Curation
+        .erasureAudit(
+          Seq(
+            ("customer", Tables.customer(s, dir), "c_custkey"),
+            ("events", Tables.events(s, dir), "user_id"),
+            ("orders", Tables.orders(s, dir), "o_custkey")),
+          del, "c_custkey")
+        .orderBy("table_name")
+    },
+
     // End-to-end near-dup removal: drop non-canonical members of every
     // Jaccard ≥ 0.8 cluster, keep everything else.
     "q_dedup_keep" -> { (s, dir) =>
@@ -547,6 +565,19 @@ object CurationQueries {
     "q_sample_fixed_k" -> ("SELECT doc_id, source FROM documents " +
       s"QUALIFY row_number() OVER (PARTITION BY source " +
       s"ORDER BY ${bucketSql(FixedKSalt)}, doc_id) <= 5 ORDER BY doc_id"),
+    "q_erasure_cascade" -> ("WITH del AS (SELECT c_custkey AS k FROM customer " +
+      "WHERE c_custkey % 10 = 7) " +
+      "SELECT * FROM (" +
+      "SELECT 'customer' AS table_name, count(*) AS rows_before, " +
+      "CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) AS rows_removed, " +
+      "count(*) - CAST(sum(CASE WHEN c_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) AS rows_after FROM customer " +
+      "UNION ALL SELECT 'events', count(*), " +
+      "CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT), " +
+      "count(*) - CAST(sum(CASE WHEN user_id IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) FROM events " +
+      "UNION ALL SELECT 'orders', count(*), " +
+      "CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT), " +
+      "count(*) - CAST(sum(CASE WHEN o_custkey IN (SELECT k FROM del) THEN 1 ELSE 0 END) AS BIGINT) FROM orders" +
+      ") ORDER BY table_name"),
     // BIGINT casts dodge the HUGEINT→float64 hash artifact; // is exact
     // integer floor division on non-negatives like Spark's div
     "q_mix_temperature" -> ("WITH per AS (SELECT source, " +

@@ -63,6 +63,31 @@ object DedupQueries {
         .orderBy("doc")
     },
 
+    // Duplication forensics by source: the corpus-governance rollup a
+    // curation team reads before deciding which FEED to fix — per source,
+    // how many near-dup pairs touch it, across how many partner sources,
+    // involving how many of its docs. Pair frame = the same banded
+    // Jaccard recompute (oracle-independence contract, the q_dedup_keep
+    // precedent); sources ride two doc-keyed joins, the rollup is one
+    // source-keyed agg over ≤ 2·|pairs| side rows.
+    "q_dup_forensics" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = MaxDf)
+      val src = d.select(col("doc_id"), col("source"))
+      val withS = pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+        .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+      withS.select(col("src_a").as("source"), col("src_b").as("partner"), col("a").as("doc"))
+        .unionByName(withS.select(col("src_b").as("source"), col("src_a").as("partner"),
+          col("b").as("doc")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("partner")).as("n_partner_sources"),
+          count_distinct(col("doc")).as("n_docs_involved"))
+        .orderBy("source")
+    },
+
     // Blocked entity resolution on customer names: pair only within the
     // (nation, segment) block, confirm with levenshtein ≤ 2 — candidate
     // generation is Σ block², never corpus².
@@ -288,6 +313,21 @@ object DedupQueries {
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // the same pair frame, rolled up per source over both pair sides
+    "q_dup_forensics" -> (s"WITH $WithShingles, $Postings, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "pr AS (SELECT a, b FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
+      "ws AS (SELECT p.a, p.b, da.source AS src_a, db.source AS src_b FROM pr p " +
+      "JOIN documents da ON p.a = da.doc_id JOIN documents db ON p.b = db.doc_id), " +
+      "sides AS (SELECT src_a AS source, src_b AS partner, a AS doc FROM ws " +
+      "UNION ALL SELECT src_b, src_a, b FROM ws) " +
+      "SELECT source, count(*) AS n_pairs, " +
+      "count(DISTINCT partner) AS n_partner_sources, " +
+      "count(DISTINCT doc) AS n_docs_involved " +
+      "FROM sides GROUP BY 1 ORDER BY 1"),
     // full recompute restricted to increment-touching pairs ≡ the
     // incremental path (union-equivalence; df-cap over combined postings)
     "q_dedup_incremental" -> (s"WITH $WithShingles, $Postings, " +

@@ -384,6 +384,20 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("erasureAudit: per-table accounting, duplicate list keys count once per row") {
+    import spark.implicits._
+    val del = Seq(2L, 2L, 9L).toDF("k") // dup list entries must not double-count
+    val t1 = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "w")).toDF("id", "v")
+    val t2 = Seq((7L, "a")).toDF("uid", "v") // zero hits
+    val got = graft.ext.Curation
+      .erasureAudit(Seq(("t1", t1, "id"), ("t2", t2, "uid")), del, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // both rows of key 2 are removed; the duplicated list entry adds nothing
+    assert(got("t1") == ((4L, 2L, 2L)))
+    assert(got("t2") == ((1L, 0L, 1L)))
+  }
+
   test("temperatureShares: α=0.5 flattens toward uniform, order-preserving") {
     import spark.implicits._
     // 100:16:4 size skew — √ should compress it to 10:4:2
