@@ -399,6 +399,54 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // Conversion-lag distribution: per market segment, exact p50/p90 of
+    // the first-signup → first-subsequent-purchase delay — the
+    // time-to-convert number a growth team tracks. Two per-user min-aggs
+    // (map-side combine), one user-keyed join with an inequality residual
+    // (first purchase AT OR AFTER the signup — never a nested loop), the
+    // segment dim broadcast; percentiles are order statistics of exact
+    // integer micro-lags, interpolation-identical cross-engine.
+    "q_conversion_lag" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val us = unix_micros(col("ts"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(us).as("su_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("pu_us"))
+      val firstConv = pu.join(su, Seq("user_id"))
+        .filter(col("pu_us") >= col("su_us"))
+        .groupBy(col("user_id"), col("su_us"))
+        .agg(min(col("pu_us")).as("conv_us"))
+        .select(col("user_id"), (col("conv_us") - col("su_us")).as("lag_us"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      firstConv
+        .join(broadcast(cust), Seq("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lag_us, 0.5)"), 4).as("p50_lag_us"),
+          round(expr("percentile(lag_us, 0.9)"), 4).as("p90_lag_us"))
+        .orderBy("segment")
+    },
+
+    // Rolling exact p95 over the daily metric frame — the SLO/latency
+    // dashboard number: per event_type, the 95th percentile of the last
+    // 7 days' totals, one key exchange + one ordered window; the
+    // percentile runs on the |types × days| aggregate, never raw events.
+    "q_rolling_p95" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("p95_7d", round(expr("percentile(daily, 0.95)").over(w), 6))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("daily"), col("p95_7d"))
+        .orderBy("event_type", "day")
+    },
+
     // Robust anomaly flags (Relational.madOutliers): daily value sums per
     // event_type, flagged where |x − median| > 3·MAD — the
     // outlier-resistant twin of q_group_zscore (a spike inflates σ and
@@ -1830,6 +1878,26 @@ object RelationalQueries {
       "round(sum(p.value), 2) AS attr_value " +
       "FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.t >= tch.t " +
       "GROUP BY 1 ORDER BY 1"),
+    "q_conversion_lag" -> ("WITH su AS (SELECT user_id, " +
+      "min(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us FROM events " +
+      "WHERE event_type = 'signup' GROUP BY 1), " +
+      "pu AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pu_us FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "conv AS (SELECT pu.user_id, min(pu_us) - su_us AS lag_us " +
+      "FROM pu JOIN su ON pu.user_id = su.user_id AND pu_us >= su_us " +
+      "GROUP BY pu.user_id, su_us) " +
+      "SELECT c_mktsegment AS segment, count(*) AS n_converted, " +
+      "round(quantile_cont(lag_us, 0.5), 4) AS p50_lag_us, " +
+      "round(quantile_cont(lag_us, 0.9), 4) AS p90_lag_us " +
+      "FROM conv JOIN customer ON user_id = c_custkey " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_rolling_p95" -> ("WITH daily AS (SELECT event_type, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, daily, " +
+      "round(quantile_cont(daily, 0.95) OVER (PARTITION BY event_type ORDER BY day " +
+      "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS p95_7d " +
+      "FROM daily ORDER BY 1, 2"),
     // quantile_cont is the interpolating twin of Spark's exact percentile
     "q_anomaly_mad" -> ("WITH daily AS (SELECT event_type, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
