@@ -363,6 +363,31 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Small-files compaction exercised END-TO-END inside a declared
+    // query: the events feed written as 64 splinter files (the streaming-
+    // sink reality compaction exists for), compacted to source-byte-sized
+    // file counts via the narrow coalesce rewrite (no shuffle), then
+    // aggregated off the COMPACTED copy — matching hashes prove the
+    // rewrite lossless, the same physical-choice contract as bucketing /
+    // salting / z-order / DPP. Oracle aggregates the original parquet.
+    "q_compact_roundtrip" -> { (s, dir) =>
+      val splinters = Tables.scratchDir(s, "splinters")
+      val compacted = Tables.scratchDir(s, "compacted")
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(splinters)
+      graft.ext.Scale.compact(s, splinters, compacted, targetBytes = 4L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("event_id")).as("id_sum"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_q3"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     // O1/O2 schema EVOLUTION: an early feed generation lacks a column
     // (here: user_id) that a later generation added — the single most
     // common warehouse ingest reality. Both generations land under one
@@ -487,6 +512,12 @@ object SparkEntry {
       // seconds and CAST rounds, where Spark's unix_timestamp floors
       "CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS min_ts_s, " +
       "CAST(floor(max(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_ts_s " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // aggregates the ORIGINAL parquet — the compacted copy must agree
+    "q_compact_roundtrip" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(event_id) AS BIGINT) AS id_sum, " +
+      "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS v_q3, " +
+      "count(DISTINCT user_id) AS n_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     // the same aggregate over the PARQUET table: matching hashes prove
     // the XML entity escape/unescape cycle returned every byte
