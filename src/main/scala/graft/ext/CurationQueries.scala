@@ -293,6 +293,55 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // Dataset "nutrition label": the one-row release card a corpus ships
+    // with — size, provenance breadth, exact-dup rate, quality-gate pass
+    // rate, mean length — assembled from three independent one-pass
+    // summaries (base profile / dup groups / gopher gate) cross-joined as
+    // 1-row frames; rates are exact q6 integer floor-divisions.
+    "q_dataset_card" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"))
+      val dup = Dedup.exactGroups(d, "doc_id", "text")
+        .agg(count(lit(1)).as("n_contents"),
+          coalesce(sum(when(col("dup_cnt") >= 2, col("dup_cnt")).otherwise(lit(0L))),
+            lit(0L)).as("dup_docs"))
+      val gate = TextOps.gopherGate(d, "doc_id", "text")
+        .agg(sum(col("keep").cast("long")).as("kept_docs"))
+      base.crossJoin(dup).crossJoin(gate)
+        .select(
+          col("n_docs"), col("total_chars"), col("n_sources"), col("n_langs"),
+          col("n_contents"), col("dup_docs"),
+          expr("dup_docs * 1000000 div n_docs").as("dup_rate_q6"),
+          expr("kept_docs * 1000000 div n_docs").as("gate_keep_q6"),
+          expr("total_chars * 100 div n_docs").as("mean_chars_q2"))
+    },
+
+    // Quality-decile stratified sampling: classifier scores bucketed by
+    // the nine exact decile THRESHOLDS (one tiny-state percentile agg,
+    // broadcast — never a global sort/ntile, which would funnel the
+    // corpus through one partition), then exactly 5 docs per decile by
+    // salted-hash rank (Curation.sampleFixedK — WindowGroupLimit prunes
+    // below the decile exchange). The curation move for building
+    // quality-balanced eval slices.
+    "q_sample_by_decile" -> { (s, dir) =>
+      val sc = TextOps.classifierScores(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      val th = sc.agg(
+        expr("percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+      val dec = sc.crossJoin(broadcast(th))
+        .withColumn("decile", size(filter(col("qs"), t => col("score") > t)).cast("long"))
+        .drop("qs")
+      Curation
+        .sampleFixedK(dec, "doc_id", "decile", k = 5, salt = "decile-v1")
+        .select(col("doc_id"), col("decile"),
+          floor(col("score") * 1000000).cast("long").as("score_q6"))
+        .orderBy("decile", "doc_id")
+    },
+
     // GDPR right-to-erasure cascade (Curation.erasureAudit): a DSAR key
     // list (stand-in: custkeys ≡ 7 mod 10) cascades across customer /
     // orders / events with per-table before/removed/after evidence — one
@@ -565,6 +614,40 @@ object CurationQueries {
     "q_sample_fixed_k" -> ("SELECT doc_id, source FROM documents " +
       s"QUALIFY row_number() OVER (PARTITION BY source " +
       s"ORDER BY ${bucketSql(FixedKSalt)}, doc_id) <= 5 ORDER BY doc_id"),
+    // three 1-row summaries composed: base profile, the q_dedup_exact
+    // fingerprint groups, and the factored Gopher gate keep fragment
+    "q_dataset_card" -> ("WITH base AS (SELECT count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs " +
+      "FROM documents), " +
+      "g AS (SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, " +
+      "count(*) AS c FROM documents GROUP BY 1), " +
+      "dup AS (SELECT count(*) AS n_contents, " +
+      "CAST(coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0) AS BIGINT) AS dup_docs FROM g), " +
+      s"gk AS (SELECT CAST(sum(keep) AS BIGINT) AS kept FROM (${TextQueries.GateKeepSql})) " +
+      "SELECT n_docs, total_chars, n_sources, n_langs, n_contents, dup_docs, " +
+      "dup_docs * 1000000 // n_docs AS dup_rate_q6, " +
+      "kept * 1000000 // n_docs AS gate_keep_q6, " +
+      "total_chars * 100 // n_docs AS mean_chars_q2 " +
+      "FROM base, dup, gk"),
+    // classifier-score CTE (the q_quality_classifier arithmetic), exact
+    // decile thresholds via quantile_cont list (the interpolating twin of
+    // Spark's percentile(array(...))), salted-rank sample per decile
+    "q_sample_by_decile" -> ("WITH tok AS (SELECT doc_id, " +
+      s"unnest(${TextQueries.Toks}) AS w FROM documents), " +
+      "agg AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "sc AS (SELECT d.doc_id, coalesce(ws::DOUBLE / (n * 500), 0.0) AS score " +
+      "FROM documents d LEFT JOIN agg USING (doc_id)), " +
+      "th AS (SELECT quantile_cont(score, " +
+      "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM sc), " +
+      "dec AS (SELECT doc_id, score, " +
+      "CAST(len(list_filter(qs, t -> score > t)) AS BIGINT) AS decile FROM sc, th) " +
+      "SELECT doc_id, decile, CAST(floor(score * 1000000) AS BIGINT) AS score_q6 " +
+      "FROM dec QUALIFY row_number() OVER (PARTITION BY decile " +
+      s"ORDER BY ${bucketSql("decile-v1")}, doc_id) <= 5 " +
+      "ORDER BY decile, doc_id"),
     "q_erasure_cascade" -> ("WITH del AS (SELECT c_custkey AS k FROM customer " +
       "WHERE c_custkey % 10 = 7) " +
       "SELECT * FROM (" +
