@@ -399,6 +399,27 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // Hierarchical subtree rollup (filesystem-du shape): docs form a
+    // synthetic binary-heap tree (parent = (id−1)/2), and each node
+    // reports its SUBTREE doc count + char mass. No recursion, no
+    // per-level iteration: ancestor h of node k is the CLOSED FORM
+    // ((k+1) div 2^h) − 1, so every doc map-side explodes into its
+    // ≤ ⌈log₂ n⌉ ancestors and ONE aggregation finishes the rollup —
+    // the O(depth)-blowup pattern that replaces a recursive CTE at
+    // 100 TB (the sequence bound 20 covers 2M nodes; it is the knob).
+    "q_tree_rollup" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          explode(filter(
+            expr("transform(sequence(0, 20), " +
+              "i -> ((doc_id + 1) div CAST(pow(2, i) AS BIGINT)) - 1)"),
+            a => a >= 0)).as("node"),
+          col("n_chars"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("subtree_docs"), sum(col("n_chars")).as("subtree_chars"))
+        .orderBy("node")
+    },
+
     // Conversion-lag distribution: per market segment, exact p50/p90 of
     // the first-signup → first-subsequent-purchase delay — the
     // time-to-convert number a growth team tracks. Two per-user min-aggs
@@ -1878,6 +1899,14 @@ object RelationalQueries {
       "round(sum(p.value), 2) AS attr_value " +
       "FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.t >= tch.t " +
       "GROUP BY 1 ORDER BY 1"),
+    // the identical closed-form ancestor explode — no recursive CTE
+    "q_tree_rollup" -> ("WITH anc AS (SELECT unnest(list_filter(" +
+      "list_transform(generate_series(0, 20), " +
+      "i -> ((doc_id + 1) // CAST(pow(2, i) AS BIGINT)) - 1), " +
+      "a -> a >= 0)) AS node, n_chars FROM documents) " +
+      "SELECT node, count(*) AS subtree_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS subtree_chars " +
+      "FROM anc GROUP BY 1 ORDER BY 1"),
     "q_conversion_lag" -> ("WITH su AS (SELECT user_id, " +
       "min(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us FROM events " +
       "WHERE event_type = 'signup' GROUP BY 1), " +
