@@ -63,6 +63,28 @@ object DedupQueries {
         .orderBy("doc")
     },
 
+    // Sketch-accuracy eval (the dedup twin of q_ann_recall): for every
+    // LSH candidate pair, the MinHash ESTIMATE (signature agreement / k)
+    // against the exact Jaccard, with the per-pair error — the
+    // continuous-monitoring number that says whether k=16 still carries
+    // the corpus (estimate quality decays as doc profiles drift). Exact
+    // side = the posting-join jaccard at threshold 0 restricted to the
+    // candidates (left join: a hash-collision candidate with no shared
+    // shingle scores exact 0).
+    "q_minhash_accuracy" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(d, "doc_id", "text", n = 3, k = K, bands = Bands)
+      val exact = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.0, maxDf = MaxDf)
+        .select(col("a"), col("b"), col("jaccard"))
+      val est = expr(s"sig_matches * 1000000 div $K")
+      val jac = floor(coalesce(col("jaccard"), lit(0.0)) * 1000000).cast("long")
+      cand.join(exact, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), est.as("est_q6"), jac.as("jac_q6"),
+          abs(est - jac).as("err_q6"))
+        .orderBy("a", "b")
+    },
+
     // Duplication forensics by source: the corpus-governance rollup a
     // curation team reads before deciding which FEED to fix — per source,
     // how many near-dup pairs touch it, across how many partner sources,
@@ -313,6 +335,25 @@ object DedupQueries {
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // the LSH candidate CTE joined LEFT to the exact threshold-0 pair
+    // frame — the estimate-vs-truth composition
+    "q_minhash_accuracy" -> (s"WITH $WithShingles, $Postings, " +
+      s"sigs AS (SELECT doc_id, $SigExpr AS sig FROM shing), " +
+      "banded AS (SELECT doc_id, sig, j, md5(concat_ws('-', sig[j*4+1], sig[j*4+2], " +
+      "sig[j*4+3], sig[j*4+4])) AS key FROM sigs, generate_series(0, 3) AS g(j)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, " +
+      s"len(list_filter(generate_series(1, $K), i -> x.sig[i] = y.sig[i])) AS m " +
+      "FROM banded x JOIN banded y ON x.j = y.j AND x.key = y.key " +
+      "AND x.doc_id < y.doc_id), " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "ex AS (SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc) " +
+      "SELECT c.a, c.b, c.m * 1000000 // 16 AS est_q6, " +
+      "CAST(floor(coalesce(ex.jaccard, 0.0) * 1000000) AS BIGINT) AS jac_q6, " +
+      "abs(c.m * 1000000 // 16 - " +
+      "CAST(floor(coalesce(ex.jaccard, 0.0) * 1000000) AS BIGINT)) AS err_q6 " +
+      "FROM cand c LEFT JOIN ex ON c.a = ex.a AND c.b = ex.b ORDER BY 1, 2"),
     // the same pair frame, rolled up per source over both pair sides
     "q_dup_forensics" -> (s"WITH $WithShingles, $Postings, " +
       "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
