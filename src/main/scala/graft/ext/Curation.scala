@@ -836,23 +836,6 @@ object Curation {
     trim(regexp_replace(regexp_replace(noBlocks, "<[^>]*>", " "), "\\s+", " "))
   }
 
-  /** Temperature-based mixture shares at α = 0.5 — the multilingual /
-    * multi-source re-balancing move (sample ∝ size^α flattens the
-    * distribution so small sources stop vanishing; α=0.5 is the
-    * mBERT/XLM-R exponent). α is FIXED at 0.5 because `sqrt` is the one
-    * fractional power IEEE requires correctly rounded — `pow(x, α)` is
-    * libm-drift territory and could never hash-match across engines.
-    * Arithmetic: per-group exact integer sizes; `w = floor(sqrt(size ·
-    * 10¹²))` (≈ 10⁶·√size — the long→double→sqrt→floor chain is
-    * deterministic and identical in both engines even past 2^53, since
-    * long→double rounding is IEEE-defined); shares as exact integer
-    * floor-divisions at q6 against broadcast singleton totals. Returns
-    * one row per group: (groupCol, size, share_q6 (α=1, the raw share),
-    * share_half_q6 (α=0.5)) — the α=1 column makes the flattening
-    * visible: small groups gain, large groups shed.
-    * Plan: one partial+final agg on the group key, a 1-row broadcast
-    * total, map-only division — group-count-sized everything.
-    */
   /** Right-to-erasure cascade audit — the GDPR/DSAR delete applied across
     * every table that carries the subject key, with per-table
     * before/removed/after accounting in ONE result (the evidence a
@@ -883,6 +866,23 @@ object Curation {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-based mixture shares at α = 0.5 — the multilingual /
+    * multi-source re-balancing move (sample ∝ size^α flattens the
+    * distribution so small sources stop vanishing; α=0.5 is the
+    * mBERT/XLM-R exponent). α is FIXED at 0.5 because `sqrt` is the one
+    * fractional power IEEE requires correctly rounded — `pow(x, α)` is
+    * libm-drift territory and could never hash-match across engines.
+    * Arithmetic: per-group exact integer sizes; `w = floor(sqrt(size ·
+    * 10¹²))` (≈ 10⁶·√size — the long→double→sqrt→floor chain is
+    * deterministic and identical in both engines even past 2^53, since
+    * long→double rounding is IEEE-defined); shares as exact integer
+    * floor-divisions at q6 against broadcast singleton totals. Returns
+    * one row per group: (groupCol, size, share_q6 (α=1, the raw share),
+    * share_half_q6 (α=0.5)) — the α=1 column makes the flattening
+    * visible: small groups gain, large groups shed.
+    * Plan: one partial+final agg on the group key, a 1-row broadcast
+    * total, map-only division — group-count-sized everything.
+    */
   def temperatureShares(df: DataFrame, groupCol: String, sizeCol: String): DataFrame = {
     val per = df.groupBy(col(groupCol))
       .agg(sum(col(sizeCol)).as("size"))

@@ -93,9 +93,6 @@ object Similarity {
       }
       .reduce(_ + _)
 
-  /** Exact brute-force cosine top-k: broadcast the query set, scan the
-    * corpus once, rank per query. `queries`/`corpus`: (id, vec double[]).
-    */
   /** Drop undefined similarities before any ranking: a zero-norm embedding
     * (failed embedding job, padding row — routine at corpus scale) scores
     * NaN, and Spark orders NaN LARGER than every double, so an unfiltered
@@ -103,6 +100,9 @@ object Similarity {
     */
   private def dropNaN(scored: DataFrame): DataFrame = scored.filter(!isnan(col("cos")))
 
+  /** Exact brute-force cosine top-k: broadcast the query set, scan the
+    * corpus once, rank per query. `queries`/`corpus`: (id, vec double[]).
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
       .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
@@ -949,36 +949,6 @@ object Similarity {
         floor(col("err") * 1e12).cast("long").as("err_q12"))
   }
 
-  /** Top-1 principal component via INTEGER-EXACT moments + driver-side
-    * power iteration — the dimensionality-reduction front of an ANN
-    * pipeline (project-then-index), built so the oracle can replay every
-    * bit:
-    *
-    *  1. Each vector quantizes to `floor(x·1000)` (exact per-element op,
-    *     both engines). The scatter moments are then pure integer sums —
-    *     `T_i = Σq_i`, `S_ij = Σ q_i·q_j` — summation-order-FREE, computed
-    *     in ONE pass: posexplode to dim rows and aggregate `dim` product
-    *     sums per row-dim (shuffle = dim × (dim+2) longs after partial
-    *     agg; never a dim² row blowup per input row).
-    *  2. The scaled covariance `C = n·S − T·Tᵀ` (scale doesn't move
-    *     eigenvectors) is a dim×dim DRIVER matrix — the k-means-centroid
-    *     precedent: fit state is tiny, the corpus never collects.
-    *     Exactness guard: all magnitudes must stay below 2^53; at corpus
-    *     sizes where n·S crosses that, drop to double moments and accept
-    *     the documented ulp drift (the eigenvector is a fit artifact, not
-    *     a per-row answer).
-    *  3. `iters` fixed power-iteration steps from the exact-rational
-    *     1/√dim start, every fold left-to-right seeded 0.0 — the DuckDB
-    *     recursive CTE runs the identical op sequence, so the eigenvector
-    *     is bit-identical cross-engine and needs no sign canonicalization
-    *     (output magnitude |proj| makes even a global sign flip harmless).
-    *  4. Projection is map-only: both constant arrays (mean, component)
-    *     ride the plan as literals; `(x_j − μ_j)·v_j` folds in index
-    *     order per row.
-    *
-    * Returns (idCol, pa) — the ABSOLUTE centered projection, unrounded;
-    * callers rank/round.
-    */
   /** Distance-to-own-centroid outlier scan — the embedding-space QA pass
     * (mislabeled / noise / off-distribution candidates sit far from their
     * label's centroid). Centroid numerators are the integer-exact
@@ -1020,6 +990,36 @@ object Similarity {
           })).as("dist2"))
   }
 
+  /** Top-1 principal component via INTEGER-EXACT moments + driver-side
+    * power iteration — the dimensionality-reduction front of an ANN
+    * pipeline (project-then-index), built so the oracle can replay every
+    * bit:
+    *
+    *  1. Each vector quantizes to `floor(x·1000)` (exact per-element op,
+    *     both engines). The scatter moments are then pure integer sums —
+    *     `T_i = Σq_i`, `S_ij = Σ q_i·q_j` — summation-order-FREE, computed
+    *     in ONE pass: posexplode to dim rows and aggregate `dim` product
+    *     sums per row-dim (shuffle = dim × (dim+2) longs after partial
+    *     agg; never a dim² row blowup per input row).
+    *  2. The scaled covariance `C = n·S − T·Tᵀ` (scale doesn't move
+    *     eigenvectors) is a dim×dim DRIVER matrix — the k-means-centroid
+    *     precedent: fit state is tiny, the corpus never collects.
+    *     Exactness guard: all magnitudes must stay below 2^53; at corpus
+    *     sizes where n·S crosses that, drop to double moments and accept
+    *     the documented ulp drift (the eigenvector is a fit artifact, not
+    *     a per-row answer).
+    *  3. `iters` fixed power-iteration steps from the exact-rational
+    *     1/√dim start, every fold left-to-right seeded 0.0 — the DuckDB
+    *     recursive CTE runs the identical op sequence, so the eigenvector
+    *     is bit-identical cross-engine and needs no sign canonicalization
+    *     (output magnitude |proj| makes even a global sign flip harmless).
+    *  4. Projection is map-only: both constant arrays (mean, component)
+    *     ride the plan as literals; `(x_j − μ_j)·v_j` folds in index
+    *     order per row.
+    *
+    * Returns (idCol, pa) — the ABSOLUTE centered projection, unrounded;
+    * callers rank/round.
+    */
   def pcaPowerProjections(
       embeddings: DataFrame,
       idCol: String,

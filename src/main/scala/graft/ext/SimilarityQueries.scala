@@ -678,9 +678,12 @@ object SimilarityQueries {
       "crow AS (SELECT i, list(cv ORDER BY j) AS row FROM c GROUP BY 1), " +
       "cmat AS (SELECT list(row ORDER BY i) AS m FROM crow), " +
       "it(k, vv) AS (" +
-      // ::DOUBLE: a bare 0.125 literal is DECIMAL(4,3) in DuckDB, which
-      // would poison the first matvec with decimal arithmetic
-      s"SELECT 0, list_transform(generate_series(1, $Dim), x -> 0.125::DOUBLE) " +
+      // start vector 1/√dim computed from the SAME Dim constant as the
+      // engine (a stale literal would silently diverge if Dim moves);
+      // ::DOUBLE because a bare decimal literal is DECIMAL(4,3) in DuckDB,
+      // which would poison the first matvec with decimal arithmetic
+      s"SELECT 0, list_transform(generate_series(1, $Dim), " +
+      s"x -> ${1.0 / math.sqrt(Dim.toDouble)}::DOUBLE) " +
       "UNION ALL SELECT k + 1, " +
       "list_transform(mv, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
       "list_transform(mv, y -> y * y)), (a, b) -> a + b))) " +

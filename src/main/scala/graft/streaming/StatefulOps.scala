@@ -362,7 +362,10 @@ object StatefulOps {
         (key: String, it: Iterator[MadInput], state: GroupState[MadState]) =>
           val hist = scala.collection.mutable.TreeMap.empty[Long, Long]
           state.getOption.foreach(_.hist.foreach { case (v, c) => hist(v) = c })
-          val out = it.toSeq.sortBy(_.bucketSec).map { p =>
+          // total order: ties on bucketSec break by value so the emitted
+          // flags are batching- AND shuffle-order-invariant (the replay
+          // contract would break if tie order followed the iterator)
+          val out = it.toSeq.sortBy(p => (p.bucketSec, p.valueQ)).map { p =>
             hist(p.valueQ) = hist.getOrElse(p.valueQ, 0L) + 1L
             val med = lowerMedian(hist)
             val dev = scala.collection.mutable.TreeMap.empty[Long, Long]
