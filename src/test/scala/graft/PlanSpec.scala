@@ -856,4 +856,30 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 0,
       s"component + mean are plan literals; projection must not shuffle:\n$p")
   }
+
+  test("q_tree_rollup: closed-form ancestors — one scan, one explode, one agg shuffle") {
+    val p = plan("q_tree_rollup")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Generate") == 1, s"one ancestor explode, no per-level iteration:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 1, s"one node-keyed agg shuffle:\n$p")
+    assert(!p.contains("Join"), s"no recursive joins anywhere:\n$p")
+  }
+
+  test("q_sample_by_decile: threshold deciles reduce map-side, rank prunes below shuffle") {
+    val p = plan("q_sample_by_decile")
+    // the 9-quantile frame must reduce via PARTIAL percentile state before
+    // its (1-row) single-partition final — a global ntile/row_number window
+    // would instead funnel corpus ROWS through one partition
+    assert(p.contains("partial_percentile"),
+      s"threshold agg must carry map-side partial state:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-decile rank must prune per-partition below the exchange:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the threshold frame must broadcast:\n$p")
+  }
+
+  test("q_minhash_accuracy: estimate-vs-exact joins stay hash-keyed") {
+    val p = plan("q_minhash_accuracy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate and exact frames meet on (a, b) equi-joins:\n$p")
+  }
 }
