@@ -713,6 +713,42 @@ object TextOps {
       array_join(kept, "\n").as("clean_text"))
   }
 
+  /** Collocation mining by integer LIFT — the corpus-linguistics pass
+    * that surfaces multiword expressions ("new york", "machine
+    * learning") for tokenizer/vocab decisions. The statistic is
+    * `P(b|a)/P(b) = cnt_ab·N / (cnt_a·cnt_b)`, computed as the two-step
+    * integer floor-division `((cnt_ab·10⁶) div cnt_a)·N div cnt_b` — the
+    * log-free PMI analog (rank-equivalent to PMI per pair; libm `log`
+    * could never hash cross-engine — the bm25Scores/tfidf discipline),
+    * truncation documented by the op order. `minCount` floors the bigram
+    * support (a 2-occurrence pair has meaninglessly high lift).
+    * Plan: bigrams from the windowed shingle path (posexplode ONCE),
+    * one bigram agg + one unigram agg (vocab-sized frames join — at
+    * 100 TB the merge-hinted vocab-join pattern), the token total a
+    * broadcast singleton. Returns (w1, w2, cnt_ab, lift_q6).
+    */
+  def collocations(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2")
+    val ab = Dedup.shingleRows(docs, idCol, textCol, n = 2)
+      .groupBy(col("s")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+      .select(substring_index(col("s"), " ", 1).as("w1"),
+        substring_index(col("s"), " ", -1).as("w2"), col("cnt_ab"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    ab
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("cnt_ab"),
+        expr("cnt_ab * 1000000 div c1 * n_tok div c2").as("lift_q6"))
+  }
+
   /** Per-SOURCE boilerplate line removal — the RefinedWeb/CCNet
     * template-stripping step that global line dedup
     * ([[graft.ext.Dedup.lineDedup]]) cannot express: a navigation bar or

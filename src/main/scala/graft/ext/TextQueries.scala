@@ -283,6 +283,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collocation mining (TextOps.collocations): top-20 bigrams by the
+    // integer lift P(b|a)/P(b) — the log-free PMI analog that hashes
+    // cross-engine; support floor 5.
+    "q_collocations" -> { (s, dir) =>
+      TextOps
+        .collocations(Tables.documents(s, dir), "doc_id", "text", minCount = 5)
+        .orderBy(col("lift_q6").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     // Quality-gate ENSEMBLE: majority vote (2 of 3) across independent
     // filter families — rule-based (Gopher), model-based (hashed linear
     // classifier), distributional (char collision probability < 0.08,
@@ -582,6 +592,22 @@ object TextQueries {
       "md5(coalesce(r.clean, '')) AS clean_md5, " +
       "length(coalesce(r.clean, '')) AS clean_len " +
       "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    // window-lead bigrams over one tokenize, two-step integer division in
+    // the same left-to-right op order as Spark's div chain
+    "q_collocations" -> (s"WITH d AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      // select-list unnest: the binder-legal correlated series form
+      "ix AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM d), " +
+      "tok AS (SELECT doc_id, i, t[i] AS w FROM ix), " +
+      "bg AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 " +
+      "FROM tok), " +
+      "ab AS (SELECT w AS w1, w2, CAST(count(*) AS BIGINT) AS cnt_ab FROM bg " +
+      "WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1), " +
+      "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni) " +
+      "SELECT w1, w2, cnt_ab, " +
+      "cnt_ab * 1000000 // c1.c * n_tok // c2.c AS lift_q6 " +
+      "FROM ab JOIN uni c1 ON ab.w1 = c1.w JOIN uni c2 ON ab.w2 = c2.w, nt " +
+      "ORDER BY lift_q6 DESC, w1, w2 LIMIT 20"),
     // three independent keep CTEs (Gopher = the factored GateKeepSql,
     // classifier score > 0, char collision < 0.08) joined into the vote
     "q_quality_ensemble" -> (s"WITH gk AS ($GateKeepSql), " +
