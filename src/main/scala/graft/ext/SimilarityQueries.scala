@@ -312,6 +312,24 @@ object SimilarityQueries {
         .select(col("vec_id"), round(col("pa"), 6).as("proj_abs"))
     },
 
+    // Per-dimension distribution profile — the dead/degenerate-dimension
+    // QA (a dim whose variance collapses carries no information and
+    // poisons cosine geometry): integer q3 moments per dim in ONE
+    // explode+agg pass, scaled variance n·S − T² as exact integers
+    // (the PCA covariance diagonal), plus exact min/max.
+    "q_embed_dim_stats" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("dim0", "q")))
+        .groupBy((col("dim0") + 1).as("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("t_q3"),
+          min(col("q")).as("min_q3"), max(col("q")).as("max_q3"),
+          sum(col("q") * col("q")).as("s_q3"))
+        .select(col("dim"), col("n"), col("t_q3"), col("min_q3"), col("max_q3"),
+          (col("n") * col("s_q3") - col("t_q3") * col("t_q3")).as("nvar_q3"))
+        .orderBy("dim")
+    },
+
     // Embedding-space QA (Similarity.centroidOutliers): the 20 vectors
     // farthest from their own label's centroid — mislabel/noise
     // candidates. Integer-exact centroid numerators broadcast into a
@@ -698,6 +716,16 @@ object SimilarityQueries {
       "(a, b) -> a + b)) AS pa FROM v, pc, mean) " +
       "SELECT vec_id, round(pa, 6) AS proj_abs FROM proj " +
       "ORDER BY pa DESC, vec_id LIMIT 50"),
+    // HUGEINT products/sums cast back to BIGINT; n·S − T² exact integers
+    "q_embed_dim_stats" -> (s"WITH q AS (SELECT vec_id, " +
+      s"list_transform($VDouble, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv " +
+      "FROM embeddings), " +
+      s"ex AS (SELECT i AS dim, qv[i] AS v FROM q CROSS JOIN generate_series(1, $Dim) g(i)), " +
+      "agg AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS t_q3, " +
+      "min(v) AS min_q3, max(v) AS max_q3, CAST(sum(v * v) AS BIGINT) AS s_q3 " +
+      "FROM ex GROUP BY 1) " +
+      "SELECT dim, n, t_q3, min_q3, max_q3, " +
+      "CAST(n * s_q3 - t_q3 * t_q3 AS BIGINT) AS nvar_q3 FROM agg ORDER BY dim"),
     // centroid numerators = the q_embed_centroids integer sums; distance
     // folds (x − s/(10⁶·n))² left-to-right like every similarity score
     "q_embed_outliers" -> (s"WITH v AS (SELECT vec_id, label, $VDouble AS vec FROM embeddings), " +

@@ -235,6 +235,58 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("madAnomalies composes on StreamingMetrics output (two-stage pipeline)") {
+    // Spark disallows flatMapGroupsWithState AFTER a streaming aggregation
+    // in one query, so the production wiring is two decoupled queries:
+    // attach → sink, monitor ← that sink. This pins the composition
+    // contract — the monitor consumes attach's exact output shape and
+    // flags the spike window.
+    import graft.streaming.{StatefulOps, StreamingMetrics}
+    import graft.streaming.StatefulOps.{MadFlag, MadInput}
+    import graft.model.{MetricDefinition, MetricType}
+    import graft.pipeline.LogsToMetrics
+
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val typed = mem.toDF.toDF("ts", "event_type")
+    val defs = Seq(MetricDefinition("ev_count", MetricType.Count, windowSizeSec = 60))
+    val Seq(out) = StreamingMetrics.attach(typed, defs, LogsToMetrics.Typed(typed.schema))
+    val q1 = out.writeStream.format("memory").queryName("madsrc").outputMode("append").start()
+    val points = try {
+      // 8 steady windows of 3 events, a 30-event spike window, 2 steady;
+      // a far sentinel closes everything
+      val evs = (0 until 11).flatMap { wi =>
+        val n = if (wi == 8) 30 else 3
+        (0 until n).map(j => (at(wi * 60L + j % 50), "e"))
+      } :+ ((at(100000L), "e"))
+      mem.addData(evs.take(20): _*)
+      q1.processAllAvailable()
+      mem.addData(evs.drop(20): _*)
+      q1.processAllAvailable()
+      spark.table("madsrc")
+        .select($"metric", $"window_start", $"value")
+        .collect()
+        .map(r => MadInput(r.getString(0), r.getTimestamp(1).getTime / 1000L,
+          r.getDouble(2).toLong))
+        .sortBy(_.bucketSec)
+    } finally q1.stop()
+    assert(points.length >= 11, s"all 11 windows must close: ${points.toSeq}")
+
+    val mem2 = MemoryStream[MadInput]
+    val q2 = StatefulOps.madAnomalies(mem2.toDS(), k = 3L)
+      .writeStream.format("memory").queryName("madout").outputMode("append").start()
+    try {
+      val (h, t) = points.splitAt(6)
+      mem2.addData(h: _*); q2.processAllAvailable()
+      mem2.addData(t: _*); q2.processAllAvailable()
+      val flags = spark.table("madout").as[MadFlag].collect().sortBy(_.bucketSec)
+      val fired = flags.filter(_.isAnomaly)
+      assert(fired.length == 1 && fired.head.valueQ == 30L,
+        s"exactly the 30-event spike window must flag: ${flags.toSeq}")
+    } finally q2.stop()
+  }
+
   test("madAnomalies: spike flagged, constants silent, batching-invariant") {
     import graft.streaming.StatefulOps.{MadFlag, MadInput}
 
