@@ -84,6 +84,27 @@ object GraphQueries {
         .orderBy("label")
     },
 
+    // Label-noise detection by LOCAL disagreement (confident-learning
+    // lite): each vector's 5 nearest neighbors vote — a majority carrying
+    // a DIFFERENT label marks a mislabel/boundary suspect. The local
+    // complement of q_embed_outliers' global centroid distance (a vector
+    // can sit near its centroid yet inside a wrong-label pocket). Reuses
+    // the exact kNN builder; labels ride two id-keyed joins; one per-id
+    // agg with exact integer rates.
+    "q_label_noise" -> { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
+      Graph.knnEdges(vecs(s, dir), k = 5)
+        .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("n_diff"))
+        .select(col("id"), col("n_nbrs"), col("n_diff"),
+          expr("n_diff * 1000000 div n_nbrs").as("noise_q6"),
+          (col("n_diff") * 2 > col("n_nbrs")).as("suspect"))
+        .orderBy("id")
+    },
+
     // The corpus-scale graph BUILDER itself, hash-checked: mutual-8-NN
     // edges over LSH-bucketed candidates (3 fixed tables, Hamming-1
     // multi-probe — the q_ann_lsh machinery turned symmetric). Same
@@ -203,6 +224,15 @@ object GraphQueries {
       (1 to PeelRounds).map(peelRound).mkString(", ") + " " +
       s"SELECT v AS id, count(*) AS core_deg FROM (SELECT lo AS v FROM e$PeelRounds " +
       s"UNION ALL SELECT hi FROM e$PeelRounds) GROUP BY 1 ORDER BY id"),
+    // knnCtes(5) gives the directed 5-NN frame; labels join per side
+    "q_label_noise" -> (s"WITH ${knnCtes(5)}, " +
+      "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
+      "d AS (SELECT k.a AS id, CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS diff " +
+      "FROM knn k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id) " +
+      "SELECT id, count(*) AS n_nbrs, CAST(sum(diff) AS BIGINT) AS n_diff, " +
+      "CAST(sum(diff) AS BIGINT) * 1000000 // count(*) AS noise_q6, " +
+      "CAST(sum(diff) AS BIGINT) * 2 > count(*) AS suspect " +
+      "FROM d GROUP BY 1 ORDER BY 1"),
     "q_graph_homophily" -> (s"WITH $KnnCtes, " +
       "lab AS (SELECT m.lo, m.hi, a.label AS la, b.label AS lb FROM mutual m " +
       "JOIN embeddings a ON a.vec_id = m.lo JOIN embeddings b ON b.vec_id = m.hi), " +
