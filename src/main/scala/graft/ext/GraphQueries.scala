@@ -85,23 +85,30 @@ object GraphQueries {
     },
 
     // Label-noise detection by LOCAL disagreement (confident-learning
-    // lite): each vector's 5 nearest neighbors vote — a majority carrying
-    // a DIFFERENT label marks a mislabel/boundary suspect. The local
-    // complement of q_embed_outliers' global centroid distance (a vector
-    // can sit near its centroid yet inside a wrong-label pocket). Reuses
-    // the exact kNN builder; labels ride two id-keyed joins; one per-id
-    // agg with exact integer rates.
+    // lite): each vector's 5 nearest neighbors vote, and a vector whose
+    // disagreement rate exceeds the CORPUS-WIDE baseline is a
+    // mislabel/boundary suspect. The baseline calibration is what makes
+    // the flag meaningful at any label/geometry alignment — an absolute
+    // majority test saturates when labels correlate weakly with cosine
+    // geometry (10 near-random labels ⇒ ~90% disagreement everywhere).
+    // Cross-multiplied exact integers: n_diff·N_tot > n_nbrs·D_tot.
+    // The local complement of q_embed_outliers' global centroid distance.
     "q_label_noise" -> { (s, dir) =>
       val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
-      Graph.knnEdges(vecs(s, dir), k = 5)
+      val perId = Graph.knnEdges(vecs(s, dir), k = 5)
         .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
         .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(count(lit(1)).as("n_nbrs"),
           sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("n_diff"))
+      val totals = perId.agg(sum(col("n_nbrs")).as("tot_nbrs"),
+        sum(col("n_diff")).as("tot_diff"))
+      perId
+        .crossJoin(broadcast(totals))
         .select(col("id"), col("n_nbrs"), col("n_diff"),
           expr("n_diff * 1000000 div n_nbrs").as("noise_q6"),
-          (col("n_diff") * 2 > col("n_nbrs")).as("suspect"))
+          (col("n_diff") * col("tot_nbrs") > col("n_nbrs") * col("tot_diff"))
+            .as("suspect"))
         .orderBy("id")
     },
 
@@ -228,11 +235,14 @@ object GraphQueries {
     "q_label_noise" -> (s"WITH ${knnCtes(5)}, " +
       "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
       "d AS (SELECT k.a AS id, CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS diff " +
-      "FROM knn k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id) " +
-      "SELECT id, count(*) AS n_nbrs, CAST(sum(diff) AS BIGINT) AS n_diff, " +
-      "CAST(sum(diff) AS BIGINT) * 1000000 // count(*) AS noise_q6, " +
-      "CAST(sum(diff) AS BIGINT) * 2 > count(*) AS suspect " +
-      "FROM d GROUP BY 1 ORDER BY 1"),
+      "FROM knn k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id), " +
+      "per AS (SELECT id, count(*) AS n_nbrs, CAST(sum(diff) AS BIGINT) AS n_diff " +
+      "FROM d GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(n_nbrs) AS BIGINT) AS tn, " +
+      "CAST(sum(n_diff) AS BIGINT) AS td FROM per) " +
+      "SELECT id, n_nbrs, n_diff, n_diff * 1000000 // n_nbrs AS noise_q6, " +
+      "n_diff * tn > n_nbrs * td AS suspect " +
+      "FROM per, tot ORDER BY 1"),
     "q_graph_homophily" -> (s"WITH $KnnCtes, " +
       "lab AS (SELECT m.lo, m.hi, a.label AS la, b.label AS lb FROM mutual m " +
       "JOIN embeddings a ON a.vec_id = m.lo JOIN embeddings b ON b.vec_id = m.hi), " +
