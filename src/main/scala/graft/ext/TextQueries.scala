@@ -283,6 +283,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source quality matrix — the governance table that says WHICH
+    // FEED is dirty (the per-source refinement of q_dataset_card, next
+    // to q_dup_forensics' near-dup view): per source, Gopher-gate pass
+    // rate, classifier pass rate, exact-dup involvement and mean length,
+    // every rate an exact q6 integer division. Three one-pass arms +
+    // doc-keyed joins, one source rollup.
+    "q_source_quality" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val gate = TextOps.gopherGate(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("k_gate"))
+      val clf = TextOps.classifierScores(d, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("k_clf"))
+      val fp = d.select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+      val dup = fp.join(
+        fp.groupBy(col("fp")).agg(count(lit(1)).as("cnt")), Seq("fp"))
+        .select(col("doc_id"), (col("cnt") >= 2).cast("long").as("is_dup"))
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(gate, Seq("doc_id")).join(clf, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("k_gate")).as("gate_pass"),
+          sum(col("k_clf")).as("clf_pass"), sum(col("is_dup")).as("dup_docs"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("source"), col("n_docs"),
+          expr("gate_pass * 1000000 div n_docs").as("gate_q6"),
+          expr("clf_pass * 1000000 div n_docs").as("clf_q6"),
+          expr("dup_docs * 1000000 div n_docs").as("dup_q6"),
+          expr("chars * 100 div n_docs").as("mean_chars_q2"))
+        .orderBy("source")
+    },
+
     // Collocation mining (TextOps.collocations): top-20 bigrams by the
     // integer lift P(b|a)/P(b) — the log-free PMI analog that hashes
     // cross-engine; support floor 5.
@@ -592,6 +622,32 @@ object TextQueries {
       "md5(coalesce(r.clean, '')) AS clean_md5, " +
       "length(coalesce(r.clean, '')) AS clean_len " +
       "FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY doc_id"),
+    // gate keep + classifier keep + global-fp dup flag, rolled per source
+    "q_source_quality" -> (s"WITH gk AS (${GateKeepSql}), " +
+      s"tok AS (SELECT doc_id, unnest($Toks) AS w FROM documents), " +
+      "sc AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "ck AS (SELECT d.doc_id, CASE WHEN coalesce(ws::DOUBLE / (n * 500), 0.0) > 0.0 " +
+      "THEN 1 ELSE 0 END AS k_clf FROM documents d LEFT JOIN sc USING (doc_id)), " +
+      "fp AS (SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f " +
+      "FROM documents), " +
+      "fc AS (SELECT f, count(*) AS cnt FROM fp GROUP BY 1), " +
+      "dup AS (SELECT doc_id, CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS is_dup " +
+      "FROM fp JOIN fc USING (f)), " +
+      "per AS (SELECT d.source, count(*) AS n_docs, " +
+      "CAST(sum(gk.keep) AS BIGINT) AS gate_pass, " +
+      "CAST(sum(ck.k_clf) AS BIGINT) AS clf_pass, " +
+      "CAST(sum(dup.is_dup) AS BIGINT) AS dup_docs, " +
+      "CAST(sum(d.n_chars) AS BIGINT) AS chars " +
+      "FROM documents d JOIN gk ON d.doc_id = gk.doc_id " +
+      "JOIN ck ON d.doc_id = ck.doc_id JOIN dup ON d.doc_id = dup.doc_id " +
+      "GROUP BY 1) " +
+      "SELECT source, n_docs, gate_pass * 1000000 // n_docs AS gate_q6, " +
+      "clf_pass * 1000000 // n_docs AS clf_q6, " +
+      "dup_docs * 1000000 // n_docs AS dup_q6, " +
+      "chars * 100 // n_docs AS mean_chars_q2 " +
+      "FROM per ORDER BY source"),
     // window-lead bigrams over one tokenize, two-step integer division in
     // the same left-to-right op order as Spark's div chain
     "q_collocations" -> (s"WITH d AS (SELECT doc_id, $Toks AS t FROM documents), " +
