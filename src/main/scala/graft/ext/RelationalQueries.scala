@@ -399,6 +399,38 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // RFM segmentation: per user Recency (micros before the corpus max
+    // event time) / Frequency (purchase count) / Monetary (cent-exact
+    // value sum), each cut at its own exact tercile thresholds (tiny
+    // percentile agg, broadcast — the q_sample_by_decile discipline, never
+    // a global ntile) into a 3×3×3 segment code, rolled up to segment
+    // sizes — the classic growth-analytics table. All comparisons on
+    // exact integers vs interpolated thresholds; deterministic ties by
+    // strict >.
+    "q_rfm_segments" -> { (s, dir) =>
+      val us = unix_micros(col("ts"))
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val perUser = p.groupBy(col("user_id"))
+        .agg(max(us).as("last_us"), count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val maxTs = perUser.agg(max(col("last_us")).as("max_us"))
+      val rfm = perUser.crossJoin(broadcast(maxTs))
+        .select(col("user_id"), (col("max_us") - col("last_us")).as("rec_us"),
+          col("freq"), col("cents"))
+      val th = rfm.agg(
+        expr("percentile(rec_us, array(0.3333333333333333, 0.6666666666666666))").as("rt"),
+        expr("percentile(freq, array(0.3333333333333333, 0.6666666666666666))").as("ft"),
+        expr("percentile(cents, array(0.3333333333333333, 0.6666666666666666))").as("mt"))
+      def bucket(v: String, t: String) =
+        size(filter(col(t), x => col(v).cast("double") > x)).cast("long")
+      rfm.crossJoin(broadcast(th))
+        .select(col("user_id"), bucket("rec_us", "rt").as("r"),
+          bucket("freq", "ft").as("f"), bucket("cents", "mt").as("m"))
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("r", "f", "m")
+    },
+
     // Hierarchical subtree rollup (filesystem-du shape): docs form a
     // synthetic binary-heap tree (parent = (id−1)/2), and each node
     // reports its SUBTREE doc count + char mass. No recursion, no
@@ -1899,6 +1931,22 @@ object RelationalQueries {
       "round(sum(p.value), 2) AS attr_value " +
       "FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.t >= tch.t " +
       "GROUP BY 1 ORDER BY 1"),
+    "q_rfm_segments" -> ("WITH p AS (SELECT user_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "per AS (SELECT user_id, max(us) AS last_us, count(*) AS freq, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM p GROUP BY 1), " +
+      "mx AS (SELECT max(last_us) AS max_us FROM per), " +
+      "rfm AS (SELECT user_id, max_us - last_us AS rec_us, freq, cents FROM per, mx), " +
+      "th AS (SELECT " +
+      "quantile_cont(rec_us, [0.3333333333333333, 0.6666666666666666]) AS rt, " +
+      "quantile_cont(freq, [0.3333333333333333, 0.6666666666666666]) AS ft, " +
+      "quantile_cont(cents, [0.3333333333333333, 0.6666666666666666]) AS mt FROM rfm) " +
+      "SELECT CAST(len(list_filter(rt, x -> rec_us > x)) AS BIGINT) AS r, " +
+      "CAST(len(list_filter(ft, x -> freq > x)) AS BIGINT) AS f, " +
+      "CAST(len(list_filter(mt, x -> cents > x)) AS BIGINT) AS m, " +
+      "count(*) AS n_users FROM rfm, th GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     // the identical closed-form ancestor explode — no recursive CTE
     "q_tree_rollup" -> ("WITH anc AS (SELECT unnest(list_filter(" +
       "list_transform(generate_series(0, 20), " +
