@@ -84,6 +84,36 @@ object GraphQueries {
         .orderBy("label")
     },
 
+    // q_label_noise on the LSH-CANDIDATE builder: the vote runs over
+    // MUTUAL LSH-kNN neighbors (the hash-exact fixed-plane
+    // q_graph_mutual_lsh frame). The declared fixed-plane form pins the
+    // composition's semantics; SCALE comes from the planesFor sizing knob
+    // (the measured three-builder ladder: exact 190× / fixed-plane ~15× /
+    // SIZED 4.2× at ×10 — bucket count must track the corpus). Same
+    // baseline-calibrated flag; isolated vertices (no mutual tie) simply
+    // emit no row — they have no voters.
+    "q_label_noise_lsh" -> { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
+      val mutual = Graph.mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
+      val directed = mutual.select(col("lo").as("a"), col("hi").as("b"))
+        .unionByName(mutual.select(col("hi").as("a"), col("lo").as("b")))
+      val perId = directed
+        .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("n_nbrs"),
+          sum(when(col("la") =!= col("lb"), 1L).otherwise(0L)).as("n_diff"))
+      val totals = perId.agg(sum(col("n_nbrs")).as("tot_nbrs"),
+        sum(col("n_diff")).as("tot_diff"))
+      perId
+        .crossJoin(broadcast(totals))
+        .select(col("id"), col("n_nbrs"), col("n_diff"),
+          expr("n_diff * 1000000 div n_nbrs").as("noise_q6"),
+          (col("n_diff") * col("tot_nbrs") > col("n_nbrs") * col("tot_diff"))
+            .as("suspect"))
+        .orderBy("id")
+    },
+
     // Label-noise detection by LOCAL disagreement (confident-learning
     // lite): each vector's 5 nearest neighbors vote, and a vector whose
     // disagreement rate exceeds the CORPUS-WIDE baseline is a
@@ -231,6 +261,20 @@ object GraphQueries {
       (1 to PeelRounds).map(peelRound).mkString(", ") + " " +
       s"SELECT v AS id, count(*) AS core_deg FROM (SELECT lo AS v FROM e$PeelRounds " +
       s"UNION ALL SELECT hi FROM e$PeelRounds) GROUP BY 1 ORDER BY id"),
+    // the pinned-equal lmutual frame symmetrized, then the same rollup
+    "q_label_noise_lsh" -> (s"WITH $LshKnnCtes, " +
+      "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
+      "dedges AS (SELECT lo AS a, hi AS b FROM lmutual " +
+      "UNION ALL SELECT hi, lo FROM lmutual), " +
+      "d AS (SELECT k.a AS id, CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS diff " +
+      "FROM dedges k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id), " +
+      "per AS (SELECT id, count(*) AS n_nbrs, CAST(sum(diff) AS BIGINT) AS n_diff " +
+      "FROM d GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(n_nbrs) AS BIGINT) AS tn, " +
+      "CAST(sum(n_diff) AS BIGINT) AS td FROM per) " +
+      "SELECT id, n_nbrs, n_diff, n_diff * 1000000 // n_nbrs AS noise_q6, " +
+      "n_diff * tn > n_nbrs * td AS suspect " +
+      "FROM per, tot ORDER BY 1"),
     // knnCtes(5) gives the directed 5-NN frame; labels join per side
     "q_label_noise" -> (s"WITH ${knnCtes(5)}, " +
       "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
