@@ -342,6 +342,34 @@ object CurationQueries {
         .orderBy("decile", "doc_id")
     },
 
+    // Deterministic pseudonymization: user keys replaced by salted md5
+    // tokens (the share-data-without-identities move). The query PROVES
+    // the property that makes pseudonymized exports analytically usable —
+    // join consistency: events⋈customer through the TOKEN reproduces the
+    // raw-key join bit-for-bit (same salt ⇒ same token on both tables,
+    // map-only, no lookup table to leak). Per segment: event counts and
+    // value sums via both joins side by side.
+    "q_pseudonymize" -> { (s, dir) =>
+      val salt = "pseudo-v1"
+      def tok(c: org.apache.spark.sql.Column) =
+        Dedup.md5Long(concat(lit(salt + ":"), c.cast("string")))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value"), tok(col("user_id")).as("u_tok"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), tok(col("c_custkey")).as("c_tok"))
+      val raw = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("raw_cnt"), round(sum(col("value")), 2).as("raw_sum"))
+      val tokj = ev.join(broadcast(cust), ev("u_tok") === cust("c_tok"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("tok_cnt"), round(sum(col("value")), 2).as("tok_sum"))
+      raw.join(tokj, Seq("segment"))
+        .select(col("segment"), col("raw_cnt"), col("tok_cnt"),
+          (col("raw_cnt") === col("tok_cnt") && col("raw_sum") === col("tok_sum"))
+            .as("consistent"))
+        .orderBy("segment")
+    },
+
     // GDPR right-to-erasure cascade (Curation.erasureAudit): a DSAR key
     // list (stand-in: custkeys ≡ 7 mod 10) cascades across customer /
     // orders / events with per-table before/removed/after evidence — one
@@ -648,6 +676,21 @@ object CurationQueries {
       "FROM dec QUALIFY row_number() OVER (PARTITION BY decile " +
       s"ORDER BY ${bucketSql("decile-v1")}, doc_id) <= 5 " +
       "ORDER BY decile, doc_id"),
+    // the salted-md5 token replayed on both keys; equality of both join
+    // aggregates IS the pseudonymization consistency proof
+    "q_pseudonymize" -> ("WITH ev AS (SELECT user_id, value, " +
+      "('0x' || substr(md5('pseudo-v1:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS u_tok " +
+      "FROM events), " +
+      "cust AS (SELECT c_custkey, c_mktsegment, " +
+      "('0x' || substr(md5('pseudo-v1:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS c_tok " +
+      "FROM customer), " +
+      "raw AS (SELECT c_mktsegment AS segment, count(*) AS raw_cnt, " +
+      "round(sum(value), 2) AS raw_sum FROM ev JOIN cust ON user_id = c_custkey GROUP BY 1), " +
+      "tokj AS (SELECT c_mktsegment AS segment, count(*) AS tok_cnt, " +
+      "round(sum(value), 2) AS tok_sum FROM ev JOIN cust ON u_tok = c_tok GROUP BY 1) " +
+      "SELECT raw.segment, raw_cnt, tok_cnt, " +
+      "raw_cnt = tok_cnt AND raw_sum = tok_sum AS consistent " +
+      "FROM raw JOIN tokj ON raw.segment = tokj.segment ORDER BY 1"),
     "q_erasure_cascade" -> ("WITH del AS (SELECT c_custkey AS k FROM customer " +
       "WHERE c_custkey % 10 = 7) " +
       "SELECT * FROM (" +
