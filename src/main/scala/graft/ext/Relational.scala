@@ -981,4 +981,69 @@ object Relational {
         col("y.x").as(valueCol),
         col("y.s").as("ewma"))
   }
+
+  /** Holt double exponential smoothing (level + trend) as an
+    * integer-arithmetic recurrence — [[ewmaInteger]]'s forecasting
+    * upgrade: a plain EWMA lags a trending series forever, Holt tracks
+    * the slope. `l_t = ⌊(aN·x + (aD−aN)·(l+t)) / aD⌋`,
+    * `t_t = (bN·(l_t−l_{t−1}) + (bD−bN)·t) quot bD`, seeds l₀ = x₀,
+    * t₀ = 0; one-step forecast = l + t. Every step is integer math with
+    * TRUNCATING division (toward zero — the SQL `div` / DuckDB `//`
+    * convention; the trend goes NEGATIVE, where floor and truncation
+    * disagree: DuckDB's `(-7)//2 = -3`, not −4 — measured as a 27-row
+    * oracle drift before this was pinned), built sign-aware from the
+    * exact-below-2^53 `floor(|a|/b)` so the whole trajectory hashes
+    * cross-engine via the recursive-CTE oracle. Same fold shape and
+    * per-key-bounded-history caveat as [[ewmaInteger]].
+    */
+  def holtInteger(
+      series: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      aNum: Int,
+      aDen: Int,
+      bNum: Int,
+      bDen: Int): DataFrame = {
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen, got $aNum/$aDen")
+    require(bNum > 0 && bDen > bNum, s"need 0 < bNum < bDen, got $bNum/$bDen")
+    val stepType = "array<struct<b:bigint,x:bigint,l:bigint,t:bigint>>"
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("x")))).as("xs"))
+      .select(
+        col(keyCol),
+        aggregate(
+          col("xs"),
+          array().cast(stepType),
+          (acc, e) => {
+            val x = e.getField("x")
+            val prevL = element_at(acc, -1).getField("l")
+            val prevT = element_at(acc, -1).getField("t")
+            // truncating (toward-zero) integer division, sign-aware
+            def quot(a: Column, b: Int): Column =
+              when(a >= 0, floor(a / lit(b))).otherwise(-floor(-a / lit(b)))
+                .cast("long")
+            // the level expression appears twice (also inside the trend) —
+            // identical subexpression, identical value, still one recurrence
+            val lNew = quot(lit(aNum) * x + lit(aDen - aNum) * (prevL + prevT), aDen)
+            val tNew = quot(lit(bNum) * (lNew - prevL) + lit(bDen - bNum) * prevT, bDen)
+            concat(acc, array(struct(
+              e.getField("b").as("b"),
+              x.as("x"),
+              when(size(acc) === 0, x).otherwise(lNew).as("l"),
+              when(size(acc) === 0, lit(0L)).otherwise(tNew).as("t"))))
+          }).as("ys"))
+    folded
+      .select(col(keyCol), explode(col("ys")).as("y"))
+      .select(
+        col(keyCol),
+        col("y.b").as(bucketCol),
+        col("y.x").as(valueCol),
+        col("y.l").as("level"),
+        col("y.t").as("trend"),
+        (col("y.l") + col("y.t")).as("forecast_next"))
+  }
 }

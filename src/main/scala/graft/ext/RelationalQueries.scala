@@ -973,6 +973,22 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     },
 
+    // Holt level+trend forecasting (Relational.holtInteger) over the same
+    // daily frame as q_ewma_daily — the one-step forecast a capacity
+    // planner reads; the whole integer trajectory (level, trend,
+    // forecast) hashes against the recursive-CTE oracle.
+    "q_holt_forecast" -> { (s, dir) =>
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      Relational
+        .holtInteger(daily, "event_type", "day", "cents",
+          aNum = 30, aDen = 100, bNum = 20, bDen = 100)
+        .orderBy("event_type", "day")
+    },
+
     // Analytic-rank suite over per-user event counts: dense_rank /
     // percent_rank / cume_dist ordered by the count alone (tie-sharing,
     // deterministic — they depend on key values, not row order), lead
@@ -2287,6 +2303,21 @@ object RelationalQueries {
       "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
       "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
       "SELECT event_type, day, cents, s AS ewma_cents FROM rec ORDER BY 1, 2"),
+    // the level expression inlined twice inside the trend step, exactly
+    // like the engine's fold; // floors toward −∞ on negative trends
+    "q_holt_forecast" -> ("WITH RECURSIVE d AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
+      "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM events GROUP BY 1, 2), " +
+      "n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d), " +
+      "rec(event_type, rn, day, cents, l, t) AS (" +
+      "SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT) FROM n WHERE rn = 1 " +
+      "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, " +
+      "(30*n.cents + 70*(rec.l + rec.t)) // 100, " +
+      "(20*((30*n.cents + 70*(rec.l + rec.t)) // 100 - rec.l) + 80*rec.t) // 100 " +
+      "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
+      "SELECT event_type, day, cents, l AS level, t AS trend, " +
+      "l + t AS forecast_next FROM rec ORDER BY 1, 2"),
     "q_cohort_retention" -> ("WITH days AS (SELECT DISTINCT user_id, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
       "cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1) " +

@@ -428,6 +428,27 @@ class RelationalSpec extends SparkSpec {
       && decay.forall(_ >= 0L))
   }
 
+  test("holtInteger: hand-checked level/trend, truncating division on negatives") {
+    import spark.implicits._
+    val series = Seq(
+      ("a", 1L, 100L), ("a", 2L, 0L), ("a", 3L, 0L),
+      // key b: gentle downtick — trend numerator −20 must TRUNCATE to 0
+      // (floor semantics would give −1; DuckDB // truncates)
+      ("b", 1L, 100L), ("b", 2L, 98L)
+    ).toDF("k", "b", "x")
+    val out = Relational.holtInteger(series, "k", "b", "x",
+      aNum = 30, aDen = 100, bNum = 20, bDen = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: l₀=100,t₀=0 → l=(70·100)q100=70, t=(20·−30)q100=−6
+    //    → l=(70·64)q100=44, t=(20·−26+80·−6)q100=(−1000)q100=−10
+    assert(out(("a", 1L)) == ((100L, 0L, 100L)))
+    assert(out(("a", 2L)) == ((70L, -6L, 64L)))
+    assert(out(("a", 3L)) == ((44L, -10L, 34L)))
+    // b: l=(30·98+7000)q100=99, t=(20·(99−100))q100 = −20 q 100 = 0 (trunc)
+    assert(out(("b", 2L)) == ((99L, 0L, 99L)))
+  }
+
   test("intervalJoinBucketed: one match per overlapping pair, half-open edges") {
     import spark.implicits._
     // pair (1, 10) spans MANY shared buckets (width 10) — must match ONCE;
