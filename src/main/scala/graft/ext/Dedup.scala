@@ -1039,4 +1039,76 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select((col("a") +: col("b") +: blockCols.map(col)) :+ col("dist"): _*)
   }
+
+  /** Exact Jaccard near-dup pairs via PPJoin-style PREFIX FILTERING (Bayardo
+    * et al. All-Pairs / Xiao et al. PPJoin): same answer as [[jaccardPairs]]
+    * with no df-cap, found by self-joining only each document's PREFIX —
+    * its rarest `|d| - ⌈t·|d|⌉ + 1` shingles under the global
+    * (document-frequency, hash) total order — instead of the full posting
+    * list.
+    *
+    * Exactness (no false negative): for J(x,y) ≥ t the overlap is
+    * α ≥ ⌈t·|x|⌉; if the SMALLEST common shingle under the global order sat
+    * beyond x's prefix, every common shingle would sit in x's last
+    * ⌈t·|x|⌉ − 1 positions — fewer than α. So the smallest common shingle
+    * lies in BOTH prefixes and the prefix-prefix equi-join finds the pair.
+    * The threshold is a rational tNum/tDen so the prefix length is computed
+    * in EXACT integer arithmetic — `⌈0.8·35⌉` in doubles is 29, not 28
+    * (0.8 is not representable), which would silently shorten the prefix
+    * and drop pairs.
+    *
+    * Scale shape vs [[jaccardPairs]]: the candidate join touches only
+    * prefix postings — rare shingles by construction, so the quadratic
+    * per-shingle blowup the df-cap guards against cannot arise (hot
+    * shingles sort to the END of every document and never enter a prefix)
+    * and NO recall-losing cap is needed. df ranking is one posting-keyed
+    * aggregation; prefix ranking one doc-keyed window; verification joins
+    * the (few) candidates back to full postings for the exact intersection.
+    */
+  def prefixFilterPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val post0 = hashedPostings(docs, idCol, textCol, n)
+    val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = post0.groupBy("h").agg(count(lit(1)).as("df"))
+    // global total order (df asc, h asc): rarest shingles first, ties broken
+    // by the hash — identical ordering on every document
+    val w = Window.partitionBy("doc").orderBy(col("df"), col("h"))
+    val prefix = post0
+      .join(dfreq, Seq("h"))
+      .withColumn("r", row_number().over(w))
+      .join(sizes, Seq("doc"))
+      // p = n_sh - ceil(t*n_sh) + 1, all-integer ceil
+      .filter(col("r") <= col("n_sh") - floor((col("n_sh") * tNum + tDen - 1) / tDen) + 1)
+      .select(col("doc"), col("h"))
+    val cand = prefix
+      .as("x")
+      .hint("merge")
+      .join(prefix.as("y").hint("merge"),
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    // exact verification: candidates (few) join back to FULL postings
+    val inter = cand
+      .join(post0.as("pa"), col("a") === col("pa.doc"))
+      .join(post0.as("pb"), col("b") === col("pb.doc") && col("pa.h") === col("pb.h"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    val threshold = tNum.toDouble / tDen
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .select(
+        col("a"),
+        col("b"),
+        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

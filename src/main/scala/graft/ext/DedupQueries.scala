@@ -39,6 +39,20 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // PPJoin-style PREFIX-FILTER Jaccard ([[Dedup.prefixFilterPairs]]):
+    // the same pair set as the inverted-index path at threshold 4/5 with
+    // NO df-cap — candidates come from self-joining only each doc's
+    // rarest |d|-⌈t|d|⌉+1 shingles under the global (df, hash) order, so
+    // hot shingles never explode the join and no recall-losing cap is
+    // needed. Oracle = the direct uncapped Jaccard recompute: the prefix
+    // optimization must be invisible to results.
+    "q_dedup_prefix_filter" -> { (s, dir) =>
+      Dedup
+        .prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+          tNum = 4, tDen = 5)
+        .orderBy("a", "b")
+    },
+
     // Directional CONTAINMENT pairs (3-gram shingles, max-direction ≥ 0.8)
     // — the asymmetric near-dup detector: a short doc embedded in a long
     // one passes containment while its Jaccard stays low. Same bucketed
@@ -332,6 +346,15 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> (s"WITH $WithShingles, $Postings, " +
       "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
       "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +
+      "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // the direct UNCAPPED recompute over post0 — the prefix filter is a
+    // candidate-generation optimization and must not change the answer
+    "q_dedup_prefix_filter" -> (s"WITH $WithShingles, $Post0, " +
+      "sz AS (SELECT doc, count(*) AS n_sh FROM post0 GROUP BY 1), " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post0 x " +
+      "JOIN post0 y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),

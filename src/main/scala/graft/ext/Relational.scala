@@ -1046,4 +1046,62 @@ object Relational {
         col("y.t").as("trend"),
         (col("y.l") + col("y.t")).as("forecast_next"))
   }
+
+  /** Market-basket association rules restricted to item PAIRS (the Apriori
+    * 2-itemset level): co-occurrence counts within a transaction key plus
+    * confidence and lift, the co-purchase / co-click analysis the reference
+    * surface has no join machinery for.
+    *
+    * Scale shape — the Apriori downward-closure cut made physical:
+    *  - the frequent-item table (support ≥ minItemSupport) is VOCABULARY-
+    *    sized, so it broadcasts and the basket frame never shuffles for the
+    *    prefilter;
+    *  - the pair self-join runs over baskets already restricted to frequent
+    *    items, joined on the transaction key — per-basket fan-out is
+    *    C(frequent-basket-size, 2), linear in transactions, never all-pairs
+    *    over the item vocabulary;
+    *  - counts ride one hash aggregation with map-side combine; the n_tx
+    *    scalar is a 1-row broadcast.
+    *
+    * Every output is integer (counts, and confidence/lift as ×10⁶-scaled
+    * truncating BIGINT quotients — `DIV` here ≡ DuckDB `//` on these
+    * non-negative operands), so rows hash bit-exact cross-engine.
+    */
+  def marketBasket(
+      baskets: DataFrame,
+      txCol: String,
+      itemCol: String,
+      minItemSupport: Long,
+      minPairSupport: Long): DataFrame = {
+    val b = baskets.select(col(txCol).as("tx"), col(itemCol).as("item")).distinct()
+    val freq = b
+      .groupBy("item")
+      .agg(count(lit(1)).as("item_cnt"))
+      .filter(col("item_cnt") >= minItemSupport)
+    val bf = b.join(broadcast(freq), Seq("item"))
+    val nTx = b.agg(count_distinct(col("tx")).as("n_tx"))
+    bf.as("x")
+      .join(
+        bf.as("y"),
+        col("x.tx") === col("y.tx") && col("x.item") < col("y.item"))
+      // item_cnt is functionally dependent on item — grouping by both keeps
+      // the support counts in the aggregate without a join-back
+      .groupBy(
+        col("x.item").as("item_a"),
+        col("x.item_cnt").as("cnt_a"),
+        col("y.item").as("item_b"),
+        col("y.item_cnt").as("cnt_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairSupport)
+      .crossJoin(broadcast(nTx))
+      .select(
+        col("item_a"),
+        col("item_b"),
+        col("pair_cnt"),
+        col("cnt_a"),
+        col("cnt_b"),
+        expr("pair_cnt * 1000000 DIV cnt_a").as("conf_ab_q6"),
+        expr("pair_cnt * 1000000 DIV cnt_b").as("conf_ba_q6"),
+        expr("pair_cnt * n_tx * 1000000 DIV (cnt_a * cnt_b)").as("lift_q6"))
+  }
 }

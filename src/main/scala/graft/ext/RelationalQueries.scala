@@ -1845,6 +1845,133 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"), sum(col("v_q3")).as("sum_v_q3"))
         .orderBy("c_mktsegment")
+    },
+
+    // Market-basket association rules over order baskets
+    // ([[Relational.marketBasket]]): frequent part pairs with
+    // confidence/lift. Thresholds (item support ≥ 25, pair support ≥ 3)
+    // picked so the sf0.01 fixture yields a non-trivial rule set; outputs
+    // are all-integer (×10⁶ truncating quotients) — bit-exact.
+    "q_assoc_rules" -> { (s, dir) =>
+      Relational
+        .marketBasket(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minItemSupport = 25, minPairSupport = 3)
+        .orderBy("item_a", "item_b")
+    },
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lead() within (user, time) gives bigrams in ONE pass, the transition
+    // counts aggregate to |event_type|² rows, and row-conditional
+    // probabilities are ×10⁶ truncating quotients over that tiny frame.
+    // Same sequence-total-order contract as q_user_sequences (ts, event_id).
+    "q_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("src_total", sum(col("cnt")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("cnt"), col("src_total"),
+          expr("cnt * 1000000 DIV src_total").as("p_q6"))
+        .orderBy("src", "dst")
+    },
+
+    // 10%-trimmed mean of line price per return flag — the robust location
+    // estimate a mean-reverting metric pipeline wants when tails are
+    // garbage. Exact trim via per-group row_number over the TOTAL order
+    // (cents, orderkey, linenumber) — both engines drop the identical
+    // rows. Integer cents sum; the mean is one IEEE division. Scale note:
+    // the per-flag window ranks |group| rows (3 heavy partitions here);
+    // at 100 TB the same trim comes from quantile CUTPOINTS plus a
+    // boundary-tie rank pass — the windowed form is the exactness anchor.
+    "q_trimmed_mean" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wRank = Window.partitionBy("l_returnflag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("l_returnflag")
+      li.withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // integer DIV, not `/`: n/10.0 would shift the upper cut when
+        // n % 10 != 0 (rn <= n - 2.5 keeps one fewer row than n - 2)
+        .filter(expr("rn > n DIV 10 AND rn <= n - n DIV 10"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .select(col("l_returnflag"), col("n_kept"), col("sum_cents"),
+          (col("sum_cents").cast("double") / col("n_kept")).as("mean_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    // Gini coefficient of revenue concentration across customers — the
+    // one-number inequality audit (is 1% of customers 90% of revenue?).
+    // Rank-weighted form G = (Σ 2·i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    // cents-exact per-customer revenue: numerator and denominator are
+    // exact BIGINTs, the quotient ONE deterministic IEEE division. The
+    // global rank runs over the CUSTOMER aggregate (|customers| rows, not
+    // |orders|); at 100 TB that single-partition sort gives way to the
+    // packBinsTwoPass-style partition-offset prefix rank — same algebra.
+    "q_gini_revenue" -> { (s, dir) =>
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents"), col("o_custkey"))
+      cust.withColumn("i", row_number().over(w).cast("long"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * 2 * col("cents")).as("s2"))
+        .select(col("n_customers"), col("total_cents"),
+          (col("s2") - (col("n_customers") + 1) * col("total_cents")).as("gini_num"),
+          ((col("s2") - (col("n_customers") + 1) * col("total_cents")).cast("double")
+            / (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+    },
+
+    // Weekday seasonality decomposition of daily revenue: seasonal = the
+    // weekday mean over the DAILY aggregate (one scan to |days| rows, the
+    // window runs over that small frame), residual = day − seasonal. The
+    // weekday index is timezone-free integer math — (days-since-epoch+3)%7,
+    // Monday=0 (1970-01-01 was a Thursday) — identical in both engines;
+    // seasonal is one IEEE division of exact integers, residual one
+    // subtraction of identically-computed doubles.
+    "q_weekday_seasonality" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+        .withColumn("dow", pmod(col("epoch_day") + 3, lit(7)))
+      val wDow = Window.partitionBy("dow")
+      daily
+        .withColumn("seasonal_cents",
+          (sum(col("day_cents")).over(wDow).cast("double")
+            / count(lit(1)).over(wDow)))
+        .select(col("epoch_day"), col("dow"), col("day_cents"), col("seasonal_cents"),
+          (col("day_cents") - col("seasonal_cents")).as("resid_cents"))
+        .orderBy("epoch_day")
+    },
+
+    // Event-time DISORDER histogram — the batch profile that sizes a
+    // streaming watermark: how late does an event arrive behind the
+    // per-user running max? The fixture stream is perfectly ordered, so
+    // arrival order is synthesized deterministically (Knuth-hash scramble
+    // of event_id — the synthesize-then-verify pattern of q_line_dedup /
+    // the media queries); lateness = running-max(ts) − ts under that
+    // arrival order, bucketed to 10-minute bins capped at 9. Per-user
+    // windows partition cleanly at 100 TB (no global order anywhere).
+    "q_disorder_histogram" -> { (s, dir) =>
+      val wArr = Window.partitionBy("user_id").orderBy(col("ak"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), secs(col("ts")).as("ts_s"))
+        .withColumn("ak", pmod(col("event_id") * 2654435761L, lit(4294967296L)))
+        .withColumn("lag_s", max(col("ts_s")).over(wArr) - col("ts_s"))
+        .groupBy(least(expr("lag_s DIV 600"), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("lag_s")).as("lag_sum"),
+          max(col("lag_s")).as("lag_max"))
+        .orderBy("bucket")
     }
   )
 
@@ -2651,6 +2778,82 @@ object RelationalQueries {
     "q_join_salted" -> ("SELECT c_mktsegment, count(*) AS n_events, " +
       "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3 " +
       "FROM events JOIN customer ON user_id = c_custkey " +
-      "GROUP BY 1 ORDER BY 1")
+      "GROUP BY 1 ORDER BY 1"),
+
+    // same frequent-item prefilter, pair self-join, and ×10⁶ truncating
+    // quotients (DuckDB `//` ≡ Spark DIV on non-negative BIGINTs)
+    "q_assoc_rules" -> ("WITH b AS (SELECT DISTINCT l_orderkey AS tx, l_partkey AS item " +
+      "FROM lineitem), " +
+      "f AS (SELECT item, count(*) AS item_cnt FROM b GROUP BY 1 HAVING count(*) >= 25), " +
+      "bf AS (SELECT tx, b.item, item_cnt FROM b JOIN f USING (item)), " +
+      "n AS (SELECT count(DISTINCT tx) AS n_tx FROM b), " +
+      "p AS (SELECT x.item AS item_a, x.item_cnt AS cnt_a, y.item AS item_b, " +
+      "y.item_cnt AS cnt_b, count(*) AS pair_cnt FROM bf x JOIN bf y " +
+      "ON x.tx = y.tx AND x.item < y.item GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3) " +
+      "SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b, " +
+      "pair_cnt * 1000000 // cnt_a AS conf_ab_q6, " +
+      "pair_cnt * 1000000 // cnt_b AS conf_ba_q6, " +
+      "pair_cnt * n_tx * 1000000 // (cnt_a * cnt_b) AS lift_q6 " +
+      "FROM p, n ORDER BY item_a, item_b"),
+
+    // identical (ts, event_id) sequence total order; window sum CAST back
+    // from DuckDB's HUGEINT promotion before the quotient
+    "q_markov_transitions" -> ("WITH e AS (SELECT event_type AS src, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst " +
+      "FROM events), " +
+      "c AS (SELECT src, dst, count(*) AS cnt FROM e WHERE dst IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT src, dst, cnt, " +
+      "CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS src_total, " +
+      "cnt * 1000000 // CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS p_q6 " +
+      "FROM c ORDER BY src, dst"),
+
+    // identical total order (cents, orderkey, linenumber) and integer `//`
+    // cuts — both engines drop exactly the same rows
+    "q_trimmed_mean" -> ("WITH li AS (SELECT l_returnflag, " +
+      "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents, l_orderkey, l_linenumber " +
+      "FROM lineitem), " +
+      "r AS (SELECT l_returnflag, cents, row_number() OVER (PARTITION BY l_returnflag " +
+      "ORDER BY cents, l_orderkey, l_linenumber) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS n FROM li) " +
+      "SELECT l_returnflag, count(*) AS n_kept, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+      "CAST(sum(cents) AS BIGINT)::DOUBLE / count(*) AS mean_cents " +
+      "FROM r WHERE rn > n // 10 AND rn <= n - n // 10 GROUP BY 1 ORDER BY 1"),
+
+    // rank-weighted Gini over the customer aggregate; all integer until the
+    // single final division
+    "q_gini_revenue" -> ("WITH cust AS (SELECT o_custkey, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY 1), " +
+      "r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i " +
+      "FROM cust) " +
+      "SELECT count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS total_cents, " +
+      "CAST(sum(i * 2 * cents) - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num, " +
+      "CAST(sum(i * 2 * cents) - (count(*) + 1) * sum(cents) AS BIGINT)::DOUBLE / " +
+      "CAST(count(*) * sum(cents) AS BIGINT)::DOUBLE AS gini " +
+      "FROM r"),
+
+    // same timezone-free (days+3)%7 weekday index; seasonal is one IEEE
+    // division of exact integers
+    "q_weekday_seasonality" -> ("WITH daily AS (SELECT " +
+      "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents " +
+      "FROM orders GROUP BY 1), " +
+      "d2 AS (SELECT epoch_day, (epoch_day + 3) % 7 AS dow, day_cents FROM daily) " +
+      "SELECT epoch_day, dow, day_cents, " +
+      "CAST(sum(day_cents) OVER w AS BIGINT)::DOUBLE / count(*) OVER w AS seasonal_cents, " +
+      "day_cents - CAST(sum(day_cents) OVER w AS BIGINT)::DOUBLE / count(*) OVER w " +
+      "AS resid_cents FROM d2 WINDOW w AS (PARTITION BY dow) ORDER BY epoch_day"),
+
+    // same Knuth-hash arrival scramble; the running-max window's default
+    // RANGE frame
+    // equals Spark's (the (ak, event_id) order is tie-free)
+    "q_disorder_histogram" -> ("WITH e AS (SELECT user_id, event_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, " +
+      "(event_id * 2654435761) % 4294967296 AS ak FROM events), " +
+      "l AS (SELECT ts_s, max(ts_s) OVER (PARTITION BY user_id ORDER BY ak, event_id) " +
+      "- ts_s AS lag_s FROM e) " +
+      "SELECT least(lag_s // 600, 9) AS bucket, count(*) AS n, " +
+      "CAST(sum(lag_s) AS BIGINT) AS lag_sum, max(lag_s) AS lag_max " +
+      "FROM l GROUP BY 1 ORDER BY 1")
   )
 }

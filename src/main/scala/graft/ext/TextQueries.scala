@@ -391,6 +391,32 @@ object TextQueries {
         .phraseMatches(Tables.documents(s, dir), "doc_id", "text",
           Seq("order", "fast"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage (Zipf) curve: top-50 tokens by frequency with
+    // cumulative corpus-coverage share — the "how much does a K-word vocab
+    // cover" sizing curve for tokenizer/stopword decisions. One exploded
+    // hash aggregation (map-side combine) collapses the corpus to
+    // VOCABULARY-sized rows; the rank/cumsum windows run over that tiny
+    // frame (single partition is fine — vocab ≪ corpus at any SF).
+    // Coverage is a ×10⁶ truncating quotient of exact BIGINTs.
+    "q_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+      // total rides an unpartitioned window over the SAME vocab-sized frame
+      // (a separate .agg branch would re-scan and re-explode the corpus);
+      // all three windows share the one single-partition exchange
+      tf.withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .filter(col("rank") <= 50)
+        .withColumn("cum_cnt", sum(col("cnt")).over(
+          Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+          expr("cum_cnt * 1000000 DIV total").as("cov_q6"))
+        .orderBy("rank")
     }
   )
 
@@ -726,7 +752,21 @@ object TextQueries {
       "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 " +
       "AND a.tok = 'order' AND b.tok = 'fast') " +
       "SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos " +
-      "FROM m GROUP BY doc_id ORDER BY doc_id")
+      "FROM m GROUP BY doc_id ORDER BY doc_id"),
+
+    // same (count desc, token asc) total order and ×10⁶ truncating
+    // quotient; window/group sums CAST back from DuckDB's HUGEINT
+    "q_vocab_coverage" -> (s"WITH tf AS (SELECT unnest($Toks) AS token " +
+      "FROM documents), " +
+      "c AS (SELECT token, count(*) AS cnt FROM tf GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c), " +
+      "r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank " +
+      "FROM c) " +
+      "SELECT rank, token, cnt, " +
+      "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt, " +
+      "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "* 1000000 // total AS cov_q6 " +
+      "FROM r, t WHERE rank <= 50 ORDER BY rank")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

@@ -362,4 +362,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect()
     assert(got.toSeq == Seq((1L, 2L, "US", 1L), (4L, 5L, "FR", 1L)))
   }
+
+  test("prefixFilterPairs equals uncapped jaccardPairs on the fixture corpus") {
+    // the prefix filter is candidate-generation only — the exact theorem
+    // (smallest common shingle lies in both prefixes) says the pair SET and
+    // the jaccard VALUES are identical to the direct inverted-index path
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = norm(Dedup.prefixFilterPairs(docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5))
+    val jp = norm(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8,
+      maxDf = Int.MaxValue))
+    assert(pf.nonEmpty)
+    assert(pf == jp)
+  }
+
+  test("prefixFilterPairs keeps pairs a df-cap would lose (all-hot-shingle docs)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 20 identical docs: every shingle has df=20, so a df-cap of 10 drops
+    // ALL postings and the capped path finds nothing — the prefix filter
+    // has no cap (hot shingles sort last and stay out of prefixes anyway,
+    // but here they ARE the prefix and still join) and finds all 190 pairs
+    val docs = (0L until 20L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8, maxDf = 10)
+    assert(capped.count() == 0)
+    val pf = Dedup.prefixFilterPairs(docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pf.length == 190)
+    assert(pf.forall(_._3 == 1.0))
+  }
 }

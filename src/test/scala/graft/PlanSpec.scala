@@ -882,4 +882,72 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate and exact frames meet on (a, b) equi-joins:\n$p")
   }
+
+  test("q_assoc_rules: frequent-item prefilter broadcasts, pair join is keyed") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized frequent-item table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join rides the transaction key, never all-pairs:\n$p")
+  }
+
+  test("q_markov_transitions: one scan, join-free bigram window") {
+    val p = plan("q_markov_transitions")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"lead() needs no self-join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the per-user window must not serialize the stream:\n$p")
+  }
+
+  test("q_trimmed_mean: both windows and the aggregate share ONE flag exchange") {
+    val p = plan("q_trimmed_mean")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"rank window, count window, and groupBy must reuse the l_returnflag exchange:\n$p")
+  }
+
+  test("q_gini_revenue: ranks the customer AGGREGATE, not raw orders") {
+    val p = plan("q_gini_revenue")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"rank-weighted Gini is join-free:\n$p")
+    // the single-partition exchange must sit ABOVE the custkey hash agg —
+    // it carries |customers| aggregated rows, never order rows
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    val globIdx = p.indexOf("Exchange SinglePartition")
+    assert(aggIdx >= 0 && globIdx >= 0 && globIdx < aggIdx,
+      s"global rank must consume the per-customer aggregate:\n$p")
+  }
+
+  test("q_weekday_seasonality: seasonal window runs over the daily aggregate") {
+    val p = plan("q_weekday_seasonality")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"one day-key agg exchange + one dow window exchange, nothing else:\n$p")
+  }
+
+  test("q_disorder_histogram: per-user window partitions; no global order anywhere") {
+    val p = plan("q_disorder_histogram")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"lateness is per-user — a global window would serialize the stream:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"one user window exchange + one bucket agg exchange:\n$p")
+  }
+
+  test("q_vocab_coverage: corpus collapses to vocab rows before any window") {
+    val p = plan("q_vocab_coverage")
+    assert(count(p, "Scan parquet") == 1,
+      s"the total must ride the vocab frame, not a second corpus scan:\n$p")
+    assert(count(p, "Generate") == 1, s"one tokenize explode:\n$p")
+    assert(!p.contains("Join"), s"rank/total/cumsum are windows, not joins:\n$p")
+    // the token aggregation must carry map-side partial state so the
+    // shuffle moves vocabulary-sized partials, not corpus token rows
+    assert(count(p, "HashAggregate") >= 2, s"token counts need a partial/final split:\n$p")
+  }
+
+  test("q_dedup_prefix_filter: prefix self-join is merge, never broadcast or cartesian") {
+    val p = plan("q_dedup_prefix_filter")
+    assert(p.contains("SortMergeJoin"), s"the prefix self-join must stay a shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
 }

@@ -507,4 +507,110 @@ class RelationalSpec extends SparkSpec {
     assert(out.count { case ((k, _), (_, _, flag)) => k == "a" && flag } == 1)
     assert(out(("b", 7.0)) == ((7.0, 0.0, false)))
   }
+
+  test("marketBasket: hand-computed support/confidence/lift, set semantics per basket") {
+    val spark0 = spark
+    import spark0.implicits._
+    // t1{A,B} (A duplicated — must count once), t2{A,B}, t3{A,B,C}, t4{A,C}, t5{B}
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"),
+      (4L, "A"), (4L, "C"),
+      (5L, "B")).toDF("tx", "item")
+    val out = Relational
+      .marketBasket(baskets, "tx", "item", minItemSupport = 2, minPairSupport = 2)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    // freq A=4 B=4 C=2; pairs (A,B)=3 (A,C)=2 (B,C)=1 < minPairSupport; n_tx=5
+    // conf(A→B) = 3e6 DIV 4 = 750000; lift(A,B) = 3·5e6 DIV 16 = 937500
+    // conf(A→C) = 2e6 DIV 4 = 500000; conf(C→A) = 2e6 DIV 2 = 1000000;
+    // lift(A,C) = 2·5e6 DIV 8 = 1250000
+    assert(out.toSeq == Seq(
+      ("A", "B", 3L, 4L, 4L, 750000L, 750000L, 937500L),
+      ("A", "C", 2L, 4L, 2L, 500000L, 1000000L, 1250000L)))
+  }
+
+  test("q_markov_transitions: counts conserve and truncated probabilities sum to ~1e6") {
+    val rows = graft.SparkEntry.queries("q_markov_transitions")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val total = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(3) == total), s"$src: src_total must be constant per src")
+      assert(rs.map(_.getLong(2)).sum == total, s"$src: transition counts must sum to src_total")
+      val pSum = rs.map(_.getLong(4)).sum
+      // each ×10⁶ quotient truncates < 1, so the row sum sits in (1e6 - #rows, 1e6]
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"$src: pSum=$pSum")
+    }
+  }
+
+  test("q_trimmed_mean matches an independent driver-side exact trim (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_trimmed_mean")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val raw = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3, r._4)).map(_._2)
+      val k = sorted.length / 10
+      val kept = sorted.slice(k, sorted.length - k)
+      val (n, s) = (kept.length.toLong, kept.sum)
+      assert(got(flag) == ((n, s, s.toDouble / n)), s"flag=$flag")
+    }
+  }
+
+  test("q_gini_revenue matches an independent driver-side recompute (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.SparkEntry.queries("q_gini_revenue")(spark, dir).collect().head
+    val cents = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(x => (x._2, x._1))
+      .map(_._2)
+    val n = cents.length.toLong
+    val total = cents.sum
+    val s2 = cents.zipWithIndex.map { case (x, i0) => 2L * (i0 + 1) * x }.sum
+    val num = s2 - (n + 1) * total
+    assert(r.getLong(0) == n && r.getLong(1) == total && r.getLong(2) == num)
+    assert(r.getDouble(3) == num.toDouble / (n * total).toDouble)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0)
+  }
+
+  test("q_weekday_seasonality: residuals cancel within each weekday") {
+    val rows = graft.SparkEntry.queries("q_weekday_seasonality")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (dow, rs) =>
+      val residSum = rs.map(_.getDouble(4)).sum
+      val scale = rs.map(r => math.abs(r.getLong(2).toDouble)).sum.max(1.0)
+      assert(math.abs(residSum) / scale < 1e-9, s"dow=$dow residSum=$residSum")
+      // seasonal is the same value on every day of the weekday
+      assert(rs.map(_.getDouble(3)).distinct.length == 1, s"dow=$dow")
+    }
+  }
+
+  test("q_disorder_histogram conserves the event count and caps buckets at 9") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_disorder_histogram")(spark, dir).collect()
+    val nEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+    rows.foreach { r =>
+      val (bucket, lagMax) = (r.getLong(0), r.getLong(3))
+      assert(bucket >= 0 && bucket <= 9)
+      if (bucket < 9) assert(lagMax < 600 * (bucket + 1), s"bucket=$bucket lagMax=$lagMax")
+      assert(lagMax >= 600 * bucket || bucket == 0, s"bucket=$bucket lagMax=$lagMax")
+    }
+    // the scramble must actually create disorder — not all mass in bucket 0
+    assert(rows.exists(r => r.getLong(0) > 0 && r.getLong(1) > 0))
+  }
 }

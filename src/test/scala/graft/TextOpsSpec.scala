@@ -342,4 +342,21 @@ class TextOpsSpec extends SparkSpec {
     assert(byDoc(5L) == ((2L, 0L, "nav bar\nepsilon")))
     assert(byDoc(6L) == ((1L, 0L, "zeta")))
   }
+
+  test("q_vocab_coverage: ranks dense, cumulative sums exact, coverage monotone") {
+    val rows = graft.SparkEntry.queries("q_vocab_coverage")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // counts non-increasing along the rank order; cum_cnt is their prefix sum
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    assert(rows.map(_._3).scanLeft(0L)(_ + _).tail.toSeq == rows.map(_._4).toSeq)
+    // coverage strictly increases and never exceeds ×10⁶
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 < b._5; case _ => true })
+    assert(rows.last._5 <= 1000000L)
+    // the fixture vocabulary is below 50, so the curve must END at full
+    // coverage (cum of the last rank = corpus token count ⇒ cov ≥ 999999)
+    assert(rows.last._5 >= 999999L)
+  }
 }
