@@ -325,4 +325,54 @@ object Graph {
       .unionByName(edges.select(col("hi").as("v")))
       .groupBy("v")
       .agg(count(lit(1)).as(name))
+
+  /** Link prediction over a canonical (lo, hi) undirected edge frame:
+    * non-adjacent pairs at distance 2 scored by common-neighbor count and
+    * the resource-allocation index (Zhou/Lü/Zhang 2009) — the "which
+    * near-dup edge did the kNN builder miss" / "which items co-belong"
+    * audit a similarity graph supports for free.
+    *
+    * RA = Σ_{z ∈ N(a)∩N(b)} 1/deg(z), emitted as `ra_q6` = the integer
+    * sum of per-neighbor ×10⁶ TRUNCATING quotients (1000000 DIV deg —
+    * deg ≥ 1 so operands stay non-negative where Spark `DIV` ≡ DuckDB
+    * `//`): each term is exact, so the score hashes bit-identically
+    * cross-engine — no float log (Adamic–Adar) anywhere.
+    *
+    * Scale shape: the wedge join fans out Σ_z deg(z)² — bounded by k²·|V|
+    * on a (mutual-)kNN graph since deg ≤ k, and by the [[triangleCounts]]
+    * degree-orientation argument on arbitrary graphs if hubs appear. The
+    * candidate frame then anti-joins the edge set (hash, edge-keyed) and
+    * a minCommon support cut bounds the output. Degrees ride one keyed
+    * aggregate; no broadcast of anything |V|-sized.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Long): DataFrame = {
+    // the edge frame feeds both adjacency arms, degrees, and the anti-join
+    // — materialize it once (an ANN/kNN edge build is the expensive input)
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    val out = linkPredictionCore(e, minCommon).localCheckpoint()
+    Curation.releaseCheckpoint(e)
+    out
+  }
+
+  /** The lazy scoring plan over an already-materialized edge frame —
+    * factored out so plan audits can inspect the join structure that
+    * [[linkPrediction]]'s checkpoint boundaries otherwise hide. */
+  private[graft] def linkPredictionCore(e: DataFrame, minCommon: Long): DataFrame = {
+    val adj = e
+      .select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(e.select(col("hi").as("v"), col("lo").as("w")))
+    val deg = symDegrees(e, "deg")
+    adj
+      .as("x")
+      .join(adj.as("y"), col("x.w") === col("y.v") && col("x.v") < col("y.w"))
+      .select(col("x.v").as("a"), col("y.w").as("b"), col("x.w").as("z"))
+      .join(deg.withColumnRenamed("v", "z"), Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 DIV deg")).as("ra_q6"))
+      .join(
+        e.select(col("lo").as("a"), col("hi").as("b")),
+        Seq("a", "b"),
+        "left_anti")
+      .filter(col("cn") >= minCommon)
+  }
 }

@@ -197,6 +197,18 @@ object GraphQueries {
             transform(sort_array(collect_list(col("doc"))), _.cast("string")))
             .as("members"))
         .orderBy("cluster_id")
+    },
+
+    // Link prediction ([[Graph.linkPrediction]]): the distance-2 pairs the
+    // mutual-kNN builder did NOT connect, ranked by common-neighbor count
+    // and the integer-exact resource-allocation index — the "missed
+    // near-dup edge" audit. Support cut cn ≥ 2 bounds the output; the
+    // wedge join is deg ≤ K bounded. Same mutual edge set as every other
+    // graph oracle.
+    "q_link_prediction" -> { (s, dir) =>
+      Graph
+        .linkPrediction(graph(s, dir), minCommon = 2L)
+        .orderBy("a", "b")
     }
   )
 
@@ -312,7 +324,22 @@ object GraphQueries {
       "glabels AS (SELECT v AS id, min(r) AS cluster FROM reach GROUP BY v) " +
       "SELECT cluster AS cluster_id, count(*) AS n_nodes, " +
       "string_agg(id::VARCHAR, '-' ORDER BY id) AS members " +
-      "FROM glabels GROUP BY 1 ORDER BY 1")
+      "FROM glabels GROUP BY 1 ORDER BY 1"),
+    // wedge join on the symmetric adjacency, per-neighbor 1000000 // deg
+    // terms (≡ Spark DIV on the non-negative degrees), NOT EXISTS drops
+    // already-connected pairs — the engine's left_anti
+    "q_link_prediction" -> (s"WITH $KnnCtes, " +
+      "adj AS (SELECT lo AS v, hi AS w FROM mutual " +
+      "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
+      "deg AS (SELECT v, count(*) AS d FROM adj GROUP BY 1), " +
+      "wed AS (SELECT x.v AS a, y.w AS b, x.w AS z FROM adj x " +
+      "JOIN adj y ON x.w = y.v AND x.v < y.w), " +
+      "sc AS (SELECT a, b, count(*) AS cn, " +
+      "CAST(sum(1000000 // d) AS BIGINT) AS ra_q6 " +
+      "FROM wed JOIN deg ON wed.z = deg.v GROUP BY 1, 2) " +
+      "SELECT a, b, cn, ra_q6 FROM sc WHERE cn >= 2 " +
+      "AND NOT EXISTS (SELECT 1 FROM mutual WHERE lo = a AND hi = b) " +
+      "ORDER BY a, b")
   )
 
   /** LSH-candidate oracle chain mirroring [[Graph.knnEdgesLsh]] +

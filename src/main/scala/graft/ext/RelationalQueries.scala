@@ -1972,6 +1972,71 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("lag_s")).as("lag_sum"),
           max(col("lag_s")).as("lag_max"))
         .orderBy("bucket")
+    },
+
+    // Autocorrelation of daily revenue at lags 1..7 — the "is there weekly
+    // structure" companion to q_weekday_seasonality. Exactness recipe:
+    // deviations are the EXACT integers n·x_t − S (no float mean), each
+    // lag-k product is ONE IEEE multiply of exactly-representable
+    // operands, floor(p/1e12) quantizes every term identically in both
+    // engines, and the term sums are order-free BIGINT adds. The corpus
+    // collapses to the |days|-sized daily frame before any window or
+    // join; the lag self-join and the 7-row lag frame are both tiny by
+    // construction at ANY corpus scale (|days| grows with time, not data).
+    "q_autocorrelation" -> { (s, dir) =>
+      val wAll = Window.partitionBy()
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      // the deviation frame feeds the denominator AND both join sides —
+      // materialize the |days|-sized result once so the corpus-sized
+      // orders scan + daily aggregation run exactly once, not three times
+      val r = daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("day_cents")).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy(col("epoch_day"))))
+        .select(col("rn"),
+          (col("n") * col("day_cents") - col("s")).cast("double").as("dev"))
+        .localCheckpoint()
+      val den = r.agg(
+        sum(floor(col("dev") * col("dev") / 1e12).cast("long")).as("den_s"))
+      val lags = s.range(1, 8).select(col("id").as("k"))
+      r.as("a")
+        .crossJoin(broadcast(lags))
+        .join(r.as("b"), col("b.rn") === col("a.rn") + col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("a.dev") * col("b.dev") / 1e12).cast("long")).as("num_s"))
+        .crossJoin(broadcast(den))
+        .select(col("k"), col("n_pairs"), col("num_s"), col("den_s"),
+          (col("num_s").cast("double") / col("den_s").cast("double")).as("acf"))
+        .orderBy("k")
+    },
+
+    // CUSUM changepoint scan over daily revenue: C_t = Σ_{i≤t}(n·x_i − S)
+    // is an EXACT BIGINT running sum (mean-centered without a float mean —
+    // same n·x − S trick as q_autocorrelation), and the |C_t| peaks mark
+    // where the level shifted (Page 1954's statistic, scan form). Top-5
+    // by (|C|, day) total order. The ordered cumulative window runs over
+    // the |days|-sized aggregate only.
+    "q_cusum_changepoint" -> { (s, dir) =>
+      val wAll = Window.partitionBy()
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("day_cents")).over(wAll))
+        .withColumn("cusum", sum(col("n") * col("day_cents") - col("s")).over(
+          Window.orderBy(col("epoch_day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("cusum")).desc, col("epoch_day"))))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("epoch_day"), col("cusum"))
+        .orderBy("rank")
     }
   )
 
@@ -2854,6 +2919,39 @@ object RelationalQueries {
       "- ts_s AS lag_s FROM e) " +
       "SELECT least(lag_s // 600, 9) AS bucket, count(*) AS n, " +
       "CAST(sum(lag_s) AS BIGINT) AS lag_sum, max(lag_s) AS lag_max " +
-      "FROM l GROUP BY 1 ORDER BY 1")
+      "FROM l GROUP BY 1 ORDER BY 1"),
+
+    // same exact-integer deviations n·x−S, the identical single IEEE
+    // multiply per lag pair, floor(p/1e12) quantization, and order-free
+    // BIGINT term sums; the final acf is one division of exact integers
+    "q_autocorrelation" -> (DailyCentsCte +
+      ", st AS (SELECT count(*) AS n, CAST(sum(day_cents) AS BIGINT) AS s FROM daily), " +
+      "r AS (SELECT row_number() OVER (ORDER BY epoch_day) AS rn, " +
+      "(n * day_cents - s)::DOUBLE AS dev FROM daily, st), " +
+      "den AS (SELECT CAST(sum(CAST(floor(dev * dev / 1e12) AS BIGINT)) AS BIGINT) " +
+      "AS den_s FROM r), " +
+      "num AS (SELECT k, count(*) AS n_pairs, " +
+      "CAST(sum(CAST(floor(a.dev * b.dev / 1e12) AS BIGINT)) AS BIGINT) AS num_s " +
+      "FROM generate_series(1, 7) AS g(k) JOIN r a ON true JOIN r b ON b.rn = a.rn + k " +
+      "GROUP BY 1) " +
+      "SELECT k, n_pairs, num_s, den_s, num_s::DOUBLE / den_s::DOUBLE AS acf " +
+      "FROM num, den ORDER BY k"),
+
+    // the same exact-BIGINT running sum of n·x−S under the identical
+    // (|cusum| desc, day) total order
+    "q_cusum_changepoint" -> (DailyCentsCte +
+      ", st AS (SELECT count(*) AS n, CAST(sum(day_cents) AS BIGINT) AS s FROM daily), " +
+      "c AS (SELECT epoch_day, CAST(sum(n * day_cents - s) OVER (ORDER BY epoch_day " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum FROM daily, st), " +
+      "rk AS (SELECT epoch_day, cusum, row_number() OVER " +
+      "(ORDER BY abs(cusum) DESC, epoch_day) AS rank FROM c) " +
+      "SELECT rank, epoch_day, cusum FROM rk WHERE rank <= 5 ORDER BY rank")
   )
+
+  /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the
+    * time-series oracle base frame (seasonality / ACF / CUSUM family). */
+  private val DailyCentsCte: String =
+    "WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) " +
+      "AS epoch_day, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+      "AS day_cents FROM orders GROUP BY 1)"
 }

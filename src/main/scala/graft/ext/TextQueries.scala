@@ -417,6 +417,30 @@ object TextQueries {
         .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
           expr("cum_cnt * 1000000 DIV total").as("cov_q6"))
         .orderBy("rank")
+    },
+
+    // Classifier CALIBRATION curve (reliability diagram) — the fasttext-
+    // style score binned against the rule-based Gopher gate as reference
+    // label: per score-decile doc counts, gate-pass counts, pass rate
+    // (×10⁶ truncating quotient) and the per-row-quantized score sum.
+    // This is the "can I trust threshold X" audit run before committing a
+    // classifier cut on 100 TB. Both inputs are one tokenize+agg pass over
+    // documents meeting on the doc key; the bucket bin of the [-1,1] score
+    // is floor of one identically-computed double, clamped.
+    "q_calibration" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sc = TextOps.classifierScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      val gate = TextOps.gopherGate(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("gk"))
+      sc.join(gate, Seq("doc_id"))
+        .groupBy(least(greatest(floor((col("score") + 1.0) * 5).cast("long"), lit(0L)),
+          lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("gk")).as("n_pass"),
+          sum(floor(col("score") * 1e6).cast("long")).as("score_q6_sum"))
+        .select(col("bucket"), col("n_docs"), col("n_pass"),
+          expr("n_pass * 1000000 DIV n_docs").as("pass_q6"), col("score_q6_sum"))
+        .orderBy("bucket")
     }
   )
 
@@ -766,7 +790,23 @@ object TextQueries {
       "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt, " +
       "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
       "* 1000000 // total AS cov_q6 " +
-      "FROM r, t WHERE rank <= 50 ORDER BY rank")
+      "FROM r, t WHERE rank <= 50 ORDER BY rank"),
+
+    // the q_quality_classifier score CTE binned against the factored
+    // GateKeepSql label; identical clamp/floor bin expression and the
+    // per-row floor(score·1e6) quantization before the integer sum
+    "q_calibration" -> (s"WITH gk AS ($GateKeepSql), " +
+      s"tok AS (SELECT doc_id, unnest($Toks) AS w FROM documents), " +
+      "sc0 AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "sc AS (SELECT d.doc_id, coalesce(ws::DOUBLE / (n * 500), 0.0) AS score " +
+      "FROM documents d LEFT JOIN sc0 USING (doc_id)) " +
+      "SELECT least(greatest(CAST(floor((score + 1.0) * 5) AS BIGINT), 0), 9) AS bucket, " +
+      "count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_pass, " +
+      "CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS pass_q6, " +
+      "CAST(sum(CAST(floor(score * 1e6) AS BIGINT)) AS BIGINT) AS score_q6_sum " +
+      "FROM sc JOIN gk USING (doc_id) GROUP BY 1 ORDER BY 1")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

@@ -142,4 +142,26 @@ class GraphSpec extends SparkSpec {
     val spurious = lshSet.diff(exact).size.toDouble / lshSet.size
     assert(spurious <= 0.2, s"spurious-edge fraction $spurious — scoring itself drifted")
   }
+
+  test("linkPrediction: hand graph — only the distance-2 pair, exact RA terms") {
+    // square with one diagonal: 1-2, 1-3, 2-3, 2-4, 3-4. The one
+    // non-adjacent pair is (1,4) with common neighbors {2,3}, both deg 3
+    // ⇒ cn=2, ra_q6 = 2 · (1000000 DIV 3) = 666666 (truncating terms)
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.linkPrediction(e, minCommon = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 666666L)))
+  }
+
+  test("linkPrediction: adjacency is excluded, support cut applies") {
+    // path 1-2-3-4-5: distance-2 pairs (1,3),(2,4),(3,5) each share ONE
+    // middle vertex ⇒ cn=1; minCommon=2 kills all, minCommon=1 keeps all
+    // with ra_q6 = 1000000 DIV deg(middle) (deg 2 for all middles)
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(Graph.linkPrediction(e, minCommon = 2L).count() == 0)
+    val got = Graph.linkPrediction(e, minCommon = 1L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L),
+      (3L, 5L, 1L, 500000L)))
+  }
 }

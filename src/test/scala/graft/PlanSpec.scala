@@ -950,4 +950,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), s"the prefix self-join must stay a shuffle join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
   }
+
+  test("linkPrediction core: wedge and degree joins keyed; anti-join drops edges") {
+    // the public entry hides its plan behind checkpoint boundaries (the
+    // edge frame is deliberately materialized once); audit the lazy core
+    val spark0 = spark
+    import spark0.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("lo", "hi")
+    val p = graft.ext.Graph.linkPredictionCore(e, minCommon = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"wedges come from the middle-vertex equi-join, never all-pairs:\n$p")
+    assert(p.contains("LeftAnti"), s"existing edges leave via an anti-join:\n$p")
+  }
+
+  test("q_autocorrelation: lag joins run over the materialized daily frame") {
+    val p = plan("q_autocorrelation")
+    // the deviation frame is localCheckpoint-ed: the corpus parquet scan
+    // happened exactly once at build; the visible plan joins RDD scans
+    assert(count(p, "Scan parquet") == 0,
+      s"orders must NOT be re-scanned per lag-join arm:\n$p")
+    assert(!p.contains("CartesianProduct"), s"rn+k is an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |days|-sized b-side rides a broadcast hash join:\n$p")
+  }
+
+  test("q_cusum_changepoint: one scan; global windows run over the daily aggregate") {
+    val p = plan("q_cusum_changepoint")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"CUSUM is window algebra, no joins:\n$p")
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    val globIdx = p.indexOf("Exchange SinglePartition")
+    assert(aggIdx >= 0 && globIdx >= 0 && globIdx < aggIdx,
+      s"the single-partition windows must consume the per-day aggregate:\n$p")
+  }
+
+  test("q_calibration: two corpus passes meet on the doc key, no nested loop") {
+    val p = plan("q_calibration")
+    // classifier = spine + token agg, gate = line stats + token agg: 4
+    // bounded passes by construction, never a per-bucket or per-doc rescan
+    assert(count(p, "Scan parquet") <= 4,
+      s"only the classifier and gate passes read the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"score and label meet on doc_id equi-joins:\n$p")
+  }
 }

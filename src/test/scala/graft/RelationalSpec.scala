@@ -613,4 +613,49 @@ class RelationalSpec extends SparkSpec {
     // the scramble must actually create disorder — not all mass in bucket 0
     assert(rows.exists(r => r.getLong(0) > 0 && r.getLong(1) > 0))
   }
+
+  test("q_autocorrelation matches an independent driver-side recompute (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_autocorrelation")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        .as("epoch_day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    val dev = daily.map { case (_, x) => (n * x - s).toDouble }
+    val den = dev.map(d => math.floor(d * d / 1e12).toLong).sum
+    (1 to 7).foreach { k =>
+      val pairs = dev.indices.dropRight(k).map(i => (dev(i), dev(i + k)))
+      val num = pairs.map { case (a, b) => math.floor(a * b / 1e12).toLong }.sum
+      assert(got(k.toLong) == ((pairs.length.toLong, num, den, num.toDouble / den.toDouble)),
+        s"lag $k")
+      // a one-number sanity: scaled ACF stays inside the theoretical band
+      assert(math.abs(num.toDouble / den.toDouble) <= 1.0 + 1e-9, s"lag $k out of [-1,1]")
+    }
+  }
+
+  test("q_cusum_changepoint matches the driver-side peak scan (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_cusum_changepoint")(spark, dir)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2))).toSeq
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        .as("epoch_day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val s = daily.map(_._2).sum
+    val cusum = daily.map { case (d, x) => (d, n * x - s) }
+      .scanLeft((0L, 0L)) { case ((_, acc), (d, v)) => (d, acc + v) }.tail
+    val want = cusum.sortBy { case (d, c) => (-math.abs(c), d) }.take(5)
+      .zipWithIndex.map { case ((d, c), i) => ((i + 1).toLong, d, c) }.toSeq
+    assert(got == want)
+    // the LAST cumulative value is exactly zero by construction: Σ(n·x−S)=0
+    assert(cusum.last._2 == 0L)
+  }
 }

@@ -359,4 +359,27 @@ class TextOpsSpec extends SparkSpec {
     // coverage (cum of the last rank = corpus token count ⇒ cov ≥ 999999)
     assert(rows.last._5 >= 999999L)
   }
+
+  test("q_calibration: buckets partition the corpus and rates recompute exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+    // partition: bucket doc counts sum to |documents|
+    assert(rows.map(_._2).sum == docs.count())
+    // label marginal: n_pass sums to the standalone gate's keep count
+    val nKeep = TextOps.gopherGate(docs, "doc_id", "text")
+      .filter(col("keep") === 1).count()
+    assert(rows.map(_._3).sum == nKeep)
+    rows.foreach { case (bucket, nDocs, nPass, passQ6, scoreSum) =>
+      assert(bucket >= 0 && bucket <= 9)
+      assert(nPass <= nDocs)
+      assert(passQ6 == nPass * 1000000L / nDocs)
+      // bucket b holds scores in [b/5 - 1, (b+1)/5 - 1) — the quantized
+      // per-row score sum must sit inside the bucket's closed bounds
+      assert(scoreSum >= math.ceil(nDocs.toDouble * (bucket * 200000L - 1000000L)).toLong - nDocs)
+      assert(scoreSum <= (bucket + 1) * 200000L * nDocs - 1000000L * nDocs)
+    }
+  }
 }
