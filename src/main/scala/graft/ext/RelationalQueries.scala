@@ -2037,6 +2037,59 @@ object RelationalQueries {
         .filter(col("rank") <= 5)
         .select(col("rank"), col("epoch_day"), col("cusum"))
         .orderBy("rank")
+    },
+
+    // Leave-one-out target encoding of c_mktsegment by order value — the
+    // leakage-safe categorical feature (each row's own target is excluded
+    // from its encoding, so the feature never memorizes the label). LOO is
+    // EXACT integer algebra: numerator S_g − x_i and denominator n_g − 1;
+    // the quotient is one IEEE division per row. Scale shape: the segment
+    // is 5-ary, so the per-group sums come from a tiny aggregate JOINED
+    // BACK (broadcast) — a segment-partitioned window would serialize the
+    // whole fact table into 5 partitions. The customer dim joins on the
+    // hash-keyed custkey.
+    "q_target_encoding" -> { (s, dir) =>
+      val oc = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val g = oc.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+      oc.join(broadcast(g), Seq("seg"))
+        .select(col("o_orderkey"), col("seg"), col("cents"),
+          (col("s_g") - col("cents")).as("loo_num"),
+          (col("n_g") - 1).as("loo_den"),
+          ((col("s_g") - col("cents")).cast("double")
+            / (col("n_g") - 1).cast("double")).as("loo_cents"))
+        .orderBy("o_orderkey")
+    },
+
+    // Pareto frontier (2D skyline: min price, max size) over parts — the
+    // "best tradeoff set" query (Börzsönyi et al., ICDE 2001). Exact
+    // integer recipe: collapse to the per-price max size first (only that
+    // point per price can survive), then one ordered scan keeps prices
+    // whose max size strictly exceeds the running max over all CHEAPER
+    // prices. The window runs over |distinct prices| aggregated rows, not
+    // parts; ties on (price, max size) are all non-dominated and kept via
+    // the count.
+    "q_pareto_frontier" -> { (s, dir) =>
+      val pts = Tables.part(s, dir)
+        .select(floor(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("size"))
+      val perPrice = pts
+        .groupBy(col("price_cents"))
+        .agg(max(col("size")).as("max_size"))
+      val nAt = pts.groupBy(col("price_cents"), col("size").as("max_size"))
+        .agg(count(lit(1)).as("n_parts"))
+      perPrice
+        .withColumn("prev_max", max(col("max_size")).over(
+          Window.orderBy(col("price_cents"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("prev_max").isNull || col("max_size") > col("prev_max"))
+        .join(nAt, Seq("price_cents", "max_size"))
+        .select(col("price_cents"), col("max_size").as("size"), col("n_parts"))
+        .orderBy("price_cents")
     }
   )
 
@@ -2945,7 +2998,31 @@ object RelationalQueries {
       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum FROM daily, st), " +
       "rk AS (SELECT epoch_day, cusum, row_number() OVER " +
       "(ORDER BY abs(cusum) DESC, epoch_day) AS rank FROM c) " +
-      "SELECT rank, epoch_day, cusum FROM rk WHERE rank <= 5 ORDER BY rank")
+      "SELECT rank, epoch_day, cusum FROM rk WHERE rank <= 5 ORDER BY rank"),
+
+    // same exact LOO algebra; group sums CAST back from HUGEINT
+    "q_target_encoding" -> ("WITH oc AS (SELECT o_orderkey, c_mktsegment AS seg, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+      "g AS (SELECT seg, count(*) AS n_g, CAST(sum(cents) AS BIGINT) AS s_g " +
+      "FROM oc GROUP BY 1) " +
+      "SELECT o_orderkey, seg, cents, s_g - cents AS loo_num, n_g - 1 AS loo_den, " +
+      "(s_g - cents)::DOUBLE / (n_g - 1)::DOUBLE AS loo_cents " +
+      "FROM oc JOIN g USING (seg) ORDER BY o_orderkey"),
+
+    // same per-price collapse then strict running-max cut; the tie count
+    // joins back on (price, max size)
+    "q_pareto_frontier" -> ("WITH pts AS (SELECT " +
+      "CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents, " +
+      "CAST(p_size AS BIGINT) AS size FROM part), " +
+      "pp AS (SELECT price_cents, max(size) AS max_size FROM pts GROUP BY 1), " +
+      "na AS (SELECT price_cents, size AS max_size, count(*) AS n_parts " +
+      "FROM pts GROUP BY 1, 2), " +
+      "f AS (SELECT price_cents, max_size, max(max_size) OVER (ORDER BY price_cents " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM pp) " +
+      "SELECT f.price_cents, f.max_size AS size, n_parts FROM f " +
+      "JOIN na ON f.price_cents = na.price_cents AND f.max_size = na.max_size " +
+      "WHERE prev_max IS NULL OR f.max_size > prev_max ORDER BY f.price_cents")
   )
 
   /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the

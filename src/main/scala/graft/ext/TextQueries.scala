@@ -441,6 +441,55 @@ object TextQueries {
         .select(col("bucket"), col("n_docs"), col("n_pass"),
           expr("n_pass * 1000000 DIV n_docs").as("pass_q6"), col("score_q6_sum"))
         .orderBy("bucket")
+    },
+
+    // Precision/recall THRESHOLD SWEEP of the hash classifier against the
+    // Gopher gate label — the full operating-curve companion to
+    // q_calibration (pick the cut BEFORE filtering 100 TB). 21 thresholds
+    // t = (k−10)/10; the predicate compares score·10 > k−10 (one IEEE
+    // multiply of identically-computed doubles — no decimal literals).
+    // One doc-keyed join, one 21-row broadcast, ONE aggregation: every
+    // confusion cell is a conditional count, precision guards its empty
+    // side with a null.
+    "q_pr_curve" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sc = TextOps.classifierScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      val gate = TextOps.gopherGate(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("gk"))
+      val ks = s.range(0, 21).select(col("id").as("k"))
+      sc.join(gate, Seq("doc_id"))
+        .crossJoin(broadcast(ks))
+        .withColumn("pred", (col("score") * 10.0 > (col("k") - 10).cast("double"))
+          .cast("long"))
+        .groupBy(col("k"))
+        .agg(
+          sum(col("pred") * col("gk")).as("tp"),
+          sum(col("pred") * (lit(1L) - col("gk"))).as("fp"),
+          sum((lit(1L) - col("pred")) * col("gk")).as("fn"),
+          sum((lit(1L) - col("pred")) * (lit(1L) - col("gk"))).as("tn"))
+        .select(col("k"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 DIV nullif(tp + fp, 0)").as("prec_q6"),
+          expr("tp * 1000000 DIV nullif(tp + fn, 0)").as("rec_q6"))
+        .orderBy("k")
+    },
+
+    // Hashing-trick (Weinberger et al. 2009) bag-of-words features: each
+    // token lands in bucket md5(w) mod 256 with a ±1 sign drawn from the
+    // next hash bit, summed per (doc, bucket) — the fixed-width sparse
+    // feature map a linear classifier trains on without a vocabulary
+    // table. One tokenize explode + ONE hash aggregation with map-side
+    // combine; output is corpus-sparse (only touched buckets emit).
+    "q_feature_hashing" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), Dedup.md5Long(col("w")).as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(256L)).as("bucket"),
+          when(pmod(expr("h DIV 256"), lit(2L)) === 0L, 1L)
+            .otherwise(-1L).as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("weight"), count(lit(1)).as("n_terms"))
+        .orderBy("doc_id", "bucket")
     }
   )
 
@@ -806,7 +855,38 @@ object TextQueries {
       "count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_pass, " +
       "CAST(sum(keep) AS BIGINT) * 1000000 // count(*) AS pass_q6, " +
       "CAST(sum(CAST(floor(score * 1e6) AS BIGINT)) AS BIGINT) AS score_q6_sum " +
-      "FROM sc JOIN gk USING (doc_id) GROUP BY 1 ORDER BY 1")
+      "FROM sc JOIN gk USING (doc_id) GROUP BY 1 ORDER BY 1"),
+
+    // same score·10 > k−10 predicate (no decimal literals — DuckDB bare
+    // decimals type DECIMAL and poison double math), same nullif guards
+    "q_pr_curve" -> (s"WITH gk AS ($GateKeepSql), " +
+      s"tok AS (SELECT doc_id, unnest($Toks) AS w FROM documents), " +
+      "sc0 AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "sc AS (SELECT d.doc_id, coalesce(ws::DOUBLE / (n * 500), 0.0) AS score " +
+      "FROM documents d LEFT JOIN sc0 USING (doc_id)), " +
+      "j AS (SELECT k, CASE WHEN score * CAST(10 AS DOUBLE) > (k - 10)::DOUBLE " +
+      "THEN 1 ELSE 0 END AS pred, keep AS gk FROM sc JOIN gk USING (doc_id) " +
+      "CROSS JOIN generate_series(0, 20) AS g(k)) " +
+      "SELECT k, CAST(sum(pred * gk) AS BIGINT) AS tp, " +
+      "CAST(sum(pred * (1 - gk)) AS BIGINT) AS fp, " +
+      "CAST(sum((1 - pred) * gk) AS BIGINT) AS fn, " +
+      "CAST(sum((1 - pred) * (1 - gk)) AS BIGINT) AS tn, " +
+      "CAST(sum(pred * gk) AS BIGINT) * 1000000 " +
+      "// nullif(CAST(sum(pred) AS BIGINT), 0) AS prec_q6, " +
+      "CAST(sum(pred * gk) AS BIGINT) * 1000000 " +
+      "// nullif(CAST(sum(gk) AS BIGINT), 0) AS rec_q6 " +
+      "FROM j GROUP BY 1 ORDER BY 1"),
+
+    // identical md5 bucket/sign split: low 8 bits bucket, 9th bit sign
+    "q_feature_hashing" -> (s"WITH tok AS (SELECT doc_id, unnest($Toks) AS w " +
+      "FROM documents), " +
+      "h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok) " +
+      "SELECT doc_id, hv % 256 AS bucket, " +
+      "CAST(sum(CASE WHEN (hv // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight, " +
+      "count(*) AS n_terms " +
+      "FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket")
   )
 
   /** Per-doc integer gate statistics over `documents` — the inner

@@ -994,4 +994,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"score and label meet on doc_id equi-joins:\n$p")
   }
+
+  test("q_target_encoding: 5-row group sums broadcast back; no serializing window") {
+    val p = plan("q_target_encoding")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the segment aggregate must broadcast onto the fact side:\n$p")
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Window"),
+      s"a segment-partitioned window would serialize the facts into 5 partitions:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all joins are keyed:\n$p")
+  }
+
+  test("q_pareto_frontier: global window runs over the per-price aggregate") {
+    val p = plan("q_pareto_frontier")
+    assert(count(p, "Scan parquet") == 2,
+      s"one pass per collapse (max-size and tie-count), nothing per-point:\n$p")
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    val globIdx = p.indexOf("Exchange SinglePartition")
+    assert(aggIdx >= 0 && globIdx >= 0 && globIdx < aggIdx,
+      s"the running-max scan must consume the |prices|-sized aggregate:\n$p")
+  }
+
+  test("q_pr_curve: one aggregation over the threshold-expanded frame") {
+    val p = plan("q_pr_curve")
+    assert(!p.contains("CartesianProduct"),
+      s"the 21-row threshold frame must broadcast, not cartesian:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"confusion counts need partial+final aggregation:\n$p")
+  }
+
+  test("q_feature_hashing: map-only explode into one combining aggregation") {
+    val p = plan("q_feature_hashing")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Generate") == 1, s"tokenize exactly once:\n$p")
+    assert(!p.contains("Join"), s"feature hashing is join-free:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"the shuffle must carry (doc, bucket) partials, not token rows:\n$p")
+  }
 }

@@ -658,4 +658,46 @@ class RelationalSpec extends SparkSpec {
     // the LAST cumulative value is exactly zero by construction: Σ(n·x−S)=0
     assert(cusum.last._2 == 0L)
   }
+
+  test("q_target_encoding: LOO recomputes exactly and excludes the own row") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_target_encoding")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    val bySeg = rows.groupBy(_._2)
+    bySeg.foreach { case (seg, rs) =>
+      val n = rs.length.toLong
+      val s = rs.map(_._3).sum
+      rs.foreach { case (ok, _, cents, num, den, loo) =>
+        assert(num == s - cents, s"seg=$seg order=$ok")
+        assert(den == n - 1)
+        assert(loo == num.toDouble / den.toDouble)
+      }
+      // leakage check: an extreme row's own value must not move its code —
+      // the max row's LOO mean is strictly below the plain group mean
+      val maxRow = rs.maxBy(_._3)
+      assert(maxRow._6 < s.toDouble / n, s"seg=$seg: LOO failed to exclude the max row")
+    }
+  }
+
+  test("q_pareto_frontier: kept points are mutually non-dominated and complete") {
+    val dir = "/root/testdata/sf0.001"
+    val pts = Tables.part(spark, dir)
+      .select(floor(col("p_retailprice") * 100).cast("long"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = graft.SparkEntry.queries("q_pareto_frontier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    def dominated(p: (Long, Long)) = pts.exists(q =>
+      q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2))
+    // soundness: every emitted (price, size) is an actual non-dominated point
+    got.foreach { case (pc, sz, n) =>
+      assert(pts.count(p => p._1 == pc && p._2 == sz) == n.toInt)
+      assert(!dominated((pc, sz)), s"($pc, $sz) is dominated")
+    }
+    // completeness: every non-dominated input point is emitted
+    val frontierPts = pts.filter(p => !dominated(p)).distinct.sorted.toSeq
+    assert(got.map(r => (r._1, r._2)).sorted.toSeq == frontierPts)
+  }
 }

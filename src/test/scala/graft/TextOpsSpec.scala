@@ -382,4 +382,48 @@ class TextOpsSpec extends SparkSpec {
       assert(scoreSum <= (bucket + 1) * 200000L * nDocs - 1000000L * nDocs)
     }
   }
+
+  test("q_pr_curve: confusion cells conserve, recall anti-monotone in the threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_pr_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 21)
+    val nDocs = Tables.documents(spark, dir).count()
+    val nPos = rows.head._2 + rows.head._4 // tp + fn is threshold-free
+    rows.foreach { case (k, tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn == nDocs, s"k=$k cells must partition the corpus")
+      assert(tp + fn == nPos, s"k=$k actual-positive margin must be constant")
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"k=${b._1}: tp/fp grew on a stricter cut")
+      case _ =>
+    }
+    // the extreme cuts: score·10 > 10 is impossible (score ≤ 1) ⇒ nothing
+    // predicted positive at k=20
+    assert(rows.last._2 == 0L && rows.last._3 == 0L)
+  }
+
+  test("q_feature_hashing: bucket masses conserve tokens, weights bounded by parity") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_feature_hashing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bucket, weight, nTerms) =>
+      assert(bucket >= 0 && bucket < 256)
+      assert(math.abs(weight) <= nTerms)
+      // each term contributes ±1: the weight and the term count share parity
+      assert(((weight % 2) + 2) % 2 == nTerms % 2)
+    }
+    // per-doc term masses must sum to the doc's token count
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    perDoc.foreach { case (doc, n) => assert(n == toks(doc), s"doc=$doc") }
+    // signs must actually split — an all-positive hash would be a sign bug
+    assert(rows.exists(_._3 < 0))
+  }
 }
