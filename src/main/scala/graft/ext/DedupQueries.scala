@@ -53,6 +53,19 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // MOSS winnowing ([[Dedup.winnowingPairs]]): pairs sharing ≥ 3
+    // winnowed fingerprints (3-gram hashes, window w=4, rightmost-min
+    // selection). The index the join runs on is ~2/(w+1) the size of the
+    // full posting list — the substring-overlap detector that ships at
+    // corpus scale. Any shared run of ≥ w+n−1 = 6 tokens is guaranteed a
+    // shared fingerprint.
+    "q_dedup_winnowing" -> { (s, dir) =>
+      Dedup
+        .winnowingPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, w = 4,
+          minShared = 3L)
+        .orderBy("a", "b")
+    },
+
     // Directional CONTAINMENT pairs (3-gram shingles, max-direction ≥ 0.8)
     // — the asymmetric near-dup detector: a short doc embedded in a long
     // one passes containment while its Jaccard stays low. Same bucketed
@@ -349,6 +362,27 @@ object DedupQueries {
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // identical lag-window minimum, rightmost-tie CASE probing the
+    // current slot first, and distinct (pos, hash) selection
+    "q_dedup_winnowing" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      "posg AS (SELECT doc_id, u['pos'] AS pos, " +
+      "('0x' || substr(md5(u['s']), 1, 15))::BIGINT AS h FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2), " +
+      "i -> {'pos': i - 1, 's': t[i] || ' ' || t[i+1] || ' ' || t[i+2]})) AS u " +
+      "FROM toks WHERE len(t) >= 3)), " +
+      "wl AS (SELECT doc_id, pos, h, lag(h, 1) OVER win AS h1, " +
+      "lag(h, 2) OVER win AS h2, lag(h, 3) OVER win AS h3 FROM posg " +
+      "WINDOW win AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "sel AS (SELECT DISTINCT doc_id, CASE WHEN h = mn THEN pos " +
+      "WHEN h1 = mn THEN pos - 1 WHEN h2 = mn THEN pos - 2 ELSE pos - 3 END AS fp_pos, " +
+      "mn AS h FROM (SELECT *, least(h, h1, h2, h3) AS mn FROM wl WHERE h3 IS NOT NULL)), " +
+      "fp AS (SELECT DISTINCT doc_id, h FROM sel), " +
+      "fsz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1), " +
+      "p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared FROM fp x " +
+      "JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      "SELECT a, b, shared, sa.n_fp AS na, sb.n_fp AS nb FROM p " +
+      "JOIN fsz sa ON a = sa.doc_id JOIN fsz sb ON b = sb.doc_id " +
+      "WHERE shared >= 3 ORDER BY a, b"),
     // the direct UNCAPPED recompute over post0 — the prefix filter is a
     // candidate-generation optimization and must not change the answer
     "q_dedup_prefix_filter" -> (s"WITH $WithShingles, $Post0, " +

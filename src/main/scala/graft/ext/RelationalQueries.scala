@@ -2090,6 +2090,62 @@ object RelationalQueries {
         .join(nAt, Seq("price_cents", "max_size"))
         .select(col("price_cents"), col("max_size").as("size"), col("n_parts"))
         .orderBy("price_cents")
+    },
+
+    // Gap-fill with LINEAR INTERPOLATION (vs q_gapfill's zero-fill): each
+    // missing day bucket gets the straight line between its neighboring
+    // known values, edges extrapolate flat. Interpolation is the exact
+    // integer quotient (pv·(nb−b) + nv·(b−pb))·10⁶ DIV (nb−pb) — all
+    // operands non-negative BIGINTs. The carry-forward/backward windows
+    // use ignore-nulls last/first over the per-type spine — |days|-sized
+    // frames keyed by the low-cardinality type, never the raw events.
+    "q_gapfill_interp" -> { (s, dir) =>
+      val b = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val bounds = b.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      val spine = b.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(86400L))).as("bucket"))
+      val wPrev = Window.partitionBy("event_type").orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("event_type").orderBy(col("bucket"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      spine
+        .join(b, Seq("event_type", "bucket"), "left")
+        .withColumn("pv", last(col("cnt"), ignoreNulls = true).over(wPrev))
+        .withColumn("pb", last(when(col("cnt").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("cnt"), ignoreNulls = true).over(wNext))
+        .withColumn("nb", first(when(col("cnt").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("bucket"),
+          col("cnt").isNotNull.cast("long").as("known"),
+          when(col("cnt").isNotNull, col("cnt") * 1000000L)
+            .when(col("pv").isNull, col("nv") * 1000000L)
+            .when(col("nv").isNull, col("pv") * 1000000L)
+            .otherwise(expr(
+              "(pv * (nb - bucket) + nv * (bucket - pb)) * 1000000 DIV (nb - pb)"))
+            .as("interp_q6"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Benford first-digit audit of order totals — the classic fabricated-
+    // numbers screen a data-quality pass runs on money columns. The first
+    // digit comes from the DECIMAL STRING of the exact cents integer
+    // (log10 would hit libm at power-of-ten boundaries and is banned);
+    // shares are ×10⁶ truncating quotients over the 9-row aggregate.
+    "q_benford_digits" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .groupBy(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .select(col("digit"), col("n"), expr("n * 1000000 DIV total").as("share_q6"))
+        .orderBy("digit")
     }
   )
 
@@ -3022,7 +3078,43 @@ object RelationalQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM pp) " +
       "SELECT f.price_cents, f.max_size AS size, n_parts FROM f " +
       "JOIN na ON f.price_cents = na.price_cents AND f.max_size = na.max_size " +
-      "WHERE prev_max IS NULL OR f.max_size > prev_max ORDER BY f.price_cents")
+      "WHERE prev_max IS NULL OR f.max_size > prev_max ORDER BY f.price_cents"),
+
+    // same ignore-nulls carry windows over the same spine and the same
+    // exact integer interpolation quotient
+    "q_gapfill_interp" -> ("WITH b AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) * 86400 AS BIGINT) AS bucket, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+      "spine AS (SELECT event_type, unnest(generate_series(lo, hi, 86400)) AS bucket " +
+      "FROM (SELECT DISTINCT event_type FROM b), " +
+      "(SELECT min(bucket) AS lo, max(bucket) AS hi FROM b)), " +
+      "j AS (SELECT s.event_type, s.bucket, b.cnt FROM spine s " +
+      "LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket), " +
+      "f AS (SELECT event_type, bucket, cnt, " +
+      "last_value(cnt IGNORE NULLS) OVER wp AS pv, " +
+      "last_value(CASE WHEN cnt IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb, " +
+      "first_value(cnt IGNORE NULLS) OVER wn AS nv, " +
+      "first_value(CASE WHEN cnt IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nb " +
+      "FROM j WINDOW " +
+      "wp AS (PARTITION BY event_type ORDER BY bucket " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+      "wn AS (PARTITION BY event_type ORDER BY bucket " +
+      "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) " +
+      "SELECT event_type, bucket, " +
+      "CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END AS known, " +
+      "CASE WHEN cnt IS NOT NULL THEN cnt * 1000000 " +
+      "WHEN pv IS NULL THEN nv * 1000000 WHEN nv IS NULL THEN pv * 1000000 " +
+      "ELSE (pv * (nb - bucket) + nv * (bucket - pb)) * 1000000 // (nb - pb) END " +
+      "AS interp_q6 FROM f ORDER BY event_type, bucket"),
+
+    // same exact-cents decimal-string first digit — no log10 anywhere
+    "q_benford_digits" -> ("WITH c AS (SELECT " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders " +
+      "WHERE floor(o_totalprice * 100) > 0), " +
+      "d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, count(*) AS n " +
+      "FROM c GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d) " +
+      "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit")
   )
 
   /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the

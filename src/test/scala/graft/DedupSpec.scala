@@ -394,4 +394,53 @@ class DedupSpec extends SparkSpec {
     assert(pf.length == 190)
     assert(pf.forall(_._3 == 1.0))
   }
+
+  test("winnowing: coverage law — no window of w grams lacks a selection") {
+    // the winnowing guarantee: every w-window contains a selected
+    // fingerprint, so consecutive selected positions are ≤ w apart and the
+    // first/last selections sit within the first/last windows
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (n, w) = (3, 4)
+    val byDoc = Dedup.winnowedFingerprints(docs, "doc_id", "text", n, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(byDoc.nonEmpty)
+    val gramCounts = Dedup.posShingleRows(docs, "doc_id", "text", n)
+      .groupBy("doc").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    byDoc.foreach { case (doc, ps) =>
+      val g = gramCounts(doc)
+      assert(ps.head <= w - 1, s"doc=$doc first window uncovered")
+      assert(ps.last >= g - w, s"doc=$doc last window uncovered")
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= w, s"doc=$doc gap ${b - a} > $w")
+        case _ =>
+      }
+    }
+    // docs with ≥ w+n-1 tokens but selections always ≪ grams: density < 1
+    val dense = byDoc.map { case (d, ps) => ps.length.toDouble / gramCounts(d) }
+    assert(dense.forall(_ <= 1.0) && dense.exists(_ < 0.7))
+  }
+
+  test("winnowingPairs: identical docs share every fingerprint; guarantee run detected") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),
+      // doc 3 embeds a 6-token run from base (w+n-1 = 6 ⇒ guaranteed hit)
+      (3L, "one two three alpha beta gamma delta epsilon zeta nine ten"),
+      (4L, "completely different words with zero overlap here present")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", n = 3, w = 4, minShared = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // identical docs: shared == both set sizes
+    val (s12, n1, n2) = pairs((1L, 2L))
+    assert(n1 == n2 && s12 == n1)
+    // the embedded run shares at least one fingerprint with both copies
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    // the disjoint doc shares nothing
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
 }

@@ -1022,6 +1022,34 @@ class PlanSpec extends SparkSpec {
       s"confusion counts need partial+final aggregation:\n$p")
   }
 
+  test("q_dedup_winnowing: one tokenize in the index build; self-join keyed") {
+    // the pairs query materializes the winnowed index once (checkpoint),
+    // so the tokenize law is pinned on the index builder's lazy plan
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pIdx = graft.ext.Dedup.winnowedFingerprints(docs, "doc_id", "text", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(count(pIdx, "Generate") == 1,
+      s"posexplode once — lag windows must not re-tokenize:\n$pIdx")
+    val p = plan("q_dedup_winnowing")
+    assert(p.contains("SortMergeJoin"), s"the winnowed-index self-join is keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"never all-pairs:\n$p")
+  }
+
+  test("q_gapfill_interp: carry windows partition by type; joins keyed") {
+    val p = plan("q_gapfill_interp")
+    assert(!p.contains("CartesianProduct"), s"only the 1-row bounds frame broadcasts:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"interpolation rides window carries, not joins per gap:\n$p")
+  }
+
+  test("q_benford_digits: one scan, digit aggregation combines map-side") {
+    val p = plan("q_benford_digits")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"the total rides a window over 9 rows:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"digit counts need a partial/final split:\n$p")
+  }
+
   test("q_feature_hashing: map-only explode into one combining aggregation") {
     val p = plan("q_feature_hashing")
     assert(count(p, "Scan parquet") == 1)

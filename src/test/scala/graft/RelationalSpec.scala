@@ -700,4 +700,63 @@ class RelationalSpec extends SparkSpec {
     val frontierPts = pts.filter(p => !dominated(p)).distinct.sorted.toSeq
     assert(got.map(r => (r._1, r._2)).sorted.toSeq == frontierPts)
   }
+
+  test("q_gapfill_interp: knowns exact, gaps on the integer line between neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_gapfill_interp")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val known = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    // the spine is dense: same bucket set for every type, step 86400
+    val byType = got.groupBy(_._1._1)
+    val spines = byType.values.map(_.map(_._1._2).sorted.toSeq).toSet
+    assert(spines.size == 1)
+    spines.head.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a == 86400L)
+      case _ =>
+    }
+    got.foreach { case ((t, bkt), (k, q6)) =>
+      known.get((t, bkt)) match {
+        case Some(c) => assert(k == 1L && q6 == c * 1000000L, s"$t@$bkt")
+        case None =>
+          assert(k == 0L)
+          val ks = known.keys.filter(_._1 == t).map(_._2)
+          val prev = ks.filter(_ < bkt)
+          val next = ks.filter(_ > bkt)
+          val want =
+            if (prev.isEmpty) known((t, next.min)) * 1000000L
+            else if (next.isEmpty) known((t, prev.max)) * 1000000L
+            else {
+              val (pb, nb) = (prev.max, next.min)
+              val (pv, nv) = (known((t, pb)), known((t, nb)))
+              (pv * (nb - bkt) + nv * (bkt - pb)) * 1000000L / (nb - pb)
+            }
+          assert(q6 == want, s"$t@$bkt")
+      }
+    }
+  }
+
+  test("q_benford_digits: digits partition positive totals, shares recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_benford_digits")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nPos = Tables.orders(spark, dir)
+      .filter(floor(col("o_totalprice") * 100) > 0).count()
+    assert(rows.map(_._2).sum == nPos)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (d, n, q6) =>
+      assert(d.length == 1 && d >= "1" && d <= "9")
+      assert(q6 == n * 1000000L / total)
+    }
+    // exact cross-check of one digit against a string recompute
+    val d1 = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .collect().count(_.getLong(0).toString.startsWith("1"))
+    assert(rows.find(_._1 == "1").map(_._2).contains(d1.toLong))
+  }
 }
