@@ -1104,4 +1104,63 @@ object Relational {
         expr("pair_cnt * 1000000 DIV cnt_b").as("conf_ba_q6"),
         expr("pair_cnt * n_tx * 1000000 DIV (cnt_a * cnt_b)").as("lift_q6"))
   }
+
+  /** Clamped running balance — the operator class plain window algebra
+    * CANNOT express: b₀ = 0, bᵢ = max(0, bᵢ₋₁ + Δᵢ) per key in a total
+    * order. The clamp makes each step depend on the post-clamp previous
+    * state (inventory that can't go negative, credit that can't overdraw,
+    * a token bucket), so no prefix-sum/window rewrite exists — this is the
+    * batch twin of the streaming mapGroupsWithState operators.
+    *
+    * Scale shape — the canonical Spark idiom for per-key sequential scans:
+    * ONE hash repartition on the key, a per-partition sort on
+    * (key, sort₁, sort₂) (spillable, no per-key memory materialization —
+    * unlike groupByKey+flatMapGroups which buffers a whole group), then a
+    * single-pass `mapPartitions` fold that carries (balance, clamps) and
+    * emits on key change. Each key lives in exactly one partition, so the
+    * fold is sequential per key and parallel across keys.
+    *
+    * Returns (key, balance, n_clamps, n_rows): final balance, how often
+    * the clamp fired, and the fold length. All-integer state ⇒ bit-exact.
+    */
+  def clampedBalance(
+      df: DataFrame,
+      keyCol: String,
+      sort1: String,
+      sort2: String,
+      deltaCol: String): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    df.select(col(keyCol).cast("long"), col(sort1).cast("long"),
+        col(sort2).cast("long"), col(deltaCol).cast("long"))
+      .toDF("k", "s1", "s2", "delta")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "s1", "s2")
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var cur = Option.empty[(Long, Long, Long, Long)] // k, bal, clamps, n
+          private var pending = Option.empty[(Long, Long, Long, Long)]
+          private def step(): Unit = {
+            while (pending.isEmpty && rows.hasNext) {
+              val (k, _, _, d) = rows.next()
+              cur match {
+                case Some((ck, bal, cl, n)) if ck == k =>
+                  val nb = bal + d
+                  cur = Some((ck, math.max(0L, nb), cl + (if (nb < 0L) 1L else 0L), n + 1))
+                case other =>
+                  pending = other // finished key (or None at the very start)
+                  cur = Some((k, math.max(0L, d), if (d < 0L) 1L else 0L, 1L))
+              }
+            }
+            if (pending.isEmpty && !rows.hasNext) { pending = cur; cur = None }
+          }
+          override def hasNext: Boolean = { step(); pending.nonEmpty }
+          override def next(): (Long, Long, Long, Long) = {
+            step(); val out = pending.get; pending = None; out
+          }
+        }
+      }
+      .toDF("k", "balance", "n_clamps", "n_rows")
+  }
 }

@@ -2146,6 +2146,25 @@ object RelationalQueries {
         .withColumn("total", sum(col("n")).over(Window.partitionBy()))
         .select(col("digit"), col("n"), expr("n * 1000000 DIV total").as("share_q6"))
         .orderBy("digit")
+    },
+
+    // Clamped per-user credit balance ([[Relational.clampedBalance]]):
+    // purchases add their cents, errors cost a flat 500, the balance never
+    // goes below zero — the stateful sequential recurrence (inventory /
+    // token-bucket class) that NO window rewrite expresses, run as one
+    // repartition + per-partition sort + single-pass fold. Oracle = a
+    // DuckDB recursive CTE stepping the identical recurrence.
+    "q_clamped_balance" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), secs(col("ts")).as("ts_s"), col("event_id"),
+          when(col("event_type") === "purchase",
+            floor(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+            .otherwise(lit(-500L)).as("delta"))
+      Relational
+        .clampedBalance(e, "user_id", "ts_s", "event_id", "delta")
+        .select(col("k").as("user_id"), col("balance"), col("n_clamps"), col("n_rows"))
+        .orderBy("user_id")
     }
   )
 
@@ -3114,7 +3133,27 @@ object RelationalQueries {
       "d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, count(*) AS n " +
       "FROM c GROUP BY 1), " +
       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d) " +
-      "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit")
+      "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit"),
+
+    // the identical recurrence stepped by a recursive CTE: the frontier is
+    // one row per user per step, joined to the rn+1 event
+    "q_clamped_balance" -> ("WITH RECURSIVE e AS (SELECT user_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, event_id, " +
+      "CASE WHEN event_type = 'purchase' " +
+      "THEN CAST(floor(coalesce(value, 0) * 100) AS BIGINT) ELSE -500 END AS delta " +
+      "FROM events WHERE event_type IN ('purchase', 'error')), " +
+      "r AS (SELECT user_id, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts_s, event_id) AS rn, delta FROM e), " +
+      "rec(user_id, rn, bal, clamps) AS (" +
+      "SELECT user_id, rn, greatest(0, delta), " +
+      "CASE WHEN delta < 0 THEN 1 ELSE 0 END FROM r WHERE rn = 1 " +
+      "UNION ALL SELECT r.user_id, r.rn, greatest(0, rec.bal + r.delta), " +
+      "rec.clamps + CASE WHEN rec.bal + r.delta < 0 THEN 1 ELSE 0 END " +
+      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1), " +
+      "f AS (SELECT user_id, max(rn) AS n_rows FROM r GROUP BY 1) " +
+      "SELECT rec.user_id, CAST(bal AS BIGINT) AS balance, " +
+      "CAST(clamps AS BIGINT) AS n_clamps, n_rows FROM rec " +
+      "JOIN f ON rec.user_id = f.user_id AND rec.rn = f.n_rows ORDER BY rec.user_id")
   )
 
   /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the

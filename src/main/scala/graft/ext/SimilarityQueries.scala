@@ -137,6 +137,36 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF nprobe TUNING SWEEP — the recall-vs-probe-budget table an
+    // operator reads before fixing nprobe for a 100 TB corpus: recall@5
+    // against brute force at nprobe ∈ {1..4}, aggregated over the 10
+    // probe queries. Runs on a SAMPLE by construction (tuning queries
+    // always do); each run is the q_ann_ivf plan, the exact baseline is
+    // computed once, and recall is an integer quotient of hit counts.
+    "q_ivf_nprobe_sweep" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("id") < NCells)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val probes = v.filter(col("id") < 10)
+      val exact = Similarity.bruteForceTopK(probes, v, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val runs = (1 to 4).map { np =>
+        Similarity.ivfTopK(probes, v, cent, NCells, nprobe = np, k = 5)
+          .select(lit(np.toLong).as("nprobe"), col("query_id"),
+            col("neighbor_id"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      exact
+        .crossJoin(broadcast(s.range(1, 5).select(col("id").as("nprobe"))))
+        .join(runs, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("nprobe"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000 DIV n_truth").as("recall_q6"))
+        .orderBy("nprobe")
+    },
+
     // Product-quantization ADC top-5: codebooks from the first 16 corpus
     // vectors (iters=0 — the deterministic stand-in that keeps encode +
     // LUT scoring bit-reproducible in the oracle, like q_ann_ivf's
@@ -573,6 +603,40 @@ object SimilarityQueries {
       "CAST(floor(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / 5) AS BIGINT) AS recall_q6 " +
       "FROM ex e LEFT JOIN ann a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id " +
       "GROUP BY 1 ORDER BY 1"
+    },
+    // shared cell CTEs materialized once; per-nprobe candidate sets are
+    // the SAME ranked probe frame filtered at rn ≤ np
+    "q_ivf_nprobe_sweep" -> {
+      val perNp = (1 to 4).map { np =>
+        s"s$np AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, " +
+          s"${cosSql("q.vec", "c.vec")} AS cos FROM qc q JOIN ccell c " +
+          s"ON q.cell = c.cell AND q.id != c.id WHERE q.rn <= $np), " +
+          s"a$np AS (SELECT $np AS nprobe, query_id, neighbor_id FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+          s"ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s$np) WHERE rank <= 5)"
+      }.mkString(", ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+        s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+        "ccell AS MATERIALIZED (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+        s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+        "FROM v, cent c) WHERE rn = 1), " +
+        "qc AS MATERIALIZED (SELECT id, vec, cell, rn FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+        s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+        "FROM v, cent c WHERE v.id < 10) WHERE rn <= 4), " +
+        perNp + ", " +
+        "u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 " +
+        "UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4), " +
+        s"exs AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
+        "FROM v q JOIN v c ON q.id < 10 AND q.id != c.id), " +
+        "ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM exs) WHERE rank <= 5) " +
+        "SELECT g.nprobe, count(*) AS n_truth, " +
+        "CAST(sum(CASE WHEN u.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+        "CAST(sum(CASE WHEN u.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "* 1000000 // count(*) AS recall_q6 " +
+        "FROM ex e CROSS JOIN generate_series(1, 4) AS g(nprobe) " +
+        "LEFT JOIN u ON u.nprobe = g.nprobe AND u.query_id = e.query_id " +
+        "AND u.neighbor_id = e.neighbor_id GROUP BY 1 ORDER BY 1"
     },
     "q_ann_ivf" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +

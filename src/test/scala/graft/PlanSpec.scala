@@ -1050,6 +1050,23 @@ class PlanSpec extends SparkSpec {
       s"digit counts need a partial/final split:\n$p")
   }
 
+  test("q_clamped_balance: one key exchange feeds the partition-sorted fold") {
+    val p = plan("q_clamped_balance")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"exactly the one repartition(k) — the fold itself must not shuffle:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.indexOf("Exchange SinglePartition") >
+      p.indexOf("MapPartitions"),
+      s"the scan is per-key parallel, never globally serialized:\n$p")
+    assert(p.contains("MapPartitions"), s"the recurrence runs in a mapPartitions fold:\n$p")
+    assert(p.contains("Sort ["), s"keys must be contiguous and ordered within partitions:\n$p")
+  }
+
+  test("q_ivf_nprobe_sweep: candidate joins keyed, no cartesian") {
+    val p = plan("q_ivf_nprobe_sweep")
+    assert(!p.contains("CartesianProduct"),
+      s"per-nprobe runs join on (nprobe, query, neighbor):\n$p")
+  }
+
   test("q_feature_hashing: map-only explode into one combining aggregation") {
     val p = plan("q_feature_hashing")
     assert(count(p, "Scan parquet") == 1)

@@ -572,4 +572,25 @@ class SimilaritySpec extends SparkSpec {
         s"id $i: got ${got(i)._2}, expected $expected")
     }
   }
+
+  test("q_ivf_nprobe_sweep: recall is monotone in the probe budget") {
+    val rows = graft.SparkEntry.queries("q_ivf_nprobe_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // truth set is 10 queries × top-5 at every budget
+    assert(rows.forall(_._2 == 50L))
+    // probing MORE cells can only add candidates — hits never decrease
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 >= a._3, s"nprobe=${b._1} lost hits")
+      case _ =>
+    }
+    rows.foreach { case (np, t, h, q6) =>
+      assert(h >= 0 && h <= t)
+      assert(q6 == h * 1000000L / t, s"nprobe=$np")
+    }
+    // the sweep must show an actual tradeoff on the fixture: nprobe=1
+    // misses something, nprobe=4 recovers ground
+    assert(rows.head._3 < rows.last._3)
+  }
 }
