@@ -66,6 +66,47 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Content NOVELTY per document — the corpus-growth audit an
+    // incremental ingest reads: which fraction of each doc's shingles is
+    // FIRST SEEN at this doc (ingest order = doc_id)? A near-total copy of
+    // earlier material scores ~0; fresh content ~10⁶. One shingle-keyed
+    // min aggregation + one posting-keyed join back — corpus-linear, the
+    // same frames the dedup family already exchanges.
+    "q_content_novelty" -> { (s, dir) =>
+      // the posting frame feeds the first-seen aggregate AND the join
+      // back — materialize once so the corpus tokenizes once
+      val post = Dedup.postings(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .localCheckpoint()
+      val first = post.groupBy(col("h")).agg(min(col("doc")).as("first_doc"))
+      post.join(first, Seq("h"))
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("first_doc") === col("doc")).cast("long")).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("n_novel * 1000000 DIV n_shingles").as("novel_q6"))
+        .orderBy("doc_id")
+    },
+
+    // Jaccard THRESHOLD SWEEP: pair counts per similarity band (0.7–0.8,
+    // 0.8–0.9, ≥0.9) plus the cumulative ≥-band count, from ONE pair
+    // computation at the lowest threshold — the table read before fixing
+    // the dedup cut for a corpus (how many pairs does each 0.1 of
+    // threshold add?). Band edges are floor(j·10) of the identical IEEE
+    // quotient, so banding is bit-deterministic.
+    "q_jaccard_threshold_sweep" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Dedup
+        .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.7, maxDf = MaxDf)
+        .groupBy(least(floor(col("jaccard") * 10), lit(9L)).as("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_cum", sum(col("n_pairs")).over(
+          Window.orderBy(col("band").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("band") * 10).as("band_q1"), col("n_pairs"), col("n_cum"))
+        .orderBy("band_q1")
+    },
+
     // Directional CONTAINMENT pairs (3-gram shingles, max-direction ≥ 0.8)
     // — the asymmetric near-dup detector: a short doc embedded in a long
     // one passes containment while its Jaccard stays low. Same bucketed
@@ -362,6 +403,28 @@ object DedupQueries {
       "SELECT a, b, i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS jaccard FROM inter " +
       "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
       "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8 ORDER BY a, b"),
+    // first-seen = min(doc) per shingle hash over the SAME distinct
+    // posting frame; the ratio is a ×10⁶ truncating quotient
+    "q_content_novelty" -> (s"WITH $WithShingles, $Post0, " +
+      "f AS (SELECT h, min(doc) AS first_doc FROM post0 GROUP BY 1) " +
+      "SELECT doc AS doc_id, count(*) AS n_shingles, " +
+      "CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+      "CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS BIGINT) " +
+      "* 1000000 // count(*) AS novel_q6 " +
+      "FROM post0 JOIN f USING (h) GROUP BY 1 ORDER BY 1"),
+    // the ngram-jaccard pair frame at 0.7, banded by floor(j·10) of the
+    // identical IEEE quotient; cumulative over the ≤3-row band frame
+    "q_jaccard_threshold_sweep" -> (s"WITH $WithShingles, $Postings, " +
+      "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "pj AS (SELECT i::DOUBLE / (sa.n_sh + sb.n_sh - i) AS j FROM inter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.7), " +
+      "bd AS (SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS band, " +
+      "count(*) AS n_pairs FROM pj GROUP BY 1) " +
+      "SELECT band * 10 AS band_q1, n_pairs, " +
+      "CAST(sum(n_pairs) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS n_cum FROM bd ORDER BY band_q1"),
     // identical lag-window minimum, rightmost-tie CASE probing the
     // current slot first, and distinct (pos, hash) selection
     "q_dedup_winnowing" -> (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +

@@ -141,6 +141,28 @@ object MultimodalQueries {
         .orderBy("id", "frame_idx")
     },
 
+    // Scene-cut detection over DECODED video frames: a cut is a
+    // luminance jump ≥ 100 between adjacent frames — the frame-sampling
+    // primitive a video-training pipeline uses to pick one keyframe per
+    // shot instead of near-identical neighbors. Composes the real MJPEG
+    // pixel decode with one per-video lag window (frames of one video
+    // co-reside by construction, so the window never crosses executors at
+    // any corpus size). Oracle recomputes lumas closed-form from the
+    // synthetic generator and applies the identical lag.
+    "q_media_scene_cuts" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("id").orderBy("frame_idx")
+      Multimodal
+        .decodeVideoFrames(Multimodal.syntheticMjpegMedia(Tables.documents(s, dir)))
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("lumaQ").as("luma_q"))
+        .withColumn("prev_luma", lag(col("luma_q"), 1).over(w))
+        .filter(col("prev_luma").isNotNull)
+        .withColumn("delta", abs(col("luma_q") - col("prev_luma")))
+        .filter(col("delta") >= 100)
+        .select(col("id"), col("frame_idx"), col("prev_luma"), col("luma_q"), col("delta"))
+        .orderBy("id", "frame_idx")
+    },
+
     // Image near-dup via perceptual dHash ([[Multimodal.imageDHash]]): real
     // PNG decode → 16-bucket luminance pooling → adjacent-bucket comparison
     // bits (integer cross-multiplication, no float divide — every bit
@@ -264,6 +286,19 @@ object MultimodalQueries {
       "CAST(16 * (1 + (doc_id + f) % 13) + 8 AS INTEGER) AS luma_q " +
       "FROM documents CROSS JOIN generate_series(0, 3) AS g(f) " +
       "WHERE f <= 1 + doc_id % 3 " +
+      "ORDER BY id, frame_idx"),
+    // the q_media_video_frame closed-form lumas under the identical lag
+    "q_media_scene_cuts" -> ("WITH fr AS (SELECT doc_id AS id, " +
+      "CAST(f AS INTEGER) AS frame_idx, " +
+      "CAST(16 * (1 + (doc_id + f) % 13) + 8 AS INTEGER) AS luma_q " +
+      "FROM documents CROSS JOIN generate_series(0, 3) AS g(f) " +
+      "WHERE f <= 1 + doc_id % 3), " +
+      "l AS (SELECT id, frame_idx, " +
+      "lag(luma_q) OVER (PARTITION BY id ORDER BY frame_idx) AS prev_luma, luma_q " +
+      "FROM fr) " +
+      "SELECT id, frame_idx, prev_luma, luma_q, " +
+      "abs(luma_q - prev_luma) AS delta FROM l " +
+      "WHERE prev_luma IS NOT NULL AND abs(luma_q - prev_luma) >= 100 " +
       "ORDER BY id, frame_idx"),
     // dHash bits recomputed closed-form: per-bucket integer sums/counts
     // over the generator's pixels (16 flat-index buckets, same pooling as

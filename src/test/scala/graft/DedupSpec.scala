@@ -443,4 +443,44 @@ class DedupSpec extends SparkSpec {
     // the disjoint doc shares nothing
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
+
+  test("q_content_novelty: copies score zero, first-seen masses telescope") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // 3 shingles, all first-seen here
+      (2L, "a b c d e"), // exact copy: novelty 0
+      (3L, "a b c x y z") // shares "a b c", adds 3 new shingles of 4
+    ).toDF("doc_id", "text")
+    // route through the same operator the declared query uses
+    val post = Dedup.postings(docs, "doc_id", "text", n = 3)
+    val first = post.groupBy(col("h")).agg(min(col("doc")).as("first_doc"))
+    val got = post.join(first, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("first_doc") === col("doc")).cast("long")).as("n_novel"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 3L)))
+    assert(got(2L) == ((3L, 0L)))
+    assert(got(3L) == ((4L, 3L)))
+    // telescoping: novel shingles across docs = distinct shingles in corpus
+    assert(got.values.map(_._2).sum == post.select("h").distinct().count())
+  }
+
+  test("q_jaccard_threshold_sweep: cumulative counts telescope onto the 0.8 pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_jaccard_threshold_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 >= 70 && r._1 <= 90))
+    // n_cum at band b = Σ n_pairs of bands ≥ b
+    rows.foreach { case (b, _, cum) =>
+      assert(cum == rows.filter(_._1 >= b).map(_._2).sum, s"band $b")
+    }
+    // the ≥0.8 cumulative must equal the declared 0.8-threshold pair count
+    val n08 = Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 1000).count()
+    val cum80 = rows.filter(_._1 >= 80).map(_._2).sum
+    assert(cum80 == n08)
+  }
 }

@@ -434,4 +434,27 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L), "identical images must share a bucket")
     assert(hashes(1L) != hashes(3L), "different layout must split buckets")
   }
+
+  test("q_media_scene_cuts: cuts land exactly on the generator's luma wraps") {
+    // luma(f) = 16·(1 + (id+f) % 13) + 8 steps by 16 except at the %13
+    // wrap, where it plunges by 16·12 = 192 — the only |Δ| ≥ 100. So the
+    // REAL decode pipeline must flag exactly the frames with
+    // (id+f) % 13 == 0, f ≥ 1.
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_media_scene_cuts")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val ids = graft.Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val want = for {
+      id <- ids
+      f <- 1 to (1 + (id % 3)).toInt
+      if (id + f) % 13 == 0
+    } yield (id, f)
+    assert(got.map(r => (r._1, r._2)).sorted.toSeq == want.sorted.toSeq)
+    got.foreach { case (id, f, prev, cur, delta) =>
+      assert(prev == 16 * (1 + ((id + f - 1) % 13)).toInt + 8)
+      assert(cur == 16 * (1 + ((id + f) % 13)).toInt + 8)
+      assert(delta == 192, s"only the wrap clears the threshold, got $delta")
+    }
+  }
 }
