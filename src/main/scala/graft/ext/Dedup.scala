@@ -1074,7 +1074,12 @@ object Dedup {
       tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
-    val post0 = hashedPostings(docs, idCol, textCol, n)
+    // the posting frame feeds sizes, document frequencies, the prefix
+    // ranking, AND both verification arms — materialize it once (the
+    // jaccardPairs Intermediate contract; unmaterialized, every arm
+    // re-tokenizes the corpus: measured 5.6 s → this was the single most
+    // expensive declared query at sf0.1)
+    val post0 = hashedPostings(docs, idCol, textCol, n).localCheckpoint()
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val dfreq = post0.groupBy("h").agg(count(lit(1)).as("df"))
     // global total order (df asc, h asc): rarest shingles first, ties broken
