@@ -2165,6 +2165,65 @@ object RelationalQueries {
         .clampedBalance(e, "user_id", "ts_s", "event_id", "delta")
         .select(col("k").as("user_id"), col("balance"), col("n_clamps"), col("n_rows"))
         .orderBy("user_id")
+    },
+
+    // ABC (80/15/5) revenue concentration classes over parts — the
+    // inventory-analytics rollup: rank parts by revenue, classify by
+    // cumulative share with INTEGER cross-multiplied boundaries (cum·100 ≤
+    // total·80), roll up per class. The global-order window runs over the
+    // per-part AGGREGATE (dimension-sized at any corpus scale — the fact
+    // table never sees a global order).
+    "q_abc_analysis" -> { (s, dir) =>
+      val perPart = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val wCum = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      perPart
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("total", sum(col("cents")).over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cls_cents"),
+          max(col("total")).as("_t"))
+        .select(col("cls"), col("n_parts"), col("cls_cents"),
+          expr("cls_cents * 1000000 DIV _t").as("share_q6"))
+        .orderBy("cls")
+    },
+
+    // Temporal churn-label construction — the leakage-safe training-table
+    // builder: features counted STRICTLY BEFORE the cutoff (30-day
+    // window), the label (any purchase) strictly on-or-after within ONE
+    // day — sized to the fixture's event cadence so both label values
+    // actually occur (a 30-day label window saturates to all-1 here); the
+    // cutoff is the deterministic midpoint of the event-time span
+    // (broadcast 1-row aggregate). One conditional-aggregation pass per
+    // user — the pattern that generalizes to any (feature window, label
+    // window) pair without a self-join.
+    "q_churn_labels" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), secs(col("ts")).as("s"), col("event_type"))
+      val cut = e.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+        .select(expr("(lo + hi) DIV 2").as("t"))
+      val day30 = 30L * 86400L
+      e.crossJoin(broadcast(cut))
+        .withColumn("feat", col("s") >= col("t") - day30 && col("s") < col("t"))
+        .withColumn("lab", col("s") >= col("t") && col("s") < col("t") + 86400L)
+        .groupBy(col("user_id"))
+        .agg(
+          sum((col("feat") && col("event_type") === "click").cast("long")).as("f_clicks"),
+          sum((col("feat") && col("event_type") === "view").cast("long")).as("f_views"),
+          sum((col("feat") && col("event_type") === "error").cast("long")).as("f_errors"),
+          sum(col("feat").cast("long")).as("f_events"),
+          max((col("lab") && col("event_type") === "purchase").cast("long")).as("label"))
+        .filter(col("f_events") > 0)
+        .select(col("user_id"), col("f_clicks"), col("f_views"), col("f_errors"),
+          col("f_events"), col("label"))
+        .orderBy("user_id")
     }
   )
 
@@ -3153,7 +3212,44 @@ object RelationalQueries {
       "f AS (SELECT user_id, max(rn) AS n_rows FROM r GROUP BY 1) " +
       "SELECT rec.user_id, CAST(bal AS BIGINT) AS balance, " +
       "CAST(clamps AS BIGINT) AS n_clamps, n_rows FROM rec " +
-      "JOIN f ON rec.user_id = f.user_id AND rec.rn = f.n_rows ORDER BY rec.user_id")
+      "JOIN f ON rec.user_id = f.user_id AND rec.rn = f.n_rows ORDER BY rec.user_id"),
+
+    // same integer cross-multiplied class boundaries over the same
+    // (cents desc, partkey) total order
+    "q_abc_analysis" -> ("WITH pp AS (SELECT l_partkey, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM lineitem GROUP BY 1), " +
+      "r AS (SELECT l_partkey, cents, " +
+      "CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+      "CAST(sum(cents) OVER () AS BIGINT) AS total FROM pp), " +
+      "c AS (SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A' " +
+      "WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls, " +
+      "cents, total FROM r) " +
+      "SELECT cls, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS cls_cents, " +
+      "CAST(sum(cents) AS BIGINT) * 1000000 // max(total) AS share_q6 " +
+      "FROM c GROUP BY 1 ORDER BY 1"),
+
+    // same midpoint cutoff and strict window boundaries
+    "q_churn_labels" -> ("WITH e AS (SELECT user_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s, event_type " +
+      "FROM events), " +
+      "cut AS (SELECT (min(s) + max(s)) // 2 AS t FROM e), " +
+      "j AS (SELECT user_id, event_type, " +
+      "CASE WHEN s >= t - 2592000 AND s < t THEN 1 ELSE 0 END AS feat, " +
+      "CASE WHEN s >= t AND s < t + 86400 THEN 1 ELSE 0 END AS lab " +
+      "FROM e, cut) " +
+      "SELECT user_id, " +
+      "CAST(sum(CASE WHEN feat = 1 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS f_clicks, " +
+      "CAST(sum(CASE WHEN feat = 1 AND event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS f_views, " +
+      "CAST(sum(CASE WHEN feat = 1 AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS f_errors, " +
+      "CAST(sum(feat) AS BIGINT) AS f_events, " +
+      "CAST(max(CASE WHEN lab = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS label " +
+      "FROM j GROUP BY 1 HAVING CAST(sum(feat) AS BIGINT) > 0 ORDER BY user_id")
   )
 
   /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the

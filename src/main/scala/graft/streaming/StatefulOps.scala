@@ -382,4 +382,50 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  final case class BalanceInput(key: String, seqA: Long, seqB: Long, delta: Long)
+  final case class BalanceState(balance: Long, clamps: Long, rows: Long)
+  final case class BalanceRow(
+      key: String,
+      seqA: Long,
+      seqB: Long,
+      balance: Long,
+      nClamps: Long,
+      nRows: Long)
+
+  /** Streaming twin of [[graft.ext.Relational.clampedBalance]] — the
+    * clamped recurrence bᵢ = max(0, bᵢ₋₁ + Δᵢ) held as per-key state
+    * across micro-batches (a token bucket / never-negative inventory that
+    * survives restarts via the checkpoint). Emits the post-update balance
+    * per event.
+    *
+    * State is three longs per key, FOREVER — constant, unlike windowed
+    * aggregations whose state tracks open windows. Within a micro-batch
+    * rows apply in (seqA, seqB) order, so the output is batching-invariant
+    * for in-order feeds: one batch or many, the same prefix of events
+    * yields the same balances (the batch operator is the oracle —
+    * StatefulOpsSpec pins parity with `Relational.clampedBalance` and
+    * replay stability across uneven batch splits).
+    */
+  def clampedBalances(rows: Dataset[BalanceInput]): Dataset[BalanceRow] = {
+    implicit val outEnc = Encoders.product[BalanceRow]
+    implicit val stateEnc = Encoders.product[BalanceState]
+    implicit val keyEnc = Encoders.STRING
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BalanceInput], state: GroupState[BalanceState]) =>
+          var st = state.getOption.getOrElse(BalanceState(0L, 0L, 0L))
+          val out = it.toSeq.sortBy(r => (r.seqA, r.seqB)).map { r =>
+            val nb = st.balance + r.delta
+            st = BalanceState(
+              math.max(0L, nb),
+              st.clamps + (if (nb < 0L) 1L else 0L),
+              st.rows + 1L)
+            BalanceRow(key, r.seqA, r.seqB, st.balance, st.clamps, st.rows)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1061,6 +1061,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort ["), s"keys must be contiguous and ordered within partitions:\n$p")
   }
 
+  test("q_abc_analysis: global order runs over the part aggregate, one fact scan") {
+    val p = plan("q_abc_analysis")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"classification is window algebra:\n$p")
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    val globIdx = p.indexOf("Exchange SinglePartition")
+    assert(aggIdx >= 0 && globIdx >= 0 && globIdx < aggIdx,
+      s"the cumulative window must consume the per-part aggregate:\n$p")
+  }
+
+  test("q_churn_labels: one pass, cutoff broadcast, no self-join") {
+    val p = plan("q_churn_labels")
+    assert(count(p, "Scan parquet") == 2,
+      s"one scan for the cutoff bound, one for the labeled pass — never per-window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row cutoff frame broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"feature/label windows are conditional aggregates, not a self-join:\n$p")
+  }
+
   test("q_ivf_nprobe_sweep: candidate joins keyed, no cartesian") {
     val p = plan("q_ivf_nprobe_sweep")
     assert(!p.contains("CartesianProduct"),

@@ -799,4 +799,53 @@ class RelationalSpec extends SparkSpec {
     // the clamp must actually engage somewhere, or the fixture proves nothing
     assert(want.values.exists(_._2 > 0))
   }
+
+  test("q_abc_analysis: classes partition parts and shares recompose the total") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_abc_analysis")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("A", "B", "C"))
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == perPart.length)
+    val total = perPart.map(_._2).sum
+    assert(rows.map(_._3).sum == total)
+    // driver-side reclassification along the same total order
+    val sorted = perPart.sortBy(p => (-p._2, p._1))
+    val classes = sorted.scanLeft(0L)(_ + _._2).tail.map { cum =>
+      if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+    }
+    val want = classes.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == want)
+    // intensity law (holds on ANY distribution since A takes the top
+    // ranks): revenue per part is non-increasing A → B → C
+    val m = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("A")._2 * m("B")._1 >= m("B")._2 * m("A")._1)
+    assert(m("B")._2 * m("C")._1 >= m("C")._2 * m("B")._1)
+  }
+
+  test("q_churn_labels: windows are strict and labels come only from the future side") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_churn_labels")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val t = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val d = 30L * 86400L
+    val want = ev.groupBy(_._1).flatMap { case (u, rs) =>
+      val feat = rs.filter(r => r._2 >= t - d && r._2 < t)
+      val lab = rs.exists(r => r._2 >= t && r._2 < t + 86400L && r._3 == "purchase")
+      if (feat.isEmpty) None
+      else Some(u -> ((feat.count(_._3 == "click").toLong, feat.count(_._3 == "view").toLong,
+        feat.count(_._3 == "error").toLong, feat.length.toLong, if (lab) 1L else 0L)))
+    }
+    assert(got == want)
+    // both label values must occur or the training table is degenerate
+    assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
+  }
 }

@@ -339,4 +339,38 @@ class StatefulOpsSpec extends SparkSpec {
     val const = run(Seq((0L to 5L).map(i => (i, 42L))), "mad3")
     assert(const.forall(f => !f.isAnomaly && f.medQ == 42L && f.madQ == 0L))
   }
+
+  test("clampedBalances: batch parity, clamp accounting, split-invariant state") {
+    import graft.streaming.StatefulOps.{BalanceInput, BalanceRow}
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(batches: Seq[Seq[BalanceInput]], name: String): Seq[BalanceRow] = {
+      val mem = MemoryStream[BalanceInput]
+      val q = StatefulOps.clampedBalances(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[BalanceRow].collect().toSeq
+          .sortBy(r => (r.key, r.seqA, r.seqB))
+      } finally q.stop()
+    }
+
+    // the hand fixture from the batch spec: key u1 clamps once mid-stream
+    val events = Seq(
+      BalanceInput("u1", 1, 1, 5), BalanceInput("u1", 2, 1, -3),
+      BalanceInput("u1", 3, 1, -10), BalanceInput("u1", 4, 1, 4),
+      BalanceInput("u2", 1, 1, -1), BalanceInput("u2", 2, 1, 7))
+    val oneShot = run(Seq(events), "bal1")
+    // final rows match the BATCH operator exactly (the oracle of the twin)
+    val finals = oneShot.groupBy(_.key).map { case (k, rs) =>
+      val last = rs.maxBy(_.nRows); k -> ((last.balance, last.nClamps, last.nRows))
+    }
+    assert(finals == Map("u1" -> ((4L, 1L, 4L)), "u2" -> ((7L, 1L, 2L))))
+    // the running trajectory is the clamped recurrence, event by event
+    assert(oneShot.filter(_.key == "u1").map(_.balance) == Seq(5L, 2L, 0L, 4L))
+
+    // state survives micro-batch boundaries: 3 uneven splits ≡ one batch
+    val split = run(Seq(events.take(2), events.slice(2, 5), events.drop(5)), "bal2")
+    assert(split == oneShot, "micro-batch boundaries must not move any balance")
+  }
 }
