@@ -400,6 +400,59 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // QUALITY-AWARE near-dup survivor selection — q_dedup_keep keeps each
+    // cluster's min-id member; production (FineWeb-style) keeps the
+    // HIGHEST-QUALITY member. Clusters from the same Jaccard pair frame,
+    // quality = the hashed classifier score quantized to an integer so
+    // the argmax order (score_q6 desc, doc_id) is fully deterministic;
+    // singletons pass through untouched. One cluster-keyed window over
+    // the pair-scale label frame + a broadcast anti-join for singletons —
+    // the corpus never shuffles.
+    "q_dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+      val lab = Curation.connectedComponents(pairs)
+        .select(col("doc").as("doc_id"), col("cluster"))
+        .localCheckpoint()
+      val sc = TextOps.classifierScores(d, "doc_id", "text")
+        .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("score_q6"))
+      val w = Window.partitionBy("cluster").orderBy(col("score_q6").desc, col("doc_id"))
+      val best = lab
+        .join(sc, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("score_q6"))
+      val singles = sc.join(broadcast(lab.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      best.unionByName(singles).orderBy("doc_id")
+    },
+
+    // Deterministic NEGATIVE-PAIR sampling for contrastive training: the
+    // 50 docs with the smallest md5(id‖'L') hashes cross the 50 smallest
+    // md5(id‖'R') hashes (a ≤ 2500-pair frame BOUNDED at any corpus
+    // size — sample-then-pair, never corpus²), minus any pair the
+    // near-dup detector links (those would be false negatives). Hash-rank
+    // selection is retry-stable and oracle-replayable — no RNG state.
+    "q_negative_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      def side(tag: String) = d
+        .select(col("doc_id"),
+          Dedup.md5Long(concat(col("doc_id").cast("string"), lit(tag))).as("h"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"))
+      val dup = Dedup.jaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
+        .select(col("a"), col("b"))
+      side("L").select(col("doc_id").as("a"))
+        .crossJoin(broadcast(side("R").select(col("doc_id").as("b"))))
+        .filter(col("a") < col("b"))
+        .join(broadcast(dup), Seq("a", "b"), "left_anti")
+        .orderBy("a", "b")
+    },
+
     // Fixed-window chunking with stride (200-char chunks every 150 chars —
     // 50-char overlap), the embedding-pipeline shape; chunk text emitted as
     // md5 (full-content parity without wide rows).
@@ -747,6 +800,39 @@ object CurationQueries {
     "q_dedup_keep" -> (s"WITH RECURSIVE $ClusterCtes " +
       "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT doc FROM labels WHERE doc != cluster) ORDER BY doc_id"),
+    // same clusters, same quantized classifier score, same
+    // (score desc, doc) argmax; singletons via NOT IN
+    "q_dedup_keep_best" -> (s"WITH RECURSIVE $ClusterCtes, " +
+      s"ktok AS (SELECT doc_id, unnest(${TextQueries.Toks}) AS kw FROM documents), " +
+      "ksc0 AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(kw), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM ktok GROUP BY 1), " +
+      "scq AS (SELECT d.doc_id, " +
+      "CAST(floor(coalesce(ws::DOUBLE / (n * 500), 0.0) * 1e6) AS BIGINT) AS score_q6 " +
+      "FROM documents d LEFT JOIN ksc0 USING (doc_id)), " +
+      "best AS (SELECT doc_id, score_q6 FROM (SELECT l.doc AS doc_id, score_q6, " +
+      "row_number() OVER (PARTITION BY cluster ORDER BY score_q6 DESC, l.doc) AS rn " +
+      "FROM labels l JOIN scq ON l.doc = scq.doc_id) WHERE rn = 1) " +
+      "SELECT doc_id, score_q6 FROM best " +
+      "UNION ALL SELECT doc_id, score_q6 FROM scq " +
+      "WHERE doc_id NOT IN (SELECT doc FROM labels) ORDER BY doc_id"),
+    // same hash-rank sides, same bounded cross, same near-dup exclusion
+    "q_negative_pairs" -> (s"WITH ${DedupQueries.WithShingles}, ${DedupQueries.Postings}, " +
+      "ninter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
+      "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2), " +
+      "dup AS (SELECT a, b FROM ninter " +
+      "JOIN sz sa ON a = sa.doc JOIN sz sb ON b = sb.doc " +
+      "WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.8), " +
+      "ls AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY " +
+      "('0x' || substr(md5(doc_id::VARCHAR || 'L'), 1, 15))::BIGINT, doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 50), " +
+      "rs AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY " +
+      "('0x' || substr(md5(doc_id::VARCHAR || 'R'), 1, 15))::BIGINT, doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 50) " +
+      "SELECT ls.doc_id AS a, rs.doc_id AS b FROM ls CROSS JOIN rs " +
+      "WHERE ls.doc_id < rs.doc_id AND NOT EXISTS " +
+      "(SELECT 1 FROM dup WHERE dup.a = ls.doc_id AND dup.b = rs.doc_id) " +
+      "ORDER BY a, b"),
     // same last-start arithmetic as the engine: greatest(ceil((n-len)/stride), 0)
     "q_chunk_text" -> ("WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
       "idx AS (SELECT doc_id, text, unnest(generate_series(0, " +

@@ -347,6 +347,71 @@ object Multimodal {
     }
   }
 
+  /** One ViT-style patch: grid cell (pr, pc), its pixel count (edge
+    * patches are ragged when dims don't divide), and the exact luminance
+    * sum — the integer sufficient statistic downstream normalization
+    * derives means from without float drift.
+    */
+  final case class ImagePatch(id: Long, pr: Int, pc: Int, nPix: Long, lumaSum: Long)
+
+  /** Patch-grid extraction over REAL decoded images — the ViT / vision-
+    * encoder data-prep primitive: each image splits into ph×pw cells and
+    * each cell reduces to exact integer (count, luma-sum). Pooling runs
+    * INSIDE the batched decode kernel (one pass over the raster, no
+    * per-pixel rows ever hit Spark); the output is |images|·patches rows —
+    * corpus-linear. Undecodable payloads drop, like every media kernel.
+    */
+  def imagePatches(media: Dataset[MediaRecord], pw: Int, ph: Int, batchSize: Int = 64)
+      : Dataset[ImagePatch] = {
+    require(pw >= 1 && ph >= 1, "patch dims must be positive")
+    implicit val enc = Encoders.product[ImagePatch]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          decodeImage(r.media).toSeq.flatMap { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (pcols, prows) = ((w + pw - 1) / pw, (h + ph - 1) / ph)
+            val sums = new Array[Long](prows * pcols)
+            val counts = new Array[Long](prows * pcols)
+            val lum = new Array[Int](w * h)
+            if (img.getRaster.getNumBands == 1) {
+              img.getRaster.getSamples(0, 0, w, h, 0, lum)
+            } else {
+              var i = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  lum(i) =
+                    (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+                  i += 1; x += 1
+                }
+                y += 1
+              }
+            }
+            var y = 0
+            var i = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val cell = (y / ph) * pcols + (x / pw)
+                sums(cell) += lum(i); counts(cell) += 1
+                i += 1; x += 1
+              }
+              y += 1
+            }
+            (0 until prows * pcols).map { c =>
+              ImagePatch(r.id, c / pcols, c % pcols, counts(c), sums(c))
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ---- real JDK audio kernels ---------------------------------------------
 
   /** Decoded PCM audio: sample count, rate, and the signed-sample sum —

@@ -178,6 +178,22 @@ object MultimodalQueries {
         .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("dhash"))))
         .select(col("id"), col("dhash"), col("bucket_n"))
         .orderBy("id")
+    },
+
+    // ViT-style 4×4 patch grid over REAL decoded PNGs
+    // ([[Multimodal.imagePatches]]): per patch the exact integer
+    // (pixel count, luma sum) plus the truncating mean — pooling runs
+    // inside the batched decode kernel, so per-pixel rows never hit
+    // Spark and the output is |images|·patches rows. Oracle recomputes
+    // the pooling closed-form from the pixel generator.
+    "q_media_patches" -> { (s, dir) =>
+      Multimodal
+        .imagePatches(Multimodal.syntheticPngMedia(Tables.documents(s, dir)), pw = 4, ph = 4)
+        .toDF
+        .select(col("id"), col("pr"), col("pc"), col("nPix").as("n_pix"),
+          col("lumaSum").as("luma_sum"),
+          expr("lumaSum DIV nPix").as("mean_q"))
+        .orderBy("id", "pr", "pc")
     }
   )
 
@@ -319,6 +335,17 @@ object MultimodalQueries {
       "j -> CASE WHEN ss[j] * cs[j + 1] > ss[j + 1] * cs[j] " +
       "THEN 1 << (j - 1) ELSE 0 END)) AS BIGINT) AS dhash FROM agg) " +
       "SELECT id, dhash, count(*) OVER (PARTITION BY dhash) AS bucket_n " +
-      "FROM h ORDER BY id")
+      "FROM h ORDER BY id"),
+    // same generator pixels pooled into the same ragged 4×4 grid
+    "q_media_patches" -> ("WITH g AS (SELECT doc_id, " +
+      "CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(8 + doc_id % 7 AS BIGINT) AS h " +
+      "FROM documents), " +
+      "px AS (SELECT doc_id, i // w AS y, i % w AS x, " +
+      "(doc_id * 31 + (i // w) * 16 + (i % w) * 7) % 256 AS v " +
+      "FROM (SELECT doc_id, w, unnest(generate_series(0, w * h - 1)) AS i FROM g)) " +
+      "SELECT doc_id AS id, CAST(y // 4 AS INTEGER) AS pr, CAST(x // 4 AS INTEGER) AS pc, " +
+      "count(*) AS n_pix, CAST(sum(v) AS BIGINT) AS luma_sum, " +
+      "CAST(sum(v) AS BIGINT) // count(*) AS mean_q " +
+      "FROM px GROUP BY 1, 2, 3 ORDER BY id, pr, pc")
   )
 }

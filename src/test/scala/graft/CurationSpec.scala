@@ -416,4 +416,48 @@ class CurationSpec extends SparkSpec {
     // α=1 shares: 100/120, 16/120, 4/120 at q6 floor
     assert(big._1 == 833333L && mid._1 == 133333L && tiny._1 == 33333L)
   }
+
+  test("q_dedup_keep_best: one max-quality survivor per cluster, singletons intact") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.SparkEntry.queries("q_dedup_keep_best")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.ext.Dedup.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8, maxDf = 1000)
+    val lab = Curation.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scores = graft.ext.TextOps
+      .classifierScores(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = lab.groupBy(_._2)
+    // exactly one survivor per cluster, and it is the (q6 desc, id) argmax
+    byCluster.foreach { case (c, members) =>
+      val ids = members.map(_._1)
+      val surv = ids.filter(kept.contains)
+      assert(surv.length == 1, s"cluster $c: ${surv.length} survivors")
+      val want = ids.map(id => (id, scores(id))).minBy { case (id, q) => (-q, id) }._1
+      assert(surv.head == want, s"cluster $c kept ${surv.head}, best is $want")
+    }
+    // singletons (never in any cluster) all survive with their own score
+    val clustered = lab.map(_._1).toSet
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(kept.size == (nDocs - clustered.size) + byCluster.size)
+    kept.foreach { case (id, q) => assert(q == scores(id)) }
+  }
+
+  test("q_negative_pairs: bounded, deterministic, disjoint from near-dups") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.SparkEntry.queries("q_negative_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run()
+    assert(got.nonEmpty && got.size <= 2500)
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.distinct.size == got.size)
+    // re-running yields byte-identical pairs — no RNG state anywhere
+    assert(run() == got)
+    val dups = graft.ext.Dedup.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", n = 3, threshold = 0.8, maxDf = 1000)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(p => !dups.contains(p)), "a near-dup pair is a false negative")
+  }
 }

@@ -457,4 +457,28 @@ class MultimodalSpec extends SparkSpec {
       assert(delta == 192, s"only the wrap clears the threshold, got $delta")
     }
   }
+
+  test("imagePatches: ragged 4x4 grid pools exactly, pixels conserve") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 6×6 gradient: pixel(x,y) = y*6 + x, patches (2×2 grid, ragged edges)
+    val png = Multimodal.grayPng(6, 6, (x, y) => y * 6 + x)
+    val ds = Seq(
+      Multimodal.MediaRecord(7L, png, Multimodal.MediaMeta("png", 6, 6, 0L)),
+      Multimodal.MediaRecord(8L, "junk".getBytes, Multimodal.MediaMeta("bin", 0, 0, 0L))
+    ).toDS()
+    val got = Multimodal.imagePatches(ds, pw = 4, ph = 4).collect()
+      .map(p => (p.id, p.pr, p.pc) -> ((p.nPix, p.lumaSum))).toMap
+    assert(got.keys.forall(_._1 == 7L), "junk payload must drop")
+    assert(got.size == 4)
+    def sumOf(xs: Range, ys: Range) =
+      (for { y <- ys; x <- xs } yield y * 6 + x).map(_.toLong).sum
+    assert(got((7L, 0, 0)) == ((16L, sumOf(0 until 4, 0 until 4))))
+    assert(got((7L, 0, 1)) == ((8L, sumOf(4 until 6, 0 until 4))))
+    assert(got((7L, 1, 0)) == ((8L, sumOf(0 until 4, 4 until 6))))
+    assert(got((7L, 1, 1)) == ((4L, sumOf(4 until 6, 4 until 6))))
+    // conservation: patch masses recompose the full image
+    assert(got.values.map(_._1).sum == 36L)
+    assert(got.values.map(_._2).sum == (0 until 36).map(_.toLong).sum)
+  }
 }

@@ -1080,6 +1080,26 @@ class PlanSpec extends SparkSpec {
       s"feature/label windows are conditional aggregates, not a self-join:\n$p")
   }
 
+  test("q_media_patches: pooling stays inside the decode kernel, no joins") {
+    val p = plan("q_media_patches")
+    assert(p.contains("MapPartitions"), s"patch pooling runs in the batched kernel:\n$p")
+    assert(!p.contains("Join"), s"per-pixel rows must never hit Spark operators:\n$p")
+  }
+
+  test("q_dedup_keep_best: cluster argmax windows the label frame, corpus never shuffles") {
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("CartesianProduct"), s"all joins keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pair-scale label frame broadcasts into the singleton anti-join:\n$p")
+  }
+
+  test("q_negative_pairs: bounded 50x50 cross, near-dup anti-join broadcast") {
+    val p = plan("q_negative_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"the bounded cross rides a broadcast, never a corpus cartesian:\n$p")
+    assert(p.contains("LeftAnti"), s"near-dups must leave via an anti-join:\n$p")
+  }
+
   test("q_ivf_nprobe_sweep: candidate joins keyed, no cartesian") {
     val p = plan("q_ivf_nprobe_sweep")
     assert(!p.contains("CartesianProduct"),
