@@ -2167,6 +2167,71 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // MERGEABLE quantile sketch with bounded RELATIVE error, fully
+    // deterministic — the DDSketch idea on decimal-digit buckets so no
+    // libm log ever runs: bucket key = (decimal length, first two digits)
+    // of the exact cents integer (string ops, bit-identical cross-engine);
+    // bucket width/lo ≤ 1/10 ⇒ midpoint estimate within ~5 % relative.
+    // The sketch is a COUNT HISTOGRAM — merging shards is integer
+    // addition, so the declared query builds it twice (direct, and
+    // sharded-then-merged) and both estimates must agree exactly; the
+    // exact percentile rides alongside for the error audit. At 100 TB the
+    // sketch is the only thing that crosses executors: ≤ ~900 counters.
+    "q_mergeable_quantiles" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(col("cents"),
+          length(col("cents").cast("string")).cast("long").as("len"),
+          substring(col("cents").cast("string"), 1, 2).cast("long").as("d2"))
+      val direct = base.groupBy(col("len"), col("d2")).agg(count(lit(1)).as("cnt"))
+      val merged = base
+        .withColumn("shard", pmod(col("cents"), lit(8L)))
+        .groupBy(col("shard"), col("len"), col("d2"))
+        .agg(count(lit(1)).as("c0"))
+        .groupBy(col("len"), col("d2"))
+        .agg(sum(col("c0")).as("cnt"))
+      val exact = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .agg(percentile(col("cents"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ex"))
+        .select(posexplode(col("ex")).as(Seq("i", "exact_cents")))
+        .select((element_at(array(lit(50L), lit(90L), lit(99L)), col("i") + 1)).as("p"),
+          col("exact_cents"))
+      def estimates(sk: DataFrame, name: String): DataFrame = {
+        val wCum = Window.orderBy(col("len"), col("d2"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = sk
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+          // lo/width from decimal strings — repeat('0', len-2) is exact in
+          // both engines where power(10, k) would ride libm
+          .withColumn("lo", when(col("len") === 1, col("d2"))
+            .otherwise(concat(col("d2").cast("string"),
+              expr("repeat('0', len - 2)")).cast("long")))
+          .withColumn("width", when(col("len") === 1, lit(1L))
+            .otherwise(concat(lit("1"), expr("repeat('0', len - 2)")).cast("long")))
+        val ps = s.range(1, 4)
+          .select(element_at(array(lit(50L), lit(90L), lit(99L)),
+            col("id").cast("int")).as("p"))
+        ps.crossJoin(cum)
+          .withColumn("r", expr("(n * p + 99) DIV 100"))
+          .filter(col("cum") >= col("r"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p").orderBy(col("len"), col("d2"))))
+          .filter(col("rn") === 1)
+          .select(col("p"), col("n"),
+            (col("lo") + expr("width DIV 2")).as(name))
+      }
+      estimates(direct, "est_direct")
+        .join(estimates(merged, "est_merged").drop("n"), Seq("p"))
+        .join(exact, Seq("p"))
+        .select(col("p"), col("n"), col("est_direct"), col("est_merged"),
+          col("exact_cents"))
+        .orderBy("p")
+    },
+
     // ABC (80/15/5) revenue concentration classes over parts — the
     // inventory-analytics rollup: rank parts by revenue, classify by
     // cumulative share with INTEGER cross-multiplied boundaries (cum·100 ≤
@@ -3213,6 +3278,41 @@ object RelationalQueries {
       "SELECT rec.user_id, CAST(bal AS BIGINT) AS balance, " +
       "CAST(clamps AS BIGINT) AS n_clamps, n_rows FROM rec " +
       "JOIN f ON rec.user_id = f.user_id AND rec.rn = f.n_rows ORDER BY rec.user_id"),
+
+    // same digit buckets, rank walk, and string-built lo/width; the two
+    // sketch paths must agree exactly — merging is integer addition
+    "q_mergeable_quantiles" -> {
+      def walk(sk: String, alias: String) =
+        s"cum_$alias AS (SELECT len, d2, " +
+          s"CAST(sum(cnt) OVER (ORDER BY len, d2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+          s"FROM $sk), " +
+          s"n_$alias AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM $sk), " +
+          s"walk_$alias AS (SELECT p, n, len, d2, " +
+          s"row_number() OVER (PARTITION BY p ORDER BY len, d2) AS rn " +
+          s"FROM pd, n_$alias, cum_$alias WHERE cum >= (n * p + 99) // 100), " +
+          s"est_$alias AS (SELECT p, n, " +
+          "CASE WHEN len = 1 THEN d2 ELSE " +
+          "CAST(d2::VARCHAR || repeat('0', CAST(len - 2 AS INTEGER)) AS BIGINT) END + " +
+          "CASE WHEN len = 1 THEN 1 ELSE " +
+          "CAST('1' || repeat('0', CAST(len - 2 AS INTEGER)) AS BIGINT) END // 2 " +
+          s"AS $alias FROM walk_$alias WHERE rn = 1)"
+      "WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM orders WHERE floor(o_totalprice * 100) > 0), " +
+        "b AS (SELECT cents, CAST(length(cents::VARCHAR) AS BIGINT) AS len, " +
+        "CAST(substr(cents::VARCHAR, 1, 2) AS BIGINT) AS d2 FROM c), " +
+        "skd AS (SELECT len, d2, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "skm AS (SELECT len, d2, CAST(sum(c0) AS BIGINT) AS cnt FROM " +
+        "(SELECT cents % 8 AS shard, len, d2, count(*) AS c0 FROM b GROUP BY 1, 2, 3) " +
+        "GROUP BY 1, 2), " +
+        "pd AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p), " +
+        walk("skd", "est_direct") + ", " + walk("skm", "est_merged") + ", " +
+        "ex AS (SELECT 50 AS p, quantile_cont(cents, 0.5) AS exact_cents FROM c " +
+        "UNION ALL SELECT 90, quantile_cont(cents, 0.9) FROM c " +
+        "UNION ALL SELECT 99, quantile_cont(cents, 0.99) FROM c) " +
+        "SELECT d.p, d.n, d.est_direct, m.est_merged, ex.exact_cents " +
+        "FROM est_est_direct d JOIN est_est_merged m ON d.p = m.p " +
+        "JOIN ex ON d.p = ex.p ORDER BY d.p"
+    },
 
     // same integer cross-multiplied class boundaries over the same
     // (cents desc, partkey) total order

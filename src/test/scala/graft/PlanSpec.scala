@@ -1080,6 +1080,14 @@ class PlanSpec extends SparkSpec {
       s"feature/label windows are conditional aggregates, not a self-join:\n$p")
   }
 
+  test("q_mergeable_quantiles: only sketch counters cross the shuffle") {
+    val p = plan("q_mergeable_quantiles")
+    assert(!p.contains("CartesianProduct"),
+      s"the 3-row p frame and ~900-counter sketches are broadcast-scale:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"both sketch builds need partial/final splits — raw cents never shuffle whole:\n$p")
+  }
+
   test("q_media_patches: pooling stays inside the decode kernel, no joins") {
     val p = plan("q_media_patches")
     assert(p.contains("MapPartitions"), s"patch pooling runs in the batched kernel:\n$p")

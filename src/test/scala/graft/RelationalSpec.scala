@@ -848,4 +848,23 @@ class RelationalSpec extends SparkSpec {
     // both label values must occur or the training table is degenerate
     assert(got.values.exists(_._5 == 1L) && got.values.exists(_._5 == 0L))
   }
+
+  test("q_mergeable_quantiles: merge-invariant estimates within the bucket error bound") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_mergeable_quantiles")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    rows.foreach { case (p, n, estD, estM, exact) =>
+      // the mergeability LAW: sharding + integer addition must be invisible
+      assert(estD == estM, s"p=$p: direct $estD != merged $estM")
+      // two-digit buckets ⇒ width/lo ≤ 1/10 ⇒ midpoint within ~5 % relative
+      assert(math.abs(estD - exact) / exact <= 0.06,
+        s"p=$p: est $estD vs exact $exact outside the bucket bound")
+      assert(n > 0 && estD > 0)
+    }
+    // estimates are monotone in p — a walk bug would reorder them
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
 }
