@@ -400,6 +400,33 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // DP-SHAPED noisy release counts — the discrete-Laplace (two-sided
+    // geometric, α = 1/2 ⇒ ε = ln 2) mechanism on sensitivity-1 type
+    // counts, with the noise draw HASH-SEEDED so the release is
+    // reproducible and oracle-checkable (the q_bootstrap_ci precedent:
+    // deterministic draws via md5 + integer inverse-CDF thresholds — a
+    // production deployment swaps in a real RNG without touching the
+    // plan). u = md5(type‖salt) mod 1024 walks the quantized CDF
+    // (P(0)=341/1024, P(±k)=⌊341/2ᵏ⌋ each side, tail mass folded to 0).
+    "q_dp_counts" -> { (s, dir) =>
+      val u = pmod(Dedup.md5Long(concat(col("event_type"), lit("|dp1"))), lit(1024L))
+      val noise =
+        when(u < 341, 0L)
+          .when(u < 512, 1L).when(u < 683, -1L)
+          .when(u < 768, 2L).when(u < 853, -2L)
+          .when(u < 896, 3L).when(u < 939, -3L)
+          .when(u < 960, 4L).when(u < 981, -4L)
+          .when(u < 992, 5L).when(u < 1003, -5L)
+          .when(u < 1008, 6L).when(u < 1013, -6L)
+          .otherwise(0L)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_n"))
+        .select(col("event_type"), col("true_n"), noise.as("noise"),
+          greatest(col("true_n") + noise, lit(0L)).as("noisy_n"))
+        .orderBy("event_type")
+    },
+
     // QUALITY-AWARE near-dup survivor selection — q_dedup_keep keeps each
     // cluster's min-id member; production (FineWeb-style) keeps the
     // HIGHEST-QUALITY member. Clusters from the same Jaccard pair frame,
@@ -800,6 +827,19 @@ object CurationQueries {
     "q_dedup_keep" -> (s"WITH RECURSIVE $ClusterCtes " +
       "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
       "(SELECT doc FROM labels WHERE doc != cluster) ORDER BY doc_id"),
+    // identical md5 seed, CDF thresholds, and non-negativity clamp
+    "q_dp_counts" -> ("WITH t AS (SELECT event_type, count(*) AS true_n, " +
+      "('0x' || substr(md5(event_type || '|dp1'), 1, 15))::BIGINT % 1024 AS u " +
+      "FROM events GROUP BY 1), " +
+      "n AS (SELECT event_type, true_n, CASE " +
+      "WHEN u < 341 THEN 0 WHEN u < 512 THEN 1 WHEN u < 683 THEN -1 " +
+      "WHEN u < 768 THEN 2 WHEN u < 853 THEN -2 WHEN u < 896 THEN 3 " +
+      "WHEN u < 939 THEN -3 WHEN u < 960 THEN 4 WHEN u < 981 THEN -4 " +
+      "WHEN u < 992 THEN 5 WHEN u < 1003 THEN -5 WHEN u < 1008 THEN 6 " +
+      "WHEN u < 1013 THEN -6 ELSE 0 END AS noise FROM t) " +
+      "SELECT event_type, true_n, CAST(noise AS BIGINT) AS noise, " +
+      "greatest(true_n + noise, 0) AS noisy_n FROM n ORDER BY event_type"),
+
     // same clusters, same quantized classifier score, same
     // (score desc, doc) argmax; singletons via NOT IN
     "q_dedup_keep_best" -> (s"WITH RECURSIVE $ClusterCtes, " +

@@ -2148,6 +2148,48 @@ object RelationalQueries {
         .orderBy("digit")
     },
 
+    // SEASONALLY-ADJUSTED anomaly days: MAD outliers of daily revenue
+    // computed WITHIN each weekday group — "high for a Saturday", not
+    // "high in general" (a plain global MAD flags every weekend or none).
+    // Composes the q_weekday_seasonality grouping with the madOutliers
+    // whole-partition window machinery (one dow exchange over the
+    // |days|-sized aggregate; the corpus collapses first).
+    "q_seasonal_outliers" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+        .withColumn("dow", pmod(col("epoch_day") + 3, lit(7)))
+      Relational
+        .madOutliers(daily, Seq("dow"), "day_cents", k = 3.0)
+        .select(col("epoch_day"), col("dow"), col("day_cents"),
+          col("med"), col("mad"), col("is_anomaly"))
+        .orderBy("epoch_day")
+    },
+
+    // Bloom-PREJOIN pruning declared end-to-end: a bloom filter built
+    // from the (dim-scale) high-balance customer keys prunes the event
+    // feed BEFORE the join shuffle — the runtime-filter pattern for
+    // selective fact⋈dim joins; the exact join then re-checks, so bloom
+    // false positives are invisible and the oracle is the PLAIN join
+    // (the physical-choice contract shared with bucketing / salting /
+    // z-order / DPP). At 100 TB the filter is a broadcast Array[Long]
+    // carried by the BloomBitTest expression, plan size flat.
+    "q_bloom_prejoin" -> { (s, dir) =>
+      val rich = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"))
+      val bf = Bloom.broadcastFilter(s,
+        Bloom.build(rich, "c_custkey", numBits = 1 << 16, numHashes = 5))
+      Tables.events(s, dir)
+        .filter(bf.mightContain(col("user_id")))
+        .join(rich, col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(coalesce(col("value"), lit(0.0)) * 1000).cast("long")).as("sum_v_q3"))
+        .orderBy("event_type")
+    },
+
     // Clamped per-user credit balance ([[Relational.clampedBalance]]):
     // purchases add their cents, errors cost a flat 500, the balance never
     // goes below zero — the stateful sequential recurrence (inventory /
@@ -3258,6 +3300,24 @@ object RelationalQueries {
       "FROM c GROUP BY 1), " +
       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d) " +
       "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit"),
+
+    // same per-dow median/MAD from quantile_cont (the q_anomaly_mad
+    // parity) and the identical strict 3·MAD flag
+    "q_seasonal_outliers" -> (DailyCentsCte +
+      ", d2 AS (SELECT epoch_day, (epoch_day + 3) % 7 AS dow, day_cents FROM daily), " +
+      "md AS (SELECT dow, quantile_cont(day_cents, 0.5) AS med FROM d2 GROUP BY 1), " +
+      "a AS (SELECT epoch_day, d2.dow, day_cents, med, " +
+      "abs(day_cents - med) AS ad FROM d2 JOIN md ON d2.dow = md.dow), " +
+      "mm AS (SELECT dow, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1) " +
+      "SELECT epoch_day, a.dow, day_cents, med, mm.mad, " +
+      "(ad > 3 * mm.mad) AS is_anomaly FROM a JOIN mm ON a.dow = mm.dow " +
+      "ORDER BY epoch_day"),
+
+    // the PLAIN join — the bloom prune must be result-invisible
+    "q_bloom_prejoin" -> ("SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CAST(floor(coalesce(value, 0) * 1000) AS BIGINT)) AS BIGINT) AS sum_v_q3 " +
+      "FROM events JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) " +
+      "ON user_id = c_custkey GROUP BY 1 ORDER BY 1"),
 
     // the identical recurrence stepped by a recursive CTE: the frontier is
     // one row per user per step, joined to the rn+1 event

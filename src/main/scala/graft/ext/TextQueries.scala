@@ -474,6 +474,23 @@ object TextQueries {
         .orderBy("k")
     },
 
+    // Active-learning UNCERTAINTY sampling: the 50 docs whose classifier
+    // score sits closest to the decision threshold (|score| minimal) —
+    // the labeling-budget allocator. The global top-k rides
+    // TakeOrderedAndProject (per-partition heads merged), NEVER a global
+    // sort; rank is assigned on the 50-row result.
+    "q_uncertainty_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      TextOps.classifierScores(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("score_q6"))
+        .orderBy(abs(col("score_q6")), col("doc_id"))
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(abs(col("score_q6")), col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("score_q6"))
+        .orderBy("rank")
+    },
+
     // Hashing-trick (Weinberger et al. 2009) bag-of-words features: each
     // token lands in bucket md5(w) mod 256 with a ±1 sign drawn from the
     // next hash bit, summed per (doc, bucket) — the fixed-width sparse
@@ -878,6 +895,19 @@ object TextQueries {
       "CAST(sum(pred * gk) AS BIGINT) * 1000000 " +
       "// nullif(CAST(sum(gk) AS BIGINT), 0) AS rec_q6 " +
       "FROM j GROUP BY 1 ORDER BY 1"),
+
+    // same quantized score, |score| rank, identical tie order
+    "q_uncertainty_sample" -> (s"WITH tok AS (SELECT doc_id, unnest($Toks) AS w " +
+      "FROM documents), " +
+      "sc0 AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM tok GROUP BY 1), " +
+      "scq AS (SELECT d.doc_id, " +
+      "CAST(floor(coalesce(ws::DOUBLE / (n * 500), 0.0) * 1e6) AS BIGINT) AS score_q6 " +
+      "FROM documents d LEFT JOIN sc0 USING (doc_id)) " +
+      "SELECT rank, doc_id, score_q6 FROM (SELECT doc_id, score_q6, " +
+      "row_number() OVER (ORDER BY abs(score_q6), doc_id) AS rank FROM scq) " +
+      "WHERE rank <= 50 ORDER BY rank"),
 
     // identical md5 bucket/sign split: low 8 bits bucket, 9th bit sign
     "q_feature_hashing" -> (s"WITH tok AS (SELECT doc_id, unnest($Toks) AS w " +

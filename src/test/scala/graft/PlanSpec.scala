@@ -1080,6 +1080,34 @@ class PlanSpec extends SparkSpec {
       s"feature/label windows are conditional aggregates, not a self-join:\n$p")
   }
 
+  test("q_seasonal_outliers: corpus collapses before the dow windows") {
+    val p = plan("q_seasonal_outliers")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"median/MAD are whole-partition windows:\n$p")
+    val aggIdx = p.indexOf("Exchange hashpartitioning")
+    assert(aggIdx >= 0, s"the day aggregation must shuffle once:\n$p")
+  }
+
+  test("q_bloom_prejoin: the bloom probe prunes the fact scan side") {
+    val p = plan("q_bloom_prejoin")
+    assert(p.contains("bloom_bit_test"),
+      s"the broadcast-carrier probe must sit in the fact filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the dim join stays keyed:\n$p")
+  }
+
+  test("q_uncertainty_sample: global top-k rides TakeOrdered, never a full sort") {
+    val p = plan("q_uncertainty_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"per-partition heads merge — no corpus-wide sort:\n$p")
+  }
+
+  test("q_dp_counts: one scan, type-keyed aggregation, map-only noise") {
+    val p = plan("q_dp_counts")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join") && !p.contains("Exchange SinglePartition"),
+      s"noise derives from the group key — nothing else moves:\n$p")
+  }
+
   test("q_mergeable_quantiles: only sketch counters cross the shuffle") {
     val p = plan("q_mergeable_quantiles")
     assert(!p.contains("CartesianProduct"),

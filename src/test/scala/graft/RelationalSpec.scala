@@ -867,4 +867,45 @@ class RelationalSpec extends SparkSpec {
     // estimates are monotone in p — a walk bug would reorder them
     assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
   }
+
+  test("q_seasonal_outliers: per-weekday median/MAD recompute, strict flag") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_seasonal_outliers")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // Spark percentile(0.5) interpolation: idx = (n-1)/2 over the sorted values
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    rows.groupBy(_._2).foreach { case (dow, rs) =>
+      val med = median(rs.map(r => r._3.toDouble))
+      val mad = median(rs.map(r => math.abs(r._3.toDouble - med)))
+      rs.foreach { case (day, _, cents, gotMed, gotMad, flag) =>
+        assert(gotMed == med && gotMad == mad, s"dow=$dow day=$day")
+        assert(flag == (math.abs(cents.toDouble - med) > 3.0 * mad), s"day=$day")
+      }
+    }
+    // the seasonal grouping must matter: at least one flag somewhere
+    assert(rows.exists(_._6))
+  }
+
+  test("q_bloom_prejoin: the bloom prune is result-invisible") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_bloom_prejoin")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir).filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey")), col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(coalesce(col("value"), lit(0.0)) * 1000).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+    assert(got.nonEmpty)
+  }
 }

@@ -426,4 +426,35 @@ class TextOpsSpec extends SparkSpec {
     // signs must actually split — an all-positive hash would be a sign bug
     assert(rows.exists(_._3 < 0))
   }
+
+  test("q_uncertainty_sample: the 50 globally closest-to-threshold docs, in order") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_uncertainty_sample")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1 to 50))
+    val all = TextOps.classifierScores(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("q6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = all.sortBy { case (id, q) => (math.abs(q), id) }.take(50)
+      .zipWithIndex.map { case ((id, q), i) => (i + 1, id, q) }.toSeq
+    assert(got.toSeq == want)
+  }
+
+  test("q_dp_counts: noise table bounded, clamp correct, release reproducible") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.SparkEntry.queries("q_dp_counts")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    val trueCounts = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case (t, n, noise, noisy) =>
+      assert(n == trueCounts(t))
+      assert(noise >= -6 && noise <= 6)
+      assert(noisy == math.max(0L, n + noise))
+    }
+    // hash-seeded ⇒ the release is identical on re-run (no RNG state)
+    assert(run() == got)
+    // the mechanism must actually perturb something on 5 types
+    assert(got.exists(r => r._3 != 0))
+  }
 }
