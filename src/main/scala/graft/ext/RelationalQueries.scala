@@ -2148,6 +2148,40 @@ object RelationalQueries {
         .orderBy("digit")
     },
 
+    // Plain-SQL API surface: the same engine drives `spark.sql` text over
+    // registered views — a reference user's raw-SQL workload runs
+    // unchanged (the DataFrame queries and this one share Catalyst, so
+    // parity here proves the SQL front end, not new semantics).
+    "q_sql_interface" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+          "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+          "FROM lineitem_v GROUP BY 1, 2 ORDER BY 1, 2")
+    },
+
+    // Join-key SKEW AUDIT — the diagnostic a pipeline runs BEFORE picking
+    // plain vs salted vs broadcast for a join: per-key counts reduce
+    // map-side, then one tiny pass emits the top-5 heavy keys plus the
+    // skew factor max·n_keys·10⁶ DIV total (1e6 = perfectly uniform).
+    // Only |keys|-sized frames ever shuffle.
+    "q_key_skew_audit" -> { (s, dir) =>
+      val perKey = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = perKey.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"))
+      val top = perKey.orderBy(col("cnt").desc, col("user_id")).limit(5)
+      top
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("user_id"))))
+        .crossJoin(broadcast(stats))
+        .select(col("rank"), col("user_id"), col("cnt"), col("n_keys"), col("total"),
+          col("max_cnt"), expr("max_cnt * n_keys * 1000000 DIV total").as("skew_q6"))
+        .orderBy("rank")
+    },
+
     // SEASONALLY-ADJUSTED anomaly days: MAD outliers of daily revenue
     // computed WITHIN each weekday group — "high for a Saturday", not
     // "high in general" (a plain global MAD flags every weekend or none).
@@ -3300,6 +3334,22 @@ object RelationalQueries {
       "FROM c GROUP BY 1), " +
       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d) " +
       "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit"),
+
+    // byte-identical SQL text modulo the view name
+    "q_sql_interface" -> ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // same top order and integer skew quotient
+    "q_key_skew_audit" -> ("WITH pk AS (SELECT user_id, count(*) AS cnt " +
+      "FROM events GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total, " +
+      "max(cnt) AS max_cnt FROM pk), " +
+      "tp AS (SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rank " +
+      "FROM pk) " +
+      "SELECT rank, user_id, cnt, n_keys, total, max_cnt, " +
+      "max_cnt * n_keys * 1000000 // total AS skew_q6 " +
+      "FROM tp, st WHERE rank <= 5 ORDER BY rank"),
 
     // same per-dow median/MAD from quantile_cont (the q_anomaly_mad
     // parity) and the identical strict 3·MAD flag

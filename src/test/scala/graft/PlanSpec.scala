@@ -1080,6 +1080,15 @@ class PlanSpec extends SparkSpec {
       s"feature/label windows are conditional aggregates, not a self-join:\n$p")
   }
 
+  test("q_key_skew_audit: per-key counts combine map-side; top-5 rides TakeOrdered") {
+    val p = plan("q_key_skew_audit")
+    assert(count(p, "HashAggregate") >= 2,
+      s"key counts need a partial/final split — raw events never shuffle whole:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the heavy-key head merges per partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row stats frame broadcasts:\n$p")
+  }
+
   test("q_seasonal_outliers: corpus collapses before the dow windows") {
     val p = plan("q_seasonal_outliers")
     assert(count(p, "Scan parquet") == 1)
