@@ -2148,6 +2148,29 @@ object RelationalQueries {
         .orderBy("digit")
     },
 
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands via the day − row_number() CONSTANT-GROUP idiom
+    // (consecutive days share the difference; a gap shifts it): one
+    // per-user window over the DISTINCT-day frame, then per-island
+    // aggregation and an argmax. Days-per-user is bounded by the
+    // calendar, so every frame after the distinct is small at any scale.
+    "q_longest_streak" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("streak_days").desc, col("start_day"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_days"), col("start_day"))
+        .orderBy("user_id")
+    },
+
     // Plain-SQL API surface: the same engine drives `spark.sql` text over
     // registered views — a reference user's raw-SQL workload runs
     // unchanged (the DataFrame queries and this one share Catalyst, so
@@ -3334,6 +3357,18 @@ object RelationalQueries {
       "FROM c GROUP BY 1), " +
       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d) " +
       "SELECT digit, n, n * 1000000 // total AS share_q6 FROM d, t ORDER BY digit"),
+
+    // the identical day − row_number island key and argmax tie order
+    "q_longest_streak" -> ("WITH d AS (SELECT DISTINCT user_id, " +
+      "CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day " +
+      "FROM events), " +
+      "g AS (SELECT user_id, day, day - row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY day) AS grp FROM d), " +
+      "i AS (SELECT user_id, grp, count(*) AS streak_days, min(day) AS start_day " +
+      "FROM g GROUP BY 1, 2), " +
+      "r AS (SELECT user_id, streak_days, start_day, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY streak_days DESC, start_day) AS rn FROM i) " +
+      "SELECT user_id, streak_days, start_day FROM r WHERE rn = 1 ORDER BY user_id"),
 
     // byte-identical SQL text modulo the view name
     "q_sql_interface" -> ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +

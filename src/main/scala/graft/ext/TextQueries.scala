@@ -474,6 +474,30 @@ object TextQueries {
         .orderBy("k")
     },
 
+    // Flesch reading-ease scoring — the readability gate (textbook-style
+    // curation filters select by grade band). Sentences = [.!?]+ runs,
+    // syllables = [aeiouy]+ vowel groups: both are INTEGER regex-run
+    // counts, portable Java∩RE2; the score 206.835 − 1.015·w/s − 84.6·y/w
+    // is one fixed expression over exact integers — identical IEEE ops in
+    // both engines. Map-only until nothing (per-doc output).
+    "q_readability" -> { (s, dir) =>
+      val t = lower(col("text"))
+      val words = TextOps.tokenCount(col("text")).cast("long")
+      val sents = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+      val sylls = greatest(
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long"), lit(1L))
+      Tables.documents(s, dir)
+        .filter(TextOps.tokenCount(col("text")) > 0)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          sylls.as("n_sylls"))
+        .withColumn("flesch",
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+            - lit(84.6) * (col("n_sylls").cast("double") / col("n_words").cast("double")))
+        .orderBy("doc_id")
+    },
+
     // Active-learning UNCERTAINTY sampling: the 50 docs whose classifier
     // score sits closest to the decision threshold (|score| minimal) —
     // the labeling-budget allocator. The global top-k rides
@@ -895,6 +919,18 @@ object TextQueries {
       "CAST(sum(pred * gk) AS BIGINT) * 1000000 " +
       "// nullif(CAST(sum(gk) AS BIGINT), 0) AS rec_q6 " +
       "FROM j GROUP BY 1 ORDER BY 1"),
+
+    // same integer run counts (len of regexp_extract_all) and the same
+    // single IEEE expression; ::DOUBLE literals avoid DECIMAL poisoning
+    "q_readability" -> (s"SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_words, " +
+      "greatest(CAST(len(regexp_extract_all(text, '[.!' || chr(63) || ']+')) AS BIGINT), 1) AS n_sents, " +
+      "greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) " +
+      "AS n_sylls, " +
+      s"206.835::DOUBLE - 1.015::DOUBLE * (CAST(len($Toks) AS BIGINT)::DOUBLE / " +
+      "greatest(CAST(len(regexp_extract_all(text, '[.!' || chr(63) || ']+')) AS BIGINT), 1)::DOUBLE) - " +
+      "84.6::DOUBLE * (greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) " +
+      s"AS BIGINT), 1)::DOUBLE / CAST(len($Toks) AS BIGINT)::DOUBLE) AS flesch " +
+      s"FROM documents WHERE len($Toks) > 0 ORDER BY doc_id"),
 
     // same quantized score, |score| rank, identical tie order
     "q_uncertainty_sample" -> (s"WITH tok AS (SELECT doc_id, unnest($Toks) AS w " +

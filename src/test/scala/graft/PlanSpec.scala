@@ -1080,6 +1080,21 @@ class PlanSpec extends SparkSpec {
       s"feature/label windows are conditional aggregates, not a self-join:\n$p")
   }
 
+  test("q_readability: map-only scoring — one scan, no exchange before the sort") {
+    val p = plan("q_readability")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"per-doc regex counts never shuffle:\n$p")
+  }
+
+  test("q_longest_streak: island grouping shares the user partitioning, no joins") {
+    val p = plan("q_longest_streak")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"the day − row_number idiom is join-free:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"everything partitions by user:\n$p")
+  }
+
   test("q_key_skew_audit: per-key counts combine map-side; top-5 rides TakeOrdered") {
     val p = plan("q_key_skew_audit")
     assert(count(p, "HashAggregate") >= 2,

@@ -894,6 +894,29 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(_._6))
   }
 
+  test("q_longest_streak: per-user max consecutive-day run recomputes exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_longest_streak")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2).sorted
+      // split into consecutive runs, keep (len desc, start asc) argmax
+      val runs = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case ((s, l) :: rest, d) if d == s + l => (s, l + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }
+      val best = runs.minBy { case (s, l) => (-l, s) }
+      u -> ((best._2, best._1))
+    }
+    assert(got == want)
+    // the fixture must contain an actual multi-day streak somewhere
+    assert(want.values.exists(_._1 > 1))
+  }
+
   test("q_bloom_prejoin: the bloom prune is result-invisible") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_bloom_prejoin")(spark, dir)

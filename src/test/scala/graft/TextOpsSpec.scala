@@ -457,4 +457,27 @@ class TextOpsSpec extends SparkSpec {
     // the mechanism must actually perturb something on 5 types
     assert(got.exists(r => r._3 != 0))
   }
+
+  test("q_readability: counts and score match an independent regex recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_readability")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def runs(s: String, re: String) = re.r.findAllIn(s).length.toLong
+    val checked = docs.filter { case (_, t) => t.trim.split("\\s+").count(_.nonEmpty) > 0 }
+    assert(got.size == checked.length)
+    checked.foreach { case (id, t) =>
+      val w = t.split("\\s+").count(_.nonEmpty).toLong
+      val se = math.max(runs(t, "[.!?]+"), 1L)
+      val sy = math.max(runs(t.toLowerCase, "[aeiouy]+"), 1L)
+      val flesch = 206.835 - 1.015 * (w.toDouble / se.toDouble) -
+        84.6 * (sy.toDouble / w.toDouble)
+      assert(got(id) == ((w, se, sy, flesch)), s"doc=$id")
+    }
+    // the score must actually discriminate on the fixture
+    assert(got.values.map(_._4).toSet.size > 1)
+  }
 }
