@@ -973,6 +973,32 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     },
 
+    // Forecast BACKTEST: one-step-ahead EWMA predictions (yesterday's
+    // smoothed level predicts today) scored by WAPE = Σ|err|·10⁶ DIV
+    // Σactual per event type — the eval that decides whether the smoother
+    // is good enough to alert on. The integer recurrence makes every
+    // prediction exact, so the error metric itself hash-checks. One lag
+    // window + one aggregation over the |days|-sized smoothed frame.
+    "q_forecast_backtest" -> { (s, dir) =>
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Relational
+        .ewmaInteger(daily, "event_type", "day", "cents", aNum = 25, aDen = 100)
+        .withColumn("pred", lag(col("ewma"), 1).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("pred"))).as("sum_abs_err"),
+          sum(col("cents")).as("sum_actual"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"), col("sum_actual"),
+          expr("sum_abs_err * 1000000 DIV sum_actual").as("wape_q6"))
+        .orderBy("event_type")
+    },
+
     // Holt level+trend forecasting (Relational.holtInteger) over the same
     // daily frame as q_ewma_daily — the one-step forecast a capacity
     // planner reads; the whole integer trajectory (level, trend,
@@ -2846,6 +2872,24 @@ object RelationalQueries {
       "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
       "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
       "SELECT event_type, day, cents, s AS ewma_cents FROM rec ORDER BY 1, 2"),
+    // the q_ewma_daily recursion extended with the same lag + WAPE agg
+    "q_forecast_backtest" -> ("WITH RECURSIVE d AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
+      "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM events GROUP BY 1, 2), " +
+      "n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d), " +
+      "rec(event_type, rn, day, cents, s) AS (" +
+      "SELECT event_type, rn, day, cents, cents FROM n WHERE rn = 1 " +
+      "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
+      "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1), " +
+      "l AS (SELECT event_type, cents, " +
+      "lag(s) OVER (PARTITION BY event_type ORDER BY day) AS pred FROM rec) " +
+      "SELECT event_type, count(*) AS n_days, " +
+      "CAST(sum(abs(cents - pred)) AS BIGINT) AS sum_abs_err, " +
+      "CAST(sum(cents) AS BIGINT) AS sum_actual, " +
+      "CAST(sum(abs(cents - pred)) AS BIGINT) * 1000000 // CAST(sum(cents) AS BIGINT) " +
+      "AS wape_q6 FROM l WHERE pred IS NOT NULL GROUP BY 1 ORDER BY 1"),
+
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
     "q_holt_forecast" -> ("WITH RECURSIVE d AS (SELECT event_type, " +

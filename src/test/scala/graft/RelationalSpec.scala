@@ -894,6 +894,30 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(_._6))
   }
 
+  test("q_forecast_backtest: WAPE recomputes from the exact EWMA trajectory") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_forecast_backtest")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      // the integer recurrence: s0 = x0, s = floor((25x + 75s)/100)
+      val ss = xs.tail.scanLeft(xs.head)((s, x) => Math.floorDiv(25 * x + 75 * s, 100))
+      val errs = xs.tail.zip(ss.dropRight(1)).map { case (x, p) => math.abs(x - p) }
+      val (se, sa) = (errs.sum, xs.tail.sum)
+      t -> ((errs.length.toLong, se, sa, se * 1000000L / sa))
+    }
+    assert(got == want)
+    // the smoother must be imperfect but sane: 0 < WAPE < 100 %
+    got.values.foreach { case (_, _, _, wape) => assert(wape > 0 && wape < 1000000L) }
+  }
+
   test("q_longest_streak: per-user max consecutive-day run recomputes exactly") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_longest_streak")(spark, dir)
