@@ -399,6 +399,30 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // LINEAR multi-touch attribution — the complement of last-touch
+    // q_attribution: every click/view in the 24 h before a purchase
+    // shares the credit equally (credit = 10⁶ DIV n_touches, exact
+    // integers that sum to ≤ 10⁶ per purchase). The touch join is USER-
+    // keyed with a time-range residual — events per user bound the
+    // fan-out, so the pair frame is output-sized and co-partitioned;
+    // the per-purchase count rides one p_id window over that frame.
+    "q_linear_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), secs(col("ts")).as("p_s"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"), secs(col("ts")).as("t_s"))
+      p.join(t, Seq("user_id"))
+        .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 86400L)
+        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("credit_q6", expr("1000000 DIV n_touch"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_q6")).as("credit_q6_sum"),
+          count_distinct(col("p_id")).as("n_purchases"))
+        .orderBy("channel")
+    },
+
     // RFM segmentation: per user Recency (micros before the corpus max
     // event time) / Frequency (purchase count) / Monetary (cent-exact
     // value sum), each cut at its own exact tercile thresholds (tiny
@@ -2872,6 +2896,22 @@ object RelationalQueries {
       "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
       "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
       "SELECT event_type, day, cents, s AS ewma_cents FROM rec ORDER BY 1, 2"),
+    // same user-keyed range join, per-purchase window count, and
+    // truncating credit split
+    "q_linear_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_s " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "t AS (SELECT user_id, event_type AS channel, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t_s " +
+      "FROM events WHERE event_type IN ('click', 'view')), " +
+      "j AS (SELECT p_id, channel FROM p JOIN t ON p.user_id = t.user_id " +
+      "AND t_s <= p_s AND t_s >= p_s - 86400), " +
+      "c AS (SELECT channel, p_id, " +
+      "1000000 // count(*) OVER (PARTITION BY p_id) AS credit_q6 FROM j) " +
+      "SELECT channel, count(*) AS n_touches, " +
+      "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum, " +
+      "count(DISTINCT p_id) AS n_purchases FROM c GROUP BY 1 ORDER BY 1"),
+
     // the q_ewma_daily recursion extended with the same lag + WAPE agg
     "q_forecast_backtest" -> ("WITH RECURSIVE d AS (SELECT event_type, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +

@@ -894,6 +894,42 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(_._6))
   }
 
+  test("q_linear_attribution: per-purchase credits conserve and split equally") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_linear_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSet.subsetOf(Set("click", "view")))
+    // driver recompute: every purchase splits 1e6 across its 24h touches
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("s"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val credits = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var nPurchWithTouch = 0L
+    byUser.values.foreach { rs =>
+      val purchases = rs.filter(_._4 == "purchase")
+      val touches = rs.filter(r => r._4 == "click" || r._4 == "view")
+      purchases.foreach { p =>
+        val inWin = touches.filter(t => t._3 <= p._3 && t._3 >= p._3 - 86400L)
+        if (inWin.nonEmpty) {
+          nPurchWithTouch += 1
+          val c = 1000000L / inWin.length
+          inWin.foreach { t =>
+            val (n0, c0) = credits.getOrElse(t._4, (0L, 0L))
+            credits(t._4) = (n0 + 1, c0 + c)
+          }
+        }
+      }
+    }
+    rows.foreach { case (ch, n, cq, _) => assert(credits(ch) == ((n, cq)), s"channel $ch") }
+    // conservation: total credit ≈ 1e6 per credited purchase (minus
+    // truncation < n_touches per purchase)
+    val total = rows.map(_._3).sum
+    assert(total <= 1000000L * nPurchWithTouch)
+    assert(total > 1000000L * nPurchWithTouch - rows.map(_._2).sum)
+  }
+
   test("q_forecast_backtest: WAPE recomputes from the exact EWMA trajectory") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_forecast_backtest")(spark, dir)
