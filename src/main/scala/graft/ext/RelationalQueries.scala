@@ -980,6 +980,35 @@ object RelationalQueries {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // LTV curve — cumulative purchase revenue per acquisition cohort by
+    // age: the growth metric next to q_cohort_retention's activity
+    // counts. Cohort = each user's FIRST purchase week; age = weeks
+    // since; revenue in exact cents; the cumulative rides one ordered
+    // window over the (cohort, age) aggregate (weeks² rows at any
+    // corpus size). Per-user LTV at age a is then cum DIV cohort size —
+    // an exact integer quotient.
+    "q_ltv_curve" -> { (s, dir) =>
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+          floor(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+        .select(col("user_id"), expr("day DIV 7").as("week"), col("cents"))
+      val first = p.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val sized = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+      val wCum = Window.partitionBy("cohort_week").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.join(first, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age"))
+        .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_purchases"))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+        .join(sized, Seq("cohort_week"))
+        .select(col("cohort_week"), col("age"), col("n_purchases"), col("rev_cents"),
+          col("cum_cents"), col("cohort_users"),
+          expr("cum_cents DIV cohort_users").as("ltv_cents"))
+        .orderBy("cohort_week", "age")
+    },
+
     // EWMA trend smoothing (α = 0.25) over per-type daily revenue cents —
     // the serial floor-division recurrence a forecasting pass runs after
     // the distributed daily aggregate; all-integer so the full trajectory
@@ -2896,6 +2925,24 @@ object RelationalQueries {
       "UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, (25*n.cents + 75*rec.s) // 100 " +
       "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
       "SELECT event_type, day, cents, s AS ewma_cents FROM rec ORDER BY 1, 2"),
+    // same first-purchase-week cohorts, ordered cumulative, and exact
+    // integer per-user LTV quotient
+    "q_ltv_curve" -> ("WITH p AS (SELECT user_id, " +
+      "CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 " +
+      "AS week, CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "f AS (SELECT user_id, min(week) AS cohort_week FROM p GROUP BY 1), " +
+      "sz AS (SELECT cohort_week, count(*) AS cohort_users FROM f GROUP BY 1), " +
+      "a AS (SELECT f.cohort_week, p.week - f.cohort_week AS age, " +
+      "CAST(sum(cents) AS BIGINT) AS rev_cents, count(*) AS n_purchases " +
+      "FROM p JOIN f USING (user_id) GROUP BY 1, 2), " +
+      "c AS (SELECT cohort_week, age, n_purchases, rev_cents, " +
+      "CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY age " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM a) " +
+      "SELECT c.cohort_week, age, n_purchases, rev_cents, cum_cents, cohort_users, " +
+      "cum_cents // cohort_users AS ltv_cents FROM c JOIN sz USING (cohort_week) " +
+      "ORDER BY cohort_week, age"),
+
     // same user-keyed range join, per-purchase window count, and
     // truncating credit split
     "q_linear_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +

@@ -894,6 +894,31 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(_._6))
   }
 
+  test("q_ltv_curve: cumulative masses telescope and the LTV quotient is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_ltv_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $cohort must start at age 0")
+      // cum telescopes over the per-age revenue
+      val cums = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+      assert(sorted.map(_._5).toSeq == cums.toSeq, s"cohort $cohort")
+      // one cohort size per cohort; LTV = cum DIV users
+      assert(sorted.map(_._6).distinct.length == 1)
+      sorted.foreach(r => assert(r._7 == r._5 / r._6))
+      // LTV is non-decreasing in age (revenue can't be negative here)
+      assert(sorted.map(_._7).toSeq == sorted.map(_._7).sorted.toSeq)
+    }
+    // total revenue across the matrix equals the purchase total
+    val total = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum(floor(coalesce(col("value"), lit(0.0)) * 100).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == total)
+  }
+
   test("q_linear_attribution: per-purchase credits conserve and split equally") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q_linear_attribution")(spark, dir)
