@@ -180,6 +180,26 @@ object MultimodalQueries {
         .orderBy("id")
     },
 
+    // Paired (text, image) training-sample table — the CLIP-style
+    // alignment artifact: caption-side token counts joined to REAL
+    // decoded image statistics on the sample key, with the integer mean
+    // luma and a tokens-per-kilopixel density the pairing QA filters on.
+    // One doc-keyed equi-join of two map-only arms.
+    "q_media_text_pairs" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val txt = d.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val img = Multimodal.decodeStats(Multimodal.syntheticPngMedia(d)).toDF
+        .select(col("id").as("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("pixelSum").as("pixel_sum"))
+      txt.join(img, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("width"), col("height"),
+          col("pixel_sum"),
+          expr("pixel_sum DIV (width * height)").as("mean_luma"),
+          expr("n_tokens * 1000 DIV (width * height)").as("tok_per_kpx_q3"))
+        .orderBy("doc_id")
+    },
+
     // ViT-style 4×4 patch grid over REAL decoded PNGs
     // ([[Multimodal.imagePatches]]): per patch the exact integer
     // (pixel count, luma sum) plus the truncating mean — pooling runs
@@ -336,6 +356,22 @@ object MultimodalQueries {
       "THEN 1 << (j - 1) ELSE 0 END)) AS BIGINT) AS dhash FROM agg) " +
       "SELECT id, dhash, count(*) OVER (PARTITION BY dhash) AS bucket_n " +
       "FROM h ORDER BY id"),
+    // the q_media_decode closed-form pixel sums joined to the token
+    // counts; integer DIV density quotients
+    "q_media_text_pairs" -> ("WITH img AS (SELECT doc_id, " +
+      "CAST(8 + doc_id % 9 AS BIGINT) AS width, " +
+      "CAST(8 + doc_id % 7 AS BIGINT) AS height, " +
+      "CAST(list_sum(list_transform(" +
+      "generate_series(0, (8 + doc_id % 9) * (8 + doc_id % 7) - 1), " +
+      "i -> (doc_id * 31 + (i // (8 + doc_id % 9)) * 16 + (i % (8 + doc_id % 9)) * 7) % 256" +
+      ")) AS BIGINT) AS pixel_sum FROM documents), " +
+      "txt AS (SELECT doc_id, " +
+      "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS BIGINT) " +
+      "AS n_tokens FROM documents) " +
+      "SELECT doc_id, n_tokens, width, height, pixel_sum, " +
+      "pixel_sum // (width * height) AS mean_luma, " +
+      "n_tokens * 1000 // (width * height) AS tok_per_kpx_q3 " +
+      "FROM txt JOIN img USING (doc_id) ORDER BY doc_id"),
     // same generator pixels pooled into the same ragged 4×4 grid
     "q_media_patches" -> ("WITH g AS (SELECT doc_id, " +
       "CAST(8 + doc_id % 9 AS BIGINT) AS w, CAST(8 + doc_id % 7 AS BIGINT) AS h " +
