@@ -1102,7 +1102,14 @@ object Relational {
         col("cnt_b"),
         expr("pair_cnt * 1000000 DIV cnt_a").as("conf_ab_q6"),
         expr("pair_cnt * 1000000 DIV cnt_b").as("conf_ba_q6"),
-        expr("pair_cnt * n_tx * 1000000 DIV (cnt_a * cnt_b)").as("lift_q6"))
+        // two-step truncation (conf(a→b)·n_tx) DIV cnt_b instead of the
+        // triple product pair·n_tx·10⁶: the single-expression form wraps
+        // Long once pair_cnt·n_tx ≥ ~9.2e12 — far below the corpus sizes
+        // the scale note above targets. Each intermediate here is ≤
+        // 10⁶·n_tx; the composed truncation differs from the exact
+        // quotient by < 10⁻⁶·n_tx/cnt_b relative — and the oracle applies
+        // the identical composition, so rows still hash bit-exact.
+        expr("(pair_cnt * 1000000 DIV cnt_a) * n_tx DIV cnt_b").as("lift_q6"))
   }
 
   /** Clamped running balance — the operator class plain window algebra

@@ -14,6 +14,17 @@ object RelationalQueries {
 
   private def secs(c: org.apache.spark.sql.Column) = unix_timestamp(c)
 
+  /** Daily-revenue frame (epoch_day, exact BIGINT day_cents) — the engine
+    * twin of [[DailyCentsCte]]; the time-series family (seasonality / ACF
+    * / CUSUM / seasonal outliers) must stay in lockstep with the oracle
+    * CTE, so both sides are factored once.
+    */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+        .as("epoch_day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Broadcast dimension enrichment: events.user_id → customer.c_custkey.
     // Fact side never shuffles for the lookup (BroadcastHashJoin).
@@ -1048,7 +1059,7 @@ object RelationalQueries {
           sum(abs(col("cents") - col("pred"))).as("sum_abs_err"),
           sum(col("cents")).as("sum_actual"))
         .select(col("event_type"), col("n_days"), col("sum_abs_err"), col("sum_actual"),
-          expr("sum_abs_err * 1000000 DIV sum_actual").as("wape_q6"))
+          expr("sum_abs_err * 1000000 DIV nullif(sum_actual, 0)").as("wape_q6"))
         .orderBy("event_type")
     },
 
@@ -1995,19 +2006,23 @@ object RelationalQueries {
     // |orders|); at 100 TB that single-partition sort gives way to the
     // packBinsTwoPass-style partition-offset prefix rank — same algebra.
     "q_gini_revenue" -> { (s, dir) =>
+      // whole DOLLARS, not cents: the rank-weighted sum grows as
+      // n_customers² × mean revenue, and cents would wrap Long around
+      // TPC-H sf2 — dollars buy ×100 headroom (≈ sf200; beyond that the
+      // identical algebra runs in DECIMAL(38))
       val cust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents"), col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("dollars"))
+      val w = Window.orderBy(col("dollars"), col("o_custkey"))
       cust.withColumn("i", row_number().over(w).cast("long"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("cents")).as("total_cents"),
-          sum(col("i") * 2 * col("cents")).as("s2"))
-        .select(col("n_customers"), col("total_cents"),
-          (col("s2") - (col("n_customers") + 1) * col("total_cents")).as("gini_num"),
-          ((col("s2") - (col("n_customers") + 1) * col("total_cents")).cast("double")
-            / (col("n_customers") * col("total_cents")).cast("double")).as("gini"))
+          sum(col("dollars")).as("total_dollars"),
+          sum(col("i") * 2 * col("dollars")).as("s2"))
+        .select(col("n_customers"), col("total_dollars"),
+          (col("s2") - (col("n_customers") + 1) * col("total_dollars")).as("gini_num"),
+          ((col("s2") - (col("n_customers") + 1) * col("total_dollars")).cast("double")
+            / (col("n_customers") * col("total_dollars")).cast("double")).as("gini"))
     },
 
     // Weekday seasonality decomposition of daily revenue: seasonal = the
@@ -2018,10 +2033,7 @@ object RelationalQueries {
     // seasonal is one IEEE division of exact integers, residual one
     // subtraction of identically-computed doubles.
     "q_weekday_seasonality" -> { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
-          .as("epoch_day"))
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      val daily = dailyCents(s, dir)
         .withColumn("dow", pmod(col("epoch_day") + 3, lit(7)))
       val wDow = Window.partitionBy("dow")
       daily
@@ -2036,8 +2048,8 @@ object RelationalQueries {
     // Event-time DISORDER histogram — the batch profile that sizes a
     // streaming watermark: how late does an event arrive behind the
     // per-user running max? The fixture stream is perfectly ordered, so
-    // arrival order is synthesized deterministically (Knuth-hash scramble
-    // of event_id — the synthesize-then-verify pattern of q_line_dedup /
+    // arrival order is synthesized deterministically (md5 scramble of
+    // event_id — the synthesize-then-verify pattern of q_line_dedup /
     // the media queries); lateness = running-max(ts) − ts under that
     // arrival order, bucketed to 10-minute bins capped at 9. Per-user
     // windows partition cleanly at 100 TB (no global order anywhere).
@@ -2045,7 +2057,10 @@ object RelationalQueries {
       val wArr = Window.partitionBy("user_id").orderBy(col("ak"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), secs(col("ts")).as("ts_s"))
-        .withColumn("ak", pmod(col("event_id") * 2654435761L, lit(4294967296L)))
+        // md5-based scramble (the repo-wide deterministic-shuffle idiom):
+        // the Knuth multiply 2654435761·event_id wraps Long past ~3.5e9
+        // events — silently in Spark, as an error in DuckDB
+        .withColumn("ak", Dedup.md5Long(col("event_id").cast("string")))
         .withColumn("lag_s", max(col("ts_s")).over(wArr) - col("ts_s"))
         .groupBy(least(expr("lag_s DIV 600"), lit(9L)).as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("lag_s")).as("lag_sum"),
@@ -2064,10 +2079,7 @@ object RelationalQueries {
     // construction at ANY corpus scale (|days| grows with time, not data).
     "q_autocorrelation" -> { (s, dir) =>
       val wAll = Window.partitionBy()
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
-          .as("epoch_day"))
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      val daily = dailyCents(s, dir)
       // the deviation frame feeds the denominator AND both join sides —
       // materialize the |days|-sized result once so the corpus-sized
       // orders scan + daily aggregation run exactly once, not three times
@@ -2101,10 +2113,7 @@ object RelationalQueries {
     // the |days|-sized aggregate only.
     "q_cusum_changepoint" -> { (s, dir) =>
       val wAll = Window.partitionBy()
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
-          .as("epoch_day"))
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      val daily = dailyCents(s, dir)
       daily
         .withColumn("n", count(lit(1)).over(wAll))
         .withColumn("s", sum(col("day_cents")).over(wAll))
@@ -2291,10 +2300,7 @@ object RelationalQueries {
     // whole-partition window machinery (one dow exchange over the
     // |days|-sized aggregate; the corpus collapses first).
     "q_seasonal_outliers" -> { (s, dir) =>
-      val daily = Tables.orders(s, dir)
-        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
-          .as("epoch_day"))
-        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
+      val daily = dailyCents(s, dir)
         .withColumn("dow", pmod(col("epoch_day") + 3, lit(7)))
       Relational
         .madOutliers(daily, Seq("dow"), "day_cents", k = 3.0)
@@ -2433,8 +2439,13 @@ object RelationalQueries {
         .groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cls_cents"),
           max(col("total")).as("_t"))
+        // two-limb exact ×10⁶ quotient: a·10⁶ DIV T = q·1000 + r·1000 DIV T
+        // with a·1000 = q·T + r — the single-multiply form overflows Long
+        // once class revenue exceeds ~9.2e12 cents (≈ TPC-H sf1); the
+        // limbs keep every intermediate ≤ max(a, T)·1000
         .select(col("cls"), col("n_parts"), col("cls_cents"),
-          expr("cls_cents * 1000000 DIV _t").as("share_q6"))
+          expr("(cls_cents * 1000 DIV _t) * 1000 + " +
+            "((cls_cents * 1000) % _t) * 1000 DIV _t").as("share_q6"))
         .orderBy("cls")
     },
 
@@ -2974,7 +2985,7 @@ object RelationalQueries {
       "SELECT event_type, count(*) AS n_days, " +
       "CAST(sum(abs(cents - pred)) AS BIGINT) AS sum_abs_err, " +
       "CAST(sum(cents) AS BIGINT) AS sum_actual, " +
-      "CAST(sum(abs(cents - pred)) AS BIGINT) * 1000000 // CAST(sum(cents) AS BIGINT) " +
+      "CAST(sum(abs(cents - pred)) AS BIGINT) * 1000000 // nullif(CAST(sum(cents) AS BIGINT), 0) " +
       "AS wape_q6 FROM l WHERE pred IS NOT NULL GROUP BY 1 ORDER BY 1"),
 
     // the level expression inlined twice inside the trend step, exactly
@@ -3340,7 +3351,7 @@ object RelationalQueries {
       "SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b, " +
       "pair_cnt * 1000000 // cnt_a AS conf_ab_q6, " +
       "pair_cnt * 1000000 // cnt_b AS conf_ba_q6, " +
-      "pair_cnt * n_tx * 1000000 // (cnt_a * cnt_b) AS lift_q6 " +
+      "(pair_cnt * 1000000 // cnt_a) * n_tx // cnt_b AS lift_q6 " +
       "FROM p, n ORDER BY item_a, item_b"),
 
     // identical (ts, event_id) sequence total order; window sum CAST back
@@ -3366,17 +3377,18 @@ object RelationalQueries {
       "CAST(sum(cents) AS BIGINT)::DOUBLE / count(*) AS mean_cents " +
       "FROM r WHERE rn > n // 10 AND rn <= n - n // 10 GROUP BY 1 ORDER BY 1"),
 
-    // rank-weighted Gini over the customer aggregate; all integer until the
+    // rank-weighted Gini over the customer aggregate in whole dollars
+    // (the engine's overflow-headroom unit); all integer until the
     // single final division
     "q_gini_revenue" -> ("WITH cust AS (SELECT o_custkey, " +
-      "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      "CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars " +
       "FROM orders GROUP BY 1), " +
-      "r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i " +
+      "r AS (SELECT dollars, CAST(row_number() OVER (ORDER BY dollars, o_custkey) AS BIGINT) AS i " +
       "FROM cust) " +
-      "SELECT count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS total_cents, " +
-      "CAST(sum(i * 2 * cents) - (count(*) + 1) * sum(cents) AS BIGINT) AS gini_num, " +
-      "CAST(sum(i * 2 * cents) - (count(*) + 1) * sum(cents) AS BIGINT)::DOUBLE / " +
-      "CAST(count(*) * sum(cents) AS BIGINT)::DOUBLE AS gini " +
+      "SELECT count(*) AS n_customers, CAST(sum(dollars) AS BIGINT) AS total_dollars, " +
+      "CAST(sum(i * 2 * dollars) - (count(*) + 1) * sum(dollars) AS BIGINT) AS gini_num, " +
+      "CAST(sum(i * 2 * dollars) - (count(*) + 1) * sum(dollars) AS BIGINT)::DOUBLE / " +
+      "CAST(count(*) * sum(dollars) AS BIGINT)::DOUBLE AS gini " +
       "FROM r"),
 
     // same timezone-free (days+3)%7 weekday index; seasonal is one IEEE
@@ -3391,12 +3403,12 @@ object RelationalQueries {
       "day_cents - CAST(sum(day_cents) OVER w AS BIGINT)::DOUBLE / count(*) OVER w " +
       "AS resid_cents FROM d2 WINDOW w AS (PARTITION BY dow) ORDER BY epoch_day"),
 
-    // same Knuth-hash arrival scramble; the running-max window's default
+    // same md5 arrival scramble; the running-max window's default
     // RANGE frame
     // equals Spark's (the (ak, event_id) order is tie-free)
     "q_disorder_histogram" -> ("WITH e AS (SELECT user_id, event_id, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, " +
-      "(event_id * 2654435761) % 4294967296 AS ak FROM events), " +
+      "('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS ak FROM events), " +
       "l AS (SELECT ts_s, max(ts_s) OVER (PARTITION BY user_id ORDER BY ak, event_id) " +
       "- ts_s AS lag_s FROM e) " +
       "SELECT least(lag_s // 600, 9) AS bucket, count(*) AS n, " +
@@ -3603,8 +3615,9 @@ object RelationalQueries {
       "WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls, " +
       "cents, total FROM r) " +
       "SELECT cls, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS cls_cents, " +
-      "CAST(sum(cents) AS BIGINT) * 1000000 // max(total) AS share_q6 " +
-      "FROM c GROUP BY 1 ORDER BY 1"),
+      "(CAST(sum(cents) AS BIGINT) * 1000 // max(total)) * 1000 + " +
+      "((CAST(sum(cents) AS BIGINT) * 1000) % max(total)) * 1000 // max(total) " +
+      "AS share_q6 FROM c GROUP BY 1 ORDER BY 1"),
 
     // same midpoint cutoff and strict window boundaries
     "q_churn_labels" -> ("WITH e AS (SELECT user_id, " +

@@ -572,7 +572,7 @@ class RelationalSpec extends SparkSpec {
     val r = graft.SparkEntry.queries("q_gini_revenue")(spark, dir).collect().head
     val cents = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("dollars"))
       .collect()
       .map(x => (x.getLong(0), x.getLong(1)))
       .sortBy(x => (x._2, x._1))
