@@ -2289,7 +2289,10 @@ object RelationalQueries {
             .orderBy(col("cnt").desc, col("user_id"))))
         .crossJoin(broadcast(stats))
         .select(col("rank"), col("user_id"), col("cnt"), col("n_keys"), col("total"),
-          col("max_cnt"), expr("max_cnt * n_keys * 1000000 DIV total").as("skew_q6"))
+          col("max_cnt"),
+          // max/mean with a truncating integer mean: the triple product
+          // max*n_keys*1e6 wraps Long at ~1e9 keys x 1e9 max
+          expr("max_cnt * 1000000 DIV (total DIV n_keys)").as("skew_q6"))
         .orderBy("rank")
     },
 
@@ -3526,7 +3529,7 @@ object RelationalQueries {
       "tp AS (SELECT user_id, cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rank " +
       "FROM pk) " +
       "SELECT rank, user_id, cnt, n_keys, total, max_cnt, " +
-      "max_cnt * n_keys * 1000000 // total AS skew_q6 " +
+      "max_cnt * 1000000 // (total // n_keys) AS skew_q6 " +
       "FROM tp, st WHERE rank <= 5 ORDER BY rank"),
 
     // same per-dow median/MAD from quantile_cont (the q_anomaly_mad

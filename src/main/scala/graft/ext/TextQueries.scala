@@ -415,7 +415,10 @@ object TextQueries {
         .withColumn("cum_cnt", sum(col("cnt")).over(
           Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
-          expr("cum_cnt * 1000000 DIV total").as("cov_q6"))
+          // two-limb exact quotient: cum*1e6 wraps Long past ~9.2e12
+          // corpus tokens — one notch above web-scale token counts
+          expr("(cum_cnt * 1000 DIV total) * 1000 + " +
+            "((cum_cnt * 1000) % total) * 1000 DIV total").as("cov_q6"))
         .orderBy("rank")
     },
 
@@ -878,8 +881,10 @@ object TextQueries {
       "FROM c) " +
       "SELECT rank, token, cnt, " +
       "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt, " +
-      "CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
-      "* 1000000 // total AS cov_q6 " +
+      "(CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "* 1000 // total) * 1000 + " +
+      "((CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "* 1000) % total) * 1000 // total AS cov_q6 " +
       "FROM r, t WHERE rank <= 50 ORDER BY rank"),
 
     // the q_quality_classifier score CTE binned against the factored
