@@ -410,6 +410,41 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // ROLLING correlation between two metric streams — "did errors start
+    // tracking clicks this week?": Pearson r over a trailing 7-day ROWS
+    // window from INTEGER sufficient statistics (the q_corr_stats moments
+    // made rolling): every windowed sum is an exact BIGINT, so numerator
+    // and denominator are identical doubles cross-engine and r is two
+    // sqrt + one division of them. Windows run over the |days|-sized
+    // pivoted frame only.
+    "q_rolling_corr" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy((floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(
+          sum((col("event_type") === "click").cast("long")).as("c"),
+          sum((col("event_type") === "error").cast("long")).as("e"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sc", sum(col("c")).over(w))
+        .withColumn("se", sum(col("e")).over(w))
+        .withColumn("sce", sum(col("c") * col("e")).over(w))
+        .withColumn("scc", sum(col("c") * col("c")).over(w))
+        .withColumn("see", sum(col("e") * col("e")).over(w))
+        .filter(col("n") === 7)
+        // a constant series has zero variance — r is undefined, emit null
+        // (the raw IEEE quotient would be ±inf/nan)
+        .withColumn("vc", col("n") * col("scc") - col("sc") * col("sc"))
+        .withColumn("ve", col("n") * col("see") - col("se") * col("se"))
+        .select(col("day"), col("sc"), col("se"),
+          when(col("vc") > 0 && col("ve") > 0,
+            (col("n") * col("sce") - col("sc") * col("se")).cast("double") /
+              (sqrt(col("vc").cast("double")) * sqrt(col("ve").cast("double"))))
+            .as("r"))
+        .orderBy("day")
+    },
+
     // LINEAR multi-touch attribution — the complement of last-touch
     // q_attribution: every click/view in the 24 h before a purchase
     // shares the credit equally (credit = 10⁶ DIV n_touches, exact
@@ -2956,6 +2991,23 @@ object RelationalQueries {
       "SELECT c.cohort_week, age, n_purchases, rev_cents, cum_cents, cohort_users, " +
       "cum_cents // cohort_users AS ltv_cents FROM c JOIN sz USING (cohort_week) " +
       "ORDER BY cohort_week, age"),
+
+    // the same integer rolling moments and guarded IEEE expression
+    "q_rolling_corr" -> ("WITH d AS (SELECT " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e " +
+      "FROM events WHERE event_type IN ('click', 'error') GROUP BY 1), " +
+      "m AS (SELECT day, count(*) OVER w AS n, " +
+      "CAST(sum(c) OVER w AS BIGINT) AS sc, CAST(sum(e) OVER w AS BIGINT) AS se, " +
+      "CAST(sum(c * e) OVER w AS BIGINT) AS sce, " +
+      "CAST(sum(c * c) OVER w AS BIGINT) AS scc, " +
+      "CAST(sum(e * e) OVER w AS BIGINT) AS see FROM d " +
+      "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+      "SELECT day, sc, se, CASE WHEN n*scc - sc*sc > 0 AND n*see - se*se > 0 THEN " +
+      "(n*sce - sc*se)::DOUBLE / (sqrt((n*scc - sc*sc)::DOUBLE) * " +
+      "sqrt((n*see - se*se)::DOUBLE)) END AS r " +
+      "FROM m WHERE n = 7 ORDER BY day"),
 
     // same user-keyed range join, per-purchase window count, and
     // truncating credit split

@@ -894,6 +894,36 @@ class RelationalSpec extends SparkSpec {
     assert(rows.exists(_._6))
   }
 
+  test("q_rolling_corr: r matches a driver-side 7-day moment recompute, bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_rolling_corr")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy((floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+        sum((col("event_type") === "error").cast("long")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = daily.sliding(7).map { win =>
+      val (day, _, _) = win.last
+      val n = 7L
+      val (sc, se) = (win.map(_._2).sum, win.map(_._3).sum)
+      val sce = win.map(r => r._2 * r._3).sum
+      val (scc, see) = (win.map(r => r._2 * r._2).sum, win.map(r => r._3 * r._3).sum)
+      val (vc, ve) = (n * scc - sc * sc, n * see - se * se)
+      val r = if (vc > 0 && ve > 0)
+        Some((n * sce - sc * se).toDouble / (math.sqrt(vc.toDouble) * math.sqrt(ve.toDouble)))
+      else None
+      (day, sc, se, r)
+    }.toSeq
+    assert(got.toSeq == want)
+    got.flatMap(_._4).foreach(r => assert(r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12))
+  }
+
   test("q_ltv_curve: cumulative masses telescope and the LTV quotient is exact") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q_ltv_curve")(spark, dir)
