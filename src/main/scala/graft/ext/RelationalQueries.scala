@@ -527,8 +527,12 @@ object RelationalQueries {
     // time-to-convert number a growth team tracks. Two per-user min-aggs
     // (map-side combine), one user-keyed join with an inequality residual
     // (first purchase AT OR AFTER the signup — never a nested loop), the
-    // segment dim broadcast; percentiles are order statistics of exact
-    // integer micro-lags, interpolation-identical cross-engine.
+    // segment dim broadcast. Percentiles are computed as INTEGER-weighted
+    // order statistics: position ×100 = (n-1)·p is exact BIGINT, so the
+    // interpolated value ×100 = lag[idx]·(100−rem) + lag[idx+1]·rem is a
+    // single exact Long per segment and the only float op is one final
+    // /100 — bit-identical cross-engine (native `percentile` interpolates
+    // in doubles, which flipped round(·,4) by one ulp at 4e11 magnitude).
     "q_conversion_lag" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val us = unix_micros(col("ts"))
@@ -543,12 +547,25 @@ object RelationalQueries {
         .select(col("user_id"), (col("conv_us") - col("su_us")).as("lag_us"))
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-      firstConv
+      val ranked = firstConv
         .join(broadcast(cust), Seq("user_id"))
+        .select(col("segment"), col("lag_us"))
+        .withColumn("rn0",
+          row_number().over(Window.partitionBy(col("segment")).orderBy(col("lag_us")))
+            .cast("long") - lit(1L))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
+      def pctX100(p: Int): org.apache.spark.sql.Column = {
+        val idx = expr(s"((n - 1) * $p) DIV 100")
+        val rem = expr(s"((n - 1) * $p) % 100")
+        sum(when(col("rn0") === idx, col("lag_us") * (lit(100L) - rem))
+          .when(col("rn0") === idx + 1L, col("lag_us") * rem)
+          .otherwise(lit(0L)))
+      }
+      ranked
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n_converted"),
-          round(expr("percentile(lag_us, 0.5)"), 4).as("p50_lag_us"),
-          round(expr("percentile(lag_us, 0.9)"), 4).as("p90_lag_us"))
+          (pctX100(50).cast("double") / 100).as("p50_lag_us"),
+          (pctX100(90).cast("double") / 100).as("p90_lag_us"))
         .orderBy("segment")
     },
 
@@ -2589,7 +2606,7 @@ object RelationalQueries {
       "max(epoch_us(CAST(ts AS TIMESTAMP))) + 60000000 AS b_hi " +
       "FROM events WHERE event_type = 'error' GROUP BY 1) " +
       "SELECT a.user_id, count(*) AS n_incidents, " +
-      "sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS overlap_us " +
+      "CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS BIGINT) AS overlap_us " +
       "FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi " +
       "GROUP BY 1 ORDER BY 1"),
     "q_interval_coverage" -> ("WITH iv AS (SELECT user_id, " +
@@ -2605,7 +2622,7 @@ object RelationalQueries {
       "FROM flagged), " +
       "merged AS (SELECT user_id, island, min(lo) AS lo, max(hi) AS hi " +
       "FROM isl GROUP BY 1, 2) " +
-      "SELECT user_id, count(*) AS n_islands, sum(hi - lo) AS covered_us " +
+      "SELECT user_id, count(*) AS n_islands, CAST(sum(hi - lo) AS BIGINT) AS covered_us " +
       "FROM merged GROUP BY 1 ORDER BY 1"),
     // DuckDB's native ASOF picks the greatest touch ts <= purchase ts —
     // the same inclusive-simultaneous contract as Relational.asofJoin
@@ -2642,6 +2659,8 @@ object RelationalQueries {
       "SELECT node, count(*) AS subtree_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS subtree_chars " +
       "FROM anc GROUP BY 1 ORDER BY 1"),
+    // same integer-weighted order-statistic form as the engine: the
+    // interpolated percentile ×100 is an exact BIGINT, one final /100
     "q_conversion_lag" -> ("WITH su AS (SELECT user_id, " +
       "min(epoch_us(CAST(ts AS TIMESTAMP))) AS su_us FROM events " +
       "WHERE event_type = 'signup' GROUP BY 1), " +
@@ -2649,12 +2668,19 @@ object RelationalQueries {
       "WHERE event_type = 'purchase'), " +
       "conv AS (SELECT pu.user_id, min(pu_us) - su_us AS lag_us " +
       "FROM pu JOIN su ON pu.user_id = su.user_id AND pu_us >= su_us " +
-      "GROUP BY pu.user_id, su_us) " +
-      "SELECT c_mktsegment AS segment, count(*) AS n_converted, " +
-      "round(quantile_cont(lag_us, 0.5), 4) AS p50_lag_us, " +
-      "round(quantile_cont(lag_us, 0.9), 4) AS p90_lag_us " +
-      "FROM conv JOIN customer ON user_id = c_custkey " +
-      "GROUP BY 1 ORDER BY 1"),
+      "GROUP BY pu.user_id, su_us), " +
+      "rk AS (SELECT c_mktsegment AS segment, lag_us, " +
+      "row_number() OVER (PARTITION BY c_mktsegment ORDER BY lag_us) - 1 AS rn0, " +
+      "count(*) OVER (PARTITION BY c_mktsegment) AS n " +
+      "FROM conv JOIN customer ON user_id = c_custkey) " +
+      "SELECT segment, count(*) AS n_converted, " +
+      "CAST(CAST(sum(CASE WHEN rn0 = ((n-1)*50)//100 THEN lag_us*(100-((n-1)*50)%100) " +
+      "WHEN rn0 = ((n-1)*50)//100 + 1 THEN lag_us*(((n-1)*50)%100) ELSE 0 END) " +
+      "AS BIGINT) AS DOUBLE)/100 AS p50_lag_us, " +
+      "CAST(CAST(sum(CASE WHEN rn0 = ((n-1)*90)//100 THEN lag_us*(100-((n-1)*90)%100) " +
+      "WHEN rn0 = ((n-1)*90)//100 + 1 THEN lag_us*(((n-1)*90)%100) ELSE 0 END) " +
+      "AS BIGINT) AS DOUBLE)/100 AS p90_lag_us " +
+      "FROM rk GROUP BY 1 ORDER BY 1"),
     "q_rolling_p95" -> ("WITH daily AS (SELECT event_type, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
       "FROM events GROUP BY 1, 2) " +
