@@ -50,6 +50,27 @@ object CurationQueries {
         .orderBy("c_nationkey", "c_mktsegment", "bal_kb")
     },
 
+    // BEHAVIORAL l-diversity — the cross-table complement of
+    // q_k_anonymity's dim-side audit: the sensitive attribute is what the
+    // users in a quasi-identifier group DID (their event types), not a dim
+    // column. A (nation, segment) group where every member only ever
+    // purchases leaks behavior under linkage even at high k; l ≥ 3 is the
+    // release gate. One broadcast of the dim onto the fact, one
+    // two-countDistinct rollup (Spark expands to two partial aggs riding
+    // the same exchange).
+    "q_l_diversity" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"), col("c_mktsegment"))
+      Tables.events(s, dir)
+        .join(broadcast(cust), Seq("user_id"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("l"))
+        .withColumn("diverse", col("l") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // HTML boilerplate removal (the web-crawl main-content stage):
     // synthesize a deterministic page around each doc, strip
     // script/style/nav/header/footer + tags, collapse whitespace.
@@ -630,6 +651,11 @@ object CurationQueries {
       "count(*) AS group_size, count(DISTINCT c_acctbal) AS distinct_sensitive, " +
       "count(*) < 3 AS at_risk FROM customer GROUP BY 1, 2, 3 " +
       "ORDER BY c_nationkey, c_mktsegment, bal_kb"),
+    "q_l_diversity" -> ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows, " +
+      "count(DISTINCT e.user_id) AS n_users, count(DISTINCT event_type) AS l, " +
+      "count(DISTINCT event_type) >= 3 AS diverse " +
+      "FROM events e JOIN customer ON c_custkey = e.user_id " +
+      "GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment"),
     // same synthesized page, same block-strip order, same RE2-portable
     // patterns with explicit 'g' (Spark's regexp_replace is global)
     "q_html_extract" -> ("WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || " +

@@ -209,6 +209,34 @@ object GraphQueries {
       Graph
         .linkPrediction(graph(s, dir), minCommon = 2L)
         .orderBy("a", "b")
+    },
+
+    // Degree assortativity of the mutual-kNN graph — "do well-connected
+    // vectors attach to other well-connected vectors?" (r > 0 = dense
+    // near-dup core, r < 0 = hub-and-spoke periphery — the one-number
+    // summary of whether the similarity graph is clusterable at all).
+    // Pearson r over the DIRECTED edge list of (deg src, deg dst) from
+    // exact BIGINT sufficient statistics (the q_corr_stats pattern); by
+    // symmetry Sx = Sy and Sxx = Syy, so r reduces to ONE double division
+    // of two exact integers: (M·Sxy − Sx²)/(M·Sxx − Sx²). The edge frame
+    // is checkpointed once (it feeds the degree agg AND both stat joins);
+    // deg ≤ K bounds every product, so stats fit Long at any corpus size.
+    "q_graph_assortativity" -> { (s, dir) =>
+      val edges = graph(s, dir).localCheckpoint()
+      val directed = edges.select(col("lo").as("a"), col("hi").as("b"))
+        .unionByName(edges.select(col("hi").as("a"), col("lo").as("b")))
+      val deg = directed.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      directed
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("da")).as("sx"),
+          sum(col("da") * col("db")).as("sxy"),
+          sum(col("da") * col("da")).as("sxx"))
+        .select(col("m"), col("sx"), col("sxy"), col("sxx"),
+          ((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("assortativity"))
     }
   )
 
@@ -328,6 +356,19 @@ object GraphQueries {
     // wedge join on the symmetric adjacency, per-neighbor 1000000 // deg
     // terms (≡ Spark DIV on the non-negative degrees), NOT EXISTS drops
     // already-connected pairs — the engine's left_anti
+    // same directed edge list + degree join; r is one double division of
+    // two exact BIGINT moment combinations (Sx=Sy, Sxx=Syy by symmetry)
+    "q_graph_assortativity" -> (s"WITH $KnnCtes, " +
+      "adj AS (SELECT lo AS a, hi AS b FROM mutual " +
+      "UNION ALL SELECT hi AS a, lo AS b FROM mutual), " +
+      "deg AS (SELECT a AS v, count(*) AS d FROM adj GROUP BY 1), " +
+      "st AS (SELECT count(*) AS m, CAST(sum(x.d) AS BIGINT) AS sx, " +
+      "CAST(sum(x.d * y.d) AS BIGINT) AS sxy, " +
+      "CAST(sum(x.d * x.d) AS BIGINT) AS sxx " +
+      "FROM adj JOIN deg x ON adj.a = x.v JOIN deg y ON adj.b = y.v) " +
+      "SELECT m, sx, sxy, sxx, " +
+      "CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE) " +
+      "AS assortativity FROM st"),
     "q_link_prediction" -> (s"WITH $KnnCtes, " +
       "adj AS (SELECT lo AS v, hi AS w FROM mutual " +
       "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +

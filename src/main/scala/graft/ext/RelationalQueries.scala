@@ -569,6 +569,105 @@ object RelationalQueries {
         .orderBy("segment")
     },
 
+    // Functional-dependency audit — "does X determine Y?" over three
+    // candidate FDs (a PK check, a known violation, a join-derived
+    // dependency): per FD, LHS group count, violating-group count, and the
+    // worst RHS fan-out. The schema-inference / data-contract primitive a
+    // warehouse runs before trusting a column as a key. Each FD is one
+    // two-level countDistinct agg (partial maps combine map-side); the
+    // three 1-row summaries union driver-free.
+    "q_fd_violations" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def audit(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("nd"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("nd")).as("max_rhs"))
+      val withSeg = ev.join(
+        broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        Seq("user_id"))
+      audit("event_id->user_id", ev, "event_id", "user_id")
+        .unionByName(audit("user_id->event_type", ev, "user_id", "event_type"))
+        .unionByName(audit("user_id->c_mktsegment", withSeg, "user_id", "c_mktsegment"))
+        .orderBy("fd")
+    },
+
+    // SCD2 POINT-IN-TIME LOOKUP — the read side of q_scd2_build: each
+    // error event resolves the user's activity state AT ERROR TIME against
+    // the type-change dimension (change rows deduped per (user, ts) by
+    // max event_id — the q_attribution simultaneity contract), then the
+    // state distribution. Engine runs it as an as-of join (union + ONE
+    // ordered window per user — never a per-user interval cross product);
+    // the oracle states the equivalent explicit half-open
+    // [valid_from, valid_to) interval join, pinning the SCD2 lookup ≡
+    // as-of equivalence.
+    "q_scd2_lookup" -> { (s, dir) =>
+      val evAll = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val chg = evAll.filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("state"))
+      val probes = evAll.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational
+        .asofJoin(probes, chg, "user_id", "ts", "ts", Seq("state"))
+        .groupBy(coalesce(col("state"), lit("none")).as("state"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("state")
+    },
+
+    // Debounce/throttle audit: an event is KEPT iff the user's previous
+    // same-type event is more than 5 s older (lag over the (ts, event_id)
+    // total order — the double-click / retry-storm suppressor). Per type:
+    // raw count, kept count, and the ×10⁶ drop rate. One key exchange +
+    // in-partition sort; all arithmetic integral micros.
+    "q_debounce" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("kept",
+          col("prev_us").isNull || (col("us") - col("prev_us") > lit(5000000L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("kept").cast("long")).as("n_kept"))
+        .withColumn("drop_q6", expr("(n_events - n_kept) * 1000000 DIV n_events"))
+        .orderBy("event_type")
+    },
+
+    // A/B 2×2 chi-square from exact user-level integer counts: variant =
+    // user_id parity, success = user ever made a HIGH-VALUE purchase
+    // (> 180 — every user purchases at least once, so the bare-purchase
+    // margin degenerates to zero and χ² is undefined); χ² =
+    // N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) evaluated in ONE fixed-order
+    // double expression over four exact BIGINTs — the experimentation
+    // gate computed without any float accumulation. One user-keyed agg
+    // (map-side combinable max), then a 1-row summary.
+    "q_ab_contingency" -> { (s, dir) =>
+      val diff = col("a") * col("d") - col("b") * col("c")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 180).cast("long"))
+          .as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+        .agg(
+          sum(when(col("variant") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("variant") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("variant") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("variant") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          (diff.cast("double") * diff.cast("double") *
+            (col("a") + col("b") + col("c") + col("d")).cast("double") /
+            ((col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double") *
+              (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double")))
+            .as("chi2"))
+    },
+
     // Rolling exact p95 over the daily metric frame — the SLO/latency
     // dashboard number: per event_type, the 95th percentile of the last
     // 7 days' totals, one key exchange + one ordered window; the
@@ -2681,6 +2780,61 @@ object RelationalQueries {
       "WHEN rn0 = ((n-1)*90)//100 + 1 THEN lag_us*(((n-1)*90)%100) ELSE 0 END) " +
       "AS BIGINT) AS DOUBLE)/100 AS p90_lag_us " +
       "FROM rk GROUP BY 1 ORDER BY 1"),
+    "q_fd_violations" -> ("WITH f1 AS (SELECT event_id AS l, " +
+      "count(DISTINCT user_id) AS nd FROM events GROUP BY 1), " +
+      "f2 AS (SELECT user_id AS l, count(DISTINCT event_type) AS nd " +
+      "FROM events GROUP BY 1), " +
+      "f3 AS (SELECT e.user_id AS l, count(DISTINCT c_mktsegment) AS nd " +
+      "FROM events e JOIN customer ON c_custkey = e.user_id GROUP BY 1) " +
+      "SELECT * FROM (" +
+      "SELECT 'event_id->user_id' AS fd, count(*) AS n_groups, " +
+      "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+      "CAST(max(nd) AS BIGINT) AS max_rhs FROM f1 " +
+      "UNION ALL SELECT 'user_id->event_type', count(*), " +
+      "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(max(nd) AS BIGINT) FROM f2 " +
+      "UNION ALL SELECT 'user_id->c_mktsegment', count(*), " +
+      "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
+      "CAST(max(nd) AS BIGINT) FROM f3) ORDER BY fd"),
+    // the explicit half-open [valid_from, valid_to) SCD2 interval join —
+    // provably the engine's as-of lookup on the deduped change frame
+    "q_scd2_lookup" -> ("WITH seq AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events WHERE event_type != 'error'), " +
+      "chg AS (SELECT user_id, ts, arg_max(event_type, event_id) AS state FROM seq " +
+      "WHERE prev_type IS NULL OR prev_type != event_type GROUP BY 1, 2), " +
+      "scd AS (SELECT user_id, state, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to FROM chg), " +
+      "err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') " +
+      "SELECT coalesce(s.state, 'none') AS state, count(*) AS n_errors " +
+      "FROM err e LEFT JOIN scd s ON e.user_id = s.user_id " +
+      "AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to) " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_debounce" -> ("WITH seq AS (SELECT event_type, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS us, " +
+      "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER " +
+      "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us " +
+      "FROM events) " +
+      "SELECT event_type, n_events, n_kept, " +
+      "(n_events - n_kept) * 1000000 // n_events AS drop_q6 FROM " +
+      "(SELECT event_type, count(*) AS n_events, " +
+      "CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 5000000 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM seq GROUP BY 1) ORDER BY 1"),
+    // the identical fixed-order double expression over four exact BIGINTs
+    "q_ab_contingency" -> ("WITH per AS (SELECT user_id % 2 AS variant, " +
+      "max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) " +
+      "AS converted FROM events GROUP BY user_id), " +
+      "cells AS (SELECT " +
+      "CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+      "CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+      "CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+      "FROM per) " +
+      "SELECT a, b, c, d, " +
+      "CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE) * " +
+      "CAST(a + b + c + d AS DOUBLE) / " +
+      "(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * " +
+      "CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2 FROM cells"),
     "q_rolling_p95" -> ("WITH daily AS (SELECT event_type, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
       "FROM events GROUP BY 1, 2) " +

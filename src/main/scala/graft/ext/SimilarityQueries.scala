@@ -103,6 +103,42 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // RANKING-QUALITY eval — nDCG@10 of the exact cosine retrieval against
+    // label relevance (neighbor relevant iff it shares the query's label):
+    // the graded complement of q_ann_recall's set-overlap metric. The
+    // discount weights are PRE-QUANTIZED integers w_r = ⌊10⁶/log₂(r+1)⌋
+    // hardcoded identically in engine and oracle — DCG_q6 = Σ rel_r·w_r is
+    // an exact BIGINT whatever the sum order (cross-engine log₂/float-sum
+    // drift can't exist), IDCG_q6 is a prefix-sum LOOKUP on n_rel, and
+    // nDCG is ONE double division. Probes broadcast; one corpus scan.
+    "q_ndcg_eval" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val all = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"),
+          col("label"))
+      val lab = all.select(col("id"), col("label"))
+      val topk = Similarity
+        .bruteForceTopK(all.filter(col("id") < 10).select("id", "vec"),
+          all.select("id", "vec"), k = 10)
+      val wCol = element_at(array(NdcgW.map(lit): _*), col("rank").cast("int"))
+      topk
+        .join(broadcast(lab.select(col("id").as("query_id"), col("label").as("ql"))),
+          Seq("query_id"))
+        .join(lab.select(col("id").as("neighbor_id"), col("label").as("nl")),
+          Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"),
+          (col("ql") === col("nl")).cast("long").as("rel"))
+        .groupBy("query_id")
+        .agg(sum(col("rel")).as("n_rel"), sum(col("rel") * wCol).as("dcg_q6"))
+        .withColumn("idcg_q6",
+          element_at(array(NdcgIdcg.map(lit): _*), col("n_rel").cast("int") + 1))
+        .withColumn("ndcg",
+          when(col("idcg_q6") > 0,
+            col("dcg_q6").cast("double") / col("idcg_q6").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("query_id")
+    },
+
     // FILTERED vector search — ANN under a metadata predicate (tenant /
     // partition / language scoping, the standard production requirement):
     // the label filter applies to the CORPUS side BEFORE bucketing, so
@@ -487,6 +523,15 @@ object SimilarityQueries {
 
   private val VDouble = "list_transform(embedding, x -> x::DOUBLE)"
 
+  /** nDCG@10 discount weights, ⌊10⁶/log₂(r+1)⌋ for rank r = 1..10 —
+    * pre-quantized so DCG is exact integer arithmetic in both engines. */
+  private val NdcgW = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+    333333L, 315464L, 301029L, 289064L)
+
+  /** Prefix sums of [[NdcgW]]: IDCG_q6 for n_rel = 0..10 (index n_rel+1). */
+  private val NdcgIdcg = Seq(0L, 1000000L, 1630929L, 2130929L, 2561605L, 2948457L,
+    3304664L, 3637997L, 3953461L, 4254490L, 4543554L)
+
   private def foldSumSql(listExpr: String) =
     s"list_reduce(list_prepend(0.0::DOUBLE, $listExpr), (acc, x) -> acc + x)"
 
@@ -568,6 +613,31 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 10 ORDER BY query_id, rank"),
+    // q_cosine_topk's exact-retrieval shape + label relevance; the same
+    // hardcoded integer weight/prefix tables as VALUES lists
+    "q_ndcg_eval" -> {
+      val wVals = NdcgW.zipWithIndex.map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      val pVals = NdcgIdcg.zipWithIndex.map { case (p, i) => s"($i, $p)" }.mkString(", ")
+      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+        s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, " +
+        s"${cosSql("q.vec", "c.vec")} AS cos " +
+        "FROM v q JOIN v c ON q.id < 10 AND q.id != c.id), " +
+        "topk AS (SELECT query_id, neighbor_id, rank FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+        "WHERE rank <= 10), " +
+        s"w(r, wt) AS (VALUES $wVals), p(nr, iw) AS (VALUES $pVals), " +
+        "rel AS (SELECT t.query_id, t.rank, " +
+        "CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS rel " +
+        "FROM topk t JOIN embeddings a ON a.vec_id = t.query_id " +
+        "JOIN embeddings b ON b.vec_id = t.neighbor_id), " +
+        "per AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel, " +
+        "CAST(sum(rel * wt) AS BIGINT) AS dcg_q6 FROM rel JOIN w ON w.r = rel.rank " +
+        "GROUP BY 1) " +
+        "SELECT query_id, n_rel, dcg_q6, CAST(iw AS BIGINT) AS idcg_q6, " +
+        "CASE WHEN iw > 0 THEN CAST(dcg_q6 AS DOUBLE) / CAST(iw AS DOUBLE) " +
+        "ELSE CAST(0 AS DOUBLE) END AS ndcg " +
+        "FROM per JOIN p ON p.nr = per.n_rel ORDER BY query_id"
+    },
     "q_ann_lsh" -> AnnLshSql,
     // identical result contract to q_ann_lsh — the engine differs only in
     // the index frame's physical lifecycle (persisted bucketed table)

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Independent driver-side recomputes (sf0.001) for the round-11 declared
+  * queries: every result is re-derived with plain Scala collections from the
+  * raw fixture rows, so an engine-side plan bug can't cancel against an
+  * oracle-side twin of itself.
+  */
+class Round11Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def events: Array[(Long, Long, String, Double, Long)] =
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+
+  test("q_conversion_lag: integer-weighted percentiles match a Scala recompute") {
+    val got = SparkEntry.queries("q_conversion_lag")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val ev = events
+    val su = ev.filter(_._3 == "signup").groupBy(_._2).map { case (u, rs) => u -> rs.map(_._5).min }
+    val lags = ev
+      .filter(_._3 == "purchase")
+      .groupBy(_._2)
+      .toSeq // leave Map semantics before keying by segment
+      .flatMap { case (u, rs) =>
+        su.get(u).flatMap { s =>
+          val after = rs.map(_._5).filter(_ >= s)
+          if (after.isEmpty) None else Some(seg(u) -> (after.min - s))
+        }
+      }
+      .groupBy(_._1)
+    def pctX100(sorted: IndexedSeq[Long], p: Int): Long = {
+      val pos = (sorted.length - 1).toLong * p
+      val idx = (pos / 100).toInt
+      val rem = pos % 100
+      if (rem == 0) sorted(idx) * 100
+      else sorted(idx) * (100 - rem) + sorted(idx + 1) * rem
+    }
+    assert(got.keySet == lags.keySet)
+    lags.foreach { case (sg, rs) =>
+      val sorted = rs.map(_._2).sorted.toIndexedSeq
+      val exp = (sorted.length.toLong,
+        pctX100(sorted, 50).toDouble / 100, pctX100(sorted, 90).toDouble / 100)
+      assert(got(sg) == exp, s"segment=$sg")
+    }
+  }
+
+  test("q_fd_violations: the PK and join-derived FDs hold, the behavioral one breaks") {
+    val rows = SparkEntry.queries("q_fd_violations")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = events
+    val byUser = ev.groupBy(_._2)
+    assert(rows("event_id->user_id") ==
+      ((ev.length.toLong, 0L, 1L))) // event_id is a key
+    val nd = byUser.map { case (_, rs) => rs.map(_._3).distinct.length }
+    assert(rows("user_id->event_type") ==
+      ((byUser.size.toLong, nd.count(_ > 1).toLong, nd.max.toLong)))
+    val (g, v, m) = rows("user_id->c_mktsegment")
+    assert(v == 0L && m == 1L && g <= byUser.size) // dim lookup is functional
+  }
+
+  test("q_scd2_lookup: state-at-error-time matches a per-user Scala replay") {
+    val got = SparkEntry.queries("q_scd2_lookup")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val ev = events
+    // per user: non-error change rows (lag-collapse over (us, event_id)),
+    // deduped per ts by max event_id — then each error resolves the last
+    // change at-or-before its ts
+    val states = ev.groupBy(_._2).map { case (u, rs) =>
+      val ordered = rs.filter(_._3 != "error").sortBy(r => (r._5, r._1))
+      val chg = ordered.zipWithIndex.filter { case (r, i) =>
+        i == 0 || ordered(i - 1)._3 != r._3
+      }.map(_._1)
+      val dedup = chg.groupBy(_._5).map { case (us, cs) => us -> cs.maxBy(_._1)._3 }
+      u -> dedup.toSeq.sortBy(_._1)
+    }
+    val exp = ev
+      .filter(_._3 == "error")
+      .map { e =>
+        states.get(e._2) match {
+          case Some(hist) =>
+            hist.filter(_._1 <= e._5).lastOption.map(_._2).getOrElse("none")
+          case None => "none"
+        }
+      }
+      .groupBy(identity)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    assert(got == exp)
+    assert(got.values.sum == ev.count(_._3 == "error").toLong)
+  }
+
+  test("q_debounce: kept counts match a per-(user,type) Scala replay") {
+    val got = SparkEntry.queries("q_debounce")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = events
+      .groupBy(r => (r._2, r._3))
+      .toSeq
+      .flatMap { case ((_, t), rs) =>
+        val us = rs.sortBy(r => (r._5, r._1)).map(_._5)
+        us.zipWithIndex.map { case (u, i) => t -> (i == 0 || u - us(i - 1) > 5000000L) }
+      }
+      .groupBy(_._1)
+      .map { case (t, xs) =>
+        val n = xs.length.toLong
+        val kept = xs.count(_._2).toLong
+        t -> ((n, kept, (n - kept) * 1000000L / n))
+      }
+    assert(got == exp)
+  }
+
+  test("q_ab_contingency: cells + chi-square match a Scala recompute") {
+    val r = SparkEntry.queries("q_ab_contingency")(spark, dir).collect().head
+    val per = events.groupBy(_._2).toSeq.map { case (u, rs) =>
+      (u % 2, rs.exists(e => e._3 == "purchase" && e._4 > 180))
+    }
+    val a = per.count(p => p._1 == 0 && p._2).toLong
+    val b = per.count(p => p._1 == 0 && !p._2).toLong
+    val c = per.count(p => p._1 == 1 && p._2).toLong
+    val d = per.count(p => p._1 == 1 && !p._2).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((a, b, c, d)))
+    assert(Seq(a, b, c, d).forall(_ > 0), "degenerate 2x2 at sf0.001")
+    val diff = (a * d - b * c).toDouble
+    val chi2 = diff * diff * (a + b + c + d).toDouble /
+      ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
+    assert(r.getDouble(4) == chi2)
+  }
+
+  test("q_l_diversity: per-QI distinct sensitive values match a Scala recompute") {
+    val got = SparkEntry.queries("q_l_diversity")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Number](1).longValue(), r.getString(2))))
+      .toMap
+    val exp = events
+      .flatMap(e => cust.get(e._2).map(q => q -> e))
+      .groupBy(_._1)
+      .map { case (q, xs) =>
+        val es = xs.map(_._2)
+        val l = es.map(_._3).distinct.length.toLong
+        q -> ((es.length.toLong, es.map(_._2).distinct.length.toLong, l, l >= 3))
+      }
+    assert(got == exp)
+  }
+
+  test("q_ndcg_eval: nDCG bounds + n_rel/weights consistency") {
+    val rows = SparkEntry.queries("q_ndcg_eval")(spark, dir).collect()
+    assert(rows.length == 10)
+    val idcg = Seq(0L, 1000000L, 1630929L, 2130929L, 2561605L, 2948457L,
+      3304664L, 3637997L, 3953461L, 4254490L, 4543554L)
+    rows.foreach { r =>
+      val (nRel, dcg, id, ndcg) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nRel >= 0 && nRel <= 10)
+      assert(id == idcg(nRel.toInt), s"idcg lookup for n_rel=$nRel")
+      assert(dcg <= id, "DCG cannot exceed the ideal ordering")
+      if (id > 0) assert(ndcg == dcg.toDouble / id.toDouble && ndcg >= 0.0 && ndcg <= 1.0)
+      else assert(ndcg == 0.0 && dcg == 0L)
+    }
+    // at least one query must see a relevant neighbor or the metric is vacuous
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("q_graph_assortativity: moments match a Scala recompute over the mutual edges") {
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, dir).collect().head
+    graft.functions.GraftFunctions.register(spark)
+    val edges = graft.ext.Graph
+      .mutualKnnEdges(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("id"),
+            graft.ext.Similarity.asDouble(col("embedding")).as("vec")),
+        k = 8)
+      .collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    val directed = edges.flatMap(e => Seq(e, e.swap))
+    val deg = directed.groupBy(_._1).map { case (v, xs) => v -> xs.length.toLong }
+    val m = directed.length.toLong
+    val sx = directed.map(e => deg(e._1)).sum
+    val sxy = directed.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = directed.map(e => deg(e._1) * deg(e._1)).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((m, sx, sxy, sxx)))
+    val expR = (m * sxy - sx * sx).toDouble / (m * sxx - sx * sx).toDouble
+    assert(r.getDouble(4) == expR)
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+  }
+}
