@@ -50,6 +50,33 @@ object CurationQueries {
         .orderBy("c_nationkey", "c_mktsegment", "bal_kb")
     },
 
+    // k-ANONYMITY GENERALIZATION LADDER — the mechanism to
+    // q_k_anonymity's audit: walk the telescoping QI lattice
+    // (segment, nation, bal_kb) → (segment, nation) → (segment) → ()
+    // in ONE rollup pass (one scan + one exchange — grouping_id tags the
+    // level, so no per-level re-aggregation and no data-value/grouping-
+    // null ambiguity), then mark the FIRST level where every group
+    // reaches k = 3 — the minimal generalization a release would apply.
+    // The chosen-level compare runs a global window over the 4-row ladder.
+    "q_k_generalize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ladder = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_kb"))
+        .rollup(col("c_mktsegment"), col("c_nationkey"), col("bal_kb"))
+        .agg(count(lit(1)).as("gs"), grouping_id().as("gid"))
+        .groupBy(
+          when(col("gid") === 0, 0L).when(col("gid") === 1, 1L)
+            .when(col("gid") === 3, 2L).otherwise(3L).as("level"))
+        .agg(count(lit(1)).as("n_groups"), min(col("gs")).as("min_group"),
+          sum(when(col("gs") < 3, 1L).otherwise(0L)).as("n_at_risk"))
+      ladder
+        .withColumn("chosen",
+          col("level") === min(when(col("min_group") >= 3, col("level")))
+            .over(Window.partitionBy()))
+        .orderBy("level")
+    },
+
     // BEHAVIORAL l-diversity — the cross-table complement of
     // q_k_anonymity's dim-side audit: the sensitive attribute is what the
     // users in a quasi-identifier group DID (their event types), not a dim
@@ -651,6 +678,19 @@ object CurationQueries {
       "count(*) AS group_size, count(DISTINCT c_acctbal) AS distinct_sensitive, " +
       "count(*) < 3 AS at_risk FROM customer GROUP BY 1, 2, 3 " +
       "ORDER BY c_nationkey, c_mktsegment, bal_kb"),
+    // same rollup lattice; GROUPING() bit order matches Spark grouping_id
+    "q_k_generalize" -> ("WITH base AS (SELECT c_mktsegment, c_nationkey, " +
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb FROM customer), " +
+      "g AS (SELECT GROUPING(c_mktsegment, c_nationkey, bal_kb) AS gid, " +
+      "count(*) AS gs FROM base GROUP BY ROLLUP(c_mktsegment, c_nationkey, bal_kb)), " +
+      "lv AS (SELECT CAST(CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 " +
+      "ELSE 3 END AS BIGINT) AS level, count(*) AS n_groups, " +
+      "CAST(min(gs) AS BIGINT) AS min_group, " +
+      "CAST(sum(CASE WHEN gs < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk " +
+      "FROM g GROUP BY 1) " +
+      "SELECT level, n_groups, min_group, n_at_risk, " +
+      "level = min(CASE WHEN min_group >= 3 THEN level END) OVER () AS chosen " +
+      "FROM lv ORDER BY level"),
     "q_l_diversity" -> ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows, " +
       "count(DISTINCT e.user_id) AS n_users, count(DISTINCT event_type) AS l, " +
       "count(DISTINCT event_type) >= 3 AS diverse " +

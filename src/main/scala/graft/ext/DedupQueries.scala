@@ -23,6 +23,34 @@ object DedupQueries {
         .orderBy("fp")
     },
 
+    // DEDUP IMPACT REPORT — the curation number a data-mix owner reads
+    // after any dedup pass: per source, corpus share BEFORE vs AFTER exact
+    // dedup (min-doc_id keeper, the q_dedup_exact contract) and the
+    // resulting mix shift. A source whose share jumps was under-duplicated
+    // relative to the rest; one that collapses was a mirror. Keeper frame
+    // = one fp-keyed agg; the survivor restriction is a semi-join; shares
+    // are ×10⁶ truncating quotients over exact BIGINTs (n·10⁶ holds in
+    // Long to ~9·10¹² docs).
+    "q_dedup_impact" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val before = docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
+      val after = docs.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      val joined = before
+        .join(after, Seq("source"), "left")
+        .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      val totals = joined.agg(sum(col("n_before")).as("tb"), sum(col("n_after")).as("ta"))
+      joined
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("n_before"), col("n_after"),
+          expr("n_before * 1000000 DIV tb").as("share_before_q6"),
+          expr("n_after * 1000000 DIV ta").as("share_after_q6"),
+          expr("n_after * 1000000 DIV ta - n_before * 1000000 DIV tb").as("shift_q6"))
+        .orderBy("source")
+    },
+
     // Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 via inverted index.
     // The declared path runs the PRODUCTION intermediate (the span-dedup
     // lever, extended here in round 10): postings written once
@@ -397,6 +425,20 @@ object DedupQueries {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> ("SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, " +
       "min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_dedup_impact" -> ("WITH k AS (SELECT min(doc_id) AS doc_id FROM documents " +
+      "GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))), " +
+      "b AS (SELECT source, count(*) AS n_before FROM documents GROUP BY 1), " +
+      "a AS (SELECT source, count(*) AS n_after FROM documents " +
+      "JOIN k USING (doc_id) GROUP BY 1), " +
+      "j AS (SELECT b.source, n_before, coalesce(n_after, 0) AS n_after " +
+      "FROM b LEFT JOIN a USING (source)), " +
+      "t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb, " +
+      "CAST(sum(n_after) AS BIGINT) AS ta FROM j) " +
+      "SELECT source, n_before, n_after, " +
+      "n_before * 1000000 // tb AS share_before_q6, " +
+      "n_after * 1000000 // ta AS share_after_q6, " +
+      "n_after * 1000000 // ta - n_before * 1000000 // tb AS shift_q6 " +
+      "FROM j, t ORDER BY source"),
     "q_dedup_ngram_jaccard" -> (s"WITH $WithShingles, $Postings, " +
       "inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS i FROM post x " +
       "JOIN post y ON x.h = y.h AND x.doc < y.doc GROUP BY 1, 2) " +

@@ -668,6 +668,49 @@ object RelationalQueries {
             .as("chi2"))
     },
 
+    // Exact WEIGHTED median — the volume-weighted price point: per return
+    // flag, the smallest cent value whose cumulative quantity reaches half
+    // the group's total (the lower weighted median). One key exchange +
+    // one in-partition cumulative sum over the (cents, orderkey,
+    // linenumber) total order; the 2·cumw ≥ totw threshold is exact
+    // integer arithmetic, no interpolation anywhere. Explicit ROWS frame
+    // on both sides (RANGE vs ROWS is moot under a unique sort key, but
+    // pinning it removes the cross-engine default-frame dependency).
+    "q_weighted_median" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy("l_returnflag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      li.withColumn("cumw", sum(col("qty")).over(wOrd))
+        .withColumn("totw", sum(col("qty")).over(wAll))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("totw")).as("tot_qty"), min(col("cents")).as("wmedian_cents"))
+        .orderBy("l_returnflag")
+    },
+
+    // 3-step behavior paths — the Sankey/flow frame one level deeper than
+    // q_event_paths' bigrams: two leads on the same (user, (ts, event_id))
+    // window (ONE exchange + one sort serves both), trigram counts over
+    // the ≤|types|³ key space. The path-mining shape that stays bounded
+    // however large the corpus: output is type-cubed, never row-sized.
+    "q_path_trigrams" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("step1", "step2", "step3")
+    },
+
     // Rolling exact p95 over the daily metric frame — the SLO/latency
     // dashboard number: per event_type, the 95th percentile of the last
     // 7 days' totals, one key exchange + one ordered window; the
@@ -2835,6 +2878,21 @@ object RelationalQueries {
       "CAST(a + b + c + d AS DOUBLE) / " +
       "(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * " +
       "CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2 FROM cells"),
+    "q_weighted_median" -> ("WITH li AS (SELECT l_returnflag, " +
+      "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents, " +
+      "CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber FROM lineitem), " +
+      "c AS (SELECT l_returnflag, cents, " +
+      "sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents, l_orderkey, l_linenumber " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+      "sum(qty) OVER (PARTITION BY l_returnflag) AS totw FROM li) " +
+      "SELECT l_returnflag, CAST(max(totw) AS BIGINT) AS tot_qty, " +
+      "min(cents) AS wmedian_cents FROM c WHERE cumw * 2 >= totw " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_path_trigrams" -> ("WITH seq AS (SELECT event_type AS step1, " +
+      "lead(event_type, 1) OVER w AS step2, lead(event_type, 2) OVER w AS step3 " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT step1, step2, step3, count(*) AS cnt FROM seq " +
+      "WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_rolling_p95" -> ("WITH daily AS (SELECT event_type, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
       "FROM events GROUP BY 1, 2) " +

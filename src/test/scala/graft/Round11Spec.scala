@@ -183,6 +183,89 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("q_weighted_median: threshold row matches a Scala cumulative-weight replay") {
+    val got = SparkEntry.queries("q_weighted_median")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), floor(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"), col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val exp = li.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._4, r._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val wm = sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+      flag -> ((tot, wm))
+    }
+    assert(got == exp)
+  }
+
+  test("q_path_trigrams: counts match a Scala sequence replay") {
+    val got = SparkEntry.queries("q_path_trigrams")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val exp = events
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (_, rs) =>
+        val seq = rs.sortBy(r => (r._5, r._1)).map(_._3)
+        seq.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+      }
+      .groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    assert(got == exp)
+  }
+
+  test("q_k_generalize: ladder stats match per-level Scala group sizes") {
+    val rows = SparkEntry.queries("q_k_generalize")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(), r.getLong(2)))
+    def stats(key: ((String, Long, Long)) => Any): (Long, Long, Long) = {
+      val gs = cust.groupBy(key).map(_._2.length.toLong).toSeq
+      (gs.length.toLong, gs.min, gs.count(_ < 3).toLong)
+    }
+    val lv = Seq[((String, Long, Long)) => Any](
+      c => (c._1, c._2, c._3), c => (c._1, c._2), c => c._1, _ => ()).map(stats)
+    val chosenLevel = lv.indexWhere(_._2 >= 3).toLong
+    lv.zipWithIndex.foreach { case ((g, mn, risk), i) =>
+      assert(rows(i.toLong) == ((g, mn, risk, i.toLong == chosenLevel)), s"level=$i")
+    }
+  }
+
+  test("q_dedup_impact: shares recompose from the verified q_dedup_exact keepers") {
+    val got = SparkEntry.queries("q_dedup_impact")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val keepers = SparkEntry.queries("q_dedup_exact")(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    val srcOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val before = srcOf.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val after = srcOf.filter(d => keepers(d._1)).groupBy(_._2)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    val (tb, ta) = (before.values.sum, after.values.sum)
+    assert(ta == keepers.size.toLong)
+    assert(got.keySet == before.keySet)
+    before.foreach { case (s, nb) =>
+      val na = after.getOrElse(s, 0L)
+      val (sb, sa) = (nb * 1000000L / tb, na * 1000000L / ta)
+      assert(got(s) == ((nb, na, sb, sa, sa - sb)), s"source=$s")
+    }
+  }
+
   test("q_graph_assortativity: moments match a Scala recompute over the mutual edges") {
     val r = SparkEntry.queries("q_graph_assortativity")(spark, dir).collect().head
     graft.functions.GraftFunctions.register(spark)
