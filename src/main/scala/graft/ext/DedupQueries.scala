@@ -38,9 +38,12 @@ object DedupQueries {
       val before = docs.groupBy(col("source")).agg(count(lit(1)).as("n_before"))
       val after = docs.join(keep, Seq("doc_id"), "left_semi")
         .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      // |sources|-sized frame read twice (rows + totals): checkpoint, or
+      // the fp-agg + semi-join recompute per arm (4 corpus scans, not 2)
       val joined = before
         .join(after, Seq("source"), "left")
         .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+        .localCheckpoint()
       val totals = joined.agg(sum(col("n_before")).as("tb"), sum(col("n_after")).as("ta"))
       joined
         .crossJoin(broadcast(totals))

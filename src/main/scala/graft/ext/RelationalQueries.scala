@@ -573,25 +573,36 @@ object RelationalQueries {
     // candidate FDs (a PK check, a known violation, a join-derived
     // dependency): per FD, LHS group count, violating-group count, and the
     // worst RHS fan-out. The schema-inference / data-contract primitive a
-    // warehouse runs before trusting a column as a key. Each FD is one
-    // two-level countDistinct agg (partial maps combine map-side); the
-    // three 1-row summaries union driver-free.
+    // warehouse runs before trusting a column as a key. FDs sharing an LHS
+    // ride ONE countDistinct exchange (the multi-FD audit trick — scans
+    // scale with distinct LHS keys, not with FD count); the broadcast join
+    // is lossless (every events.user_id is a customer key at every SF), so
+    // the events-side FD is unaffected by the segment attach.
     "q_fd_violations" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-      def audit(name: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
-        df.groupBy(col(lhs))
-          .agg(countDistinct(col(rhs)).as("nd"))
-          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
-            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
-            max(col("nd")).as("max_rhs"))
-      val withSeg = ev.join(
-        broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
-        Seq("user_id"))
-      audit("event_id->user_id", ev, "event_id", "user_id")
-        .unionByName(audit("user_id->event_type", ev, "user_id", "event_type"))
-        .unionByName(audit("user_id->c_mktsegment", withSeg, "user_id", "c_mktsegment"))
-        .orderBy("fd")
+      val fd1 = ev
+        .groupBy(col("event_id"))
+        .agg(countDistinct(col("user_id")).as("nd"))
+        .agg(lit("event_id->user_id").as("fd"), count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_rhs"))
+      val fd23 = ev
+        .join(
+          broadcast(Tables.customer(s, dir)
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+          Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nd_et"),
+          countDistinct(col("c_mktsegment")).as("nd_seg"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd_et") > 1, 1L).otherwise(0L)).as("v_et"),
+          max(col("nd_et")).as("m_et"),
+          sum(when(col("nd_seg") > 1, 1L).otherwise(0L)).as("v_seg"),
+          max(col("nd_seg")).as("m_seg"))
+        .selectExpr("stack(2, 'user_id->event_type', n_groups, v_et, m_et, " +
+          "'user_id->c_mktsegment', n_groups, v_seg, m_seg) " +
+          "AS (fd, n_groups, n_violating, max_rhs)")
+      fd1.unionByName(fd23).orderBy("fd")
     },
 
     // SCD2 POINT-IN-TIME LOOKUP — the read side of q_scd2_build: each

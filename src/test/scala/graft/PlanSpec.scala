@@ -1174,4 +1174,53 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2,
       s"the shuffle must carry (doc, bucket) partials, not token rows:\n$p")
   }
+
+  test("q_weighted_median: both windows AND the group agg ride ONE fact exchange") {
+    val p = plan("q_weighted_median")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Window") == 2, s"cumulative + total windows:\n$p")
+    // one hashpartitioning for the window partitioning (the post-filter
+    // groupBy reuses it); the only other exchange is the ORDER BY range
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"agg must reuse the window's partitioning:\n$p")
+  }
+
+  test("q_l_diversity: dim broadcasts; fact scanned once, never merge-joined") {
+    val p = plan("q_l_diversity")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact must not shuffle for the dim:\n$p")
+    assert(count(p, "Scan parquet") == 2)
+  }
+
+  test("q_path_trigrams / q_debounce: one window exchange + one agg exchange") {
+    Seq("q_path_trigrams", "q_debounce").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1, s"$q: single pass over events:\n$p")
+      assert(count(p, "Window") == 1, s"$q: both leads/lags share one window:\n$p")
+      assert(count(p, "Exchange hashpartitioning") == 2,
+        s"$q: user-key window + type-key agg only:\n$p")
+    }
+  }
+
+  test("q_k_generalize: the whole generalization lattice is ONE rollup pass") {
+    val p = plan("q_k_generalize")
+    assert(count(p, "Scan parquet") == 1, s"one scan serves all 4 levels:\n$p")
+    assert(count(p, "Expand") == 1, s"rollup expand, no per-level re-aggregation:\n$p")
+    assert(!p.contains("Join"), s"lattice walk is join-free:\n$p")
+  }
+
+  test("q_scd2_lookup: the as-of lookup is window-based — no join in the plan") {
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("Join"),
+      s"point-in-time resolution must be the union+window as-of, never an interval join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no per-user interval cross:\n$p")
+  }
+
+  test("q_fd_violations: FDs sharing an LHS ride one countDistinct exchange") {
+    val p = plan("q_fd_violations")
+    // 2 fact scans (event_id FD + the shared user_id FD pair) + 1 dim scan
+    assert(count(p, "Scan parquet") == 3, s"FD count must not multiply scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact never shuffles for the dim:\n$p")
+  }
 }
