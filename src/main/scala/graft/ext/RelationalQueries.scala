@@ -679,6 +679,47 @@ object RelationalQueries {
             .as("chi2"))
     },
 
+    // GINI SPLIT GAIN — the decision-tree split chooser over four
+    // candidate features (hour, day-of-week, value band, props.k band)
+    // against the event_type class, entirely in integer arithmetic:
+    // impurity uses Gini (rational in counts — the log-free twin of
+    // information gain), n_b·gini_b·10⁶ = (n_b²−ssq_b)·10⁶/n_b is a
+    // two-limb exact quotient, and the weighted child / parent values
+    // truncate once more at /N (both truncation points mirrored in the
+    // oracle). One stack() fan-out = one scan for all four features; the
+    // (feature, bucket, class) agg combines map-side. Long headroom: the
+    // n_b²·10³ limb holds to ~10⁸-row buckets — two notches above the
+    // fixtures; beyond that the per-bucket term switches to coarser limbs.
+    "q_gini_split" -> { (s, dir) =>
+      val twoLimb = (a: String, b: String) =>
+        s"(($a) * 1000 DIV ($b)) * 1000 + ((($a) * 1000) % ($b)) * 1000 DIV ($b)"
+      val feats = Tables.events(s, dir).select(col("event_type"),
+        expr("stack(4, " +
+          "'hour', CAST(hour(ts) AS BIGINT), " +
+          "'dow', (unix_micros(ts) DIV 86400000000) % 7, " +
+          "'value_band', CAST(least(floor(value / 50), 9) AS BIGINT), " +
+          "'k_band', CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10) " +
+          "AS (feature, bucket)"))
+      val cc = feats.groupBy(col("feature"), col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val buckets = cc.groupBy(col("feature"), col("bucket"))
+        .agg(sum(col("c")).as("nb"), sum(col("c") * col("c")).as("ssq"))
+      val perFeature = buckets.groupBy(col("feature"))
+        .agg(sum(col("nb")).as("n"),
+          sum(expr(twoLimb("nb * nb - ssq", "nb"))).as("wsum_q6"))
+      val parent = Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("pn"), sum(col("c") * col("c")).as("pssq"))
+        .select(expr(twoLimb("pn * pn - pssq", "pn")).as("pq6x"), col("pn"))
+      perFeature
+        .crossJoin(broadcast(parent))
+        .select(col("feature"), col("n"),
+          expr("pq6x DIV pn").as("parent_gini_q6"),
+          expr("wsum_q6 DIV n").as("child_gini_q6"),
+          expr("pq6x DIV pn - wsum_q6 DIV n").as("gain_q6"))
+        .orderBy("feature")
+    },
+
     // Exact WEIGHTED median — the volume-weighted price point: per return
     // flag, the smallest cent value whose cumulative quantity reaches half
     // the group's total (the lower weighted median). One key exchange +
@@ -2889,6 +2930,31 @@ object RelationalQueries {
       "CAST(a + b + c + d AS DOUBLE) / " +
       "(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * " +
       "CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2 FROM cells"),
+    // lockstep unnest fan-out; identical two-limb quotients and the same
+    // two truncation points ((n_b²−ssq)·10⁶//n_b, then //N)
+    "q_gini_split" -> ("WITH f AS (SELECT event_type, " +
+      "unnest(['hour', 'dow', 'value_band', 'k_band']) AS feature, " +
+      "unnest([CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT), " +
+      "(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7, " +
+      "least(CAST(floor(value / 50) AS BIGINT), 9), " +
+      "json_extract_string(props, '$.k')::BIGINT // 10]) AS bucket FROM events), " +
+      "cc AS (SELECT feature, bucket, event_type, count(*) AS c " +
+      "FROM f GROUP BY 1, 2, 3), " +
+      "b AS (SELECT feature, bucket, CAST(sum(c) AS BIGINT) AS nb, " +
+      "CAST(sum(c * c) AS BIGINT) AS ssq FROM cc GROUP BY 1, 2), " +
+      "pf AS (SELECT feature, CAST(sum(nb) AS BIGINT) AS n, " +
+      "CAST(sum(((nb * nb - ssq) * 1000 // nb) * 1000 + " +
+      "(((nb * nb - ssq) * 1000) % nb) * 1000 // nb) AS BIGINT) AS wsum_q6 " +
+      "FROM b GROUP BY 1), " +
+      "pc AS (SELECT CAST(sum(c) AS BIGINT) AS pn, " +
+      "CAST(sum(c * c) AS BIGINT) AS pssq " +
+      "FROM (SELECT count(*) AS c FROM events GROUP BY event_type)), " +
+      "p AS (SELECT ((pn * pn - pssq) * 1000 // pn) * 1000 + " +
+      "(((pn * pn - pssq) * 1000) % pn) * 1000 // pn AS pq6x, pn FROM pc) " +
+      "SELECT feature, n, pq6x // pn AS parent_gini_q6, " +
+      "wsum_q6 // n AS child_gini_q6, " +
+      "pq6x // pn - wsum_q6 // n AS gain_q6 " +
+      "FROM pf, p ORDER BY feature"),
     "q_weighted_median" -> ("WITH li AS (SELECT l_returnflag, " +
       "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents, " +
       "CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber FROM lineitem), " +

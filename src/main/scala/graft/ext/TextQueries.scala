@@ -422,6 +422,32 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // HEAPS-LAW vocabulary growth curve — "is the corpus still teaching
+    // the tokenizer new types?": each token's FIRST document (min doc_id
+    // over one exploded pass), bucketed into ingest-order deciles, gives
+    // new-type counts per decile + the cumulative vocabulary. The
+    // corpus-level twin of q_content_novelty's per-doc fraction; the
+    // curve flattening is the "more data stops adding vocabulary" signal
+    // a tokenizer-budget decision reads. Cumsum runs over the 10-row
+    // decile frame only.
+    "q_vocab_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val firstSeen = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(min(col("doc_id")).as("first_doc"))
+      val nDocs = docs.agg((max(col("doc_id")) + 1).as("n_docs"))
+      firstSeen
+        .crossJoin(broadcast(nDocs))
+        .groupBy(expr("least(first_doc * 10 DIV n_docs, 9)").as("decile"))
+        .agg(count(lit(1)).as("new_types"))
+        .withColumn("cum_vocab",
+          sum(col("new_types")).over(Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("decile")
+    },
+
     // Classifier CALIBRATION curve (reliability diagram) — the fasttext-
     // style score binned against the rule-based Gopher gate as reference
     // label: per score-decile doc counts, gate-pass counts, pass rate
@@ -886,6 +912,17 @@ object TextQueries {
       "((CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
       "* 1000) % total) * 1000 // total AS cov_q6 " +
       "FROM r, t WHERE rank <= 50 ORDER BY rank"),
+
+    // same min-first-doc frame, decile by (max id + 1), 10-row cumsum
+    "q_vocab_growth" -> (s"WITH t AS (SELECT doc_id, unnest($Toks) AS token " +
+      "FROM documents), " +
+      "f AS (SELECT token, min(doc_id) AS first_doc FROM t GROUP BY 1), " +
+      "n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents), " +
+      "d AS (SELECT least(first_doc * 10 // n_docs, 9) AS decile, " +
+      "count(*) AS new_types FROM f, n GROUP BY 1) " +
+      "SELECT decile, new_types, " +
+      "CAST(sum(new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_vocab FROM d ORDER BY decile"),
 
     // the q_quality_classifier score CTE binned against the factored
     // GateKeepSql label; identical clamp/floor bin expression and the

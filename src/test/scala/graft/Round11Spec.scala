@@ -266,6 +266,58 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_gini_split: impurities match a Scala recompute with the same truncations") {
+    val got = SparkEntry.queries("q_gini_split")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7"),
+        expr("CAST(least(floor(value / 50), 9) AS BIGINT)"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"))
+      .collect()
+      .map(r => (r.getString(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    def twoLimb(a: Long, b: Long): Long = (a * 1000 / b) * 1000 + ((a * 1000) % b) * 1000 / b
+    val classes = rows.groupBy(_._1).map(_._2.length.toLong)
+    val pn = classes.sum
+    val pq6x = twoLimb(pn * pn - classes.map(c => c * c).sum, pn)
+    val names = Seq("hour", "dow", "value_band", "k_band")
+    names.zipWithIndex.foreach { case (f, i) =>
+      val byBucket = rows.groupBy(_._2(i))
+      val wsum = byBucket.values.map { rs =>
+        val nb = rs.size.toLong
+        val ssq = rs.groupBy(_._1).values.map(g => g.size.toLong * g.size).sum
+        twoLimb(nb * nb - ssq, nb)
+      }.sum
+      val exp = (pn, pq6x / pn, wsum / pn, pq6x / pn - wsum / pn)
+      assert(got(f) == exp, s"feature=$f")
+      assert(got(f)._4 >= -1L, s"$f: Gini gain is non-negative up to truncation")
+    }
+  }
+
+  test("q_vocab_growth: deciles match a Scala first-seen replay; cumsum closes on the vocab") {
+    val rows = SparkEntry.queries("q_vocab_growth")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nDocs = docs.map(_._1).max + 1
+    val firstSeen = docs
+      .flatMap { case (id, t) => t.split("\\s+").filter(_.nonEmpty).map(_ -> id) }
+      .groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).min }
+    val exp = firstSeen
+      .groupBy(d => math.min(d * 10 / nDocs, 9L))
+      .map { case (dec, xs) => dec -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == exp)
+    assert(rows.map(_._2).sum == firstSeen.size.toLong)
+    assert(rows.last._3 == firstSeen.size.toLong, "cumsum closes on total vocabulary")
+    assert(rows.map(_._3).toSeq == rows.map(_._2).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
   test("q_graph_assortativity: moments match a Scala recompute over the mutual edges") {
     val r = SparkEntry.queries("q_graph_assortativity")(spark, dir).collect().head
     graft.functions.GraftFunctions.register(spark)
