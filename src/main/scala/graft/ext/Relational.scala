@@ -28,6 +28,44 @@ object Relational {
   def enrich(fact: DataFrame, dim: DataFrame, joinExpr: Column, how: String = "inner"): DataFrame =
     fact.join(broadcast(dim), joinExpr, how)
 
+  /** Exact interpolated percentiles of an INTEGER column as integer-weighted
+    * order statistics — the cross-engine-reproducible percentile: native
+    * `percentile`/`quantile_cont` interpolate in doubles and drift by one
+    * ulp at large magnitudes (the round-10 `q_conversion_lag` driver
+    * mismatch). Here position ×100 = (n−1)·p is an exact BIGINT, so the
+    * interpolated value ×100 = v[idx]·(100−rem) + v[idx+1]·rem is ONE exact
+    * Long per (group, p) — the caller divides by 100 (or keeps the scaled
+    * integer). `ps` are integer percents (50 = median).
+    *
+    * Plan: one group exchange feeds the rank window, the count window AND
+    * the final aggregation (all three share the grouping key); the weighted
+    * pick is a conditional sum, never a collect. Ties on the value are
+    * harmless — the ordering key IS the value, so the statistic at a rank
+    * is tie-order independent. Values must satisfy |v|·100 < 2⁶³.
+    *
+    * Output: groupCols ++ (n, p<p>_x100 ...).
+    */
+  def exactPercentilesX100(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100), "percents in [0,100]")
+    val ranked = df
+      .withColumn("_rn0",
+        row_number().over(Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol)))
+          .cast("long") - lit(1L))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)))
+    val aggs = count(lit(1)).as("n") +: ps.map { p =>
+      val idx = expr(s"((_n - 1) * $p) DIV 100")
+      val rem = expr(s"((_n - 1) * $p) % 100")
+      sum(when(col("_rn0") === idx, col(valueCol) * (lit(100L) - rem))
+        .when(col("_rn0") === idx + 1L, col(valueCol) * rem)
+        .otherwise(lit(0L))).as(s"p${p}_x100")
+    }
+    ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Top-k rows per group by a metric computed over a pre-aggregated frame.
     *
     * Two-phase: aggregate to (group, entity) grain first (partial+final

@@ -547,26 +547,64 @@ object RelationalQueries {
         .select(col("user_id"), (col("conv_us") - col("su_us")).as("lag_us"))
       val cust = Tables.customer(s, dir)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-      val ranked = firstConv
-        .join(broadcast(cust), Seq("user_id"))
-        .select(col("segment"), col("lag_us"))
-        .withColumn("rn0",
-          row_number().over(Window.partitionBy(col("segment")).orderBy(col("lag_us")))
-            .cast("long") - lit(1L))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("segment"))))
-      def pctX100(p: Int): org.apache.spark.sql.Column = {
-        val idx = expr(s"((n - 1) * $p) DIV 100")
-        val rem = expr(s"((n - 1) * $p) % 100")
-        sum(when(col("rn0") === idx, col("lag_us") * (lit(100L) - rem))
-          .when(col("rn0") === idx + 1L, col("lag_us") * rem)
-          .otherwise(lit(0L)))
-      }
-      ranked
-        .groupBy(col("segment"))
-        .agg(count(lit(1)).as("n_converted"),
-          (pctX100(50).cast("double") / 100).as("p50_lag_us"),
-          (pctX100(90).cast("double") / 100).as("p90_lag_us"))
+      Relational
+        .exactPercentilesX100(firstConv.join(broadcast(cust), Seq("user_id"))
+          .select(col("segment"), col("lag_us")), Seq("segment"), "lag_us", Seq(50, 90))
+        .select(col("segment"), col("n").as("n_converted"),
+          (col("p50_x100").cast("double") / 100).as("p50_lag_us"),
+          (col("p90_x100").cast("double") / 100).as("p90_lag_us"))
         .orderBy("segment")
+    },
+
+    // Order-to-ship lag SLA percentiles per order priority — the
+    // supply-chain latency dashboard on the same
+    // [[Relational.exactPercentilesX100]] operator (integer day lags, so
+    // p50/p90/p99 hash cross-engine where native interpolation drifts).
+    // Fact joins the 2-column order dim on the order key (shuffle join —
+    // orders is fact-sized; the percentile windows and the final agg then
+    // ride ONE priority exchange).
+    "q_ship_lag_percentiles" -> { (s, dir) =>
+      val lag = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("order_us")),
+          Seq("l_orderkey"))
+        .select(col("o_orderpriority"),
+          expr("(ship_us - order_us) DIV 86400000000").as("lag_days"))
+      Relational
+        .exactPercentilesX100(lag, Seq("o_orderpriority"), "lag_days", Seq(50, 90, 99))
+        .select(col("o_orderpriority"), col("n").as("n_lines"),
+          (col("p50_x100").cast("double") / 100).as("p50_days"),
+          (col("p90_x100").cast("double") / 100).as("p90_days"),
+          (col("p99_x100").cast("double") / 100).as("p99_days"))
+        .orderBy("o_orderpriority")
+    },
+
+    // SPC p-CHART (statistical process control) — daily error-rate control
+    // limits: center line p̄ from exact global counts, per-day
+    // UCL = p̄ + 3·√(p̄(1−p̄)/n_d), and the out-of-control flag. Every
+    // float op is a correctly-rounded single step in a FIXED order over
+    // exact BIGINTs (one division for p̄, one for the variance term, one
+    // sqrt, one multiply-add) — bit-identical cross-engine, no float
+    // accumulation. One day-keyed agg + a broadcast 1-row total.
+    "q_control_chart" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_d"),
+          sum((col("event_type") === "error").cast("long")).as("err_d"))
+      val totals = daily.agg(sum(col("n_d")).as("nt"), sum(col("err_d")).as("et"))
+      val pbar = col("et").cast("double") / col("nt").cast("double")
+      daily
+        .crossJoin(broadcast(totals))
+        .select(col("day"), col("n_d"), col("err_d"),
+          pbar.as("center"),
+          (pbar + lit(3.0) * sqrt(pbar * (lit(1.0) - pbar) / col("n_d").cast("double")))
+            .as("ucl"),
+          (col("err_d").cast("double") / col("n_d").cast("double")).as("rate"))
+        .withColumn("out_of_control", col("rate") > col("ucl"))
+        .orderBy("day")
     },
 
     // Functional-dependency audit — "does X determine Y?" over three
@@ -2730,6 +2768,14 @@ object RelationalQueries {
     }
   )
 
+  /** Integer-weighted order-statistic percentile over a `rk` frame carrying
+    * (rn0, n) — the oracle twin of [[Relational.exactPercentilesX100]]'s
+    * conditional sum, divided back to value units as ONE double division. */
+  private def pctSql(v: String, p: Int): String =
+    s"CAST(CAST(sum(CASE WHEN rn0 = ((n-1)*$p)//100 THEN $v*(100-((n-1)*$p)%100) " +
+      s"WHEN rn0 = ((n-1)*$p)//100 + 1 THEN $v*(((n-1)*$p)%100) ELSE 0 END) " +
+      s"AS BIGINT) AS DOUBLE)/100"
+
   def oracleSql: Map[String, String] = Map(
     "q_join_enrich" -> ("SELECT c_mktsegment AS segment, count(*) AS cnt, " +
       "round(sum(value), 2) AS sum_value FROM events " +
@@ -2853,6 +2899,39 @@ object RelationalQueries {
       "SELECT node, count(*) AS subtree_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS subtree_chars " +
       "FROM anc GROUP BY 1 ORDER BY 1"),
+    "q_ship_lag_percentiles" -> ("WITH lg AS (SELECT o_orderpriority, " +
+      "(epoch_us(CAST(l_shipdate AS TIMESTAMP)) - " +
+      "epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000 AS lag_days " +
+      "FROM lineitem JOIN orders ON o_orderkey = l_orderkey), " +
+      "rk AS (SELECT o_orderpriority, lag_days, " +
+      "row_number() OVER (PARTITION BY o_orderpriority ORDER BY lag_days) - 1 AS rn0, " +
+      "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM lg) " +
+      "SELECT o_orderpriority, count(*) AS n_lines, " +
+      s"${pctSql("lag_days", 50)} AS p50_days, " +
+      s"${pctSql("lag_days", 90)} AS p90_days, " +
+      s"${pctSql("lag_days", 99)} AS p99_days " +
+      "FROM rk GROUP BY 1 ORDER BY 1"),
+    // identical fixed-order float steps over exact BIGINTs (one division
+    // for the center, one variance division, one sqrt, one multiply-add)
+    "q_control_chart" -> ("WITH d AS (SELECT " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, count(*) AS n_d, " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err_d " +
+      "FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n_d) AS BIGINT) AS nt, " +
+      "CAST(sum(err_d) AS BIGINT) AS et FROM d) " +
+      "SELECT day, n_d, err_d, " +
+      "CAST(et AS DOUBLE) / CAST(nt AS DOUBLE) AS center, " +
+      "CAST(et AS DOUBLE) / CAST(nt AS DOUBLE) + CAST(3 AS DOUBLE) * " +
+      "sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE) * " +
+      "(CAST(1 AS DOUBLE) - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)) / " +
+      "CAST(n_d AS DOUBLE)) AS ucl, " +
+      "CAST(err_d AS DOUBLE) / CAST(n_d AS DOUBLE) AS rate, " +
+      "CAST(err_d AS DOUBLE) / CAST(n_d AS DOUBLE) > " +
+      "CAST(et AS DOUBLE) / CAST(nt AS DOUBLE) + CAST(3 AS DOUBLE) * " +
+      "sqrt(CAST(et AS DOUBLE) / CAST(nt AS DOUBLE) * " +
+      "(CAST(1 AS DOUBLE) - CAST(et AS DOUBLE) / CAST(nt AS DOUBLE)) / " +
+      "CAST(n_d AS DOUBLE)) AS out_of_control " +
+      "FROM d, t ORDER BY day"),
     // same integer-weighted order-statistic form as the engine: the
     // interpolated percentile ×100 is an exact BIGINT, one final /100
     "q_conversion_lag" -> ("WITH su AS (SELECT user_id, " +

@@ -266,6 +266,61 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_ship_lag_percentiles: exactPercentilesX100 matches a Scala order-statistic replay") {
+    val got = SparkEntry.queries("q_ship_lag_percentiles")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val lags = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")))
+      .collect()
+      .map(r => {
+        val (prio, ous) = orders(r.getLong(0))
+        prio -> (r.getLong(1) - ous) / 86400000000L
+      })
+      .groupBy(_._1)
+    def pctX100(sorted: IndexedSeq[Long], p: Int): Long = {
+      val pos = (sorted.length - 1).toLong * p
+      val idx = (pos / 100).toInt
+      val rem = pos % 100
+      if (rem == 0) sorted(idx) * 100
+      else sorted(idx) * (100 - rem) + sorted(idx + 1) * rem
+    }
+    assert(got.keySet == lags.keySet)
+    lags.foreach { case (prio, rs) =>
+      val sorted = rs.map(_._2).sorted.toIndexedSeq
+      val exp = (sorted.length.toLong, pctX100(sorted, 50).toDouble / 100,
+        pctX100(sorted, 90).toDouble / 100, pctX100(sorted, 99).toDouble / 100)
+      assert(got(prio) == exp, s"priority=$prio")
+    }
+  }
+
+  test("q_control_chart: limits match a Scala recompute; flags consistent") {
+    val rows = SparkEntry.queries("q_control_chart")(spark, dir).collect()
+    val daily = events
+      .groupBy(_._5 / 86400000000L)
+      .map { case (d, rs) => d -> ((rs.length.toLong, rs.count(_._3 == "error").toLong)) }
+    val nt = daily.values.map(_._1).sum
+    val et = daily.values.map(_._2).sum
+    val pbar = et.toDouble / nt.toDouble
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val (d, nD, errD) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(daily(d) == ((nD, errD)))
+      val ucl = pbar + 3.0 * math.sqrt(pbar * (1.0 - pbar) / nD.toDouble)
+      val rate = errD.toDouble / nD.toDouble
+      assert(r.getDouble(3) == pbar && r.getDouble(4) == ucl && r.getDouble(5) == rate)
+      assert(r.getBoolean(6) == (rate > ucl))
+    }
+  }
+
   test("q_gini_split: impurities match a Scala recompute with the same truncations") {
     val got = SparkEntry.queries("q_gini_split")(spark, dir)
       .collect()
