@@ -717,6 +717,53 @@ object RelationalQueries {
             .as("chi2"))
     },
 
+    // APDEX score per event type — the SRE satisfaction index over the
+    // value column as a latency proxy (T = 50, tolerating ≤ 4T):
+    // (satisfied·10⁶ + tolerating·5·10⁵) DIV total — pure integer
+    // arithmetic over one combining aggregation pass.
+    "q_apdex" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total"),
+          sum((col("value") <= 50).cast("long")).as("satisfied"),
+          sum((col("value") > 50 && col("value") <= 200).cast("long")).as("tolerating"))
+        .withColumn("apdex_q6",
+          expr("(satisfied * 1000000 + tolerating * 500000) DIV total"))
+        .orderBy("event_type")
+    },
+
+    // TWO-PROPORTION POWER ANALYSIS on the q_ab_contingency cells — "how
+    // many users per arm would this experiment need?": classical
+    // n = (z_α/2+z_β)²·(p₁q₁+p₂q₂)/Δ² at 5% two-sided / 80% power. The
+    // z constants are FOLDED to one double literal in Scala and embedded
+    // verbatim in the oracle (CAST from decimal is correctly rounded), so
+    // the whole computation is a fixed-order chain of correctly-rounded
+    // single float ops over four exact BIGINTs — the q_control_chart
+    // determinism recipe. `powered` compares current arm sizes to the
+    // requirement.
+    "q_power_analysis" -> { (s, dir) =>
+      val z2 = { val s0 = 1.959963984540054 + 0.8416212335729143; s0 * s0 }
+      val p1 = col("a").cast("double") / (col("a") + col("b")).cast("double")
+      val p2 = col("c").cast("double") / (col("c") + col("d")).cast("double")
+      val needed = ceil(lit(z2) *
+        (p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)) /
+        ((p1 - p2) * (p1 - p2))).cast("long")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 180).cast("long"))
+          .as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+        .agg(
+          sum(when(col("variant") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("variant") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("variant") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("variant") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+        .select((col("a") + col("b")).as("n1"), (col("c") + col("d")).as("n2"),
+          p1.as("p1"), p2.as("p2"), needed.as("needed_per_arm"))
+        .withColumn("powered",
+          col("n1") >= col("needed_per_arm") && col("n2") >= col("needed_per_arm"))
+    },
+
     // GINI SPLIT GAIN — the decision-tree split chooser over four
     // candidate features (hour, day-of-week, value band, props.k band)
     // against the event_type class, entirely in integer arithmetic:
@@ -2994,6 +3041,36 @@ object RelationalQueries {
       "(SELECT event_type, count(*) AS n_events, " +
       "CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 5000000 " +
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM seq GROUP BY 1) ORDER BY 1"),
+    "q_apdex" -> ("SELECT event_type, count(*) AS total, " +
+      "CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS satisfied, " +
+      "CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS tolerating, " +
+      "(CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 + " +
+      "CAST(sum(CASE WHEN value > 50 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "* 500000) // count(*) AS apdex_q6 " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // same folded z² literal (decimal→DOUBLE cast is correctly rounded),
+    // same fixed-order float tree over the exact cells
+    "q_power_analysis" -> {
+      val z2 = { val s0 = 1.959963984540054 + 0.8416212335729143; s0 * s0 }
+      "WITH per AS (SELECT user_id % 2 AS variant, " +
+        "max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) " +
+        "AS converted FROM events GROUP BY user_id), " +
+        "cells AS (SELECT " +
+        "CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM per), " +
+        "p AS (SELECT a + b AS n1, c + d AS n2, " +
+        "CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) AS p1, " +
+        "CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE) AS p2 FROM cells), " +
+        s"f AS (SELECT n1, n2, p1, p2, CAST(ceil(CAST($z2 AS DOUBLE) * " +
+        "(p1 * (CAST(1 AS DOUBLE) - p1) + p2 * (CAST(1 AS DOUBLE) - p2)) / " +
+        "((p1 - p2) * (p1 - p2))) AS BIGINT) AS needed_per_arm FROM p) " +
+        "SELECT n1, n2, p1, p2, needed_per_arm, " +
+        "n1 >= needed_per_arm AND n2 >= needed_per_arm AS powered FROM f"
+    },
     // the identical fixed-order double expression over four exact BIGINTs
     "q_ab_contingency" -> ("WITH per AS (SELECT user_id % 2 AS variant, " +
       "max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) " +

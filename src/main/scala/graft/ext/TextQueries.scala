@@ -422,6 +422,26 @@ object TextQueries {
         .orderBy("rank")
     },
 
+    // LEXICAL RICHNESS per source — type/token ratio + hapax-legomena
+    // share: a source whose hapax share collapses is template/boilerplate
+    // heavy (low lexical diversity), the cheap screen before spending a
+    // classifier on it. ONE tokenize explode → (source, token) counts →
+    // per-source rollup; ratios are ×10⁶ truncating quotients of exact
+    // BIGINTs.
+    "q_hapax_ratio" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 DIV n_tokens").as("ttr_q6"),
+          expr("n_hapax * 1000000 DIV n_types").as("hapax_q6"))
+        .orderBy("source")
+    },
+
     // HEAPS-LAW vocabulary growth curve — "is the corpus still teaching
     // the tokenizer new types?": each token's FIRST document (min doc_id
     // over one exploded pass), bucketed into ingest-order deciles, gives
@@ -912,6 +932,16 @@ object TextQueries {
       "((CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
       "* 1000) % total) * 1000 // total AS cov_q6 " +
       "FROM r, t WHERE rank <= 50 ORDER BY rank"),
+
+    "q_hapax_ratio" -> (s"WITH t AS (SELECT source, unnest($Toks) AS token " +
+      "FROM documents), " +
+      "c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2) " +
+      "SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types, " +
+      "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, " +
+      "count(*) * 1000000 // CAST(sum(cnt) AS BIGINT) AS ttr_q6, " +
+      "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
+      "// count(*) AS hapax_q6 " +
+      "FROM c GROUP BY 1 ORDER BY 1"),
 
     // same min-first-doc frame, decile by (max id + 1), 10-row cumsum
     "q_vocab_growth" -> (s"WITH t AS (SELECT doc_id, unnest($Toks) AS token " +

@@ -321,6 +321,60 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_apdex: score matches a Scala recompute; bounded by construction") {
+    val got = SparkEntry.queries("q_apdex")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val exp = events.groupBy(_._3).map { case (t, rs) =>
+      val total = rs.length.toLong
+      val sat = rs.count(_._4 <= 50).toLong
+      val tol = rs.count(e => e._4 > 50 && e._4 <= 200).toLong
+      t -> ((total, sat, tol, (sat * 1000000L + tol * 500000L) / total))
+    }
+    assert(got == exp)
+    got.values.foreach { case (_, _, _, q6) => assert(q6 >= 0L && q6 <= 1000000L) }
+  }
+
+  test("q_power_analysis: sample size matches the closed form over the exact cells") {
+    val r = SparkEntry.queries("q_power_analysis")(spark, dir).collect().head
+    val per = events.groupBy(_._2).toSeq.map { case (u, rs) =>
+      (u % 2, rs.exists(e => e._3 == "purchase" && e._4 > 180))
+    }
+    val a = per.count(p => p._1 == 0 && p._2).toLong
+    val b = per.count(p => p._1 == 0 && !p._2).toLong
+    val c = per.count(p => p._1 == 1 && p._2).toLong
+    val d = per.count(p => p._1 == 1 && !p._2).toLong
+    val z2 = { val s0 = 1.959963984540054 + 0.8416212335729143; s0 * s0 }
+    val p1 = a.toDouble / (a + b).toDouble
+    val p2 = c.toDouble / (c + d).toDouble
+    val needed = math.ceil(z2 * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) /
+      ((p1 - p2) * (p1 - p2))).toLong
+    assert((r.getLong(0), r.getLong(1)) == ((a + b, c + d)))
+    assert(r.getDouble(2) == p1 && r.getDouble(3) == p2)
+    assert(r.getLong(4) == needed)
+    assert(r.getBoolean(5) == (a + b >= needed && c + d >= needed))
+  }
+
+  test("q_hapax_ratio: richness stats match a Scala recompute") {
+    val got = SparkEntry.queries("q_hapax_ratio")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val exp = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .collect()
+      .flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty).map(r.getString(0) -> _))
+      .groupBy(_._1)
+      .map { case (src, toks) =>
+        val counts = toks.groupBy(_._2).map(_._2.length.toLong)
+        val (nTok, nTyp, nHap) = (counts.sum, counts.size.toLong, counts.count(_ == 1L).toLong)
+        src -> ((nTok, nTyp, nHap, nTyp * 1000000L / nTok, nHap * 1000000L / nTyp))
+      }
+    assert(got == exp)
+  }
+
   test("q_gini_split: impurities match a Scala recompute with the same truncations") {
     val got = SparkEntry.queries("q_gini_split")(spark, dir)
       .collect()
