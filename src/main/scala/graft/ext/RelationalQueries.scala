@@ -445,6 +445,61 @@ object RelationalQueries {
         .orderBy("day")
     },
 
+    // STATE DWELL-TIME distribution — how long users stay in each activity
+    // state: the q_scd2_build change intervals fed into
+    // [[Relational.exactPercentilesX100]] (integer micro dwells ⇒
+    // percentiles hash cross-engine). Open (current) states have no dwell
+    // and drop out. Both change-collapse windows ride the same user
+    // partitioning; the percentile machinery adds its one state exchange.
+    "q_dwell_time" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dwell = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .select(col("event_type").as("state"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("dwell_us"))
+      Relational
+        .exactPercentilesX100(dwell, Seq("state"), "dwell_us", Seq(50, 90))
+        .select(col("state"), col("n").as("n_intervals"),
+          (col("p50_x100").cast("double") / 100).as("p50_dwell_us"),
+          (col("p90_x100").cast("double") / 100).as("p90_dwell_us"))
+        .orderBy("state")
+    },
+
+    // LEAD-LAG cross-correlation — "do errors FOLLOW clicks?": Pearson r
+    // between daily click counts and error counts shifted by −3..+3 days,
+    // from exact integer moments per lag (the q_rolling_corr recipe with a
+    // day-spine self-join instead of a trailing window). The lag explode
+    // and join run over the |days|-sized aggregate, never raw events;
+    // zero-variance windows emit null r.
+    "q_cross_correlation" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("c"),
+          sum((col("event_type") === "error").cast("long")).as("e"))
+        .localCheckpoint() // |days| rows feed both join sides
+      val a = daily.select(col("day"), col("c"))
+        .withColumn("lag", explode(array((-3 to 3).map(l => lit(l.toLong)): _*)))
+      val b = daily.select(col("day").as("b_day"), col("e"))
+      a.join(b, col("b_day") === col("day") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"), sum(col("e")).as("se"),
+          sum(col("c") * col("e")).as("sce"), sum(col("c") * col("c")).as("scc"),
+          sum(col("e") * col("e")).as("see"))
+        .withColumn("vc", col("n") * col("scc") - col("sc") * col("sc"))
+        .withColumn("ve", col("n") * col("see") - col("se") * col("se"))
+        .select(col("lag"), col("n"),
+          when(col("vc") > 0 && col("ve") > 0,
+            (col("n") * col("sce") - col("sc") * col("se")).cast("double") /
+              (sqrt(col("vc").cast("double")) * sqrt(col("ve").cast("double"))))
+            .as("r"))
+        .orderBy("lag")
+    },
+
     // LINEAR multi-touch attribution — the complement of last-touch
     // q_attribution: every click/view in the 24 h before a purchase
     // shares the credit equally (credit = 10⁶ DIV n_touches, exact
@@ -3126,6 +3181,42 @@ object RelationalQueries {
       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
       "SELECT step1, step2, step3, count(*) AS cnt FROM seq " +
       "WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // same change-interval frame as q_scd2_lookup's dimension, fed into
+    // the shared rk/pctSql percentile machinery
+    "q_dwell_time" -> ("WITH seq AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+      "FROM events), " +
+      "chg AS (SELECT user_id, ts, event_id, event_type FROM seq " +
+      "WHERE prev_type IS NULL OR prev_type != event_type), " +
+      "dw AS (SELECT event_type AS state, " +
+      "epoch_us(CAST(lead(ts) OVER w AS TIMESTAMP)) - " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS dwell_us FROM chg " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "rk AS (SELECT state, dwell_us, " +
+      "row_number() OVER (PARTITION BY state ORDER BY dwell_us) - 1 AS rn0, " +
+      "count(*) OVER (PARTITION BY state) AS n FROM dw WHERE dwell_us IS NOT NULL) " +
+      "SELECT state, count(*) AS n_intervals, " +
+      s"${pctSql("dwell_us", 50)} AS p50_dwell_us, " +
+      s"${pctSql("dwell_us", 90)} AS p90_dwell_us " +
+      "FROM rk GROUP BY 1 ORDER BY 1"),
+    // day-spine self-join per lag; the q_rolling_corr moment recipe
+    "q_cross_correlation" -> ("WITH d AS (SELECT " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e " +
+      "FROM events WHERE event_type IN ('click', 'error') GROUP BY 1), " +
+      "p AS (SELECT l.lag, a.c, b.e FROM d a " +
+      "CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]::BIGINT[]) AS lag) l " +
+      "JOIN d b ON b.day = a.day + l.lag), " +
+      "m AS (SELECT lag, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc, " +
+      "CAST(sum(e) AS BIGINT) AS se, CAST(sum(c * e) AS BIGINT) AS sce, " +
+      "CAST(sum(c * c) AS BIGINT) AS scc, CAST(sum(e * e) AS BIGINT) AS see " +
+      "FROM p GROUP BY 1), " +
+      "v AS (SELECT lag, n, n * scc - sc * sc AS vc, n * see - se * se AS ve, " +
+      "n * sce - sc * se AS cov FROM m) " +
+      "SELECT lag, n, CASE WHEN vc > 0 AND ve > 0 THEN " +
+      "CAST(cov AS DOUBLE) / (sqrt(CAST(vc AS DOUBLE)) * sqrt(CAST(ve AS DOUBLE))) " +
+      "END AS r FROM v ORDER BY lag"),
     "q_rolling_p95" -> ("WITH daily AS (SELECT event_type, " +
       "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, round(sum(value), 2) AS daily " +
       "FROM events GROUP BY 1, 2) " +

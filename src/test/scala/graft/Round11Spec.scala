@@ -321,6 +321,70 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_dwell_time: interval counts + percentiles match a Scala state replay") {
+    val got = SparkEntry.queries("q_dwell_time")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val dwells = events
+      .groupBy(_._2)
+      .toSeq
+      .flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._5, r._1))
+        val chg = ordered.zipWithIndex
+          .filter { case (r, i) => i == 0 || ordered(i - 1)._3 != r._3 }
+          .map(_._1)
+        chg.zipWithIndex.flatMap { case (r, i) =>
+          if (i + 1 < chg.length) Some(r._3 -> (chg(i + 1)._5 - r._5)) else None
+        }
+      }
+      .groupBy(_._1)
+    def pctX100(sorted: IndexedSeq[Long], p: Int): Long = {
+      val pos = (sorted.length - 1).toLong * p
+      val idx = (pos / 100).toInt
+      val rem = pos % 100
+      if (rem == 0) sorted(idx) * 100
+      else sorted(idx) * (100 - rem) + sorted(idx + 1) * rem
+    }
+    assert(got.keySet == dwells.keySet)
+    dwells.foreach { case (st, rs) =>
+      val sorted = rs.map(_._2).sorted.toIndexedSeq
+      val exp = (sorted.length.toLong, pctX100(sorted, 50).toDouble / 100,
+        pctX100(sorted, 90).toDouble / 100)
+      assert(got(st) == exp, s"state=$st")
+    }
+  }
+
+  test("q_cross_correlation: moments match a Scala day-spine replay; lag 0 symmetric") {
+    val got = SparkEntry.queries("q_cross_correlation")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val daily = events
+      .filter(e => e._3 == "click" || e._3 == "error")
+      .groupBy(_._5 / 86400000000L)
+      .map { case (d, rs) =>
+        d -> ((rs.count(_._3 == "click").toLong, rs.count(_._3 == "error").toLong))
+      }
+    (-3L to 3L).foreach { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, (c, _)) =>
+        daily.get(d + lag).map { case (_, e) => (c, e) }
+      }
+      val n = pairs.length.toLong
+      val sc = pairs.map(_._1).sum
+      val se = pairs.map(_._2).sum
+      val sce = pairs.map(p => p._1 * p._2).sum
+      val scc = pairs.map(p => p._1 * p._1).sum
+      val see = pairs.map(p => p._2 * p._2).sum
+      val (vc, ve) = (n * scc - sc * sc, n * see - se * se)
+      val r = if (vc > 0 && ve > 0)
+        Some((n * sce - sc * se).toDouble / (math.sqrt(vc.toDouble) * math.sqrt(ve.toDouble)))
+      else None
+      assert(got(lag) == ((n, r)), s"lag=$lag")
+      r.foreach(x => assert(x >= -1.0 && x <= 1.0))
+    }
+  }
+
   test("q_apdex: score matches a Scala recompute; bounded by construction") {
     val got = SparkEntry.queries("q_apdex")(spark, dir)
       .collect()
