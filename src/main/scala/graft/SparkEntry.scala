@@ -363,6 +363,33 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // O1 source breadth — JSON-lines round-trip: the nested-quoting cycle
+    // XML/CSV can't exercise — the props payload IS a JSON document that
+    // must survive being escaped INSIDE a JSON string value and unescaped
+    // back byte-for-byte; doubles ride the shortest-round-trip text path.
+    // Explicit schema on read (a production feed never schema-infers —
+    // inference double-scans). Same measured-write / app-id-unique-path
+    // contract as q_ingest_csv; the oracle aggregates the PARQUET table.
+    "q_ingest_json" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val path = Tables.scratchDir(s, "json")
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").json(path)
+      val sch = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(sch).json(path)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          sum(length(col("props"))).as("props_chars"),
+          count_distinct(col("props")).as("distinct_props"))
+        .orderBy("event_type")
+    },
+
     // Small-files compaction exercised END-TO-END inside a declared
     // query: the events feed written as 64 splinter files (the streaming-
     // sink reality compaction exists for), compacted to source-byte-sized
@@ -512,6 +539,13 @@ object SparkEntry {
       // seconds and CAST rounds, where Spark's unix_timestamp floors
       "CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS min_ts_s, " +
       "CAST(floor(max(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_ts_s " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // the same aggregate over the PARQUET table: matching hashes prove
+    // the JSON-in-JSON escape cycle returned every byte of props
+    "q_ingest_json" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+      "CAST(sum(length(props)) AS BIGINT) AS props_chars, " +
+      "count(DISTINCT props) AS distinct_props " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     // aggregates the ORIGINAL parquet — the compacted copy must agree
     "q_compact_roundtrip" -> ("SELECT event_type, count(*) AS cnt, " +
