@@ -407,6 +407,49 @@ object StatefulOps {
     * StatefulOpsSpec pins parity with `Relational.clampedBalance` and
     * replay stability across uneven batch splits).
     */
+  final case class DebounceInput(key: String, seqA: Long, seqB: Long, tsUs: Long)
+  final case class DebounceState(lastKeptUs: Long, nKept: Long, nDropped: Long)
+  final case class DebounceRow(
+      key: String,
+      seqA: Long,
+      seqB: Long,
+      tsUs: Long,
+      kept: Boolean,
+      nKept: Long,
+      nDropped: Long)
+
+  /** CHAINED debounce / rate limiter: an event is KEPT iff it arrives more
+    * than `gapUs` after the last KEPT event of its key. This is the
+    * semantics the batch lag() form (`q_debounce`) CANNOT express — there
+    * the comparison is against the previous RAW event, so a long burst
+    * under-drops (each drop resets the clock); here dropping must NOT
+    * advance the threshold, which makes the fold a per-key recurrence —
+    * exactly the flatMapGroupsWithState shape (the q_clamped_balance
+    * precedent). Events inside a batch fold in (seqA, seqB) order; state
+    * is three longs per key forever.
+    */
+  def debounce(rows: Dataset[DebounceInput], gapUs: Long): Dataset[DebounceRow] = {
+    require(gapUs > 0, "debounce gap must be positive")
+    implicit val outEnc = Encoders.product[DebounceRow]
+    implicit val stateEnc = Encoders.product[DebounceState]
+    implicit val keyEnc = Encoders.STRING
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[DebounceInput], state: GroupState[DebounceState]) =>
+          var st = state.getOption.getOrElse(DebounceState(0L, 0L, 0L))
+          val out = it.toSeq.sortBy(r => (r.seqA, r.seqB)).map { r =>
+            val keep = st.nKept == 0L || r.tsUs - st.lastKeptUs > gapUs
+            st =
+              if (keep) DebounceState(r.tsUs, st.nKept + 1L, st.nDropped)
+              else st.copy(nDropped = st.nDropped + 1L)
+            DebounceRow(key, r.seqA, r.seqB, r.tsUs, keep, st.nKept, st.nDropped)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def clampedBalances(rows: Dataset[BalanceInput]): Dataset[BalanceRow] = {
     implicit val outEnc = Encoders.product[BalanceRow]
     implicit val stateEnc = Encoders.product[BalanceState]

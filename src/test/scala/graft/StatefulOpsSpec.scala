@@ -340,6 +340,53 @@ class StatefulOpsSpec extends SparkSpec {
     assert(const.forall(f => !f.isAnomaly && f.medQ == 42L && f.madQ == 0L))
   }
 
+  test("debounce: chained throttle laws, burst behavior, split-invariant state") {
+    import graft.streaming.StatefulOps.{DebounceInput, DebounceRow}
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(batches: Seq[Seq[DebounceInput]], name: String): Seq[DebounceRow] = {
+      val mem = MemoryStream[DebounceInput]
+      val q = StatefulOps.debounce(mem.toDS(), gapUs = 5000000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[DebounceRow].collect().toSeq
+          .sortBy(r => (r.key, r.seqA, r.seqB))
+      } finally q.stop()
+    }
+
+    // a burst 0,2,4,6,8,12 s: the CHAINED semantics keeps 0 and 6 and 12
+    // (6-0 > 5, 12-6 > 5) — the lag() form would also keep nothing past 0
+    // until a 5 s RAW gap appears, which this fixture never has except 8→12
+    val burst = Seq(0L, 2L, 4L, 6L, 8L, 12L).zipWithIndex.map { case (s, i) =>
+      DebounceInput("u1", i.toLong, 1L, s * 1000000L)
+    }
+    val oneShot = run(Seq(burst), "deb1")
+    assert(oneShot.map(_.kept) == Seq(true, false, false, true, false, true))
+    assert(oneShot.last.nKept == 3L && oneShot.last.nDropped == 3L)
+
+    // law: consecutive KEPT events are always > gap apart; every dropped
+    // event is within gap of the last kept before it (greedy maximality)
+    val keptTs = oneShot.filter(_.kept).map(_.tsUs)
+    keptTs.sliding(2).foreach {
+      case Seq(a, b) => assert(b - a > 5000000L)
+      case _         =>
+    }
+    var lastKept = Long.MinValue
+    oneShot.foreach { r =>
+      if (r.kept) lastKept = r.tsUs
+      else assert(r.tsUs - lastKept <= 5000000L, s"drop must be inside the gap: $r")
+    }
+
+    // state survives micro-batch boundaries: uneven splits ≡ one batch
+    val split = run(Seq(burst.take(1), burst.slice(1, 4), burst.drop(4)), "deb2")
+    assert(split == oneShot, "micro-batch boundaries must not move any verdict")
+
+    // independent keys do not interact
+    val two = run(Seq(burst ++ burst.map(r => r.copy(key = "u2"))), "deb3")
+    assert(two.filter(_.key == "u2").map(_.kept) == oneShot.map(_.kept))
+  }
+
   test("clampedBalances: batch parity, clamp accounting, split-invariant state") {
     import graft.streaming.StatefulOps.{BalanceInput, BalanceRow}
     implicit val sqlCtx = spark.sqlContext
