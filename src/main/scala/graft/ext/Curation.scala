@@ -202,6 +202,45 @@ object Curation {
       .drop("_keep_below")
   }
 
+  /** Largest-remainder (Hamilton) quota allocation — split a fixed sample
+    * budget across groups proportionally with EXACT integer arithmetic:
+    * each group gets `floor(budget·n/total)` seats, and the
+    * `budget − Σfloor` leftover seats go to the largest fractional
+    * remainders (`budget·n mod total`, ties to the smaller group key).
+    * Σalloc = budget exactly — the property float-rounded rates can't
+    * give — and every group's allocation is within 1 of its exact
+    * proportional share. This is how a sampling pipeline turns "take 1M
+    * docs, keep source proportions" into per-group take counts that
+    * [[sampleFixedK]] can then execute.
+    *
+    * Scale shape: the input is the per-group COUNT frame (one corpus
+    * aggregate upstream), so everything here is group-space-sized; the
+    * whole-frame windows (total, remainder rank, Σbase) funnel the
+    * group frame through one partition BY CONTRACT — thousands of groups,
+    * never corpus rows (the q_sample_by_decile precedent).
+    *
+    * Returns the input columns + `alloc`.
+    */
+  def allocateQuota(
+      counts: DataFrame,
+      groupCol: String,
+      nCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy().orderBy(col("_rem").desc, col(groupCol).asc)
+    counts
+      .withColumn("_total", sum(col(nCol)).over(wAll))
+      .withColumn("_base", expr(s"$budget * $nCol DIV _total"))
+      .withColumn("_rem", expr(s"$budget * $nCol % _total"))
+      .withColumn("_rk", row_number().over(wRank))
+      .withColumn("_short", lit(budget) - sum(col("_base")).over(wAll))
+      .withColumn("alloc",
+        col("_base") + when(col("_rk") <= col("_short"), 1L).otherwise(0L))
+      .drop("_total", "_base", "_rem", "_rk", "_short")
+  }
+
   /** Sequence packing — assign documents to fixed-budget bins for LLM
     * training: within each `streamCol` stream, documents are laid out in
     * `idCol` order and cut into bins of `budget` cost units (tokens,

@@ -192,6 +192,20 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Largest-remainder quota allocation ([[Curation.allocateQuota]]):
+    // a 1000-doc sample budget split across sources exactly
+    // proportionally — Σalloc = 1000 by construction, every group within
+    // 1 of its exact share, all-integer (no float rate rounding). The
+    // per-group count agg is the only corpus pass; the allocation windows
+    // ride the 20-row group frame.
+    "q_quota_allocate" -> { (s, dir) =>
+      Curation
+        .allocateQuota(
+          Tables.documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs")),
+          "source", "n_docs", budget = 1000L)
+        .orderBy("source")
+    },
+
     // Length-proportional weighted sampling: keep probability
     // least(n_chars/400, 1) per doc — the byte-budget curation sample,
     // retry-stable from (id, salt, weight) alone. Map-only.
@@ -729,6 +743,18 @@ object CurationQueries {
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
       "ELSE 'test' END AS split, count(*) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    // same Hamilton arithmetic: floor quotas + remainder-ranked top-up;
+    // // is DuckDB floor division ≡ Spark DIV on the non-negative counts
+    "q_quota_allocate" -> ("WITH c AS (SELECT source, count(*) AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT source, n_docs, sum(n_docs) OVER () AS total FROM c), " +
+      "q AS (SELECT source, n_docs, 1000 * n_docs // total AS base, " +
+      "1000 * n_docs % total AS rem FROM t), " +
+      "r AS (SELECT source, n_docs, base, " +
+      "row_number() OVER (ORDER BY rem DESC, source ASC) AS rk, " +
+      "sum(base) OVER () AS basesum FROM q) " +
+      "SELECT source, n_docs, CAST(base + CASE WHEN rk <= 1000 - basesum " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r ORDER BY source"),
     "q_sample_stratified" -> ("SELECT doc_id, source FROM documents " +
       s"WHERE ${bucketSql(SampleSalt)} < " +
       "CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 2000 ELSE 500 END " +

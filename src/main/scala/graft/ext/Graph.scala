@@ -318,6 +318,70 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS hop distance over a canonical (lo, hi) undirected
+    * edge frame: every vertex reachable from the seed set gets the MINIMUM
+    * hop count to any seed — the "how far is this vector from a curated
+    * anchor" signal (seed = hand-audited exemplars, distance = audit
+    * confidence decay), and the primitive under graph-expansion sampling
+    * (take everything within h hops of the seeds).
+    *
+    * Frontier iteration, not per-vertex relaxation: because every seed
+    * starts at distance 0, the whole frontier of round r sits at exactly
+    * distance r, so the next frontier is just (neighbors of frontier)
+    * minus (already settled) — no per-vertex min() state, one distinct and
+    * one anti-join per round. Each undirected edge is expanded at most
+    * twice across ALL rounds (once per endpoint's settling round), so
+    * total work is O(|E|) regardless of round count; rounds = the seed
+    * set's eccentricity, and per-round frames ride `localCheckpoint`
+    * lineage truncation with eager release of the previous round's blocks
+    * (the [[Curation.connectedComponents]] storage discipline). Settled
+    * and frontier frames are |V|-bounded and hash-partitioned on the
+    * vertex key — nothing is broadcast or collected.
+    *
+    * Output: (id, dist) for every reachable vertex (seeds at 0), including
+    * seeds isolated from the edge frame. Throws past `maxIter` rounds —
+    * a partial distance map is wrong, not approximate.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    val adj = e
+      .select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(e.select(col("hi").as("v"), col("lo").as("w")))
+      .localCheckpoint()
+    Curation.releaseCheckpoint(e)
+    var settled = seeds.select(col("id").as("v"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = settled
+    var rounds = 0
+    var frontierN = frontier.count()
+    while (frontierN > 0 && rounds < maxIter) {
+      rounds += 1
+      // merge hints: adjacency and frontier are both graph-sized — test-SF
+      // stats would broadcast the frontier, fatal at corpus scale
+      val next = adj
+        .join(frontier.select(col("v")).hint("merge"), Seq("v"), "left_semi")
+        .select(col("w").as("v"))
+        .distinct()
+        .join(settled.select(col("v")).hint("merge"), Seq("v"), "left_anti")
+        .select(col("v"), lit(rounds.toLong).as("dist"))
+        .localCheckpoint(false)
+      frontierN = next.count()
+      // eager: grown must hold its own blocks BEFORE the previous round's
+      // settled frame (its lineage parent) is released below
+      val grown = settled.unionByName(next).localCheckpoint()
+      Curation.releaseCheckpoint(settled)
+      if (rounds > 1) Curation.releaseCheckpoint(frontier)
+      settled = grown
+      frontier = next
+    }
+    if (frontierN > 0)
+      throw new IllegalStateException(
+        s"bfsDistances did not exhaust the frontier in $maxIter rounds — distances past " +
+          "the cap would be missing (wrong, not approximate). Raise maxIter.")
+    val out = settled.select(col("v").as("id"), col("dist")).localCheckpoint()
+    Seq(adj, settled).foreach(Curation.releaseCheckpoint)
+    out
+  }
+
   /** Symmetric degree frame (v, <name>) of a canonical (lo, hi) edge set. */
   private def symDegrees(edges: DataFrame, name: String): DataFrame =
     edges

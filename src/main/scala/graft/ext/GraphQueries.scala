@@ -211,6 +211,22 @@ object GraphQueries {
         .orderBy("a", "b")
     },
 
+    // Multi-source BFS hop distance from anchor seeds (every 50th vec_id)
+    // over the SPARSE mutual-2-NN graph (the fragmented q_graph_components
+    // graph — the k=8 giant component would put everything at hop ≤ 3).
+    // Frontier iteration: O(|E|) total edge expansions across all rounds,
+    // rounds = seed eccentricity; the graph-expansion-sampling primitive
+    // ("take everything within h hops of the audited exemplars").
+    "q_graph_bfs" -> { (s, dir) =>
+      val seeds = Tables
+        .embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("id"))
+      Graph
+        .bfsDistances(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK), seeds)
+        .orderBy("id")
+    },
+
     // Degree assortativity of the mutual-kNN graph — "do well-connected
     // vectors attach to other well-connected vectors?" (r > 0 = dense
     // near-dup core, r < 0 = hub-and-spoke periphery — the one-number
@@ -342,6 +358,18 @@ object GraphQueries {
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
     "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
+    // breadth-first walk as a depth-bounded recursive CTE over the same
+    // k=2 mutual edge set; UNION (distinct) dedups (v, d) pairs and the
+    // d < 64 bound guarantees termination (the engine iterates to frontier
+    // exhaustion — 64 strictly dominates the measured seed eccentricity at
+    // every driver SF); min(d) per vertex is the BFS distance
+    "q_graph_bfs" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+      "gedges AS (SELECT lo AS v, hi AS w FROM mutual " +
+      "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
+      "walk(v, d) AS (SELECT vec_id AS v, 0 AS d FROM embeddings WHERE vec_id % 50 = 0 " +
+      "UNION SELECT e.w, walk.d + 1 FROM gedges e JOIN walk ON e.v = walk.v " +
+      "WHERE walk.d < 64) " +
+      "SELECT v AS id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY v ORDER BY id"),
     // transitive closure over the SAME mutual edge set the other graph
     // oracles read (the q_dup_clusters recursive shape on the kNN graph)
     "q_graph_components" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +

@@ -1208,4 +1208,47 @@ object Relational {
       }
       .toDF("k", "balance", "n_clamps", "n_rows")
   }
+
+  /** Snapshot diff — the data-versioning audit between two keyed snapshots
+    * of the same logical table (yesterday's export vs today's, pre- vs
+    * post-backfill): per key, classify into added / removed / changed /
+    * unchanged by a tracked value column. Keys must be unique per snapshot
+    * (a snapshot IS a keyed current-state image; enforce upstream with the
+    * [[argMaxJoin]] compaction if the input is a log).
+    *
+    * Scale shape: tag-union + ONE hash aggregate on the key — deliberately
+    * NOT a full outer join. The union concatenates partitions without any
+    * movement, the per-key agg shuffles each side exactly once with
+    * map-side partial combine, and classification is a projection on the
+    * |keys|-sized merged frame. A full outer join would shuffle the same
+    * bytes but materialize join state per key; the agg form also degrades
+    * gracefully under AQE skew splitting and never considers a broadcast
+    * (both sides are corpus-sized by definition).
+    *
+    * Returns (key, old_v, new_v, change); values ride `max(when)` pivots,
+    * exact for any orderable value type.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val tag = (df: DataFrame, side: Int) =>
+      df.select(col(keyCol).as("key"), col(valueCol).as("v"), lit(side).as("side"))
+    tag(oldSnap, 0)
+      .unionByName(tag(newSnap, 1))
+      .groupBy("key")
+      .agg(
+        max(when(col("side") === 0, col("v"))).as("old_v"),
+        max(when(col("side") === 1, col("v"))).as("new_v"),
+        max(when(col("side") === 0, 1).otherwise(0)).as("in_old"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("in_new"))
+      .select(
+        col("key"), col("old_v"), col("new_v"),
+        when(col("in_old") === 0, "added")
+          .when(col("in_new") === 0, "removed")
+          .when(col("old_v") =!= col("new_v"), "changed")
+          .otherwise("unchanged")
+          .as("change"))
+  }
 }

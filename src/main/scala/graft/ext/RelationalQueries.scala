@@ -1205,6 +1205,31 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // Snapshot diff ([[Relational.snapshotDiff]]): two keyed snapshots of
+    // the orders table (old = keys % 7 != 0; new = keys % 5 != 0 with
+    // every %3 key's cent total bumped — a synthetic backfill) classified
+    // added/removed/changed/unchanged, rolled up per class with a key
+    // checksum and the changed-cents delta. Tag-union + ONE key agg —
+    // never a full outer join — so each snapshot shuffles exactly once.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val cents = floor(col("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, dir)
+      val oldSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), cents.as("cents"))
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          (cents + when(col("o_orderkey") % 3 === 0, 1L).otherwise(0L)).as("cents"))
+      Relational
+        .snapshotDiff(oldSnap, newSnap, "o_orderkey", "cents")
+        .groupBy("change")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("key")).as("key_sum"),
+          sum(when(col("change") === "changed", col("new_v") - col("old_v"))
+            .otherwise(0L)).as("delta_cents"))
+        .orderBy("change")
+    },
+
     // SCD TYPE 2 dimension build from a raw change feed: per-user
     // time-ordered states collapsed to CHANGES (lag ≠ current filter),
     // then effective-dated validity intervals (valid_to = the next
@@ -3397,6 +3422,21 @@ object RelationalQueries {
       "SELECT user_id, max(event_id) AS ver, " +
       "arg_max(event_type, event_id) AS state FROM log GROUP BY user_id " +
       "HAVING arg_max(op, event_id) != 'D' ORDER BY user_id"),
+    // FULL JOIN is the oracle's natural spelling of the engine's
+    // tag-union + key-agg (same per-key classification, same rollup)
+    "q_snapshot_diff" -> ("WITH oldsnap AS (SELECT o_orderkey AS k, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders WHERE o_orderkey % 7 != 0), " +
+      "newsnap AS (SELECT o_orderkey AS k, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) + " +
+      "CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS v " +
+      "FROM orders WHERE o_orderkey % 5 != 0), " +
+      "d AS (SELECT coalesce(o.k, n.k) AS k, o.v AS ov, n.v AS nv, " +
+      "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' " +
+      "WHEN o.v != n.v THEN 'changed' ELSE 'unchanged' END AS change " +
+      "FROM oldsnap o FULL JOIN newsnap n ON o.k = n.k) " +
+      "SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum, " +
+      "CAST(sum(CASE WHEN change = 'changed' THEN nv - ov ELSE 0 END) AS BIGINT) " +
+      "AS delta_cents FROM d GROUP BY 1 ORDER BY 1"),
     // identical change-collapse + interval windows; epoch-floor seconds
     "q_scd2_build" -> ("WITH seq AS (SELECT user_id, ts, event_id, event_type, " +
       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +

@@ -113,6 +113,37 @@ object Similarity {
         Seq(col("cos").desc, col("neighbor_id").asc), k)
   }
 
+  /** Semantic decontamination — flag corpus vectors whose cosine to ANY
+    * benchmark probe reaches `threshold`: the embedding-space complement of
+    * the n-gram [[Dedup.contamination]] (catches paraphrased benchmark
+    * leakage that shingle overlap misses). Probes arrive as a driver-side
+    * literal by contract — benchmark suites are thousands of vectors, the
+    * PQ-codebook precedent — so the scan is MAP-ONLY: per corpus row,
+    * `greatest` over per-probe (cos, probe_id) structs computes the argmax
+    * inside whole-stage codegen with zero shuffle, zero join, and the
+    * corpus read once. At a probe set too large for plan literals, the
+    * same semantics fall back to a broadcast join + per-id max — still one
+    * corpus scan. NaN cosines (zero-norm corpus rows) are dropped before
+    * the threshold test — Spark AND DuckDB both order NaN above every
+    * double, so an unguarded `>=` would flag them.
+    *
+    * Returns (id, probe_id, cos) for flagged rows only: the nearest probe
+    * (ties → larger probe_id, the struct order) and its score.
+    */
+  def contaminationByEmbedding(
+      corpus: DataFrame,
+      probes: Seq[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    require(probes.size >= 2, "need ≥2 probes (greatest arity); union trivial sets upstream")
+    val scored = probes.map { case (pid, pv) =>
+      struct(cosine(col("vec"), typedLit(pv)).as("cos"), lit(pid).as("probe_id"))
+    }
+    corpus
+      .withColumn("best", greatest(scored: _*))
+      .filter(!isnan(col("best.cos")) && col("best.cos") >= threshold)
+      .select(col("id"), col("best.probe_id").as("probe_id"), col("best.cos").as("cos"))
+  }
+
   /** Hard-negative mining for contrastive training: per probe, the top-k
     * most-similar corpus vectors with a DIFFERENT label — the "hard"
     * negatives that dominate the InfoNCE gradient (a random negative is

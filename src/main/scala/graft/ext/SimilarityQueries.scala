@@ -77,6 +77,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Semantic decontamination ([[Similarity.contaminationByEmbedding]]):
+    // corpus vectors (id ≥ 10) within cosine 0.32 of any benchmark probe
+    // (id < 10) — the paraphrase-robust complement of the n-gram
+    // q_contamination. Probes collect to a plan literal (driver-sized by
+    // contract), so the flag pass is MAP-ONLY: one corpus scan, greatest()
+    // argmax in codegen, no join, no shuffle. Threshold 0.32 ≈ the
+    // corpus's p95 max-probe cosine — hits at every driver SF (measured
+    // max 0.392/0.493/0.452 at sf0.001/0.01/0.1).
+    "q_semantic_contamination" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val probes = v
+        .filter(col("id") < 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq
+      Similarity
+        .contaminationByEmbedding(v.filter(col("id") >= 10), probes, threshold = 0.32)
+        .orderBy("id")
+    },
+
     // ANN QUALITY EVALUATION — recall@5 of the production LSH path
     // against the exact brute-force baseline, per query: the monitoring
     // query an ANN deployment runs continuously (index drift, plane
@@ -607,6 +627,18 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, adist, rank FROM (SELECT *, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank " +
       "FROM scores) WHERE rank <= 5 ORDER BY query_id, rank"),
+    // cross join corpus × probes, argmax by (cos DESC, probe_id DESC) —
+    // the greatest()-struct order — then the 0.32 threshold on the exact
+    // same cosine fold the engine codegens; NaN guard mirrors the engine
+    "q_semantic_contamination" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec " +
+      "FROM embeddings), " +
+      "p AS (SELECT id AS probe_id, vec AS pv FROM v WHERE id < 10), " +
+      "c AS (SELECT id, vec FROM v WHERE id >= 10), " +
+      s"s AS (SELECT c.id, p.probe_id, ${cosSql("c.vec", "p.pv")} AS cos FROM c, p), " +
+      "r AS (SELECT id, probe_id, cos, row_number() OVER " +
+      "(PARTITION BY id ORDER BY cos DESC, probe_id DESC) AS rn FROM s " +
+      "WHERE NOT isnan(cos)) " +
+      "SELECT id, probe_id, cos FROM r WHERE rn = 1 AND cos >= 0.32 ORDER BY id"),
     "q_cosine_topk" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"scored AS (SELECT q.id AS query_id, c.id AS neighbor_id, ${cosSql("q.vec", "c.vec")} AS cos " +
       "FROM v q JOIN v c ON q.id < 5 AND q.id != c.id) " +

@@ -1223,4 +1223,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"fact never shuffles for the dim:\n$p")
   }
+
+  test("q_snapshot_diff: tag-union + key agg — NO join operator anywhere") {
+    val p = plan("q_snapshot_diff")
+    // both snapshots shuffle exactly once through the per-key pivot agg;
+    // a full-outer-join rewrite would show up as SMJ here
+    assert(!p.contains("Join"), s"snapshot diff must be join-free:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"one scan per snapshot:\n$p")
+    // key pivot + class rollup = 2 hash exchanges (ORDER BY adds a range one)
+    assert(count(p, "Exchange hashpartitioning") == 2, s"two data shuffles:\n$p")
+  }
+
+  test("q_semantic_contamination: probe argmax is MAP-ONLY — no join, no data shuffle") {
+    val p = plan("q_semantic_contamination")
+    assert(!p.contains("Join"), s"probes are plan literals, not a join side:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0, s"corpus must not shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1, s"one corpus scan:\n$p")
+  }
+
+  test("q_quota_allocate: one corpus agg; allocation windows ride the group frame") {
+    val p = plan("q_quota_allocate")
+    assert(!p.contains("Join"), s"allocation is window algebra, not joins:\n$p")
+    assert(count(p, "Scan parquet") == 1, s"one corpus pass:\n$p")
+    // corpus → per-group agg is the only hash exchange; the whole-frame
+    // windows run on the group-space frame via SinglePartition
+    assert(count(p, "Exchange hashpartitioning") == 1, s"one data shuffle:\n$p")
+  }
 }

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Graph, Relational, Similarity}
+
+/** Operator-level laws for the round-11 second batch (BFS distances,
+  * snapshot diff, quota allocation, embedding decontamination) on
+  * hand-built frames with independently known answers, plus sf0.001
+  * recomputes of the declared queries where the fixture answer is cheap
+  * to re-derive in plain Scala.
+  */
+class Round11bSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- Graph.bfsDistances -------------------------------------------------
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("lo", "hi")
+
+  private def seeds(ids: Long*) = ids.toSeq.toDF("id")
+
+  test("bfsDistances: chain + separate component + isolated seed") {
+    // components: 1-2-3-4 (chain), 5-6; vertex 7 is an isolated seed
+    val got = Graph
+      .bfsDistances(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L), seeds(1L, 5L, 7L))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 0L, 6L -> 1L, 7L -> 0L))
+  }
+
+  test("bfsDistances: multi-source takes the MINIMUM hop distance") {
+    // seeds at both ends of a 5-chain: middle vertex is 2 from either end
+    val got = Graph
+      .bfsDistances(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), seeds(1L, 5L))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsDistances: unreachable vertices are absent; cycles settle once") {
+    val got = Graph
+      .bfsDistances(edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 8L -> 9L), seeds(1L))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsDistances: throws past maxIter instead of returning partial distances") {
+    val ex = intercept[IllegalStateException] {
+      Graph.bfsDistances(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), seeds(1L), maxIter = 2)
+    }
+    assert(ex.getMessage.contains("frontier"))
+  }
+
+  // ---- Relational.snapshotDiff --------------------------------------------
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged per key") {
+    val oldSnap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val newSnap = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
+    val got = Relational
+      .snapshotDiff(oldSnap, newSnap, "k", "v")
+      .select(col("key"), col("change"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: old/new values survive for delta accounting") {
+    val oldSnap = Seq((3L, 30L)).toDF("k", "v")
+    val newSnap = Seq((3L, 31L), (4L, 40L)).toDF("k", "v")
+    val rows = Relational
+      .snapshotDiff(oldSnap, newSnap, "k", "v")
+      .orderBy("key")
+      .collect()
+    assert(rows.map(_.getString(3)).toSeq == Seq("changed", "added"))
+    assert(rows(0).getLong(1) == 30L && rows(0).getLong(2) == 31L)
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 40L)
+  }
+
+  // ---- Curation.allocateQuota ---------------------------------------------
+
+  private def alloc(budget: Long, counts: (String, Long)*): Map[String, Long] =
+    Curation
+      .allocateQuota(counts.toSeq.toDF("grp", "n"), "grp", "n", budget)
+      .select(col("grp"), col("alloc"))
+      .as[(String, Long)]
+      .collect()
+      .toMap
+
+  test("allocateQuota: exact proportions need no remainder seats") {
+    assert(alloc(10L, "a" -> 3L, "b" -> 3L, "c" -> 4L) == Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+  }
+
+  test("allocateQuota: remainder ties go to the smaller group key") {
+    // 10 over three equal groups: base 3 each, one leftover seat → "a"
+    assert(alloc(10L, "a" -> 1L, "b" -> 1L, "c" -> 1L) == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("allocateQuota: largest remainders win the leftover seats") {
+    // shares: a 1.4, b 2.8, c 2.8 → bases 1,2,2; two seats left; remainders
+    // 0.4, 0.8, 0.8 → b and c top up
+    assert(alloc(7L, "a" -> 2L, "b" -> 4L, "c" -> 4L) == Map("a" -> 1L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("allocateQuota law: Σalloc = budget and every group within 1 of its exact share") {
+    val counts = Seq("a" -> 17L, "b" -> 3L, "c" -> 61L, "d" -> 7L, "e" -> 29L, "f" -> 1L)
+    val total = counts.map(_._2).sum
+    for (budget <- Seq(0L, 1L, 13L, 100L, 997L)) {
+      val got = alloc(budget, counts: _*)
+      assert(got.values.sum == budget, s"budget=$budget")
+      counts.foreach { case (g, n) =>
+        val lo = budget * n / total // floor share
+        assert(got(g) == lo || got(g) == lo + 1, s"budget=$budget group=$g")
+      }
+    }
+  }
+
+  // ---- Similarity.contaminationByEmbedding --------------------------------
+
+  test("contaminationByEmbedding: threshold, argmax probe, NaN drop") {
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0)), // cos 1.0 to probe 0
+      (101L, Seq(0.0, 1.0)), // cos 1.0 to probe 1
+      (102L, Seq(1.0, 1.0)), // cos ~0.707 to both → tie → larger probe id
+      (103L, Seq(1.0, -1.0)), // cos ~0.707 / -0.707 → probe 0
+      (104L, Seq(-1.0, -1.0)), // both negative → below threshold
+      (105L, Seq(0.0, 0.0)) // zero norm → NaN → dropped
+    ).toDF("id", "vec")
+    val probes = Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    graft.functions.GraftFunctions.register(spark)
+    val got = Similarity
+      .contaminationByEmbedding(corpus, probes, threshold = 0.5)
+      .select(col("id"), col("probe_id"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 1L, 103L -> 0L))
+  }
+
+  // ---- declared-query recomputes at sf0.001 --------------------------------
+
+  test("q_quota_allocate: fixture recompute (Hamilton by hand)") {
+    val got = SparkEntry.queries("q_quota_allocate")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)]
+      .collect()
+      .map { case (g, _, a) => g -> a }
+      .toMap
+    val counts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq
+    val total = counts.map(_._2).sum
+    val base = counts.map { case (g, n) => (g, 1000L * n / total, 1000L * n % total) }
+    val short = 1000L - base.map(_._2).sum
+    val winners = base.sortBy { case (g, _, rem) => (-rem, g) }.take(short.toInt).map(_._1).toSet
+    val exp = base.map { case (g, b, _) => g -> (b + (if (winners(g)) 1L else 0L)) }.toMap
+    assert(got == exp)
+    assert(got.values.sum == 1000L)
+  }
+
+  test("q_snapshot_diff: fixture recompute of the four-class rollup") {
+    val got = SparkEntry.queries("q_snapshot_diff")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val old = rows.filter(_._1 % 7 != 0).toMap
+    val nw = rows.filter(_._1 % 5 != 0)
+      .map { case (k, c) => k -> (c + (if (k % 3 == 0) 1L else 0L)) }.toMap
+    val classified = (old.keySet ++ nw.keySet).toSeq.map { k =>
+      val cls =
+        if (!old.contains(k)) "added"
+        else if (!nw.contains(k)) "removed"
+        else if (old(k) != nw(k)) "changed"
+        else "unchanged"
+      (cls, k, if (cls == "changed") nw(k) - old(k) else 0L)
+    }
+    val exp = classified.groupBy(_._1).map { case (cls, rs) =>
+      cls -> ((rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum))
+    }
+    assert(got == exp)
+  }
+}
