@@ -192,6 +192,29 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Curriculum sharding: documents ordered by difficulty (n_chars, the
+    // deterministic proxy) get a GLOBAL curriculum rank without the
+    // single-reducer sort ([[Scale.globalRowNumber]] — range repartition +
+    // local numbering + broadcast prefix offsets), then round-robin
+    // rank % 8 assignment so every shard carries the same difficulty
+    // PROFILE (consecutive ranks land in different shards — each shard's
+    // char sums agree to within one document). The per-shard audit is what
+    // a curriculum-training data loader checks before trusting the split.
+    // Rank key packs (n_chars, doc_id) into one unique BIGINT — the
+    // globalRowNumber determinism contract.
+    "q_curriculum_shards" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") * lit(1L << 40) + col("doc_id")).as("ckey"))
+      Scale
+        .globalRowNumber(docs, "ckey", partitions = 8)
+        .select(col("n_chars"), (col("rownum") % 8).as("shard"), col("rownum"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("rownum").as("first_rank"), max("rownum").as("last_rank"))
+        .orderBy("shard")
+    },
+
     // Largest-remainder quota allocation ([[Curation.allocateQuota]]):
     // a 1000-doc sample budget split across sources exactly
     // proportionally — Σalloc = 1000 by construction, every group within
@@ -743,6 +766,14 @@ object CurationQueries {
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
       "ELSE 'test' END AS split, count(*) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    // the oracle IS the single-window spelling the engine's range-
+    // partitioned numbering must reproduce bit-for-bit (rank ties are
+    // impossible: the packed key is unique)
+    "q_curriculum_shards" -> ("WITH rk AS (SELECT doc_id, n_chars, " +
+      "row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rn FROM documents) " +
+      "SELECT rn % 8 AS shard, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+      "min(rn) AS first_rank, max(rn) AS last_rank FROM rk GROUP BY 1 ORDER BY 1"),
     // same Hamilton arithmetic: floor quotas + remainder-ranked top-up;
     // // is DuckDB floor division ≡ Spark DIV on the non-negative counts
     "q_quota_allocate" -> ("WITH c AS (SELECT source, count(*) AS n_docs " +

@@ -211,6 +211,17 @@ object GraphQueries {
         .orderBy("a", "b")
     },
 
+    // Reciprocal best match: each vector's SINGLE nearest neighbor, kept
+    // only when reciprocated — the k=1 degenerate of the mutual-kNN
+    // builder and the highest-precision near-dup candidate set a
+    // similarity pipeline can emit without choosing a threshold (the
+    // bioinformatics "reciprocal best hits" idiom).
+    "q_mutual_nn" -> { (s, dir) =>
+      Graph
+        .mutualKnnEdges(vecs(s, dir), 1)
+        .orderBy("lo", "hi")
+    },
+
     // Multi-source BFS hop distance from anchor seeds (every 50th vec_id)
     // over the SPARSE mutual-2-NN graph (the fragmented q_graph_components
     // graph — the k=8 giant component would put everything at hop ≤ 3).
@@ -358,6 +369,7 @@ object GraphQueries {
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
     "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
+    "q_mutual_nn" -> (s"WITH ${knnCtes(1)} SELECT lo, hi FROM mutual ORDER BY lo, hi"),
     // breadth-first walk as a depth-bounded recursive CTE over the same
     // k=2 mutual edge set; UNION (distinct) dedups (v, d) pairs and the
     // d < 64 bound guarantees termination (the engine iterates to frontier

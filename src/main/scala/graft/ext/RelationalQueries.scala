@@ -637,6 +637,84 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Winsorized mean ingredients per order priority: clamp cent totals at
+    // the group's EXACT p5/p95 (the x100 integer interpolation of
+    // [[Relational.exactPercentilesX100]] — clamping at the x100 scale
+    // keeps midpoint percentiles exact) and sum. The outlier-robust
+    // central-tendency read where q_trimmed_mean DROPS the tails, this
+    // SATURATES them — the estimator of choice when row counts must be
+    // preserved (per-group weights downstream). Two corpus passes by
+    // construction: the rank windows, then the clamp against the broadcast
+    // 5-row percentile frame. All-integer ⇒ hash-exact.
+    "q_winsorized_mean" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val pct = Relational.exactPercentilesX100(base, Seq("prio"), "cents", Seq(5, 95))
+      base
+        .join(broadcast(pct.select(col("prio"), col("p5_x100"), col("p95_x100"))),
+          Seq("prio"))
+        .select(col("prio"),
+          greatest(least(col("cents") * 100, col("p95_x100")), col("p5_x100")).as("w"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("winsorized_sum_x100"))
+        .orderBy("prio")
+    },
+
+    // Wilson 95% score interval on the per-type high-value event rate —
+    // the CI that stays inside [0,1] at small n / extreme p where the
+    // normal approximation doesn't (the A/B readout's error bars). Counts
+    // are exact BIGINTs; the interval itself is a FIXED-ORDER float
+    // expression tree (divisions, one sqrt) written identically in both
+    // engines, the q_control_chart precedent. One scan, one type-keyed agg.
+    "q_wilson_ci" -> { (s, dir) =>
+      val z = lit(1.96)
+      val n = col("n").cast("double")
+      val ph = col("s").cast("double") / n
+      val denom = lit(1.0) + z * z / n
+      val center = (ph + z * z / (n * 2.0)) / denom
+      val half = z * sqrt(ph * (lit(1.0) - ph) / n + z * z / (n * n * 4.0)) / denom
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("s"))
+        .select(col("event_type"), col("n"), col("s"),
+          (center - half).as("ci_lo"), (center + half).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
+    // Log2-bucket (exponential) histogram of order cent totals: bucket =
+    // floor(log2(cents)) + 1, computed EXACTLY as the binary-string length
+    // — bin() renders bit-identical text in Spark and DuckDB, so the
+    // bucketing never touches float log. The heavy-tail profiling read
+    // (cent totals span 5 decades → ~17 buckets) where the equi-width
+    // q_histogram would need thousands. One scan, one bucket-keyed agg.
+    "q_log_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(length(bin(col("cents"))).cast("long").as("log2_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("log2_bucket")
+    },
+
+    // Per-user bounce rate over gap-based sessions (the q_session_window
+    // boundary semantics): a session with exactly one event is a bounce —
+    // the engagement-quality read sessionized logs feed. Two aggregations
+    // sharing the user key: (user, session) counts, then the per-user
+    // rollup rides the SAME partitioning (no second exchange).
+    "q_bounce_rate" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("user_id"), col("n_sessions"), col("n_bounce"),
+          expr("n_bounce * 1000000 DIV n_sessions").as("bounce_q6"))
+        .orderBy("user_id")
+    },
+
     // SPC p-CHART (statistical process control) — daily error-rate control
     // limits: center line p̄ from exact global counts, per-day
     // UCL = p̄ + 3·√(p̄(1−p̄)/n_d), and the out-of-control flag. Every
@@ -3038,6 +3116,61 @@ object RelationalQueries {
       s"${pctSql("lag_days", 90)} AS p90_days, " +
       s"${pctSql("lag_days", 99)} AS p99_days " +
       "FROM rk GROUP BY 1 ORDER BY 1"),
+    // same x100 interpolation as the engine's exactPercentilesX100, raw
+    // BIGINT form (no /100), then the clamp re-joins the base rows
+    "q_winsorized_mean" -> ("WITH base AS (SELECT o_orderpriority AS prio, " +
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+      "rk AS (SELECT prio, cents, " +
+      "row_number() OVER (PARTITION BY prio ORDER BY cents) - 1 AS rn0, " +
+      "count(*) OVER (PARTITION BY prio) AS n FROM base), " +
+      "pct AS (SELECT prio, " +
+      "CAST(sum(CASE WHEN rn0 = ((n-1)*5)//100 THEN cents*(100-((n-1)*5)%100) " +
+      "WHEN rn0 = ((n-1)*5)//100 + 1 THEN cents*(((n-1)*5)%100) ELSE 0 END) AS BIGINT) " +
+      "AS p5_x100, " +
+      "CAST(sum(CASE WHEN rn0 = ((n-1)*95)//100 THEN cents*(100-((n-1)*95)%100) " +
+      "WHEN rn0 = ((n-1)*95)//100 + 1 THEN cents*(((n-1)*95)%100) ELSE 0 END) AS BIGINT) " +
+      "AS p95_x100 FROM rk GROUP BY 1) " +
+      "SELECT b.prio, count(*) AS n, " +
+      "CAST(sum(greatest(least(b.cents * 100, p.p95_x100), p.p5_x100)) AS BIGINT) " +
+      "AS winsorized_sum_x100 FROM base b JOIN pct p ON b.prio = p.prio " +
+      "GROUP BY 1 ORDER BY 1"),
+    // the identical fixed-order Wilson expression tree over exact counts
+    "q_wilson_ci" -> ("WITH agg AS (SELECT event_type, count(*) AS n, " +
+      "CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS s " +
+      "FROM events GROUP BY 1) " +
+      "SELECT event_type, n, s, " +
+      "((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 1.96 * 1.96 / (CAST(n AS DOUBLE) * 2.0)) " +
+      "/ (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) - " +
+      "(1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * " +
+      "(1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+      "1.96 * 1.96 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) " +
+      "/ (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) AS ci_lo, " +
+      "((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 1.96 * 1.96 / (CAST(n AS DOUBLE) * 2.0)) " +
+      "/ (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) + " +
+      "(1.96 * sqrt(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * " +
+      "(1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+      "1.96 * 1.96 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)) " +
+      "/ (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))) AS ci_hi " +
+      "FROM agg ORDER BY event_type"),
+    // bin() renders identical binary text in both engines; its length IS
+    // floor(log2(cents)) + 1 for the positive cent totals
+    "q_log_histogram" -> ("SELECT CAST(length(bin(cents)) AS BIGINT) AS log2_bucket, " +
+      "count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents FROM " +
+      "(SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders) " +
+      "GROUP BY 1 ORDER BY 1"),
+    // the q_session_window session-id CTEs, rolled up twice
+    "q_bounce_rate" -> ("WITH flagged AS (" +
+      "SELECT user_id, ts, CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - " +
+      "epoch(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP)) >= 86400 " +
+      "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_sess " +
+      "FROM events), sess AS (" +
+      "SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), " +
+      "persess AS (SELECT user_id, sid, count(*) AS cnt FROM sess GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_sessions, " +
+      "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+      "CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
+      "// count(*) AS bounce_q6 FROM persess GROUP BY 1 ORDER BY 1"),
     // identical fixed-order float steps over exact BIGINTs (one division
     // for the center, one variance division, one sqrt, one multiply-add)
     "q_control_chart" -> ("WITH d AS (SELECT " +

@@ -1249,4 +1249,28 @@ class PlanSpec extends SparkSpec {
     // windows run on the group-space frame via SinglePartition
     assert(count(p, "Exchange hashpartitioning") == 1, s"one data shuffle:\n$p")
   }
+
+  test("q_bounce_rate: session agg and per-user rollup share ONE user exchange") {
+    val p = plan("q_bounce_rate")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"the user_id partitioning must serve both aggregations:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"sessionization is agg-only:\n$p")
+  }
+
+  test("q_winsorized_mean: percentile frame broadcasts back; both windows one exchange") {
+    val p = plan("q_winsorized_mean")
+    assert(p.contains("BroadcastHashJoin"), s"the 5-row pct frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus must not shuffle for the clamp:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"rank pass + clamp pass:\n$p")
+  }
+
+  test("q_wilson_ci / q_log_histogram: one scan into one combining aggregation") {
+    Seq("q_wilson_ci", "q_log_histogram").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Scan parquet") == 1, s"$q: one scan:\n$p")
+      assert(count(p, "Exchange hashpartitioning") == 1, s"$q: one data shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q: no joins:\n$p")
+    }
+  }
 }

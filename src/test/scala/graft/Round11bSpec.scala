@@ -163,6 +163,133 @@ class Round11bSpec extends SparkSpec {
     assert(got.values.sum == 1000L)
   }
 
+  test("q_log_histogram: bucket is the binary length of the cent total") {
+    val got = SparkEntry.queries("q_log_histogram")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    val cents = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(floor(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect()
+    val exp = cents
+      .groupBy(c => java.lang.Long.toBinaryString(c).length.toLong)
+      .map { case (b, vs) => (b, vs.length.toLong, vs.min, vs.max) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+    // bucket law: 2^(b-1) <= min <= max < 2^b
+    got.foreach { case (b, _, mn, mx) =>
+      assert(mn >= (1L << (b - 1).toInt) && mx < (1L << b.toInt), s"bucket=$b")
+    }
+  }
+
+  test("q_wilson_ci: JVM recompute of the fixed-order float tree matches bit-for-bit") {
+    val got = SparkEntry.queries("q_wilson_ci")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double)]
+      .collect()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    got.foreach { case (t, n, s, lo, hi) =>
+      val rows = ev.filter(_._1 == t)
+      assert(rows.length.toLong == n)
+      assert(rows.count(_._2 >= 50.0).toLong == s)
+      val z = 1.96
+      val nd = n.toDouble
+      val ph = s.toDouble / nd
+      val denom = 1.0 + z * z / nd
+      val center = (ph + z * z / (nd * 2.0)) / denom
+      val half = z * math.sqrt(ph * (1.0 - ph) / nd + z * z / (nd * nd * 4.0)) / denom
+      assert(lo == center - half && hi == center + half, s"type=$t")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= ph && ph <= hi, s"Wilson stays in range, type=$t")
+    }
+  }
+
+  test("q_winsorized_mean: clamp at exact p5/p95 — hand recompute per priority") {
+    val got = SparkEntry.queries("q_winsorized_mean")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderpriority"), floor(col("o_totalprice") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    def pctX100(sorted: IndexedSeq[Long], p: Int): Long = {
+      val pos = (sorted.length - 1).toLong * p
+      val idx = (pos / 100).toInt
+      val rem = pos % 100
+      sorted(idx) * (100 - rem) + (if (rem == 0) 0L else sorted(idx + 1) * rem)
+    }
+    val exp = rows.groupBy(_._1).map { case (prio, rs) =>
+      val sorted = rs.map(_._2).sorted.toIndexedSeq
+      val (p5, p95) = (pctX100(sorted, 5), pctX100(sorted, 95))
+      prio -> ((sorted.length.toLong,
+        sorted.map(c => math.max(p5, math.min(c * 100, p95))).sum))
+    }
+    assert(got == exp)
+  }
+
+  test("q_bounce_rate: scala sessionizer recompute") {
+    val got = SparkEntry.queries("q_bounce_rate")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val exp = ev.groupBy(_._1).map { case (u, rs) =>
+      val ts = rs.map(_._2).sorted
+      val sizes = scala.collection.mutable.ArrayBuffer(1L)
+      ts.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b - a >= 86400L * 1000000L) sizes += 1L
+          else sizes(sizes.length - 1) += 1L
+        case _ =>
+      }
+      val bounce = sizes.count(_ == 1L).toLong
+      u -> ((sizes.length.toLong, bounce, bounce * 1000000L / sizes.length))
+    }
+    assert(got == exp)
+  }
+
+  test("q_curriculum_shards: round-robin ranks balance difficulty — hand recompute") {
+    val got = SparkEntry.queries("q_curriculum_shards")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val ranked = docs.sortBy { case (id, nc) => (nc, id) }.zipWithIndex
+    val exp = ranked
+      .groupBy(_._2 % 8)
+      .map { case (sh, rs) =>
+        (sh.toLong, rs.length.toLong, rs.map(_._1._2).sum,
+          rs.map(_._2.toLong).min, rs.map(_._2.toLong).max)
+      }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+    // balance law: shard char sums within one max-doc of each other
+    val sums = got.map(_._3)
+    assert(sums.max - sums.min <= docs.map(_._2).max, "round-robin difficulty balance")
+  }
+
+  test("q_mutual_nn: reciprocal best hits form a matching inside the mutual-8 graph") {
+    val nn = SparkEntry.queries("q_mutual_nn")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    // matching: top-1 is unique per vertex, so each vertex joins ≤ 1 edge
+    val verts = nn.flatMap(p => Seq(p._1, p._2))
+    assert(verts.distinct.length == verts.length, "mutual-1-NN must be a matching")
+    // rank ≤ 1 both ways ⇒ rank ≤ 8 both ways: subset of the k=8 mutual graph
+    graft.functions.GraftFunctions.register(spark)
+    val m8 = graft.ext.Graph
+      .mutualKnnEdges(
+        Tables.embeddings(spark, "/root/testdata/sf0.001")
+          .select(col("vec_id").as("id"),
+            graft.ext.Similarity.asDouble(col("embedding")).as("vec")),
+        8)
+      .as[(Long, Long)].collect().toSet
+    assert(nn.forall(m8.contains), "mutual-1 edges must appear in the mutual-8 graph")
+  }
+
   test("q_snapshot_diff: fixture recompute of the four-class rollup") {
     val got = SparkEntry.queries("q_snapshot_diff")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long)]
