@@ -202,6 +202,43 @@ object Curation {
       .drop("_keep_below")
   }
 
+  /** Deterministic token-dropout augmentation (EDA-style): drop each token
+    * whose salted bucket of (doc, position) falls below `dropBelow` /
+    * [[Buckets]] — the data-augmentation pass contrastive/robustness
+    * training pipelines run over text corpora. Hash-seeded, not RNG-seeded:
+    * the SAME (id, position, salt) always drops the same tokens, so the
+    * augmentation is retry-stable, resumable mid-corpus, and reproducible
+    * from the config alone — the same property every sampler in this
+    * module has. Different salts give independent dropout masks (epoch 2
+    * = a new salt, not a new RNG state to checkpoint).
+    *
+    * Map-only: tokenize + an indexed higher-order `filter` + re-join, all
+    * inside one projection — no explode, no shuffle, no UDF. Output text
+    * re-joins with single spaces (canonical detokenization).
+    *
+    * Returns (idCol, n_tokens, n_dropped, augmented).
+    */
+  def augmentDropout(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String,
+      dropBelow: Int): DataFrame = {
+    require(0 < dropBelow && dropBelow < Buckets, s"dropBelow must be in (0, $Buckets)")
+    docs
+      .withColumn("_toks", TextOps.tokens(col(textCol)))
+      .withColumn("_kept",
+        filter(col("_toks"), (_, i) =>
+          hashBucket(
+            concat(col(idCol).cast("string"), lit(":"), i.cast("string")),
+            salt) >= dropBelow))
+      .select(
+        col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_dropped"),
+        array_join(col("_kept"), " ").as("augmented"))
+  }
+
   /** Largest-remainder (Hamilton) quota allocation — split a fixed sample
     * budget across groups proportionally with EXACT integer arithmetic:
     * each group gets `floor(budget·n/total)` seats, and the

@@ -15,6 +15,7 @@ object CurationQueries {
   private val SplitSalt = "s42"
   private val SampleSalt = "smp"
   private val WeightSalt = "wgt"
+  private val AugmentSalt = "aug1"
   private val MixSalt = "mix"
   private val FixedKSalt = "k8"
   private val PackBudget = 2000L
@@ -189,6 +190,18 @@ object CurationQueries {
           rates = Map("src0" -> 0.3, "src1" -> 0.2), defaultRate = 0.05,
           salt = SampleSalt)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic token-dropout augmentation
+    // ([[Curation.augmentDropout]]): 10% of tokens drop by salted
+    // (doc, position) hash — reproducible from config alone (no RNG
+    // state), independent masks per salt (= per epoch). Map-only: indexed
+    // higher-order filter inside one projection, no explode, no shuffle.
+    "q_augment_dropout" -> { (s, dir) =>
+      Curation
+        .augmentDropout(Tables.documents(s, dir), "doc_id", "text",
+          salt = AugmentSalt, dropBelow = 1000)
         .orderBy("doc_id")
     },
 
@@ -766,6 +779,15 @@ object CurationQueries {
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
       "ELSE 'test' END AS split, count(*) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    // same tokenization + salted (doc, position) bucket; DuckDB lambda
+    // indices are 1-based where Spark's are 0-based, hence (i - 1)
+    "q_augment_dropout" -> ("SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(len(toks) - len(kept) AS BIGINT) AS n_dropped, " +
+      "array_to_string(kept, ' ') AS augmented FROM (" +
+      "SELECT doc_id, toks, list_filter(toks, (t, i) -> " +
+      s"${bucketSqlOn(AugmentSalt, "doc_id || ':' || (i - 1)")} >= 1000) AS kept " +
+      s"FROM (SELECT doc_id, ${TextQueries.Toks} AS toks FROM documents)) " +
+      "ORDER BY doc_id"),
     // the oracle IS the single-window spelling the engine's range-
     // partitioned numbering must reproduce bit-for-bit (rank ties are
     // impossible: the packed key is unique)

@@ -524,6 +524,64 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // Position-based (U-shaped 40/20/40) multi-touch attribution — the
+    // other industry-standard credit model next to q_linear_attribution
+    // and q_attribution (last-touch): first and last touch in the 24 h
+    // lookback each take 40%, the middle splits 20% evenly. Integer ppm
+    // credits with truncating DIV — deterministic, hash-exact; single- and
+    // two-touch paths take 100% / 50-50 by convention. Same join shape as
+    // the linear model: one purchase×touch interval join, one per-purchase
+    // window (ordered by touch time, event id — total order), one channel
+    // rollup.
+    "q_position_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), secs(col("ts")).as("p_s"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("event_id").as("t_id"), secs(col("ts")).as("t_s"))
+      val w = Window.partitionBy("p_id").orderBy("t_s", "t_id")
+      p.join(t, Seq("user_id"))
+        .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 86400L)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
+        .withColumn("credit_q6",
+          when(col("n_touch") === 1, 1000000L)
+            .when(col("n_touch") === 2, 500000L)
+            .when(col("rn") === 1 || col("rn") === col("n_touch"), 400000L)
+            .otherwise(expr("200000 DIV (n_touch - 2)")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_q6")).as("credit_q6_sum"))
+        .orderBy("channel")
+    },
+
+    // Rank-based AUC (Mann–Whitney U) of the "does event value separate
+    // purchases from the rest" classifier — the threshold-free twin of
+    // q_pr_curve, and the metric quality-classifier gates are tuned by.
+    // Exact integer form: group by the cent-quantized score (corpus →
+    // score-space aggregation), then U×2 = Σ_s n_pos(s)·(2·cum_neg(<s) +
+    // n_neg(s)) — each tie contributes exactly 1 (= 0.5×2). The running
+    // window rides the DISTINCT-score frame (thousands of rows at any
+    // corpus size — the score-space contract), never corpus rows.
+    // auc_q6 = U×2 · 500000 DIV (n_pos·n_neg).
+    "q_rank_auc" -> { (s, dir) =>
+      val byScore = Tables.events(s, dir)
+        .groupBy(floor(col("value") * 100).cast("long").as("score"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("n_neg"))
+      val wBelow = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(wBelow), lit(0L)))
+        .agg(
+          sum(col("n_pos")).as("pos"),
+          sum(col("n_neg")).as("neg"),
+          sum(col("n_pos") * (col("cum_neg") * 2 + col("n_neg"))).as("u_x2"))
+        .select(col("pos"), col("neg"), col("u_x2"),
+          expr("u_x2 * 500000 DIV (pos * neg)").as("auc_q6"))
+    },
+
     // RFM segmentation: per user Recency (micros before the corpus max
     // event time) / Frequency (purchase count) / Monetary (cent-exact
     // value sum), each cut at its own exact tercile thresholds (tiny
@@ -3746,6 +3804,35 @@ object RelationalQueries {
 
     // same user-keyed range join, per-purchase window count, and
     // truncating credit split
+    // same interval join; U-shaped credit over (row_number, count) windows
+    "q_position_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_s " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "t AS (SELECT user_id, event_type AS channel, event_id AS t_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t_s " +
+      "FROM events WHERE event_type IN ('click', 'view')), " +
+      "j AS (SELECT p_id, channel, " +
+      "row_number() OVER (PARTITION BY p_id ORDER BY t_s, t_id) AS rn, " +
+      "count(*) OVER (PARTITION BY p_id) AS n_touch " +
+      "FROM p JOIN t ON p.user_id = t.user_id AND t_s <= p_s AND t_s >= p_s - 86400), " +
+      "c AS (SELECT channel, CASE WHEN n_touch = 1 THEN 1000000 " +
+      "WHEN n_touch = 2 THEN 500000 " +
+      "WHEN rn = 1 OR rn = n_touch THEN 400000 " +
+      "ELSE 200000 // (n_touch - 2) END AS credit_q6 FROM j) " +
+      "SELECT channel, count(*) AS n_touches, " +
+      "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c GROUP BY 1 ORDER BY 1"),
+    // score-space running negatives; every tie pair contributes exactly 1
+    "q_rank_auc" -> ("WITH s AS (SELECT CAST(floor(value * 100) AS BIGINT) AS score, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+      "CAST(sum(CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg " +
+      "FROM events GROUP BY 1), " +
+      "r AS (SELECT n_pos, n_neg, coalesce(CAST(sum(n_neg) OVER (ORDER BY score " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_neg FROM s) " +
+      "SELECT CAST(sum(n_pos) AS BIGINT) AS pos, CAST(sum(n_neg) AS BIGINT) AS neg, " +
+      "CAST(sum(n_pos * (cum_neg * 2 + n_neg)) AS BIGINT) AS u_x2, " +
+      "CAST(sum(n_pos * (cum_neg * 2 + n_neg)) AS BIGINT) * 500000 " +
+      "// (CAST(sum(n_pos) AS BIGINT) * CAST(sum(n_neg) AS BIGINT)) AS auc_q6 " +
+      "FROM r"),
     "q_linear_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_s " +
       "FROM events WHERE event_type = 'purchase'), " +

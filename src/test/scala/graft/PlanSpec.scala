@@ -1265,6 +1265,22 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Scan parquet") == 2, s"rank pass + clamp pass:\n$p")
   }
 
+  test("q_augment_dropout: tokenize + indexed filter + rejoin is MAP-ONLY") {
+    val p = plan("q_augment_dropout")
+    assert(count(p, "Exchange hashpartitioning") == 0, s"augmentation must not shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Generate"), s"no explode — the mask runs inside the array:\n$p")
+  }
+
+  test("q_rank_auc: corpus aggregates to score space before the running window") {
+    val p = plan("q_rank_auc")
+    // corpus → per-score agg is the one data shuffle; the cum-neg window
+    // then rides the DISTINCT-score frame (SinglePartition by contract)
+    assert(count(p, "Exchange hashpartitioning") == 1, s"one data shuffle:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"), s"pair counting is window algebra, not a self-join:\n$p")
+  }
+
   test("q_wilson_ci / q_log_histogram: one scan into one combining aggregation") {
     Seq("q_wilson_ci", "q_log_histogram").foreach { q =>
       val p = plan(q)

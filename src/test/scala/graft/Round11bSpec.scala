@@ -143,7 +143,91 @@ class Round11bSpec extends SparkSpec {
     assert(got == Map(100L -> 0L, 101L -> 1L, 102L -> 1L, 103L -> 0L))
   }
 
+  // ---- Curation.augmentDropout ---------------------------------------------
+
+  test("augmentDropout: deterministic, salt-independent, order-preserving") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    def run(salt: String) = Curation
+      .augmentDropout(docs, "doc_id", "text", salt, dropBelow = 3000)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSeq
+    val a = run("s1")
+    assert(a == run("s1"), "same salt must reproduce the same mask")
+    assert(a != run("s2"), "different salts must give independent masks")
+    a.foreach { case (id, n, d, aug) =>
+      val orig = docs.filter(col("doc_id") === id).as[(Long, String)].head()._2
+      val toks = orig.split("\\s+").filter(_.nonEmpty)
+      assert(n == toks.length && d >= 0 && d <= n, s"doc=$id")
+      // kept tokens must be a subsequence of the original token stream
+      val kept = aug.split(" ").filter(_.nonEmpty)
+      var j = 0
+      kept.foreach { k => j = toks.indexOf(k, j); assert(j >= 0, s"doc=$id order"); j += 1 }
+      assert(kept.length == n - d)
+    }
+    assert(a(2) == ((3L, 0L, 0L, "")), "empty doc passes through")
+  }
+
+  test("q_augment_dropout: corpus drop rate is near the configured 10%") {
+    val (n, d) = SparkEntry.queries("q_augment_dropout")(spark, "/root/testdata/sf0.001")
+      .agg(sum("n_tokens"), sum("n_dropped"))
+      .as[(Long, Long)].head()
+    assert(d * 100 > n * 7 && d * 100 < n * 13, s"dropped $d of $n tokens")
+  }
+
   // ---- declared-query recomputes at sf0.001 --------------------------------
+
+  test("q_rank_auc: brute-force pair count matches the score-space form") {
+    val (pos, neg, ux2, aucQ6) =
+      SparkEntry.queries("q_rank_auc")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long)].head()
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type") === "purchase", floor(col("value") * 100).cast("long"))
+      .as[(Boolean, Long)].collect()
+    val ps = rows.filter(_._1).map(_._2)
+    val ns = rows.filter(!_._1).map(_._2)
+    assert(pos == ps.length.toLong && neg == ns.length.toLong)
+    var u2 = 0L
+    ps.foreach(p => ns.foreach(m => u2 += (if (p > m) 2L else if (p == m) 1L else 0L)))
+    assert(ux2 == u2)
+    assert(aucQ6 == u2 * 500000L / (pos * neg))
+  }
+
+  test("q_position_attribution: per-purchase U-shaped credits recompute") {
+    val got = SparkEntry.queries("q_position_attribution")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")))
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val credits = purchases.flatMap { case (u, _, _, ps) =>
+      val ts = touches
+        .filter(t => t._1 == u && t._4 <= ps && t._4 >= ps - 86400L)
+        .sortBy(t => (t._4, t._2))
+      val n = ts.length
+      ts.zipWithIndex.map { case (t, i) =>
+        val c =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        t._3 -> c
+      }
+    }
+    val exp = credits.groupBy(_._1).map { case (ch, cs) =>
+      ch -> ((cs.length.toLong, cs.map(_._2).sum))
+    }
+    assert(got == exp)
+  }
+
 
   test("q_quota_allocate: fixture recompute (Hamilton by hand)") {
     val got = SparkEntry.queries("q_quota_allocate")(spark, "/root/testdata/sf0.001")
