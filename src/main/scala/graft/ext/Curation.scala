@@ -202,6 +202,65 @@ object Curation {
       .drop("_keep_below")
   }
 
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third leg of
+    * the release-privacy tripod next to k-anonymity (group size) and
+    * l-diversity (sensitive-value variety): per quasi-identifier group,
+    * the earth-mover's distance between the group's distribution over an
+    * ORDERED sensitive attribute and the corpus-wide distribution. For
+    * ordered buckets EMD reduces to the mean absolute prefix-share gap:
+    * EMD = (1/(m−1)) Σ_{i<m} |cumshare_g(i) − cumshare_all(i)|.
+    *
+    * Exact integer form: shares cross-multiply — the numerator is
+    * Σ |cum_g(i)·N − cum_all(i)·n_g| over the DENSE (group × bucket) grid
+    * (missing buckets count 0), and emd_q6 = num·10⁶ DIV (n_g·N·(m−1)).
+    * Requires n_g·N·(m−1) < 2⁶³ — past ~10⁹ rows quantize shares to q9
+    * first (the two-limb discipline of the overflow audit).
+    *
+    * Scale shape: ONE corpus aggregate to (quasi, bucket) counts
+    * (checkpointed — it feeds the global-bucket, group-size and grid
+    * arms; the [[Dedup]] impact-report discipline), then everything rides
+    * group-space × bucket-space frames: the dense grid is a cross join of
+    * two SMALL frames by contract, prefix sums are per-group windows over
+    * m rows. Degenerate m = 1 (one bucket) is zero distance by definition
+    * — the DIV guard keeps it finite.
+    *
+    * Returns (quasiCols..., group_size, emd_q6, exceeds) where exceeds =
+    * emd_q6 > tQ6.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      bucketCol: String,
+      tQ6: Long): DataFrame = {
+    val q = quasiCols.map(col)
+    val cnt = df
+      .groupBy((q :+ col(bucketCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val wAll = Window.orderBy(bucketCol).rowsBetween(Window.unboundedPreceding, 0)
+    val glob = cnt
+      .groupBy(bucketCol)
+      .agg(sum(col("_c")).as("_nb"))
+      .withColumn("_cum_all", sum(col("_nb")).over(wAll))
+    val tot = glob.agg(sum(col("_nb")).as("_nn"), count(lit(1)).as("_m"))
+    val ng = cnt.groupBy(q: _*).agg(sum(col("_c")).as("group_size"))
+    val wG = Window.partitionBy(q: _*).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ng
+      .crossJoin(glob.select(col(bucketCol), col("_cum_all")))
+      .join(cnt, quasiCols :+ bucketCol, "left")
+      .withColumn("_cum_g", sum(coalesce(col("_c"), lit(0L))).over(wG))
+      .crossJoin(broadcast(tot))
+      .groupBy((q :+ col("group_size") :+ col("_nn") :+ col("_m")): _*)
+      .agg(sum(abs(col("_cum_g") * col("_nn") - col("_cum_all") * col("group_size")))
+        .as("_num"))
+      .select(
+        (q :+ col("group_size") :+
+          expr("_num * 1000000 DIV (group_size * _nn * greatest(_m - 1, 1))")
+            .as("emd_q6")): _*)
+      .withColumn("exceeds", col("emd_q6") > tQ6)
+  }
+
   /** Deterministic token-dropout augmentation (EDA-style): drop each token
     * whose salted bucket of (doc, position) falls below `dropBelow` /
     * [[Buckets]] — the data-augmentation pass contrastive/robustness

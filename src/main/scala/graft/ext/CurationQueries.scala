@@ -99,6 +99,22 @@ object CurationQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // t-CLOSENESS audit ([[Curation.tCloseness]]) — completes the privacy
+    // tripod (q_k_anonymity: size, q_l_diversity: variety, this:
+    // distribution): per (nation, segment) group, exact-integer EMD
+    // between the group's ordered balance-bucket distribution and the
+    // corpus-wide one; exceeds at t > 0.2. One corpus agg, then
+    // group-space × bucket-space algebra only.
+    "q_t_closeness" -> { (s, dir) =>
+      Curation
+        .tCloseness(
+          Tables.customer(s, dir)
+            .select(col("c_nationkey"), col("c_mktsegment"),
+              floor(col("c_acctbal") / 1000).cast("long").as("bal_kb")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_kb", tQ6 = 200000L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // HTML boilerplate removal (the web-crawl main-content stage):
     // synthesize a deterministic page around each doc, strip
     // script/style/nav/header/footer + tags, collapse whitespace.
@@ -741,6 +757,32 @@ object CurationQueries {
       "SELECT level, n_groups, min_group, n_at_risk, " +
       "level = min(CASE WHEN min_group >= 3 THEN level END) OVER () AS chosen " +
       "FROM lv ORDER BY level"),
+    // dense (group × bucket) grid via cross join, prefix sums per side,
+    // cross-multiplied integer EMD numerator — identical arithmetic
+    "q_t_closeness" -> ("WITH base AS (SELECT c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb FROM customer), " +
+      "cnt AS (SELECT c_nationkey, c_mktsegment, bal_kb, count(*) AS c " +
+      "FROM base GROUP BY 1, 2, 3), " +
+      "gdist AS (SELECT bal_kb, CAST(sum(c) AS BIGINT) AS nb, " +
+      "CAST(sum(sum(c)) OVER (ORDER BY bal_kb ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_all FROM cnt GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(nb) AS BIGINT) AS nn, count(*) AS m FROM gdist), " +
+      "ng AS (SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS group_size " +
+      "FROM cnt GROUP BY 1, 2), " +
+      "grid AS (SELECT ng.c_nationkey, ng.c_mktsegment, ng.group_size, " +
+      "gdist.bal_kb, gdist.cum_all, coalesce(cnt.c, 0) AS c " +
+      "FROM ng CROSS JOIN gdist LEFT JOIN cnt ON cnt.c_nationkey = ng.c_nationkey " +
+      "AND cnt.c_mktsegment = ng.c_mktsegment AND cnt.bal_kb = gdist.bal_kb), " +
+      "pre AS (SELECT c_nationkey, c_mktsegment, group_size, cum_all, " +
+      "CAST(sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_kb " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g FROM grid) " +
+      "SELECT c_nationkey, c_mktsegment, group_size, " +
+      "CAST(sum(abs(cum_g * nn - cum_all * group_size)) AS BIGINT) * 1000000 " +
+      "// (group_size * nn * greatest(m - 1, 1)) AS emd_q6, " +
+      "CAST(sum(abs(cum_g * nn - cum_all * group_size)) AS BIGINT) * 1000000 " +
+      "// (group_size * nn * greatest(m - 1, 1)) > 200000 AS exceeds " +
+      "FROM pre, tot GROUP BY c_nationkey, c_mktsegment, group_size, nn, m " +
+      "ORDER BY c_nationkey, c_mktsegment"),
     "q_l_diversity" -> ("SELECT c_nationkey, c_mktsegment, count(*) AS n_rows, " +
       "count(DISTINCT e.user_id) AS n_users, count(DISTINCT event_type) AS l, " +
       "count(DISTINCT event_type) >= 3 AS diverse " +

@@ -556,6 +556,40 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // Quantile normalization of event values ACROSS types — map each
+    // value to the pooled-distribution value at its within-group quantile
+    // (the bioinformatics/feature-engineering batch-effect remover): rank
+    // r of n_g in its group targets pooled 0-based index
+    // ((2r−1)·N) DIV (2·n_g) — the exact integer midpoint rule, no float
+    // quantile anywhere. The pooled lookup table gets its global index
+    // from [[Scale.globalRowNumber]] (range repartition + broadcast prefix
+    // offsets — never an empty-over window), and the corpus joins it on
+    // the computed index: corpus-sized ⋈ corpus-sized, merge-hinted (a
+    // test-SF broadcast would be fatal at scale). Needs (2N)·N < 2⁶³ —
+    // past ~10⁹ rows bucket to quantile sketches first.
+    "q_quantile_normalize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val wg = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val ranked = ev
+        .withColumn("r", row_number().over(wg).cast("long"))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("event_type")))
+      val pooled = Scale
+        .globalRowNumber(
+          ev.select((col("cents") * lit(1L << 40) + col("event_id")).as("pkey"),
+            col("cents").as("norm_cents")),
+          "pkey", partitions = 8)
+        .select(col("rownum").as("idx0"), col("norm_cents"))
+      val tot = ev.agg(count(lit(1)).as("nn"))
+      ranked
+        .crossJoin(broadcast(tot))
+        .withColumn("idx0", expr("((2 * r - 1) * nn) DIV (2 * ng)"))
+        .join(pooled.hint("merge"), Seq("idx0"))
+        .select(col("event_id"), col("event_type"), col("cents"), col("norm_cents"))
+        .orderBy("event_id")
+    },
+
     // Rank-based AUC (Mann–Whitney U) of the "does event value separate
     // purchases from the rest" classifier — the threshold-free twin of
     // q_pr_curve, and the metric quality-classifier gates are tuned by.
@@ -3821,6 +3855,18 @@ object RelationalQueries {
       "ELSE 200000 // (n_touch - 2) END AS credit_q6 FROM j) " +
       "SELECT channel, count(*) AS n_touches, " +
       "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c GROUP BY 1 ORDER BY 1"),
+    // the single-window pooled index IS the semantics the range-partitioned
+    // numbering reproduces; the midpoint-rule index join is explicit
+    "q_quantile_normalize" -> ("WITH ev AS (SELECT event_id, event_type, " +
+      "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), " +
+      "rk AS (SELECT event_id, event_type, cents, " +
+      "CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS r, " +
+      "count(*) OVER (PARTITION BY event_type) AS ng FROM ev), " +
+      "pl AS (SELECT cents AS norm_cents, " +
+      "row_number() OVER (ORDER BY cents, event_id) - 1 AS idx0 FROM ev), " +
+      "tot AS (SELECT count(*) AS nn FROM ev) " +
+      "SELECT event_id, event_type, cents, norm_cents FROM rk, tot " +
+      "JOIN pl ON ((2 * r - 1) * nn) // (2 * ng) = idx0 ORDER BY event_id"),
     // score-space running negatives; every tie pair contributes exactly 1
     "q_rank_auc" -> ("WITH s AS (SELECT CAST(floor(value * 100) AS BIGINT) AS score, " +
       "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +

@@ -1281,6 +1281,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pair counting is window algebra, not a self-join:\n$p")
   }
 
+  test("q_t_closeness: corpus digested by ONE checkpointed agg; rest is group-space") {
+    val p = plan("q_t_closeness")
+    // the (quasi, bucket) count frame is localCheckpoint-ed — the visible
+    // plan must contain NO parquet re-scan and no corpus-sized merge join;
+    // the cross joins are the deliberate group-space × bucket-space grid
+    assert(count(p, "Scan parquet") == 0, s"corpus behind the checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"grid frames are broadcast-sized:\n$p")
+  }
+
+  test("q_quantile_normalize: rank windows share one exchange; pooled join is merge") {
+    val p = plan("q_quantile_normalize")
+    assert(p.contains("SortMergeJoin"),
+      s"the corpus-sized pooled lookup must be a shuffle join, never broadcast:\n$p")
+    // events scan twice (rank frame + the N aggregate); the pooled table
+    // is the checkpointed globalRowNumber output
+    assert(count(p, "Scan parquet") == 2, s"two event scans by construction:\n$p")
+    assert(count(p, "Window") == 2, s"rank + group-size windows:\n$p")
+  }
+
   test("q_wilson_ci / q_log_histogram: one scan into one combining aggregation") {
     Seq("q_wilson_ci", "q_log_histogram").foreach { q =>
       val p = plan(q)

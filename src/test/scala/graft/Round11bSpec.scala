@@ -180,6 +180,60 @@ class Round11bSpec extends SparkSpec {
     assert(d * 100 > n * 7 && d * 100 < n * 13, s"dropped $d of $n tokens")
   }
 
+  // ---- Curation.tCloseness --------------------------------------------------
+
+  test("tCloseness: hand-computed EMD on a 2-group, 2-bucket example") {
+    // g1 = (2, 2) over buckets (0, 1); g2 = (0, 4); global = (2, 6), N=8
+    // EMD(g1) = |2/4 - 2/8| / 1 = 0.25; EMD(g2) = |0/4 - 2/8| / 1 = 0.25
+    val rows = Seq.fill(2)(("g1", 0L)) ++ Seq.fill(2)(("g1", 1L)) ++
+      Seq.fill(4)(("g2", 1L))
+    val got = Curation
+      .tCloseness(rows.toDF("quasi", "b"), Seq("quasi"), "b", tQ6 = 200000L)
+      .orderBy("quasi")
+      .as[(String, Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(got == Seq(("g1", 4L, 250000L, true), ("g2", 4L, 250000L, true)))
+  }
+
+  test("tCloseness: identical distributions have zero distance; m=1 stays finite") {
+    val same = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("quasi", "b")
+    val g1 = Curation.tCloseness(same, Seq("quasi"), "b", 100L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(g1.forall(r => r._3 == 0L && !r._4))
+    val one = Seq(("a", 7L), ("b", 7L), ("b", 7L)).toDF("quasi", "b")
+    val g2 = Curation.tCloseness(one, Seq("quasi"), "b", 100L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(g2.forall(r => r._3 == 0L && !r._4), "single bucket = zero distance, no div-0")
+  }
+
+  test("augmentDropout composes into a streaming plan: map-only, zero state") {
+    // the dropout mask is pure per-row HOF algebra, so it runs INSIDE the
+    // streaming plan (append mode, no watermark, no state store) — the
+    // ingest-time augmentation shape: readStream → augment → writeStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val expected = Curation
+      .augmentDropout(rows.toDF("doc_id", "text"), "doc_id", "text", "st1", 3000)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Curation
+      .augmentDropout(mem.toDF.toDF("doc_id", "text"), "doc_id", "text", "st1", 3000)
+      .writeStream.format("memory").queryName("augstream").outputMode("append").start()
+    try {
+      mem.addData(rows(0))
+      q.processAllAvailable()
+      mem.addData(rows(1))
+      q.processAllAvailable()
+      val got = spark.table("augstream").as[(Long, Long, Long, String)].collect()
+      assert(got.length == 2 && got.toSet == expected,
+        s"streaming augmentation diverged: ${got.toSet} vs $expected")
+    } finally q.stop()
+  }
+
   // ---- declared-query recomputes at sf0.001 --------------------------------
 
   test("q_rank_auc: brute-force pair count matches the score-space form") {
@@ -196,6 +250,32 @@ class Round11bSpec extends SparkSpec {
     ps.foreach(p => ns.foreach(m => u2 += (if (p > m) 2L else if (p == m) 1L else 0L)))
     assert(ux2 == u2)
     assert(aucQ6 == u2 * 500000L / (pos * neg))
+  }
+
+  test("q_quantile_normalize: midpoint-rule index recompute; pooled multiset preserved") {
+    val got = SparkEntry.queries("q_quantile_normalize")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long)]
+      .collect()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"), floor(col("value") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val pooled = ev.map(e => (e._3, e._1)).sorted.map(_._1) // by (cents, event_id)
+    val nn = ev.length.toLong
+    val exp = ev.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val inGroup = rs.sortBy(e => (e._3, e._1)).zipWithIndex
+      val ng = rs.length.toLong
+      inGroup.toSeq.map { case (e, i) =>
+        val r = i + 1L
+        (e._1, e._2, e._3, pooled((((2 * r - 1) * nn) / (2 * ng)).toInt))
+      }
+    }.toSet
+    assert(got.toSet == exp)
+    // each group's normalized values track the pooled quantile ladder:
+    // group min maps near pooled low end, group max near the high end
+    val byType = got.groupBy(_._2)
+    byType.values.foreach { rs =>
+      assert(rs.map(_._4).min >= pooled.head && rs.map(_._4).max <= pooled.last)
+    }
   }
 
   test("q_position_attribution: per-purchase U-shaped credits recompute") {
