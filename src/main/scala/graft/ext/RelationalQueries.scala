@@ -989,6 +989,72 @@ object RelationalQueries {
           col("n1") >= col("needed_per_arm") && col("n2") >= col("needed_per_arm"))
     },
 
+    // SIMPSON'S PARADOX audit on the A/B readout: per-segment conversion
+    // direction vs the pooled direction, flagged where they disagree —
+    // the confounder check an experimentation platform runs before
+    // trusting a topline (a stratum mix shift can reverse the pooled
+    // sign). All directions are exact cross-multiplied integer compares
+    // (sa·nb vs sb·na) — no rate division anywhere; the pooled cells ride
+    // a window over the |segments| frame. One user-grain agg (shared with
+    // q_power_analysis's cell shape), one broadcast dim join.
+    "q_simpson_check" -> { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("converted"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))),
+          Seq("user_id"))
+      val cells = perUser
+        .select(col("segment"), (col("user_id") % 2).as("variant"), col("converted"))
+        .groupBy("segment")
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("sa"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("sb"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("pooled_a_gt_b",
+          sum(col("sa")).over(wAll) * sum(col("nb")).over(wAll) >
+            sum(col("sb")).over(wAll) * sum(col("na")).over(wAll))
+        .withColumn("a_gt_b", col("sa") * col("nb") > col("sb") * col("na"))
+        .withColumn("reversed", col("a_gt_b") =!= col("pooled_a_gt_b"))
+        .select(col("segment"), col("na"), col("sa"), col("nb"), col("sb"),
+          col("a_gt_b"), col("pooled_a_gt_b"), col("reversed"))
+        .orderBy("segment")
+    },
+
+    // THEIL–SEN robust trend: the median pairwise slope of the monthly
+    // revenue series — the outlier-proof regression line estimator (one
+    // wild month moves OLS, not the pairwise median). The corpus pays ONE
+    // month-grain aggregate; the pair frame is month² — TIME-bounded, not
+    // corpus-bounded (months don't grow with data volume), so the
+    // pair-space self-join and rank window stay thousands of rows at any
+    // SF. Median pick: row_number over (slope, x1, x2) — slope is one
+    // correctly-rounded IEEE division of exact integers, identical in
+    // both engines; the winning pair's (dy_cents, dx_months) are emitted
+    // exact alongside it.
+    "q_theil_sen" -> { (s, dir) =>
+      val monthly = Tables.orders(s, dir)
+        .groupBy(((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"))
+      val pairs = monthly.as("a")
+        .join(broadcast(monthly.as("b")), col("a.x") < col("b.x"))
+        .select(col("a.x").as("x1"), col("b.x").as("x2"),
+          (col("b.y") - col("a.y")).as("dy"), (col("b.x") - col("a.x")).as("dx"))
+        .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+      val w = Window.orderBy("slope", "x1", "x2")
+      pairs
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_pairs", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(col("rk") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("n_pairs"), col("x1"), col("x2"), col("dy"), col("dx"), col("slope"))
+    },
+
     // GINI SPLIT GAIN — the decision-tree split chooser over four
     // candidate features (hour, day-of-week, value band, props.k band)
     // against the event_type class, entirely in integer arithmetic:
@@ -3855,6 +3921,31 @@ object RelationalQueries {
       "ELSE 200000 // (n_touch - 2) END AS credit_q6 FROM j) " +
       "SELECT channel, count(*) AS n_touches, " +
       "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c GROUP BY 1 ORDER BY 1"),
+    // same per-user conversion cells; all directions cross-multiplied
+    "q_simpson_check" -> ("WITH pu AS (SELECT e.user_id, c_mktsegment AS segment, " +
+      "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv " +
+      "FROM events e JOIN customer ON c_custkey = e.user_id GROUP BY 1, 2), " +
+      "cells AS (SELECT segment, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS sa, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS sb " +
+      "FROM pu GROUP BY 1), " +
+      "p AS (SELECT *, sum(sa) OVER () * sum(nb) OVER () > " +
+      "sum(sb) OVER () * sum(na) OVER () AS pooled_a_gt_b FROM cells) " +
+      "SELECT segment, na, sa, nb, sb, sa * nb > sb * na AS a_gt_b, pooled_a_gt_b, " +
+      "(sa * nb > sb * na) != pooled_a_gt_b AS reversed FROM p ORDER BY segment"),
+    // month-grain pair frame; the float slope sort is one correctly-
+    // rounded division per pair, ties broken by the exact pair coords
+    "q_theil_sen" -> ("WITH m AS (SELECT " +
+      "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x, " +
+      "CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS y FROM orders GROUP BY 1), " +
+      "pr AS (SELECT a.x AS x1, b.x AS x2, b.y - a.y AS dy, b.x - a.x AS dx, " +
+      "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope " +
+      "FROM m a JOIN m b ON a.x < b.x), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY slope, x1, x2) AS BIGINT) AS r, " +
+      "count(*) OVER () AS n_pairs FROM pr) " +
+      "SELECT n_pairs, x1, x2, dy, dx, slope FROM rk WHERE r = (n_pairs + 1) // 2"),
     // the single-window pooled index IS the semantics the range-partitioned
     // numbering reproduces; the midpoint-rule index join is explicit
     "q_quantile_normalize" -> ("WITH ev AS (SELECT event_id, event_type, " +

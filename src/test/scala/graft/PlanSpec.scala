@@ -1281,6 +1281,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"pair counting is window algebra, not a self-join:\n$p")
   }
 
+  test("q_theil_sen: pair frame is the TIME-bounded month grid, never corpus rows") {
+    val p = plan("q_theil_sen")
+    // the non-equi self-join is a deliberate BNLJ over two month-grain
+    // aggregates (time-bounded — months don't grow with corpus volume)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"month-grid cross is broadcast:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"one scan per self-join arm:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing corpus-sized joins:\n$p")
+  }
+
+  test("q_simpson_check: dim broadcasts onto one user-grain aggregation") {
+    val p = plan("q_simpson_check")
+    assert(p.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the fact never shuffles for the dim:\n$p")
+    assert(count(p, "Scan parquet") == 2, s"fact + dim:\n$p")
+  }
+
   test("q_t_closeness: corpus digested by ONE checkpointed agg; rest is group-space") {
     val p = plan("q_t_closeness")
     // the (quasi, bucket) count frame is localCheckpoint-ed — the visible

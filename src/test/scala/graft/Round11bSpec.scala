@@ -278,6 +278,55 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_theil_sen: brute-force pairwise-median recompute") {
+    val got = SparkEntry.queries("q_theil_sen")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    val monthly = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1).cast("long"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (x, rs) => (x, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val pairs = for {
+      (x1, y1) <- monthly; (x2, y2) <- monthly if x1 < x2
+    } yield (x1, x2, y2 - y1, x2 - x1, (y2 - y1).toDouble / (x2 - x1).toDouble)
+    val sorted = pairs.sortBy(p => (p._5, p._1, p._2))
+    val med = sorted((pairs.length + 1) / 2 - 1)
+    assert(got == ((pairs.length.toLong, med._1, med._2, med._3, med._4, med._5)))
+  }
+
+  test("q_simpson_check: cross-multiplied directions recompute") {
+    val got = SparkEntry.queries("q_simpson_check")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect()
+    val seg = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toMap
+    val conv = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1)
+      .collect { case (u, rs) if seg.contains(u) =>
+        (seg(u), u % 2, if (rs.exists(_._2 == "purchase")) 1L else 0L)
+      }
+      .toSeq
+    val cells = conv.groupBy(_._1).map { case (sg, rs) =>
+      (sg, rs.count(_._2 == 0).toLong, rs.filter(_._2 == 0).map(_._3).sum,
+        rs.count(_._2 == 1).toLong, rs.filter(_._2 == 1).map(_._3).sum)
+    }.toSeq
+    val (tna, tsa, tnb, tsb) =
+      (cells.map(_._2).sum, cells.map(_._3).sum, cells.map(_._4).sum, cells.map(_._5).sum)
+    val pooled = tsa * tnb > tsb * tna
+    got.foreach { case (sg, na, sa, nb, sb, agt, pg, rev) =>
+      val e = cells.find(_._1 == sg).get
+      assert((na, sa, nb, sb) == ((e._2, e._3, e._4, e._5)), s"seg=$sg")
+      assert(agt == (sa * nb > sb * na) && pg == pooled && rev == (agt != pooled), s"seg=$sg")
+    }
+    assert(got.length == cells.size)
+  }
+
   test("q_position_attribution: per-purchase U-shaped credits recompute") {
     val got = SparkEntry.queries("q_position_attribution")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long)].collect()
