@@ -209,6 +209,24 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Length-bucketed batching efficiency: group documents into 256-char
+    // length buckets (the seq-len bucketing every trainer's data loader
+    // applies before padding) and report each bucket's padding waste
+    // n·max − Σlen — the number an engineer reads to size bucket
+    // granularity (waste_q6 → 0 as buckets narrow). One combining agg;
+    // all-integer.
+    "q_length_buckets" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(expr("n_chars DIV 256").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_chars").as("max_len"), sum("n_chars").as("sum_len"))
+        .select(col("bucket"), col("n_docs"), col("max_len"), col("sum_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("pad_waste"),
+          expr("(n_docs * max_len - sum_len) * 1000000 DIV (n_docs * max_len)")
+            .as("waste_q6"))
+        .orderBy("bucket")
+    },
+
     // Deterministic token-dropout augmentation
     // ([[Curation.augmentDropout]]): 10% of tokens drop by salted
     // (doc, position) hash — reproducible from config alone (no RNG
@@ -821,6 +839,12 @@ object CurationQueries {
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
       "ELSE 'test' END AS split, count(*) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    "q_length_buckets" -> ("SELECT n_chars // 256 AS bucket, count(*) AS n_docs, " +
+      "max(n_chars) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len, " +
+      "count(*) * max(n_chars) - CAST(sum(n_chars) AS BIGINT) AS pad_waste, " +
+      "(count(*) * max(n_chars) - CAST(sum(n_chars) AS BIGINT)) * 1000000 " +
+      "// (count(*) * max(n_chars)) AS waste_q6 " +
+      "FROM documents GROUP BY 1 ORDER BY 1"),
     // same tokenization + salted (doc, position) bucket; DuckDB lambda
     // indices are 1-based where Spark's are 0-based, hence (i - 1)
     "q_augment_dropout" -> ("SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -382,6 +382,28 @@ object DedupQueries {
     // form one line, lines appearing in ≥2 docs are cut from every doc,
     // survivors re-join in order. Token-less docs filtered identically on
     // both sides.
+    // INTRA-document line dedup ([[TextOps.intraDocLineDedup]]): the
+    // within-page repeat remover (templating stutter, duplicated nav
+    // blocks) that the ACROSS-document hot-line drop below can't express.
+    // The fixture corpus has zero natural within-doc 6-token repeats
+    // (measured), so every %3 doc gets its first line re-appended — the
+    // synthesize-then-verify convention — and the operator must remove
+    // EXACTLY those. Map-only indexed-filter algebra, zero shuffle.
+    "q_intra_dedup" -> { (s, dir) =>
+      val docs2 = TextOps.synthesizeLines(Tables.documents(s, dir), "doc_id", "text",
+        tokensPerLine = 6)
+        .withColumn("text2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n"), element_at(split(col("text"), "\n"), 1)))
+            .otherwise(col("text")))
+      TextOps
+        .intraDocLineDedup(docs2, "doc_id", "text2")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
     "q_line_dedup" -> { (s, dir) =>
       val docs2 = TextOps.synthesizeLines(Tables.documents(s, dir), "doc_id", "text",
         tokensPerLine = 6)
@@ -621,6 +643,24 @@ object DedupQueries {
       "generate_series(1, len(t.t)), i -> pc.cov IS NULL OR NOT list_contains(pc.cov, i)), " +
       "i -> t.t[i]), ' ')), 0) AS clean_len " +
       "FROM toks t LEFT JOIN pc USING (doc_id) ORDER BY doc_id"),
+    // same synthesized lines + %3 first-line injection; DuckDB lambda
+    // indices are 1-based, so the prefix is ls[1:i-1]
+    "q_intra_dedup" -> ("WITH d AS (SELECT doc_id, " + Toks + " AS toks FROM documents), " +
+      "d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0), " +
+      "l AS (SELECT doc_id, unnest(generate_series(0, " +
+      "CAST(ceil(len(toks) / 6.0) AS BIGINT) - 1)) AS li, toks FROM d2), " +
+      "lines AS (SELECT doc_id, li, " +
+      "array_to_string(toks[li * 6 + 1 : li * 6 + 6], ' ') AS line FROM l), " +
+      "byd AS (SELECT doc_id, list(line ORDER BY li) AS ls FROM lines GROUP BY 1), " +
+      "inj AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      "THEN list_append(ls, ls[1]) ELSE ls END AS ls FROM byd), " +
+      "ded AS (SELECT doc_id, ls, " +
+      "list_filter(ls, (x, i) -> NOT list_contains(ls[1:i-1], x)) AS kept FROM inj) " +
+      "SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, " +
+      "CAST(len(ls) - len(kept) AS BIGINT) AS n_removed, " +
+      "md5(array_to_string(kept, chr(10))) AS clean_md5, " +
+      "CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len " +
+      "FROM ded ORDER BY doc_id"),
     // the synthesized 6-token lines contain no blanks and no edge spaces,
     // so the engine's trim-keyed hot set ≡ raw line equality here
     "q_line_dedup" -> ("WITH d AS (SELECT doc_id, " + Toks + " AS toks FROM documents), " +

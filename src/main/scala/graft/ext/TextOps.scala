@@ -678,6 +678,38 @@ object TextOps {
     else base
   }
 
+  /** Intra-document line deduplication — the CCNet within-page stage that
+    * [[graft.ext.Dedup.lineDedup]]'s ACROSS-document hot-line drop does
+    * not cover: repeated navigation blocks, duplicated paragraphs from
+    * templating bugs, copy-paste stutter. Keeps each line's FIRST
+    * occurrence (order preserved), drops later repeats.
+    *
+    * Scale shape: entirely per-row higher-order-function Column algebra —
+    * an indexed `filter` whose predicate asks "does this line occur in
+    * the prefix before me?" (`array_position` over a `slice`). Quadratic
+    * in LINES PER DOCUMENT (bounded by document size, not corpus size)
+    * and ZERO shuffle at any corpus scale; like [[c4Clean]] it composes
+    * directly into streaming plans.
+    *
+    * Returns (idCol, n_lines, n_removed, clean_text).
+    */
+  def intraDocLineDedup(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    docs
+      .withColumn("_lines", lines)
+      .withColumn("_kept",
+        filter(col("_lines"), (x, i) =>
+          array_position(slice(col("_lines"), lit(1), i), x) === 0))
+      .select(
+        col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), "\n").as("clean_text"))
+  }
+
   /** C4-style line-level page cleaning — the web-corpus curation step
     * between raw extraction and document-level gates like [[gopherGate]]:
     * drop boilerplate LINES (too short, marker words, no terminal

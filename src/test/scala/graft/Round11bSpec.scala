@@ -180,6 +180,55 @@ class Round11bSpec extends SparkSpec {
     assert(d * 100 > n * 7 && d * 100 < n * 13, s"dropped $d of $n tokens")
   }
 
+  // ---- TextOps.intraDocLineDedup -------------------------------------------
+
+  test("intraDocLineDedup: keeps first occurrences in order, drops repeats") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb\na"), // repeats of a (x2) and b (x1)
+      (2L, "x\ny\nz"), // nothing repeated
+      (3L, "q\nq\nq")) // all same
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.intraDocLineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSeq
+    assert(got == Seq(
+      (1L, 6L, 3L, "a\nb\nc"),
+      (2L, 3L, 0L, "x\ny\nz"),
+      (3L, 3L, 2L, "q")))
+  }
+
+  test("intraDocLineDedup: map-only — no shuffle in the plan") {
+    val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val p = graft.ext.TextOps.intraDocLineDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"intra-doc dedup must not shuffle:\n$p")
+  }
+
+  test("q_intra_dedup: removals are exactly the injected %3 first-line repeats") {
+    val got = SparkEntry.queries("q_intra_dedup")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_removed"))
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, rem) =>
+      assert(rem == (if (id % 3 == 0) 1L else 0L), s"doc=$id")
+    }
+  }
+
+  test("q_length_buckets: per-bucket padding-waste recompute; law waste_q6 < 1e6") {
+    val got = SparkEntry.queries("q_length_buckets")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("n_chars")).as[Long].collect()
+    val exp = lens.groupBy(_ / 256).map { case (b, vs) =>
+      val (n, mx, sm) = (vs.length.toLong, vs.max, vs.sum)
+      (b, n, mx, sm, n * mx - sm, (n * mx - sm) * 1000000L / (n * mx))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+    got.foreach(r => assert(r._6 >= 0 && r._6 < 1000000L))
+  }
+
   // ---- Curation.tCloseness --------------------------------------------------
 
   test("tCloseness: hand-computed EMD on a 2-group, 2-bucket example") {
