@@ -211,6 +211,35 @@ object GraphQueries {
         .orderBy("a", "b")
     },
 
+    // Local clustering coefficient: 2·tri / (deg·(deg−1)) per vertex over
+    // the mutual-8NN graph — cc → 1 marks near-clique (near-dup)
+    // neighborhoods, cc → 0 at deg ≥ 2 marks hub/chain artifacts; the
+    // per-vertex refinement of the q_graph_triangles density signal.
+    // Integer q6 quotient (cross-multiplied, truncating), deg < 2 ⇒ 0.
+    "q_clustering_coeff" -> { (s, dir) =>
+      Graph
+        .triangleCounts(graph(s, dir))
+        .select(col("id"), col("deg"), col("tri"),
+          when(col("deg") >= 2, expr("2 * tri * 1000000 DIV (deg * (deg - 1))"))
+            .otherwise(0L).as("cc_q6"))
+        .orderBy("id")
+    },
+
+    // Degree distribution of the mutual-8NN graph — the one-table summary
+    // of graph shape (a near-dup-heavy corpus skews high, a diverse one
+    // concentrates at low degree; deg ≤ K by construction bounds the
+    // x-axis). Two aggregations, vertex- then degree-keyed.
+    "q_degree_dist" -> { (s, dir) =>
+      val e = graph(s, dir)
+      e.select(col("lo").as("v"))
+        .unionByName(e.select(col("hi").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+        .groupBy("deg")
+        .agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")
+    },
+
     // Reciprocal best match: each vector's SINGLE nearest neighbor, kept
     // only when reciprocated — the k=1 degenerate of the mutual-kNN
     // builder and the highest-precision near-dup candidate set a
@@ -370,6 +399,22 @@ object GraphQueries {
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
     "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
     "q_mutual_nn" -> (s"WITH ${knnCtes(1)} SELECT lo, hi FROM mutual ORDER BY lo, hi"),
+    // triangle oracle + the q6 quotient; deg < 2 pinned to 0
+    "q_clustering_coeff" -> (s"WITH $KnnCtes, " +
+      "deg AS (SELECT v, count(*) AS deg FROM (SELECT lo AS v FROM mutual " +
+      "UNION ALL SELECT hi FROM mutual) GROUP BY 1), " +
+      "tri AS (SELECT p1.lo AS x, p1.hi AS y, p2.hi AS z FROM mutual p1 " +
+      "JOIN mutual p2 ON p1.hi = p2.lo JOIN mutual p3 ON p3.lo = p1.lo AND p3.hi = p2.hi), " +
+      "pv AS (SELECT v, count(*) AS tri FROM (SELECT x AS v FROM tri " +
+      "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) " +
+      "SELECT deg.v AS id, deg.deg, coalesce(pv.tri, 0) AS tri, " +
+      "CASE WHEN deg.deg >= 2 THEN 2 * coalesce(pv.tri, 0) * 1000000 " +
+      "// (deg.deg * (deg.deg - 1)) ELSE 0 END AS cc_q6 " +
+      "FROM deg LEFT JOIN pv USING (v) ORDER BY id"),
+    "q_degree_dist" -> (s"WITH $KnnCtes, " +
+      "deg AS (SELECT v, count(*) AS deg FROM (SELECT lo AS v FROM mutual " +
+      "UNION ALL SELECT hi FROM mutual) GROUP BY 1) " +
+      "SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1 ORDER BY 1"),
     // breadth-first walk as a depth-bounded recursive CTE over the same
     // k=2 mutual edge set; UNION (distinct) dedups (v, d) pairs and the
     // d < 64 bound guarantees termination (the engine iterates to frontier

@@ -989,6 +989,23 @@ object RelationalQueries {
           col("n1") >= col("needed_per_arm") && col("n2") >= col("needed_per_arm"))
     },
 
+    // Behavioral concentration per user: Rényi-2 collision probability
+    // Σc²/n² over each user's event-type distribution — the no-log
+    // entropy proxy (the q_char_stats recipe applied to behavior):
+    // 1e6 = a single-action user, 1e6/|types| = uniform explorer. Two
+    // aggregations sharing the user key prefix; all-integer.
+    "q_type_concentration" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"),
+          count(lit(1)).as("n_types"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          expr("ss * 1000000 DIV (n * n)").as("conc_q6"))
+        .orderBy("user_id")
+    },
+
     // SIMPSON'S PARADOX audit on the A/B readout: per-segment conversion
     // direction vs the pooled direction, flagged where they disagree —
     // the confounder check an experimentation platform runs before
@@ -3921,6 +3938,12 @@ object RelationalQueries {
       "ELSE 200000 // (n_touch - 2) END AS credit_q6 FROM j) " +
       "SELECT channel, count(*) AS n_touches, " +
       "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c GROUP BY 1 ORDER BY 1"),
+    "q_type_concentration" -> ("WITH c AS (SELECT user_id, event_type, " +
+      "count(*) AS c FROM events GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types, " +
+      "CAST(sum(c * c) AS BIGINT) * 1000000 " +
+      "// (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS conc_q6 " +
+      "FROM c GROUP BY 1 ORDER BY 1"),
     // same per-user conversion cells; all directions cross-multiplied
     "q_simpson_check" -> ("WITH pu AS (SELECT e.user_id, c_mktsegment AS segment, " +
       "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv " +

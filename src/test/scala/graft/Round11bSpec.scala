@@ -327,6 +327,42 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_clustering_coeff / q_degree_dist: internal consistency laws at sf0.001") {
+    val cc = SparkEntry.queries("q_clustering_coeff")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    cc.foreach { case (id, deg, tri, q6) =>
+      assert(q6 >= 0 && q6 <= 1000000L, s"cc in [0,1]: id=$id")
+      if (deg < 2) assert(q6 == 0L && tri == 0L, s"deg<2 vertex id=$id")
+      else assert(q6 == 2 * tri * 1000000L / (deg * (deg - 1)), s"id=$id")
+      // each triangle at a vertex uses 2 of its edges: tri ≤ C(deg, 2)
+      assert(2 * tri <= deg * (deg - 1), s"triangle bound id=$id")
+    }
+    val dd = SparkEntry.queries("q_degree_dist")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    assert(dd.map(_._2).sum == cc.length.toLong,
+      "degree histogram covers every vertex exactly once")
+    assert(dd.map { case (d, n) => d * n }.sum == cc.map(_._2).sum,
+      "Σ deg·count equals the degree total (handshake)")
+  }
+
+  test("q_type_concentration: collision-probability recompute and bounds") {
+    val got = SparkEntry.queries("q_type_concentration")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+    val exp = ev.groupBy(_._1).map { case (u, rs) =>
+      val cs = rs.groupBy(_._2).map(_._2.length.toLong)
+      val n = cs.sum
+      (u, n, cs.size.toLong, cs.map(c => c * c).sum * 1000000L / (n * n))
+    }.toSet
+    assert(got.toSet == exp)
+    got.foreach { case (u, _, nt, q6) =>
+      // 1e6/n_types (uniform) ≤ conc ≤ 1e6 (single-type), up to truncation
+      assert(q6 <= 1000000L && q6 >= 1000000L / nt - 1, s"user=$u")
+    }
+  }
+
   test("q_theil_sen: brute-force pairwise-median recompute") {
     val got = SparkEntry.queries("q_theil_sen")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long, Double)].head()
