@@ -382,6 +382,37 @@ object Graph {
     out
   }
 
+  /** Diameter lower bound by the classic double-BFS sweep (the iFUB /
+    * Magnien-Latapy-Habib heuristic's first step): BFS from a fixed
+    * vertex, take its farthest vertex u, BFS again from u — dist to u's
+    * farthest vertex v is a lower bound on the component's diameter that
+    * is exact on trees and empirically tight on real graphs, at the cost
+    * of exactly TWO O(|E|) frontier sweeps (all-pairs is out of the
+    * question at any scale). Explores only `seed`'s component; ties break
+    * to the smaller vertex id, so the bound is deterministic.
+    *
+    * Returns one row: (seed, u, v, diameter_lb).
+    */
+  def diameterLowerBound(edges: DataFrame, seed: Long, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint()
+    val ss = e.sparkSession
+    import ss.implicits._
+    def farthest(from: Long): (Long, Long) = {
+      // argmax by (dist DESC, id ASC): a 1-row reduce, not a sort
+      val Array(row) = bfsDistances(e, Seq(from).toDF("id"), maxIter)
+        .agg(max(struct(col("dist").as("d"), (-col("id")).as("ni"))).as("m"))
+        .select(col("m.d"), -col("m.ni"))
+        .as[(Long, Long)]
+        .collect()
+      row
+    }
+    val (_, u) = farthest(seed)
+    val (d, v) = farthest(u)
+    val out = Seq((seed, u, v, d)).toDF("seed", "u", "v", "diameter_lb")
+    Curation.releaseCheckpoint(e)
+    out
+  }
+
   /** Symmetric degree frame (v, <name>) of a canonical (lo, hi) edge set. */
   private def symDegrees(edges: DataFrame, name: String): DataFrame =
     edges

@@ -267,6 +267,18 @@ object GraphQueries {
         .orderBy("id")
     },
 
+    // Diameter lower bound by double-BFS sweep ([[Graph.diameterLowerBound]])
+    // over the fragmented k=2 graph: BFS from the smallest edge endpoint,
+    // re-BFS from its farthest vertex — two O(|E|) sweeps where all-pairs
+    // is unthinkable at scale; exact on trees (and the k=2 micro-clusters
+    // are chain-like). One tiny driver-side seed/argmax per sweep.
+    "q_graph_diameter" -> { (s, dir) =>
+      import s.implicits._
+      val e = Graph.mutualKnnEdges(vecs(s, dir), ComponentsK)
+      val seed = e.agg(min(col("lo"))).as[Long].head()
+      Graph.diameterLowerBound(e, seed)
+    },
+
     // Degree assortativity of the mutual-kNN graph — "do well-connected
     // vectors attach to other well-connected vectors?" (r > 0 = dense
     // near-dup core, r < 0 = hub-and-spoke periphery — the one-number
@@ -420,6 +432,24 @@ object GraphQueries {
     // d < 64 bound guarantees termination (the engine iterates to frontier
     // exhaustion — 64 strictly dominates the measured seed eccentricity at
     // every driver SF); min(d) per vertex is the BFS distance
+    // two depth-bounded recursive walks; u = argmax(dist, min id) of the
+    // first, the bound = the second's max distance (same tiebreak)
+    "q_graph_diameter" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+      "gedges AS (SELECT lo AS v, hi AS w FROM mutual " +
+      "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
+      "sdt AS (SELECT min(lo) AS sv FROM mutual), " +
+      "walk1(v, d) AS (SELECT sv, 0 FROM sdt " +
+      "UNION SELECT e.w, walk1.d + 1 FROM gedges e JOIN walk1 ON e.v = walk1.v " +
+      "WHERE walk1.d < 64), " +
+      "dd1 AS (SELECT v, min(d) AS d FROM walk1 GROUP BY 1), " +
+      "uu AS (SELECT v AS uv FROM dd1 ORDER BY d DESC, v ASC LIMIT 1), " +
+      "walk2(v, d) AS (SELECT uv, 0 FROM uu " +
+      "UNION SELECT e.w, walk2.d + 1 FROM gedges e JOIN walk2 ON e.v = walk2.v " +
+      "WHERE walk2.d < 64), " +
+      "dd2 AS (SELECT v, min(d) AS d FROM walk2 GROUP BY 1), " +
+      "vv AS (SELECT v AS fv, d AS fd FROM dd2 ORDER BY d DESC, v ASC LIMIT 1) " +
+      "SELECT sdt.sv AS seed, uu.uv AS u, vv.fv AS v, CAST(vv.fd AS BIGINT) AS diameter_lb " +
+      "FROM sdt, uu, vv"),
     "q_graph_bfs" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
       "gedges AS (SELECT lo AS v, hi AS w FROM mutual " +
       "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +

@@ -57,6 +57,20 @@ class Round11bSpec extends SparkSpec {
     assert(ex.getMessage.contains("frontier"))
   }
 
+  test("diameterLowerBound: exact on a chain and a star; deterministic ties") {
+    // chain 1-2-3-4-5 from the middle: sweep1 → 1 (dist 2, tie 1 vs 5 →
+    // smaller id), sweep2 from 1 → 5 at dist 4 = the true diameter
+    val chain = Graph
+      .diameterLowerBound(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), seed = 3L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(chain == ((3L, 1L, 5L, 4L)))
+    // star: any leaf-to-leaf path is the diameter 2
+    val star = Graph
+      .diameterLowerBound(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), seed = 1L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(star == ((1L, 2L, 3L, 2L)))
+  }
+
   // ---- Relational.snapshotDiff --------------------------------------------
 
   test("snapshotDiff: classifies added/removed/changed/unchanged per key") {
