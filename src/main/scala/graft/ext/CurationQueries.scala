@@ -209,6 +209,37 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Dup-rate stratified by length: exact-duplicate share per 256-char
+    // bucket — "are short docs more duplicated?" (they usually are:
+    // boilerplate), the read that decides whether dedup thresholds need
+    // length conditioning. One fp-keyed window (group sizes) + one bucket
+    // agg; all-integer.
+    "q_dup_rate_by_length" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("n_chars"), md5(col("text")).as("fp"))
+        .withColumn("grp", count(lit(1)).over(Window.partitionBy("fp")))
+        .groupBy(expr("n_chars DIV 256").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("grp") > 1).cast("long")).as("n_dup"))
+        .withColumn("dup_q6", expr("n_dup * 1000000 DIV n_docs"))
+        .orderBy("bucket")
+    },
+
+    // Systematic 1-in-50 sampling on the global doc_id order — the
+    // evenly-spaced audit sample (exact spacing, no clustering risk)
+    // next to the hash-Bernoulli q_sample_* family; rides
+    // [[Scale.globalRowNumber]], never an empty-over window.
+    "q_sample_systematic" -> { (s, dir) =>
+      Scale
+        .globalRowNumber(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", partitions = 8)
+        .filter(col("rownum") % 50 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Length-bucketed batching efficiency: group documents into 256-char
     // length buckets (the seq-len bucketing every trainer's data loader
     // applies before padding) and report each bucket's padding waste
@@ -839,6 +870,16 @@ object CurationQueries {
       "SELECT CASE WHEN bkt < 9000 THEN 'train' WHEN bkt < 9500 THEN 'val' " +
       "ELSE 'test' END AS split, count(*) AS n_docs, " +
       "CAST(sum(n_chars) AS BIGINT) AS chars FROM b GROUP BY 1 ORDER BY 1"),
+    "q_dup_rate_by_length" -> ("WITH f AS (SELECT n_chars, " +
+      "count(*) OVER (PARTITION BY md5(text)) AS grp FROM documents) " +
+      "SELECT n_chars // 256 AS bucket, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+      "CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 " +
+      "// count(*) AS dup_q6 FROM f GROUP BY 1 ORDER BY 1"),
+    "q_sample_systematic" -> ("SELECT doc_id, source, n_chars FROM " +
+      "(SELECT doc_id, source, n_chars, " +
+      "row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents) " +
+      "WHERE rn % 50 = 0 ORDER BY doc_id"),
     "q_length_buckets" -> ("SELECT n_chars // 256 AS bucket, count(*) AS n_docs, " +
       "max(n_chars) AS max_len, CAST(sum(n_chars) AS BIGINT) AS sum_len, " +
       "count(*) * max(n_chars) - CAST(sum(n_chars) AS BIGINT) AS pad_waste, " +

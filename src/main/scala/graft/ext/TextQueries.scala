@@ -110,6 +110,40 @@ object TextQueries {
 
     // Top-3 TF-IDF terms per document — integer-ratio scoring (tf·N/df,
     // one IEEE division) so ranks and scores are engine-exact.
+    // χ² FEATURE SELECTION: the 20 tokens whose document presence most
+    // separates English from non-English docs — the classical
+    // feature-selection screen a quality/language classifier is built on.
+    // Cells are exact BIGINT document counts (per-doc distinct tokens;
+    // the per-row array_distinct is doc-bounded — at corpus scale the
+    // hash-dedup explode path of the posting queries applies); χ² itself
+    // is the q_ab_contingency fixed-order float tree. Support cuts
+    // (≥5 docs, not in every doc) keep every marginal positive. Vocab
+    // rides one agg + one broadcast totals join; TakeOrdered top-20.
+    "q_chi2_terms" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").cast("long").as("en"), col("text"))
+      val dt = docs.select(col("en"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      val tot = docs.agg(count(lit(1)).as("nn"), sum(col("en")).as("nen"))
+      val diff = col("a") * col("d") - col("b") * col("c")
+      dt.groupBy("token")
+        .agg(count(lit(1)).as("with_all"), sum(col("en")).as("a"))
+        .crossJoin(broadcast(tot))
+        .filter(col("with_all") >= 5 && col("with_all") < col("nn"))
+        .select(col("token"), col("a"),
+          (col("with_all") - col("a")).as("b"),
+          (col("nen") - col("a")).as("c"),
+          (col("nn") - col("nen") - (col("with_all") - col("a"))).as("d"))
+        .select(col("token"), col("a"), col("b"), col("c"), col("d"),
+          (diff.cast("double") * diff.cast("double") *
+            (col("a") + col("b") + col("c") + col("d")).cast("double") /
+            ((col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double") *
+              (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double")))
+            .as("chi2"))
+        .orderBy(col("chi2").desc, col("token").asc)
+        .limit(20)
+    },
+
     "q_tfidf_terms" -> { (s, dir) =>
       TextOps
         .tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
@@ -677,6 +711,22 @@ object TextQueries {
     "q_heavy_hitters" -> (s"SELECT token, count(*) AS cnt FROM " +
       s"(SELECT unnest($Toks) AS token FROM documents) " +
       "GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 25"),
+    // same distinct-presence cells + the fixed-order χ² tree
+    "q_chi2_terms" -> (s"WITH d AS (SELECT doc_id, " +
+      s"CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en, $Toks AS toks FROM documents), " +
+      "dt AS (SELECT en, unnest(list_distinct(toks)) AS token FROM d), " +
+      "tot AS (SELECT count(*) AS nn, CAST(sum(en) AS BIGINT) AS nen FROM d), " +
+      "cells AS (SELECT token, count(*) AS with_all, CAST(sum(en) AS BIGINT) AS a " +
+      "FROM dt GROUP BY 1), " +
+      "f AS (SELECT token, a, with_all - a AS b, nen - a AS c, " +
+      "nn - nen - (with_all - a) AS d FROM cells, tot " +
+      "WHERE with_all >= 5 AND with_all < nn) " +
+      "SELECT token, a, b, c, d, " +
+      "CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE) * " +
+      "CAST(a + b + c + d AS DOUBLE) / " +
+      "(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * " +
+      "CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2 " +
+      "FROM f ORDER BY chi2 DESC, token ASC LIMIT 20"),
     "q_tfidf_terms" -> (s"WITH tf AS (SELECT doc_id AS doc, token, count(*) AS tf FROM " +
       s"(SELECT doc_id, unnest($Toks) AS token FROM documents) GROUP BY 1, 2), " +
       "dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +

@@ -341,6 +341,66 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_chi2_terms: JVM recompute of cells and the fixed-order chi-square") {
+    val got = SparkEntry.queries("q_chi2_terms")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("lang") === "en", col("text"))
+      .as[(Boolean, String)].collect()
+    val nn = docs.length.toLong
+    val nen = docs.count(_._1).toLong
+    val presence = docs.flatMap { case (en, t) =>
+      t.split("\\s+").filter(_.nonEmpty).distinct.map(tok => (tok, en))
+    }
+    val cells = presence.groupBy(_._1).map { case (tok, rs) =>
+      tok -> ((rs.count(_._2).toLong, rs.length.toLong))
+    }
+    got.foreach { case (tok, a, b, c, d, chi2) =>
+      val (ea, withAll) = cells(tok)
+      assert(a == ea && b == withAll - ea && c == nen - ea &&
+        d == nn - nen - (withAll - ea), s"token=$tok cells")
+      val diff = (a * d - b * c).toDouble
+      val exp = diff * diff * (a + b + c + d).toDouble /
+        ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
+      assert(chi2 == exp, s"token=$tok chi2")
+    }
+    // the list is the global top by chi2 among supported tokens
+    val minTop = got.map(_._6).min
+    cells.foreach { case (tok, (ea, withAll)) =>
+      if (withAll >= 5 && withAll < nn && !got.exists(_._1 == tok)) {
+        val (a, b, c, d) = (ea, withAll - ea, nen - ea, nn - nen - (withAll - ea))
+        val diff = (a * d - b * c).toDouble
+        val chi2 = diff * diff * nn.toDouble /
+          ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
+        assert(chi2 <= minTop, s"unselected token=$tok beats the top-20")
+      }
+    }
+  }
+
+  test("q_sample_systematic: exact 50-spacing on the doc_id order") {
+    val got = SparkEntry.queries("q_sample_systematic")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).as[Long].collect()
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).as[Long].collect().sorted
+    val exp = all.zipWithIndex.collect { case (id, i) if i % 50 == 0 => id }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("q_dup_rate_by_length: stratified dup-share recompute") {
+    val got = SparkEntry.queries("q_dup_rate_by_length")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("n_chars"), md5(col("text")))
+      .as[(Long, String)].collect()
+    val sizes = docs.groupBy(_._2).map { case (fp, rs) => fp -> rs.length }
+    val exp = docs.groupBy(_._1 / 256).map { case (b, rs) =>
+      val dup = rs.count(r => sizes(r._2) > 1).toLong
+      (b, rs.length.toLong, dup, dup * 1000000L / rs.length)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+  }
+
   test("q_clustering_coeff / q_degree_dist: internal consistency laws at sf0.001") {
     val cc = SparkEntry.queries("q_clustering_coeff")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long)].collect()
