@@ -989,6 +989,67 @@ object RelationalQueries {
           col("n1") >= col("needed_per_arm") && col("n2") >= col("needed_per_arm"))
     },
 
+    // SPEARMAN rank correlation between document length and token count —
+    // the monotone-robust twin of q_corr_stats' Pearson (outlier docs
+    // can't drag it). Exact integer ranks with tie-averaging at the ×2
+    // scale (avg_rank·2 = 2·cum_smaller + cnt + 1 — always integral), and
+    // CRUCIALLY rank assignment runs in VALUE SPACE: per-distinct-value
+    // counts + a running window over the distinct-value frame (thousands
+    // of rows at any corpus size), broadcast back onto one corpus scan —
+    // never a corpus-wide empty-over rank window (the 100 TB cliff).
+    // Moments are exact BIGINTs (Σr² ≤ n·(2n)² — document 2⁶³ headroom to
+    // ~10⁹ rows); rho = one fixed-order float expression.
+    "q_spearman" -> { (s, dir) =>
+      def ranks2(df: DataFrame, vCol: String, outCol: String): DataFrame = {
+        val w = Window.orderBy(vCol).rowsBetween(Window.unboundedPreceding, -1)
+        df.groupBy(vCol)
+          .agg(count(lit(1)).as("_cnt"))
+          .withColumn("_cum", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+          .select(col(vCol), (col("_cum") * 2 + col("_cnt") + 1).as(outCol))
+      }
+      val base = Tables.documents(s, dir)
+        .select(col("n_chars").as("x"), TextOps.tokenCount(col("text")).cast("long").as("y"))
+      val n = col("n")
+      val num = n * col("sxy") - col("sx") * col("sy")
+      val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double")) *
+        sqrt((n * col("syy") - col("sy") * col("sy")).cast("double"))
+      base
+        .join(broadcast(ranks2(base, "x", "rx")), Seq("x"))
+        .join(broadcast(ranks2(base, "y", "ry")), Seq("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+          sum(col("rx") * col("ry")).as("sxy"),
+          sum(col("rx") * col("rx")).as("sxx"),
+          sum(col("ry") * col("ry")).as("syy"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+          (num.cast("double") / den).as("rho"))
+    },
+
+    // KENDALL'S TAU between monthly revenue and monthly order count —
+    // the concordance view of the same robust-correlation family
+    // (Spearman above, Theil–Sen's slope): C/D/tie pair counts are EXACT
+    // INTEGERS over the TIME-bounded month × month grid (the q_theil_sen
+    // scale argument — the corpus pays one month aggregate, pairs never
+    // touch corpus rows); tau_a = (C−D) / (m(m−1)/2), one IEEE division.
+    "q_kendall_tau" -> { (s, dir) =>
+      val monthly = Tables.orders(s, dir)
+        .groupBy(((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("r"),
+          count(lit(1)).as("c"))
+      val sgn = (col("b.r") - col("a.r")) * (col("b.c") - col("a.c"))
+      monthly.as("a")
+        .join(broadcast(monthly.as("b")), col("a.x") < col("b.x"))
+        .agg(
+          sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"),
+          sum(when(sgn === 0, 1L).otherwise(0L)).as("ties"))
+        .select(col("concordant"), col("discordant"), col("ties"),
+          ((col("concordant") - col("discordant")).cast("double") /
+            ((col("concordant") + col("discordant") + col("ties")).cast("double")))
+            .as("tau_a"))
+    },
+
     // Behavioral concentration per user: Rényi-2 collision probability
     // Σc²/n² over each user's event-type distribution — the no-log
     // entropy proxy (the q_char_stats recipe applied to behavior):
@@ -3938,6 +3999,37 @@ object RelationalQueries {
       "ELSE 200000 // (n_touch - 2) END AS credit_q6 FROM j) " +
       "SELECT channel, count(*) AS n_touches, " +
       "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c GROUP BY 1 ORDER BY 1"),
+    // same value-space ×2 tie-averaged ranks + integer moments
+    "q_spearman" -> ("WITH base AS (SELECT n_chars AS x, " +
+      s"CAST(len(${TextQueries.Toks}) AS BIGINT) AS y FROM documents), " +
+      "vx AS (SELECT x, count(*) AS cnt FROM base GROUP BY 1), " +
+      "rx AS (SELECT x, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY x " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 " +
+      "AS rx FROM vx), " +
+      "vy AS (SELECT y, count(*) AS cnt FROM base GROUP BY 1), " +
+      "ry AS (SELECT y, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY y " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 " +
+      "AS ry FROM vy), " +
+      "j AS (SELECT rx, ry FROM base JOIN rx USING (x) JOIN ry USING (y)), " +
+      "m AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx, " +
+      "CAST(sum(ry) AS BIGINT) AS sy, CAST(sum(rx * ry) AS BIGINT) AS sxy, " +
+      "CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy FROM j) " +
+      "SELECT n, sx, sy, sxy, sxx, syy, " +
+      "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho FROM m"),
+    // month-grid pair concordance; one division for tau
+    "q_kendall_tau" -> ("WITH m AS (SELECT " +
+      "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x, " +
+      "CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS r, count(*) AS c " +
+      "FROM orders GROUP BY 1), " +
+      "p AS (SELECT (b.r - a.r) * (b.c - a.c) AS sgn FROM m a JOIN m b ON a.x < b.x), " +
+      "agg AS (SELECT CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+      "CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+      "CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties FROM p) " +
+      "SELECT concordant, discordant, ties, " +
+      "CAST(concordant - discordant AS DOUBLE) / " +
+      "CAST(concordant + discordant + ties AS DOUBLE) AS tau_a FROM agg"),
     "q_type_concentration" -> ("WITH c AS (SELECT user_id, event_type, " +
       "count(*) AS c FROM events GROUP BY 1, 2) " +
       "SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types, " +

@@ -341,6 +341,57 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_spearman: tie-averaged-rank recompute; rho in [-1, 1]") {
+    val got = SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("n_chars"),
+        graft.ext.TextOps.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect()
+    def r2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+      val sortedVals = byV.keys.toSeq.sorted
+      var cum = 0L
+      sortedVals.map { v =>
+        val out = v -> (2 * cum + byV(v) + 1)
+        cum += byV(v)
+        out
+      }.toMap
+    }
+    val rx = r2(base.map(_._1).toSeq)
+    val ry = r2(base.map(_._2).toSeq)
+    val pairs = base.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pairs.length.toLong
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val rho = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    assert(got == ((n, sx, sy, sxy, sxx, syy, rho)))
+    assert(got._7 >= -1.0 && got._7 <= 1.0)
+    // length and token count are strongly monotone-related by construction
+    assert(got._7 > 0.5, s"expected a strong positive rank correlation, got ${got._7}")
+  }
+
+  test("q_kendall_tau: brute-force concordance recompute; C+D+T = m(m-1)/2") {
+    val got = SparkEntry.queries("q_kendall_tau")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].head()
+    val m = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("x"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("r"),
+        count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var (cc, dd, tt) = (0L, 0L, 0L)
+    for (i <- m.indices; j <- (i + 1) until m.length) {
+      val s = (m(j)._2 - m(i)._2) * (m(j)._3 - m(i)._3)
+      if (s > 0) cc += 1 else if (s < 0) dd += 1 else tt += 1
+    }
+    assert(got == ((cc, dd, tt, (cc - dd).toDouble / (cc + dd + tt).toDouble)))
+    assert(cc + dd + tt == m.length.toLong * (m.length - 1) / 2)
+  }
+
   test("q_chi2_terms: JVM recompute of cells and the fixed-order chi-square") {
     val got = SparkEntry.queries("q_chi2_terms")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long, Long, Double)].collect()
