@@ -1085,6 +1085,68 @@ object Relational {
         (col("y.l") + col("y.t")).as("forecast_next"))
   }
 
+  /** Holt–Winters additive SEASONAL smoothing (level + period-m seasonal;
+    * the trend-free "HW method 2" variant) — completes the exponential
+    * family next to [[ewmaInteger]] (level) and [[holtInteger]]
+    * (level+trend): lₜ = α(xₜ−sₜ₋ₘ) + (1−α)lₜ₋₁,
+    * sₜ = γ(xₜ−lₜ) + (1−γ)sₜ₋ₘ, forecast = lₜ + sₜ₊₁₋ₘ. Init l₁ = x₁,
+    * s₍≤0₎ = 0 (the [[holtInteger]] discipline). Same integer-recurrence
+    * determinism recipe: every step one sign-aware truncating division,
+    * so the whole series hash-matches a recursive-CTE oracle.
+    *
+    * Scale shape: per-key fold over the day-grain aggregate (a recurrence
+    * has no window rewrite); the per-key series is TIME-bounded, so the
+    * collect_list fold holds days-per-key elements regardless of corpus
+    * size. The forecast lag rides the same key partitioning.
+    */
+  def holtWintersInteger(
+      series: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      aNum: Int,
+      aDen: Int,
+      gNum: Int,
+      gDen: Int,
+      period: Int = 7): DataFrame = {
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen, got $aNum/$aDen")
+    require(gNum > 0 && gDen > gNum, s"need 0 < gNum < gDen, got $gNum/$gDen")
+    require(period >= 2, "period must be ≥ 2")
+    val stepType = "array<struct<b:bigint,x:bigint,l:bigint,s:bigint>>"
+    def quot(a: Column, b: Int): Column =
+      when(a >= 0, floor(a / lit(b))).otherwise(-floor(-a / lit(b))).cast("long")
+    val folded = series
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("x")))).as("xs"))
+      .select(
+        col(keyCol),
+        aggregate(
+          col("xs"),
+          array().cast(stepType),
+          (acc, e) => {
+            val x = e.getField("x")
+            val prevL = element_at(acc, -1).getField("l")
+            val sPrev = when(size(acc) >= period,
+              element_at(acc, -period).getField("s")).otherwise(lit(0L))
+            val lNew = quot(lit(aNum) * (x - sPrev) + lit(aDen - aNum) * prevL, aDen)
+            val sNew = quot(lit(gNum) * (x - lNew) + lit(gDen - gNum) * sPrev, gDen)
+            concat(acc, array(struct(
+              e.getField("b").as("b"),
+              x.as("x"),
+              when(size(acc) === 0, x).otherwise(lNew).as("l"),
+              when(size(acc) === 0, lit(0L)).otherwise(sNew).as("s"))))
+          }).as("ys"))
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    folded
+      .select(col(keyCol), explode(col("ys")).as("y"))
+      .select(col(keyCol), col("y.b").as(bucketCol), col("y.x").as(valueCol),
+        col("y.l").as("level"), col("y.s").as("seasonal"))
+      .withColumn("forecast_next",
+        col("level") + lag(col("seasonal"), period - 1, 0L).over(w))
+  }
+
   /** Market-basket association rules restricted to item PAIRS (the Apriori
     * 2-itemset level): co-occurrence counts within a transaction key plus
     * confidence and lift, the co-purchase / co-click analysis the reference

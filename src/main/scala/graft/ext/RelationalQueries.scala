@@ -1792,6 +1792,22 @@ object RelationalQueries {
     // daily frame as q_ewma_daily — the one-step forecast a capacity
     // planner reads; the whole integer trajectory (level, trend,
     // forecast) hashes against the recursive-CTE oracle.
+    // Holt–Winters additive seasonal (period 7) on the same daily frame —
+    // the weekday-aware forecast the trend-only q_holt_forecast can't
+    // produce; integer recurrence, recursive-CTE oracle carrying the
+    // rolling 7-seasonal list.
+    "q_holt_winters" -> { (s, dir) =>
+      val daily = Tables
+        .events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      Relational
+        .holtWintersInteger(daily, "event_type", "day", "cents",
+          aNum = 30, aDen = 100, gNum = 20, gDen = 100, period = 7)
+        .orderBy("event_type", "day")
+    },
+
     "q_holt_forecast" -> { (s, dir) =>
       val daily = Tables
         .events(s, dir)
@@ -4119,6 +4135,28 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    // the recursive state carries the rolling 7-seasonal list; ss[1] IS
+    // s_{t-7} (zeros until the first full period); // truncates toward
+    // zero on BIGINTs exactly like the engine's sign-aware quot
+    "q_holt_winters" -> {
+      val lNew = "(30*(n.cents - rec.ss[1]) + 70*rec.l) // 100"
+      val sNew = s"(20*(n.cents - ($lNew)) + 80*rec.ss[1]) // 100"
+      "WITH RECURSIVE d AS (SELECT event_type, " +
+        "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
+        "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "n AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) " +
+        "AS rn FROM d), " +
+        "rec(event_type, rn, day, cents, l, s, ss) AS (" +
+        "SELECT event_type, rn, day, cents, cents, CAST(0 AS BIGINT), " +
+        "[CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] FROM n WHERE rn = 1 " +
+        s"UNION ALL SELECT n.event_type, n.rn, n.day, n.cents, $lNew, $sNew, " +
+        s"list_append(rec.ss[2:7], $sNew) " +
+        "FROM n JOIN rec ON n.event_type = rec.event_type AND n.rn = rec.rn + 1) " +
+        "SELECT event_type, day, cents, l AS level, s AS seasonal, " +
+        "l + lag(s, 6, CAST(0 AS BIGINT)) OVER (PARTITION BY event_type ORDER BY day) " +
+        "AS forecast_next FROM rec ORDER BY 1, 2"
+    },
     "q_holt_forecast" -> ("WITH RECURSIVE d AS (SELECT event_type, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS day, " +
       "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents " +

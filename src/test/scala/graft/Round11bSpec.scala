@@ -341,6 +341,35 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersInteger: scala fold recompute on a synthetic weekly series") {
+    // 3 weeks of a strict period-7 pattern plus a level shift
+    val xs = (0 until 21).map(i => (i.toLong, (100 + (i % 7) * 10 + i / 7).toLong))
+    val df = xs.toDF("day", "cents").withColumn("k", lit("a"))
+    val got = graft.ext.Relational
+      .holtWintersInteger(df, "k", "day", "cents", 30, 100, 20, 100, period = 7)
+      .orderBy("day")
+      .select(col("day"), col("level"), col("seasonal"), col("forecast_next"))
+      .as[(Long, Long, Long, Long)].collect()
+    def quot(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
+    var l = 0L
+    val ss = Array.fill(7)(0L)
+    val exp = xs.zipWithIndex.map { case ((d, x), t) =>
+      val sPrev = if (t >= 7) ss(t % 7) else 0L
+      if (t == 0) { l = x; ss(0) = 0L; (d, x, 0L) }
+      else {
+        l = quot(30 * (x - sPrev) + 70 * l, 100)
+        val sNew = quot(20 * (x - l) + 80 * sPrev, 100)
+        ss(t % 7) = sNew
+        (d, l, sNew)
+      }
+    }
+    got.zip(exp).zipWithIndex.foreach { case (((gd, gl, gs, gf), (ed, el, es)), t) =>
+      assert(gd == ed && gl == el && gs == es, s"t=$t")
+      val sNext = if (t >= 6) exp(t - 6)._3 else 0L
+      assert(gf == gl + sNext, s"forecast t=$t")
+    }
+  }
+
   test("q_spearman: tie-averaged-rank recompute; rho in [-1, 1]") {
     val got = SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long, Long, Double)].head()
