@@ -1792,6 +1792,48 @@ object RelationalQueries {
     // daily frame as q_ewma_daily — the one-step forecast a capacity
     // planner reads; the whole integer trajectory (level, trend,
     // forecast) hashes against the recursive-CTE oracle.
+    // KAPLAN–MEIER survival of user engagement LIFETIME (distinct active
+    // days per user): death at lifetime L = a user with exactly L active
+    // days, risk set = users reaching ≥ L, survival = Π(1 − dᵢ/nᵢ) —
+    // the "how long do users stay engaged" curve with the
+    // right-censoring-ready estimator (every lifetime here is fully
+    // observed, the degenerate censoring case). The corpus pays one
+    // user-grain countDistinct; death counts, the REVERSE-cumulative
+    // risk window and the sequential product fold all ride the
+    // lifetime-bounded frame. The product is float BY NATURE —
+    // determinism comes from the fixed fold order (one division, one
+    // subtraction, one multiply per step, mirrored exactly in the
+    // recursive-CTE oracle).
+    "q_kaplan_meier" -> { (s, dir) =>
+      val lastDay = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+          .as("day"))
+      val byDay = lastDay.groupBy("day").agg(count(lit(1)).as("d"))
+      val wRev = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val stepType = "array<struct<day:bigint,d:bigint,n:bigint,s:double>>"
+      byDay
+        .withColumn("n", sum(col("d")).over(wRev))
+        .agg(sort_array(collect_list(struct(col("day"), col("d"), col("n")))).as("xs"))
+        .select(aggregate(
+          col("xs"),
+          array().cast(stepType),
+          (acc, e) => {
+            val sPrev = when(size(acc) === 0, lit(1.0))
+              .otherwise(element_at(acc, -1).getField("s"))
+            val sNew = sPrev *
+              (lit(1.0) - e.getField("d").cast("double") / e.getField("n").cast("double"))
+            concat(acc, array(struct(
+              e.getField("day").as("day"), e.getField("d").as("d"),
+              e.getField("n").as("n"), sNew.as("s"))))
+          }).as("ys"))
+        .select(explode(col("ys")).as("y"))
+        .select(col("y.day").as("lifetime_days"), col("y.d").as("n_churn"),
+          col("y.n").as("n_risk"), col("y.s").as("survival"))
+        .orderBy("lifetime_days")
+    },
+
     // Holt–Winters additive seasonal (period 7) on the same daily frame —
     // the weekday-aware forecast the trend-only q_holt_forecast can't
     // produce; integer recurrence, recursive-CTE oracle carrying the
@@ -4135,6 +4177,23 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    // same day-grain frame; the survival product recurses in day order
+    // with the identical per-step float tree
+    "q_kaplan_meier" -> ("WITH RECURSIVE u AS (SELECT user_id, " +
+      "CAST(count(DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)) " +
+      "AS BIGINT) AS day FROM events GROUP BY 1), " +
+      "byday AS (SELECT day, count(*) AS d FROM u GROUP BY 1), " +
+      "risk AS (SELECT day, d, CAST(sum(d) OVER (ORDER BY day DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n, " +
+      "row_number() OVER (ORDER BY day) AS rn FROM byday), " +
+      "rec(rn, day, d, n, s) AS (" +
+      "SELECT rn, day, d, n, 1.0::DOUBLE * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) " +
+      "FROM risk WHERE rn = 1 " +
+      "UNION ALL SELECT risk.rn, risk.day, risk.d, risk.n, " +
+      "rec.s * (1.0 - CAST(risk.d AS DOUBLE) / CAST(risk.n AS DOUBLE)) " +
+      "FROM risk JOIN rec ON risk.rn = rec.rn + 1) " +
+      "SELECT day AS lifetime_days, d AS n_churn, n AS n_risk, s AS survival " +
+      "FROM rec ORDER BY lifetime_days"),
     // the recursive state carries the rolling 7-seasonal list; ss[1] IS
     // s_{t-7} (zeros until the first full period); // truncates toward
     // zero on BIGINTs exactly like the engine's sign-aware quot

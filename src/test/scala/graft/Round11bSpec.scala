@@ -341,6 +341,33 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_kaplan_meier: fold recompute and survival-curve laws") {
+    val got = SparkEntry.queries("q_kaplan_meier")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect()
+    val lifetimes = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map(_._2.map(_._2).distinct.length.toLong)
+    val byL = lifetimes.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val ls = byL.keys.toSeq.sorted
+    var n = lifetimes.size.toLong
+    var s = 1.0
+    val exp = ls.map { l =>
+      val d = byL(l)
+      s = s * (1.0 - d.toDouble / n.toDouble)
+      val out = (l, d, n, s)
+      n -= d
+      out
+    }
+    assert(got.toSeq == exp)
+    // laws: non-increasing, ends at exactly 0 (every lifetime observed)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 <= a._4, "survival must not increase")
+      case _ =>
+    }
+    assert(got.last._4 == 0.0 && got.last._2 == got.last._3)
+  }
+
   test("holtWintersInteger: scala fold recompute on a synthetic weekly series") {
     // 3 weeks of a strict period-7 pattern plus a level shift
     val xs = (0 until 21).map(i => (i.toLong, (100 + (i % 7) * 10 + i / 7).toLong))
