@@ -1792,6 +1792,48 @@ object RelationalQueries {
     // daily frame as q_ewma_daily — the one-step forecast a capacity
     // planner reads; the whole integer trajectory (level, trend,
     // forecast) hashes against the recursive-CTE oracle.
+    // LORENZ CURVE by customer revenue decile — the distribution profile
+    // behind q_gini_revenue's single number ("the top decile holds X% of
+    // revenue"). Deciles come from [[Scale.globalRowNumber]] on the packed
+    // (cents, custkey) key — scalable exact ranking, never a global
+    // ntile window; shares are cross-multiplied exact integers with one
+    // q6 truncating division per decile.
+    "q_lorenz_curve" -> { (s, dir) =>
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = Scale.globalRowNumber(
+        perCust.select(col("o_custkey"), col("cents"),
+          (col("cents") * lit(1L << 20) + col("o_custkey")).as("rkey")),
+        "rkey", partitions = 8)
+      val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_cents"))
+      val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      ranked
+        .crossJoin(broadcast(tot))
+        .groupBy(expr("rownum * 10 DIV n").as("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"),
+          max(col("tot_cents")).as("tot_cents"))
+        .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        .select(col("decile"), col("n_cust"), col("cents"),
+          expr("cents * 1000000 DIV tot_cents").as("share_q6"),
+          expr("cum_cents * 1000000 DIV tot_cents").as("cum_share_q6"))
+        .orderBy("decile")
+    },
+
+    // EFFECTIVE SAMPLE SIZE of a length-weighted corpus sample —
+    // ESS = (Σw)²/Σw² (Kish), the "how many uniform docs is this worth"
+    // diagnostic that decides whether weighted sampling collapsed onto a
+    // few heavy documents. Exact integer moments, one final division.
+    "q_effective_sample_size" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_w"),
+          sum(col("n_chars") * col("n_chars")).as("sum_w2"))
+        .select(col("n"), col("sum_w"), col("sum_w2"),
+          ((col("sum_w") * col("sum_w")).cast("double") / col("sum_w2").cast("double"))
+            .as("ess"))
+    },
+
     // KAPLAN–MEIER survival of user engagement LIFETIME (distinct active
     // days per user): death at lifetime L = a user with exactly L active
     // days, risk set = users reaching ≥ L, survival = Π(1 − dᵢ/nᵢ) —
@@ -4177,6 +4219,25 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    // single-window rank spelling of the engine's range-partitioned
+    // numbering; identical decile and share arithmetic
+    "q_lorenz_curve" -> ("WITH pc AS (SELECT o_custkey, " +
+      "CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+      "rk AS (SELECT cents, " +
+      "row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rn FROM pc), " +
+      "tot AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot_cents FROM pc), " +
+      "dec AS (SELECT rn * 10 // n AS decile, count(*) AS n_cust, " +
+      "CAST(sum(cents) AS BIGINT) AS cents, max(tot_cents) AS tot_cents " +
+      "FROM rk, tot GROUP BY 1), " +
+      "cum AS (SELECT *, CAST(sum(cents) OVER (ORDER BY decile " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM dec) " +
+      "SELECT decile, n_cust, cents, cents * 1000000 // tot_cents AS share_q6, " +
+      "cum_cents * 1000000 // tot_cents AS cum_share_q6 FROM cum ORDER BY decile"),
+    "q_effective_sample_size" -> ("SELECT count(*) AS n, " +
+      "CAST(sum(n_chars) AS BIGINT) AS sum_w, " +
+      "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_w2, " +
+      "CAST(CAST(sum(n_chars) AS BIGINT) * CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / " +
+      "CAST(CAST(sum(n_chars * n_chars) AS BIGINT) AS DOUBLE) AS ess FROM documents"),
     // same day-grain frame; the survival product recurses in day order
     // with the identical per-step float tree
     "q_kaplan_meier" -> ("WITH RECURSIVE u AS (SELECT user_id, " +

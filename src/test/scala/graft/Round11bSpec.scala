@@ -341,6 +341,46 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_lorenz_curve: decile recompute; curve laws (monotone, convex, ends at 1e6)") {
+    val got = SparkEntry.queries("q_lorenz_curve")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val pc = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(Long, Long)].collect()
+    val ranked = pc.sortBy { case (k, c) => (c, k) }.zipWithIndex
+    val n = pc.length.toLong
+    val tot = pc.map(_._2).sum
+    var cum = 0L
+    val exp = ranked.groupBy(_._2.toLong * 10 / n).toSeq.sortBy(_._1).map { case (d, rs) =>
+      val c = rs.map(_._1._2).sum
+      cum += c
+      (d, rs.length.toLong, c, c * 1000000L / tot, cum * 1000000L / tot)
+    }
+    assert(got.toSeq == exp)
+    // Lorenz laws: cumulative share strictly increasing, convex (later
+    // deciles hold ever-larger shares since customers are sorted), final
+    // cumulative share = 1e6 exactly (Σ cents = tot)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 > a._5, "cumulative share increases")
+        assert(b._4 >= a._4 - 1, "per-decile share non-decreasing up to truncation")
+      case _ =>
+    }
+    assert(got.last._5 == 1000000L)
+  }
+
+  test("q_effective_sample_size: Kish recompute; n-bounds law") {
+    val (n, sw, sw2, ess) =
+      SparkEntry.queries("q_effective_sample_size")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double)].head()
+    val w = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("n_chars")).as[Long].collect()
+    assert(n == w.length.toLong && sw == w.sum && sw2 == w.map(x => x * x).sum)
+    assert(ess == (sw.toDouble * sw.toDouble) / sw2.toDouble)
+    assert(ess > 0 && ess <= n.toDouble, "1 ≤ ESS ≤ n")
+  }
+
   test("q_kaplan_meier: fold recompute and survival-curve laws") {
     val got = SparkEntry.queries("q_kaplan_meier")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double)].collect()
