@@ -383,6 +383,66 @@ object StatefulOps {
       }
   }
 
+  final case class HwInput(key: String, bucket: Long, x: Long)
+  final case class HwState(count: Long, level: Long, ring: Seq[Long])
+  final case class HwRow(
+      key: String,
+      bucket: Long,
+      x: Long,
+      level: Long,
+      seasonal: Long,
+      forecastNext: Long)
+
+  /** Streaming twin of [[graft.ext.Relational.holtWintersInteger]] — the
+    * level+seasonal integer recurrence held as per-key state across
+    * micro-batches: (count, level, a period-sized seasonal RING). State is
+    * O(period) longs per key FOREVER; each micro-batch advances the
+    * recurrence in bucket order (monotone per-key arrival contract — the
+    * [[debounce]]/[[clampedBalances]] convention), so the emitted rows are
+    * bit-identical to the batch operator on the same prefix
+    * (Round11bSpec parity law). The forecast reads s₍t−period+1₎ straight
+    * from the ring — the slot is not rewritten until period steps later.
+    */
+  def holtWinters(
+      rows: Dataset[HwInput],
+      aNum: Int,
+      aDen: Int,
+      gNum: Int,
+      gDen: Int,
+      period: Int): Dataset[HwRow] = {
+    require(aNum > 0 && aDen > aNum && gNum > 0 && gDen > gNum && period >= 2,
+      "need 0 < aNum < aDen, 0 < gNum < gDen, period ≥ 2")
+    implicit val outEnc = Encoders.product[HwRow]
+    implicit val stateEnc = Encoders.product[HwState]
+    implicit val keyEnc = Encoders.STRING
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[HwInput], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(HwState(0L, 0L, Seq.fill(period)(0L)))
+          val ring = st.ring.toArray
+          var (count, level) = (st.count, st.level)
+          val out = it.toSeq.sortBy(_.bucket).map { r =>
+            val t = count
+            val sPrev = if (t >= period) ring((t % period).toInt) else 0L
+            val (lNew, sNew) =
+              if (t == 0L) (r.x, 0L)
+              else {
+                val l = (aNum * (r.x - sPrev) + (aDen - aNum) * level) / aDen
+                (l, (gNum * (r.x - l) + (gDen - gNum) * sPrev) / gDen)
+              }
+            ring((t % period).toInt) = sNew
+            level = lNew
+            count += 1L
+            val sNext =
+              if (t >= period - 1) ring(((t + 1) % period).toInt) else 0L
+            HwRow(key, r.bucket, r.x, lNew, sNew, lNew + sNext)
+          }
+          state.update(HwState(count, level, ring.toSeq))
+          out.iterator
+      }
+  }
+
   final case class BalanceInput(key: String, seqA: Long, seqB: Long, delta: Long)
   final case class BalanceState(balance: Long, clamps: Long, rows: Long)
   final case class BalanceRow(

@@ -437,6 +437,41 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("streaming holtWinters: micro-batch state ≡ the batch recurrence") {
+    import graft.streaming.StatefulOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val xs = (0 until 21).map(i => StatefulOps.HwInput("a", i.toLong,
+      (100 + (i % 7) * 10 + i / 7).toLong))
+    val expected = graft.ext.Relational
+      .holtWintersInteger(
+        xs.map(h => (h.key, h.bucket, h.x)).toDF("k", "day", "cents"),
+        "k", "day", "cents", 30, 100, 20, 100, period = 7)
+      .orderBy("day")
+      .select(col("day"), col("cents"), col("level"), col("seasonal"),
+        col("forecast_next"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[StatefulOps.HwInput]
+    val q = StatefulOps
+      .holtWinters(mem.toDS(), 30, 100, 20, 100, period = 7)
+      .writeStream.format("memory").queryName("hwstream").outputMode("append").start()
+    try {
+      // three uneven micro-batches; state must carry level + the ring across
+      mem.addData(xs.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(xs.slice(5, 16): _*)
+      q.processAllAvailable()
+      mem.addData(xs.drop(16): _*)
+      q.processAllAvailable()
+      val got = spark.table("hwstream")
+        .select(col("bucket"), col("x"), col("level"), col("seasonal"),
+          col("forecastNext"))
+        .orderBy("bucket")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, "streaming recurrence must equal the batch fold")
+    } finally q.stop()
+  }
+
   test("q_spearman: tie-averaged-rank recompute; rho in [-1, 1]") {
     val got = SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long, Long, Double)].head()
