@@ -1792,6 +1792,85 @@ object RelationalQueries {
     // daily frame as q_ewma_daily — the one-step forecast a capacity
     // planner reads; the whole integer trajectory (level, trend,
     // forecast) hashes against the recursive-CTE oracle.
+    // CRAMÉR'S V association strength between event type and customer
+    // segment — the normalized-χ² profiling read ("are these two
+    // categorical columns related at all?") over the DENSE r×c grid
+    // (absent combos contribute their full expected-count term, so the
+    // statistic is the real χ², not a support-biased one). Cell terms are
+    // exact-integer numerators ((o·N − r·c)² fits 2⁶³ through ×10) with
+    // per-cell float division, summed by a FIXED-ORDER fold over the
+    // sorted cell list (a plain double sum would be partial-agg-order
+    // dependent); V = one sqrt. Everything after the one corpus agg rides
+    // the |types|×|segments| frame.
+    "q_cramers_v" -> { (s, dir) =>
+      val cells = Tables.events(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))),
+          Seq("user_id"))
+        .groupBy(col("event_type"), col("segment"))
+        .agg(count(lit(1)).as("o"))
+      val grid = cells.select("event_type").distinct()
+        .crossJoin(cells.select("segment").distinct())
+        .join(cells, Seq("event_type", "segment"), "left")
+        .na.fill(0L, Seq("o"))
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("r", sum(col("o")).over(Window.partitionBy("event_type")))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy("segment")))
+        .withColumn("nn", sum(col("o")).over(wAll))
+        .agg(
+          sort_array(collect_list(struct(col("event_type"), col("segment"),
+            col("o"), col("r"), col("c"), col("nn")))).as("xs"),
+          max(col("nn")).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("segment")).as("n_segs"))
+        .select(col("n"), col("n_types"), col("n_segs"),
+          aggregate(col("xs"), lit(0.0), (acc, e) => {
+            val num = (e.getField("o") * e.getField("nn") -
+              e.getField("r") * e.getField("c")).cast("double")
+            acc + num * num / (e.getField("nn").cast("double") *
+              e.getField("r").cast("double") * e.getField("c").cast("double"))
+          }).as("chi2"))
+        .withColumn("v", sqrt(col("chi2") /
+          (col("n").cast("double") *
+            (least(col("n_types"), col("n_segs")) - 1).cast("double"))))
+    },
+
+    // Two-sample KOLMOGOROV–SMIRNOV test between the A/B arms' value
+    // distributions — the distribution-level A/B readout (χ²/Wilson see
+    // only a success rate; KS sees any shape difference). The statistic
+    // is EXACT: D·n_a·n_b = max over the merged value grid of
+    // |cum_a·n_b − cum_b·n_a| — cross-multiplied integers on value-space
+    // cumulative windows (the q_rank_auc recipe: the corpus collapses to
+    // distinct cents first, windows ride thousands of rows at any scale).
+    // The α=0.05 decision compares exact D against the asymptotic
+    // critical value in one fixed-order float expression.
+    "q_ks_test" -> { (s, dir) =>
+      val byVal = Tables.events(s, dir)
+        .select((col("user_id") % 2 === 0).as("is_a"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("cents")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val wCum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+      val na = col("na").cast("double")
+      val nb = col("nb").cast("double")
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byVal
+        .withColumn("cum_a", sum(col("ca")).over(wCum))
+        .withColumn("cum_b", sum(col("cb")).over(wCum))
+        .withColumn("ta", sum(col("ca")).over(wAll))
+        .withColumn("tb", sum(col("cb")).over(wAll))
+        .agg(max(col("ta")).as("na"), max(col("tb")).as("nb"),
+          max(abs(col("cum_a") * col("tb") - col("cum_b") * col("ta"))).as("d_num"))
+        .select(col("na"), col("nb"), col("d_num"),
+          (col("d_num").cast("double") / (na * nb)).as("d_stat"))
+        .withColumn("reject_05",
+          col("d_stat") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+    },
+
     // LORENZ CURVE by customer revenue decile — the distribution profile
     // behind q_gini_revenue's single number ("the top decile holds X% of
     // revenue"). Deciles come from [[Scale.globalRowNumber]] on the packed
@@ -4219,6 +4298,47 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    // same value-space cumulative grid; D numerator exact, one float
+    // division + the fixed-order critical-value compare
+    "q_ks_test" -> ("WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM events GROUP BY 1), " +
+      "c AS (SELECT CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_a, CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) " +
+      "AS cum_b, CAST(sum(ca) OVER () AS BIGINT) AS ta, " +
+      "CAST(sum(cb) OVER () AS BIGINT) AS tb FROM v), " +
+      "agg AS (SELECT max(ta) AS na, max(tb) AS nb, " +
+      "max(abs(cum_a * tb - cum_b * ta)) AS d_num FROM c) " +
+      "SELECT na, nb, d_num, CAST(d_num AS DOUBLE) / " +
+      "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat, " +
+      "CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > " +
+      "1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / " +
+      "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS reject_05 FROM agg"),
+    // dense grid, window marginals, fixed-order fold over the sorted cells
+    "q_cramers_v" -> ("WITH cells AS (SELECT event_type, c_mktsegment AS segment, " +
+      "CAST(count(*) AS BIGINT) AS o FROM events " +
+      "JOIN customer ON c_custkey = user_id GROUP BY 1, 2), " +
+      "grid AS (SELECT t.event_type, s.segment, coalesce(cells.o, 0) AS o FROM " +
+      "(SELECT DISTINCT event_type FROM cells) t CROSS JOIN " +
+      "(SELECT DISTINCT segment FROM cells) s " +
+      "LEFT JOIN cells ON cells.event_type = t.event_type AND cells.segment = s.segment), " +
+      "m AS (SELECT event_type, segment, o, " +
+      "CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS r, " +
+      "CAST(sum(o) OVER (PARTITION BY segment) AS BIGINT) AS c, " +
+      "CAST(sum(o) OVER () AS BIGINT) AS nn FROM grid), " +
+      "f AS (SELECT max(nn) AS n, count(DISTINCT event_type) AS n_types, " +
+      "count(DISTINCT segment) AS n_segs, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      "list_sort(list(struct_pack(event_type := event_type, segment := segment, " +
+      "o := o, r := r, c := c, nn := nn))), " +
+      "e -> CAST(e.o * e.nn - e.r * e.c AS DOUBLE) * " +
+      "CAST(e.o * e.nn - e.r * e.c AS DOUBLE) / " +
+      "(CAST(e.nn AS DOUBLE) * CAST(e.r AS DOUBLE) * CAST(e.c AS DOUBLE)))), " +
+      "(a, b) -> a + b) AS chi2 FROM m) " +
+      "SELECT n, n_types, n_segs, chi2, " +
+      "sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+      "CAST(least(n_types, n_segs) - 1 AS DOUBLE))) AS v FROM f"),
     // single-window rank spelling of the engine's range-partitioned
     // numbering; identical decile and share arithmetic
     "q_lorenz_curve" -> ("WITH pc AS (SELECT o_custkey, " +

@@ -341,6 +341,52 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_ks_test: brute-force max-gap recompute; 0 ≤ D ≤ 1") {
+    val (na, nb, dNum, dStat, _) =
+      SparkEntry.queries("q_ks_test")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double, Boolean)].head()
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id") % 2 === 0, floor(col("value") * 100).cast("long"))
+      .as[(Boolean, Long)].collect()
+    val a = rows.filter(_._1).map(_._2)
+    val b = rows.filter(!_._1).map(_._2)
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val gridVals = (a ++ b).distinct.sorted
+    val exp = gridVals.map(v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)).max
+    assert(dNum == exp)
+    assert(dStat == dNum.toDouble / (na.toDouble * nb.toDouble))
+    assert(dStat >= 0.0 && dStat <= 1.0)
+  }
+
+  test("q_cramers_v: dense-grid chi-square recompute; 0 ≤ V ≤ 1") {
+    val (n, nt, ns, chi2, v) =
+      SparkEntry.queries("q_cramers_v")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double, Double)].head()
+    val seg = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toMap
+    val pairs = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+      .collect { case (u, t) if seg.contains(u) => (t, seg(u)) }
+    val types = pairs.map(_._1).distinct.sorted
+    val segs = pairs.map(_._2).distinct.sorted
+    assert(n == pairs.length.toLong && nt == types.length.toLong && ns == segs.length.toLong)
+    val o = pairs.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val r = types.map(t => t -> pairs.count(_._1 == t).toLong).toMap
+    val c = segs.map(s0 => s0 -> pairs.count(_._2 == s0).toLong).toMap
+    // same (type, segment) fold order as the sorted cell list
+    var acc = 0.0
+    for (t <- types; s0 <- segs) {
+      val num = (o.getOrElse((t, s0), 0L) * n - r(t) * c(s0)).toDouble
+      acc += num * num / (n.toDouble * r(t).toDouble * c(s0).toDouble)
+    }
+    assert(chi2 == acc)
+    assert(v == math.sqrt(chi2 / (n.toDouble * (math.min(nt, ns) - 1).toDouble)))
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("q_lorenz_curve: decile recompute; curve laws (monotone, convex, ends at 1e6)") {
     val got = SparkEntry.queries("q_lorenz_curve")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Long, Long)].collect()
