@@ -110,6 +110,62 @@ object TextQueries {
 
     // Top-3 TF-IDF terms per document — integer-ratio scoring (tf·N/df,
     // one IEEE division) so ranks and scores are engine-exact.
+    // McNEMAR'S PAIRED TEST between two quality gates on the SAME docs —
+    // "does the ML classifier keep a different population than the cheap
+    // length rule?" is a paired question (the unpaired χ² wastes the
+    // per-doc pairing): only the disagreement cells b/c matter,
+    // χ² = (b−c)²/(b+c). Gate 1 = token count ≥ 50; gate 2 =
+    // [[TextOps.classifierScores]] keep (score > 0 ⇔ the exact integer
+    // weight sum > 0, so the flag is hash-stable). Cells exact BIGINT,
+    // one float division. Two derivations of the same corpus meet on a
+    // doc-keyed merge join.
+    "q_mcnemar_gates" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.select(col("doc_id"),
+        (TextOps.tokenCount(col("text")) >= 50).as("k1"))
+      val g2 = TextOps.classifierScores(docs, "doc_id", "text", threshold = 0.0)
+        .select(col("doc_id"), col("keep").as("k2"))
+      g1.hint("merge")
+        .join(g2.hint("merge"), Seq("doc_id"))
+        .agg(
+          sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          when(col("b") + col("c") > 0,
+            ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+              (col("b") + col("c")).cast("double"))
+            .otherwise(lit(0.0)).as("mcnemar"))
+    },
+
+    // Pairwise SOURCE VOCABULARY OVERLAP — token-set Jaccard between every
+    // source pair, the "which feeds speak the same language" corpus
+    // comparison (near-1 pairs are merge candidates, near-0 pairs justify
+    // per-source models). One distinct (source, token) posting frame;
+    // the self-join is vocab-keyed and merge-hinted (vocab is
+    // corpus-class); per-source sizes broadcast back onto the 190-pair
+    // frame. Exact integer Jaccard q6.
+    "q_source_vocab_overlap" -> { (s, dir) =>
+      val post = Tables.documents(s, dir)
+        .select(col("source"), explode(array_distinct(TextOps.tokens(col("text"))))
+          .as("token"))
+        .distinct()
+      val sizes = post.groupBy("source").agg(count(lit(1)).as("n"))
+      post.as("x").hint("merge")
+        .join(post.as("y").hint("merge"),
+          col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
+          expr("inter * 1000000 DIV (na + nb - inter)").as("jaccard_q6"))
+        .orderBy("src_a", "src_b")
+    },
+
     // χ² FEATURE SELECTION: the 20 tokens whose document presence most
     // separates English from non-English docs — the classical
     // feature-selection screen a quality/language classifier is built on.
@@ -711,6 +767,33 @@ object TextQueries {
     "q_heavy_hitters" -> (s"SELECT token, count(*) AS cnt FROM " +
       s"(SELECT unnest($Toks) AS token FROM documents) " +
       "GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 25"),
+    // k2 flag via the exact integer weight sum (score > 0 ⇔ ws > 0);
+    // empty docs coalesce to false exactly like the engine
+    "q_mcnemar_gates" -> (s"WITH t AS (SELECT doc_id, $Toks AS toks FROM documents), " +
+      "k AS (SELECT doc_id, len(toks) >= 50 AS k1 FROM t), " +
+      "w AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      "s AS (SELECT doc_id, CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) " +
+      "AS BIGINT) AS ws FROM w GROUP BY 1), " +
+      "j AS (SELECT k.doc_id, k1, coalesce(s.ws > 0, false) AS k2 " +
+      "FROM k LEFT JOIN s USING (doc_id)), " +
+      "cells AS (SELECT " +
+      "CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+      "CAST(sum(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+      "CAST(sum(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM j) " +
+      "SELECT a, b, c, d, CASE WHEN b + c > 0 THEN " +
+      "CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) " +
+      "ELSE 0.0 END AS mcnemar FROM cells"),
+    "q_source_vocab_overlap" -> (s"WITH post AS (SELECT DISTINCT source, token FROM " +
+      s"(SELECT source, unnest($Toks) AS token FROM documents)), " +
+      "sizes AS (SELECT source, count(*) AS n FROM post GROUP BY 1), " +
+      "inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter " +
+      "FROM post x JOIN post y ON x.token = y.token AND x.source < y.source " +
+      "GROUP BY 1, 2) " +
+      "SELECT src_a, src_b, sa.n AS na, sb.n AS nb, inter, " +
+      "inter * 1000000 // (sa.n + sb.n - inter) AS jaccard_q6 " +
+      "FROM inter JOIN sizes sa ON sa.source = src_a " +
+      "JOIN sizes sb ON sb.source = src_b ORDER BY src_a, src_b"),
     // same distinct-presence cells + the fixed-order χ² tree
     "q_chi2_terms" -> (s"WITH d AS (SELECT doc_id, " +
       s"CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en, $Toks AS toks FROM documents), " +

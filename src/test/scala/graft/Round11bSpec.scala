@@ -341,6 +341,50 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_mcnemar_gates: paired-cell recompute; cells partition the corpus") {
+    val (a, b, c, d, stat) =
+      SparkEntry.queries("q_mcnemar_gates")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Long, Double)].head()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).as[String].collect()
+    // the proven scala twin of the engine's md5Long hash
+    def md5Long(s0: String): Long = graft.ext.Similarity.md5LongScala(s0)
+    val cells = docs.map { t =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val k1 = toks.length >= 50
+      val k2 = toks.map(w => md5Long(w) % 1001L - 500L).sum > 0
+      (k1, k2)
+    }
+    val (ea, eb, ec, ed) = (
+      cells.count(x => x._1 && x._2).toLong,
+      cells.count(x => x._1 && !x._2).toLong,
+      cells.count(x => !x._1 && x._2).toLong,
+      cells.count(x => !x._1 && !x._2).toLong)
+    assert((a, b, c, d) == ((ea, eb, ec, ed)))
+    assert(a + b + c + d == docs.length.toLong)
+    val exp = if (eb + ec > 0) ((eb - ec) * (eb - ec)).toDouble / (eb + ec).toDouble else 0.0
+    assert(stat == exp)
+  }
+
+  test("q_source_vocab_overlap: jaccard recompute and symmetry-free pair coverage") {
+    val got = SparkEntry.queries("q_source_vocab_overlap")(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val vocab = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (s0, rs) =>
+        s0 -> rs.flatMap(_._2.split("\\s+").filter(_.nonEmpty)).toSet
+      }
+    val srcs = vocab.keys.toSeq.sorted
+    assert(got.length == srcs.length * (srcs.length - 1) / 2, "every pair exactly once")
+    got.foreach { case (sa, sb, na, nb, inter, q6) =>
+      val (va, vb) = (vocab(sa), vocab(sb))
+      assert(na == va.size.toLong && nb == vb.size.toLong)
+      assert(inter == (va & vb).size.toLong, s"$sa-$sb")
+      assert(q6 == inter * 1000000L / (na + nb - inter))
+    }
+  }
+
   test("q_ks_test: brute-force max-gap recompute; 0 ≤ D ≤ 1") {
     val (na, nb, dNum, dStat, _) =
       SparkEntry.queries("q_ks_test")(spark, "/root/testdata/sf0.001")
