@@ -1837,6 +1837,65 @@ object RelationalQueries {
             (least(col("n_types"), col("n_segs")) - 1).cast("double"))))
     },
 
+    // FANO FACTOR (index of dispersion) of daily arrivals per event type —
+    // variance/mean of the day-count series: ≈1 is Poisson traffic, ≫1 is
+    // bursty (retry storms, batch jobs), ≪1 is throttled/regular. Exact
+    // BIGINT moments over the day frame (n, Σc, Σc²), one fixed-order
+    // float expression: F = (n·Σc² − (Σc)²) / (n·Σc) — the biased
+    // variance over the mean, cross-multiplied so the integers stay exact.
+    "q_fano_factor" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .select(col("event_type"), col("n_days"), col("sc"), col("scc"),
+          ((col("n_days") * col("scc") - col("sc") * col("sc")).cast("double") /
+            (col("n_days") * col("sc")).cast("double")).as("fano"))
+        .orderBy("event_type")
+    },
+
+    // WALD–WOLFOWITZ RUNS TEST on daily revenue vs its median — "is the
+    // series random around its center, or trending/oscillating?" — the
+    // distribution-free complement of q_autocorrelation/q_cusum. The sign
+    // uses the EXACT lower median (the weighted-median machinery's
+    // 2·rank > n rule on the day frame); runs/n1/n2 are exact integers
+    // from one lag window over the day grid; z is one fixed-order float
+    // chain. Day frame is time-bounded at any corpus size.
+    "q_runs_test" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(unix_timestamp(col("o_orderdate").cast("timestamp"))
+          .cast("long").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wRank = Window.orderBy("cents", "day") // day tiebreak: equal revenues stay deterministic
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val signed = daily
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // above the LOWER MEDIAN: rank strictly past the midpoint; exact
+        // integer rule, no float median anywhere
+        .withColumn("above", col("rk") * 2 > col("n") + 1)
+      val wDay = Window.orderBy("day")
+      val runs = signed
+        .withColumn("flip",
+          when(lag(col("above"), 1).over(wDay).isNull ||
+            lag(col("above"), 1).over(wDay) =!= col("above"), 1L).otherwise(0L))
+        .agg(sum(col("flip")).as("runs"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("above"), 1L).otherwise(0L)).as("n2"))
+      val n1 = col("n1").cast("double")
+      val n2 = col("n2").cast("double")
+      val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+      val sg = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+        ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0))))
+      runs.select(col("runs"), col("n1"), col("n2"),
+        ((col("runs").cast("double") - mu) / sg).as("z"))
+    },
+
     // Two-sample KOLMOGOROV–SMIRNOV test between the A/B arms' value
     // distributions — the distribution-level A/B readout (χ²/Wilson see
     // only a success rate; KS sees any shape difference). The statistic
@@ -4298,6 +4357,35 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    "q_fano_factor" -> ("WITH d AS (SELECT event_type, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day, " +
+      "count(*) AS c FROM events GROUP BY 1, 2), " +
+      "m AS (SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS sc, " +
+      "CAST(sum(c * c) AS BIGINT) AS scc FROM d GROUP BY 1) " +
+      "SELECT event_type, n_days, sc, scc, " +
+      "CAST(n_days * scc - sc * sc AS DOUBLE) / CAST(n_days * sc AS DOUBLE) AS fano " +
+      "FROM m ORDER BY event_type"),
+    // same exact lower-median sign rule + lag-flip run counting; the z is
+    // the identical fixed-order float chain
+    "q_runs_test" -> ("WITH d AS (SELECT " +
+      "CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS day, " +
+      "CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+      "r AS (SELECT day, CAST(row_number() OVER (ORDER BY cents, day) AS BIGINT) AS rk, " +
+      "count(*) OVER () AS n FROM d), " +
+      "sgn AS (SELECT day, rk * 2 > n + 1 AS above FROM r), " +
+      "f AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY day) IS NULL " +
+      "OR lag(above) OVER (ORDER BY day) != above THEN 1 ELSE 0 END AS flip FROM sgn), " +
+      "agg AS (SELECT CAST(sum(flip) AS BIGINT) AS runs, " +
+      "CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+      "CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM f) " +
+      "SELECT runs, n1, n2, " +
+      "(CAST(runs AS DOUBLE) - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+      "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)) / " +
+      "sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+      "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - " +
+      "CAST(n2 AS DOUBLE)) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * " +
+      "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * (CAST(n1 AS DOUBLE) + " +
+      "CAST(n2 AS DOUBLE) - 1.0))) AS z FROM agg"),
     // same value-space cumulative grid; D numerator exact, one float
     // division + the fixed-order critical-value compare
     "q_ks_test" -> ("WITH v AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents, " +

@@ -341,6 +341,47 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_fano_factor: dispersion recompute from exact moments") {
+    val got = SparkEntry.queries("q_fano_factor")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Double)].collect()
+    val daily = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case (k, g) => (k._1, k._2, g.length.toLong) }
+    got.foreach { case (t, n, sc, scc, fano) =>
+      val cs = daily.collect { case (t0, _, c) if t0 == t => c }.toSeq
+      assert(n == cs.length.toLong && sc == cs.sum && scc == cs.map(c => c * c).sum)
+      assert(fano == (n * scc - sc * sc).toDouble / (n * sc).toDouble)
+      assert(fano >= 0.0, s"type=$t")
+    }
+  }
+
+  test("q_runs_test: run counting recompute; runs ≤ n1 + n2") {
+    val (runs, n1, n2, z) =
+      SparkEntry.queries("q_runs_test")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long, Double)].head()
+    val daily = Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy(unix_timestamp(col("o_orderdate").cast("timestamp")).cast("long").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .as[(Long, Long)].collect()
+    val n = daily.length.toLong
+    val ranks = daily.sortBy { case (d, c) => (c, d) }.zipWithIndex
+      .map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    val above = daily.sortBy(_._1).map { case (d, _) => ranks(d) * 2 > n + 1 }
+    var (er, e1, e2) = (0L, 0L, 0L)
+    above.zipWithIndex.foreach { case (a, i) =>
+      if (i == 0 || above(i - 1) != a) er += 1
+      if (a) e1 += 1 else e2 += 1
+    }
+    assert((runs, n1, n2) == ((er, e1, e2)))
+    assert(runs >= 1 && runs <= n1 + n2)
+    val (d1, d2) = (e1.toDouble, e2.toDouble)
+    val mu = 2.0 * d1 * d2 / (d1 + d2) + 1.0
+    val sg = math.sqrt(2.0 * d1 * d2 * (2.0 * d1 * d2 - d1 - d2) /
+      ((d1 + d2) * (d1 + d2) * (d1 + d2 - 1.0)))
+    assert(z == (er.toDouble - mu) / sg)
+  }
+
   test("q_mcnemar_gates: paired-cell recompute; cells partition the corpus") {
     val (a, b, c, d, stat) =
       SparkEntry.queries("q_mcnemar_gates")(spark, "/root/testdata/sf0.001")
