@@ -524,6 +524,48 @@ object RelationalQueries {
         .orderBy("channel")
     },
 
+    // TIME-DECAY multi-touch attribution — completes the credit-model
+    // quartet (last-touch / linear / U-shaped / this): a touch Δ whole
+    // days before the purchase carries weight 2^−Δ, EXACT as an integer
+    // shift (w = 1e6 >> Δ over the 7-day lookback), and per-purchase
+    // credits are w·10⁶ DIV Σw — all-integer, no float pow/exp anywhere.
+    // Same interval-join shape as the linear model; the weight
+    // normalization is one per-purchase window sum.
+    "q_decay_attribution" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), secs(col("ts")).as("p_s"))
+      val t = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"), secs(col("ts")).as("t_s"))
+      p.join(t, Seq("user_id"))
+        .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 7L * 86400L)
+        .withColumn("w",
+          expr("shiftright(1000000L, CAST((p_s - t_s) DIV 86400 AS INT))"))
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("p_id")))
+        .withColumn("credit_q6", expr("w * 1000000 DIV wsum"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"), sum(col("credit_q6")).as("credit_q6_sum"))
+        .orderBy("channel")
+    },
+
+    // SAMPLE RATIO MISMATCH guardrail on the A/B split — the first check
+    // every experiment readout runs ("is the 50/50 split actually
+    // 50/50?"); a failed SRM invalidates every downstream metric. One-df
+    // χ² against the even split: (n_a−n_b)²/(n_a+n_b), exact integer
+    // numerator, one float division, flag at the 3.841 critical value.
+    "q_srm_check" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("na"), col("nb"),
+          (((col("na") - col("nb")) * (col("na") - col("nb"))).cast("double") /
+            (col("na") + col("nb")).cast("double")).as("chi2"))
+        .withColumn("mismatch", col("chi2") > 3.841)
+    },
+
     // Position-based (U-shaped 40/20/40) multi-touch attribution — the
     // other industry-standard credit model next to q_linear_attribution
     // and q_attribution (last-touch): first and last touch in the 24 h
@@ -4220,6 +4262,31 @@ object RelationalQueries {
 
     // same user-keyed range join, per-purchase window count, and
     // truncating credit split
+    // exact power-of-2 decay weights as right shifts; same interval join
+    "q_decay_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_s " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "t AS (SELECT user_id, event_type AS channel, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t_s " +
+      "FROM events WHERE event_type IN ('click', 'view')), " +
+      "j AS (SELECT p_id, channel, " +
+      "CAST(1000000 >> CAST((p_s - t_s) // 86400 AS INT) AS BIGINT) AS w " +
+      "FROM p JOIN t ON p.user_id = t.user_id " +
+      "AND t_s <= p_s AND t_s >= p_s - 604800), " +
+      "c AS (SELECT channel, w * 1000000 // " +
+      "CAST(sum(w) OVER (PARTITION BY p_id) AS BIGINT) AS credit_q6 FROM j) " +
+      "SELECT channel, count(*) AS n_touches, " +
+      "CAST(sum(credit_q6) AS BIGINT) AS credit_q6_sum FROM c " +
+      "GROUP BY 1 ORDER BY 1"),
+    "q_srm_check" -> ("WITH u AS (SELECT user_id, count(*) AS cnt " +
+      "FROM events GROUP BY 1), " +
+      "cells AS (SELECT " +
+      "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+      "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM u) " +
+      "SELECT na, nb, CAST((na - nb) * (na - nb) AS DOUBLE) / " +
+      "CAST(na + nb AS DOUBLE) AS chi2, " +
+      "CAST((na - nb) * (na - nb) AS DOUBLE) / CAST(na + nb AS DOUBLE) > 3.841 " +
+      "AS mismatch FROM cells"),
     // same interval join; U-shaped credit over (row_number, count) windows
     "q_position_attribution" -> ("WITH p AS (SELECT user_id, event_id AS p_id, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p_s " +

@@ -799,6 +799,39 @@ class Round11bSpec extends SparkSpec {
     assert(got.length == cells.size)
   }
 
+  test("q_decay_attribution: power-of-2 decay credits recompute") {
+    val got = SparkEntry.queries("q_decay_attribution")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")))
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val credits = purchases.flatMap { case (u, _, _, ps) =>
+      val ts = touches.filter(t => t._1 == u && t._4 <= ps && t._4 >= ps - 7L * 86400L)
+      val ws = ts.map(t => (t._3, 1000000L >> ((ps - t._4) / 86400L).toInt))
+      val wsum = ws.map(_._2).sum
+      ws.map { case (ch, w) => ch -> w * 1000000L / wsum }
+    }
+    val exp = credits.groupBy(_._1).map { case (ch, cs) =>
+      ch -> ((cs.length.toLong, cs.map(_._2).sum))
+    }
+    assert(got == exp)
+  }
+
+  test("q_srm_check: cell recompute; chi2 law") {
+    val (na, nb, chi2, mismatch) =
+      SparkEntry.queries("q_srm_check")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Double, Boolean)].head()
+    val users = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id")).distinct().as[Long].collect()
+    assert(na == users.count(_ % 2 == 0).toLong && nb == users.count(_ % 2 == 1).toLong)
+    assert(chi2 == ((na - nb) * (na - nb)).toDouble / (na + nb).toDouble)
+    assert(mismatch == (chi2 > 3.841))
+  }
+
   test("q_position_attribution: per-purchase U-shaped credits recompute") {
     val got = SparkEntry.queries("q_position_attribution")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long)].collect()
