@@ -1879,6 +1879,37 @@ object RelationalQueries {
             (least(col("n_types"), col("n_segs")) - 1).cast("double"))))
     },
 
+    // ORDER CONCURRENCY (BACKLOG) PROFILE — how many orders are open
+    // (placed, not yet fully shipped) through time, summarized per month:
+    // the classic interval-concurrency sweep as ±1 edge prefix sums
+    // (never an interval self-join — the edge form is O(n) where the
+    // naive overlap join is O(n²)). Interval = [order date, max ship date
+    // over the order's lineitems); the open-count window rides the
+    // TIME-bounded day grid after one fact⋈fact merge join + one day agg.
+    // All-integer; end-of-month backlog = the last day's running count.
+    "q_concurrency_profile" -> { (s, dir) =>
+      val ends = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(unix_timestamp(col("l_shipdate").cast("timestamp")).cast("long"))
+          .as("end_s"))
+      val iv = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).cast("long").as("start_s"))
+        .hint("merge")
+        .join(ends.hint("merge"), Seq("l_orderkey"))
+      val edges = iv.select(col("start_s").as("day"), lit(1L).as("d"))
+        .unionByName(iv.select(col("end_s").as("day"), lit(-1L).as("d")))
+      val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      edges
+        .groupBy("day")
+        .agg(sum(col("d")).as("delta"))
+        .withColumn("open_cnt", sum(col("delta")).over(wCum))
+        .groupBy(from_unixtime(col("day"), "yyyy-MM").as("month"))
+        .agg(max(col("open_cnt")).as("max_open"), min(col("open_cnt")).as("min_open"),
+          max_by(col("open_cnt"), col("day")).as("eom_open"))
+        .orderBy("month")
+    },
+
     // FANO FACTOR (index of dispersion) of daily arrivals per event type —
     // variance/mean of the day-count series: ≈1 is Poisson traffic, ≫1 is
     // bursty (retry storms, batch jobs), ≪1 is throttled/regular. Exact
@@ -4424,6 +4455,20 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    // same ±1 edge sweep; arg_max gives the end-of-month running count
+    "q_concurrency_profile" -> ("WITH ends AS (SELECT l_orderkey, " +
+      "CAST(max(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS end_s " +
+      "FROM lineitem GROUP BY 1), " +
+      "iv AS (SELECT CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS start_s, " +
+      "end_s FROM orders JOIN ends ON o_orderkey = l_orderkey), " +
+      "edges AS (SELECT start_s AS day, CAST(1 AS BIGINT) AS d FROM iv " +
+      "UNION ALL SELECT end_s, -1 FROM iv), " +
+      "daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM edges GROUP BY 1), " +
+      "run AS (SELECT day, CAST(sum(delta) OVER (ORDER BY day " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_cnt FROM daily) " +
+      "SELECT strftime(to_timestamp(day), '%Y-%m') AS month, " +
+      "max(open_cnt) AS max_open, min(open_cnt) AS min_open, " +
+      "arg_max(open_cnt, day) AS eom_open FROM run GROUP BY 1 ORDER BY 1"),
     "q_fano_factor" -> ("WITH d AS (SELECT event_type, " +
       "CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day, " +
       "count(*) AS c FROM events GROUP BY 1, 2), " +

@@ -341,6 +341,37 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_concurrency_profile: edge-sweep recompute; counts never negative") {
+    val got = SparkEntry.queries("q_concurrency_profile")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    val ends = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_orderkey"))
+      .agg(max(unix_timestamp(col("l_shipdate").cast("timestamp")).cast("long")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    val starts = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).cast("long"))
+      .as[(Long, Long)].collect()
+      .collect { case (k, s0) if ends.contains(k) => (s0, ends(k)) }
+    val deltas = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    starts.foreach { case (s0, e) => deltas(s0) += 1; deltas(e) -= 1 }
+    var run = 0L
+    val series = deltas.toSeq.sortBy(_._1).map { case (d, dl) => run += dl; (d, run) }
+    val exp = series
+      .groupBy { case (d, _) =>
+        java.time.Instant.ofEpochSecond(d).atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+      }
+      .map { case (m, rs) =>
+        (m, rs.map(_._2).max, rs.map(_._2).min, rs.maxBy(_._1)._2)
+      }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == exp)
+    // every interval has start ≤ end, so the running count stays ≥ 0 and
+    // the sweep ends at zero (every opened order eventually closes)
+    assert(series.forall(_._2 >= 0L) && series.last._2 == 0L)
+  }
+
   test("q_fano_factor: dispersion recompute from exact moments") {
     val got = SparkEntry.queries("q_fano_factor")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long, Double)].collect()
