@@ -1879,6 +1879,46 @@ object RelationalQueries {
             (least(col("n_types"), col("n_segs")) - 1).cast("double"))))
     },
 
+    // FULFILLMENT FRAGMENTATION — how many distinct shipment dates each
+    // order's lineitems span, histogrammed: the split-shipment rate a
+    // logistics dashboard watches (1 = single shipment; the tail is
+    // partial-fulfillment cost). Two stacked aggregations, all-integer.
+    "q_ship_split_rate" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_shipdate")).as("n_shipments"))
+        .groupBy("n_shipments")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_shipments")
+    },
+
+    // BACKLOG AGE at a snapshot — exact p50/p90 age (days since order
+    // date) of orders OPEN at mid-corpus 1995-06-30, per priority: the
+    // aging report behind the q_concurrency_profile totals ("HOW OLD is
+    // the backlog?"). Open = ordered on/before the snapshot, last
+    // shipment strictly after; ages ride the same
+    // [[Relational.exactPercentilesX100]] integer machinery.
+    "q_backlog_age" -> { (s, dir) =>
+      val snap = 804470400L // 1995-06-30 00:00:00 UTC
+      val ends = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(unix_timestamp(col("l_shipdate").cast("timestamp")).cast("long"))
+          .as("end_s"))
+      val open = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority").as("prio"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).cast("long").as("start_s"))
+        .hint("merge")
+        .join(ends.hint("merge"), Seq("l_orderkey"))
+        .filter(col("start_s") <= snap && col("end_s") > snap)
+        .select(col("prio"), expr(s"($snap - start_s) DIV 86400").as("age_days"))
+      Relational
+        .exactPercentilesX100(open, Seq("prio"), "age_days", Seq(50, 90))
+        .select(col("prio"), col("n").as("n_open"),
+          (col("p50_x100").cast("double") / 100).as("p50_days"),
+          (col("p90_x100").cast("double") / 100).as("p90_days"))
+        .orderBy("prio")
+    },
+
     // ORDER CONCURRENCY (BACKLOG) PROFILE — how many orders are open
     // (placed, not yet fully shipped) through time, summarized per month:
     // the classic interval-concurrency sweep as ±1 edge prefix sums
@@ -4455,6 +4495,25 @@ object RelationalQueries {
 
     // the level expression inlined twice inside the trend step, exactly
     // like the engine's fold; // floors toward −∞ on negative trends
+    "q_ship_split_rate" -> ("SELECT n_shipments, count(*) AS n_orders FROM " +
+      "(SELECT l_orderkey, count(DISTINCT l_shipdate) AS n_shipments " +
+      "FROM lineitem GROUP BY 1) GROUP BY 1 ORDER BY 1"),
+    // same open-at-snapshot filter + the x100 integer percentile recipe
+    "q_backlog_age" -> ("WITH ends AS (SELECT l_orderkey, " +
+      "CAST(max(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS end_s " +
+      "FROM lineitem GROUP BY 1), " +
+      "open_o AS (SELECT o_orderpriority AS prio, " +
+      "(804470400 - CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) // 86400 " +
+      "AS age_days FROM orders JOIN ends ON o_orderkey = l_orderkey " +
+      "WHERE CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) <= 804470400 " +
+      "AND end_s > 804470400), " +
+      "rk AS (SELECT prio, age_days, " +
+      "row_number() OVER (PARTITION BY prio ORDER BY age_days) - 1 AS rn0, " +
+      "count(*) OVER (PARTITION BY prio) AS n FROM open_o) " +
+      "SELECT prio, count(*) AS n_open, " +
+      s"${pctSql("age_days", 50)} AS p50_days, " +
+      s"${pctSql("age_days", 90)} AS p90_days " +
+      "FROM rk GROUP BY 1 ORDER BY 1"),
     // same ±1 edge sweep; arg_max gives the end-of-month running count
     "q_concurrency_profile" -> ("WITH ends AS (SELECT l_orderkey, " +
       "CAST(max(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS end_s " +

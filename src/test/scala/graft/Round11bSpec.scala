@@ -341,6 +341,46 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("q_ship_split_rate / q_backlog_age: recompute from raw lineitems") {
+    val split = SparkEntry.queries("q_ship_split_rate")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"),
+        unix_timestamp(col("l_shipdate").cast("timestamp")).cast("long"))
+      .as[(Long, Long)].collect()
+    val perOrder = li.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).distinct }
+    val expSplit = perOrder.values.map(_.length.toLong)
+      .groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(split.toSeq == expSplit)
+    assert(split.map(_._2).sum == perOrder.size.toLong, "histogram covers every order")
+
+    val age = SparkEntry.queries("q_backlog_age")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Double)].collect()
+    val snap = 804470400L
+    val starts = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_timestamp(col("o_orderdate").cast("timestamp")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val open = starts.collect {
+      case (k, p, s0) if s0 <= snap && perOrder.get(k).exists(_.max > snap) =>
+        (p, (snap - s0) / 86400L)
+    }
+    def pctX100(sorted: IndexedSeq[Long], p: Int): Long = {
+      val pos = (sorted.length - 1).toLong * p
+      val idx = (pos / 100).toInt
+      val rem = pos % 100
+      sorted(idx) * (100 - rem) + (if (rem == 0) 0L else sorted(idx + 1) * rem)
+    }
+    val expAge = open.groupBy(_._1).map { case (p, rs) =>
+      val sorted = rs.map(_._2).sorted.toIndexedSeq
+      (p, sorted.length.toLong,
+        pctX100(sorted, 50).toDouble / 100, pctX100(sorted, 90).toDouble / 100)
+    }.toSeq.sortBy(_._1)
+    assert(age.toSeq == expAge)
+    assert(age.forall(r => r._3 >= 0 && r._4 >= r._3), "p90 ≥ p50 ≥ 0")
+  }
+
   test("q_concurrency_profile: edge-sweep recompute; counts never negative") {
     val got = SparkEntry.queries("q_concurrency_profile")(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long)].collect()
