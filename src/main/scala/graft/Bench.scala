@@ -166,7 +166,25 @@ object Bench {
       s"""\"$k\":{\"shuffle_bytes\":$sh,\"spill_bytes\":$sp}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$qb,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"bytes":$qb,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver scrapes only the sbt log TAIL, so per-query numbers past
+    // the first ~10 vanish from BENCH_r{N}.json ("parsed": null). Persist
+    // the complete machine-readable record — one {wall, shuffle_bytes,
+    // spill_bytes} row per query — to a stable path the driver (and
+    // round-over-round diffs) can read whole.
+    try {
+      val perQuery = results.map { case (k, wall) =>
+        val (sh, sp) = bytesByQuery(k)
+        s"""\"$k\":{\"wall_sec\":$wall,\"shuffle_bytes\":$sh,\"spill_bytes\":$sp}"""
+      }.mkString("{", ",", "}")
+      val doc = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+        s""""sf":"$sfDir","per_query":$perQuery,"queries":$qs,"bytes":$qb}"""
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, doc + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     // The driver's artifact keeps only the tail of stdout, and the full
     // per-query line above outgrew it in round 8 (the bytes map pushed the
     // timings out of the captured window). Emit a compact summary as the

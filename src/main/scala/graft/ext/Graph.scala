@@ -378,7 +378,10 @@ object Graph {
         s"bfsDistances did not exhaust the frontier in $maxIter rounds — distances past " +
           "the cap would be missing (wrong, not approximate). Raise maxIter.")
     val out = settled.select(col("v").as("id"), col("dist")).localCheckpoint()
-    Seq(adj, settled).foreach(Curation.releaseCheckpoint)
+    // the final (empty) frontier is a distinct checkpoint from `settled`
+    // whenever ≥1 round ran — release it too (unpersist is idempotent, so
+    // the rounds == 0 case, where frontier IS settled, is harmless)
+    Seq(adj, settled, frontier).foreach(Curation.releaseCheckpoint)
     out
   }
 
@@ -398,12 +401,18 @@ object Graph {
     val ss = e.sparkSession
     import ss.implicits._
     def farthest(from: Long): (Long, Long) = {
-      // argmax by (dist DESC, id ASC): a 1-row reduce, not a sort
-      val Array(row) = bfsDistances(e, Seq(from).toDF("id"), maxIter)
+      // argmax by (dist DESC, id ASC): a 1-row reduce, not a sort. The
+      // sweep's distance checkpoint is released as soon as the one-row
+      // argmax is collected — each sweep is |V|-sized and two of them
+      // would otherwise outlive the query (the eager-release discipline
+      // bfsDistances itself documents).
+      val dists = bfsDistances(e, Seq(from).toDF("id"), maxIter)
+      val Array(row) = dists
         .agg(max(struct(col("dist").as("d"), (-col("id")).as("ni"))).as("m"))
         .select(col("m.d"), -col("m.ni"))
         .as[(Long, Long)]
         .collect()
+      Curation.releaseCheckpoint(dists)
       row
     }
     val (_, u) = farthest(seed)

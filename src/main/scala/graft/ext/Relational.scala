@@ -1309,7 +1309,10 @@ object Relational {
         col("key"), col("old_v"), col("new_v"),
         when(col("in_old") === 0, "added")
           .when(col("in_new") === 0, "removed")
-          .when(col("old_v") =!= col("new_v"), "changed")
+          // null-safe: a key present in both snapshots with exactly one
+          // side NULL is a CHANGE — plain =!= yields NULL there and would
+          // fall through to "unchanged"
+          .when(!(col("old_v") <=> col("new_v")), "changed")
           .otherwise("unchanged")
           .as("change"))
   }

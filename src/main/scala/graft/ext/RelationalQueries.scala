@@ -1039,8 +1039,11 @@ object RelationalQueries {
     // counts + a running window over the distinct-value frame (thousands
     // of rows at any corpus size), broadcast back onto one corpus scan —
     // never a corpus-wide empty-over rank window (the 100 TB cliff).
-    // Moments are exact BIGINTs (Σr² ≤ n·(2n)² — document 2⁶³ headroom to
-    // ~10⁹ rows); rho = one fixed-order float expression.
+    // Moments are exact DECIMAL(38,0): ranks reach 2n, so BIGINT products
+    // Σ(2n)² wrap silently past n ≈ 1.3e6 — the decimal lane is exact to
+    // Σ ≤ 4n³ < 10³⁸, i.e. n ≈ 3e12 rows. Each moment is cast to double
+    // ONCE (correctly rounded in both engines) and rho is one fixed-order
+    // float expression over those casts.
     "q_spearman" -> { (s, dir) =>
       def ranks2(df: DataFrame, vCol: String, outCol: String): DataFrame = {
         val w = Window.orderBy(vCol).rowsBetween(Window.unboundedPreceding, -1)
@@ -1051,20 +1054,25 @@ object RelationalQueries {
       }
       val base = Tables.documents(s, dir)
         .select(col("n_chars").as("x"), TextOps.tokenCount(col("text")).cast("long").as("y"))
-      val n = col("n")
-      val num = n * col("sxy") - col("sx") * col("sy")
-      val den = sqrt((n * col("sxx") - col("sx") * col("sx")).cast("double")) *
-        sqrt((n * col("syy") - col("sy") * col("sy")).cast("double"))
+      def d(c: String) = col(c).cast("double")
+      val num = d("n") * d("sxy") - d("sx") * d("sy")
+      val den = sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+        sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+      // decimal(19,0) factors: the product type widens to decimal(38,0)
+      // BEFORE any arithmetic, so nothing ever wraps (a bare rx*ry would
+      // multiply in 64-bit first and overflow silently)
+      def dec(c: String) = col(c).cast("decimal(19,0)")
       base
         .join(broadcast(ranks2(base, "x", "rx")), Seq("x"))
         .join(broadcast(ranks2(base, "y", "ry")), Seq("y"))
         .agg(count(lit(1)).as("n"),
-          sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-          sum(col("rx") * col("ry")).as("sxy"),
-          sum(col("rx") * col("rx")).as("sxx"),
-          sum(col("ry") * col("ry")).as("syy"))
+          sum(col("rx").cast("decimal(38,0)")).as("sx"),
+          sum(col("ry").cast("decimal(38,0)")).as("sy"),
+          sum(dec("rx") * dec("ry")).as("sxy"),
+          sum(dec("rx") * dec("rx")).as("sxx"),
+          sum(dec("ry") * dec("ry")).as("syy"))
         .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
-          (num.cast("double") / den).as("rho"))
+          (num / den).as("rho"))
     },
 
     // KENDALL'S TAU between monthly revenue and monthly order count —
@@ -2053,9 +2061,17 @@ object RelationalQueries {
       val perCust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      // rkey packs (cents, custkey) into one long: cents < 2³¹ (a $21M
+      // single-customer cap) and custkey < 2³² (TPC-H SF ~28k) — both
+      // guarded loudly, because a custkey bleeding into the cents bits
+      // would corrupt decile ordering SILENTLY (the q_curriculum_shards
+      // packing lesson).
       val ranked = Scale.globalRowNumber(
         perCust.select(col("o_custkey"), col("cents"),
-          (col("cents") * lit(1L << 20) + col("o_custkey")).as("rkey")),
+          when(col("cents") >= lit(1L << 31) || col("o_custkey") >= lit(1L << 32) ||
+            col("o_custkey") < 0,
+            raise_error(lit("q_lorenz_curve rkey overflow: cents >= 2^31 or custkey >= 2^32")))
+            .otherwise(col("cents") * lit(1L << 32) + col("o_custkey")).as("rkey")),
         "rkey", partitions = 8)
       val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_cents"))
       val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
@@ -4152,7 +4168,7 @@ object RelationalQueries {
       "FROM orders WHERE o_orderkey % 5 != 0), " +
       "d AS (SELECT coalesce(o.k, n.k) AS k, o.v AS ov, n.v AS nv, " +
       "CASE WHEN o.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' " +
-      "WHEN o.v != n.v THEN 'changed' ELSE 'unchanged' END AS change " +
+      "WHEN o.v IS DISTINCT FROM n.v THEN 'changed' ELSE 'unchanged' END AS change " +
       "FROM oldsnap o FULL JOIN newsnap n ON o.k = n.k) " +
       "SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum, " +
       "CAST(sum(CASE WHEN change = 'changed' THEN nv - ov ELSE 0 END) AS BIGINT) " +
@@ -4387,13 +4403,19 @@ object RelationalQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 " +
       "AS ry FROM vy), " +
       "j AS (SELECT rx, ry FROM base JOIN rx USING (x) JOIN ry USING (y)), " +
-      "m AS (SELECT count(*) AS n, CAST(sum(rx) AS BIGINT) AS sx, " +
-      "CAST(sum(ry) AS BIGINT) AS sy, CAST(sum(rx * ry) AS BIGINT) AS sxy, " +
-      "CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy FROM j) " +
+      // HUGEINT products + DECIMAL(38,0) sums mirror the engine's decimal
+      // lane (exact to 10^38); rho combines one correctly-rounded double
+      // cast per moment in the identical expression order
+      "m AS (SELECT count(*) AS n, CAST(sum(rx) AS DECIMAL(38,0)) AS sx, " +
+      "CAST(sum(ry) AS DECIMAL(38,0)) AS sy, " +
+      "CAST(sum(CAST(rx AS HUGEINT) * ry) AS DECIMAL(38,0)) AS sxy, " +
+      "CAST(sum(CAST(rx AS HUGEINT) * rx) AS DECIMAL(38,0)) AS sxx, " +
+      "CAST(sum(CAST(ry AS HUGEINT) * ry) AS DECIMAL(38,0)) AS syy FROM j) " +
       "SELECT n, sx, sy, sxy, sxx, syy, " +
-      "CAST(n * sxy - sx * sy AS DOUBLE) / " +
-      "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
-      "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho FROM m"),
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+      "AS rho FROM m"),
     // month-grid pair concordance; one division for tau
     "q_kendall_tau" -> ("WITH m AS (SELECT " +
       "CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS x, " +

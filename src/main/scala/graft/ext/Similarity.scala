@@ -135,8 +135,13 @@ object Similarity {
       probes: Seq[(Long, Seq[Double])],
       threshold: Double): DataFrame = {
     require(probes.size >= 2, "need ≥2 probes (greatest arity); union trivial sets upstream")
+    // nanvl per probe, BEFORE greatest(): struct ordering ranks NaN above
+    // every double, so one zero-norm PROBE would otherwise become every
+    // row's "best" and the isnan guard would drop the whole corpus — with
+    // -inf the bad probe simply never wins and valid probes still flag.
     val scored = probes.map { case (pid, pv) =>
-      struct(cosine(col("vec"), typedLit(pv)).as("cos"), lit(pid).as("probe_id"))
+      struct(nanvl(cosine(col("vec"), typedLit(pv)), lit(Double.NegativeInfinity)).as("cos"),
+        lit(pid).as("probe_id"))
     }
     corpus
       .withColumn("best", greatest(scored: _*))
