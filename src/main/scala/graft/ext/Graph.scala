@@ -103,7 +103,19 @@ object Graph {
     * that ARE emitted stay exact cosine, so the oracle recomputing the
     * same buckets hash-agrees bit-for-bit.
     */
-  def knnEdgesLsh(vecs: DataFrame, k: Int, tables: Seq[Array[Array[Long]]]): DataFrame = {
+  def knnEdgesLsh(vecs: DataFrame, k: Int, tables: Seq[Array[Array[Long]]]): DataFrame =
+    knnFromCandidateScores(lshCandidateScores(vecs, tables), k)
+
+  /** The LSH candidate HALF-PAIR frame `(a, b, cos)` with `a < b` — the
+    * k-independent stage of [[knnEdgesLsh]], exposed so one materialized
+    * candidate frame can feed every neighborhood size the graph family
+    * reads (k = 8 analytics, k = 2 components, k = 1 reciprocal-best):
+    * the candidate join is the expensive stage, the per-k ranking is a
+    * window over its output. Multi-table duplicate pairs are RETAINED
+    * (bit-identical cos — the dense-rank dedup downstream is measured
+    * cheaper than a distinct here: ×100 237 → 60 s).
+    */
+  def lshCandidateScores(vecs: DataFrame, tables: Seq[Array[Array[Long]]]): DataFrame = {
     require(tables.nonEmpty && tables.forall(_.length == tables.head.length),
       "need ≥1 LSH tables with a uniform plane count (one probe ring serves all)")
     val masks = 0L +: tables.head.indices.map(1L << _)
@@ -119,7 +131,7 @@ object Graph {
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     // merge hints: both sides are corpus×L-sized (the q_dedup_ngram_jaccard
     // lesson — test-SF stats would broadcast, fatal at corpus scale)
-    val half = pb
+    pb
       .as("x")
       .hint("merge")
       .join(cb.as("y").hint("merge"),
@@ -127,17 +139,21 @@ object Graph {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
-    // Duplicate candidates (same pair via several tables/probes) carry
-    // bit-identical cos, so DENSE rank-then-dedup applies (see
-    // [[Relational.topKPerGroupDense]] — measured ×100: 237 → 60 s vs the
-    // distinct-first form); (cos DESC, b ASC) totally orders distinct
-    // candidates per vertex, the dense-rank precondition.
+  }
+
+  /** Directed kNN edges from a half-pair candidate score frame.
+    * Duplicate candidates (same pair via several tables/probes) carry
+    * bit-identical cos, so DENSE rank-then-dedup applies (see
+    * [[Relational.topKPerGroupDense]] — measured ×100: 237 → 60 s vs the
+    * distinct-first form); (cos DESC, b ASC) totally orders distinct
+    * candidates per vertex, the dense-rank precondition.
+    */
+  def knnFromCandidateScores(half: DataFrame, k: Int): DataFrame =
     Relational
       .topKPerGroupDense(symmetrize(half), Seq("a"),
         Seq(col("cos").desc, col("b").asc), k)
       .select(col("a"), col("b"))
       .distinct()
-  }
 
   /** Mutual-kNN symmetrization: canonical edge (lo, hi) iff BOTH a→b and
     * b→a are kNN edges — the hubness-robust graph (a hub that everyone
@@ -159,20 +175,27 @@ object Graph {
     // self-join, and an unmaterialized plan would run the kNN build —
     // the dominant cost — once per reference
     val knn = directed.localCheckpoint()
-    // merge hint: the directed edge frame is corpus×k-sized — at test SF
-    // stats would broadcast it (fatal at corpus scale, the
-    // q_dedup_ngram_jaccard lesson)
-    val out = knn
+    val out = mutualKnnFromDirected(knn).localCheckpoint()
+    Curation.releaseCheckpoint(knn)
+    out
+  }
+
+  /** The mutual self-join over an ALREADY-MATERIALIZED directed edge frame
+    * — the tail of [[mutualize]] without the checkpoint/release lifecycle,
+    * for callers (the [[GraphQueries]] session memo) that own their
+    * directed frame's storage and read it from cache on both join sides.
+    * Merge hint: the directed edge frame is corpus×k-sized — at test SF
+    * stats would broadcast it (fatal at corpus scale, the
+    * q_dedup_ngram_jaccard lesson).
+    */
+  def mutualKnnFromDirected(knn: DataFrame): DataFrame =
+    knn
       .join(
         knn.select(col("b").as("a"), col("a").as("b")).hint("merge"),
         Seq("a", "b"),
         "left_semi")
       .filter(col("a") < col("b"))
       .select(col("a").as("lo"), col("b").as("hi"))
-      .localCheckpoint()
-    Curation.releaseCheckpoint(knn)
-    out
-  }
 
   /** Per-vertex triangle counts via degree-ordered orientation: orient
     * every undirected edge from its lower (degree, id) endpoint to the

@@ -6,19 +6,45 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Declared queries for the [[Graph]] operators, all over the SAME graph:
-  * the mutual-8-NN cosine graph of the `embeddings` table. The kNN builder
-  * reuses the oracle-proven cosine machinery (`graft_cos` ≡ the oracle's
-  * fold, rank ties broken (cos DESC, id ASC) — the q_cosine_topk
-  * contract), and DuckDB's `list_dot_product` is bit-identical to the
-  * fold (verified exhaustively on every pair at sf0.01 and on 81k sf0.1
-  * pairs), so the edge set — and everything downstream — hash-matches.
+  * the mutual-kNN cosine graph of the `embeddings` table, built from
+  * SIZED-LSH candidates — 3 independent hyperplane tables whose plane
+  * count follows [[Similarity.planesForExact]] (target bucket 64), so the
+  * candidate join stays corpus-LINEAR at any scale (the exact all-pairs
+  * builder [[Graph.knnEdges]] is kept for tests and small ad-hoc corpora;
+  * its ×10 ladder measured exact 190× / fixed-plane ~15× / sized 4.2×).
+  *
+  * Two design moves make the sized builder first-class rather than a
+  * rows-only "production path" note:
+  *
+  *  1. **Self-sizing oracle.** The plane count is derived with INTEGER
+  *     arithmetic from the corpus count on BOTH sides — the engine calls
+  *     `planesForExact(count)`, the DuckDB oracle computes the same
+  *     `min(p) WHERE 64·2^p ≥ count(*)` and gates each plane's sign bit on
+  *     `p < np` (hyperplanes are tabulated per (seed, plane, dim), so the
+  *     first np rows of the [[MaxPlanes]]-plane constant table ARE the
+  *     np-plane table). One static SQL string therefore hash-checks the
+  *     sized build at EVERY scale factor, up to the gate's corpus cap of
+  *     64·2^[[MaxPlanes]] (≈ 4.2M vectors; the engine itself sizes past
+  *     that unhindered — only the oracle stops there).
+  *  2. **Session-memoized edge frames.** The candidate score frame is
+  *     k-independent, so ONE materialized build ([[Memo]]) serves every
+  *     neighborhood size the family reads (k=8 analytics, k=2 components,
+  *     k=1 reciprocal-best, k=5 label votes) across all declared queries —
+  *     Verify/Bench run each query as an independent closure, and without
+  *     the memo each would rebuild the same edge frame (measured ~12
+  *     rebuilds ≈ 35 s of a 346 s full bench).
+  *
+  * Scoring reuses the oracle-proven cosine machinery (`graft_cos` ≡ the
+  * oracle's fold, bit-identical — verified exhaustively at sf0.01), and
+  * candidates that ARE emitted carry exact cosine, so the edge set — and
+  * everything downstream — hash-matches the oracle recomputing the same
+  * buckets.
   */
 object GraphQueries {
 
   /** Mutual-kNN neighborhood size. 8 keeps the graph non-degenerate at
-    * every driver SF (measured: 1.6k/1.6k/6.5k mutual edges, 141/161/355
-    * triangles at sf0.001/0.01/0.1) — small enough that the 4-core
-    * actually peels (3/5/4 rounds) instead of being a no-op.
+    * every driver SF — small enough that the 4-core actually peels
+    * instead of being a no-op.
     */
   private val K = 8
 
@@ -28,19 +54,34 @@ object GraphQueries {
     */
   private val CoreK = 4
 
-  /** Mutual-neighborhood size for the components query: k=2 keeps only
-    * each vector's two strongest reciprocated ties, so the graph
-    * FRAGMENTS into micro-clusters (k=8 is one giant component at every
-    * driver SF — a 1-row result checks the closure but shows nothing).
+  /** Mutual-neighborhood size for the components/BFS/diameter queries:
+    * k=2 keeps only each vector's two strongest reciprocated ties, so the
+    * graph FRAGMENTS into micro-clusters (k=8 is one giant component at
+    * every driver SF — a 1-row result checks the closure but shows
+    * nothing).
     */
   private val ComponentsK = 2
 
   /** Oracle unroll depth for the k-core peel. The engine peels to an
     * exact fixpoint at ANY scale; the unrolled oracle is valid whenever
-    * convergence takes ≤ this many rounds — measured 3/5/4 rounds at
-    * sf0.001/0.01/0.1, re-checked by the tri-SF sweeps.
+    * convergence takes ≤ this many rounds (re-checked by the tri-SF
+    * sweeps on every surface change).
     */
   private val PeelRounds = 8
+
+  /** Sizing target: mean LSH bucket occupancy the plane count holds. */
+  private[graft] val TargetBucket = 64L
+
+  /** Plane-constant depth of the self-sizing ORACLE (the engine sizes to
+    * 62 planes regardless): the gated bucket SQL embeds this many planes
+    * per table, so the oracle checks corpora up to 64·2^16 ≈ 4.2M vectors
+    * — far past any sweep/driver SF.
+    */
+  private val MaxPlanes = 16
+
+  /** Seeds of the 3 independent sized tables (shared with the historical
+    * rows-only auto query, now hash-checked). */
+  private val SeedNames = Seq("t0-plane", "t1-plane", "t2-plane")
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // graft_cos (idempotent)
@@ -49,8 +90,46 @@ object GraphQueries {
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
   }
 
-  private def graph(s: SparkSession, dir: String): DataFrame =
-    Graph.mutualKnnEdges(vecs(s, dir), K)
+  /** The 3 sized plane tables for an n-vector corpus. */
+  private[graft] def sizedTables(n: Long): Seq[Array[Array[Long]]] = {
+    val np = Similarity.planesForExact(n, TargetBucket)
+    SeedNames.map(Similarity.hyperplanes(np, 64, _))
+  }
+
+  /** Sized-LSH candidate half-pairs (a, b, cos), built + materialized once
+    * per (session, dir) — the k-independent stage every graph query rides.
+    * One metadata-only count() sizes the tables.
+    */
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"graph-cand-sized|$dir") {
+      val v = vecs(s, dir)
+      Graph.lshCandidateScores(v, sizedTables(v.count()))
+    }
+
+  /** Directed sized-LSH kNN edges at k, from the shared candidate frame. */
+  private def directedK(s: SparkSession, dir: String, k: Int): DataFrame =
+    Memo.cached(s, s"graph-knn-sized|$dir|$k") {
+      Graph.knnFromCandidateScores(candidates(s, dir), k)
+    }
+
+  /** Mutual sized-LSH kNN edge frame (lo, hi) at k — THE graph every
+    * declared query consumes; materialized once per (session, dir, k). */
+  private[graft] def mutualK(s: SparkSession, dir: String, k: Int): DataFrame =
+    Memo.cached(s, s"graph-mutual-sized|$dir|$k") {
+      Graph.mutualKnnFromDirected(directedK(s, dir, k))
+    }
+
+  private def graph(s: SparkSession, dir: String): DataFrame = mutualK(s, dir, K)
+
+  /** The FIXED-plane (4-plane Tables3) mutual-8NN frame — kept declared as
+    * the fixed-constant twin of the sized build (it pins the bucket/probe
+    * machinery against plan-literal tables), shared by the two fixed-plane
+    * consumers via the same memo.
+    */
+  private def fixedMutual(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"graph-mutual-fixed|$dir") {
+      Graph.mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vertex triangle participation + degree over the mutual-kNN
@@ -84,17 +163,14 @@ object GraphQueries {
         .orderBy("label")
     },
 
-    // q_label_noise on the LSH-CANDIDATE builder: the vote runs over
-    // MUTUAL LSH-kNN neighbors (the hash-exact fixed-plane
-    // q_graph_mutual_lsh frame). The declared fixed-plane form pins the
-    // composition's semantics; SCALE comes from the planesFor sizing knob
-    // (the measured three-builder ladder: exact 190× / fixed-plane ~15× /
-    // SIZED 4.2× at ×10 — bucket count must track the corpus). Same
-    // baseline-calibrated flag; isolated vertices (no mutual tie) simply
-    // emit no row — they have no voters.
+    // q_label_noise on the FIXED-plane builder: the vote runs over mutual
+    // LSH-kNN neighbors from the hash-exact 4-plane Tables3 frame — the
+    // plan-literal twin that pins the bucket/probe machinery with
+    // count-independent constants. Same baseline-calibrated flag as
+    // q_label_noise; isolated vertices (no mutual tie) simply emit no row.
     "q_label_noise_lsh" -> { (s, dir) =>
       val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
-      val mutual = Graph.mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
+      val mutual = fixedMutual(s, dir)
       val directed = mutual.select(col("lo").as("a"), col("hi").as("b"))
         .unionByName(mutual.select(col("hi").as("a"), col("lo").as("b")))
       val perId = directed
@@ -115,9 +191,9 @@ object GraphQueries {
     },
 
     // Label-noise detection by LOCAL disagreement (confident-learning
-    // lite): each vector's 5 nearest neighbors vote, and a vector whose
-    // disagreement rate exceeds the CORPUS-WIDE baseline is a
-    // mislabel/boundary suspect. The baseline calibration is what makes
+    // lite): each vector's 5 nearest sized-LSH neighbors vote, and a
+    // vector whose disagreement rate exceeds the CORPUS-WIDE baseline is
+    // a mislabel/boundary suspect. The baseline calibration is what makes
     // the flag meaningful at any label/geometry alignment — an absolute
     // majority test saturates when labels correlate weakly with cosine
     // geometry (10 near-random labels ⇒ ~90% disagreement everywhere).
@@ -125,7 +201,7 @@ object GraphQueries {
     // The local complement of q_embed_outliers' global centroid distance.
     "q_label_noise" -> { (s, dir) =>
       val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
-      val perId = Graph.knnEdges(vecs(s, dir), k = 5)
+      val perId = directedK(s, dir, 5)
         .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
         .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
         .groupBy(col("a").as("id"))
@@ -142,37 +218,24 @@ object GraphQueries {
         .orderBy("id")
     },
 
-    // The corpus-scale graph BUILDER itself, hash-checked: mutual-8-NN
-    // edges over LSH-bucketed candidates (3 fixed tables, Hamming-1
-    // multi-probe — the q_ann_lsh machinery turned symmetric). Same
-    // downstream operators as the exact graph; the build is corpus-linear
-    // under the planesFor sizing rule instead of quadratic. Approximation
-    // enters only through the candidate set (missed pairs can also
-    // PROMOTE later neighbors — see [[Graph.knnEdgesLsh]]); emitted
-    // candidates score exact cosine, so the oracle recomputing identical
-    // buckets matches bit-for-bit.
+    // The fixed-plane graph BUILDER, hash-checked: mutual-8-NN edges over
+    // LSH-bucketed candidates (3 fixed 4-plane tables, Hamming-1
+    // multi-probe — the q_ann_lsh machinery turned symmetric). Kept
+    // alongside the sized build as the plan-literal pin: its plane
+    // constants are count-independent, so any drift in the bucket/probe/
+    // rank machinery shows here without the sizing rule in the loop.
     "q_graph_mutual_lsh" -> { (s, dir) =>
-      Graph
-        .mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
-        .orderBy("lo", "hi")
+      fixedMutual(s, dir).orderBy("lo", "hi")
     },
 
-    // The SIZED production form (rows-only by design, the
-    // q_embed_neardup_auto precedent): 3 LSH tables whose plane count
-    // follows planesFor(corpus) so within-bucket candidate volume stays
-    // corpus-linear at ANY scale — plane count depends on the row count,
-    // which no fixed oracle can reproduce across SFs. Correctness
-    // evidence: the fixed-table q_graph_mutual_lsh hash row (identical
-    // machinery) + GraphSpec's recall law. One metadata-only count()
-    // sizes the tables.
+    // The SIZED production build itself, hash-checked end-to-end (this is
+    // the frame every other graph query consumes): 3 LSH tables whose
+    // plane count follows planesForExact(count) so within-bucket candidate
+    // volume stays corpus-linear at ANY scale. The oracle re-derives the
+    // plane count from its own count(*) with the same integer rule —
+    // see the self-sizing chain in [[sizedKnnCtes]].
     "q_graph_mutual_lsh_auto" -> { (s, dir) =>
-      val v = vecs(s, dir)
-      val nPlanes = Similarity.planesFor(v.count(), targetBucketSize = 64)
-      val tables = Seq("t0-plane", "t1-plane", "t2-plane")
-        .map(seed => Similarity.hyperplanes(nPlanes, 64, seed))
-      Graph
-        .mutualKnnEdgesLsh(v, K, tables)
-        .orderBy("lo", "hi")
+      graph(s, dir).orderBy("lo", "hi")
     },
 
     // Connected components of the mutual-kNN graph — embedding-space
@@ -181,15 +244,12 @@ object GraphQueries {
     // regime where min-label propagation pays one round per HOP and its
     // 30-round cap becomes a hard diameter bound (it throws rather than
     // return partial labels). The STAR-contraction variant converges in
-    // O(log n) rounds at ANY diameter — measured ≈ equal wall at ×10
-    // (115 vs 110 s; per-round fixed costs dominate at this size, and
-    // both sit on the same quadratic exact-kNN build) but it cannot hit
-    // the round cap. Same machinery as the doc dedup clusters
-    // (q_dup_clusters_star), same recursive-CTE oracle shape.
+    // O(log n) rounds at ANY diameter and cannot hit the round cap. Same
+    // machinery as the doc dedup clusters (q_dup_clusters_star), same
+    // recursive-CTE oracle shape.
     "q_graph_components" -> { (s, dir) =>
       Curation
-        .connectedComponentsStar(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK),
-          aCol = "lo", bCol = "hi")
+        .connectedComponentsStar(mutualK(s, dir, ComponentsK), aCol = "lo", bCol = "hi")
         .groupBy(col("cluster").as("cluster_id"))
         .agg(
           count(lit(1)).as("n_nodes"),
@@ -199,15 +259,16 @@ object GraphQueries {
         .orderBy("cluster_id")
     },
 
-    // Link prediction ([[Graph.linkPrediction]]): the distance-2 pairs the
-    // mutual-kNN builder did NOT connect, ranked by common-neighbor count
-    // and the integer-exact resource-allocation index — the "missed
+    // Link prediction ([[Graph.linkPredictionCore]]): the distance-2 pairs
+    // the mutual-kNN builder did NOT connect, ranked by common-neighbor
+    // count and the integer-exact resource-allocation index — the "missed
     // near-dup edge" audit. Support cut cn ≥ 2 bounds the output; the
-    // wedge join is deg ≤ K bounded. Same mutual edge set as every other
-    // graph oracle.
+    // wedge join is deg ≤ K bounded. Consumes the memoized edge frame
+    // directly (already materialized — the Core form skips the redundant
+    // checkpoint copy linkPrediction makes for un-materialized inputs).
     "q_link_prediction" -> { (s, dir) =>
       Graph
-        .linkPrediction(graph(s, dir), minCommon = 2L)
+        .linkPredictionCore(graph(s, dir), minCommon = 2L)
         .orderBy("a", "b")
     },
 
@@ -246,9 +307,7 @@ object GraphQueries {
     // similarity pipeline can emit without choosing a threshold (the
     // bioinformatics "reciprocal best hits" idiom).
     "q_mutual_nn" -> { (s, dir) =>
-      Graph
-        .mutualKnnEdges(vecs(s, dir), 1)
-        .orderBy("lo", "hi")
+      mutualK(s, dir, 1).orderBy("lo", "hi")
     },
 
     // Multi-source BFS hop distance from anchor seeds (every 50th vec_id)
@@ -263,7 +322,7 @@ object GraphQueries {
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("id"))
       Graph
-        .bfsDistances(Graph.mutualKnnEdges(vecs(s, dir), ComponentsK), seeds)
+        .bfsDistances(mutualK(s, dir, ComponentsK), seeds)
         .orderBy("id")
     },
 
@@ -274,7 +333,7 @@ object GraphQueries {
     // are chain-like). One tiny driver-side seed/argmax per sweep.
     "q_graph_diameter" -> { (s, dir) =>
       import s.implicits._
-      val e = Graph.mutualKnnEdges(vecs(s, dir), ComponentsK)
+      val e = mutualK(s, dir, ComponentsK)
       val seed = e.agg(min(col("lo"))).as[Long].head()
       Graph.diameterLowerBound(e, seed)
     },
@@ -287,10 +346,11 @@ object GraphQueries {
     // exact BIGINT sufficient statistics (the q_corr_stats pattern); by
     // symmetry Sx = Sy and Sxx = Syy, so r reduces to ONE double division
     // of two exact integers: (M·Sxy − Sx²)/(M·Sxx − Sx²). The edge frame
-    // is checkpointed once (it feeds the degree agg AND both stat joins);
-    // deg ≤ K bounds every product, so stats fit Long at any corpus size.
+    // arrives memo-materialized (it feeds the degree agg AND both stat
+    // joins); deg ≤ K bounds every product, so stats fit Long at any
+    // corpus size.
     "q_graph_assortativity" -> { (s, dir) =>
-      val edges = graph(s, dir).localCheckpoint()
+      val edges = graph(s, dir)
       val directed = edges.select(col("lo").as("a"), col("hi").as("b"))
         .unionByName(edges.select(col("hi").as("a"), col("lo").as("b")))
       val deg = directed.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
@@ -308,36 +368,77 @@ object GraphQueries {
     }
   )
 
-  /** Shared oracle CTE chain: embeddings → all-pairs cosine → directed
-    * 8-NN → mutual edges. `list_dot_product` ≡ the left-fold the engine
-    * codegens (verified bit-exact on every sf0.01 pair). `knn` and
-    * `mutual` are MATERIALIZED: both are referenced more than once
-    * downstream, and DuckDB's default CTE inlining would re-run the
-    * all-pairs scan per reference — exponentially so through the unrolled
-    * peel chain (the un-hinted form exhausted file handles re-opening the
-    * parquet 2^rounds times).
+  /** Plane-constant tables for the self-sizing oracle: [[MaxPlanes]] planes
+    * per seed — hyperplanes are tabulated per (seed, plane, dim), so the
+    * first np rows ARE the np-plane table the engine builds (prefix
+    * property; pinned in GraphSpec).
     */
-  private val KnnCtes = knnCtes(K)
+  private lazy val SizedW: Seq[Array[Array[Long]]] =
+    SeedNames.map(Similarity.hyperplanes(MaxPlanes, 64, _))
 
-  /** The same chain at an arbitrary neighborhood size (the components
-    * query reads a sparser k=2 graph so clusters actually fragment). */
-  private def knnCtes(k: Int): String =
-    "v0 AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
+  /** The gated bucket expression: plane p contributes its sign bit only
+    * when `p < np` (np = the self-sized plane count, in scope from the
+    * chain's `np` CTE) — the SQL twin of the engine hashing with
+    * hyperplanes(np). Same per-plane dot (left-to-right double sum) and
+    * the same `> 0` sign test as [[SimilarityQueries.bucketSql]].
+    */
+  private def gatedBucketSql(v: String, planes: Array[Array[Long]]): String =
+    planes.zipWithIndex
+      .map { case (w, p) =>
+        val d = w.zipWithIndex.map { case (wi, i) => s"$v[${i + 1}] * ($wi)" }.mkString(" + ")
+        s"(CASE WHEN $p < np AND $d > 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  /** Self-sizing LSH kNN oracle chain, ending in `knn` (directed rank ≤ k)
+    * and `mutual` (canonical lo < hi) — mirrors [[Graph.lshCandidateScores]]
+    * + [[Graph.knnFromCandidateScores]] + the mutual self-join over the
+    * SIZED tables:
+    *  - `np` re-derives the plane count from count(*) with the identical
+    *    integer rule as [[Similarity.planesForExact]] (smallest p in
+    *    [1, MaxPlanes] with 64·2^p ≥ n; an over-cap corpus yields NULL and
+    *    fails LOUDLY rather than checking the wrong graph);
+    *  - buckets gate each embedded plane constant on p < np;
+    *  - the probe ring is Hamming-1 over the np live bits (masks 0,
+    *    2^0..2^(np-1)), from the smaller-id side only;
+    *  - exact cosine on candidates, DISTINCT before ranking (multi-table
+    *    dups carry bit-identical cos ≡ the engine's dense-rank dedup),
+    *    NaN dropped before ranking, (cos DESC, b ASC) row_number ≤ k,
+    *    then the mutual self-join.
+    * `b`, `cand`, `knn`, `mutual` are MATERIALIZED — each is referenced
+    * more than once downstream and DuckDB's CTE inlining would re-run the
+    * bucket scan per reference (exponentially so through the unrolled
+    * peel chain).
+    */
+  private def sizedKnnCtes(k: Int): String = {
+    val perTable = SizedW.zipWithIndex
+      .map { case (w, t) =>
+        s"SELECT id, vec, $t AS t, ${gatedBucketSql("vec", w)} AS bucket FROM v, np"
+      }
+      .mkString(" UNION ALL ")
+    "cnt AS (SELECT count(*) AS n FROM embeddings), " +
+      s"np AS (SELECT min(p) AS np FROM generate_series(1, $MaxPlanes) gs(p), cnt " +
+      s"WHERE $TargetBucket * (1::BIGINT << p) >= n), " +
+      "v AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
       "FROM embeddings), " +
-      // unit-normalize ONCE per row, exactly like the engine (divide each
-      // element by sqrt(self-dot)); cosine is then one dot per pair
-      "v AS (SELECT id, list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) " +
-      "AS vec FROM v0), " +
-      "scored AS (SELECT q.id AS a, c.id AS b, " +
-      "list_dot_product(q.vec, c.vec) AS cos FROM v q JOIN v c ON q.id != c.id), " +
-      // NaN guard mirrors the engine's filter(!isnan(cos)): a zero-norm
-      // vector normalizes to NaNs and DuckDB's ORDER BY cos DESC would
-      // otherwise rank NaN above every double (same trap as Spark)
-      s"knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
-      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM scored " +
+      s"b AS MATERIALIZED ($perTable), " +
+      "p AS (SELECT id, vec, t, " +
+      "xor(bucket, CASE WHEN g = 0 THEN 0::BIGINT ELSE 1::BIGINT << (g - 1) END) AS bucket " +
+      s"FROM b, np, generate_series(0, $MaxPlanes) gg(g) WHERE g = 0 OR g <= np), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT p.id AS a, c.id AS b, " +
+      s"${SimilarityQueries.cosSql("p.vec", "c.vec")} AS cos " +
+      "FROM p JOIN b c ON p.t = c.t AND p.bucket = c.bucket AND p.id < c.id), " +
+      "sym AS (SELECT a, b, cos FROM cand " +
+      "UNION ALL SELECT b AS a, a AS b, cos FROM cand), " +
+      "knn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
+      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM sym " +
       s"WHERE NOT isnan(cos)) WHERE rn <= $k), " +
       "mutual AS MATERIALIZED (SELECT x.a AS lo, x.b AS hi FROM knn x " +
       "JOIN knn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
+  }
+
+  /** The k=[[K]] chain every analytics oracle shares. */
+  private lazy val KnnCtes = sizedKnnCtes(K)
 
   /** One peel round: degrees of e{i-1}, then keep edges whose both
     * endpoints have degree ≥ k. Mirrors one engine iteration exactly.
@@ -363,7 +464,7 @@ object GraphQueries {
       "SELECT deg.v AS id, deg.deg, coalesce(pv.tri, 0) AS tri " +
       "FROM deg LEFT JOIN pv USING (v) ORDER BY id"),
     // the engine peels to fixpoint; the oracle unrolls PeelRounds rounds
-    // (strictly more than the measured 3/5/4 at the driver SFs — extra
+    // (strictly more than the measured rounds at the driver SFs — extra
     // rounds past the fixpoint are no-ops)
     "q_graph_kcore" -> (s"WITH $KnnCtes, e0 AS MATERIALIZED (SELECT lo, hi FROM mutual), " +
       (1 to PeelRounds).map(peelRound).mkString(", ") + " " +
@@ -383,8 +484,9 @@ object GraphQueries {
       "SELECT id, n_nbrs, n_diff, n_diff * 1000000 // n_nbrs AS noise_q6, " +
       "n_diff * tn > n_nbrs * td AS suspect " +
       "FROM per, tot ORDER BY 1"),
-    // knnCtes(5) gives the directed 5-NN frame; labels join per side
-    "q_label_noise" -> (s"WITH ${knnCtes(5)}, " +
+    // sizedKnnCtes(5) gives the directed sized 5-NN frame; labels join
+    // per side
+    "q_label_noise" -> (s"WITH ${sizedKnnCtes(5)}, " +
       "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
       "d AS (SELECT k.a AS id, CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS diff " +
       "FROM knn k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id), " +
@@ -410,7 +512,11 @@ object GraphQueries {
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
     "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
-    "q_mutual_nn" -> (s"WITH ${knnCtes(1)} SELECT lo, hi FROM mutual ORDER BY lo, hi"),
+    // the SIZED chain's mutual frame itself — the self-sizing oracle
+    // re-derives np from count(*), so this one static string hash-checks
+    // the production builder at every sweep SF
+    "q_graph_mutual_lsh_auto" -> (s"WITH $KnnCtes SELECT lo, hi FROM mutual ORDER BY lo, hi"),
+    "q_mutual_nn" -> (s"WITH ${sizedKnnCtes(1)} SELECT lo, hi FROM mutual ORDER BY lo, hi"),
     // triangle oracle + the q6 quotient; deg < 2 pinned to 0
     "q_clustering_coeff" -> (s"WITH $KnnCtes, " +
       "deg AS (SELECT v, count(*) AS deg FROM (SELECT lo AS v FROM mutual " +
@@ -427,14 +533,9 @@ object GraphQueries {
       "deg AS (SELECT v, count(*) AS deg FROM (SELECT lo AS v FROM mutual " +
       "UNION ALL SELECT hi FROM mutual) GROUP BY 1) " +
       "SELECT deg, count(*) AS n_vertices FROM deg GROUP BY 1 ORDER BY 1"),
-    // breadth-first walk as a depth-bounded recursive CTE over the same
-    // k=2 mutual edge set; UNION (distinct) dedups (v, d) pairs and the
-    // d < 64 bound guarantees termination (the engine iterates to frontier
-    // exhaustion — 64 strictly dominates the measured seed eccentricity at
-    // every driver SF); min(d) per vertex is the BFS distance
     // two depth-bounded recursive walks; u = argmax(dist, min id) of the
     // first, the bound = the second's max distance (same tiebreak)
-    "q_graph_diameter" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+    "q_graph_diameter" -> (s"WITH RECURSIVE ${sizedKnnCtes(ComponentsK)}, " +
       "gedges AS (SELECT lo AS v, hi AS w FROM mutual " +
       "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
       "sdt AS (SELECT min(lo) AS sv FROM mutual), " +
@@ -450,7 +551,12 @@ object GraphQueries {
       "vv AS (SELECT v AS fv, d AS fd FROM dd2 ORDER BY d DESC, v ASC LIMIT 1) " +
       "SELECT sdt.sv AS seed, uu.uv AS u, vv.fv AS v, CAST(vv.fd AS BIGINT) AS diameter_lb " +
       "FROM sdt, uu, vv"),
-    "q_graph_bfs" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+    // breadth-first walk as a depth-bounded recursive CTE over the same
+    // k=2 mutual edge set; UNION (distinct) dedups (v, d) pairs and the
+    // d < 64 bound guarantees termination (the engine iterates to frontier
+    // exhaustion — 64 strictly dominates the measured seed eccentricity at
+    // every driver SF); min(d) per vertex is the BFS distance
+    "q_graph_bfs" -> (s"WITH RECURSIVE ${sizedKnnCtes(ComponentsK)}, " +
       "gedges AS (SELECT lo AS v, hi AS w FROM mutual " +
       "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
       "walk(v, d) AS (SELECT vec_id AS v, 0 AS d FROM embeddings WHERE vec_id % 50 = 0 " +
@@ -459,7 +565,7 @@ object GraphQueries {
       "SELECT v AS id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY v ORDER BY id"),
     // transitive closure over the SAME mutual edge set the other graph
     // oracles read (the q_dup_clusters recursive shape on the kNN graph)
-    "q_graph_components" -> (s"WITH RECURSIVE ${knnCtes(ComponentsK)}, " +
+    "q_graph_components" -> (s"WITH RECURSIVE ${sizedKnnCtes(ComponentsK)}, " +
       "gedges AS (SELECT lo AS src, hi AS dst FROM mutual " +
       "UNION SELECT hi AS src, lo AS dst FROM mutual), " +
       "reach(v, r) AS (SELECT src AS v, src AS r FROM gedges " +
@@ -468,9 +574,6 @@ object GraphQueries {
       "SELECT cluster AS cluster_id, count(*) AS n_nodes, " +
       "string_agg(id::VARCHAR, '-' ORDER BY id) AS members " +
       "FROM glabels GROUP BY 1 ORDER BY 1"),
-    // wedge join on the symmetric adjacency, per-neighbor 1000000 // deg
-    // terms (≡ Spark DIV on the non-negative degrees), NOT EXISTS drops
-    // already-connected pairs — the engine's left_anti
     // same directed edge list + degree join; r is one double division of
     // two exact BIGINT moment combinations (Sx=Sy, Sxx=Syy by symmetry)
     "q_graph_assortativity" -> (s"WITH $KnnCtes, " +
@@ -484,6 +587,9 @@ object GraphQueries {
       "SELECT m, sx, sxy, sxx, " +
       "CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE) " +
       "AS assortativity FROM st"),
+    // wedge join on the symmetric adjacency, per-neighbor 1000000 // deg
+    // terms (≡ Spark DIV on the non-negative degrees), NOT EXISTS drops
+    // already-connected pairs — the engine's left_anti
     "q_link_prediction" -> (s"WITH $KnnCtes, " +
       "adj AS (SELECT lo AS v, hi AS w FROM mutual " +
       "UNION ALL SELECT hi AS v, lo AS w FROM mutual), " +
@@ -498,13 +604,14 @@ object GraphQueries {
       "ORDER BY a, b")
   )
 
-  /** LSH-candidate oracle chain mirroring [[Graph.knnEdgesLsh]] +
-    * mutualization: the q_ann_lsh bucket/probe SQL (same 3 plane tables,
-    * same Hamming-1 XOR ring, probe from the smaller-id side only), exact
-    * cosine on candidates, DISTINCT before ranking (multi-table dups carry
-    * bit-identical cos), directed rank ≤ K, then the mutual self-join.
-    * `b` and `cand` are MATERIALIZED — each is referenced twice and
-    * DuckDB's CTE inlining would re-run the bucket scan per reference.
+  /** FIXED-plane LSH oracle chain mirroring [[Graph.knnEdgesLsh]] over
+    * [[SimilarityQueries.Tables3]] + mutualization: the q_ann_lsh
+    * bucket/probe SQL (same 3 plane tables, same Hamming-1 XOR ring, probe
+    * from the smaller-id side only), exact cosine on candidates, DISTINCT
+    * before ranking (multi-table dups carry bit-identical cos), directed
+    * rank ≤ K, then the mutual self-join. `b` and `cand` are MATERIALIZED
+    * — each is referenced twice and DuckDB's CTE inlining would re-run the
+    * bucket scan per reference.
     */
   private lazy val LshKnnCtes: String = {
     val masks = (0L +: (0 until SimilarityQueries.Planes).map(1L << _)).mkString(", ")

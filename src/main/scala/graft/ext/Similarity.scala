@@ -314,6 +314,22 @@ object Similarity {
     math.min(62, math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
   }
 
+  /** [[planesFor]] in pure INTEGER arithmetic: the smallest p in [1, 62]
+    * with targetBucketSize·2^p ≥ corpusCount. Same value as [[planesFor]]
+    * everywhere the float log is well-behaved, but with NO dependence on
+    * log/ceil rounding at power-of-two boundaries — which is what lets a
+    * DuckDB oracle reproduce the sizing bit-for-bit from its own count(*)
+    * (`min(p) FROM generate_series WHERE target * (1 << p) >= n`), making
+    * the SIZED LSH graph builder hash-checkable at any scale factor from
+    * one static SQL string (the self-sizing oracle in [[GraphQueries]]).
+    */
+  def planesForExact(corpusCount: Long, targetBucketSize: Long = 64): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    var p = 1
+    while (p < 62 && targetBucketSize * (1L << p) < corpusCount) p += 1
+    p
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: the corpus is bucketed once; each
     * query probes its own bucket plus every bucket one sign-bit away
     * (`planes`+1 probes). Multi-probe recovers most of the recall lost to

@@ -494,12 +494,10 @@ class Round11Spec extends SparkSpec {
   test("q_graph_assortativity: moments match a Scala recompute over the mutual edges") {
     val r = SparkEntry.queries("q_graph_assortativity")(spark, dir).collect().head
     graft.functions.GraftFunctions.register(spark)
-    val edges = graft.ext.Graph
-      .mutualKnnEdges(
-        Tables.embeddings(spark, dir)
-          .select(col("vec_id").as("id"),
-            graft.ext.Similarity.asDouble(col("embedding")).as("vec")),
-        k = 8)
+    // reference edge set = the SAME sized-LSH mutual-8 frame the declared
+    // query consumes (the memo returns the identical materialized frame)
+    val edges = graft.ext.GraphQueries
+      .mutualK(spark, dir, 8)
       .collect()
       .map(e => (e.getLong(0), e.getLong(1)))
     val directed = edges.flatMap(e => Seq(e, e.swap))

@@ -675,8 +675,14 @@ class Round11bSpec extends SparkSpec {
   }
 
   test("q_spearman: tie-averaged-rank recompute; rho in [-1, 1]") {
-    val got = SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.001")
+    // moments ride the DECIMAL(38,0) lane (BIGINT products wrap past
+    // n ≈ 1.3e6); at this SF every value fits a Long exactly
+    val got0 = SparkEntry.queries("q_spearman")(spark, "/root/testdata/sf0.001")
+      .selectExpr("n", "CAST(sx AS BIGINT) AS sx", "CAST(sy AS BIGINT) AS sy",
+        "CAST(sxy AS BIGINT) AS sxy", "CAST(sxx AS BIGINT) AS sxx",
+        "CAST(syy AS BIGINT) AS syy", "rho")
       .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    val got = got0
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("n_chars"),
         graft.ext.TextOps.tokenCount(col("text")).cast("long"))
@@ -1067,14 +1073,11 @@ class Round11bSpec extends SparkSpec {
     // matching: top-1 is unique per vertex, so each vertex joins ≤ 1 edge
     val verts = nn.flatMap(p => Seq(p._1, p._2))
     assert(verts.distinct.length == verts.length, "mutual-1-NN must be a matching")
-    // rank ≤ 1 both ways ⇒ rank ≤ 8 both ways: subset of the k=8 mutual graph
+    // rank ≤ 1 both ways ⇒ rank ≤ 8 both ways: subset of the k=8 mutual
+    // graph (same sized-LSH candidate frame on both sides via the memo)
     graft.functions.GraftFunctions.register(spark)
-    val m8 = graft.ext.Graph
-      .mutualKnnEdges(
-        Tables.embeddings(spark, "/root/testdata/sf0.001")
-          .select(col("vec_id").as("id"),
-            graft.ext.Similarity.asDouble(col("embedding")).as("vec")),
-        8)
+    val m8 = graft.ext.GraphQueries
+      .mutualK(spark, "/root/testdata/sf0.001", 8)
       .as[(Long, Long)].collect().toSet
     assert(nn.forall(m8.contains), "mutual-1 edges must appear in the mutual-8 graph")
   }
