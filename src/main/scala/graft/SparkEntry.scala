@@ -90,6 +90,44 @@ object SparkEntry {
         .orderBy("w_start")
     },
 
+    // O7/O8 STREAMING parity, oracle-checked: the reference's actual
+    // runtime mode is streaming (main.py:279 forces streaming=True), so
+    // the windowed count/sum core is declared HERE through
+    // StreamingMetrics.attach — the events table is replayed as a file
+    // stream (watermark 0 = the reference's drop-late default), a
+    // max-ts+1-day sentinel advances the watermark so every real window
+    // CLOSES and emits (append mode = emit-on-window-close; the
+    // sentinel's own window never closes, so it never pollutes the
+    // output), and the memory-sink result must hash-match the BATCH
+    // tumbling-window oracle. Until this round streaming≡batch parity
+    // lived only in ScalaTest laws; this puts it in the driver's gate.
+    "q_stream_window_parity" -> { (s, dir) =>
+      val ev0 = ev(s, dir).select(col("ts"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_parity").toString
+      ev0.write.mode("overwrite").parquet(tmp)
+      val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+      val stream = s.readStream.schema(ev0.schema).parquet(tmp)
+      val defs = Seq(
+        MetricDefinition("stream_count", MetricType.Count, windowSizeSec = 60),
+        MetricDefinition("stream_sum", MetricType.Sum("value"), windowSizeSec = 60))
+      val Seq(out) = graft.streaming.StreamingMetrics
+        .attach(stream, defs, LogsToMetrics.Typed(ev0.schema))
+      val qn = s"stream_parity_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: the whole corpus (nothing late)
+        import s.implicits._
+        Seq((new java.sql.Timestamp(maxTs.getTime + 86400000L), "sentinel", 0.0))
+          .toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(tmp)
+        q.processAllAvailable() // sentinel batch + the no-data flush batch
+      } finally q.stop()
+      s.table(qn)
+        .select(col("metric"), secs(col("window_start")).as("w_start"),
+          round(col("value"), 3).as("value"))
+        .orderBy("metric", "w_start")
+    },
+
     // O5: dynamic label from a message field
     "q_dynamic_labels" -> { (s, dir) =>
       val df = ev(s, dir)
@@ -462,6 +500,15 @@ object SparkEntry {
       "FROM events GROUP BY 1 ORDER BY 1"),
     "q_window_sum" -> (s"SELECT ${bucket(300)} AS w_start, round(sum(value), 3) AS sum_value " +
       "FROM events WHERE event_type = 'click' GROUP BY 1 ORDER BY 1"),
+    // the STREAMING engine result must equal the batch tumbling rollup:
+    // every real window closes under the sentinel watermark, so the
+    // streamed emit set is exactly the full batch window set
+    "q_stream_window_parity" -> (s"WITH w AS (SELECT ${bucket(60)} AS w_start, value " +
+      "FROM events) " +
+      "SELECT 'stream_count' AS metric, w_start, round(CAST(count(*) AS DOUBLE), 3) AS value " +
+      "FROM w GROUP BY 2 " +
+      "UNION ALL SELECT 'stream_sum' AS metric, w_start, round(sum(value), 3) AS value " +
+      "FROM w GROUP BY 2 ORDER BY 1, 2"),
     "q_dynamic_labels" -> (s"SELECT ${bucket(60)} AS w_start, event_type AS et, " +
       "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     // coalesce to '' — the engine's missing-field ⇒ "" label semantics must

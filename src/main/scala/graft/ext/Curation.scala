@@ -87,11 +87,25 @@ object Curation {
       trainUpTo: Int,
       valUpTo: Int,
       aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
+      bCol: String = "b"): DataFrame =
+    splitAssignLeakageSafeFromClusters(
+      docs, idCol, connectedComponents(pairs, aCol, bCol), salt, trainUpTo, valUpTo)
+
+  /** [[splitAssignLeakageSafe]] over an ALREADY-RESOLVED cluster frame
+    * (doc, cluster) — for callers that share one materialized closure
+    * across several split/dedup consumers instead of re-running the
+    * component iteration per query.
+    */
+  def splitAssignLeakageSafeFromClusters(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      salt: String,
+      trainUpTo: Int,
+      valUpTo: Int): DataFrame = {
     require(0 < trainUpTo && trainUpTo < valUpTo && valUpTo < Buckets,
       s"need 0 < trainUpTo < valUpTo < $Buckets")
-    val labels = connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("doc", idCol)
+    val labels = clusters.withColumnRenamed("doc", idCol)
     val b = hashBucket(coalesce(col("cluster"), col(idCol)), salt)
     docs
       .join(labels, Seq(idCol), "left")

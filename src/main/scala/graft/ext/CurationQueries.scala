@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** The min-label connected components of the shared Jaccard ≥ 0.8 pair
+    * frame ([[DedupQueries.nearDupPairs]]), resolved + materialized ONCE
+    * per (session, dir): the cluster frame feeds keep/keep-best/cluster
+    * queries, each of which previously re-ran the full pair build AND the
+    * component iteration from raw text. (q_dup_clusters_star keeps its own
+    * star-contraction closure over the shared PAIRS — the two component
+    * machines are declared separately on purpose and oracle-checked to
+    * agree.)
+    */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"neardup-clusters|$dir") {
+      Curation.connectedComponents(DedupQueries.nearDupPairs(s, dir))
+    }
+
   private val SplitSalt = "s42"
   private val SampleSalt = "smp"
   private val WeightSalt = "wgt"
@@ -333,10 +347,7 @@ object CurationQueries {
     // members serialized in numeric order (array columns crash the
     // driver's pandas compare — r1).
     "q_dup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
-      Curation
-        .connectedComponents(pairs)
+      nearDupClusters(s, dir)
         .groupBy(col("cluster").as("cluster_id"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -363,15 +374,8 @@ object CurationQueries {
     // most others resemble) outranks the leaves. All-integer update rule
     // ⇒ hash-exact (see Curation.pagerankInteger).
     "q_dup_pagerank" -> { (s, dir) =>
-      // bucketed postings (the q_dedup_ngram_jaccard lever): the pair
-      // recompute spilled 1.5 GB at ×100 through the Local form's h-keyed
-      // re-shuffle
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf,
-        intermediate =
-          Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
       Curation
-        .pagerankInteger(pairs, iters = 3)
+        .pagerankInteger(DedupQueries.nearDupPairs(s, dir), iters = 3)
         .select(col("doc").as("doc_id"), col("rank_q9"))
         .orderBy("doc_id")
     },
@@ -383,11 +387,9 @@ object CurationQueries {
     // would hide singletons) ordered by id; the oracle recomputes the
     // closure with the recursive CTE and the identical md5 bucket.
     "q_split_leakage_safe" -> { (s, dir) =>
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
       Curation
-        .splitAssignLeakageSafe(Tables.documents(s, dir), "doc_id", pairs,
-          SplitSalt, trainUpTo = 9000, valUpTo = 9500)
+        .splitAssignLeakageSafeFromClusters(Tables.documents(s, dir), "doc_id",
+          nearDupClusters(s, dir), SplitSalt, trainUpTo = 9000, valUpTo = 9500)
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     },
@@ -410,10 +412,8 @@ object CurationQueries {
     // large-star/small-star alternation — the high-diameter scale path,
     // oracle-checked against the SAME recursive-CTE closure.
     "q_dup_clusters_star" -> { (s, dir) =>
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
       Curation
-        .connectedComponentsStar(pairs)
+        .connectedComponentsStar(DedupQueries.nearDupPairs(s, dir))
         .groupBy(col("cluster").as("cluster_id"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -554,11 +554,14 @@ object CurationQueries {
     // End-to-end near-dup removal: drop non-canonical members of every
     // Jaccard ≥ 0.8 cluster, keep everything else.
     "q_dedup_keep" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
-      Curation
-        .dropNearDuplicates(d, "doc_id", pairs)
+      // the memoized cluster frame replaces dropNearDuplicates' internal
+      // component recompute; same broadcast anti-join tail (the removal
+      // set is pair-scale — the corpus side never shuffles)
+      val nonCanonical = nearDupClusters(s, dir)
+        .filter(col("doc") =!= col("cluster"))
+        .select(col("doc").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
@@ -601,11 +604,9 @@ object CurationQueries {
     "q_dedup_keep_best" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
-      val lab = Curation.connectedComponents(pairs)
+      // memo-materialized cluster frame (read twice below: window + anti)
+      val lab = nearDupClusters(s, dir)
         .select(col("doc").as("doc_id"), col("cluster"))
-        .localCheckpoint()
       val sc = TextOps.classifierScores(d, "doc_id", "text")
         .select(col("doc_id"), floor(col("score") * 1e6).cast("long").as("score_q6"))
       val w = Window.partitionBy("cluster").orderBy(col("score_q6").desc, col("doc_id"))
@@ -633,9 +634,7 @@ object CurationQueries {
         .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("doc_id"))))
         .filter(col("rn") <= 50)
         .select(col("doc_id"))
-      val dup = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = DedupQueries.MaxDf)
-        .select(col("a"), col("b"))
+      val dup = DedupQueries.nearDupPairs(s, dir).select(col("a"), col("b"))
       side("L").select(col("doc_id").as("a"))
         .crossJoin(broadcast(side("R").select(col("doc_id").as("b"))))
         .filter(col("a") < col("b"))

@@ -15,6 +15,32 @@ object DedupQueries {
   private val Bands = 4 // LSH bands (rows per band = 4)
   private[ext] val MaxDf = 1000 // hot-shingle document-frequency cap
 
+  /** The 3-gram Jaccard CANDIDATE pair frame (threshold 0 — every pair
+    * sharing ≥1 un-capped shingle, with its exact score), built +
+    * materialized ONCE per (session, dir) through the production Bucketed
+    * posting intermediate and shared by the whole near-dup family:
+    * [[jaccardPairs]]' threshold is a pure output filter on the IEEE
+    * `jaccard` quotient, so `candidatePairs.filter(jaccard >= t)` is
+    * BIT-IDENTICAL to an at-threshold build — one posting self-join now
+    * serves the 0.8 resolution family (clusters/keep/forensics/splits/
+    * pagerank/negatives), the 0.7 threshold sweep, and the threshold-0
+    * minhash accuracy audit. Before the memo each of those ~11 declared
+    * queries re-ran the identical posting join from raw text (measured
+    * ~2.5 s each at sf0.1 — the single most expensive dedup stage ×11).
+    */
+  private[ext] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"jaccard-cand-pairs|$dir") {
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+        threshold = 0.0, maxDf = MaxDf,
+        intermediate =
+          Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+    }
+
+  /** The Jaccard ≥ 0.8 near-dup pair frame (a, b, jaccard) every
+    * resolution query consumes — a filter over the memoized candidates. */
+  private[ext] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    candidateJaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by normalized-content fingerprint.
     "q_dedup_exact" -> { (s, dir) =>
@@ -62,12 +88,7 @@ object DedupQueries {
     // measured the Local form spilling 200 MB through a 4.8 GB h-keyed
     // re-shuffle that this removes.
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
-      Dedup
-        .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
-          threshold = 0.8, maxDf = MaxDf,
-          intermediate =
-            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
-        .orderBy("a", "b")
+      nearDupPairs(s, dir).orderBy("a", "b")
     },
 
     // PPJoin-style PREFIX-FILTER Jaccard ([[Dedup.prefixFilterPairs]]):
@@ -126,9 +147,8 @@ object DedupQueries {
     // quotient, so banding is bit-deterministic.
     "q_jaccard_threshold_sweep" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      Dedup
-        .jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
-          threshold = 0.7, maxDf = MaxDf)
+      candidateJaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.7)
         .groupBy(least(floor(col("jaccard") * 10), lit(9L)).as("band"))
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("n_cum", sum(col("n_pairs")).over(
@@ -173,8 +193,7 @@ object DedupQueries {
     "q_minhash_accuracy" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       val cand = Dedup.lshCandidates(d, "doc_id", "text", n = 3, k = K, bands = Bands)
-      val exact = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.0, maxDf = MaxDf)
+      val exact = candidateJaccardPairs(s, dir)
         .select(col("a"), col("b"), col("jaccard"))
       val est = expr(s"sig_matches * 1000000 div $K")
       val jac = floor(coalesce(col("jaccard"), lit(0.0)) * 1000000).cast("long")
@@ -193,8 +212,7 @@ object DedupQueries {
     // source-keyed agg over ≤ 2·|pairs| side rows.
     "q_dup_forensics" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
-        n = 3, threshold = 0.8, maxDf = MaxDf)
+      val pairs = nearDupPairs(s, dir)
       val src = d.select(col("doc_id"), col("source"))
       val withS = pairs
         .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
