@@ -13,7 +13,7 @@ object DedupQueries {
 
   private val K = 16 // minhash signature length
   private val Bands = 4 // LSH bands (rows per band = 4)
-  private[ext] val MaxDf = 1000 // hot-shingle document-frequency cap
+  private[graft] val MaxDf = 1000 // hot-shingle document-frequency cap
 
   /** The 3-gram Jaccard CANDIDATE pair frame (threshold 0 — every pair
     * sharing ≥1 un-capped shingle, with its exact score), built +
@@ -28,7 +28,7 @@ object DedupQueries {
     * queries re-ran the identical posting join from raw text (measured
     * ~2.5 s each at sf0.1 — the single most expensive dedup stage ×11).
     */
-  private[ext] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, s"jaccard-cand-pairs|$dir") {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
         threshold = 0.0, maxDf = MaxDf,
@@ -38,7 +38,7 @@ object DedupQueries {
 
   /** The Jaccard ≥ 0.8 near-dup pair frame (a, b, jaccard) every
     * resolution query consumes — a filter over the memoized candidates. */
-  private[ext] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     candidateJaccardPairs(s, dir).filter(col("jaccard") >= 0.8)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
