@@ -35,6 +35,37 @@ object SparkEntry {
     df.filter(FilterCompiler.compile(conds, df.schema)).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Replay `src` through the STREAMING engine to completion: write it as
+    * a file-stream source (batch 0 = the whole corpus, so nothing is ever
+    * late under the reference's watermark-0 drop-late default), run the
+    * frame `attach` builds into an append-mode memory sink, then land one
+    * `sentinel(maxTs + 2 days)` row — the watermark passes every REAL
+    * window/session end, so append mode (emit-on-window-close) flushes
+    * them all, while the sentinel's own window never closes and never
+    * emits. Returns the sink table: the full closed-window set, which the
+    * batch oracle must match row-for-row. Driver-side state here is two
+    * timestamps; the replay itself is distributed.
+    */
+  private def replayToCompletion(
+      s: SparkSession,
+      src: DataFrame,
+      sentinel: java.sql.Timestamp => DataFrame,
+      attach: DataFrame => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    src.write.mode("overwrite").parquet(tmp)
+    val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+    val out = attach(s.readStream.schema(src.schema).parquet(tmp))
+    val qn = s"stream_replay_${System.nanoTime}"
+    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 0: the whole corpus
+      sentinel(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      q.processAllAvailable() // sentinel batch + the no-data flush batch
+    } finally q.stop()
+    s.table(qn)
+  }
+
   // ---- query registry -----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -102,30 +133,60 @@ object SparkEntry {
     // tumbling-window oracle. Until this round streaming≡batch parity
     // lived only in ScalaTest laws; this puts it in the driver's gate.
     "q_stream_window_parity" -> { (s, dir) =>
+      import s.implicits._
       val ev0 = ev(s, dir).select(col("ts"), col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_parity").toString
-      ev0.write.mode("overwrite").parquet(tmp)
-      val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
-      val stream = s.readStream.schema(ev0.schema).parquet(tmp)
       val defs = Seq(
         MetricDefinition("stream_count", MetricType.Count, windowSizeSec = 60),
         MetricDefinition("stream_sum", MetricType.Sum("value"), windowSizeSec = 60))
-      val Seq(out) = graft.streaming.StreamingMetrics
-        .attach(stream, defs, LogsToMetrics.Typed(ev0.schema))
-      val qn = s"stream_parity_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
-      try {
-        q.processAllAvailable() // batch 0: the whole corpus (nothing late)
-        import s.implicits._
-        Seq((new java.sql.Timestamp(maxTs.getTime + 86400000L), "sentinel", 0.0))
-          .toDF("ts", "event_type", "value")
-          .coalesce(1).write.mode("append").parquet(tmp)
-        q.processAllAvailable() // sentinel batch + the no-data flush batch
-      } finally q.stop()
-      s.table(qn)
+      replayToCompletion(s, ev0,
+        ts => Seq((ts, "sentinel", 0.0)).toDF("ts", "event_type", "value"),
+        st => graft.streaming.StreamingMetrics
+          .attach(st, defs, LogsToMetrics.Typed(ev0.schema)).head)
         .select(col("metric"), secs(col("window_start")).as("w_start"),
           round(col("value"), 3).as("value"))
         .orderBy("metric", "w_start")
+    },
+
+    // §2.3 SLIDING windows through the streaming engine, oracle-checked:
+    // 300 s windows sliding by 60 s (each event in exactly 5 buckets —
+    // the q_sliding_window batch shape), replayed + sentinel-closed like
+    // q_stream_window_parity. The sentinel's 5 windows all END after the
+    // final watermark, so none of them emit.
+    "q_stream_sliding_parity" -> { (s, dir) =>
+      import s.implicits._
+      val ev0 = ev(s, dir).select(col("ts"))
+      val defs = Seq(MetricDefinition("slide_count", MetricType.Count, windowSizeSec = 300))
+      replayToCompletion(s, ev0,
+        ts => Seq(Tuple1(ts)).toDF("ts"),
+        st => graft.streaming.StreamingMetrics
+          .attachSliding(st, defs, slideSec = 60, LogsToMetrics.Typed(ev0.schema)).head)
+        .select(secs(col("window_start")).as("w_start"),
+          col("value").as("cnt_value"))
+        .orderBy("w_start")
+    },
+
+    // §2.3 SESSION windows through the streaming engine, oracle-checked:
+    // per-user activity bursts with a 1-day silence gap (user_id as a
+    // dynamic label — the q_session_window batch shape), replayed +
+    // sentinel-closed. A session ends at last_event + gap, so the
+    // sentinel sits 2 days past max-ts (> gap) and every real session
+    // closes; the sentinel's own (user -1) session never does. The
+    // oracle is the classic gap-and-island SQL — the recursive-free
+    // sessionization a warehouse runs — which must agree with Spark's
+    // session_window state machine merge-for-merge.
+    "q_stream_session_parity" -> { (s, dir) =>
+      import s.implicits._
+      val ev0 = ev(s, dir).select(col("ts"), col("user_id"))
+      val defs = Seq(MetricDefinition("sess_count", MetricType.Count,
+        dynamicLabels = Map("u" -> "user_id")))
+      replayToCompletion(s, ev0,
+        ts => Seq((ts, -1L)).toDF("ts", "user_id"),
+        st => graft.streaming.StreamingMetrics
+          .attachSession(st, defs, gapSec = 86400, LogsToMetrics.Typed(ev0.schema)))
+        .select(try_element_at(col("labels"), lit("u")).cast("long").as("user_id"),
+          secs(col("window_start")).as("sess_start"),
+          col("value").as("cnt_value"))
+        .orderBy("user_id", "sess_start")
     },
 
     // O5: dynamic label from a message field
@@ -509,6 +570,24 @@ object SparkEntry {
       "FROM w GROUP BY 2 " +
       "UNION ALL SELECT 'stream_sum' AS metric, w_start, round(sum(value), 3) AS value " +
       "FROM w GROUP BY 2 ORDER BY 1, 2"),
+    // each event in exactly 5 sliding buckets (the q_sliding_window
+    // expansion); the streamed emit set = the full batch sliding rollup
+    "q_stream_sliding_parity" -> ("SELECT w_start, CAST(count(*) AS DOUBLE) AS cnt_value " +
+      "FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) " +
+      "- 60 * r.range AS w_start FROM events CROSS JOIN range(5) r) " +
+      "GROUP BY 1 ORDER BY 1"),
+    // gap-and-island sessionization (the q_session_window oracle) — must
+    // agree with Spark's session_window merge state machine per user
+    "q_stream_session_parity" -> ("WITH flagged AS (" +
+      "SELECT user_id, ts, CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - " +
+      "epoch(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP)) >= 86400 " +
+      "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_sess " +
+      "FROM events), sess AS (" +
+      "SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) " +
+      "SELECT user_id, CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS sess_start, " +
+      "CAST(count(*) AS DOUBLE) AS cnt_value FROM sess GROUP BY user_id, sid " +
+      "ORDER BY user_id, sess_start"),
     "q_dynamic_labels" -> (s"SELECT ${bucket(60)} AS w_start, event_type AS et, " +
       "CAST(count(*) AS DOUBLE) AS cnt_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
     // coalesce to '' — the engine's missing-field ⇒ "" label semantics must

@@ -139,6 +139,65 @@ object TextQueries {
             .otherwise(lit(0.0)).as("mcnemar"))
     },
 
+    // COHEN'S KAPPA between the same two quality gates q_mcnemar_gates
+    // reads (cheap length rule vs hashed classifier): chance-corrected
+    // AGREEMENT — the "are these two annotators interchangeable" number,
+    // where McNemar asks whether their disagreement is DIRECTIONAL. From
+    // the identical 2×2 cells: κ = (N·(a+d) − pe2)/(N² − pe2) with
+    // pe2 = (a+b)(a+c) + (c+d)(b+d) — exact BIGINT numerator/denominator,
+    // ONE double division (cells ≤ N ⇒ products ≤ N², Long-safe to
+    // ~3e9 docs). Degenerate margins (N² = pe2) pin κ = 0.
+    "q_cohen_kappa" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.select(col("doc_id"),
+        (TextOps.tokenCount(col("text")) >= 50).as("k1"))
+      val g2 = TextOps.classifierScores(docs, "doc_id", "text", threshold = 0.0)
+        .select(col("doc_id"), col("keep").as("k2"))
+      val n = col("a") + col("b") + col("c") + col("d")
+      val pe2 = (col("a") + col("b")) * (col("a") + col("c")) +
+        (col("c") + col("d")) * (col("b") + col("d"))
+      g1.hint("merge")
+        .join(g2.hint("merge"), Seq("doc_id"))
+        .agg(
+          sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          when(n * n > pe2,
+            (n * (col("a") + col("d")) - pe2).cast("double") /
+              (n * n - pe2).cast("double"))
+            .otherwise(0.0).as("kappa"))
+    },
+
+    // CALIBRATION CURVE (reliability diagram) of the hashed quality
+    // classifier against the token-count pseudo-label — the audit run
+    // before trusting classifier scores for quota/threshold decisions:
+    // per confidence decile, observed positive rate vs mean stated
+    // confidence and their gap (the per-bucket term of ECE). Confidence =
+    // (score+1)/2 ∈ [0,1] (the signed hash score mapped once, both
+    // engines the same float expression, then floored to q6 so every
+    // aggregate is an exact integer); buckets are deciles of the same
+    // mapped confidence. All emitted quotients are non-negative
+    // truncating DIVs — identical to DuckDB // on non-negative operands.
+    "q_calibration_curve" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val sc = TextOps.classifierScores(d, "doc_id", "text")
+        .select(col("doc_id"), col("score"),
+          floor((col("score") + 1.0) * 500000.0).cast("long").as("conf_q6"))
+      val lab = d.select(col("doc_id"),
+        (TextOps.tokenCount(col("text")) >= 50).cast("long").as("pos"))
+      sc.join(lab, Seq("doc_id"))
+        .groupBy(least(floor((col("score") + 1.0) * 5), lit(9L)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("conf_q6")).as("sum_conf_q6"),
+          sum(col("pos")).as("n_pos"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          expr("sum_conf_q6 DIV n").as("conf_q6"),
+          expr("n_pos * 1000000 DIV n").as("acc_q6"),
+          abs(expr("sum_conf_q6 DIV n") - expr("n_pos * 1000000 DIV n")).as("gap_q6"))
+        .orderBy("bucket")
+    },
+
     // Pairwise SOURCE VOCABULARY OVERLAP — token-set Jaccard between every
     // source pair, the "which feeds speak the same language" corpus
     // comparison (near-1 pairs are merge candidates, near-0 pairs justify
@@ -784,6 +843,41 @@ object TextQueries {
       "SELECT a, b, c, d, CASE WHEN b + c > 0 THEN " +
       "CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) " +
       "ELSE 0.0 END AS mcnemar FROM cells"),
+    // identical cells; κ from exact BIGINT margin products, one division
+    "q_cohen_kappa" -> (s"WITH t AS (SELECT doc_id, $Toks AS toks FROM documents), " +
+      "k AS (SELECT doc_id, len(toks) >= 50 AS k1 FROM t), " +
+      "w AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      "s AS (SELECT doc_id, CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) " +
+      "AS BIGINT) AS ws FROM w GROUP BY 1), " +
+      "j AS (SELECT k.doc_id, k1, coalesce(s.ws > 0, false) AS k2 " +
+      "FROM k LEFT JOIN s USING (doc_id)), " +
+      "cells AS (SELECT " +
+      "CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+      "CAST(sum(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+      "CAST(sum(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM j) " +
+      "SELECT a, b, c, d, CASE WHEN (a+b+c+d)*(a+b+c+d) > (a+b)*(a+c) + (c+d)*(b+d) THEN " +
+      "CAST((a+b+c+d)*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE) / " +
+      "CAST((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)) AS DOUBLE) " +
+      "ELSE 0.0 END AS kappa FROM cells"),
+    // the q_sample_by_decile score CTE, mapped once to [0,1] confidence;
+    // all quotients are // over non-negative exact integers
+    "q_calibration_curve" -> (s"WITH t AS (SELECT doc_id, $Toks AS toks FROM documents), " +
+      "w AS (SELECT doc_id, unnest(toks) AS w FROM t), " +
+      "agg AS (SELECT doc_id, count(*) AS n, " +
+      "CAST(sum(('0x' || substr(md5(w), 1, 15))::BIGINT % 1001 - 500) AS BIGINT) AS ws " +
+      "FROM w GROUP BY 1), " +
+      "sc AS (SELECT t.doc_id, coalesce(ws::DOUBLE / (n * 500), 0.0) AS score, " +
+      "len(t.toks) >= 50 AS pos FROM t LEFT JOIN agg USING (doc_id)), " +
+      "b AS (SELECT least(CAST(floor((score + 1.0) * 5) AS BIGINT), 9) AS bucket, " +
+      "CAST(floor((score + 1.0) * 500000) AS BIGINT) AS conf6, " +
+      "CASE WHEN pos THEN 1 ELSE 0 END AS p FROM sc) " +
+      "SELECT bucket, count(*) AS n, CAST(sum(p) AS BIGINT) AS n_pos, " +
+      "CAST(sum(conf6) AS BIGINT) // count(*) AS conf_q6, " +
+      "CAST(sum(p) AS BIGINT) * 1000000 // count(*) AS acc_q6, " +
+      "abs(CAST(sum(conf6) AS BIGINT) // count(*) - " +
+      "CAST(sum(p) AS BIGINT) * 1000000 // count(*)) AS gap_q6 " +
+      "FROM b GROUP BY 1 ORDER BY 1"),
     "q_source_vocab_overlap" -> (s"WITH post AS (SELECT DISTINCT source, token FROM " +
       s"(SELECT source, unnest($Toks) AS token FROM documents)), " +
       "sizes AS (SELECT source, count(*) AS n FROM post GROUP BY 1), " +
