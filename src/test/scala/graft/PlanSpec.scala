@@ -37,11 +37,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_dedup_ngram_jaccard: corpus-sized self-join is merge, never broadcast") {
-    val p = plan("q_dedup_ngram_jaccard")
-    // the posting-list self-join: stats would say 'small, broadcast it' at
-    // test SF — fatal at scale. The merge hint must hold.
+    // the declared query now reads the session-MEMOIZED candidate frame
+    // (round 12), so the load-bearing plan is the BUILD's — pin the
+    // posting self-join on the builder itself: stats would say 'small,
+    // broadcast it' at test SF — fatal at scale. The merge hint must hold.
+    val p = graft.ext.Dedup
+      .jaccardPairs(Tables.documents(spark, SfDir), "doc_id", "text",
+        n = 3, threshold = 0.0, maxDf = 1000)
+      .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"), s"posting self-join must be a shuffle join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    // and the declared consumer must NOT rebuild: its plan reads the
+    // materialized blocks (no parquet scan, no join)
+    val c = plan("q_dedup_ngram_jaccard")
+    assert(!c.contains("Scan parquet") && !c.contains("SortMergeJoin"),
+      s"consumer must read the memoized frame, not rebuild:\n$c")
   }
 
   test("q_text_fingerprint: map-only — no shuffle except the declared ORDER BY") {
