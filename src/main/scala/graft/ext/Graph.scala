@@ -141,19 +141,25 @@ object Graph {
         Similarity.cosine(col("x.vec"), col("y.vec")).as("cos"))
   }
 
-  /** Directed kNN edges from a half-pair candidate score frame.
-    * Duplicate candidates (same pair via several tables/probes) carry
-    * bit-identical cos, so DENSE rank-then-dedup applies (see
-    * [[Relational.topKPerGroupDense]] — measured ×100: 237 → 60 s vs the
-    * distinct-first form); (cos DESC, b ASC) totally orders distinct
-    * candidates per vertex, the dense-rank precondition.
+  /** Directed kNN edges from a half-pair candidate score frame, ranked by
+    * the native bounded-top-k aggregate ([[graft.functions.TopKEdges]],
+    * `graft_topk_edges`): each map partition collapses its candidates to
+    * ≤ k entries per vertex BEFORE the exchange (partial HashAggregate),
+    * so the shuffle carries |V|·k-bounded states instead of the full
+    * candidate stream and NOTHING sorts more than k elements — the
+    * dense-rank window form this replaces sorted every candidate row
+    * inside each shuffle partition (measured ×100: 6.7 GB of sort spill
+    * through the sized edge build; the aggregate form spills zero).
+    * Bit-identical to `dense_rank ≤ k` + distinct because (cos DESC,
+    * b ASC) totally orders distinct candidates per vertex and duplicate
+    * candidates (multi-table LSH) carry bit-identical cos — the
+    * [[Relational.topKPerGroupDense]] precondition, pinned in GraphSpec.
     */
   def knnFromCandidateScores(half: DataFrame, k: Int): DataFrame =
-    Relational
-      .topKPerGroupDense(symmetrize(half), Seq("a"),
-        Seq(col("cos").desc, col("b").asc), k)
-      .select(col("a"), col("b"))
-      .distinct()
+    symmetrize(half)
+      .groupBy(col("a"))
+      .agg(call_function("graft_topk_edges", col("b"), col("cos"), lit(k)).as("top"))
+      .select(col("a"), explode(col("top.b")).as("b"))
 
   /** Mutual-kNN symmetrization: canonical edge (lo, hi) iff BOTH a→b and
     * b→a are kNN edges — the hubness-robust graph (a hub that everyone

@@ -69,6 +69,18 @@ object GraftFunctions {
           val k = intLit(args(1), "k")
           val cap = if (args.length == 3) intLit(args(2), "cap") else 8 * k
           SpaceSavingTopK(args.head, k, cap).toAggregateExpression()
+        }),
+      (
+        FunctionIdentifier("graft_topk_edges"),
+        new ExpressionInfo(classOf[TopKEdges].getName, "graft_topk_edges"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_topk_edges(id, score, k) takes 3 arguments")
+          val k = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_topk_edges k must be an integer literal, got $other")
+          }
+          TopKEdges(args.head, args(1), k).toAggregateExpression()
         }))
 
   /** Idempotent imperative registration on an existing session. */

@@ -114,6 +114,30 @@ class GraphSpec extends SparkSpec {
       "z" -> (1L, 0L, 1L)))
   }
 
+  test("knnFromCandidateScores: bounded aggregate ≡ dense-rank window, bit-for-bit") {
+    // the graft_topk_edges swap (round 12) must be invisible: for a total
+    // (cos DESC, b ASC) order the top-k set is unique, so the map-side-
+    // combinable aggregate and the full-sort window agree exactly —
+    // including on multi-table duplicate candidates
+    import graft.ext.{Relational, Similarity, SimilarityQueries}
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val half = Graph.lshCandidateScores(v, SimilarityQueries.Tables3).localCheckpoint()
+    for (k <- Seq(1, 3, 8)) {
+      val agg = Graph.knnFromCandidateScores(half, k).as[(Long, Long)].collect().toSet
+      val sym = half.select(col("a"), col("b"), col("cos"))
+        .unionByName(half.select(col("b").as("a"), col("a").as("b"), col("cos")))
+        .filter(!isnan(col("cos")))
+      val win = Relational
+        .topKPerGroupDense(sym, Seq("a"), Seq(col("cos").desc, col("b").asc), k)
+        .select(col("a"), col("b")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(agg == win, s"k=$k: aggregate and window rankings diverge")
+    }
+  }
+
   test("knnEdgesLsh: canonical edges, recall vs the exact graph, subset candidates") {
     import graft.ext.{Similarity, SimilarityQueries}
     graft.functions.GraftFunctions.register(spark)
