@@ -165,6 +165,26 @@ object SparkEntry {
         .orderBy("w_start")
     },
 
+    // §2.3 stateful streaming DEDUP, oracle-checked: events replayed as a
+    // stream through StreamingDedup.firstSeen (dropDuplicatesWithinWatermark
+    // on the normalized content fingerprint). WHICH representative row is
+    // admitted per fingerprint depends on arrival order, but the admitted
+    // fingerprint SET does not — the gate compares exactly that set
+    // against batch DISTINCT (100k rows collapse to 100 fps at sf0.1, so
+    // the state path is genuinely exercised). Dedup emits immediately in
+    // append mode — no window close, no sentinel needed.
+    "q_stream_dedup_parity" -> { (s, dir) =>
+      val ev0 = ev(s, dir).select(col("ts"), col("props").as("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+      ev0.write.mode("overwrite").parquet(tmp)
+      val out = graft.streaming.StreamingDedup.firstSeen(
+        s.readStream.schema(ev0.schema).parquet(tmp), "text")
+      val qn = s"stream_dedup_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select(col("fp")).orderBy("fp")
+    },
+
     // §2.3 SESSION windows through the streaming engine, oracle-checked:
     // per-user activity bursts with a 1-day silence gap (user_id as a
     // dynamic label — the q_session_window batch shape), replayed +
@@ -576,6 +596,9 @@ object SparkEntry {
       "FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) " +
       "- 60 * r.range AS w_start FROM events CROSS JOIN range(5) r) " +
       "GROUP BY 1 ORDER BY 1"),
+    // the streamed admit set = batch DISTINCT of the same fingerprint
+    "q_stream_dedup_parity" -> ("SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+      "AS fp FROM (SELECT props AS text FROM events) ORDER BY 1"),
     // gap-and-island sessionization (the q_session_window oracle) — must
     // agree with Spark's session_window merge state machine per user
     "q_stream_session_parity" -> ("WITH flagged AS (" +
