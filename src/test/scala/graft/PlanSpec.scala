@@ -804,8 +804,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), s"candidate bucket join must be a merge join:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"no side of the LSH build may broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"never an all-pairs fallback:\n$p")
-    assert(count(p, "WindowGroupLimit") == 2,
-      s"per-partition top-k must prune below the rank shuffle:\n$p")
+    // round 12: ranking is the bounded map-side graft_topk_edges aggregate
+    // (partial + final ObjectHashAggregate) — the candidate stream must
+    // collapse BEFORE the exchange and nothing may sort it (the window
+    // form spilled 6.7 GB through that sort at ×100)
+    assert(count(p, "graft_topk_edges") >= 2,
+      s"partial + final bounded top-k aggregate must rank the candidates:\n$p")
+    assert(count(p, "WindowGroupLimit") == 0 && !p.contains("Window "),
+      s"no window sort may touch the candidate stream:\n$p")
   }
 
   test("q_c4_clean: one scan, one tokenize explode; the C4 stage adds no shuffle") {
