@@ -165,6 +165,39 @@ object SparkEntry {
         .orderBy("w_start")
     },
 
+    // §2.3 CUSTOM STATE (flatMapGroupsWithState) through the streaming
+    // engine, oracle-checked: per-(event_type, minute) count points are
+    // replayed into StatefulOps.thresholdAlerts — the consecutive-breach
+    // fire/resolve state machine — and the emitted alert stream must
+    // hash-match the batch gap-and-island recompute (breach runs per
+    // metric: fire at the 1st breach of each run, resolve at the first
+    // calm point after, carrying the run length). One replay batch ⇒ the
+    // per-key iterator covers each metric's full time-ordered history,
+    // so the state path is deterministic; alerts emit immediately in
+    // append mode (no window close, no sentinel).
+    "q_stream_alert_parity" -> { (s, dir) =>
+      import s.implicits._
+      val pts = ev(s, dir)
+        .groupBy(col("event_type").as("metric"),
+          (floor(unix_timestamp(col("ts")) / lit(60)) * 60).cast("long")
+            .as("windowStartSec"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_alerts").toString
+      pts.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(pts.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.Point]
+      val alerts = graft.streaming.StatefulOps
+        .thresholdAlerts(stream, threshold = 1.5, breaches = 1)
+      val qn = s"stream_alerts_${System.nanoTime}"
+      val q = alerts.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("metric"), col("windowStartSec").as("ws"), col("value"),
+          col("consecutive").cast("long").as("consecutive"), col("kind"))
+        .orderBy("metric", "ws")
+    },
+
     // §2.3 stateful streaming DEDUP, oracle-checked: events replayed as a
     // stream through StreamingDedup.firstSeen (dropDuplicatesWithinWatermark
     // on the normalized content fingerprint). WHICH representative row is
@@ -596,6 +629,27 @@ object SparkEntry {
       "FROM (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) " +
       "- 60 * r.range AS w_start FROM events CROSS JOIN range(5) r) " +
       "GROUP BY 1 ORDER BY 1"),
+    // gap-and-island breach runs per metric: fire = first breach of a
+    // run, resolve = first calm point after a run, carrying run length
+    "q_stream_alert_parity" -> ("WITH p AS (SELECT event_type AS m, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/60)*60 AS BIGINT) AS ws, " +
+      "count(*)::DOUBLE AS v FROM events GROUP BY 1, 2), " +
+      "x AS (SELECT m, ws, v, v > 1.5 AS br FROM p), " +
+      "y AS (SELECT m, ws, v, br, " +
+      "sum(CASE WHEN br THEN 0 ELSE 1 END) OVER " +
+      "(PARTITION BY m ORDER BY ws ROWS UNBOUNDED PRECEDING) AS g, " +
+      "sum(CASE WHEN br THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY m ORDER BY ws ROWS UNBOUNDED PRECEDING) AS cb FROM x), " +
+      "fires AS (SELECT m, ws, v, CAST(1 AS BIGINT) AS consecutive, 'fire' AS kind " +
+      "FROM (SELECT m, ws, v, br, row_number() OVER " +
+      "(PARTITION BY m, g, br ORDER BY ws) AS rn FROM y) WHERE br AND rn = 1), " +
+      "resolves AS (SELECT m, ws, v, CAST(runlen AS BIGINT) AS consecutive, " +
+      "'resolve' AS kind FROM (SELECT m, ws, v, " +
+      "cb - lag(cb, 1, 0) OVER (PARTITION BY m ORDER BY ws) AS runlen " +
+      "FROM y WHERE NOT br) WHERE runlen >= 1) " +
+      "SELECT m AS metric, ws, v AS value, consecutive, kind FROM fires " +
+      "UNION ALL SELECT m AS metric, ws, v, consecutive, kind FROM resolves " +
+      "ORDER BY 1, 2"),
     // the streamed admit set = batch DISTINCT of the same fingerprint
     "q_stream_dedup_parity" -> ("SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
       "AS fp FROM (SELECT props AS text FROM events) ORDER BY 1"),
