@@ -380,6 +380,62 @@ object Relational {
       .otherwise(floor(lit((k - 1).toDouble * m) / hK).cast("long"))
   }
 
+  /** Deterministic HLL register frame `(s, bucket, m)` over the 60-bit
+    * [[Dedup.md5Long]] hash space: bucket = top 6 bits (64 registers),
+    * rho = leading-zero count of the 54-bit remainder + 1 (via
+    * `length(bin(w))` — exact integer arithmetic, no float log), register
+    * = max(rho). Unlike `approx_count_distinct` (whose register encoding
+    * and merge are engine-internal, so its estimate can't be mirrored),
+    * every piece here is a pure function of the set: max is the merge, so
+    * partial aggregation IS the 1000-executor sketch merge, and a SQL
+    * oracle reproduces registers — and the estimate — bit-for-bit.
+    * State: 64 registers/group vs KMV's k hashes; where KMV pays a
+    * per-group sort (WindowGroupLimit), HLL is one hash-aggregate.
+    */
+  def hllRegisters(df: DataFrame, setCol: String, idCol: String): DataFrame = {
+    val h = Dedup.md5Long(col(idCol).cast("string"))
+    val w = h.bitwiseAND(lit((1L << 54) - 1))
+    df.select(
+        col(setCol).as("s"),
+        shiftright(h, 54).as("bucket"),
+        when(w === 0, lit(55)).otherwise(lit(55) - length(bin(w))).as("rho"))
+      .groupBy("s", "bucket")
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL estimate per set from a [[hllRegisters]] frame, hash-exact
+    * cross-engine. The harmonic sum Σ 2^(-M_j) is kept EXACT as the
+    * integer Σ 2^(55-M_j) (≤ 64·2^55 = 2^61, fits BIGINT); the raw
+    * estimate α₆₄·64²·2^55 / S is one fixed-order double chain; and the
+    * small-range linear-counting branch (raw ≤ 2.5·64, V empty registers
+    * > 0) reads a 64-entry PRE-QUANTIZED lookup ⌊64·ln(64/V)⌋ — only 64
+    * possible inputs, so the float log never reaches the comparison
+    * surface. Missing registers (buckets no hash landed in) count as 0
+    * via a 64-bucket grid per set.
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val lc = typedLit((1 to 64).map(v => math.floor(64.0 * math.log(64.0 / v)).toLong))
+    val grid = registers
+      .select(col("s"))
+      .distinct()
+      .select(col("s"), explode(sequence(lit(0L), lit(63L))).as("bucket"))
+    val full = grid
+      .join(registers, Seq("s", "bucket"), "left")
+      .select(col("s"), coalesce(col("m"), lit(0)).as("m"))
+    val raw = (lit(0.709) * lit(4096.0) * lit(36028797018963968.0)) / // α·m²·2^55
+      col("hsum").cast("double")
+    full
+      .groupBy("s")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - m)")).as("hsum"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v"))
+      .select(
+        col("s"),
+        when(raw <= 160.0 && col("v") > 0, element_at(lc, col("v").cast("int")))
+          .otherwise(floor(raw).cast("long"))
+          .as("est"))
+  }
+
   /** The 100 TB form of [[rollingDistinct]]: rolling N-day APPROX
     * distinct via mergeable HLL sketches. Exact rolling distinct re-keys
     * every (entity, day) pair ×N through a distinct shuffle; here the raw

@@ -72,18 +72,20 @@ object RelationalScaleQueries {
         .orderBy("event_type")
     },
 
-    // HLL sketch distinct (single-pass, mergeable state — the 100 TB path).
-    // No DuckDB oracle (sketch values are engine-specific) ⇒ rows-only check.
-    // rsd = 0.02: HLL cost is quadratic in precision (registers ∝ 1/rsd² —
-    // measured 1.4 s at rsd 0.01 vs 0.3 s at 0.05 on the same input; at
-    // 1000 executors the per-partition partial buffers shuffle m×groups
-    // registers). 2% typical error is the right spend for a distinct-users
-    // metric; the ≤5% accuracy contract stays pinned in RelationalSpec.
+    // HLL sketch distinct (single-pass, mergeable max-registers — the
+    // 100 TB path). DETERMINISTIC HLL (Relational.hllRegisters/hllEstimate):
+    // registers are max(rho) over md5Long hashes — a pure function of the
+    // set, unlike approx_count_distinct's engine-internal encoding — so the
+    // sketch ESTIMATE itself is hash-checked against a DuckDB mirror that
+    // rebuilds the identical registers, exact-integer harmonic sum, and
+    // pre-quantized linear-counting lookup (graduated from rows-only in
+    // round 12; m=64 ⇒ rsd ≈ 13%, accuracy + merge laws in RelationalSpec).
+    // At 1000 executors the partial agg ships ≤ 64 registers/group per
+    // partition; the raw data is touched once.
     "q_approx_distinct" -> { (s, dir) =>
-      Tables
-        .events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      Relational
+        .hllEstimate(Relational.hllRegisters(Tables.events(s, dir), "event_type", "user_id"))
+        .select(col("s").as("event_type"), col("est").as("approx_users"))
         .orderBy("event_type")
     },
 
@@ -836,6 +838,33 @@ object RelationalScaleQueries {
 
     "q_distinct_users" -> ("SELECT event_type, count(DISTINCT user_id) AS distinct_users " +
       "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // deterministic HLL mirror: identical 60-bit hashes split 6/54,
+    // rho via length(bin(w)) (exact integer — Spark's bin() and DuckDB's
+    // both strip leading zeros), max-registers, a 64-bucket grid for the
+    // empty registers, the EXACT integer harmonic sum Σ 2^(55−m) (≤ 2^61),
+    // one fixed-order double chain for the raw estimate, and the same
+    // pre-quantized ⌊64·ln(64/V)⌋ lookup literal on the linear-counting
+    // branch — the sketch ESTIMATE is itself hash-checked
+    "q_approx_distinct" -> {
+      val lc = (1 to 64).map(v => math.floor(64.0 * math.log(64.0 / v)).toLong).mkString(", ")
+      "WITH h AS (SELECT event_type, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+        "r AS (SELECT event_type, h >> 54 AS bucket, " +
+        "CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55 " +
+        "ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1))) END AS rho FROM h), " +
+        "reg AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2), " +
+        "gb AS (SELECT g.event_type, t.b AS bucket FROM " +
+        "(SELECT DISTINCT event_type FROM events) g, generate_series(0, 63) t(b)), " +
+        "fr AS (SELECT gb.event_type, coalesce(reg.m, 0) AS m FROM gb " +
+        "LEFT JOIN reg ON reg.event_type = gb.event_type AND reg.bucket = gb.bucket), " +
+        "agg AS (SELECT event_type, CAST(sum((1::BIGINT << (55 - m))) AS BIGINT) AS hsum, " +
+        "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v FROM fr GROUP BY 1) " +
+        "SELECT event_type, CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE) / CAST(hsum AS DOUBLE) <= 160.0 " +
+        s"AND v > 0 THEN ([$lc]::BIGINT[])[v] " +
+        "ELSE CAST(floor((0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE) / CAST(hsum AS DOUBLE)) AS BIGINT) END " +
+        "AS approx_users FROM agg ORDER BY event_type"
+    },
 
     // identical 60-bit hashes, identical k-th-minimum, identical one-division
     // estimator — the approximate COUNT is itself hash-checked

@@ -21,6 +21,28 @@ object SimilarityQueries {
   val Tables3: Seq[Array[Array[Long]]] =
     W +: Seq("t1-plane", "t2-plane").map(Similarity.hyperplanes(Planes, Dim, _))
 
+  /** Self-sizing near-dup oracle table: [[AutoMaxPlanes]] plane constants
+    * for the q_embed_neardup_auto seed; the oracle gates each on p < np
+    * (np re-derived from count(*) with the planesForExact integer rule),
+    * valid because hyperplanes(np) is a PREFIX of this table (Round12Spec).
+    * Cap 16 ⇒ oracle-checkable to 64·2^16 ≈ 4.2M vectors; past that np is
+    * NULL and the check fails LOUDLY (the engine itself sizes on to 62).
+    */
+  private val AutoSeed = "auto-neardup"
+  private val AutoMaxPlanes = 16
+  private lazy val AutoW = Similarity.hyperplanes(AutoMaxPlanes, Dim, AutoSeed)
+
+  /** Bucket SQL whose plane p contributes only when p < np — the sized
+    * mirror of [[bucketSql]] (same shape as GraphQueries' gated builder).
+    */
+  private def gatedBucketSql(v: String, planes: Array[Array[Long]]): String =
+    planes.zipWithIndex
+      .map { case (w, p) =>
+        val d = w.zipWithIndex.map { case (wi, i) => s"$v[${i + 1}] * ($wi)" }.mkString(" + ")
+        s"(CASE WHEN $p < np AND $d > 0 THEN ${1L << p} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // graft_dot (idempotent)
     Tables
@@ -270,19 +292,20 @@ object SimilarityQueries {
     },
 
     // The AUTO-SIZED production near-dup path: planes =
-    // planesFor(corpusCount, 64), so the bucket count tracks the corpus
-    // and candidate volume stays linear (the round-5 ×10 blow-up was this
-    // rule missing). Declared rows-only (no SQL oracle, like
-    // q_approx_distinct): the plane count — and with it every bucket
-    // boundary — is a function of the corpus size, so a fixed SQL mirror
-    // can't reproduce it across scale factors; the exact-cosine re-check
-    // inside cosineNearDupPairs and SimilaritySpec's 1×→10× linearity law
-    // are the correctness evidence. One extra corpus count() action sizes
-    // the table — at 100 TB that's a metadata-only parquet row-count read.
+    // planesForExact(corpusCount, 64), so the bucket count tracks the
+    // corpus and candidate volume stays linear (the round-5 ×10 blow-up
+    // was this rule missing). HASH-CHECKED since round 12 via the same
+    // self-sizing oracle pattern as q_graph_mutual_lsh_auto: the integer
+    // sizing rule lets a static SQL mirror re-derive the plane count from
+    // its own count(*) and gate AutoMaxPlanes embedded plane constants on
+    // p < np (valid because hyperplanes(p) is a PREFIX of
+    // hyperplanes(AutoMaxPlanes) — pinned in Round12Spec). One extra
+    // corpus count() action sizes the table — at 100 TB that's a
+    // metadata-only parquet row-count read.
     "q_embed_neardup_auto" -> { (s, dir) =>
       val v = vecs(s, dir)
       val planes = Similarity.hyperplanes(
-        Similarity.planesFor(v.count(), targetBucketSize = 64), Dim, "auto-neardup")
+        Similarity.planesForExact(v.count(), targetBucketSize = 64), Dim, AutoSeed)
       Similarity
         .cosineNearDupPairs(v, planes, threshold = 0.45)
         .orderBy("a", "b")
@@ -779,6 +802,24 @@ object SimilarityQueries {
       "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
       s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
     },
+    // the SELF-SIZING mirror: np from count(*) via the planesForExact
+    // integer rule (smallest p with 64·2^p ≥ n, NULL past the cap — fails
+    // loudly), plane constants gated on p < np, and the Hamming-1 probe
+    // ring over the np LIVE bits only (g = 0 or g ≤ np). NaN guard mirrors
+    // the engine's explicit !isnan (DuckDB ranks NaN above any threshold).
+    "q_embed_neardup_auto" -> (
+      "WITH cnt AS (SELECT count(*) AS n FROM embeddings), " +
+      s"np AS (SELECT min(p) AS np FROM generate_series(1, $AutoMaxPlanes) gs(p), cnt " +
+      "WHERE 64 * (1::BIGINT << p) >= n), " +
+      s"v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      s"b AS MATERIALIZED (SELECT id, vec, ${gatedBucketSql("vec", AutoW)} AS bucket FROM v, np), " +
+      "probed AS (SELECT id, vec, " +
+      "xor(bucket, CASE WHEN g = 0 THEN 0::BIGINT ELSE 1::BIGINT << (g - 1) END) AS bucket " +
+      s"FROM b, np, generate_series(0, $AutoMaxPlanes) gg(g) WHERE g = 0 OR g <= np) " +
+      s"SELECT DISTINCT x.id AS a, y.id AS b, ${cosSql("x.vec", "y.vec")} AS cos " +
+      "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
+      s"WHERE NOT isnan(${cosSql("x.vec", "y.vec")}) " +
+      s"AND ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"),
     // q_pq_adc's CTEs (codes, d) composed with q_ann_ivf's cell CTEs:
     // scored pairs additionally require the neighbor's rank-1 cell to be
     // one of the query's 2 probed cells

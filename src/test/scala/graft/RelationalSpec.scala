@@ -8,22 +8,40 @@ class RelationalSpec extends SparkSpec {
 
   private val SfDir = "/root/testdata/sf0.01"
 
-  test("approx_count_distinct stays inside its declared error bound vs exact") {
-    // q_approx_distinct is rows-only in the oracle gate (engine-specific
-    // HLL sketch); this pins its ACCURACY contract instead: rsd=0.02
-    // declared (registers ∝ 1/rsd² — see the query's cost note),
-    // |approx-exact|/exact must stay within a few sigma.
+  test("deterministic HLL stays inside its error band vs exact") {
+    // q_approx_distinct's ESTIMATE is oracle-checked (deterministic
+    // registers); this pins the statistical contract hash equality can't:
+    // m=64 ⇒ rsd ≈ 1.04/√64 = 13%, assert a 3-sigma band per group.
     val ev = Tables.events(spark, SfDir)
     val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("exact"))
-    val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"))
+    val approx = Relational
+      .hllEstimate(Relational.hllRegisters(ev, "event_type", "user_id"))
+      .select(col("s").as("event_type"), col("est").as("approx"))
     val joined = exact.join(approx, Seq("event_type")).collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       val relErr = math.abs(a - e) / e
-      assert(relErr <= 0.05, s"${r.getString(0)}: exact=$e approx=$a relErr=$relErr")
+      assert(relErr <= 0.40, s"${r.getString(0)}: exact=$e approx=$a relErr=$relErr")
     }
+  }
+
+  test("deterministic HLL registers are mergeable: max-merge of halves == whole") {
+    // The 100 TB contract: partial per-partition register frames combine
+    // by MAX into exactly the registers of the full pass — so the estimate
+    // of the union is computable from the parts without touching raw data.
+    val ev = Tables.events(spark, SfDir)
+    val whole = Relational.hllRegisters(ev, "event_type", "user_id")
+    val lo = Relational.hllRegisters(ev.filter(col("user_id") % 2 === 0), "event_type", "user_id")
+    val hi = Relational.hllRegisters(ev.filter(col("user_id") % 2 === 1), "event_type", "user_id")
+    val merged = lo
+      .unionByName(hi)
+      .groupBy("s", "bucket")
+      .agg(max(col("m")).as("m"))
+    assert(merged.unionByName(whole).distinct().count() == whole.count(),
+      "max-merged registers must equal the single-pass registers")
+    assert(Relational.hllEstimate(merged).unionByName(Relational.hllEstimate(whole))
+      .distinct().count() == Relational.hllEstimate(whole).count())
   }
 
   test("KMV bottom-k sketch: exact below k, within the KMV error band above it") {
