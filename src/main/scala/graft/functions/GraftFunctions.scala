@@ -71,6 +71,19 @@ object GraftFunctions {
           SpaceSavingTopK(args.head, k, cap).toAggregateExpression()
         }),
       (
+        FunctionIdentifier("graft_topk_w"),
+        new ExpressionInfo(classOf[SpaceSavingTopKWeighted].getName, "graft_topk_w"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, "graft_topk_w(str, weight, k, cap) takes 4 arguments")
+          def intLit(e: Expression, what: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_topk_w $what must be an integer literal, got $other")
+          }
+          SpaceSavingTopKWeighted(args.head, args(1), intLit(args(2), "k"), intLit(args(3), "cap"))
+            .toAggregateExpression()
+        }),
+      (
         FunctionIdentifier("graft_topk_edges"),
         new ExpressionInfo(classOf[TopKEdges].getName, "graft_topk_edges"),
         (args: Seq[Expression]) => {

@@ -76,7 +76,100 @@ case class SpaceSavingTopK(
     })
   }
 
-  override def serialize(state: SpaceSavingTopK.State): Array[Byte] = {
+  override def serialize(state: SpaceSavingTopK.State): Array[Byte] =
+    SpaceSavingTopK.serializeState(state)
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingTopK.State =
+    SpaceSavingTopK.deserializeState(bytes, cap)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression])
+      : SpaceSavingTopK = copy(child = newChildren.head)
+}
+
+/** Weighted SpaceSaving: each row contributes `weight` observations of
+  * `item` in ONE `add` — the replay form that rebuilds a heavy-hitter
+  * summary from pre-aggregated `(token, count)` vocab rows (the
+  * `cmsSketchFromCounts` precedent). Fed a deterministic stream (one
+  * final partition, sorted `count desc, item asc`), the resulting
+  * summary — and therefore the top-k — is a pure function of the vocab
+  * counts, so a SQL oracle can gate it exactly; the eviction cascade
+  * and the `true ≤ est ≤ true + err` invariant are the same machinery
+  * as the raw one-pass [[SpaceSavingTopK]].
+  */
+case class SpaceSavingTopKWeighted(
+    child: Expression,
+    weight: Expression,
+    k: Int,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingTopK.State] {
+
+  require(k > 0, "k must be positive")
+  require(cap >= k, "cap must be >= k")
+
+  override def children: Seq[Expression] = child :: weight :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, weight.dataType) match {
+    case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (c, w) => TypeCheckResult.TypeCheckFailure(
+      s"graft_topk_w requires (string, bigint), got (${c.simpleString}, ${w.simpleString})")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = SpaceSavingTopK.OutType
+  override def prettyName: String = "graft_topk_w"
+
+  override def createAggregationBuffer(): SpaceSavingTopK.State =
+    new SpaceSavingTopK.State(cap)
+
+  override def update(state: SpaceSavingTopK.State, input: InternalRow): SpaceSavingTopK.State = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val n = w.asInstanceOf[Long]
+      if (n > 0L) state.add(v.asInstanceOf[UTF8String].toString, n, 0L)
+    }
+    state
+  }
+
+  override def merge(a: SpaceSavingTopK.State, b: SpaceSavingTopK.State): SpaceSavingTopK.State = {
+    b.foreach((item, est, err) => a.add(item, est, err))
+    a
+  }
+
+  override def eval(state: SpaceSavingTopK.State): Any = {
+    val top = state.top(k)
+    new GenericArrayData(top.map { case (item, est, err) =>
+      InternalRow(UTF8String.fromString(item), est, err)
+    })
+  }
+
+  override def serialize(state: SpaceSavingTopK.State): Array[Byte] =
+    SpaceSavingTopK.serializeState(state)
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingTopK.State =
+    SpaceSavingTopK.deserializeState(bytes, cap)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopKWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopKWeighted =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression])
+      : SpaceSavingTopKWeighted = copy(child = newChildren.head, weight = newChildren(1))
+}
+
+object SpaceSavingTopK {
+
+  private[functions] def serializeState(state: State): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(state.size)
@@ -91,9 +184,9 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): SpaceSavingTopK.State = {
+  private[functions] def deserializeState(bytes: Array[Byte], cap: Int): State = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val state = new SpaceSavingTopK.State(cap)
+    val state = new State(cap)
     val n = in.readInt()
     var i = 0
     while (i < n) {
@@ -106,17 +199,6 @@ case class SpaceSavingTopK(
     state
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
-    copy(mutableAggBufferOffset = newOffset)
-
-  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
-    copy(inputAggBufferOffset = newOffset)
-
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression])
-      : SpaceSavingTopK = copy(child = newChildren.head)
-}
-
-object SpaceSavingTopK {
 
   val OutType: DataType = ArrayType(
     StructType(Seq(

@@ -57,4 +57,53 @@ class SpaceSavingSpec extends SparkSpec {
     val got = topkOf(data.toDF("item").repartition(4), k = 2, cap = 16)
     assert(got.map(t => (t._1, t._2)) == Seq(("naïve 日本語 🚀", 100L), ("ascii only", 50L)))
   }
+
+  // ---- weighted replay (graft_topk_w, the q_heavy_hitters_sketch form) ----
+
+  private def topkWeighted(pairs: Seq[(String, Long)], k: Int, cap: Int)
+      : Seq[(String, Long, Long)] = {
+    graft.functions.GraftFunctions.register(spark)
+    pairs.toDF("item", "c").createOrReplaceTempView("ssw_in")
+    // the deterministic replay contract: ONE final partition, fed desc
+    spark.sql("SELECT item, c FROM ssw_in")
+      .repartition(1)
+      .sortWithinPartitions(col("c").desc, col("item").asc)
+      .agg(call_function("graft_topk_w", col("item"), col("c"), lit(k), lit(cap)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item"), col("t.est"), col("t.err"))
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+  }
+
+  test("weighted replay: head above the eviction floor is exact with err = 0") {
+    // 10 heavy items over a 200-item tail, cap 64 < 210 distinct: the
+    // cascade floor stays near N/cap; the head must surface exactly
+    val heavy = (1 to 10).map(i => s"h$i" -> (10000L - 100L * i))
+    val tail = (1 to 200).map(i => s"t$i%03d".format(i) -> (10L + i % 7))
+    val got = topkWeighted(heavy ++ tail.map { case (w, c) => w -> c.toLong }, k = 10, cap = 64)
+    assert(got.map(_._1) == heavy.map(_._1), s"head must be the true top-10: $got")
+    got.zip(heavy).foreach { case ((item, est, err), (_, truth)) =>
+      assert(est == truth && err == 0L, s"$item est=$est err=$err truth=$truth")
+    }
+  }
+
+  test("weighted replay is a pure function of the counts (re-run bit-identical)") {
+    val pairs = (1 to 300).map(i => s"w$i" -> ((i * 2654435761L) % 997 + 1))
+    val a = topkWeighted(pairs, k = 25, cap = 100)
+    val b = topkWeighted(scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(pairs), k = 25, cap = 100)
+    assert(a == b, "the sorted single-state replay must not depend on input frame order")
+  }
+
+  test("weighted replay preserves the SpaceSaving bound beyond the head") {
+    val pairs = (1 to 500).map(i => s"w$i%03d".format(i) -> ((i * 31L) % 200 + 1))
+    val exact = pairs.toMap
+    val got = topkWeighted(pairs, k = 40, cap = 64)
+    got.foreach { case (item, est, err) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est >= truth, s"$item est=$est must overcount truth=$truth")
+      assert(est - err <= truth, s"$item est-err=${est - err} must not exceed truth=$truth")
+    }
+  }
 }
