@@ -1085,34 +1085,59 @@ object Dedup {
     // global total order (df asc, h asc): rarest shingles first, ties broken
     // by the hash — identical ordering on every document
     val w = Window.partitionBy("doc").orderBy(col("df"), col("h"))
-    val prefix = post0
+    val prefix0 = post0
       .join(dfreq, Seq("h"))
       .withColumn("r", row_number().over(w))
       .join(sizes, Seq("doc"))
       // p = n_sh - ceil(t*n_sh) + 1, all-integer ceil
       .filter(col("r") <= col("n_sh") - floor((col("n_sh") * tNum + tDen - 1) / tDen) + 1)
       .select(col("doc"), col("h"))
+      .localCheckpoint()
+    // the pair-stream volume is KNOWN before the join (Σ_h c·(c−1)/2 over
+    // prefix posting counts) — size the self-join exchange from it, so the
+    // join output (which the distinct consumes in the SAME stage) splits
+    // into memory-sized tasks instead of 1/width of an unbounded stream
+    // (measured ×100: 11 GB of sort spill at the fixed session width).
+    // The checkpoint makes the sizing aggregate a vocab-sized scan, not a
+    // corpus re-tokenize; the pair count itself is one driver long.
+    val nCand = prefix0
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)).as("s"))
+      .head().getLong(0) / 2
+    val pParts = Scale.sizedPartitions(docs.sparkSession, nCand)
+    val prefix = prefix0.repartition(pParts, col("h"))
     val cand = prefix
       .as("x")
       .hint("merge")
       .join(prefix.as("y").hint("merge"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      // dedup on the sized width: clustering (a, b) here means distinct's
+      // final aggregate needs no further exchange at the session width
+      .repartition(pParts, col("a"), col("b"))
       .distinct()
-    // exact verification: candidates (few) join back to FULL postings
-    val inter = cand
-      .join(post0.as("pa"), col("a") === col("pa.doc"))
-      .join(post0.as("pb"), col("b") === col("pb.doc") && col("pa.h") === col("pb.h"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
+    // exact verification: each doc's posting SET is collected once and the
+    // (few) candidates join the two array rows — the intersection is a
+    // per-row array_intersect, never a per-pair posting explosion. The
+    // row-exploded form (cand ⋈ postings(a) ⋈ postings(b) → groupBy count)
+    // shuffled |cand| × n_sh rows: measured ×100, an 8.9 GB exchange plus
+    // 11.8 GB of sort spill in the count aggregate; this shape's widest
+    // exchange is |cand| × one array payload (~1.9 GB there), no sort-agg
+    // at all, and the postings-by-doc exchange is shared with `sizes`.
+    val docSets = post0
+      .groupBy(col("doc"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n_sh"))
     val threshold = tNum.toDouble / tDen
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+    cand
+      .join(docSets.select(col("doc").as("a"), col("hs").as("ha"), col("n_sh").as("na")),
+        Seq("a"))
+      .join(docSets.select(col("doc").as("b"), col("hs").as("hb"), col("n_sh").as("nb")),
+        Seq("b"))
       .select(
         col("a"),
         col("b"),
-        (col("inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("inter")))
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (col("na") + col("nb") - size(array_intersect(col("ha"), col("hb")))))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

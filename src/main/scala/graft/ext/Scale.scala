@@ -23,6 +23,25 @@ import org.apache.spark.sql.types.LongType
   */
 object Scale {
 
+  /** Shuffle width sized to a MEASURED row volume — the per-operator form
+    * of the `spark.sql.shuffle.partitions` sizing rule (partitions track
+    * data ÷ executors, not a constant). A fixed session width is right for
+    * the typical vocab/group-sized exchange, but an operator whose shuffle
+    * volume is a known super-linear function of its input (a pair-stream
+    * self-join, a banded candidate explosion) must size ITS exchange from
+    * the volume it is about to produce, or every task inherits 1/width of
+    * an unbounded stream (measured: the PPJoin pair stream at ×100 put
+    * ~350 MB into each of 32 fixed partitions — 11 GB of sort spill).
+    * Never shrinks below the session width (small inputs keep the session
+    * plan); capped at 4096 — at that width the operator needs a real
+    * cluster, not a wider local shuffle.
+    */
+  def sizedPartitions(spark: SparkSession, rows: Long, rowsPerTask: Long = 2L << 20): Int = {
+    require(rowsPerTask > 0, s"rowsPerTask must be positive, got $rowsPerTask")
+    val base = spark.sessionState.conf.numShufflePartitions
+    math.min(4096L, math.max(base.toLong, (rows + rowsPerTask - 1) / rowsPerTask)).toInt
+  }
+
   /** Two-phase salted sum/count aggregation.
     *
     * @param df         input
