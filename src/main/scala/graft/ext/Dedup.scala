@@ -802,9 +802,15 @@ object Dedup {
     // signatures feed both self-join sides — materialize once (see
     // jaccardPairs note)
     val sigs = intermediate(minhashSignatures(docs, idCol, textCol, n, k), "minhash_sigs")
+    // the pair stream carries ONLY doc ids: sig_matches is a pure function
+    // of the pair, so it is computed AFTER the distinct by joining the
+    // (few) surviving pairs back to the signature table — the bucket
+    // self-join and the dedup aggregate move 16-byte rows instead of
+    // dragging two k-long signatures through every bucket collision
+    // (measured ×100: the distinct's partial aggregate spilled 704 MB on
+    // the signature-carrying stream; the id-only stream fits in memory).
     val banded = sigs.select(
       col("doc"),
-      col("sig"),
       posexplode(bandKeys(col("sig"), bands, r)).as(Seq("band", "key")))
     // merge-hinted like the jaccard postings join: `banded` is corpus-sized
     // (|docs| × bands), so stats-based broadcast is wrong at scale; the
@@ -816,9 +822,11 @@ object Dedup {
         banded.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"),
-        sigMatches(col("x.sig"), col("y.sig"), k).as("sig_matches"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .distinct()
+      .join(sigs.select(col("doc").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .select(col("a"), col("b"), sigMatches(col("sig_a"), col("sig_b"), k).as("sig_matches"))
   }
 
   /** Incremental MinHash-LSH — the ingest-increment path for the banded
