@@ -740,6 +740,50 @@ object CurationQueries {
         .select(col("doc_id"), col("n_chunks"),
           (md5(col("rebuilt")) === col("orig_md5")).as("intact"))
         .orderBy("doc_id")
+    },
+
+    // FRACTIONAL EPOCH UPSAMPLING — the mixture-weight mechanism between
+    // integer repetition and sampling: source k gets weight w_q2/100 ∈
+    // [1, 3) (a deterministic per-source literal rule), every doc emits
+    // ⌊w⌋ copies and doc_id % 100 < (w_q2 % 100) selects WHICH docs carry
+    // the fractional extra copy — exact rounding law
+    // |n_rows·100 − n_docs·w_q2| < 100·n_docs, no RNG, rerun-stable (the
+    // property an epoch-reproducible training run needs). The explode is
+    // the actual operator (sequence + explode, map-only); the declared
+    // rollup audits it per source.
+    "q_upsample_repeat" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (lit(100) + (substring(col("source"), 4, 10).cast("int") * 37) % 201).as("w_q2"))
+        .select(col("doc_id"), col("source"), col("w_q2"),
+          explode(sequence(lit(1),
+            (col("w_q2") / 100).cast("int") +
+              when(pmod(col("doc_id"), lit(100)) < col("w_q2") % 100, 1).otherwise(0)))
+            .as("copy"))
+        .groupBy("source")
+        .agg(max(col("w_q2")).as("w_q2"), count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("source")
+    },
+
+    // DETERMINISTIC EPOCH RE-SHARDING — each training epoch re-permutes
+    // the corpus into 16 shards by a salted hash (epoch is the salt: same
+    // corpus, different epoch → a different but REPRODUCIBLE shard
+    // assignment; the md5-bucket idiom the splits/CMS queries share).
+    // Map-only assignment — shard files at 100 TB are written straight
+    // out of one pass, no global sort, no row_number over the corpus —
+    // and the declared rollup is the shard-balance audit (docs + tokens
+    // per shard per epoch) a pipeline checks before launching the run.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("tc"),
+          explode(sequence(lit(0), lit(2))).as("epoch"))
+        .withColumn("shard",
+          pmod(conv(substring(md5(concat_ws("-", col("epoch"), col("doc_id"))), 1, 15),
+            16, 10).cast("long"), lit(16)))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+        .orderBy("epoch", "shard")
     }
   )
 
@@ -786,6 +830,22 @@ object CurationQueries {
       s"FROM $prev p LEFT JOIN s$cur USING (doc))"
 
   def oracleSql: Map[String, String] = Map(
+    // same literal weight rule, same integer copy count + fractional-copy
+    // selector, same generate_series explode
+    "q_upsample_repeat" -> ("WITH w AS (SELECT doc_id, source, " +
+      "100 + (CAST(substring(source, 4, 10) AS INT) * 37) % 201 AS w_q2 FROM documents), " +
+      "e AS (SELECT doc_id, source, w_q2, unnest(generate_series(1, w_q2 // 100 + " +
+      "CASE WHEN doc_id % 100 < w_q2 % 100 THEN 1 ELSE 0 END)) AS copy FROM w) " +
+      "SELECT source, max(w_q2) AS w_q2, count(DISTINCT doc_id) AS n_docs, " +
+      "count(*) AS n_rows FROM e GROUP BY 1 ORDER BY 1"),
+    // same epoch-salted md5 bucket (the CMS/splits hash idiom)
+    "q_epoch_shuffle" -> (s"WITH d AS (SELECT doc_id, len(${TextQueries.Toks}) AS tc " +
+      "FROM documents), " +
+      "e AS (SELECT doc_id, tc, unnest(generate_series(0, 2)) AS epoch FROM d) " +
+      "SELECT epoch, ('0x' || substr(md5(concat(CAST(epoch AS VARCHAR), '-', " +
+      "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 16 AS shard, " +
+      "count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS n_tokens " +
+      "FROM e GROUP BY 1, 2 ORDER BY 1, 2"),
     // same quasi grouping; count(DISTINCT) over exact doubles is portable
     "q_k_anonymity" -> ("SELECT c_nationkey, c_mktsegment, " +
       "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb, " +

@@ -1034,10 +1034,181 @@ object RelationalStatsQueries {
           expr("(cls_cents * 1000 DIV _t) * 1000 + " +
             "((cls_cents * 1000) % _t) * 1000 DIV _t").as("share_q6"))
         .orderBy("cls")
+    },
+
+    // ONE-WAY ANOVA F across return flags on lineitem quantity — "does
+    // mean quantity differ by return status?", the k-group generalization
+    // of the two-sample tests. ONE corpus pass accumulates exact integer
+    // moments per group (quantity is integral; Σq² sums as DECIMAL so the
+    // lane never wraps), the 3 groups pivot into one row, and every
+    // fractional step is a fixed-order double expression over once-cast
+    // exact moments: t_g = s_g²/n_g (decimal product, one cast, one
+    // division), SSB = (t_A + t_N + t_R) − S²/N, SSW = SS − Σt,
+    // F = (SSB/(k−1))/(SSW/(N−k)). No common-denominator blowup — the
+    // per-group division keeps every decimal ≤ Σq², so the plan is exact
+    // at any corpus size (the q_spearman DECIMAL lane, divided early).
+    "q_anova_f" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("q"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("q").cast(dec)).as("sq"),
+          sum((col("q") * col("q")).cast(dec)).as("sqq"))
+      def pick(gv: String, c: String) =
+        sum(when(col("g") === gv, col(c)))
+      val one = m.agg(
+        pick("A", "n").as("na"), pick("A", "sq").as("sa"), pick("A", "sqq").as("ssa"),
+        pick("N", "n").as("nb"), pick("N", "sq").as("sb"), pick("N", "sqq").as("ssb"),
+        pick("R", "n").as("nc"), pick("R", "sq").as("sc"), pick("R", "sqq").as("ssc"))
+      def t(sc: String, nc: String) =
+        (col(sc) * col(sc)).cast("double") / col(nc).cast("double")
+      one
+        .withColumn("n", col("na") + col("nb") + col("nc"))
+        .withColumn("t_sum", t("sa", "na") + t("sb", "nb") + t("sc", "nc"))
+        .withColumn("s_all", col("sa") + col("sb") + col("sc"))
+        .withColumn("ss_all", col("ssa") + col("ssb") + col("ssc"))
+        .withColumn("ssb",
+          col("t_sum") - (col("s_all") * col("s_all")).cast("double") / col("n").cast("double"))
+        .withColumn("ssw", col("ss_all").cast("double") - col("t_sum"))
+        .select(col("n"), lit(3).as("k"),
+          (col("ssb") / lit(2.0) / (col("ssw") / (col("n") - lit(3)).cast("double"))).as("f"))
+    },
+
+    // WELCH'S UNEQUAL-VARIANCE t between click and error event values —
+    // the default two-sample mean test (pooled-variance Student assumes
+    // what A/B data never satisfies). Values quantized to exact cents
+    // (the q_corr_stats lane); per-group u_g = var_g/n_g is ONE division
+    // of two once-cast exact decimals (num = n·Σx²−(Σx)², den =
+    // n²(n−1)), and t plus the Welch–Satterthwaite df are fixed-order
+    // double expressions over {m_g, u_g, n_g} — every step
+    // correctly-rounded identically in both engines, no corpus-size
+    // overflow anywhere in the lane.
+    "q_welch_ttest" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val m = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_type").as("g"), floor(col("value") * 100).cast("long").as("x"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      def pick(gv: String, c: String) =
+        sum(when(col("g") === gv, col(c)))
+      val one = m.agg(
+        pick("click", "n").as("n1"), pick("click", "sx").as("s1"), pick("click", "sxx").as("ss1"),
+        pick("error", "n").as("n2"), pick("error", "sx").as("s2"), pick("error", "sxx").as("ss2"))
+      def u(n: String, sx: String, ss: String) =
+        (col(n).cast("decimal(38,0)") * col(ss) - col(sx) * col(sx)).cast("double") /
+          (col(n).cast("decimal(38,0)") * col(n) * (col(n) - lit(1))).cast("double")
+      def mean(sx: String, n: String) = col(sx).cast("double") / col(n).cast("double")
+      one
+        .withColumn("u1", u("n1", "s1", "ss1"))
+        .withColumn("u2", u("n2", "s2", "ss2"))
+        .withColumn("usum", col("u1") + col("u2"))
+        .select(col("n1"), col("n2"),
+          ((mean("s1", "n1") - mean("s2", "n2")) / sqrt(col("usum"))).as("t"),
+          (col("usum") * col("usum") /
+            (col("u1") * col("u1") / (col("n1") - lit(1)).cast("double") +
+              col("u2") * col("u2") / (col("n2") - lit(1)).cast("double"))).as("welch_df"))
+    },
+
+    // TWO-PREDICTOR OLS — extendedprice-cents on (quantity, discount%)
+    // via the normal equations, the distributed closed-form regression:
+    // ONE pass accumulates the 9 exact integer moments (DECIMAL lane),
+    // the centered S-terms (S11 = n·Σx² − (Σx)² …) stay exact decimal,
+    // each is cast to double ONCE, and the 2×2 Cramer solve + intercept
+    // + R² are fixed-order double expressions — cross-engine
+    // bit-reproducible where engine-native regr_* stream co-moments in
+    // nondeterministic order. Scale shape: map-side partial aggregation,
+    // one 1-row reduce, zero joins.
+    "q_ols_multi" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec))
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x1"),
+          floor(col("l_discount") * 100).cast("long").as("x2"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"), dsum(col("y")).as("sy"),
+          dsum(col("x1") * col("x1")).as("s11"), dsum(col("x2") * col("x2")).as("s22"),
+          dsum(col("x1") * col("x2")).as("s12"), dsum(col("x1") * col("y")).as("s1y"),
+          dsum(col("x2") * col("y")).as("s2y"), dsum(col("y") * col("y")).as("syy"))
+      def ctr(sab: String, a: String, b: String) =
+        (col("n").cast("decimal(38,0)") * col(sab) - col(a) * col(b)).cast("double")
+      m.withColumn("c11", ctr("s11", "s1", "s1"))
+        .withColumn("c22", ctr("s22", "s2", "s2"))
+        .withColumn("c12", ctr("s12", "s1", "s2"))
+        .withColumn("c1y", ctr("s1y", "s1", "sy"))
+        .withColumn("c2y", ctr("s2y", "s2", "sy"))
+        .withColumn("cyy", ctr("syy", "sy", "sy"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("b1", (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det"))
+        .withColumn("b2", (col("c2y") * col("c11") - col("c1y") * col("c12")) / col("det"))
+        .select(col("n"),
+          ((col("sy").cast("double") - col("b1") * col("s1").cast("double") -
+            col("b2") * col("s2").cast("double")) / col("n").cast("double")).as("b0"),
+          col("b1"), col("b2"),
+          ((col("b1") * col("c1y") + col("b2") * col("c2y")) / col("cyy")).as("r2"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical moment pivot + fixed-order double expression; HUGEINT
+    // carries the exact products (the engine's DECIMAL lane), each cast
+    // to DOUBLE once at the same points
+    "q_anova_f" -> ("WITH m AS (SELECT l_returnflag AS g, count(*) AS n, " +
+      "sum(CAST(l_quantity AS BIGINT)) AS sq, " +
+      "sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq " +
+      "FROM lineitem GROUP BY 1), " +
+      "one AS (SELECT " +
+      "sum(CASE WHEN g='A' THEN n END) AS na, sum(CASE WHEN g='A' THEN sq END) AS sa, " +
+      "sum(CASE WHEN g='A' THEN sqq END) AS ssa, " +
+      "sum(CASE WHEN g='N' THEN n END) AS nb, sum(CASE WHEN g='N' THEN sq END) AS sb, " +
+      "sum(CASE WHEN g='N' THEN sqq END) AS ssb, " +
+      "sum(CASE WHEN g='R' THEN n END) AS nc, sum(CASE WHEN g='R' THEN sq END) AS sc, " +
+      "sum(CASE WHEN g='R' THEN sqq END) AS ssc FROM m), " +
+      "e AS (SELECT na + nb + nc AS n, " +
+      "(sa*sa)::DOUBLE / na::DOUBLE + (sb*sb)::DOUBLE / nb::DOUBLE + " +
+      "(sc*sc)::DOUBLE / nc::DOUBLE AS t_sum, " +
+      "sa + sb + sc AS s_all, ssa + ssb + ssc AS ss_all FROM one) " +
+      "SELECT CAST(n AS BIGINT) AS n, 3 AS k, " +
+      "((t_sum - (s_all*s_all)::DOUBLE / n::DOUBLE) / 2.0) / " +
+      "((ss_all::DOUBLE - t_sum) / (n - 3)::DOUBLE) AS f FROM e"),
+    // same cents quantization, same once-cast u_g = (n·Σx²−(Σx)²) /
+    // (n²(n−1)) rationals, same fixed-order t / Welch–Satterthwaite df
+    "q_welch_ttest" -> ("WITH b AS (SELECT event_type AS g, " +
+      "CAST(floor(value * 100) AS BIGINT) AS x FROM events " +
+      "WHERE event_type IN ('click', 'error')), " +
+      "m AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx FROM b GROUP BY 1), " +
+      "one AS (SELECT " +
+      "sum(CASE WHEN g='click' THEN n END) AS n1, sum(CASE WHEN g='click' THEN sx END) AS s1, " +
+      "sum(CASE WHEN g='click' THEN sxx END) AS ss1, " +
+      "sum(CASE WHEN g='error' THEN n END) AS n2, sum(CASE WHEN g='error' THEN sx END) AS s2, " +
+      "sum(CASE WHEN g='error' THEN sxx END) AS ss2 FROM m), " +
+      "u AS (SELECT n1, n2, s1, s2, " +
+      "(n1*ss1 - s1*s1)::DOUBLE / (n1*n1*(n1 - 1))::DOUBLE AS u1, " +
+      "(n2*ss2 - s2*s2)::DOUBLE / (n2*n2*(n2 - 1))::DOUBLE AS u2 FROM one) " +
+      "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, " +
+      "(s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE) / sqrt(u1 + u2) AS t, " +
+      "(u1 + u2) * (u1 + u2) / " +
+      "(u1*u1 / (n1 - 1)::DOUBLE + u2*u2 / (n2 - 1)::DOUBLE) AS welch_df FROM u"),
+    // same 9 exact moments, centered S-terms cast to DOUBLE once, same
+    // fixed-order Cramer solve / intercept / R²
+    "q_ols_multi" -> ("WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1, " +
+      "CAST(floor(l_discount * 100) AS BIGINT) AS x2, " +
+      "CAST(floor(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem), " +
+      "one AS (SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy, " +
+      "sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12, " +
+      "sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy FROM b), " +
+      "c AS (SELECT n, s1, s2, sy, " +
+      "(n*s11 - s1*s1)::DOUBLE AS c11, (n*s22 - s2*s2)::DOUBLE AS c22, " +
+      "(n*s12 - s1*s2)::DOUBLE AS c12, (n*s1y - s1*sy)::DOUBLE AS c1y, " +
+      "(n*s2y - s2*sy)::DOUBLE AS c2y, (n*syy - sy*sy)::DOUBLE AS cyy FROM one), " +
+      "d AS (SELECT *, c11*c22 - c12*c12 AS det FROM c), " +
+      "e AS (SELECT *, (c1y*c22 - c2y*c12) / det AS b1, " +
+      "(c2y*c11 - c1y*c12) / det AS b2 FROM d) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      "(sy::DOUBLE - b1 * s1::DOUBLE - b2 * s2::DOUBLE) / n::DOUBLE AS b0, " +
+      "b1, b2, (b1 * c1y + b2 * c2y) / cyy AS r2 FROM e"),
     // same x100 interpolation as the engine's exactPercentilesX100, raw
     // BIGINT form (no /100), then the clamp re-joins the base rows
     "q_winsorized_mean" -> ("WITH base AS (SELECT o_orderpriority AS prio, " +

@@ -213,6 +213,9 @@ object Similarity {
       lambda: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // self-contained: `cosine` resolves graft_cos by name — register here
+    // rather than relying on a caller having touched the registry first
+    graft.functions.GraftFunctions.register(spark)
     val short = bruteForceTopK(queries, corpus, shortlistK)
       .select(col("query_id"), col("neighbor_id").as("cand_id"), col("cos").as("rel"))
     val withVec = broadcast(short)
@@ -1018,28 +1021,127 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String): DataFrame = {
-    val vecD = transform(col(vecCol), x => x.cast("double"))
-    val rows = emb.select(col(idCol), col(labelCol), vecD.as("__vec"))
-    val sums = rows
-      .select(col(labelCol),
-        posexplode(transform(col("__vec"), x => floor(x * lit(1000000)).cast("long")))
-          .as(Seq("__i", "__q")))
-      .groupBy(col(labelCol), col("__i"))
-      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
-    val cents = sums
-      .groupBy(col(labelCol))
-      .agg(
-        transform(array_sort(collect_list(struct(col("__i"), col("__s")))),
-          t => t.getField("__s")).as("__cs"),
-        max(col("__n")).as("__n"))
+    val rows = emb.select(col(idCol), col(labelCol),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
     rows
-      .join(broadcast(cents), Seq(labelCol))
+      .join(broadcast(centroidFrame(rows, labelCol)), Seq(labelCol))
       .select(col(idCol), col(labelCol),
         foldSum(zip_with(col("__vec"), col("__cs"),
           (x, s) => {
             val d = x - s.cast("double") / (lit(1000000.0) * col("__n"))
             d * d
           })).as("dist2"))
+  }
+
+  /** Per-label exact-integer centroid numerators as one array row per
+    * label: `(label, __cs = q6 sums ordered by dim, __n)` — the shared
+    * frame behind [[centroidOutliers]] and [[silhouetteCentroid]]
+    * (label-count-sized, always broadcastable).
+    */
+  private def centroidFrame(rows: DataFrame, labelCol: String): DataFrame =
+    rows
+      .select(col(labelCol),
+        posexplode(transform(col("__vec"), x => floor(x * lit(1000000)).cast("long")))
+          .as(Seq("__i", "__q")))
+      .groupBy(col(labelCol), col("__i"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(labelCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__i"), col("__s")))),
+          t => t.getField("__s")).as("__cs"),
+        max(col("__n")).as("__n"))
+
+  /** Simplified (centroid-form) SILHOUETTE per vector — the cluster-
+    * validity score an embedding-quality gate reads: a = distance to the
+    * own-label centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1] (negative ⇒ the vector sits closer
+    * to a foreign cluster — a label-noise signal that composes with
+    * kNN-vote auditing). The classical pairwise silhouette is O(n²);
+    * the centroid form is the standard large-scale surrogate: one
+    * broadcast of the k×dim exact-integer centroid frame, one scan, k
+    * fixed-order distance folds per row, zero corpus joins.
+    *
+    * Determinism: centroid coordinates are exact q6 integer numerators
+    * reconstructed with the [[centroidOutliers]] division; each distance
+    * is the canonical left-to-right (x−c)² fold under `sqrt` (correctly
+    * rounded in both engines); `min` over the b-candidates is
+    * order-independent; s is one fixed-order expression.
+    */
+  def silhouetteCentroid(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val rows = emb.select(col(idCol), col(labelCol),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
+    val cents = centroidFrame(rows, labelCol)
+      .select(col(labelCol).as("__l2"), col("__cs"), col("__n"))
+    rows
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col(labelCol), col("__l2"),
+        sqrt(foldSum(zip_with(col("__vec"), col("__cs"),
+          (x, s) => {
+            val d = x - s.cast("double") / (lit(1000000.0) * col("__n"))
+            d * d
+          }))).as("__d"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        max(when(col("__l2") === col(labelCol), col("__d"))).as("a"),
+        min(when(col("__l2") =!= col(labelCol), col("__d"))).as("b"))
+      .select(col(idCol), col(labelCol), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+  }
+
+  /** DAVIES–BOULDIN cluster-validity terms — [[silhouetteCentroid]]'s
+    * aggregate companion: per cluster i, R_i = max_{j≠i} (σ_i + σ_j) /
+    * d(c_i, c_j) (lower ⇒ tighter, better-separated clusters), with the
+    * worst partner j named — the per-cluster diagnostic a clustering
+    * sweep reads. σ_i is the mean member→centroid distance accumulated
+    * as EXACT q6 integers (order-free sums), centroid coordinates are the
+    * shared exact-integer numerators, and every fractional step is a
+    * fixed-order once-cast double expression — so the k·(k−1) ratio grid
+    * and the argmax row are cross-engine reproducible. Scale: one corpus
+    * scan for distances (the [[centroidOutliers]] pass), then all work is
+    * on k-sized frames.
+    */
+  def daviesBouldin(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = emb.select(col(labelCol),
+      transform(col(vecCol), x => x.cast("double")).as("__vec"))
+    val cents = centroidFrame(rows, labelCol)
+    val sig = centroidOutliers(emb, idCol, vecCol, labelCol)
+      .groupBy(col(labelCol))
+      .agg(sum(floor(sqrt(col("dist2")) * 1000000).cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+    val ci = cents.select(col(labelCol).as("i"), col("__cs").as("csi"), col("__n").as("ni"))
+    val cj = cents.select(col(labelCol).as("j"), col("__cs").as("csj"), col("__n").as("nj"))
+    val dij = ci
+      .crossJoin(cj)
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        sqrt(foldSum(zip_with(col("csi"), col("csj"),
+          (a, b) => {
+            val d = a.cast("double") / (lit(1000000.0) * col("ni")) -
+              b.cast("double") / (lit(1000000.0) * col("nj"))
+            d * d
+          }))).as("dij"))
+    val ratio = dij
+      .join(sig.select(col(labelCol).as("i"), col("sq").as("sqi"), col("cnt").as("cnti")), Seq("i"))
+      .join(sig.select(col(labelCol).as("j"), col("sq").as("sqj"), col("cnt").as("cntj")), Seq("j"))
+      .select(col("i"), col("cnti"), col("j"),
+        ((col("sqi").cast("double") / (lit(1000000.0) * col("cnti")) +
+          col("sqj").cast("double") / (lit(1000000.0) * col("cntj"))) / col("dij")).as("r"))
+    ratio
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("i").orderBy(col("r").desc, col("j"))))
+      .filter(col("rn") === 1)
+      .select(col("i").as("label"), col("cnti").as("n"), col("j").as("partner"), col("r"))
   }
 
   /** Top-1 principal component via INTEGER-EXACT moments + driver-side

@@ -468,6 +468,33 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), round(col("dist2"), 6).as("dist2"))
     },
 
+    // CENTROID-FORM SILHOUETTE per vector ([[Similarity.silhouetteCentroid]])
+    // — the embedding-quality / label-noise score: s < 0 means the vector
+    // sits closer to a foreign centroid. One broadcast of the k×dim
+    // exact-integer centroid frame, one corpus scan, k fixed-order
+    // distance folds per row — the O(n²) pairwise silhouette's standard
+    // large-scale surrogate. The 20 most negative (worst-clustered)
+    // vectors are declared; a/b carried so the oracle gates the parts.
+    "q_silhouette" -> { (s, dir) =>
+      Similarity
+        .silhouetteCentroid(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .orderBy(col("s").asc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("label"),
+          round(col("a"), 6).as("a"), round(col("b"), 6).as("b"), round(col("s"), 6).as("s"))
+    },
+
+    // DAVIES–BOULDIN per-cluster terms ([[Similarity.daviesBouldin]]) —
+    // the aggregate cluster-validity companion to q_silhouette: per label
+    // the worst (σ_i+σ_j)/d_ij partner and ratio. σ as exact q6 integer
+    // sums; all k-sized frames after the one distance scan.
+    "q_davies_bouldin" -> { (s, dir) =>
+      Similarity
+        .daviesBouldin(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .select(col("label"), col("n"), col("partner"), round(col("r"), 6).as("r"))
+        .orderBy("label")
+    },
+
     // Per-label centroid numerators: embeddings quantized to 1e-6 and
     // summed exactly as integers per (label, dimension) — the cluster-
     // centroid building block, engine-exact.
@@ -480,6 +507,36 @@ object SimilarityQueries {
         .agg(sum(floor(col("x") * 1000000).cast("long")).as("sum_q6"),
           count(lit(1)).as("n"))
         .orderBy("label", "dim")
+    },
+
+    // ONE LLOYD ITERATION of k-means (k = 8, seeds = the deterministic
+    // first-8 vectors — the q_ann_ivf centroid stand-in convention):
+    // assignment is MAP-ONLY, k plan-literal `graft_sqdist` probes per
+    // row (the contaminationByEmbedding pattern — driver state is k·dim
+    // doubles, never a corpus collect) with argmin-by-(d2, seed) via
+    // `least` over structs (ties to the lowest seed id, deterministic);
+    // the update step re-uses the q_embed_centroids exact integer
+    // numerators per (cluster, dim). The building block a distributed
+    // k-means loop iterates; one iteration is declared so the oracle can
+    // gate assignment AND update exactly.
+    "q_kmeans_step" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val seeds = v.filter(col("id") < 8)
+        .select(col("id").cast("int"), col("vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+        .toSeq
+      val scored = seeds.map { case (sid, sv) =>
+        struct(call_function("graft_sqdist", col("vec"), typedLit(sv)).as("d2"),
+          lit(sid).as("seed"))
+      }
+      v.select(col("vec"), least(scored: _*).getField("seed").as("cluster"))
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim0", "x")))
+        .groupBy(col("cluster"), (col("dim0") + 1).as("dim"))
+        .agg(sum(floor(col("x") * 1000000).cast("long")).as("sum_q6"),
+          count(lit(1)).as("n"))
+        .orderBy("cluster", "dim")
     },
 
     // Int8 scalar quantization (Similarity.scalarQuantize): per-dim
@@ -964,6 +1021,66 @@ object SimilarityQueries {
       "FROM v JOIN c USING (label)) " +
       "SELECT vec_id, label, round(dist2, 6) AS dist2 FROM d " +
       "ORDER BY d.dist2 DESC, vec_id LIMIT 20"),
+    // same member-distance pass as q_embed_outliers (σ as exact q6 sums
+    // under sqrt), centroid-grid distances from the same cs/n
+    // reconstruction, argmax by (r DESC, j) row_number
+    "q_davies_bouldin" -> (s"WITH v AS (SELECT vec_id, label, $VDouble AS vec FROM embeddings), " +
+      s"sm AS (SELECT label, i, CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS sq, " +
+      s"count(*) AS n FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY 1, 2), " +
+      "c AS (SELECT label, list(sq ORDER BY i) AS cs, max(n) AS n FROM sm GROUP BY 1), " +
+      "d AS (SELECT vec_id, v.label, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), j -> " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)) * " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)))), (a, b) -> a + b) AS dist2 " +
+      "FROM v JOIN c USING (label)), " +
+      "sig AS (SELECT label, CAST(sum(CAST(floor(sqrt(dist2) * 1000000) AS BIGINT)) AS BIGINT) " +
+      "AS sq, count(*) AS cnt FROM d GROUP BY 1), " +
+      "dij AS (SELECT a.label AS i, b.label AS j, " +
+      "sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), k -> " +
+      "(a.cs[k]::DOUBLE / (1000000.0 * a.n) - b.cs[k]::DOUBLE / (1000000.0 * b.n)) * " +
+      "(a.cs[k]::DOUBLE / (1000000.0 * a.n) - b.cs[k]::DOUBLE / (1000000.0 * b.n)))), " +
+      "(x, y) -> x + y)) AS dij FROM c a CROSS JOIN c b WHERE a.label <> b.label), " +
+      "r AS (SELECT i, si.cnt AS n, j, " +
+      "(si.sq::DOUBLE / (1000000.0 * si.cnt) + sj.sq::DOUBLE / (1000000.0 * sj.cnt)) / dij AS r " +
+      "FROM dij JOIN sig si ON i = si.label JOIN sig sj ON j = sj.label), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY i ORDER BY r DESC, j) AS rn FROM r) " +
+      "SELECT i AS label, n, j AS partner, round(r, 6) AS r FROM rk WHERE rn = 1 ORDER BY label"),
+    // same exact-integer centroid frame as q_embed_outliers, distances
+    // under sqrt, a/b via same-label max / other-label min, one s
+    // expression; ORDER BY the UNROUNDED sc.s like the engine
+    "q_silhouette" -> (s"WITH v AS (SELECT vec_id, label, $VDouble AS vec FROM embeddings), " +
+      s"sm AS (SELECT label, i, CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS sq, " +
+      s"count(*) AS n FROM v CROSS JOIN generate_series(1, $Dim) g(i) GROUP BY 1, 2), " +
+      "c AS (SELECT label, list(sq ORDER BY i) AS cs, max(n) AS n FROM sm GROUP BY 1), " +
+      "d AS (SELECT vec_id, v.label, c.label AS l2, " +
+      "sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), j -> " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)) * " +
+      "(vec[j] - cs[j]::DOUBLE / (1000000.0 * n)))), (a, b) -> a + b)) AS dd " +
+      "FROM v CROSS JOIN c), " +
+      "ab AS (SELECT vec_id, label, max(CASE WHEN l2 = label THEN dd END) AS a, " +
+      "min(CASE WHEN l2 <> label THEN dd END) AS b FROM d GROUP BY 1, 2), " +
+      "sc AS (SELECT vec_id, label, a, b, CASE WHEN greatest(a, b) > 0.0 " +
+      "THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM ab) " +
+      "SELECT vec_id, label, round(a, 6) AS a, round(b, 6) AS b, round(s, 6) AS s " +
+      "FROM sc ORDER BY sc.s, vec_id LIMIT 20"),
+    // same left-to-right (x−s)² fold per seed, argmin by (d2, seed) via
+    // the ordered row_number, same exact integer centroid numerators
+    "q_kmeans_step" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      "sd AS (SELECT id AS seed, vec AS svec FROM v WHERE id < 8), " +
+      "d AS (SELECT v.id, v.vec, sd.seed, " +
+      "list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(generate_series(1, $Dim), j -> " +
+      "(v.vec[j] - sd.svec[j]) * (v.vec[j] - sd.svec[j]))), (a, b) -> a + b) AS d2 " +
+      "FROM v CROSS JOIN sd), " +
+      "a AS (SELECT id, vec, seed, " +
+      "row_number() OVER (PARTITION BY id ORDER BY d2, seed) AS rn FROM d) " +
+      "SELECT seed AS cluster, i AS dim, " +
+      "CAST(sum(CAST(floor(vec[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +
+      s"FROM a CROSS JOIN generate_series(1, $Dim) g(i) WHERE rn = 1 " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_embed_centroids" -> (s"SELECT label, i AS dim, " +
       // outer CAST: DuckDB sum(BIGINT)→HUGEINT→pandas float64 hash artifact
       s"CAST(sum(CAST(floor($VDouble[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_q6, count(*) AS n " +

@@ -252,15 +252,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_heavy_hitters_sketch: shuffle carries cap-bounded sketches, never the vocab") {
+  test("q_heavy_hitters_sketch: deterministic replay — vocab counts feed ONE sorted state") {
     val p = plan("q_heavy_hitters_sketch")
-    // partial SpaceSaving states build map-side, merge at one final agg —
-    // the bytes through the exchange are ≤ cap counters per partition,
-    // where the exact q_heavy_hitters shuffles the whole vocabulary
-    assert(count(p, "ObjectHashAggregate") == 2, s"partial+final sketch agg:\n$p")
-    assert(p.contains("graft_topk"), s"the native aggregate must be in the plan:\n$p")
-    assert(!p.contains("Exchange hashpartitioning(token"),
-      s"no vocabulary-keyed shuffle in the sketch path:\n$p")
+    // round 12 session 3 (rows-only graduation): the summary is rebuilt
+    // from the EXACT vocab counts by the weighted replay aggregate in one
+    // sorted partition — a pure function of the counts, so the oracle
+    // hash-gates it. Shape: token-keyed count agg → single-partition
+    // (c desc, token asc) sort → graft_topk_w partial+final on that one
+    // partition (no exchange between them).
+    assert(p.contains("graft_topk_w"), s"the weighted replay aggregate must be in the plan:\n$p")
+    assert(count(p, "ObjectHashAggregate") == 2, s"replay partial+final sketch agg:\n$p")
+    assert(p.contains("Exchange hashpartitioning(token"),
+      s"exact vocab counts aggregate by token below the replay:\n$p")
+    assert(p.contains("RoundRobinPartitioning(1)") || p.contains("SinglePartition"),
+      s"the replay feed is ONE partition (the determinism contract):\n$p")
   }
 
   test("q_rich_inactive: threshold broadcasts as 1-row build; inactivity is a LeftAnti") {
