@@ -530,8 +530,27 @@ object Dedup {
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // df-cap: a shingle present in > maxDf docs explodes the self-join
     // quadratically while carrying no dedup signal.
-    val hot = post0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("h")
-    val post = post0.join(hot, Seq("h"), "left_anti")
+    val dfreq = post0.groupBy("h").agg(count(lit(1)).as("df"))
+    val hot = dfreq.filter(col("df") > maxDf).select("h")
+    val post1 = post0.join(hot, Seq("h"), "left_anti")
+    // the pair-stream volume is KNOWN before the join (Σ_h df·(df−1)/2
+    // over the capped document frequencies — a vocab-sized aggregate over
+    // the materialized postings, one driver long): when it exceeds what
+    // the session width can hold in memory, size the self-join exchange
+    // from it so the co-shingle pair stream and its count aggregate split
+    // into memory-sized tasks (the PPJoin fix; measured ×100 the fixed
+    // width spilled ~700 MB in the count aggregate). When the volume is
+    // small the repartition is SKIPPED entirely, preserving the
+    // zero-exchange plan of Bucketed intermediates.
+    val nPairs = dfreq
+      .filter(col("df") <= maxDf)
+      .agg(coalesce(sum(col("df") * (col("df") - lit(1L))), lit(0L)).as("s"))
+      .head().getLong(0) / 2
+    val pParts = Scale.sizedPartitions(docs.sparkSession, nPairs)
+    val post =
+      if (pParts > docs.sparkSession.sessionState.conf.numShufflePartitions)
+        post1.repartition(pParts, col("h"))
+      else post1
     // merge-hint the self-join: the posting list is corpus-sized, so a
     // broadcast (Spark's stats-based pick here) is wrong at scale — and the
     // shuffle form makes both sides' subplans identical, so exchange reuse

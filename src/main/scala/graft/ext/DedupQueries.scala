@@ -197,6 +197,10 @@ object DedupQueries {
         .select(col("a"), col("b"), col("jaccard"))
       val est = expr(s"sig_matches * 1000000 div $K")
       val jac = floor(coalesce(col("jaccard"), lit(0.0)) * 1000000).cast("long")
+      // sort-merge by choice: the exact side is the big pair frame; SMJ's
+      // sort spills gracefully (~700 MB at ×100, a 7 s stage) where a
+      // shuffle-hash build OOMs outright under concurrent task memory
+      // pressure (measured: SparkOutOfMemoryError building the map)
       cand.join(exact, Seq("a", "b"), "left")
         .select(col("a"), col("b"), est.as("est_q6"), jac.as("jac_q6"),
           abs(est - jac).as("err_q6"))

@@ -163,6 +163,42 @@ object GraphQueries {
         .orderBy("label")
     },
 
+    // NEWMAN MODULARITY per label community over the mutual-kNN graph —
+    // "do the labels carve the similarity graph into real communities?"
+    // (the quantitative companion to q_graph_homophily's edge mixing):
+    // per label c, q_term = e_c/m − (d_c/2m)², summing to Q. Everything
+    // up to the last step is EXACT integers (m = |edges|, e_c = intra-
+    // label edges, d_c = degree sum over the label's non-isolated
+    // vertices); q_term is one fixed-order double expression, so the
+    // 10-row result hash-checks. Scale: two label-keyed joins on the
+    // memoized edge frame + label-sized aggregates; m rides a 1-row
+    // broadcast (the q_rich_inactive scalar shape).
+    "q_graph_modularity" -> { (s, dir) =>
+      val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
+      val e = graph(s, dir)
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(col("lo").as("id")).unionByName(e.select(col("hi").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val dc = deg.join(lab, Seq("id"))
+        .groupBy("label")
+        .agg(sum(col("d")).as("d_c"), count(lit(1)).as("n_nodes"))
+      val ec = e
+        .join(lab.select(col("id").as("lo"), col("label").as("ll")), Seq("lo"))
+        .join(lab.select(col("id").as("hi"), col("label").as("lh")), Seq("hi"))
+        .filter(col("ll") === col("lh"))
+        .groupBy(col("ll").as("label"))
+        .agg(count(lit(1)).as("e_c"))
+      val md = col("m").cast("double")
+      dc.join(ec, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("label"), col("n_nodes"), col("d_c"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"),
+          (coalesce(col("e_c"), lit(0L)).cast("double") / md -
+            (col("d_c").cast("double") / (lit(2.0) * md)) *
+              (col("d_c").cast("double") / (lit(2.0) * md))).as("q_term"))
+        .orderBy("label")
+    },
+
     // q_label_noise on the FIXED-plane builder: the vote runs over mutual
     // LSH-kNN neighbors from the hash-exact 4-plane Tables3 frame — the
     // plan-literal twin that pins the bucket/probe machinery with
@@ -497,6 +533,21 @@ object GraphQueries {
       "SELECT id, n_nbrs, n_diff, n_diff * 1000000 // n_nbrs AS noise_q6, " +
       "n_diff * tn > n_nbrs * td AS suspect " +
       "FROM per, tot ORDER BY 1"),
+    // same mutual frame; exact m/d_c/e_c integers, the identical
+    // fixed-order q_term expression
+    "q_graph_modularity" -> (s"WITH $KnnCtes, " +
+      "mm AS (SELECT count(*) AS m FROM mutual), " +
+      "deg AS (SELECT id, count(*) AS d FROM (SELECT lo AS id FROM mutual " +
+      "UNION ALL SELECT hi FROM mutual) GROUP BY 1), " +
+      "dc AS (SELECT e.label, CAST(sum(d) AS BIGINT) AS d_c, count(*) AS n_nodes " +
+      "FROM deg JOIN embeddings e ON e.vec_id = deg.id GROUP BY 1), " +
+      "ec AS (SELECT a.label, count(*) AS e_c FROM mutual t " +
+      "JOIN embeddings a ON a.vec_id = t.lo JOIN embeddings b ON b.vec_id = t.hi " +
+      "WHERE a.label = b.label GROUP BY 1) " +
+      "SELECT dc.label, n_nodes, d_c, coalesce(e_c, 0) AS e_c, " +
+      "coalesce(e_c, 0)::DOUBLE / m::DOUBLE - " +
+      "(d_c::DOUBLE / (2.0 * m::DOUBLE)) * (d_c::DOUBLE / (2.0 * m::DOUBLE)) AS q_term " +
+      "FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm ORDER BY dc.label"),
     "q_graph_homophily" -> (s"WITH $KnnCtes, " +
       "lab AS (SELECT m.lo, m.hi, a.label AS la, b.label AS lb FROM mutual m " +
       "JOIN embeddings a ON a.vec_id = m.lo JOIN embeddings b ON b.vec_id = m.hi), " +

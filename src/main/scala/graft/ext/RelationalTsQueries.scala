@@ -14,6 +14,58 @@ import RelationalQueries.{secs, dailyCents, pctSql, DailyCentsCte}
 object RelationalTsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GRANGER-STYLE LAGGED-REGRESSION F — "does yesterday's order COUNT
+    // help predict today's revenue beyond yesterday's revenue?": the
+    // restricted model y_t ~ y_{t−1} vs the full y_t ~ y_{t−1} + x_{t−1},
+    // F = (SSE_r − SSE_f) / (SSE_f/(n−3)). Lags ride ONE window over the
+    // time-bounded day grid (the q_theil_sen contract: value-space sized,
+    // never corpus rows; a gap's lag is the previous OBSERVED day by
+    // declared contract). Exact DECIMAL moments over the grid, the
+    // q_ols_multi once-cast centered terms, Cramer solve, fixed-order F —
+    // cross-engine bit-reproducible where a native OLS would stream
+    // co-moments nondeterministically.
+    "q_granger_lite" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long")
+          .as("epoch_day"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("y"),
+          count(lit(1)).as("cnt"))
+      val w = Window.orderBy("epoch_day")
+      val lagged = daily
+        .withColumn("x1", lag(col("y"), 1).over(w))
+        .withColumn("x2", lag(col("cnt"), 1).over(w))
+        .filter(col("x1").isNotNull)
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec))
+      val m = lagged.agg(count(lit(1)).as("n"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"), dsum(col("y")).as("sy"),
+        dsum(col("x1").cast(dec) * col("x1")).as("s11"),
+        dsum(col("x2").cast(dec) * col("x2")).as("s22"),
+        dsum(col("x1").cast(dec) * col("x2")).as("s12"),
+        dsum(col("x1").cast(dec) * col("y")).as("s1y"),
+        dsum(col("x2").cast(dec) * col("y")).as("s2y"),
+        dsum(col("y").cast(dec) * col("y")).as("syy"))
+      def ctr(sab: String, a: String, b: String) =
+        (col("n").cast(dec) * col(sab) - col(a) * col(b)).cast("double")
+      m.withColumn("c11", ctr("s11", "s1", "s1"))
+        .withColumn("c22", ctr("s22", "s2", "s2"))
+        .withColumn("c12", ctr("s12", "s1", "s2"))
+        .withColumn("c1y", ctr("s1y", "s1", "sy"))
+        .withColumn("c2y", ctr("s2y", "s2", "sy"))
+        .withColumn("cyy", ctr("syy", "sy", "sy"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("ssr_f",
+          (col("c1y") * col("c22") - col("c2y") * col("c12")) / col("det") * col("c1y") +
+            (col("c2y") * col("c11") - col("c1y") * col("c12")) / col("det") * col("c2y"))
+        .withColumn("sse_f", col("cyy") - col("ssr_f"))
+        .withColumn("sse_r", col("cyy") - col("c1y") * col("c1y") / col("c11"))
+        .select(col("n"),
+          ((col("sse_r") - col("sse_f")) / (col("sse_f") / (col("n") - lit(3)).cast("double")))
+            .as("f"),
+          (col("ssr_f") / col("cyy")).as("r2_full"),
+          (col("c1y") * col("c1y") / col("c11") / col("cyy")).as("r2_restricted"))
+    },
+
     // TPC-H Q6-shaped filtered revenue: pure filter-aggregate — every
     // predicate (date range, discount band, quantity cap) pushes to the
     // parquet scan, partial+final agg, no join. The canonical "scan
@@ -991,6 +1043,29 @@ object RelationalTsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // same day grid, same observed-day lag, HUGEINT moments, identical
+    // once-cast centered terms and fixed-order Cramer/SSE/F expressions
+    "q_granger_lite" -> ("WITH daily AS (SELECT CAST(CAST(o_orderdate AS DATE) " +
+      "- DATE '1970-01-01' AS BIGINT) AS epoch_day, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y, " +
+      "count(*) AS cnt FROM orders GROUP BY 1), " +
+      "lg AS (SELECT y, lag(y) OVER (ORDER BY epoch_day) AS x1, " +
+      "lag(cnt) OVER (ORDER BY epoch_day) AS x2 FROM daily), " +
+      "flt AS (SELECT * FROM lg WHERE x1 IS NOT NULL), " +
+      "one AS (SELECT count(*) AS n, sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2, " +
+      "sum(y::HUGEINT) AS sy, sum(x1::HUGEINT * x1) AS s11, sum(x2::HUGEINT * x2) AS s22, " +
+      "sum(x1::HUGEINT * x2) AS s12, sum(x1::HUGEINT * y) AS s1y, " +
+      "sum(x2::HUGEINT * y) AS s2y, sum(y::HUGEINT * y) AS syy FROM flt), " +
+      "c AS (SELECT n, (n*s11 - s1*s1)::DOUBLE AS c11, (n*s22 - s2*s2)::DOUBLE AS c22, " +
+      "(n*s12 - s1*s2)::DOUBLE AS c12, (n*s1y - s1*sy)::DOUBLE AS c1y, " +
+      "(n*s2y - s2*sy)::DOUBLE AS c2y, (n*syy - sy*sy)::DOUBLE AS cyy FROM one), " +
+      "d AS (SELECT *, c11*c22 - c12*c12 AS det FROM c), " +
+      "e AS (SELECT *, (c1y*c22 - c2y*c12) / det * c1y + " +
+      "(c2y*c11 - c1y*c12) / det * c2y AS ssr_f FROM d), " +
+      "g AS (SELECT *, cyy - ssr_f AS sse_f, cyy - c1y*c1y/c11 AS sse_r FROM e) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      "(sse_r - sse_f) / (sse_f / (n - 3)::DOUBLE) AS f, " +
+      "ssr_f / cyy AS r2_full, c1y*c1y/c11/cyy AS r2_restricted FROM g"),
     "q_revenue_forecast" -> ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
       "FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' " +
       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),

@@ -124,6 +124,30 @@ class Round12cSpec extends SparkSpec {
     }
   }
 
+  test("q_granger_lite: adding the lagged regressor never lowers R² and F >= 0") {
+    val r = SparkEntry.queries("q_granger_lite")(spark, sf).head()
+    val (r2f, r2r, f) = (r.getAs[Double]("r2_full"), r.getAs[Double]("r2_restricted"),
+      r.getAs[Double]("f"))
+    assert(r2f >= r2r - 1e-12, s"full model must fit at least as well: $r2f < $r2r")
+    assert(r2f <= 1.0 + 1e-9 && r2r >= -1e-9)
+    assert(f >= -1e-9 && !f.isNaN && !f.isInfinite, s"F=$f")
+  }
+
+  test("q_graph_modularity: q_terms recompute exactly from the integer parts") {
+    val rows = SparkEntry.queries("q_graph_modularity")(spark, sf).collect()
+    val m2 = rows.map(_.getAs[Long]("d_c")).sum // Σ d_c = 2m
+    assert(m2 % 2 == 0 && m2 > 0)
+    val m = (m2 / 2).toDouble
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("e_c").toDouble / m -
+        (r.getAs[Long]("d_c").toDouble / (2.0 * m)) *
+          (r.getAs[Long]("d_c").toDouble / (2.0 * m))
+      assert(r.getAs[Double]("q_term") == expect,
+        s"label ${r.getAs[Int]("label")}: q_term must be the exact fixed-order expression")
+    }
+    assert(rows.map(_.getAs[Long]("e_c")).sum <= m2 / 2, "intra edges cannot exceed m")
+  }
+
   // ---- silhouette -------------------------------------------------------------
 
   test("silhouetteCentroid: separated clusters score positive, a planted traitor negative") {
