@@ -1148,6 +1148,89 @@ object RelationalStatsQueries {
             col("b2") * col("s2").cast("double")) / col("n").cast("double")).as("b0"),
           col("b1"), col("b2"),
           ((col("b1") * col("c1y") + col("b2") * col("c2y")) / col("cyy")).as("r2"))
+    },
+
+    // CUPED variance reduction on the A/B split — the industry-standard
+    // pre-period adjustment: per user, x = pre-period spend, y =
+    // post-period spend (cents, exact; the period boundary is the exact
+    // integer midpoint of the observed day range, a 1-row broadcast);
+    // θ = Cxy/Cxx pooled over users; each variant's adjusted mean is
+    // mean(y_v) − θ·(mean(x_v) − mean(x)). One corpus pass → one
+    // user-keyed agg → one 1-row reduce; every fraction a once-cast
+    // fixed-order expression over exact DECIMAL moments.
+    "q_cuped" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec))
+      val perUser = ev
+        .crossJoin(broadcast(b))
+        .withColumn("split", expr("(lo + hi + 1) DIV 2"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("day") < col("split"), col("cents")).otherwise(lit(0L))).as("x"),
+          sum(when(col("day") >= col("split"), col("cents")).otherwise(lit(0L))).as("y"))
+      val m = perUser.agg(
+        count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x").cast(dec) * col("x")).as("sxx"),
+        dsum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        dsum(when(col("user_id") % 2 === 0, col("x")).otherwise(lit(0L))).as("sx0"),
+        dsum(when(col("user_id") % 2 === 0, col("y")).otherwise(lit(0L))).as("sy0"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      m.withColumn("n1", col("n") - col("n0"))
+        .withColumn("sx1", col("sx") - col("sx0"))
+        .withColumn("sy1", col("sy") - col("sy0"))
+        .withColumn("theta",
+          d(col("n").cast(dec) * col("sxy") - col("sx") * col("sy")) /
+            d(col("n").cast(dec) * col("sxx") - col("sx") * col("sx")))
+        .withColumn("adj0",
+          d(col("sy0")) / d(col("n0")) -
+            col("theta") * (d(col("sx0")) / d(col("n0")) - d(col("sx")) / d(col("n"))))
+        .withColumn("adj1",
+          d(col("sy1")) / d(col("n1")) -
+            col("theta") * (d(col("sx1")) / d(col("n1")) - d(col("sx")) / d(col("n"))))
+        .select(col("n0"), col("n1"),
+          (d(col("sy0")) / d(col("n0"))).as("mean_y0"),
+          (d(col("sy1")) / d(col("n1"))).as("mean_y1"),
+          col("adj0").as("adj_y0"), col("adj1").as("adj_y1"), col("theta"),
+          (col("adj1") - col("adj0")).as("lift_adj"))
+    },
+
+    // DIFFERENCE-IN-DIFFERENCES over the same split and period boundary —
+    // the parallel-trends causal read: DiD = (post−pre) of the treated
+    // arm minus (post−pre) of control, on per-event mean cents. Four
+    // exact (Σ, n) cells pivot into one row; each mean is one once-cast
+    // division; DiD is one fixed-order expression.
+    "q_diff_in_diff" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val cells = ev
+        .crossJoin(broadcast(b))
+        .withColumn("split", expr("(lo + hi + 1) DIV 2"))
+        .select((col("user_id") % 2 === 1).as("t"), (col("day") >= col("split")).as("p"),
+          col("cents"))
+      def cell(t: Boolean, p: Boolean, c: String) = {
+        val v = if (c == "n") lit(1L) else col("cents")
+        sum(when(col("t") === t && col("p") === p, v).otherwise(lit(0L)))
+      }
+      def mean(s0: String, n0: String) = col(s0).cast("double") / col(n0).cast("double")
+      cells
+        .agg(
+          cell(false, false, "n").as("n_cpre"), cell(false, false, "s").as("s_cpre"),
+          cell(false, true, "n").as("n_cpost"), cell(false, true, "s").as("s_cpost"),
+          cell(true, false, "n").as("n_tpre"), cell(true, false, "s").as("s_tpre"),
+          cell(true, true, "n").as("n_tpost"), cell(true, true, "s").as("s_tpost"))
+        .select(col("n_cpre"), col("n_cpost"), col("n_tpre"), col("n_tpost"),
+          mean("s_cpre", "n_cpre").as("m_cpre"), mean("s_cpost", "n_cpost").as("m_cpost"),
+          mean("s_tpre", "n_tpre").as("m_tpre"), mean("s_tpost", "n_tpost").as("m_tpost"),
+          ((mean("s_tpost", "n_tpost") - mean("s_tpre", "n_tpre")) -
+            (mean("s_cpost", "n_cpost") - mean("s_cpre", "n_cpre"))).as("did"))
     }
   )
 
@@ -1191,6 +1274,54 @@ object RelationalStatsQueries {
       "(s1::DOUBLE / n1::DOUBLE - s2::DOUBLE / n2::DOUBLE) / sqrt(u1 + u2) AS t, " +
       "(u1 + u2) * (u1 + u2) / " +
       "(u1*u1 / (n1 - 1)::DOUBLE + u2*u2 / (n2 - 1)::DOUBLE) AS welch_df FROM u"),
+    // same per-user pre/post split at the exact midpoint day, HUGEINT
+    // moments, identical once-cast θ and adjusted-mean expressions
+    "q_cuped" -> ("WITH ev AS (SELECT user_id, " +
+      "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, " +
+      "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), " +
+      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev), " +
+      "pu AS (SELECT user_id, " +
+      "CAST(sum(CASE WHEN day < (lo + hi + 1) // 2 THEN cents ELSE 0 END) AS BIGINT) AS x, " +
+      "CAST(sum(CASE WHEN day >= (lo + hi + 1) // 2 THEN cents ELSE 0 END) AS BIGINT) AS y " +
+      "FROM ev CROSS JOIN b GROUP BY 1), " +
+      "m AS (SELECT count(*) AS n, sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy, " +
+      "sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy, " +
+      "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0, " +
+      "sum(CASE WHEN user_id % 2 = 0 THEN x::HUGEINT ELSE 0 END) AS sx0, " +
+      "sum(CASE WHEN user_id % 2 = 0 THEN y::HUGEINT ELSE 0 END) AS sy0 FROM pu), " +
+      "e AS (SELECT *, n - n0 AS n1, sx - sx0 AS sx1, sy - sy0 AS sy1, " +
+      "(n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS theta FROM m), " +
+      "f AS (SELECT *, sy0::DOUBLE / n0::DOUBLE - " +
+      "theta * (sx0::DOUBLE / n0::DOUBLE - sx::DOUBLE / n::DOUBLE) AS adj0, " +
+      "sy1::DOUBLE / n1::DOUBLE - " +
+      "theta * (sx1::DOUBLE / n1::DOUBLE - sx::DOUBLE / n::DOUBLE) AS adj1 FROM e) " +
+      "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, " +
+      "sy0::DOUBLE / n0::DOUBLE AS mean_y0, sy1::DOUBLE / n1::DOUBLE AS mean_y1, " +
+      "adj0 AS adj_y0, adj1 AS adj_y1, theta, adj1 - adj0 AS lift_adj FROM f"),
+    // same exact midpoint split, four (Σ, n) cells, one fixed-order DiD
+    "q_diff_in_diff" -> ("WITH ev AS (SELECT user_id, " +
+      "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, " +
+      "CAST(floor(value * 100) AS BIGINT) AS cents FROM events), " +
+      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev), " +
+      "c AS (SELECT (user_id % 2 = 1) AS t, (day >= (lo + hi + 1) // 2) AS p, cents " +
+      "FROM ev CROSS JOIN b), " +
+      "m AS (SELECT " +
+      "sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_cpre, " +
+      "sum(CASE WHEN NOT t AND NOT p THEN cents ELSE 0 END) AS s_cpre, " +
+      "sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_cpost, " +
+      "sum(CASE WHEN NOT t AND p THEN cents ELSE 0 END) AS s_cpost, " +
+      "sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_tpre, " +
+      "sum(CASE WHEN t AND NOT p THEN cents ELSE 0 END) AS s_tpre, " +
+      "sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_tpost, " +
+      "sum(CASE WHEN t AND p THEN cents ELSE 0 END) AS s_tpost FROM c) " +
+      "SELECT CAST(n_cpre AS BIGINT) AS n_cpre, CAST(n_cpost AS BIGINT) AS n_cpost, " +
+      "CAST(n_tpre AS BIGINT) AS n_tpre, CAST(n_tpost AS BIGINT) AS n_tpost, " +
+      "s_cpre::DOUBLE / n_cpre::DOUBLE AS m_cpre, " +
+      "s_cpost::DOUBLE / n_cpost::DOUBLE AS m_cpost, " +
+      "s_tpre::DOUBLE / n_tpre::DOUBLE AS m_tpre, " +
+      "s_tpost::DOUBLE / n_tpost::DOUBLE AS m_tpost, " +
+      "(s_tpost::DOUBLE / n_tpost::DOUBLE - s_tpre::DOUBLE / n_tpre::DOUBLE) - " +
+      "(s_cpost::DOUBLE / n_cpost::DOUBLE - s_cpre::DOUBLE / n_cpre::DOUBLE) AS did FROM m"),
     // same 9 exact moments, centered S-terms cast to DOUBLE once, same
     // fixed-order Cramer solve / intercept / R²
     "q_ols_multi" -> ("WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1, " +

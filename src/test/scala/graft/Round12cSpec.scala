@@ -148,6 +148,26 @@ class Round12cSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("e_c")).sum <= m2 / 2, "intra edges cannot exceed m")
   }
 
+  test("q_cuped: the adjustment preserves the overall mean (Σ n_v·adj_v = Σ n_v·mean_v)") {
+    val r = SparkEntry.queries("q_cuped")(spark, sf).head()
+    val (n0, n1) = (r.getAs[Long]("n0").toDouble, r.getAs[Long]("n1").toDouble)
+    val raw = n0 * r.getAs[Double]("mean_y0") + n1 * r.getAs[Double]("mean_y1")
+    val adj = n0 * r.getAs[Double]("adj_y0") + n1 * r.getAs[Double]("adj_y1")
+    assert(math.abs(raw - adj) <= 1e-6 * math.abs(raw),
+      s"CUPED must not move the pooled mean: raw=$raw adj=$adj")
+    assert(!r.getAs[Double]("theta").isNaN)
+  }
+
+  test("q_diff_in_diff: did recomputes from the four cell means; cells cover the corpus") {
+    val r = SparkEntry.queries("q_diff_in_diff")(spark, sf).head()
+    val expect = (r.getAs[Double]("m_tpost") - r.getAs[Double]("m_tpre")) -
+      (r.getAs[Double]("m_cpost") - r.getAs[Double]("m_cpre"))
+    assert(r.getAs[Double]("did") == expect)
+    val cells = Seq("n_cpre", "n_cpost", "n_tpre", "n_tpost").map(r.getAs[Long]).sum
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(cells == total, s"cells must partition the events: $cells != $total")
+  }
+
   // ---- silhouette -------------------------------------------------------------
 
   test("silhouetteCentroid: separated clusters score positive, a planted traitor negative") {
