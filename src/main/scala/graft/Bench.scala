@@ -75,6 +75,13 @@ object Bench {
       // This is the documented sizing knob (partitions track data ÷
       // executors); a real cluster sizes it to ITS core count the same way.
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      // ObjectHashAggregate (TypedImperativeAggregate: graft_topk_edges,
+      // graft_topk, KMV/CMS sketches) falls back to SORT-based aggregation
+      // after 128 distinct keys per partition BY DEFAULT — at x100 the
+      // kNN top-k agg sorted its whole 57M-row candidate stream (7.4 GB
+      // spill, 3.4x the stage wall). The states are O(k) each, so a
+      // 1M-key hash map is a few MB: keep the agg hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -133,6 +140,7 @@ object Bench {
     }
     val bytesListener = new BytesListener
     spark.sparkContext.addSparkListener(bytesListener)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val group = s"bench:$name"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
@@ -143,13 +151,23 @@ object Bench {
         // cannot prune projections/sorts the way it can under a bare count() —
         // map-only queries (fingerprints, simhash, frame slicing) execute their
         // full declared work.
+        // A failing rep is recorded LOUDLY: a swallowed exception used to
+        // leave a ~0 s wall that read as a fast query (measured: an OOM in
+        // one heavy build zeroed every query after it in the batch).
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.sparkContext.clearJobGroup()
       name -> times.min
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} FAILED quer" +
+        (if (failed.size == 1) "y" else "ies") + s": ${failed.mkString(", ")}")
     // byte counters are read once, after the last query, behind a single
     // global stability poll — reps accumulate into the same group, so
     // report the per-rep average (plans are deterministic; reps differ
@@ -179,8 +197,9 @@ object Bench {
         val (sh, sp) = bytesByQuery(k)
         s"""\"$k\":{\"wall_sec\":$wall,\"shuffle_bytes\":$sh,\"spill_bytes\":$sp}"""
       }.mkString("{", ",", "}")
+      val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val doc = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
-        s""""sf":"$sfDir","per_query":$perQuery,"queries":$qs,"bytes":$qb}"""
+        s""""failed":$failedArr,"sf":"$sfDir","per_query":$perQuery,"queries":$qs,"bytes":$qb}"""
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, doc + "\n")

@@ -17,6 +17,13 @@ object Verify {
       // This is the documented sizing knob (partitions track data ÷
       // executors); a real cluster sizes it to ITS core count the same way.
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      // ObjectHashAggregate (TypedImperativeAggregate: graft_topk_edges,
+      // graft_topk, KMV/CMS sketches) falls back to SORT-based aggregation
+      // after 128 distinct keys per partition BY DEFAULT — at x100 the
+      // kNN top-k agg sorted its whole 57M-row candidate stream (7.4 GB
+      // spill, 3.4x the stage wall). The states are O(k) each, so a
+      // 1M-key hash map is a few MB: keep the agg hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

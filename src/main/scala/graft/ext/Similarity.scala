@@ -1021,22 +1021,27 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val rows = emb.select(col(idCol), col(labelCol),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
     rows
       .join(broadcast(centroidFrame(rows, labelCol)), Seq(labelCol))
       .select(col(idCol), col(labelCol),
-        foldSum(zip_with(col("__vec"), col("__cs"),
-          (x, s) => {
-            val d = x - s.cast("double") / (lit(1000000.0) * col("__n"))
-            d * d
-          })).as("dist2"))
+        call_function("graft_sqdist", col("__vec"), col("__c")).as("dist2"))
   }
 
   /** Per-label exact-integer centroid numerators as one array row per
-    * label: `(label, __cs = q6 sums ordered by dim, __n)` — the shared
-    * frame behind [[centroidOutliers]] and [[silhouetteCentroid]]
-    * (label-count-sized, always broadcastable).
+    * label: `(label, __cs = q6 sums ordered by dim, __n, __c = the
+    * reconstructed double coordinates s/(10⁶·n))` — the shared frame
+    * behind [[centroidOutliers]], [[silhouetteCentroid]] and
+    * [[daviesBouldin]] (label-count-sized, always broadcastable).
+    * Reconstructing the coordinates ONCE per label row (instead of per
+    * corpus row inside a `zip_with` fold) lets the member-distance scan
+    * run the native codegen `graft_sqdist` primitive — the
+    * [[pqTopKAdc]] lesson: the interpreted HOF fold cost 27 s on a
+    * 200k×10-label silhouette scan where the native loop is ~2 s —
+    * with BIT-IDENTICAL values (same per-element expression, same fold
+    * order as the oracle's list_reduce).
     */
   private def centroidFrame(rows: DataFrame, labelCol: String): DataFrame =
     rows
@@ -1050,6 +1055,8 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("__i"), col("__s")))),
           t => t.getField("__s")).as("__cs"),
         max(col("__n")).as("__n"))
+      .withColumn("__c",
+        transform(col("__cs"), s => s.cast("double") / (lit(1000000.0) * col("__n"))))
 
   /** Simplified (centroid-form) SILHOUETTE per vector — the cluster-
     * validity score an embedding-quality gate reads: a = distance to the
@@ -1072,18 +1079,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val rows = emb.select(col(idCol), col(labelCol),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
     val cents = centroidFrame(rows, labelCol)
-      .select(col(labelCol).as("__l2"), col("__cs"), col("__n"))
+      .select(col(labelCol).as("__l2"), col("__c"))
     rows
       .crossJoin(broadcast(cents))
       .select(col(idCol), col(labelCol), col("__l2"),
-        sqrt(foldSum(zip_with(col("__vec"), col("__cs"),
-          (x, s) => {
-            val d = x - s.cast("double") / (lit(1000000.0) * col("__n"))
-            d * d
-          }))).as("__d"))
+        sqrt(call_function("graft_sqdist", col("__vec"), col("__c"))).as("__d"))
       .groupBy(col(idCol), col(labelCol))
       .agg(
         max(when(col("__l2") === col(labelCol), col("__d"))).as("a"),
@@ -1112,6 +1116,7 @@ object Similarity {
       vecCol: String,
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val rows = emb.select(col(labelCol),
       transform(col(vecCol), x => x.cast("double")).as("__vec"))
     val cents = centroidFrame(rows, labelCol)
@@ -1119,18 +1124,13 @@ object Similarity {
       .groupBy(col(labelCol))
       .agg(sum(floor(sqrt(col("dist2")) * 1000000).cast("long")).as("sq"),
         count(lit(1)).as("cnt"))
-    val ci = cents.select(col(labelCol).as("i"), col("__cs").as("csi"), col("__n").as("ni"))
-    val cj = cents.select(col(labelCol).as("j"), col("__cs").as("csj"), col("__n").as("nj"))
+    val ci = cents.select(col(labelCol).as("i"), col("__c").as("ci"))
+    val cj = cents.select(col(labelCol).as("j"), col("__c").as("cj"))
     val dij = ci
       .crossJoin(cj)
       .filter(col("i") =!= col("j"))
       .select(col("i"), col("j"),
-        sqrt(foldSum(zip_with(col("csi"), col("csj"),
-          (a, b) => {
-            val d = a.cast("double") / (lit(1000000.0) * col("ni")) -
-              b.cast("double") / (lit(1000000.0) * col("nj"))
-            d * d
-          }))).as("dij"))
+        sqrt(call_function("graft_sqdist", col("ci"), col("cj"))).as("dij"))
     val ratio = dij
       .join(sig.select(col(labelCol).as("i"), col("sq").as("sqi"), col("cnt").as("cnti")), Seq("i"))
       .join(sig.select(col(labelCol).as("j"), col("sq").as("sqj"), col("cnt").as("cntj")), Seq("j"))
