@@ -568,6 +568,62 @@ object Multimodal {
     }
   }
 
+  final case class AudioResampleStats(
+      id: Long, nIn: Int, nOut: Int, outSumM: Long, outFirstM: Long, outLastM: Long)
+
+  /** Rational `num/den` LINEAR RESAMPLER over REAL decoded PCM — the
+    * speech-pipeline staple (every ASR corpus normalizes to one rate;
+    * 8000 → 3000 Hz is num=3, den=8). Output sample j sits at input
+    * position t = j·den/num; with p = (j·den) div num and r = (j·den)
+    * mod num the interpolated value ×num is the EXACT integer
+    * `s[p]·(num − r) + s[p+1]·r` — no float anywhere, so the oracle
+    * recomputes every output from the closed-form synthetic samples.
+    * nOut = (nIn − 1)·num div den + 1 (the last output sits at or before
+    * the last input; r = 0 there whenever t lands exactly on it, so
+    * s[p+1] is never read out of range). Same batched `mapPartitions`
+    * kernel shape as [[audioStats]]; emits the per-id audit row
+    * (counts, ×num-scaled sum/first/last) rather than 100 TB of samples.
+    */
+  def audioResample(
+      media: Dataset[MediaRecord],
+      num: Int,
+      den: Int,
+      batchSize: Int = 64): Dataset[AudioResampleStats] = {
+    require(num > 0 && den > 0, "need positive resample ratio terms")
+    implicit val enc = Encoders.product[AudioResampleStats]
+    media.mapPartitions { rows =>
+      val codecHandle = new Object
+      rows.grouped(batchSize).flatMap { batch =>
+        require(codecHandle != null)
+        batch.iterator.flatMap { r =>
+          decodeAudio(r.media).flatMap { case (_, n, samples) =>
+            if (n < 1) scala.None
+            else {
+              val nOut = ((n - 1).toLong * num / den).toInt + 1
+              var sum = 0L
+              var first = 0L
+              var last = 0L
+              var j = 0
+              while (j < nOut) {
+                val t = j.toLong * den
+                val p = (t / num).toInt
+                val rr = (t % num).toInt
+                val v =
+                  if (rr == 0) samples(p).toLong * num
+                  else samples(p).toLong * (num - rr) + samples(p + 1).toLong * rr
+                sum += v
+                if (j == 0) first = v
+                last = v
+                j += 1
+              }
+              Some(AudioResampleStats(r.id, n, nOut, sum, first, last))
+            }
+          }
+        }
+      }
+    }
+  }
+
   final case class AudioFrameFeat(
       id: Long, frameIdx: Int, nSamples: Int, energy: Long, zeroCrossings: Int)
 

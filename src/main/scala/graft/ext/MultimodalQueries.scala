@@ -95,6 +95,20 @@ object MultimodalQueries {
         .orderBy("id")
     },
 
+    // REAL audio RESAMPLING over the same WAVs ([[Multimodal.audioResample]],
+    // 8000 → 3000 Hz = num 3 / den 8): linear interpolation kept EXACT by
+    // emitting ×3-scaled integers (s[p]·(3−r) + s[p+1]·r), so the oracle
+    // recomputes count/sum/first/last closed-form — the rate-normalization
+    // stage every speech corpus runs before featurization.
+    "q_media_audio_resample" -> { (s, dir) =>
+      Multimodal
+        .audioResample(Multimodal.syntheticWavMedia(Tables.documents(s, dir)), num = 3, den = 8)
+        .select(col("id"), col("nIn").as("n_in"), col("nOut").as("n_out"),
+          col("outSumM").as("sum_x3"), col("outFirstM").as("first_x3"),
+          col("outLastM").as("last_x3"))
+        .orderBy("id")
+    },
+
     // REAL audio FEATURE extraction over the same WAVs: decode → split
     // into non-overlapping 32-sample frames → per-frame energy (Σ s²)
     // and zero-crossing count — the loudness / voiced-unvoiced gates an
@@ -279,6 +293,22 @@ object MultimodalQueries {
       "CAST(list_sum(list_transform(generate_series(0, 64 + doc_id % 64 - 1), " +
       "k -> (doc_id * 37 + k * 11) % 2003 - 1001)) AS BIGINT) AS sample_sum " +
       "FROM documents ORDER BY id"),
+    // ×3-scaled linear interpolation recomputed closed-form: p = j·8 div 3,
+    // r = j·8 mod 3, out3 = s(p)·(3−r) + s(p+1)·r over the synthetic
+    // sample formula; nOut = (n−1)·3 div 8 + 1
+    "q_media_audio_resample" -> ("WITH d AS (SELECT doc_id, " +
+      "CAST(64 + doc_id % 64 AS INTEGER) AS n FROM documents), " +
+      "o AS (SELECT doc_id, n, CAST((n - 1) * 3 // 8 + 1 AS INTEGER) AS n_out FROM d), " +
+      "v AS (SELECT doc_id, n, n_out, " +
+      "list_transform(generate_series(0, n_out - 1), j -> CASE WHEN (j * 8) % 3 = 0 " +
+      "THEN ((doc_id * 37 + ((j * 8) // 3) * 11) % 2003 - 1001) * 3 " +
+      "ELSE ((doc_id * 37 + ((j * 8) // 3) * 11) % 2003 - 1001) * (3 - (j * 8) % 3) " +
+      "+ ((doc_id * 37 + ((j * 8) // 3 + 1) * 11) % 2003 - 1001) * ((j * 8) % 3) END) " +
+      "AS outs FROM o) " +
+      "SELECT doc_id AS id, n AS n_in, n_out, " +
+      "CAST(list_sum(outs) AS BIGINT) AS sum_x3, " +
+      "CAST(outs[1] AS BIGINT) AS first_x3, CAST(outs[n_out] AS BIGINT) AS last_x3 " +
+      "FROM v ORDER BY id"),
     // per-frame energy and zero crossings recomputed closed-form over
     // each frame's sample range; the zero-crossing series starts at
     // frame_start+1 (a crossing needs an in-frame predecessor) and

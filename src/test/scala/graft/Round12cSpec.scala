@@ -200,6 +200,25 @@ class Round12cSpec extends SparkSpec {
     assert(tight > 0.0)
   }
 
+  test("audioResample: constant signal resamples to the constant; known ramp exact") {
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.{MediaMeta, MediaRecord}
+    val const = MediaRecord(1L, Multimodal.pcmWav(16, 8000, _ => 7), MediaMeta("wav", 0, 0, 2))
+    val ramp = MediaRecord(2L, Multimodal.pcmWav(9, 8000, k => k * 10), MediaMeta("wav", 0, 0, 1))
+    val ds = spark.createDataset(Seq(const, ramp))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val got = Multimodal.audioResample(ds, num = 3, den = 8).collect()
+      .map(r => r.id -> r).toMap
+    // constant 7: every ×3 output is 21; nOut = (16−1)·3/8 + 1 = 6
+    assert(got(1L).nOut == 6 && got(1L).outFirstM == 21L && got(1L).outLastM == 21L &&
+      got(1L).outSumM == 6L * 21L)
+    // ramp s(k)=10k: out3(j) = 3·s(j·8/3) = 10·j·8 exactly (linear signal
+    // is reproduced by linear interpolation); nOut = 8·3/8 + 1 = 4
+    assert(got(2L).nOut == 4)
+    assert(got(2L).outFirstM == 0L && got(2L).outLastM == 240L)
+    assert(got(2L).outSumM == (0 until 4).map(j => 80L * j).sum)
+  }
+
   // ---- upsample / epoch shuffle ---------------------------------------------
 
   test("q_upsample_repeat: exact fractional rounding law per source") {
