@@ -466,6 +466,38 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // O1 source breadth — FIXED-WIDTH round-trip, the legacy-mainframe
+    // layout neither CSV nor columnar formats exercise: rows serialize to
+    // padded character slices (lpad'd zero-filled numerics, rpad'd text,
+    // value as exact cents — fixed-width carries no float formatting),
+    // write as plain text, read back by SUBSTRING offsets + trim + cast.
+    // The oracle aggregates the PARQUET table: equal hashes prove the
+    // pad→slice cycle is lossless. Same measured-write /
+    // app-id-unique-path contract as q_ingest_csv.
+    "q_ingest_fixed_width" -> { (s, dir) =>
+      val path = Tables.scratchDir(s, "fixedw")
+      ev(s, dir)
+        .select(concat(
+          lpad(col("event_id").cast("string"), 12, "0"),
+          lpad(col("user_id").cast("string"), 8, "0"),
+          rpad(col("event_type"), 10, " "),
+          lpad(floor(col("value") * 100).cast("long").cast("string"), 12, "0")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(
+          substring(col("value"), 1, 12).cast("long").as("event_id"),
+          substring(col("value"), 13, 8).cast("long").as("user_id"),
+          trim(substring(col("value"), 21, 10)).as("event_type"),
+          substring(col("value"), 31, 12).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("cents")).as("value_cents"),
+          count_distinct(col("user_id")).as("distinct_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("event_type")
+    },
+
     // O1 source breadth — ORC round-trip, the TYPED columnar cycle CSV
     // can't exercise: timestamps and doubles ride ORC's native types (no
     // string formatting anywhere), so matching hashes prove the
@@ -732,6 +764,13 @@ object SparkEntry {
       "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
       "CAST(sum(length(props)) AS BIGINT) AS props_chars, " +
       "count(DISTINCT props) AS distinct_props " +
+      "FROM events GROUP BY 1 ORDER BY 1"),
+    // the same aggregate over the PARQUET table: matching hashes prove
+    // the engine's fixed-width pad→slice cycle lost nothing
+    "q_ingest_fixed_width" -> ("SELECT event_type, count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, " +
+      "count(DISTINCT user_id) AS distinct_users, " +
+      "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
       "FROM events GROUP BY 1 ORDER BY 1"),
     // the same aggregate over the PARQUET table: matching hashes prove
     // the engine's typed ORC write→read cycle preserved timestamps and

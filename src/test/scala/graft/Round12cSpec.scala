@@ -219,6 +219,34 @@ class Round12cSpec extends SparkSpec {
     assert(got(2L).outSumM == (0 until 4).map(j => 80L * j).sum)
   }
 
+  test("upsample + epoch-shard column algebra composes into a streaming plan") {
+    // both session-3 curation ops are MAP-ONLY column algebra, so they
+    // must attach to a readStream frame unchanged and agree with batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def attach(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .withColumn("w_q2",
+        lit(100) + (substring(col("source"), 4, 10).cast("int") * 37) % 201)
+      .withColumn("copy", explode(sequence(lit(1),
+        (col("w_q2") / 100).cast("int") +
+          when(pmod(col("doc_id"), lit(100)) < col("w_q2") % 100, 1).otherwise(0))))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat_ws("-", lit(0), col("doc_id"))), 1, 15), 16, 10)
+          .cast("long"), lit(16)))
+    val data = (1L to 40L).map(i => (i, s"src${i % 7}"))
+    val mem = MemoryStream[(Long, String)]
+    val out = attach(mem.toDF.toDF("doc_id", "source"))
+    val q = out.writeStream.format("memory").queryName("s3ops").outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s3ops").collect().map(_.toString).sorted.toSeq
+      val batch = attach(data.toDF("doc_id", "source")).collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch, "streaming and batch must produce identical rows")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   // ---- upsample / epoch shuffle ---------------------------------------------
 
   test("q_upsample_repeat: exact fractional rounding law per source") {
