@@ -476,12 +476,24 @@ object SparkEntry {
     // app-id-unique-path contract as q_ingest_csv.
     "q_ingest_fixed_width" -> { (s, dir) =>
       val path = Tables.scratchDir(s, "fixedw")
+      // lpad TRUNCATES overwide fields and a negative value serializes as
+      // "00000000-123" (NULL on read-back via substring+cast) — the cycle
+      // is lossless ONLY while ids/cents are non-negative and fit their
+      // 12/8/12-digit slots. Guard those preconditions LOUDLY so a future
+      // data-gen change fails here instead of hash-diverging downstream.
+      val cents = floor(col("value") * 100).cast("long")
+      val overwide = col("event_id") < 0 || col("event_id") >= lit(1000000000000L) ||
+        col("user_id") < 0 || col("user_id") >= lit(100000000L) ||
+        cents < 0 || cents >= lit(1000000000000L)
       ev(s, dir)
-        .select(concat(
-          lpad(col("event_id").cast("string"), 12, "0"),
-          lpad(col("user_id").cast("string"), 8, "0"),
-          rpad(col("event_type"), 10, " "),
-          lpad(floor(col("value") * 100).cast("long").cast("string"), 12, "0")).as("value"))
+        .select(when(overwide, raise_error(lit(
+          "q_ingest_fixed_width precondition: ids/cents must be non-negative " +
+            "and fit 12/8/12-digit fields — widen the layout for this corpus")))
+          .otherwise(concat(
+            lpad(col("event_id").cast("string"), 12, "0"),
+            lpad(col("user_id").cast("string"), 8, "0"),
+            rpad(col("event_type"), 10, " "),
+            lpad(cents.cast("string"), 12, "0"))).as("value"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(

@@ -36,7 +36,7 @@ object StageProbe {
     })
     val t0 = System.nanoTime
     val n = SparkEntry.queries(name)(spark, sfDir).count()
-    println(s"RESULT $name rows=$n wall=${(System.nanoTime - t0) / 1e9}%.1f".replace("%.1f", ""))
+    println(f"RESULT $name rows=$n wall=${(System.nanoTime - t0) / 1e9}%.1fs")
     graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)
     spark.stop()
   }

@@ -198,10 +198,23 @@ object DedupQueries {
       val est = expr(s"sig_matches * 1000000 div $K")
       val jac = floor(coalesce(col("jaccard"), lit(0.0)) * 1000000).cast("long")
       // sort-merge by choice: the exact side is the big pair frame; SMJ's
-      // sort spills gracefully (~700 MB at ×100, a 7 s stage) where a
-      // shuffle-hash build OOMs outright under concurrent task memory
-      // pressure (measured: SparkOutOfMemoryError building the map)
-      cand.join(exact, Seq("a", "b"), "left")
+      // sort spills gracefully where a shuffle-hash build OOMs outright
+      // under concurrent task memory pressure (measured:
+      // SparkOutOfMemoryError building the map). The sort itself is SIZED
+      // from the memoized frame's MEASURED row count (one cheap scan of
+      // checkpointed blocks, memoized per session): at ×100 the session's
+      // 32-partition pin put the whole ~830 MB pair frame through 32
+      // sorts (704 MB spill); sized, each task sorts ≤ ~512k rows. At
+      // test corpora the width never exceeds the session pin, so the
+      // plan is unchanged where the volume is small.
+      val nExact = Memo.cachedLong(s, s"jaccard-cand-count|$dir")(
+        candidateJaccardPairs(s, dir).count())
+      val pairParts = Scale.sizedPartitions(s, nExact, rowsPerTask = 128L << 10)
+      val exactSized =
+        if (pairParts > s.sessionState.conf.numShufflePartitions)
+          exact.repartition(pairParts, col("a"), col("b"))
+        else exact
+      cand.join(exactSized, Seq("a", "b"), "left")
         .select(col("a"), col("b"), est.as("est_q6"), jac.as("jac_q6"),
           abs(est - jac).as("err_q6"))
         .orderBy("a", "b")

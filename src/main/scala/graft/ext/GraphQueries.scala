@@ -121,12 +121,17 @@ object GraphQueries {
 
   private def graph(s: SparkSession, dir: String): DataFrame = mutualK(s, dir, K)
 
-  /** The FIXED-plane (4-plane Tables3) mutual-8NN frame — kept declared as
-    * the fixed-constant twin of the sized build (it pins the bucket/probe
-    * machinery against plan-literal tables), shared by the two fixed-plane
-    * consumers via the same memo.
+  /** The FIXED-plane (4-plane Tables3) mutual-8NN frame — the
+    * fixed-constant twin of the sized build. NOT declared (round 13): its
+    * plane constants are plan literals, so bucket volume grows
+    * quadratically with the corpus (measured 1.9 GB spill at ×10) — a
+    * known scale cliff that doesn't belong in the driver's bench surface.
+    * It still pins the bucket/probe/rank machinery against plan-literal
+    * tables, count-independently: GraphSpec digest-pins its sf0.001
+    * output (1600 edges) so any drift in that machinery shows without the
+    * sizing rule in the loop.
     */
-  private def fixedMutual(s: SparkSession, dir: String): DataFrame =
+  private[graft] def fixedMutual(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, s"graph-mutual-fixed|$dir") {
       Graph.mutualKnnEdgesLsh(vecs(s, dir), K, SimilarityQueries.Tables3)
     }
@@ -199,14 +204,19 @@ object GraphQueries {
         .orderBy("label")
     },
 
-    // q_label_noise on the FIXED-plane builder: the vote runs over mutual
-    // LSH-kNN neighbors from the hash-exact 4-plane Tables3 frame — the
-    // plan-literal twin that pins the bucket/probe machinery with
-    // count-independent constants. Same baseline-calibrated flag as
-    // q_label_noise; isolated vertices (no mutual tie) simply emit no row.
+    // q_label_noise over the MUTUAL sized-LSH graph: the vote runs over
+    // mutual-8NN ties (symmetrized) instead of q_label_noise's directed
+    // 5-NN — the reciprocity-filtered variant (a one-sided "nearest"
+    // vote from a hub vector carries no mutual tie and casts no ballot).
+    // Rides the SAME memoized sized edge frame as the rest of the graph
+    // family (round 13: this query previously consumed the fixed-plane
+    // build, whose plan-literal plane constants make bucket volume
+    // quadratic in corpus growth — that machinery pin now lives in
+    // GraphSpec at sf0.001, out of the declared bench surface). Same
+    // baseline-calibrated flag; isolated vertices simply emit no row.
     "q_label_noise_lsh" -> { (s, dir) =>
       val lab = Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
-      val mutual = fixedMutual(s, dir)
+      val mutual = graph(s, dir)
       val directed = mutual.select(col("lo").as("a"), col("hi").as("b"))
         .unionByName(mutual.select(col("hi").as("a"), col("lo").as("b")))
       val perId = directed
@@ -252,16 +262,6 @@ object GraphQueries {
           (col("n_diff") * col("tot_nbrs") > col("n_nbrs") * col("tot_diff"))
             .as("suspect"))
         .orderBy("id")
-    },
-
-    // The fixed-plane graph BUILDER, hash-checked: mutual-8-NN edges over
-    // LSH-bucketed candidates (3 fixed 4-plane tables, Hamming-1
-    // multi-probe — the q_ann_lsh machinery turned symmetric). Kept
-    // alongside the sized build as the plan-literal pin: its plane
-    // constants are count-independent, so any drift in the bucket/probe/
-    // rank machinery shows here without the sizing rule in the loop.
-    "q_graph_mutual_lsh" -> { (s, dir) =>
-      fixedMutual(s, dir).orderBy("lo", "hi")
     },
 
     // The SIZED production build itself, hash-checked end-to-end (this is
@@ -506,11 +506,11 @@ object GraphQueries {
       (1 to PeelRounds).map(peelRound).mkString(", ") + " " +
       s"SELECT v AS id, count(*) AS core_deg FROM (SELECT lo AS v FROM e$PeelRounds " +
       s"UNION ALL SELECT hi FROM e$PeelRounds) GROUP BY 1 ORDER BY id"),
-    // the pinned-equal lmutual frame symmetrized, then the same rollup
-    "q_label_noise_lsh" -> (s"WITH $LshKnnCtes, " +
+    // the sized mutual frame symmetrized, then the same rollup
+    "q_label_noise_lsh" -> (s"WITH $KnnCtes, " +
       "lab AS (SELECT vec_id AS id, label FROM embeddings), " +
-      "dedges AS (SELECT lo AS a, hi AS b FROM lmutual " +
-      "UNION ALL SELECT hi, lo FROM lmutual), " +
+      "dedges AS (SELECT lo AS a, hi AS b FROM mutual " +
+      "UNION ALL SELECT hi, lo FROM mutual), " +
       "d AS (SELECT k.a AS id, CASE WHEN la.label != lb.label THEN 1 ELSE 0 END AS diff " +
       "FROM dedges k JOIN lab la ON k.a = la.id JOIN lab lb ON k.b = lb.id), " +
       "per AS (SELECT id, count(*) AS n_nbrs, CAST(sum(diff) AS BIGINT) AS n_diff " +
@@ -562,7 +562,6 @@ object GraphQueries {
       "SELECT nodes.label, n_nodes, coalesce(intra_edges, 0) AS intra_edges, " +
       "coalesce(cross_edges, 0) AS cross_edges FROM nodes " +
       "LEFT JOIN intra USING (label) LEFT JOIN crossx USING (label) ORDER BY label"),
-    "q_graph_mutual_lsh" -> (s"WITH $LshKnnCtes SELECT lo, hi FROM lmutual ORDER BY lo, hi"),
     // the SIZED chain's mutual frame itself — the self-sizing oracle
     // re-derives np from count(*), so this one static string hash-checks
     // the production builder at every sweep SF
@@ -655,36 +654,4 @@ object GraphQueries {
       "ORDER BY a, b")
   )
 
-  /** FIXED-plane LSH oracle chain mirroring [[Graph.knnEdgesLsh]] over
-    * [[SimilarityQueries.Tables3]] + mutualization: the q_ann_lsh
-    * bucket/probe SQL (same 3 plane tables, same Hamming-1 XOR ring, probe
-    * from the smaller-id side only), exact cosine on candidates, DISTINCT
-    * before ranking (multi-table dups carry bit-identical cos), directed
-    * rank ≤ K, then the mutual self-join. `b` and `cand` are MATERIALIZED
-    * — each is referenced twice and DuckDB's CTE inlining would re-run the
-    * bucket scan per reference.
-    */
-  private lazy val LshKnnCtes: String = {
-    val masks = (0L +: (0 until SimilarityQueries.Planes).map(1L << _)).mkString(", ")
-    val perTable = SimilarityQueries.Tables3.zipWithIndex
-      .map { case (w, t) =>
-        s"SELECT id, vec, $t AS t, ${SimilarityQueries.bucketSql("vec", w)} AS bucket FROM v"
-      }
-      .mkString(" UNION ALL ")
-    "v AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS vec " +
-      "FROM embeddings), " +
-      s"b AS MATERIALIZED ($perTable), " +
-      s"p AS (SELECT id, vec, t, xor(bucket, m) AS bucket FROM b, " +
-      s"unnest([$masks]::BIGINT[]) AS u(m)), " +
-      "cand AS MATERIALIZED (SELECT DISTINCT p.id AS a, c.id AS b, " +
-      s"${SimilarityQueries.cosSql("p.vec", "c.vec")} AS cos " +
-      "FROM p JOIN b c ON p.t = c.t AND p.bucket = c.bucket AND p.id < c.id), " +
-      "sym AS (SELECT a, b, cos FROM cand " +
-      "UNION ALL SELECT b AS a, a AS b, cos FROM cand), " +
-      "lknn AS MATERIALIZED (SELECT a, b FROM (SELECT a, b, row_number() OVER " +
-      s"(PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM sym " +
-      s"WHERE NOT isnan(cos)) WHERE rn <= $K), " +
-      "lmutual AS (SELECT x.a AS lo, x.b AS hi FROM lknn x " +
-      "JOIN lknn y ON x.a = y.b AND x.b = y.a WHERE x.a < x.b)"
-  }
 }

@@ -33,6 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Memo {
   private val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val longs = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** The frame built by `build`, localCheckpoint-materialized exactly once
     * per (session, key); later calls return the cached frame. `build` runs
@@ -41,4 +42,12 @@ object Memo {
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     frames.getOrElseUpdate(s"${System.identityHashCode(s)}|$key", build.localCheckpoint())
+
+  /** A session-scoped memoized scalar — the companion for MEASURED volumes
+    * of memoized frames (a `count()` over already-checkpointed blocks is
+    * one cheap scan, but consumers like `Scale.sizedPartitions` callers
+    * re-ask per query and per bench rep; pay it once per session).
+    */
+  def cachedLong(s: SparkSession, key: String)(build: => Long): Long =
+    longs.getOrElseUpdate(s"${System.identityHashCode(s)}|$key", build)
 }

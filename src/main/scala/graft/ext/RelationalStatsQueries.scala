@@ -261,11 +261,14 @@ object RelationalStatsQueries {
     // counts + a running window over the distinct-value frame (thousands
     // of rows at any corpus size), broadcast back onto one corpus scan —
     // never a corpus-wide empty-over rank window (the 100 TB cliff).
-    // Moments are exact DECIMAL(38,0): ranks reach 2n, so BIGINT products
-    // Σ(2n)² wrap silently past n ≈ 1.3e6 — the decimal lane is exact to
-    // Σ ≤ 4n³ < 10³⁸, i.e. n ≈ 3e12 rows. Each moment is cast to double
-    // ONCE (correctly rounded in both engines) and rho is one fixed-order
-    // float expression over those casts.
+    // Moments accumulate EXACT in the decimal lane (ranks reach 2n, so a
+    // bare 64-bit product Σ(2n)² wraps silently past n ≈ 1.3e6) but are
+    // EMITTED as BIGINT behind a loud raise_error guard at n > 1.3e6
+    // (Σ ≤ 4n³ ≤ int64 there — the q_lorenz_curve precedent): the r12
+    // DECIMAL(38,0) output proved version-sensitive in the oracle's
+    // DECIMAL↔HUGEINT↔DOUBLE cast chain, while BIGINT values and the
+    // BIGINT→DOUBLE cast are IEEE-correctly-rounded in every engine.
+    // rho is one fixed-order float expression over those stable casts.
     "q_spearman" -> { (s, dir) =>
       def ranks2(df: DataFrame, vCol: String, outCol: String): DataFrame = {
         val w = Window.orderBy(vCol).rowsBetween(Window.unboundedPreceding, -1)
@@ -284,6 +287,11 @@ object RelationalStatsQueries {
       // BEFORE any arithmetic, so nothing ever wraps (a bare rx*ry would
       // multiply in 64-bit first and overflow silently)
       def dec(c: String) = col(c).cast("decimal(19,0)")
+      val guard = col("n") > lit(1300000L)
+      def asLong(c: String) = when(guard,
+        raise_error(lit("q_spearman moment overflow: n > 1.3e6 docs — " +
+          "4n^3 exceeds int64; restate the output in the decimal lane")))
+        .otherwise(col(c).cast("long")).as(c)
       base
         .join(broadcast(ranks2(base, "x", "rx")), Seq("x"))
         .join(broadcast(ranks2(base, "y", "ry")), Seq("y"))
@@ -293,6 +301,8 @@ object RelationalStatsQueries {
           sum(dec("rx") * dec("ry")).as("sxy"),
           sum(dec("rx") * dec("rx")).as("sxx"),
           sum(dec("ry") * dec("ry")).as("syy"))
+        .select(col("n"), asLong("sx"), asLong("sy"), asLong("sxy"),
+          asLong("sxx"), asLong("syy"))
         .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
           (num / den).as("rho"))
     },
@@ -1053,7 +1063,9 @@ object RelationalStatsQueries {
         .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("q"))
         .groupBy("g")
         .agg(count(lit(1)).as("n"), sum(col("q").cast(dec)).as("sq"),
-          sum((col("q") * col("q")).cast(dec)).as("sqq"))
+          // cast-first so the square widens to decimal BEFORE multiplying —
+          // (q*q).cast(dec) wraps silently in 64-bit past |q| ≈ 3.04e9
+          sum(col("q").cast(dec) * col("q")).as("sqq"))
       def pick(gv: String, c: String) =
         sum(when(col("g") === gv, col(c)))
       val one = m.agg(
@@ -1090,7 +1102,9 @@ object RelationalStatsQueries {
         .select(col("event_type").as("g"), floor(col("value") * 100).cast("long").as("x"))
         .groupBy("g")
         .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
-          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+          // cast-first (see q_anova_f): the decimal lane must be
+          // overflow-proof at any value magnitude, not just this domain
+          sum(col("x").cast(dec) * col("x")).as("sxx"))
       def pick(gv: String, c: String) =
         sum(when(col("g") === gv, col(c)))
       val one = m.agg(
@@ -1129,9 +1143,14 @@ object RelationalStatsQueries {
           floor(col("l_extendedprice") * 100).cast("long").as("y"))
         .agg(count(lit(1)).as("n"),
           dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"), dsum(col("y")).as("sy"),
-          dsum(col("x1") * col("x1")).as("s11"), dsum(col("x2") * col("x2")).as("s22"),
-          dsum(col("x1") * col("x2")).as("s12"), dsum(col("x1") * col("y")).as("s1y"),
-          dsum(col("x2") * col("y")).as("s2y"), dsum(col("y") * col("y")).as("syy"))
+          // cast-first products (see q_anova_f): widen to decimal BEFORE
+          // multiplying so no cross-moment can wrap in 64-bit
+          dsum(col("x1").cast(dec) * col("x1")).as("s11"),
+          dsum(col("x2").cast(dec) * col("x2")).as("s22"),
+          dsum(col("x1").cast(dec) * col("x2")).as("s12"),
+          dsum(col("x1").cast(dec) * col("y")).as("s1y"),
+          dsum(col("x2").cast(dec) * col("y")).as("s2y"),
+          dsum(col("y").cast(dec) * col("y")).as("syy"))
       def ctr(sab: String, a: String, b: String) =
         (col("n").cast("decimal(38,0)") * col(sab) - col(a) * col(b)).cast("double")
       m.withColumn("c11", ctr("s11", "s1", "s1"))
@@ -1551,14 +1570,17 @@ object RelationalStatsQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + cnt + 1 " +
       "AS ry FROM vy), " +
       "j AS (SELECT rx, ry FROM base JOIN rx USING (x) JOIN ry USING (y)), " +
-      // HUGEINT products + DECIMAL(38,0) sums mirror the engine's decimal
-      // lane (exact to 10^38); rho combines one correctly-rounded double
-      // cast per moment in the identical expression order
-      "m AS (SELECT count(*) AS n, CAST(sum(rx) AS DECIMAL(38,0)) AS sx, " +
-      "CAST(sum(ry) AS DECIMAL(38,0)) AS sy, " +
-      "CAST(sum(CAST(rx AS HUGEINT) * ry) AS DECIMAL(38,0)) AS sxy, " +
-      "CAST(sum(CAST(rx AS HUGEINT) * rx) AS DECIMAL(38,0)) AS sxx, " +
-      "CAST(sum(CAST(ry AS HUGEINT) * ry) AS DECIMAL(38,0)) AS syy FROM j) " +
+      // HUGEINT products stay exact; the BIGINT output cast errors loudly
+      // on overflow (mirrors the engine's raise_error guard at n > 1.3e6)
+      // and BIGINT values + BIGINT->DOUBLE casts are version-stable across
+      // DuckDB releases, unlike the r12 DECIMAL(38,0) output lane; rho
+      // combines one correctly-rounded double cast per moment in the
+      // identical expression order
+      "m AS (SELECT count(*) AS n, CAST(sum(CAST(rx AS HUGEINT)) AS BIGINT) AS sx, " +
+      "CAST(sum(CAST(ry AS HUGEINT)) AS BIGINT) AS sy, " +
+      "CAST(sum(CAST(rx AS HUGEINT) * ry) AS BIGINT) AS sxy, " +
+      "CAST(sum(CAST(rx AS HUGEINT) * rx) AS BIGINT) AS sxx, " +
+      "CAST(sum(CAST(ry AS HUGEINT) * ry) AS BIGINT) AS syy FROM j) " +
       "SELECT n, sx, sy, sxy, sxx, syy, " +
       "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
       "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +

@@ -188,4 +188,28 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L),
       (3L, 5L, 1L, 500000L)))
   }
+
+  test("fixedMutual: plan-literal bucket/probe machinery pin (sf0.001 digest)") {
+    // The fixed-plane (Tables3) mutual-8NN builder left the declared
+    // surface in round 13 (its plan-literal plane constants make bucket
+    // volume quadratic in corpus growth — a known ×10 scale cliff), but
+    // the bucket/probe/rank machinery it exercises is count-independent
+    // and must not drift. Golden = the oracle-green round-12 output on
+    // the driver's sf0.001 embeddings fixture: 1600 mutual edges whose
+    // sorted "lo-hi" join md5-digests to the constant below. Regenerate
+    // after a DELIBERATE fixture/machinery change by re-running
+    // GraphQueries.fixedMutual at sf0.001 and re-digesting.
+    val rows = graft.ext.GraphQueries
+      .fixedMutual(spark, "/root/testdata/sf0.001")
+      .orderBy("lo", "hi")
+      .select(concat_ws("-", col("lo"), col("hi")).as("e"))
+      .as[String]
+      .collect()
+    assert(rows.length == 1600, s"edge count drifted: ${rows.length}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(rows.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(digest == "a4a2db6772addf978c8415a4d4b62539",
+      s"fixed-plane mutual edge digest drifted: $digest")
+  }
 }

@@ -266,6 +266,12 @@ class PlanSpec extends SparkSpec {
       s"exact vocab counts aggregate by token below the replay:\n$p")
     assert(p.contains("RoundRobinPartitioning(1)") || p.contains("SinglePartition"),
       s"the replay feed is ONE partition (the determinism contract):\n$p")
+    // the pure-function guarantee needs the (c desc, token asc) Sort to
+    // SURVIVE below the replay aggregate — single-partition alone is not
+    // enough (an optimizer change eliminating the sort would leave the
+    // replay order nondeterministic while this test still passed)
+    assert("""Sort \[c#\d+L? DESC""".r.findFirstIn(p).isDefined,
+      s"the (c desc, token asc) Sort must survive below the replay agg:\n$p")
   }
 
   test("q_rich_inactive: threshold broadcasts as 1-row build; inactivity is a LeftAnti") {
