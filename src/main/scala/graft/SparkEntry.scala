@@ -242,6 +242,88 @@ object SparkEntry {
         .orderBy("user_id", "sess_start")
     },
 
+    // §2.3 CUSTOM STATE full-history parity (flatMapGroupsWithState):
+    // the clamped per-user balance recurrence bᵢ = max(0, bᵢ₋₁ + Δᵢ) —
+    // the token-bucket/inventory state machine NO window rewrite
+    // expresses — replayed through StatefulOps.clampedBalances, emitting
+    // the post-update (balance, clamps, rows) at EVERY event. The oracle
+    // is the q_clamped_balance recursive CTE kept at every step instead
+    // of only the final row, so the entire state trajectory is
+    // hash-gated, not just the endpoint. One replay batch ⇒ each key's
+    // iterator covers its full (ts, event_id)-ordered history; rows emit
+    // immediately in append mode (no window close, no sentinel).
+    "q_stream_balance_parity" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").cast("string").as("key"),
+          secs(col("ts")).as("seqA"), col("event_id").as("seqB"),
+          when(col("event_type") === "purchase",
+            floor(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+            .otherwise(lit(-500L)).as("delta"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_balance").toString
+      e.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(e.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.BalanceInput]
+      val out = graft.streaming.StatefulOps.clampedBalances(stream)
+      val qn = s"stream_balance_${System.nanoTime}"
+      val q = out.toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(col("key").cast("long").as("user_id"), col("seqA").as("ts_s"),
+          col("seqB").as("event_id"), col("balance"),
+          col("nClamps").as("n_clamps"), col("nRows").as("n_rows"))
+        .orderBy("user_id", "n_rows")
+    },
+
+    // §2.3 RESTART/RECOVERY parity — the last untested production
+    // streaming behavior: the windowed count+sum pipeline checkpoints to
+    // a REAL directory and an exactly-once FILE sink, processes the
+    // first half of the corpus (time-split mid-window, so at least one
+    // window's partial state must SURVIVE the restart), is STOPPED, and
+    // a fresh query restarts from the same checkpoint to absorb the
+    // second half + the watermark sentinel. The committed sink contents
+    // must hash-match the batch tumbling oracle — proving (a) watermark
+    // + window state recover from the checkpoint, (b) nothing replays
+    // twice into the sink (the file sink's metadata log), (c) no
+    // boundary event is dropped as late across the stop/start seam
+    // (part 2 is strictly later than the recovered watermark by
+    // construction of the time split).
+    "q_stream_restart_parity" -> { (s, dir) =>
+      import s.implicits._
+      val ev0 = ev(s, dir).select(col("ts"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_restart")
+      val srcDir = base.resolve("src").toString
+      val outDir = base.resolve("out").toString
+      val ckptDir = base.resolve("ckpt").toString
+      val b = ev0.agg(min(secs(col("ts"))).as("lo"), max(secs(col("ts"))).as("hi")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val splitTs = (lo + hi) / 2
+      val defs = Seq(
+        MetricDefinition("restart_count", MetricType.Count, windowSizeSec = 60),
+        MetricDefinition("restart_sum", MetricType.Sum("value"), windowSizeSec = 60))
+      def runToCompletion(): Unit = {
+        val st = s.readStream.schema(ev0.schema).parquet(srcDir)
+        val out = graft.streaming.StreamingMetrics
+          .attach(st, defs, LogsToMetrics.Typed(ev0.schema)).head
+        val q = out.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      ev0.filter(secs(col("ts")) <= splitTs).write.mode("overwrite").parquet(srcDir)
+      runToCompletion() // first half, then the query is killed
+      // the second half + sentinel land while the engine is DOWN
+      ev0.filter(secs(col("ts")) > splitTs).write.mode("append").parquet(srcDir)
+      Seq((new java.sql.Timestamp((hi + 2L * 86400) * 1000L), 0.0)).toDF("ts", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      runToCompletion() // restart from the checkpoint
+      s.read.parquet(outDir)
+        .select(col("metric"), secs(col("window_start")).as("w_start"),
+          round(col("value"), 3).as("value"))
+        .orderBy("metric", "w_start")
+    },
+
     // O5: dynamic label from a message field
     "q_dynamic_labels" -> { (s, dir) =>
       val df = ev(s, dir)
@@ -697,6 +779,34 @@ object SparkEntry {
     // the streamed admit set = batch DISTINCT of the same fingerprint
     "q_stream_dedup_parity" -> ("SELECT DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
       "AS fp FROM (SELECT props AS text FROM events) ORDER BY 1"),
+    // the q_clamped_balance recursive CTE kept at EVERY step (rn = the
+    // engine's per-key row counter), so the streamed state trajectory —
+    // not just the final balance — must match row-for-row
+    "q_stream_balance_parity" -> ("WITH RECURSIVE e AS (SELECT user_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, event_id, " +
+      "CASE WHEN event_type = 'purchase' " +
+      "THEN CAST(floor(coalesce(value, 0) * 100) AS BIGINT) ELSE -500 END AS delta " +
+      "FROM events WHERE event_type IN ('purchase', 'error')), " +
+      "r AS (SELECT user_id, ts_s, event_id, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts_s, event_id) AS rn, delta FROM e), " +
+      "rec(user_id, rn, bal, clamps) AS (" +
+      "SELECT user_id, rn, greatest(0, delta), " +
+      "CASE WHEN delta < 0 THEN 1 ELSE 0 END FROM r WHERE rn = 1 " +
+      "UNION ALL SELECT r.user_id, r.rn, greatest(0, rec.bal + r.delta), " +
+      "rec.clamps + CASE WHEN rec.bal + r.delta < 0 THEN 1 ELSE 0 END " +
+      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1) " +
+      "SELECT r.user_id, r.ts_s, r.event_id, CAST(rec.bal AS BIGINT) AS balance, " +
+      "CAST(rec.clamps AS BIGINT) AS n_clamps, CAST(rec.rn AS BIGINT) AS n_rows " +
+      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn " +
+      "ORDER BY 1, 6"),
+    // the restart-spanning committed sink = the batch tumbling rollup
+    // (same shape as q_stream_window_parity, distinct metric names)
+    "q_stream_restart_parity" -> (s"WITH w AS (SELECT ${bucket(60)} AS w_start, value " +
+      "FROM events) " +
+      "SELECT 'restart_count' AS metric, w_start, round(CAST(count(*) AS DOUBLE), 3) AS value " +
+      "FROM w GROUP BY 2 " +
+      "UNION ALL SELECT 'restart_sum' AS metric, w_start, round(sum(value), 3) AS value " +
+      "FROM w GROUP BY 2 ORDER BY 1, 2"),
     // gap-and-island sessionization (the q_session_window oracle) — must
     // agree with Spark's session_window merge state machine per user
     "q_stream_session_parity" -> ("WITH flagged AS (" +

@@ -25,12 +25,13 @@ object RelationalQueries {
         .as("epoch_day"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("day_cents"))
 
-  /** Aggregated declared surface of the four relational family files
-    * (split in round 12 for maintainability — pure code motion).
+  /** Aggregated declared surface of the relational family files
+    * (split in rounds 12-13 for maintainability — pure code motion).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalTpchQueries.queries ++ RelationalScaleQueries.queries ++
-      RelationalStatsQueries.queries ++ RelationalTsQueries.queries
+      RelationalStatsQueries.queries ++ RelationalInferenceQueries.queries ++
+      RelationalTsQueries.queries ++ RelationalForecastQueries.queries
 
 
   /** Integer-weighted order-statistic percentile over a `rk` frame carrying
@@ -43,7 +44,8 @@ object RelationalQueries {
 
   def oracleSql: Map[String, String] =
     RelationalTpchQueries.oracleSql ++ RelationalScaleQueries.oracleSql ++
-      RelationalStatsQueries.oracleSql ++ RelationalTsQueries.oracleSql
+      RelationalStatsQueries.oracleSql ++ RelationalInferenceQueries.oracleSql ++
+      RelationalTsQueries.oracleSql ++ RelationalForecastQueries.oracleSql
 
 
   /** Shared daily-revenue CTE (epoch_day, exact BIGINT day_cents) — the
