@@ -277,6 +277,53 @@ object SparkEntry {
         .orderBy("user_id", "n_rows")
     },
 
+    // §2.3 CUSTOM-STATE RESTART parity — the flatMapGroupsWithState
+    // checkpoint codepath (per-key user state in the state store, a
+    // different recovery surface than window aggregation state): the
+    // clamped-balance recurrence processes the FIRST (time-split) half
+    // of the feed, is STOPPED, and a fresh query restarts from the same
+    // checkpoint to fold the second half on top of the RECOVERED per-key
+    // balances. The committed file sink must carry the identical full
+    // trajectory as the single-pass replay — balances/clamp counts
+    // crossing the seam prove the BalanceState rows were restored, not
+    // re-initialized (a zeroed state would reset every mid-stream
+    // balance and hash-diverge immediately). Per-key event order is
+    // preserved across the split because the split is on seqA (ts) and
+    // each batch folds (seqA, seqB)-sorted.
+    "q_stream_balance_restart" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").cast("string").as("key"),
+          secs(col("ts")).as("seqA"), col("event_id").as("seqB"),
+          when(col("event_type") === "purchase",
+            floor(coalesce(col("value"), lit(0.0)) * 100).cast("long"))
+            .otherwise(lit(-500L)).as("delta"))
+      val base = java.nio.file.Files.createTempDirectory("graft_balance_restart")
+      val srcDir = base.resolve("src").toString
+      val outDir = base.resolve("out").toString
+      val ckptDir = base.resolve("ckpt").toString
+      val b = e.agg(min(col("seqA")).as("lo"), max(col("seqA")).as("hi")).head()
+      val splitTs = (b.getLong(0) + b.getLong(1)) / 2
+      def runToCompletion(): Unit = {
+        val st = s.readStream.schema(e.schema).parquet(srcDir)
+          .as[graft.streaming.StatefulOps.BalanceInput]
+        val q = graft.streaming.StatefulOps.clampedBalances(st).toDF()
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      e.filter(col("seqA") <= splitTs).write.mode("overwrite").parquet(srcDir)
+      runToCompletion() // first half, then the query is killed
+      e.filter(col("seqA") > splitTs).write.mode("append").parquet(srcDir)
+      runToCompletion() // restart: per-key state recovered from the checkpoint
+      s.read.parquet(outDir)
+        .select(col("key").cast("long").as("user_id"), col("seqA").as("ts_s"),
+          col("seqB").as("event_id"), col("balance"),
+          col("nClamps").as("n_clamps"), col("nRows").as("n_rows"))
+        .orderBy("user_id", "n_rows")
+    },
+
     // §2.3 RESTART/RECOVERY parity — the last untested production
     // streaming behavior: the windowed count+sum pipeline checkpoints to
     // a REAL directory and an exactly-once FILE sink, processes the
@@ -729,6 +776,32 @@ object SparkEntry {
   private def bucket(size: Int): String =
     s"CAST(floor(epoch(CAST(ts AS TIMESTAMP))/$size)*$size AS BIGINT)"
 
+  /** The clamped-balance full-trajectory oracle: the q_clamped_balance
+    * recursive CTE kept at EVERY step (rn = the engine's per-key row
+    * counter). Shared verbatim by the single-pass replay
+    * (q_stream_balance_parity) and the checkpoint-restart variant
+    * (q_stream_balance_restart) — recovered state ≡ one pass is exactly
+    * the property under test.
+    */
+  private val BalanceTrajectorySql: String =
+    "WITH RECURSIVE e AS (SELECT user_id, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, event_id, " +
+      "CASE WHEN event_type = 'purchase' " +
+      "THEN CAST(floor(coalesce(value, 0) * 100) AS BIGINT) ELSE -500 END AS delta " +
+      "FROM events WHERE event_type IN ('purchase', 'error')), " +
+      "r AS (SELECT user_id, ts_s, event_id, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts_s, event_id) AS rn, delta FROM e), " +
+      "rec(user_id, rn, bal, clamps) AS (" +
+      "SELECT user_id, rn, greatest(0, delta), " +
+      "CASE WHEN delta < 0 THEN 1 ELSE 0 END FROM r WHERE rn = 1 " +
+      "UNION ALL SELECT r.user_id, r.rn, greatest(0, rec.bal + r.delta), " +
+      "rec.clamps + CASE WHEN rec.bal + r.delta < 0 THEN 1 ELSE 0 END " +
+      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1) " +
+      "SELECT r.user_id, r.ts_s, r.event_id, CAST(rec.bal AS BIGINT) AS balance, " +
+      "CAST(rec.clamps AS BIGINT) AS n_clamps, CAST(rec.rn AS BIGINT) AS n_rows " +
+      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn " +
+      "ORDER BY 1, 6"
+
   private def coreOracleSql: Map[String, String] = Map(
     "q_filter_equals" -> "SELECT count(*) AS cnt FROM events WHERE event_type = 'error'",
     "q_filter_contains" -> "SELECT count(*) AS cnt FROM events WHERE contains(props, '6')",
@@ -781,24 +854,10 @@ object SparkEntry {
       "AS fp FROM (SELECT props AS text FROM events) ORDER BY 1"),
     // the q_clamped_balance recursive CTE kept at EVERY step (rn = the
     // engine's per-key row counter), so the streamed state trajectory —
-    // not just the final balance — must match row-for-row
-    "q_stream_balance_parity" -> ("WITH RECURSIVE e AS (SELECT user_id, " +
-      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s, event_id, " +
-      "CASE WHEN event_type = 'purchase' " +
-      "THEN CAST(floor(coalesce(value, 0) * 100) AS BIGINT) ELSE -500 END AS delta " +
-      "FROM events WHERE event_type IN ('purchase', 'error')), " +
-      "r AS (SELECT user_id, ts_s, event_id, row_number() OVER " +
-      "(PARTITION BY user_id ORDER BY ts_s, event_id) AS rn, delta FROM e), " +
-      "rec(user_id, rn, bal, clamps) AS (" +
-      "SELECT user_id, rn, greatest(0, delta), " +
-      "CASE WHEN delta < 0 THEN 1 ELSE 0 END FROM r WHERE rn = 1 " +
-      "UNION ALL SELECT r.user_id, r.rn, greatest(0, rec.bal + r.delta), " +
-      "rec.clamps + CASE WHEN rec.bal + r.delta < 0 THEN 1 ELSE 0 END " +
-      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1) " +
-      "SELECT r.user_id, r.ts_s, r.event_id, CAST(rec.bal AS BIGINT) AS balance, " +
-      "CAST(rec.clamps AS BIGINT) AS n_clamps, CAST(rec.rn AS BIGINT) AS n_rows " +
-      "FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn " +
-      "ORDER BY 1, 6"),
+    // not just the final balance — must match row-for-row; the RESTART
+    // variant shares the oracle verbatim (recovered state ≡ one pass)
+    "q_stream_balance_restart" -> BalanceTrajectorySql,
+    "q_stream_balance_parity" -> BalanceTrajectorySql,
     // the restart-spanning committed sink = the batch tumbling rollup
     // (same shape as q_stream_window_parity, distinct metric names)
     "q_stream_restart_parity" -> (s"WITH w AS (SELECT ${bucket(60)} AS w_start, value " +

@@ -316,23 +316,28 @@ object RelationalStatsQueries {
 
     // Exact WEIGHTED median — the volume-weighted price point: per return
     // flag, the smallest cent value whose cumulative quantity reaches half
-    // the group's total (the lower weighted median). One key exchange +
-    // one in-partition cumulative sum over the (cents, orderkey,
-    // linenumber) total order; the 2·cumw ≥ totw threshold is exact
-    // integer arithmetic, no interpolation anywhere. Explicit ROWS frame
-    // on both sides (RANGE vs ROWS is moot under a unique sort key, but
-    // pinning it removes the cross-engine default-frame dependency).
+    // the group's total (the lower weighted median). Rank assignment runs
+    // in VALUE SPACE (the q_spearman pattern): the threshold crossing
+    // depends only on the cumulative weight at each DISTINCT cents value,
+    // so the corpus pays one (flag, cents)-keyed hash aggregate and the
+    // running sum walks the distinct-value frame — never a per-row window
+    // partitioned by a 3-value key (the r12 shape put the whole 60M-row
+    // ×100 corpus through 3 single-task sorts: 82 s + 887 MB spill; the
+    // value-space frame is ~3M rows and the same result, row-for-row —
+    // within a cents group the per-row cumw crosses totw/2 iff the
+    // group-end cumw has, and min(cents) only sees the group). The
+    // 2·cumw ≥ totw threshold stays exact integer arithmetic.
     "q_weighted_median" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100).cast("long").as("cents"),
-        col("l_quantity").cast("long").as("qty"),
-        col("l_orderkey"), col("l_linenumber"))
-      val wOrd = Window.partitionBy("l_returnflag")
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        col("l_quantity").cast("long").as("qty"))
+      val byVal = li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("qty")).as("w"))
+      val wOrd = Window.partitionBy("l_returnflag").orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy("l_returnflag")
-      li.withColumn("cumw", sum(col("qty")).over(wOrd))
-        .withColumn("totw", sum(col("qty")).over(wAll))
+      byVal.withColumn("cumw", sum(col("w")).over(wOrd))
+        .withColumn("totw", sum(col("w")).over(wAll))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy(col("l_returnflag"))
         .agg(max(col("totw")).as("tot_qty"), min(col("cents")).as("wmedian_cents"))
