@@ -161,6 +161,22 @@ object Graph {
       .agg(call_function("graft_topk_edges", col("b"), col("cos"), lit(k)).as("top"))
       .select(col("a"), explode(col("top.b")).as("b"))
 
+  /** [[knnFromCandidateScores]] with the neighbor RANK exposed
+    * (a, rank, b; rank 1..k in the (cos DESC, b ASC) total order) — the
+    * PREFIX-CLOSED form: because [[graft.functions.TopKEdges]] emits an
+    * ordered, deduped list under a total order, `rank ≤ k'` of the
+    * rank-k frame is bit-identical to [[knnFromCandidateScores]] at k'
+    * for every k' ≤ k (pinned in GraphSpec). One memoized build can
+    * therefore serve every neighborhood size a query family reads,
+    * holding |V|·k rows instead of the raw candidate-score stream.
+    */
+  def knnFromCandidateScoresRanked(half: DataFrame, k: Int): DataFrame =
+    symmetrize(half)
+      .groupBy(col("a"))
+      .agg(call_function("graft_topk_edges", col("b"), col("cos"), lit(k)).as("top"))
+      .select(col("a"), posexplode(col("top.b")).as(Seq("rank0", "b")))
+      .select(col("a"), (col("rank0") + 1).as("rank"), col("b"))
+
   /** Mutual-kNN symmetrization: canonical edge (lo, hi) iff BOTH a→b and
     * b→a are kNN edges — the hubness-robust graph (a hub that everyone
     * ranks highly but that ranks almost nobody back contributes no edges),

@@ -96,21 +96,32 @@ object GraphQueries {
     SeedNames.map(Similarity.hyperplanes(np, 64, _))
   }
 
-  /** Sized-LSH candidate half-pairs (a, b, cos), built + materialized once
-    * per (session, dir) — the k-independent stage every graph query rides.
-    * One metadata-only count() sizes the tables.
+  /** Directed sized-LSH top-[[K]] neighbor lists (a, rank, b), built +
+    * materialized ONCE per (session, dir) — every consumer reads k ≤ [[K]]
+    * and TopKEdges's output is prefix-closed under its (cos DESC, b ASC)
+    * total order, so the kNN frame at any k' is the rank ≤ k' filter of
+    * this one. Round 13: the memo previously held the RAW candidate-score
+    * half-pairs (k-independent but candidate-stream-sized — measured ×100
+    * the 1.7 GB-shuffle checkpoint stage ran 76 s writing multi-GB blocks
+    * under storage pressure); the ranked frame is |V|·K rows (~100×
+    * smaller) and the top-k collapse now happens in the partial aggregate
+    * BEFORE the exchange. One metadata-only count() sizes the tables.
     */
-  private def candidates(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, s"graph-cand-sized|$dir") {
+  private def directedTop(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"graph-knn-top|$dir") {
       val v = vecs(s, dir)
-      Graph.lshCandidateScores(v, sizedTables(v.count()))
+      Graph.knnFromCandidateScoresRanked(
+        Graph.lshCandidateScores(v, sizedTables(v.count())), K)
     }
 
-  /** Directed sized-LSH kNN edges at k, from the shared candidate frame. */
-  private def directedK(s: SparkSession, dir: String, k: Int): DataFrame =
-    Memo.cached(s, s"graph-knn-sized|$dir|$k") {
-      Graph.knnFromCandidateScores(candidates(s, dir), k)
-    }
+  /** Directed sized-LSH kNN edges at k ≤ [[K]] — a rank prefix of the
+    * shared ranked frame (bit-identical to a direct k-build; GraphSpec
+    * pins the prefix law).
+    */
+  private def directedK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k <= K, s"directedK($k) exceeds the memoized rank depth $K")
+    directedTop(s, dir).filter(col("rank") <= k).select(col("a"), col("b"))
+  }
 
   /** Mutual sized-LSH kNN edge frame (lo, hi) at k — THE graph every
     * declared query consumes; materialized once per (session, dir, k). */

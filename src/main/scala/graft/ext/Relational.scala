@@ -1229,7 +1229,12 @@ object Relational {
       itemCol: String,
       minItemSupport: Long,
       minPairSupport: Long): DataFrame = {
-    val b = baskets.select(col(txCol).as("tx"), col(itemCol).as("item")).distinct()
+    // the distinct basket frame feeds FOUR subtrees (freq, both self-join
+    // sides, n_tx) — materialize it once (measured ×100: the r13 probe
+    // showed the raw scan + distinct exchange running twice, 627 MB each)
+    val b = Dedup.Intermediate.LocalLazy(
+      baskets.select(col(txCol).as("tx"), col(itemCol).as("item")).distinct(),
+      "basket_frame")
     val freq = b
       .groupBy("item")
       .agg(count(lit(1)).as("item_cnt"))

@@ -138,6 +138,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knnFromCandidateScoresRanked: rank prefixes ARE the smaller top-k builds") {
+    // the round-13 memo holds ONE ranked top-8 frame and every consumer k
+    // takes a rank prefix — valid only because TopKEdges's output list is
+    // ordered and deduped under the (cos DESC, b ASC) TOTAL order, so
+    // top-k' = the first k' entries of top-k for k' ≤ k. Pin it.
+    import graft.ext.{Similarity, SimilarityQueries}
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val half = Graph.lshCandidateScores(v, SimilarityQueries.Tables3).localCheckpoint()
+    val ranked = Graph.knnFromCandidateScoresRanked(half, 8).localCheckpoint()
+    for (k <- Seq(1, 2, 5, 8)) {
+      val prefix = ranked.filter(col("rank") <= k)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val direct = Graph.knnFromCandidateScores(half, k)
+        .as[(Long, Long)].collect().toSet
+      assert(prefix == direct, s"k=$k: rank prefix diverges from the direct build")
+    }
+  }
+
   test("knnEdgesLsh: canonical edges, recall vs the exact graph, subset candidates") {
     import graft.ext.{Similarity, SimilarityQueries}
     graft.functions.GraftFunctions.register(spark)

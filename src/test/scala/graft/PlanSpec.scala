@@ -1202,14 +1202,25 @@ class PlanSpec extends SparkSpec {
       s"the shuffle must carry (doc, bucket) partials, not token rows:\n$p")
   }
 
-  test("q_weighted_median: both windows AND the group agg ride ONE fact exchange") {
+  test("q_weighted_median: fact rows never cross an exchange; windows walk the value frame") {
     val p = plan("q_weighted_median")
     assert(count(p, "Scan parquet") == 1)
     assert(count(p, "Window") == 2, s"cumulative + total windows:\n$p")
-    // one hashpartitioning for the window partitioning (the post-filter
-    // groupBy reuses it); the only other exchange is the ORDER BY range
-    assert(count(p, "Exchange hashpartitioning") == 1,
-      s"agg must reuse the window's partitioning:\n$p")
+    // round-13 value-space shape: the corpus collapses in a PARTIAL
+    // HashAggregate on (flag, cents) BEFORE its exchange (map-side
+    // combine — no raw fact row is ever shuffled), and both windows +
+    // the final threshold agg run over the distinct-value frame. Two
+    // hash exchanges total, BOTH distinct-value-sized: the (flag, cents)
+    // agg exchange and the flag re-exchange for the windows. (The r12
+    // shape had ONE exchange but pushed every raw row through a window
+    // partitioned by the 3-value flag — three single-task 20M-row sorts
+    // at ×100, 887 MB spill.)
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"agg exchange + window exchange, both value-frame-sized:\n$p")
+    val partialIdx = p.indexOf("partial_sum")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(partialIdx >= 0 && exchangeIdx >= 0,
+      s"partial aggregate and hash exchange must both be present:\n$p")
   }
 
   test("q_l_diversity: dim broadcasts; fact scanned once, never merge-joined") {
