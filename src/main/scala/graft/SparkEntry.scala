@@ -35,6 +35,21 @@ object SparkEntry {
     df.filter(FilterCompiler.compile(conds, df.schema)).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * for the stream-stream join replays, whose wall is dominated by state
+    * store commits (4 join stores × partitions × micro-batches, each a
+    * delta-file write): the slice's thousands of rows need single-digit
+    * state partitions, not the session's 32. Streaming queries FIX their
+    * state partition count at start, so the override must wrap .start();
+    * restored in finally (Verify/Bench run queries sequentially).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Replay `src` through the STREAMING engine to completion: write it as
     * a file-stream source (batch 0 = the whole corpus, so nothing is ever
     * late under the reference's watermark-0 drop-late default), run the
@@ -275,6 +290,104 @@ object SparkEntry {
           col("seqB").as("event_id"), col("balance"),
           col("nClamps").as("n_clamps"), col("nRows").as("n_rows"))
         .orderBy("user_id", "n_rows")
+    },
+
+    // §2.3 STREAM-STREAM INTERVAL JOIN parity — the attribution-join
+    // shape (click ⋈ purchase within 1 h by the same user) through
+    // Spark's watermark-bounded stream-stream join machinery, replayed
+    // from two file streams and hash-gated against the plain batch
+    // interval join. Both sides land in batch 0, so every pair matches
+    // on arrival (inner-join matching is per-batch; the watermark only
+    // bounds state eviction) — no sentinel needed. Completes the gated
+    // §2.3 surface: window/sliding/session/dedup/alert/balance/restart
+    // parity existed, the two-stream join lived only in ScalaTest.
+    "q_stream_join_parity" -> { (s, dir) =>
+      // deterministic 10% user slice: stream-stream join state holds
+      // EVERY input row of both sides — the full corpus proved the same
+      // semantics at 3x the wall of any other replay; the slice keeps
+      // the machinery fully exercised (thousands of matches at sf0.1)
+      val ev0 = ev(s, dir).filter(col("user_id") % 10 === 0)
+      val clicks = ev0.filter(col("event_type") === "click")
+        .select(col("ts").as("cts"), col("user_id").as("cuser"))
+      val purchases = ev0.filter(col("event_type") === "purchase")
+        .select(col("ts").as("pts"), col("user_id").as("puser"),
+          floor(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      val cDir = base.resolve("clicks").toString
+      val pDir = base.resolve("purchases").toString
+      clicks.write.mode("overwrite").parquet(cDir)
+      purchases.write.mode("overwrite").parquet(pDir)
+      val cs = s.readStream.schema(clicks.schema).parquet(cDir)
+        .withWatermark("cts", "0 seconds")
+      val ps = s.readStream.schema(purchases.schema).parquet(pDir)
+        .withWatermark("pts", "0 seconds")
+      val joined = cs.join(ps,
+        expr("cuser = puser AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"))
+      val qn = s"stream_join_${System.nanoTime}"
+      withShufflePartitions(s, 4) {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(qn)
+        .select(col("cuser").as("user_id"), secs(col("cts")).as("click_s"),
+          secs(col("pts")).as("purchase_s"), col("cents"))
+        .orderBy("user_id", "click_s", "purchase_s", "cents")
+    },
+
+    // §2.3 STREAM-STREAM LEFT OUTER interval join parity — the "clicks
+    // WITHOUT conversions" attribution question: the outer null row may
+    // only emit once the watermark PROVES no purchase can still arrive
+    // (inner rows emit on match; a premature null would double-count, a
+    // dropped one under-count). Sentinel rows on BOTH sides at +2 d and
+    // +4 d drive the watermark past every real click's 1 h window so all
+    // outer rows flush exactly once; the +2 d sentinel click's own outer
+    // row (user −1, closed by the +4 d nudge) is filtered out. Must
+    // hash-match the batch LEFT JOIN — emit-once and completeness
+    // together.
+    "q_stream_outer_join_parity" -> { (s, dir) =>
+      import s.implicits._
+      // same deterministic 10% user slice as q_stream_join_parity
+      val ev0 = ev(s, dir).filter(col("user_id") % 10 === 0)
+      val clicks = ev0.filter(col("event_type") === "click")
+        .select(col("ts").as("cts"), col("user_id").as("cuser"))
+      val purchases = ev0.filter(col("event_type") === "purchase")
+        .select(col("ts").as("pts"), col("user_id").as("puser"),
+          floor(coalesce(col("value"), lit(0.0)) * 100).cast("long").as("cents"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ojoin")
+      val cDir = base.resolve("clicks").toString
+      val pDir = base.resolve("purchases").toString
+      clicks.write.mode("overwrite").parquet(cDir)
+      purchases.write.mode("overwrite").parquet(pDir)
+      val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+      val cs = s.readStream.schema(clicks.schema).parquet(cDir)
+        .withWatermark("cts", "0 seconds")
+      val ps = s.readStream.schema(purchases.schema).parquet(pDir)
+        .withWatermark("pts", "0 seconds")
+      val joined = cs.join(ps,
+        expr("cuser = puser AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"),
+        "leftOuter")
+      val qn = s"stream_ojoin_${System.nanoTime}"
+      withShufflePartitions(s, 4) {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          for (days <- Seq(2L, 4L)) {
+            val t = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+            Seq((t, -1L)).toDF("cts", "cuser").coalesce(1)
+              .write.mode("append").parquet(cDir)
+            Seq((t, -1L, 0L)).toDF("pts", "puser", "cents").coalesce(1)
+              .write.mode("append").parquet(pDir)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(qn)
+        .filter(col("cuser") >= 0L)
+        .select(col("cuser").as("user_id"), secs(col("cts")).as("click_s"),
+          secs(col("pts")).as("purchase_s"), col("cents"))
+        .orderBy("user_id", "click_s", "purchase_s", "cents")
     },
 
     // §2.3 CUSTOM-STATE RESTART parity — the flatMapGroupsWithState
@@ -858,6 +971,28 @@ object SparkEntry {
     // variant shares the oracle verbatim (recovered state ≡ one pass)
     "q_stream_balance_restart" -> BalanceTrajectorySql,
     "q_stream_balance_parity" -> BalanceTrajectorySql,
+    // the streamed inner interval join = the plain batch interval join
+    // (inclusive bounds both sides, same 1 h attribution window)
+    "q_stream_join_parity" -> ("WITH c AS (SELECT user_id AS cuser, " +
+      "CAST(ts AS TIMESTAMP) AS cts FROM events WHERE event_type = 'click' AND user_id % 10 = 0), " +
+      "p AS (SELECT user_id AS puser, CAST(ts AS TIMESTAMP) AS pts, " +
+      "CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents " +
+      "FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0) " +
+      "SELECT cuser AS user_id, CAST(floor(epoch(cts)) AS BIGINT) AS click_s, " +
+      "CAST(floor(epoch(pts)) AS BIGINT) AS purchase_s, cents " +
+      "FROM c JOIN p ON cuser = puser AND pts >= cts " +
+      "AND pts <= cts + INTERVAL 1 HOUR ORDER BY 1, 2, 3, 4"),
+    // the streamed left-outer set (matches + watermark-closed null rows)
+    // = the plain batch LEFT JOIN
+    "q_stream_outer_join_parity" -> ("WITH c AS (SELECT user_id AS cuser, " +
+      "CAST(ts AS TIMESTAMP) AS cts FROM events WHERE event_type = 'click' AND user_id % 10 = 0), " +
+      "p AS (SELECT user_id AS puser, CAST(ts AS TIMESTAMP) AS pts, " +
+      "CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents " +
+      "FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0) " +
+      "SELECT cuser AS user_id, CAST(floor(epoch(cts)) AS BIGINT) AS click_s, " +
+      "CAST(floor(epoch(pts)) AS BIGINT) AS purchase_s, cents " +
+      "FROM c LEFT JOIN p ON cuser = puser AND pts >= cts " +
+      "AND pts <= cts + INTERVAL 1 HOUR ORDER BY 1, 2, 3, 4"),
     // the restart-spanning committed sink = the batch tumbling rollup
     // (same shape as q_stream_window_parity, distinct metric names)
     "q_stream_restart_parity" -> (s"WITH w AS (SELECT ${bucket(60)} AS w_start, value " +
