@@ -71,13 +71,21 @@ object SparkEntry {
     val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
     val out = attach(s.readStream.schema(src.schema).parquet(tmp))
     val qn = s"stream_replay_${System.nanoTime}"
-    val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
-    try {
-      q.processAllAvailable() // batch 0: the whole corpus
-      sentinel(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L))
-        .coalesce(1).write.mode("append").parquet(tmp)
-      q.processAllAvailable() // sentinel batch + the no-data flush batch
-    } finally q.stop()
+    // state partitions scoped down (the stream-stream join lesson): the
+    // window/session state is tiny (thousands of windows) but every
+    // micro-batch commits one delta file per store per partition — 8
+    // partitions instead of the session's 32 cuts the commit fan-out
+    // without touching the map-side corpus work (results are
+    // partition-independent; the gate re-sorts before hashing)
+    withShufflePartitions(s, 8) {
+      val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 0: the whole corpus
+        sentinel(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L))
+          .coalesce(1).write.mode("append").parquet(tmp)
+        q.processAllAvailable() // sentinel batch + the no-data flush batch
+      } finally q.stop()
+    }
     s.table(qn)
   }
 
@@ -418,7 +426,9 @@ object SparkEntry {
       val ckptDir = base.resolve("ckpt").toString
       val b = e.agg(min(col("seqA")).as("lo"), max(col("seqA")).as("hi")).head()
       val splitTs = (b.getLong(0) + b.getLong(1)) / 2
-      def runToCompletion(): Unit = {
+      // same n=8 state-partition scoping as the window restart (the
+      // checkpoint fixes the count, both runs present the same value)
+      def runToCompletion(): Unit = withShufflePartitions(s, 8) {
         val st = s.readStream.schema(e.schema).parquet(srcDir)
           .as[graft.streaming.StatefulOps.BalanceInput]
         val q = graft.streaming.StatefulOps.clampedBalances(st).toDF()
@@ -463,7 +473,10 @@ object SparkEntry {
       val defs = Seq(
         MetricDefinition("restart_count", MetricType.Count, windowSizeSec = 60),
         MetricDefinition("restart_sum", MetricType.Sum("value"), windowSizeSec = 60))
-      def runToCompletion(): Unit = {
+      // both runs share n=8 state partitions (the replay scoping rule) —
+      // the checkpoint FIXES the state partition count at first start, so
+      // the restart must present the same value
+      def runToCompletion(): Unit = withShufflePartitions(s, 8) {
         val st = s.readStream.schema(ev0.schema).parquet(srcDir)
         val out = graft.streaming.StreamingMetrics
           .attach(st, defs, LogsToMetrics.Typed(ev0.schema)).head
