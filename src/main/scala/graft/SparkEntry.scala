@@ -300,6 +300,48 @@ object SparkEntry {
         .orderBy("user_id", "n_rows")
     },
 
+    // §2.3 EXPONENTIAL-FAMILY STATE parity — the Holt–Winters additive
+    // seasonal recurrence (level + a period-7 seasonal RING held as
+    // flatMapGroupsWithState per-key state) replayed through the real
+    // streaming engine and hash-gated against the SAME recursive-CTE
+    // oracle as the batch q_holt_winters. The daily (event_type, day,
+    // cents) frame is pre-aggregated in batch (the q_stream_balance_parity
+    // convention: the stateful recurrence is the operator under test, not
+    // the upstream agg); batch 0 carries the whole frame and the state
+    // fold advances in bucket order, so the emitted trajectory must be
+    // bit-identical to the batch operator — closing the streaming/batch
+    // gap for the exponential-smoothing family the way balance parity did
+    // for the clamped recurrence.
+    "q_stream_hw_parity" -> { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+        .select(col("event_type").as("key"), col("day").as("bucket"),
+          col("cents").as("x"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hw").toString
+      daily.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(daily.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.HwInput]
+      val out = graft.streaming.StatefulOps.holtWinters(stream,
+        aNum = 30, aDen = 100, gNum = 20, gDen = 100, period = 7)
+      val qn = s"stream_hw_${System.nanoTime}"
+      // state = |event_type| keys × O(period) longs: the same n=8
+      // state-partition scoping as every other replay (commit fan-out,
+      // not data, sets the wall)
+      withShufflePartitions(s, 8) {
+        val q = out.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(qn)
+        .select(col("key").as("event_type"), col("bucket").as("day"),
+          col("x").as("cents"), col("level"), col("seasonal"),
+          col("forecastNext").as("forecast_next"))
+        .orderBy("event_type", "day")
+    },
+
     // §2.3 STREAM-STREAM INTERVAL JOIN parity — the attribution-join
     // shape (click ⋈ purchase within 1 h by the same user) through
     // Spark's watermark-bounded stream-stream join machinery, replayed
@@ -984,6 +1026,9 @@ object SparkEntry {
     // variant shares the oracle verbatim (recovered state ≡ one pass)
     "q_stream_balance_restart" -> BalanceTrajectorySql,
     "q_stream_balance_parity" -> BalanceTrajectorySql,
+    // the streaming Holt–Winters replay is gated by the IDENTICAL
+    // recursive-CTE oracle as its batch twin — one SQL, two engines
+    "q_stream_hw_parity" -> graft.ext.RelationalForecastQueries.oracleSql("q_holt_winters"),
     // the streamed inner interval join = the plain batch interval join
     // (inclusive bounds both sides, same 1 h attribution window)
     "q_stream_join_parity" -> ("WITH c AS (SELECT user_id AS cuser, " +

@@ -333,6 +333,24 @@ object Similarity {
     p
   }
 
+  /** Self-sizing coarse-cell count for [[semanticDedup]]: the smallest k
+    * with k·k ≥ corpusCount (= ⌈√N⌉ — the SemDeDup operating point where
+    * expected cell size ≈ cell count, so total within-cell pairwise work
+    * is O(N·√N) instead of the fixed-k O(N²/k)). Pure INTEGER arithmetic
+    * for the same reason as [[planesForExact]]: a static DuckDB oracle
+    * re-derives it from its own count(*)
+    * (`min(kk) FROM generate_series WHERE kk*kk >= n`), so the sized
+    * dedup is hash-checkable at ANY scale factor from one SQL string.
+    * The float sqrt only seeds the search; the result is exact.
+    */
+  def cellsForExact(corpusCount: Long): Int = {
+    require(corpusCount >= 1, "corpus must be non-empty")
+    var k = math.max(1L, math.sqrt(corpusCount.toDouble).toLong)
+    while (k > 1 && (k - 1) * (k - 1) >= corpusCount) k -= 1
+    while (k * k < corpusCount) k += 1
+    k.toInt
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: the corpus is bucketed once; each
     * query probes its own bucket plus every bucket one sign-bit away
     * (`planes`+1 probes). Multi-probe recovers most of the recall lost to

@@ -361,6 +361,28 @@ object SimilarityQueries {
         .orderBy("id")
     },
 
+    // The AUTO-SIZED production semantic dedup: cells = cellsForExact(N)
+    // (smallest k with k² ≥ N, i.e. ⌈√N⌉ — the SemDeDup operating point),
+    // so expected cell size tracks √N and total within-cell pairwise work
+    // is O(N·√N) at ANY corpus — the fixed 16-cell pin above reached a
+    // ~1.25G-pair quadratic at ×100 (its role is now the oracle-friendly
+    // SMALL-cell exercise of the kept=0 path). Same self-sizing oracle
+    // pattern as q_embed_neardup_auto: the integer rule lets one static
+    // SQL string re-derive k from its own count(*). The extra corpus
+    // count() that sizes the quantizer is a metadata-only parquet
+    // row-count read at 100 TB.
+    "q_semantic_dedup_auto" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val k = Similarity.cellsForExact(v.count())
+      val cent = v.filter(col("id") < k)
+        .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      Similarity
+        .semanticDedup(v, cent, k, threshold = 0.35,
+          intermediate =
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+        .orderBy("id")
+    },
+
     // Hard-negative mining for contrastive training: per probe (ids 0-4),
     // top-10 by cosine among DIFFERENT-label vectors — the near-miss
     // negatives that dominate the InfoNCE gradient. Broadcast probes, one
@@ -902,6 +924,22 @@ object SimilarityQueries {
     // of any within-cell pair at cos ≥ 0.35; kept = anti of dropped
     "q_semantic_dedup" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
       s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
+      "ccell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
+      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
+      "FROM v, cent c) WHERE rn = 1), " +
+      "dropped AS (SELECT DISTINCT y.id AS id FROM ccell x JOIN ccell y " +
+      s"ON x.cell = y.cell AND x.id < y.id AND ${cosSql("x.vec", "y.vec")} >= 0.35) " +
+      "SELECT c.id, c.cell, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept " +
+      "FROM ccell c LEFT JOIN dropped d ON c.id = d.id ORDER BY c.id"),
+    // the SELF-SIZING mirror: k = smallest kk with kk² ≥ count(*) — the
+    // cellsForExact integer rule — then the identical ccell/dropped shape.
+    // Cap 100000 ⇒ oracle-checkable to 10^10 vectors; past that k is NULL
+    // and the check fails loudly (the engine itself has no cap).
+    "q_semantic_dedup_auto" -> ("WITH cnt AS (SELECT count(*) AS n FROM embeddings), " +
+      "k AS (SELECT CAST(min(kk) AS BIGINT) AS k FROM generate_series(1, 100000) gs(kk), cnt " +
+      "WHERE kk*kk >= n), " +
+      s"v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
+      "cent AS (SELECT id AS cid, vec AS cvec FROM v, k WHERE id < k.k), " +
       "ccell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
       s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
       "FROM v, cent c) WHERE rn = 1), " +

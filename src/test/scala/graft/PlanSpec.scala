@@ -1217,10 +1217,20 @@ class PlanSpec extends SparkSpec {
     // at ×100, 887 MB spill.)
     assert(count(p, "Exchange hashpartitioning") == 2,
       s"agg exchange + window exchange, both value-frame-sized:\n$p")
-    val partialIdx = p.indexOf("partial_sum")
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
-    assert(partialIdx >= 0 && exchangeIdx >= 0,
-      s"partial aggregate and hash exchange must both be present:\n$p")
+    // Structural map-side-combine pin: the DEEPEST hash exchange's direct
+    // child must be the (flag, cents) partial HashAggregate — presence-only
+    // checks passed even when raw fact rows were shuffled first (any
+    // partial agg anywhere matched). The executedPlan string prints
+    // children after parents, so the deepest exchange is the LAST exchange
+    // line and the operator line right below it is its input.
+    val lines = p.linesIterator.toVector
+    val aggExchange = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    assert(aggExchange >= 0, s"hash exchange must be present:\n$p")
+    val child = lines.drop(aggExchange + 1)
+      .find(l => !l.contains("Exchange") && l.exists(_.isLetter))
+    assert(child.exists(l => l.contains("HashAggregate") && l.contains("partial_sum")),
+      s"the deepest exchange must be fed by the (flag, cents) partial aggregate, " +
+        s"never by raw fact rows — got child ${child.getOrElse("<none>")}:\n$p")
   }
 
   test("q_l_diversity: dim broadcasts; fact scanned once, never merge-joined") {
