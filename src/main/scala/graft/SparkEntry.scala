@@ -93,12 +93,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ graft.ext.RelationalQueries.queries ++ graft.ext.TextQueries.queries ++
+      graft.ext.TextEvalQueries.queries ++
       graft.ext.DedupQueries.queries ++ graft.ext.SimilarityQueries.queries ++
       graft.ext.MultimodalQueries.queries ++ graft.ext.CurationQueries.queries ++
       graft.ext.GraphQueries.queries ++ graft.ext.Bpe.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ graft.ext.RelationalQueries.oracleSql ++ graft.ext.TextQueries.oracleSql ++
+      graft.ext.TextEvalQueries.oracleSql ++
       graft.ext.DedupQueries.oracleSql ++ graft.ext.SimilarityQueries.oracleSql ++
       graft.ext.MultimodalQueries.oracleSql ++ graft.ext.CurationQueries.oracleSql ++
       graft.ext.GraphQueries.oracleSql ++ graft.ext.Bpe.oracleSql

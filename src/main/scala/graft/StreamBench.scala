@@ -104,8 +104,20 @@ object StreamBench {
     val span = (steady.lastOption.map(p => ms(p.timestamp)).getOrElse(t0) -
       steady.headOption.map(p => ms(p.timestamp)).getOrElse(t0)) / 1000.0
     val eps = if (span > 0) rows / span else 0.0
+    // state-store commit share of batch wall (the r13 lesson: per-batch
+    // delta-file commits, not data volume, set the replay walls — this
+    // reports the same quantity for the capacity path): commitTimeMs is
+    // summed across the windowed agg's state operators per batch,
+    // addBatch is the batch's processing wall.
+    val commitMs = counted.flatMap(_.stateOperators.map(_.commitTimeMs)).sum
+    val addBatchMs = counted
+      .flatMap(p => Option(p.durationMs.get("addBatch")).map(_.longValue)).sum
+    val commitShare =
+      if (addBatchMs > 0) math.round(1000.0 * commitMs / addBatchMs) / 1000.0 else 0.0
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.toLong},"unit":"rows/sec",""" +
-        s""""batches":${counted.size},"rows":$rows,"span_sec":$span,"cpus":$cpus}""")
+        s""""batches":${counted.size},"rows":$rows,"span_sec":$span,"cpus":$cpus,""" +
+        s""""state_commit_ms":$commitMs,"add_batch_ms":$addBatchMs,""" +
+        s""""state_commit_share":$commitShare}""")
   }
 }
