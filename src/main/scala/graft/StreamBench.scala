@@ -38,7 +38,16 @@ object StreamBench {
     val warmupSecs = 8
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle partitions double as the STATE partition count (fixed at
+      // first start). The map-side partial agg does the corpus work on
+      // `cpus` input partitions regardless; the final agg sees only
+      // (window × metric × label) groups — so state partitions should
+      // track STATE volume, not core count (the r13 replay lesson). The
+      // default stays `cpus` for continuity with earlier records;
+      // SPARK_GRAFT_STREAM_STATE_PARTITIONS probes the commit-fan-out
+      // share directly.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -104,20 +113,23 @@ object StreamBench {
     val span = (steady.lastOption.map(p => ms(p.timestamp)).getOrElse(t0) -
       steady.headOption.map(p => ms(p.timestamp)).getOrElse(t0)) / 1000.0
     val eps = if (span > 0) rows / span else 0.0
-    // state-store commit share of batch wall (the r13 lesson: per-batch
-    // delta-file commits, not data volume, set the replay walls — this
-    // reports the same quantity for the capacity path): commitTimeMs is
-    // summed across the windowed agg's state operators per batch,
-    // addBatch is the batch's processing wall.
+    // state-store commit share of batch capacity (the r13 lesson:
+    // per-batch delta-file commits, not data volume, set the replay
+    // walls — this reports the same quantity for the capacity path).
+    // commitTimeMs is TASK time summed across all state partitions, so
+    // it is normalized against add_batch_ms × cores (the batch's total
+    // task-time capacity): share = what fraction of the cluster's time
+    // during addBatch went to state-store commits.
     val commitMs = counted.flatMap(_.stateOperators.map(_.commitTimeMs)).sum
     val addBatchMs = counted
       .flatMap(p => Option(p.durationMs.get("addBatch")).map(_.longValue)).sum
+    val capacityMs = addBatchMs * cpus.toLong
     val commitShare =
-      if (addBatchMs > 0) math.round(1000.0 * commitMs / addBatchMs) / 1000.0 else 0.0
+      if (capacityMs > 0) math.round(1000.0 * commitMs / capacityMs) / 1000.0 else 0.0
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.toLong},"unit":"rows/sec",""" +
         s""""batches":${counted.size},"rows":$rows,"span_sec":$span,"cpus":$cpus,""" +
-        s""""state_commit_ms":$commitMs,"add_batch_ms":$addBatchMs,""" +
-        s""""state_commit_share":$commitShare}""")
+        s""""state_commit_taskms":$commitMs,"add_batch_ms":$addBatchMs,""" +
+        s""""state_commit_share_of_capacity":$commitShare}""")
   }
 }
