@@ -344,6 +344,107 @@ object SparkEntry {
         .orderBy("event_type", "day")
     },
 
+    // §2.3 BOUNDED-STATE SKETCH parity (KMV): the streaming per-key
+    // distinct-count monitor (StatefulOps.kmvDistinct — O(k) bottom-k
+    // hash state per key FOREVER, where dropDuplicates state grows with
+    // true cardinality) replayed and hash-gated against a DuckDB oracle
+    // that recomputes the identical bottom-64 md5-60bit sketch and
+    // (k−1)·M/h_k estimate from raw rows — the per-key twin of the batch
+    // q_kmv_union mergeability gate. The whole corpus lands in batch 0
+    // (default file source takes all files per trigger), so the single
+    // per-key emission IS the final estimate.
+    "q_stream_kmv_parity" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+        .select(col("event_type").as("key"), col("user_id").cast("string").as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kmv").toString
+      e.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(e.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.KmvInput]
+      val out = graft.streaming.StatefulOps.kmvDistinct(stream, k = 64)
+      val qn = s"stream_kmv_${System.nanoTime}"
+      withShufflePartitions(s, 8) {
+        val q = out.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(qn)
+        .select(col("key").as("event_type"), col("nKept").as("n_kept"),
+          col("hK").as("h_k"), col("estDistinct").as("est_distinct"))
+        .orderBy("event_type")
+    },
+
+    // §2.3 BOUNDED-STATE HEAVY-HITTERS parity (SpaceSaving), gated in the
+    // EXACT regime: items are user_id mod 500 (≤ 500 distinct per key at
+    // ANY scale factor) under cap 1024, so no counter ever evicts and the
+    // SpaceSaving state degenerates to exact counting — which makes the
+    // top-20 (count DESC, item ASC — the operator's deterministic tie
+    // order) expressible as a plain GROUP BY oracle. What the gate then
+    // proves is the STREAMING machinery: per-key counter state survives
+    // the state store round-trip and re-emits the exact ranking. The
+    // approximate (evicting) regime stays property-tested in
+    // SpaceSavingSpec — its answer is order-dependent by design and has
+    // no SQL mirror.
+    "q_stream_topk_parity" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+        .select(col("event_type").as("key"),
+          (col("user_id") % 500).cast("string").as("item"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk").toString
+      e.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(e.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.TopKInput]
+      val out = graft.streaming.StatefulOps.spaceSavingTopK(stream, k = 20, cap = 1024)
+      val qn = s"stream_topk_${System.nanoTime}"
+      withShufflePartitions(s, 8) {
+        val q = out.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(qn)
+        .select(col("key").as("event_type"), col("rank"), col("item"),
+          col("est"), col("err"))
+        .orderBy("event_type", "rank")
+    },
+
+    // §2.3 ONLINE ROBUST-ANOMALY parity (median/MAD over histogram
+    // state): StatefulOps.madAnomalies judges each point against its own
+    // history PREFIX (integer lower-median over the exact value
+    // histogram — a sequential detector, deliberately NOT the batch
+    // q_anomaly_mad's retrospective whole-corpus median), so the oracle
+    // replays the prefix recurrence as a quadratic self-join over the
+    // |days|-sized daily frame: for every point, the lower median of all
+    // values at rn' ≤ rn, then the lower median of |v − med| over the
+    // same prefix, then the strict k·MAD flag behind the minN warm-up
+    // gate. Daily buckets are unique per key, so the (bucket, value)
+    // fold order is unambiguous in both engines.
+    "q_stream_mad_parity" -> { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("bucket"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("vq"))
+        .select(col("event_type").as("key"), col("bucket").as("bucketSec"),
+          col("vq").as("valueQ"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_mad").toString
+      daily.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(daily.schema).parquet(tmp)
+        .as[graft.streaming.StatefulOps.MadInput]
+      val out = graft.streaming.StatefulOps.madAnomalies(stream, k = 3L, minN = 5L)
+      val qn = s"stream_mad_${System.nanoTime}"
+      withShufflePartitions(s, 8) {
+        val q = out.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(qn)
+        .select(col("key").as("event_type"), col("bucketSec").as("bucket_s"),
+          col("valueQ").as("value_q"), col("medQ").as("med_q"),
+          col("madQ").as("mad_q"), col("isAnomaly").as("is_anomaly"),
+          col("nSeen").as("n_seen"))
+        .orderBy("event_type", "bucket_s")
+    },
+
     // §2.3 STREAM-STREAM INTERVAL JOIN parity — the attribution-join
     // shape (click ⋈ purchase within 1 h by the same user) through
     // Spark's watermark-bounded stream-stream join machinery, replayed
@@ -1031,6 +1132,53 @@ object SparkEntry {
     // the streaming Holt–Winters replay is gated by the IDENTICAL
     // recursive-CTE oracle as its batch twin — one SQL, two engines
     "q_stream_hw_parity" -> graft.ext.RelationalForecastQueries.oracleSql("q_holt_winters"),
+    // per-key bottom-64 md5-60bit sketch recomputed from raw rows; the
+    // estimator is the identical double division + floor (63·2⁶⁰ is
+    // exactly representable, so the literal equals (k−1).toDouble·m)
+    "q_stream_kmv_parity" -> ("WITH d AS (SELECT DISTINCT event_type, " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+      "r AS (SELECT event_type, h, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d), " +
+      "g AS (SELECT event_type, count(*) AS n_kept, max(h) AS h_k " +
+      "FROM r WHERE rn <= 64 GROUP BY 1) " +
+      "SELECT event_type, CAST(n_kept AS INT) AS n_kept, h_k, " +
+      "CASE WHEN n_kept < 64 THEN n_kept " +
+      s"ELSE CAST(floor(${63.0 * math.pow(2, 60)} / h_k) AS BIGINT) END AS est_distinct " +
+      "FROM g ORDER BY event_type"),
+    // exact-regime SpaceSaving = plain counting; rank order is the
+    // operator's deterministic (est DESC, item ASC — VARCHAR) tie order
+    "q_stream_topk_parity" -> ("WITH c AS (SELECT event_type, " +
+      "CAST(user_id % 500 AS VARCHAR) AS item, count(*) AS est FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, item, est, row_number() OVER " +
+      "(PARTITION BY event_type ORDER BY est DESC, item ASC) AS rank FROM c) " +
+      "SELECT event_type, CAST(rank AS INT) AS rank, item, est, " +
+      "CAST(0 AS BIGINT) AS err FROM r WHERE rank <= 20 ORDER BY event_type, rank"),
+    // the prefix recurrence replayed as a quadratic self-join over the
+    // |days|-sized daily frame: lower median = element at position
+    // (n+1)//2 of the sorted prefix (ties among equal values pick an
+    // arbitrary row of the SAME value — the median is value-determined)
+    "q_stream_mad_parity" -> ("WITH daily AS (SELECT event_type AS key, " +
+      "CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400)*86400 AS BIGINT) AS bucket, " +
+      "CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS vq " +
+      "FROM events GROUP BY 1, 2), " +
+      "pts AS (SELECT key, bucket, vq, " +
+      "row_number() OVER (PARTITION BY key ORDER BY bucket, vq) AS rn FROM daily), " +
+      "pre AS (SELECT a.key, a.rn, b.vq AS w FROM pts a " +
+      "JOIN pts b ON a.key = b.key AND b.rn <= a.rn), " +
+      "med AS (SELECT key, rn, w AS med FROM (SELECT key, rn, w, " +
+      "row_number() OVER (PARTITION BY key, rn ORDER BY w) AS pos, " +
+      "count(*) OVER (PARTITION BY key, rn) AS n FROM pre) WHERE pos = (n + 1) // 2), " +
+      "dev AS (SELECT p.key, p.rn, abs(p.w - m.med) AS d FROM pre p " +
+      "JOIN med m ON p.key = m.key AND p.rn = m.rn), " +
+      "mad AS (SELECT key, rn, d AS mad FROM (SELECT key, rn, d, " +
+      "row_number() OVER (PARTITION BY key, rn ORDER BY d) AS pos, " +
+      "count(*) OVER (PARTITION BY key, rn) AS n FROM dev) WHERE pos = (n + 1) // 2) " +
+      "SELECT p.key AS event_type, p.bucket AS bucket_s, p.vq AS value_q, " +
+      "m.med AS med_q, x.mad AS mad_q, " +
+      "(p.rn >= 5 AND abs(p.vq - m.med) > 3 * x.mad) AS is_anomaly, p.rn AS n_seen " +
+      "FROM pts p JOIN med m ON p.key = m.key AND p.rn = m.rn " +
+      "JOIN mad x ON p.key = x.key AND p.rn = x.rn " +
+      "ORDER BY event_type, bucket_s"),
     // the streamed inner interval join = the plain batch interval join
     // (inclusive bounds both sides, same 1 h attribution window)
     "q_stream_join_parity" -> ("WITH c AS (SELECT user_id AS cuser, " +

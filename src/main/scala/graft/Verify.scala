@@ -25,6 +25,14 @@ object Verify {
       // 1M-key hash map is a few MB: keep the agg hash-based.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.files.openCostInBytes", (512L * 1024).toString)
+      // Memo/intermediate localCheckpoint blocks are ADVISORY caches: the
+      // unified-memory default protects HALF the heap for storage, and the
+      // r14 whole-surface x100 run measured later queries' sorts spilling
+      // 1-12 GB while early families' (or their OWN upstream's) blocks sat
+      // in the protected region. 0.2 lets execution evict cached blocks
+      // (MEMORY_AND_DISK - they re-read from disk, once) instead of
+      // spilling sort runs; plans and results are unaffected.
+      .config("spark.memory.storageFraction", "0.2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

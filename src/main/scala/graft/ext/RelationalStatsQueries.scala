@@ -449,18 +449,15 @@ object RelationalStatsQueries {
       val perCust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
-      // rkey packs (cents, custkey) into one long: cents < 2³¹ (a $21M
-      // single-customer cap) and custkey < 2³² (TPC-H SF ~28k) — both
-      // guarded loudly, because a custkey bleeding into the cents bits
-      // would corrupt decile ordering SILENTLY (the q_curriculum_shards
-      // packing lesson).
-      val ranked = Scale.globalRowNumber(
-        perCust.select(col("o_custkey"), col("cents"),
-          when(col("cents") >= lit(1L << 31) || col("o_custkey") >= lit(1L << 32) ||
-            col("o_custkey") < 0,
-            raise_error(lit("q_lorenz_curve rkey overflow: cents >= 2^31 or custkey >= 2^32")))
-            .otherwise(col("cents") * lit(1L << 32) + col("o_custkey")).as("rkey")),
-        "rkey", partitions = 8)
+      // COMPOSITE range key (cents, custkey) — no bit packing. The r12
+      // form packed both into one long behind a loud guard; the r14 ×100
+      // run FIRED that guard (per-customer cents outgrew 2³¹ at 100×),
+      // proving the pack itself was the scale cliff. The composite
+      // globalRowNumberBy orders identically (lexicographic ≡ the packed
+      // order wherever the pack was valid) with no bit budget at all.
+      val ranked = Scale.globalRowNumberBy(
+        perCust.select(col("o_custkey"), col("cents")),
+        Seq("cents", "o_custkey"), partitions = 8)
       val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot_cents"))
       val wCum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
       ranked
@@ -469,9 +466,17 @@ object RelationalStatsQueries {
         .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"),
           max(col("tot_cents")).as("tot_cents"))
         .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        // share arithmetic widens to DECIMAL(38,0): cents·10⁶ outgrew
+        // int64 at the ×100 corpus (the r14 whole-surface run caught it —
+        // decile cents ≈ 2·10¹⁵ there). DIV (IntegralDivide) on the
+        // decimal product truncates EXACTLY (never a decimal `/`+floor,
+        // whose scale-bounded HALF_UP rounding can bump past an integer
+        // boundary before the floor) and emits BIGINT — schema unchanged,
+        // values identical wherever the old int64 form was valid.
         .select(col("decile"), col("n_cust"), col("cents"),
-          expr("cents * 1000000 DIV tot_cents").as("share_q6"),
-          expr("cum_cents * 1000000 DIV tot_cents").as("cum_share_q6"))
+          expr("CAST(cents AS DECIMAL(38,0)) * 1000000 DIV tot_cents").as("share_q6"),
+          expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV tot_cents")
+            .as("cum_share_q6"))
         .orderBy("decile")
     },
 
@@ -968,8 +973,10 @@ object RelationalStatsQueries {
       "FROM rk, tot GROUP BY 1), " +
       "cum AS (SELECT *, CAST(sum(cents) OVER (ORDER BY decile " +
       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM dec) " +
-      "SELECT decile, n_cust, cents, cents * 1000000 // tot_cents AS share_q6, " +
-      "cum_cents * 1000000 // tot_cents AS cum_share_q6 FROM cum ORDER BY decile"),
+      "SELECT decile, n_cust, cents, " +
+      "CAST(CAST(cents AS HUGEINT) * 1000000 // tot_cents AS BIGINT) AS share_q6, " +
+      "CAST(CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents AS BIGINT) AS cum_share_q6 " +
+      "FROM cum ORDER BY decile"),
 
     "q_effective_sample_size" -> ("SELECT count(*) AS n, " +
       "CAST(sum(n_chars) AS BIGINT) AS sum_w, " +

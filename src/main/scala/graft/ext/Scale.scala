@@ -160,12 +160,28 @@ object Scale {
       df: DataFrame,
       orderCol: String,
       partitions: Int,
+      outCol: String = "rownum"): DataFrame =
+    globalRowNumberBy(df, Seq(orderCol), partitions, outCol)
+
+  /** [[globalRowNumber]] over a COMPOSITE key — range-partition and sort
+    * on (c₁, c₂, …) lexicographically. This is the overflow-free form: the
+    * r14 ×100 run showed single-long KEY PACKING (cents·2³² + custkey) is
+    * a scale cliff in disguise — the pack guard fired at 100× because
+    * per-customer cents outgrew their bit budget, while a composite range
+    * key has no bit budget at all. `orderCols` must be jointly unique for
+    * deterministic numbering (same contract as the single-column form).
+    */
+  def globalRowNumberBy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      partitions: Int,
       outCol: String = "rownum"): DataFrame = {
     require(partitions > 0, "partitions must be positive")
+    require(orderCols.nonEmpty, "need at least one order column")
     require(!df.columns.contains(outCol), s"input already has a '$outCol' column")
     val ranged = df
-      .repartitionByRange(partitions, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(partitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .localCheckpoint()
     // one row per non-empty partition — driver-sized by construction
     val counts = ranged

@@ -636,11 +636,26 @@ object Similarity {
     val (cents, cidType) = collectCentroids(centroids)
     require(cents.length == nCells,
       s"centroid frame has ${cents.length} rows, expected nCells=$nCells")
-    val cells = nearestCellsExpr(col("vec"), cents, cidType, n)
-    if (n == 1)
-      corpus.select(col("id"), col("vec"), element_at(cells, 1).as("cell"))
-    else
+    if (n == 1) {
+      // rank-1 assignment is a NATIVE fused argmax ([[graft.functions
+      // .ArgmaxCosD]]): the sorted-struct form below built a k-struct
+      // array per row and array_sort-ed it with an interpreted lambda
+      // comparator — at the k ≈ √N SemDeDup operating point that was
+      // ~all of q_semantic_dedup_auto's ×100 wall (112 s at k = 448).
+      // The argmax index maps back to the cid through a literal lookup
+      // (cents are cid-sorted, so lowest-index ties ≡ lowest-cid ties);
+      // results are bit-identical (ArgmaxCosD scaladoc) and the oracles
+      // unchanged.
+      graft.functions.GraftFunctions.register(corpus.sparkSession) // idempotent
+      val matrix = typedLit(cents.map(_._2.toSeq).toSeq)
+      val cids = typedLit(cents.map(_._1).toSeq)
+      val cell = element_at(cids,
+        call_function("graft_argmax_cos", col("vec"), matrix) + 1).cast(cidType)
+      corpus.select(col("id"), col("vec"), cell.as("cell"))
+    } else {
+      val cells = nearestCellsExpr(col("vec"), cents, cidType, n)
       corpus.select(col("id"), col("vec"), explode(cells).as("cell"))
+    }
   }
 
   /** Cluster-scoped semantic dedup (the SemDeDup shape — Abbas et al.,

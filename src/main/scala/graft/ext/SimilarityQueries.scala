@@ -50,6 +50,17 @@ object SimilarityQueries {
       .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
   }
 
+  /** The round-2 fixed-4-plane near-dup path, DEMOTED out of the declared
+    * surface in round 14: the first whole-surface ×100 run measured it at
+    * 911.8 s — 16 plan-literal buckets over 200k vectors is the exact
+    * within-bucket quadratic the demoted fixed-plane graph builder had,
+    * and `q_embed_neardup_auto` (planesForExact-sized, hash-checked since
+    * r12) is the production path. The bucket/probe/re-check machinery
+    * stays pinned by a SimilaritySpec sf0.001 digest via this hook.
+    */
+  private[graft] def fixedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(vecs(s, dir), W, threshold = 0.45).orderBy("a", "b")
+
   /** The deterministic sampled-centroid stand-in (ids 0..NCells-1) shared
     * by the IVF / IVF-PQ / semantic-dedup declared queries. */
   private def centFrame(v: DataFrame): DataFrame =
@@ -277,18 +288,6 @@ object SimilarityQueries {
         .pqTopKAdc(v.filter(col("id") < 20), codes, books, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
         .orderBy("query_id", "rank")
-    },
-
-    // Embedding-cosine near-dup pairs (dedup family): LSH bucket + Hamming-1
-    // candidates, exact cosine >= 0.45 re-check. The 4-plane table here is
-    // pinned ONLY so the oracle reproduces the buckets at fixture scale; a
-    // production caller sizes planes = Similarity.planesFor(corpusCount,
-    // targetBucketSize) — SimilaritySpec proves candidate volume stays
-    // ~linear 1×→10× under auto-sizing and blows up without it.
-    "q_embed_neardup" -> { (s, dir) =>
-      Similarity
-        .cosineNearDupPairs(vecs(s, dir), W, threshold = 0.45)
-        .orderBy("a", "b")
     },
 
     // The AUTO-SIZED production near-dup path: planes =
@@ -872,15 +871,6 @@ object SimilarityQueries {
       "SELECT query_id, neighbor_id, cos, rank FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "WHERE rank <= 5 ORDER BY query_id, rank"),
-    "q_embed_neardup" -> {
-      val masks = (0L +: (0 until Planes).map(1L << _)).mkString(", ")
-      s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
-      s"b AS (SELECT id, vec, ${bucketSql("vec")} AS bucket FROM v), " +
-      s"probed AS (SELECT id, vec, xor(bucket, m) AS bucket FROM b, unnest([$masks]::BIGINT[]) AS u(m)) " +
-      s"SELECT DISTINCT x.id AS a, y.id AS b, ${cosSql("x.vec", "y.vec")} AS cos " +
-      "FROM probed x JOIN b y ON x.bucket = y.bucket AND x.id < y.id " +
-      s"WHERE ${cosSql("x.vec", "y.vec")} >= 0.45 ORDER BY a, b"
-    },
     // the SELF-SIZING mirror: np from count(*) via the planesForExact
     // integer rule (smallest p with 64·2^p ≥ n, NULL past the cap — fails
     // loudly), plane constants gated on p < np, and the Hamming-1 probe

@@ -42,6 +42,14 @@ object GraftFunctions {
           SqDistD(args.head, args(1))
         }),
       (
+        FunctionIdentifier("graft_argmax_cos"),
+        new ExpressionInfo(classOf[ArgmaxCosD].getName, "graft_argmax_cos"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_argmax_cos(vec, centroidMatrix) takes 2 arguments")
+          ArgmaxCosD(args.head, args(1))
+        }),
+      (
         FunctionIdentifier("graft_rollhash"),
         new ExpressionInfo(classOf[RollingHash31].getName, "graft_rollhash"),
         (args: Seq[Expression]) => {

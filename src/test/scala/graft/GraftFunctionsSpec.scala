@@ -118,6 +118,52 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rollPlan.contains("graft_rollhash") && !rollPlan.contains("CodegenFallback"))
   }
 
+  test("graft_argmax_cos ≡ per-centroid graft_cos argmax, Spark double ordering") {
+    GraftFunctions.register(spark)
+    val cents = Seq(
+      Seq(1.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0),
+      Seq(0.6, 0.8, 0.0),
+      Seq(0.6, 0.8, 0.0), // duplicate: ties must keep the LOWER index
+      Seq(0.0, 0.0, 0.0)) // zero norm: cosine NaN — NaN is GREATEST
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.1, 0.0)),
+      (2L, Seq(0.1, 1.0, 0.0)),
+      (3L, Seq(0.5, 0.9, 0.1)),
+      (4L, Seq(-1.0, -1.0, 0.0))).toDF("id", "vec")
+    // reference: argmax over the NATIVE graft_cos scores with Spark's
+    // ordering (NaN greatest, == short-circuit, first-wins)
+    val scored = vecs.select(col("id"), array(cents.map(c =>
+      call_function("graft_cos", col("vec"), typedLit(c))): _*).as("ss"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def refArgmax(ss: Seq[Double]): Int = {
+      var bi = -1; var b = 0.0
+      ss.zipWithIndex.foreach { case (c, i) =>
+        if (bi < 0 || (!(c == b) && java.lang.Double.compare(c, b) > 0)) { b = c; bi = i }
+      }
+      bi
+    }
+    val got = vecs.select(col("id"),
+      call_function("graft_argmax_cos", col("vec"),
+        typedLit(cents)).as("k"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (id, k) =>
+      assert(k == refArgmax(scored(id)), s"id=$id got=$k ss=${scored(id)}")
+    }
+    // every vector hits the NaN (zero-norm) centroid LAST in index order,
+    // and NaN is greatest — so index 4 must win everywhere here
+    assert(got.values.toSet == Set(4))
+    // without the zero-norm row: real argmaxes, duplicate keeps index 2
+    val got2 = vecs.select(col("id"),
+      call_function("graft_argmax_cos", col("vec"),
+        typedLit(cents.take(4))).as("k"))
+      .as[(Long, Int)].collect().toMap
+    assert(got2(1L) == 0 && got2(2L) == 1 && got2(3L) == 2)
+    got2.foreach { case (id, k) =>
+      assert(k == refArgmax(scored(id).take(4)), s"id=$id")
+    }
+  }
+
   test("graft_deflate_len: deterministic, matches a direct JRE deflate, codegen-native") {
     GraftFunctions.register(spark)
     val texts = Seq("", "abc", "the quick brown fox", "ab" * 5000, "テスト 🎉 mixed")

@@ -62,6 +62,37 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
     assert(builds == 6, "the released dir's frame rebuilds")
   }
 
+  test("globalRowNumberBy: composite key numbers in lexicographic order") {
+    // the overflow-free replacement for single-long key packing (the
+    // q_lorenz_curve ×100 guard firing): no bit budget, same order
+    val df = Seq((5L, 1L), (5L, 0L), (1L, 9L), (3L, 3L), (1L, 2L)).toDF("a", "b")
+    val got = graft.ext.Scale.globalRowNumberBy(df, Seq("a", "b"), partitions = 4)
+      .orderBy("rownum").select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 9L), (3L, 3L), (5L, 0L), (5L, 1L)))
+  }
+
+  test("fixed-plane near-dup: bucket/probe machinery pin (sf0.001 digest)") {
+    // q_embed_neardup (fixed 4 planes) left the declared surface in round
+    // 14 — the first whole-surface ×100 run measured its plan-literal
+    // 16-bucket quadratic at 911.8 s, the same cliff class as the r13
+    // fixed-plane graph demotion; q_embed_neardup_auto is the declared
+    // production path. The machinery pin: golden = the oracle-green
+    // output on the driver's sf0.001 embeddings fixture. Regenerate after
+    // a DELIBERATE fixture/machinery change by re-running fixedNearDup at
+    // sf0.001 and re-digesting.
+    val rows = graft.ext.SimilarityQueries
+      .fixedNearDup(spark, "/root/testdata/sf0.001")
+      .select(concat_ws("-", col("a"), col("b"),
+        format_number(col("cos"), 9)).as("e"))
+      .as[String].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(rows.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.length == 5, s"pair count drifted: ${rows.length}")
+    assert(digest == "2708d9a7446107a783ddcea03b583f87",
+      s"fixed-plane near-dup digest drifted: $digest")
+  }
+
   test("untagged memo access learns nothing (no phantom consumers)") {
     val fam = s"round14-untag-${System.nanoTime}"
     Memo.cached(spark, s"$fam|/root/testdata/sf0.001")(Seq(1L).toDF("a"))
