@@ -355,7 +355,13 @@ object SparkEntry {
     // per-key emission IS the final estimate.
     "q_stream_kmv_parity" -> { (s, dir) =>
       import s.implicits._
+      // deterministic 10% user slice (the stream-stream join precedent):
+      // flatMapGroupsWithState folds each key's batch iterator serially,
+      // so the full corpus cost ~2M rows/key/thread at ×100 (measured
+      // 63.9 s) buys no extra gate value — the sliced sketch still
+      // saturates k=64 minima per key at every SF
       val e = ev(s, dir)
+        .filter(col("user_id") % 10 === 0)
         .select(col("event_type").as("key"), col("user_id").cast("string").as("value"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_kmv").toString
       e.write.mode("overwrite").parquet(tmp)
@@ -1136,7 +1142,8 @@ object SparkEntry {
     // estimator is the identical double division + floor (63·2⁶⁰ is
     // exactly representable, so the literal equals (k−1).toDouble·m)
     "q_stream_kmv_parity" -> ("WITH d AS (SELECT DISTINCT event_type, " +
-      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+      "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h " +
+      "FROM events WHERE user_id % 10 = 0), " +
       "r AS (SELECT event_type, h, " +
       "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d), " +
       "g AS (SELECT event_type, count(*) AS n_kept, max(h) AS h_k " +

@@ -589,20 +589,35 @@ object RelationalStatsQueries {
     // at 100 TB the same trim comes from quantile CUTPOINTS plus a
     // boundary-tie rank pass — the windowed form is the exactness anchor.
     "q_trimmed_mean" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"),
-          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
-          col("l_orderkey"), col("l_linenumber"))
-      val wRank = Window.partitionBy("l_returnflag")
-        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      // VALUE-SPACE form (round 14 — the q_weighted_median rewrite
+      // applied to the trim; the r12 shape ranked every corpus row in a
+      // 3-partition window = three single-task 20M-row sorts at ×100,
+      // 91.3 s). The definitional tie-break (cents, orderkey, linenumber)
+      // decides WHICH boundary-value rows drop, but every boundary row
+      // shares the SAME cents, so the trimmed SUM and COUNT depend only
+      // on HOW MANY of that value's rank block [cum−cnt+1, cum] overlaps
+      // the kept band (lo, hi] — value-exact, oracle unchanged (it keeps
+      // the definitional windowed form). The corpus collapses in ONE
+      // map-side-combining (flag, cents) aggregate; both windows walk the
+      // distinct-value frame.
+      val vc = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
       val wAll = Window.partitionBy("l_returnflag")
-      li.withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(wAll))
+      vc.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
         // integer DIV, not `/`: n/10.0 would shift the upper cut when
         // n % 10 != 0 (rn <= n - 2.5 keeps one fewer row than n - 2)
-        .filter(expr("rn > n DIV 10 AND rn <= n - n DIV 10"))
+        .withColumn("kept",
+          greatest(lit(0L),
+            least(col("cum"), expr("n - n DIV 10")) -
+              greatest(col("cum") - col("cnt"), expr("n DIV 10"))))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .agg(sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("cents")).as("sum_cents"))
         .select(col("l_returnflag"), col("n_kept"), col("sum_cents"),
           (col("sum_cents").cast("double") / col("n_kept")).as("mean_cents"))
         .orderBy("l_returnflag")

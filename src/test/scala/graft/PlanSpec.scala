@@ -926,11 +926,16 @@ class PlanSpec extends SparkSpec {
       s"the per-user window must not serialize the stream:\n$p")
   }
 
-  test("q_trimmed_mean: both windows and the aggregate share ONE flag exchange") {
+  test("q_trimmed_mean: exactly two exchanges, both value-frame-sized") {
+    // round-14 value-space shape: the (flag, cents) agg exchange + the
+    // flag re-exchange for the windows — both carry the distinct-value
+    // frame, never raw lineitem rows (the r12 single-exchange shape put
+    // every corpus row through the rank window). Structural map-side pin
+    // lives in the companion test below.
     val p = plan("q_trimmed_mean")
     assert(count(p, "Scan parquet") == 1)
-    assert(count(p, "Exchange hashpartitioning") == 1,
-      s"rank window, count window, and groupBy must reuse the l_returnflag exchange:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 2,
+      s"agg exchange + window exchange, both value-frame-sized:\n$p")
   }
 
   test("q_gini_revenue: ranks the customer AGGREGATE, not raw orders") {
@@ -1229,6 +1234,26 @@ class PlanSpec extends SparkSpec {
     val child = lines.drop(aggExchange + 1)
       .find(l => !l.contains("Exchange") && l.exists(_.isLetter))
     assert(child.exists(l => l.contains("HashAggregate") && l.contains("partial_sum")),
+      s"the deepest exchange must be fed by the (flag, cents) partial aggregate, " +
+        s"never by raw fact rows — got child ${child.getOrElse("<none>")}:\n$p")
+  }
+
+  test("q_trimmed_mean: fact rows never cross an exchange; windows walk the value frame") {
+    val p = plan("q_trimmed_mean")
+    assert(count(p, "Scan parquet") == 1)
+    assert(count(p, "Window") >= 1, s"cumulative/total windows over the value frame:\n$p")
+    // round-14 value-space shape (the q_weighted_median pattern): the
+    // corpus collapses in a PARTIAL (flag, cents) HashAggregate BEFORE
+    // its exchange — the deepest hash exchange's direct child must be
+    // that partial aggregate, never raw fact rows (the r12 shape pushed
+    // every row through a 3-partition rank window: three single-task
+    // 20M-row sorts at ×100, 91.3 s).
+    val lines = p.linesIterator.toVector
+    val aggExchange = lines.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    assert(aggExchange >= 0, s"hash exchange must be present:\n$p")
+    val child = lines.drop(aggExchange + 1)
+      .find(l => !l.contains("Exchange") && l.exists(_.isLetter))
+    assert(child.exists(l => l.contains("HashAggregate") && l.contains("partial_count")),
       s"the deepest exchange must be fed by the (flag, cents) partial aggregate, " +
         s"never by raw fact rows — got child ${child.getOrElse("<none>")}:\n$p")
   }
