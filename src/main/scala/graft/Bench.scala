@@ -114,7 +114,12 @@ object Bench {
     // displaced later sorts out of protected storage at ×100).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      // SAME sorted order as the timed loop: the release schedule below is
+      // learned from this pass, and a family touched only on a dependent
+      // family's cache miss would otherwise be attributed to a different
+      // "first builder" under Map iteration order — releasing it before a
+      // later timed builder needs it, silently rebuilding inside a timed rep
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try graft.ext.Memo.withConsumer(name) {
           fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         } catch { case _: Throwable => () }
@@ -226,7 +231,14 @@ object Bench {
       val (sh, sp) = bytesListener.totals(s"bench:$name")
       // per-rep average over SUCCESSFUL reps only: an aborted rep runs a
       // fraction of its stages, so dividing by the full rep count deflated
-      // byte averages exactly when they mattered most (failure triage)
+      // byte averages exactly when they mattered most (failure triage).
+      // Known bias the other way: the group total still INCLUDES bytes the
+      // failed reps' partial stages wrote, so a partial query's per-rep
+      // average overcounts by up to (failed/ok)×. Accepted: per-rep
+      // listener snapshots would need a settle() (~0.2 s) per rep per
+      // query (~2.5 min over the surface) to fix a field that is only read
+      // qualitatively during failure triage — the failed_reps field beside
+      // it marks exactly the rows carrying the bias.
       val ok = math.max(1, reps - failedReps.getOrElse(name, 0))
       name -> (sh / ok, sp / ok)
     }.toMap

@@ -36,22 +36,31 @@ object StreamBench {
     val runSecs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt)
       .getOrElse(30)
     val warmupSecs = 8
+    // Shuffle partitions double as the STATE partition count (fixed at
+    // first start). The map-side partial agg does the corpus work on
+    // `cpus` input partitions regardless; the final agg sees only
+    // (window × metric × label) groups — so state partitions track STATE
+    // volume, not core count (the r13 replay lesson, promoted from env
+    // knob to the computed default in round 15 after the r14 band probe:
+    // 8 → 2.63M ev/s reduce-parallelism-bound, 16 → 6.47M, 32 (= cores,
+    // the former default) → 3.56M commit-fan-out-taxed, 64 → 2.61M
+    // commit-bound). Two terms: 2× the open-state group count (3 metrics
+    // × ~2 un-closed 60 s windows under the 5 s watermark) floors state
+    // parallelism; cores/2 keeps the final-agg reduce wide enough while
+    // halving the per-batch delta-file commit fan-out that taxed the
+    // cores default. SPARK_GRAFT_STREAM_STATE_PARTITIONS still overrides
+    // for band probes.
+    val openStateGroups = 3 * 2
+    val autoStateParts = math.max(2 * openStateGroups, cpus.toInt / 2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // Shuffle partitions double as the STATE partition count (fixed at
-      // first start). The map-side partial agg does the corpus work on
-      // `cpus` input partitions regardless; the final agg sees only
-      // (window × metric × label) groups — so state partitions should
-      // track STATE volume, not core count (the r13 replay lesson). The
-      // default stays `cpus` for continuity with earlier records;
-      // SPARK_GRAFT_STREAM_STATE_PARTITIONS probes the commit-fan-out
-      // share directly.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", cpus))
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", autoStateParts.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val statePartsUsed = spark.conf.get("spark.sql.shuffle.partitions")
 
     // rate source shaped into the events contract (same columns the batch
     // queries read); modulo fan-out gives realistic filter selectivity and
@@ -129,6 +138,7 @@ object StreamBench {
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.toLong},"unit":"rows/sec",""" +
         s""""batches":${counted.size},"rows":$rows,"span_sec":$span,"cpus":$cpus,""" +
+        s""""state_partitions":$statePartsUsed,""" +
         s""""state_commit_taskms":$commitMs,"add_batch_ms":$addBatchMs,""" +
         s""""state_commit_share_of_capacity":$commitShare}""")
   }

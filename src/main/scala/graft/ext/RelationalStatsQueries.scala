@@ -441,10 +441,12 @@ object RelationalStatsQueries {
 
     // LORENZ CURVE by customer revenue decile — the distribution profile
     // behind q_gini_revenue's single number ("the top decile holds X% of
-    // revenue"). Deciles come from [[Scale.globalRowNumber]] on the packed
-    // (cents, custkey) key — scalable exact ranking, never a global
-    // ntile window; shares are cross-multiplied exact integers with one
-    // q6 truncating division per decile.
+    // revenue"). Deciles come from [[Scale.globalRowNumberBy]] on the
+    // COMPOSITE (cents, custkey) range key — scalable exact ranking with
+    // no bit-packing budget (the r14 ×100 run fired the old single-long
+    // pack's guard), never a global ntile window; shares are
+    // cross-multiplied exact integers with one DECIMAL(38,0) truncating
+    // division per decile.
     "q_lorenz_curve" -> { (s, dir) =>
       val perCust = Tables.orders(s, dir)
         .groupBy(col("o_custkey"))

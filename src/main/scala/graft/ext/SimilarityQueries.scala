@@ -61,6 +61,25 @@ object SimilarityQueries {
   private[graft] def fixedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(vecs(s, dir), W, threshold = 0.45).orderBy("a", "b")
 
+  /** The FIXED 16-cell SemDeDup form, DEMOTED from the declared surface in
+    * round 15 (the last declared query with a fixed-parameter quadratic:
+    * within-cell pair work grows as (N/16)² — ~49 s at ×100 per the r10
+    * probe, the same cliff class as the fixed-plane `q_embed_neardup`
+    * demoted in r14). `q_semantic_dedup_auto` (cells = cellsForExact(N),
+    * O(N·√N) total pair work) is the declared production path. The
+    * 16-cell machinery — including the kept=0 dominance path only small
+    * cells exercise — stays pinned by a Round15Spec sf0.001 digest via
+    * this hook.
+    */
+  private[graft] def fixedSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir)
+    Similarity
+      .semanticDedup(v, centFrame(v), NCells, threshold = 0.35,
+        intermediate =
+          Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+      .orderBy("id")
+  }
+
   /** The deterministic sampled-centroid stand-in (ids 0..NCells-1) shared
     * by the IVF / IVF-PQ / semantic-dedup declared queries. */
   private def centFrame(v: DataFrame): DataFrame =
@@ -338,26 +357,6 @@ object SimilarityQueries {
         .rerankExact(short, probes, v, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("query_id", "rank")
-    },
-
-    // SemDeDup-style cluster-scoped semantic dedup: rank-1 assignment to
-    // 16 sampled coarse centroids (ids 0-15 — the same deterministic
-    // quantizer stand-in as q_ann_ivf; production fits k-means offline),
-    // then pair-dominance pruning WITHIN cells only at cosine ≥ 0.35
-    // (drops ~12% of the fixture corpus at every SF — threshold probed so
-    // the kept=0 path is non-vacuously exercised). The quadratic term is
-    // bounded by the largest cell, never the corpus. The assignment is
-    // materialized BUCKETED + SORTED on the cell id (the span-dedup
-    // lever): the map-only assignment is computed once, written in
-    // pair-join order, and the dup join reads both sides exchange-free —
-    // the declared path is the production shape, not the lazy checkpoint.
-    "q_semantic_dedup" -> { (s, dir) =>
-      val v = vecs(s, dir)
-      Similarity
-        .semanticDedup(v, centFrame(v), NCells, threshold = 0.35,
-          intermediate =
-            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
-        .orderBy("id")
     },
 
     // The AUTO-SIZED production semantic dedup: cells = cellsForExact(N)
@@ -910,17 +909,6 @@ object SimilarityQueries {
       // GREATEST where Spark filters it — a zero-norm vector in the
       // shortlist would otherwise shift every rank below it
       "FROM rr WHERE NOT isnan(cos)) WHERE rank <= 5 ORDER BY query_id, rank"),
-    // rank-1 cell = the q_ann_ivf ccell CTE; dropped = distinct greater id
-    // of any within-cell pair at cos ≥ 0.35; kept = anti of dropped
-    "q_semantic_dedup" -> (s"WITH v AS (SELECT vec_id AS id, $VDouble AS vec FROM embeddings), " +
-      s"cent AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < $NCells), " +
-      "ccell AS (SELECT id, vec, cell FROM (SELECT v.id, v.vec, c.cid AS cell, " +
-      s"row_number() OVER (PARTITION BY v.id ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.cid ASC) AS rn " +
-      "FROM v, cent c) WHERE rn = 1), " +
-      "dropped AS (SELECT DISTINCT y.id AS id FROM ccell x JOIN ccell y " +
-      s"ON x.cell = y.cell AND x.id < y.id AND ${cosSql("x.vec", "y.vec")} >= 0.35) " +
-      "SELECT c.id, c.cell, CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS kept " +
-      "FROM ccell c LEFT JOIN dropped d ON c.id = d.id ORDER BY c.id"),
     // the SELF-SIZING mirror: k = smallest kk with kk² ≥ count(*) — the
     // cellsForExact integer rule — then the identical ccell/dropped shape.
     // Cap 100000 ⇒ oracle-checkable to 10^10 vectors; past that k is NULL
