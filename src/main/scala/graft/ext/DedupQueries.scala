@@ -28,13 +28,28 @@ object DedupQueries {
     * queries re-ran the identical posting join from raw text (measured
     * ~2.5 s each at sf0.1 — the single most expensive dedup stage ×11).
     */
-  private[graft] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, s"jaccard-cand-pairs|$dir") {
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
-        threshold = 0.0, maxDf = MaxDf,
-        intermediate =
-          Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+  private[graft] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Round 15: the shared frame is itself a BUCKETED TABLE on (a, b),
+    // not a localCheckpoint. Two measured reasons (×100, the r14 spill
+    // set): (1) RESIDENCY — the checkpointed pair frame's blocks sat in
+    // unified memory while its own consumers sorted next to them
+    // (q_minhash_accuracy spilled 1.54 GB in-session vs ~0 solo; the
+    // release schedule can't help the query that READS the frame);
+    // warehouse parquet holds zero storage memory. (2) LAYOUT — the
+    // minhash-accuracy SMJ joins on exactly (a, b), so the bucketed form
+    // removes that join's exact-side exchange+repartition entirely (the
+    // span-dedup lever). Other family consumers trade memory-block reads
+    // for parquet scans WITH pushed jaccard/id filters — row-identical
+    // (jaccard is one IEEE quotient computed at build, stored exactly).
+    Memo.cachedVia(s, s"jaccard-cand-pairs|$dir") {
+      Dedup.Intermediate.Bucketed(parts).keyed(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.0, maxDf = MaxDf,
+          intermediate = Dedup.Intermediate.Bucketed(parts)),
+        "jaccard_cand", "a,b")
     }
+  }
 
   /** The Jaccard ≥ 0.8 near-dup pair frame (a, b, jaccard) every
     * resolution query consumes — a filter over the memoized candidates. */
@@ -200,21 +215,15 @@ object DedupQueries {
       // sort-merge by choice: the exact side is the big pair frame; SMJ's
       // sort spills gracefully where a shuffle-hash build OOMs outright
       // under concurrent task memory pressure (measured:
-      // SparkOutOfMemoryError building the map). The sort itself is SIZED
-      // from the memoized frame's MEASURED row count (one cheap scan of
-      // checkpointed blocks, memoized per session): at ×100 the session's
-      // 32-partition pin put the whole ~830 MB pair frame through 32
-      // sorts (704 MB spill); sized, each task sorts ≤ ~512k rows. At
-      // test corpora the width never exceeds the session pin, so the
-      // plan is unchanged where the volume is small.
-      val nExact = Memo.cachedLong(s, s"jaccard-cand-count|$dir")(
-        candidateJaccardPairs(s, dir).count())
-      val pairParts = Scale.sizedPartitions(s, nExact, rowsPerTask = 128L << 10)
-      val exactSized =
-        if (pairParts > s.sessionState.conf.numShufflePartitions)
-          exact.repartition(pairParts, col("a"), col("b"))
-        else exact
-      cand.join(exactSized, Seq("a", "b"), "left")
+      // SparkOutOfMemoryError building the map). Round 15: the exact side
+      // is the (a, b)-BUCKETED memoized table, so its exchange is elided
+      // outright — no repartition here (one would re-shuffle the bucketed
+      // layout away). The r14 sized-repartition form still spilled
+      // 1.54 GB in-session at ×100 because the checkpointed frame's OWN
+      // memory blocks displaced the sorts reading them; table-backed,
+      // the sorts run against an empty storage pool and the per-bucket
+      // sort (~1.7M narrow rows/bucket at ×100) fits task memory.
+      cand.join(exact, Seq("a", "b"), "left")
         .select(col("a"), col("b"), est.as("est_q6"), jac.as("jac_q6"),
           abs(est - jac).as("err_q6"))
         .orderBy("a", "b")

@@ -62,6 +62,24 @@ object Memo {
     frames.getOrElseUpdate(s"${sid(s)}|$key", build.localCheckpoint())
   }
 
+  /** A memoized frame whose builder performs its OWN materialization (e.g.
+    * a [[Dedup.Intermediate.Bucketed]] managed-table write) — no
+    * localCheckpoint is added, so the frame holds ZERO storage memory:
+    * consumers re-read warehouse parquet instead of memory blocks. This is
+    * the residency-relief variant of [[cached]] for corpus-derived frames
+    * whose blocks were measured displacing their own consumers' sorts out
+    * of unified memory at ×100 (the q_minhash_accuracy displacement —
+    * Bench's release schedule frees blocks only AFTER a family's last
+    * consumer, which cannot help the consumer that reads the frame while
+    * sorting next to it). Consumer learning and release bookkeeping are
+    * identical; release of a table-backed frame is a registry drop (the
+    * table itself is GC'd by `Intermediate.dropBucketedTables`).
+    */
+  def cachedVia(s: SparkSession, key: String)(make: => DataFrame): DataFrame = {
+    record(key)
+    frames.getOrElseUpdate(s"${sid(s)}|$key", make)
+  }
+
   /** A session-scoped memoized scalar — the companion for MEASURED volumes
     * of memoized frames (a `count()` over already-checkpointed blocks is
     * one cheap scan, but consumers like `Scale.sizedPartitions` callers

@@ -229,7 +229,15 @@ object RelationalTsQueries {
         .select(col("user_id"), col("event_type").as("channel"), secs(col("ts")).as("t_s"))
       p.join(t, Seq("user_id"))
         .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 86400L)
-        .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
+        // COMPOSITE window key (user_id, p_id): p_id is user-nested, so
+        // the groups are identical — but the join output is already
+        // hash-partitioned by user_id, which SATISFIES the composite
+        // clustering (partition exprs ⊆ window keys), so the window runs
+        // as a LOCAL sort with NO second exchange of the pair frame (the
+        // r14 ×100 run charged this query 57 MB of sort spill + a full
+        // pair-frame re-shuffle on the p_id-only key).
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy("user_id", "p_id")))
         .withColumn("credit_q6", expr("1000000 DIV n_touch"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_touches"),
@@ -255,7 +263,11 @@ object RelationalTsQueries {
         .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 7L * 86400L)
         .withColumn("w",
           expr("shiftright(1000000L, CAST((p_s - t_s) DIV 86400 AS INT))"))
-        .withColumn("wsum", sum(col("w")).over(Window.partitionBy("p_id")))
+        // composite (user_id, p_id) key — same groups, but satisfied by
+        // the join's user_id hash partitioning: local sort, no second
+        // pair-frame exchange (524 MB ×100 sort spill in the r14 set)
+        .withColumn("wsum",
+          sum(col("w")).over(Window.partitionBy("user_id", "p_id")))
         .withColumn("credit_q6", expr("w * 1000000 DIV wsum"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_touches"), sum(col("credit_q6")).as("credit_q6_sum"))
@@ -278,6 +290,15 @@ object RelationalTsQueries {
       val t = ev.filter(col("event_type").isin("click", "view"))
         .select(col("user_id"), col("event_type").as("channel"),
           col("event_id").as("t_id"), secs(col("ts")).as("t_s"))
+      // p_id-keyed windows KEPT after a measured ×100 A/B (round 15): the
+      // composite (user_id, p_id) form elides this exchange (the join's
+      // user_id hash partitioning satisfies the clustering — the
+      // q_linear/q_decay_attribution lever), but here it FUSES both
+      // window sorts into the join stage, where they compete with the
+      // join's own buffers for task memory: solo ×100 measured 0 → 1.15 GB
+      // sort spill for a 1.4 GB exchange saved and −4 s wall. The
+      // exchange is the cheaper currency — it breaks the stage, and the
+      // post-exchange sorts run with full task memory (zero spill).
       val w = Window.partitionBy("p_id").orderBy("t_s", "t_id")
       p.join(t, Seq("user_id"))
         .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 86400L)

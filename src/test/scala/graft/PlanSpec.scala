@@ -47,11 +47,16 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("SortMergeJoin"), s"posting self-join must be a shuffle join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
-    // and the declared consumer must NOT rebuild: its plan reads the
-    // materialized blocks (no parquet scan, no join)
+    // and the declared consumer must NOT rebuild: since round 15 the
+    // memoized frame is a BUCKETED MANAGED TABLE (residency relief — the
+    // checkpointed blocks displaced their own consumers' sorts at ×100),
+    // so the consumer plan is exactly ONE parquet scan of that table and
+    // no join (a rebuild would re-run the posting SortMergeJoin)
     val c = plan("q_dedup_ngram_jaccard")
-    assert(!c.contains("Scan parquet") && !c.contains("SortMergeJoin"),
-      s"consumer must read the memoized frame, not rebuild:\n$c")
+    assert(!c.contains("SortMergeJoin") && !c.contains("BroadcastHashJoin"),
+      s"consumer must read the memoized table, not rebuild:\n$c")
+    assert(count(c, "Scan parquet") == 1,
+      s"exactly the memoized candidate table scan:\n$c")
   }
 
   test("q_text_fingerprint: map-only — no shuffle except the declared ORDER BY") {
@@ -908,6 +913,36 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_minhash_accuracy")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate and exact frames meet on (a, b) equi-joins:\n$p")
+    // the exact side reads the (a, b)-bucketed MANAGED TABLE, never a
+    // rebuilt pair join (at test SF the planner rightly broadcasts the
+    // tiny table — the bucketed layout is the at-scale lever)
+    assert(p.contains("graft_jaccard_cand"),
+      s"exact side must read the memoized bucketed table:\n$p")
+  }
+
+  test("q_minhash_accuracy: at scale the bucketed exact side joins exchange-free") {
+    // round-15 layout pin: with stats-driven broadcast off (the at-scale
+    // shape — at ×100 both sides are too big to broadcast), the exact
+    // side of the (a, b) SMJ is a BUCKETED scan (SelectedBucketsCount)
+    // whose sort is fed with NO hash exchange — the r14 sized-repartition
+    // form re-shuffled ~830 MB at ×100 and its checkpoint blocks
+    // displaced the very sorts reading them (1.54 GB in-session spill
+    // → 0 after this change, wall 42.1 → 19.4 s).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val p = try { spark.conf.set(key, "-1"); plan("q_minhash_accuracy") }
+      finally spark.conf.set(key, prev)
+    assert(p.contains("SelectedBucketsCount"),
+      s"exact side must be a bucketed-table scan:\n$p")
+    val lines = p.linesIterator.toVector
+    val scanLine = lines.indexWhere(_.contains("SelectedBucketsCount"))
+    val above = lines.take(scanLine)
+    // walk up from the bucketed scan: the nearest Sort above it must be
+    // reached without crossing a hash exchange (bucket alignment elides it)
+    val lastExchangeAbove = above.lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    val lastSortAbove = above.lastIndexWhere(_.contains("Sort ["))
+    assert(lastSortAbove > lastExchangeAbove,
+      s"the bucketed exact side must feed its SMJ sort exchange-free:\n$p")
   }
 
   test("q_assoc_rules: frequent-item prefilter broadcasts, pair join is keyed") {
