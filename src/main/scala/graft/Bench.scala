@@ -112,6 +112,12 @@ object Bench {
     // release schedule below frees a family's checkpoint blocks after its
     // last timed consumer — measured: un-evicted early-family blocks
     // displaced later sorts out of protected storage at ×100).
+    // (declared early: the warm pass below warms exactly the selected
+    // subset — warming all 364 queries added ~8 min to every targeted
+    // probe; the driver leaves the subset unset, so its full runs warm the
+    // full surface exactly as before)
+    val subsetEnv = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       // SAME sorted order as the timed loop: the release schedule below is
@@ -119,7 +125,9 @@ object Bench {
       // family's cache miss would otherwise be attributed to a different
       // "first builder" under Map iteration order — releasing it before a
       // later timed builder needs it, silently rebuilding inside a timed rep
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (n, _) => subsetEnv.forall(_.contains(n)) }
+        .sortBy(_._1).foreach { case (name, fn) =>
         try graft.ext.Memo.withConsumer(name) {
           fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         } catch { case _: Throwable => () }
@@ -145,8 +153,7 @@ object Bench {
     // driver leaves it unset → full surface. Unknown names fail FAST — a
     // typo silently matching nothing would emit a plausible-looking
     // all-zero benchmark line that could be recorded as a real datapoint.
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val subset = subsetEnv
     subset.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       if (unknown.nonEmpty) {

@@ -208,6 +208,25 @@ object Dedup {
     }
     private[Intermediate] val created =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    /** Current snapshot of the per-JVM created-table registry — paired
+      * with [[adopt]] so a CROSS-QUERY owner ([[Memo.cachedVia]]) can take
+      * tables built inside its builder OUT of the per-invocation registry:
+      * a single query's post-run `dropBucketedTables(spark)` (the registry
+      * drop several tests use) must not delete a table that a LIVE memo
+      * entry still reads — measured as FILE_NOT_EXIST on the memoized
+      * candidate table when suite ordering put a registry drop between a
+      * memo build and its later consumers. Adopted tables are dropped by
+      * [[Memo.release]]/[[Memo.releaseDir]] (or the end-of-run
+      * `sweepStragglers = true` sweep, which works by name prefix).
+      */
+    private[graft] def createdSnapshot: Set[String] = {
+      val it = created.iterator(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    private[graft] def adopt(tables: Set[String]): Unit =
+      tables.foreach(created.remove)
     case object None extends Intermediate {
       def apply(df: DataFrame, label: String): DataFrame = df
     }
@@ -517,15 +536,21 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Int = 1000,
-      intermediate: Intermediate = Intermediate.Local): DataFrame = {
+      intermediate: Intermediate = Intermediate.Local,
+      postings: Option[DataFrame] = None): DataFrame = {
     // Materialize the posting list ONCE: it feeds four consumers (sizes,
     // hot-list, both self-join sides) — see [[Intermediate]] for the
     // test-scale vs 100 TB strategies.
     // keyed on "h": every corpus-sized consumer below (hot-list groupBy,
     // both self-join sides) partitions by the shingle hash, so a Bucketed
-    // strategy removes the posting frame's re-shuffles entirely
-    val post0 = intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
-      "jaccard_postings", "h")
+    // strategy removes the posting frame's re-shuffles entirely.
+    // `postings`, when provided, is an ALREADY-MATERIALIZED (doc, h) frame
+    // (the caller owns its h-clustering contract) — round 15: the jaccard
+    // and containment families share ONE bucketed posting table instead of
+    // tokenizing the corpus once per family.
+    val post0 = postings.getOrElse(
+      intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
+        "jaccard_postings", "h"))
     // set sizes derived from the postings themselves (no re-tokenization)
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     // df-cap: a shingle present in > maxDf docs explodes the self-join
@@ -598,9 +623,14 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Int = 1000,
-      intermediate: Intermediate = Intermediate.Local): DataFrame = {
-    val post0 = intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
-      "containment_postings", "h")
+      intermediate: Intermediate = Intermediate.Local,
+      postings: Option[DataFrame] = None): DataFrame = {
+    // same posting-injection contract as [[jaccardPairs]] (round 15): the
+    // two families tokenize identically, so a shared materialized table
+    // removes this operator's per-invocation tokenize + posting write
+    val post0 = postings.getOrElse(
+      intermediate.keyed(hashedPostings(docs, idCol, textCol, n),
+        "containment_postings", "h"))
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val hot = post0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf).select("h")
     val post = post0.join(hot, Seq("h"), "left_anti")

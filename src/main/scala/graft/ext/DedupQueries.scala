@@ -28,6 +28,23 @@ object DedupQueries {
     * queries re-ran the identical posting join from raw text (measured
     * ~2.5 s each at sf0.1 — the single most expensive dedup stage ×11).
     */
+  /** ONE bucketed (doc, h) posting table per (session, dir), shared by the
+    * Jaccard candidate build AND the containment query (round 15): both
+    * families tokenize the identical 3-gram posting frame, and before the
+    * share q_dedup_containment re-tokenized the corpus and wrote its own
+    * posting table on EVERY invocation (×100: 93 s / 4.3 GB shuffle, most
+    * of it the rebuild). Bucketed on h — the clustering every consumer
+    * (sizes/hot groupBys, both self-join sides) partitions by.
+    */
+  private[graft] def bucketedPostings(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    Memo.cachedVia(s, s"dedup-postings|$dir") {
+      Dedup.Intermediate.Bucketed(parts).keyed(
+        Dedup.postings(Tables.documents(s, dir), "doc_id", "text", n = 3),
+        "shared_postings", "h")
+    }
+  }
+
   private[graft] def candidateJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     // Round 15: the shared frame is itself a BUCKETED TABLE on (a, b),
@@ -46,7 +63,8 @@ object DedupQueries {
       Dedup.Intermediate.Bucketed(parts).keyed(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
           threshold = 0.0, maxDf = MaxDf,
-          intermediate = Dedup.Intermediate.Bucketed(parts)),
+          intermediate = Dedup.Intermediate.Bucketed(parts),
+          postings = Some(bucketedPostings(s, dir))),
         "jaccard_cand", "a,b")
     }
   }
@@ -182,7 +200,8 @@ object DedupQueries {
         .containmentPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
           threshold = 0.8, maxDf = MaxDf,
           intermediate =
-            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt))
+            Dedup.Intermediate.Bucketed(s.conf.get("spark.sql.shuffle.partitions").toInt),
+          postings = Some(bucketedPostings(s, dir)))
         .orderBy("a", "b")
     },
 

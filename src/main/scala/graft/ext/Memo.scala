@@ -77,8 +77,28 @@ object Memo {
     */
   def cachedVia(s: SparkSession, key: String)(make: => DataFrame): DataFrame = {
     record(key)
-    frames.getOrElseUpdate(s"${sid(s)}|$key", make)
+    frames.getOrElseUpdate(s"${sid(s)}|$key", {
+      // ADOPT the managed tables the builder creates (round 15): they must
+      // leave the per-invocation `Intermediate.created` registry, or any
+      // single query's registry drop (`dropBucketedTables(spark)` without
+      // the sweep — several tests GC that way) deletes a table a live memo
+      // entry still reads. Adopted tables are dropped HERE, at release.
+      val before = Dedup.Intermediate.createdSnapshot
+      val df = make
+      val mine = Dedup.Intermediate.createdSnapshot -- before
+      Dedup.Intermediate.adopt(mine)
+      if (mine.nonEmpty) tablesByKey.put(s"${sid(s)}|$key", mine)
+      df
+    })
   }
+
+  private val tablesByKey = scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private def dropAdopted(s: SparkSession, fullKey: String): Unit =
+    tablesByKey.remove(fullKey).foreach(_.foreach { t =>
+      try s.sql(s"DROP TABLE IF EXISTS `$t`")
+      catch { case _: Throwable => () } // release is best-effort GC
+    })
 
   /** A session-scoped memoized scalar — the companion for MEASURED volumes
     * of memoized frames (a `count()` over already-checkpointed blocks is
@@ -144,6 +164,7 @@ object Memo {
     frames.keys.filter(k => k.startsWith(pfx) && family(k.stripPrefix(pfx)) == fam)
       .foreach { k =>
         frames.remove(k).foreach(unpersistCheckpoint)
+        dropAdopted(s, k)
       }
     longs.keys.filter(k => k.startsWith(pfx) && family(k.stripPrefix(pfx)) == fam)
       .foreach(longs.remove)
@@ -156,7 +177,10 @@ object Memo {
   def releaseDir(s: SparkSession, dir: String): Unit = {
     val pfx = s"${sid(s)}|"
     frames.keys.filter(k => k.startsWith(pfx) && k.split('|').contains(dir))
-      .foreach(k => frames.remove(k).foreach(unpersistCheckpoint))
+      .foreach { k =>
+        frames.remove(k).foreach(unpersistCheckpoint)
+        dropAdopted(s, k)
+      }
     longs.keys.filter(k => k.startsWith(pfx) && k.split('|').contains(dir))
       .foreach(longs.remove)
   }

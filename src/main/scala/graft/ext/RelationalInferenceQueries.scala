@@ -182,12 +182,18 @@ object RelationalInferenceQueries {
     // dependent); V = one sqrt. Everything after the one corpus agg rides
     // the |types|×|segments| frame.
     "q_cramers_v" -> { (s, dir) =>
+      // |types|×|segments| rows read by THREE subtrees (two distincts + the
+      // left join) — checkpoint, or each subtree re-runs the corpus agg and
+      // rebuilds the customer broadcast (round-15 StageProbe: 9 single-task
+      // stages ≈ 3.7 s of concurrent broadcast-subquery futures, all of it
+      // the same 30-row aggregate recomputed per subtree)
       val cells = Tables.events(s, dir)
         .join(broadcast(Tables.customer(s, dir)
           .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))),
           Seq("user_id"))
         .groupBy(col("event_type"), col("segment"))
         .agg(count(lit(1)).as("o"))
+        .localCheckpoint()
       val grid = cells.select("event_type").distinct()
         .crossJoin(cells.select("segment").distinct())
         .join(cells, Seq("event_type", "segment"), "left")

@@ -212,7 +212,16 @@ trait RelationalRecurrenceOps {
     *  - the pair self-join runs over baskets already restricted to frequent
     *    items, joined on the transaction key — per-basket fan-out is
     *    C(frequent-basket-size, 2), linear in transactions, never all-pairs
-    *    over the item vocabulary;
+    *    over the item vocabulary. The join's ~1 GB ×100 sort spill was
+    *    attacked twice in round 15 and BOTH alternatives lost on wall
+    *    (same corpus, same session config, solo StageProbe): a
+    *    SHUFFLE_HASH hint (552 MB spill remained — the pair aggregate's,
+    *    not the sort's — join stage 75 → 129 s) and a per-basket
+    *    collect_list + posexplode/slice expansion (zero spill but the
+    *    15M-array ObjectHashAggregate + Generate chain cost 114 s vs the
+    *    sorts' 75 s). The sort-merge spill is the cheapest currency here:
+    *    it is graceful, bounded by the basket frame, and the fastest of
+    *    the three measured forms end-to-end;
     *  - counts ride one hash aggregation with map-side combine; the n_tx
     *    scalar is a 1-row broadcast.
     *
@@ -238,6 +247,8 @@ trait RelationalRecurrenceOps {
       .filter(col("item_cnt") >= minItemSupport)
     val bf = b.join(broadcast(freq), Seq("item"))
     val nTx = b.agg(count_distinct(col("tx")).as("n_tx"))
+    // unhinted tx self-join (sort-merge at scale) KEPT after two measured
+    // ×100 revert-grade A/Bs — see the scale-shape note above
     bf.as("x")
       .join(
         bf.as("y"),

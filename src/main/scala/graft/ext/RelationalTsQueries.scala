@@ -229,19 +229,23 @@ object RelationalTsQueries {
         .select(col("user_id"), col("event_type").as("channel"), secs(col("ts")).as("t_s"))
       p.join(t, Seq("user_id"))
         .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 86400L)
-        // COMPOSITE window key (user_id, p_id): p_id is user-nested, so
-        // the groups are identical — but the join output is already
-        // hash-partitioned by user_id, which SATISFIES the composite
-        // clustering (partition exprs ⊆ window keys), so the window runs
-        // as a LOCAL sort with NO second exchange of the pair frame (the
-        // r14 ×100 run charged this query 57 MB of sort spill + a full
-        // pair-frame re-shuffle on the p_id-only key).
+        // COLLAPSE before the window (round 15): every touch of one
+        // purchase carries the identical credit (it depends only on the
+        // purchase's touch count), so the per-(purchase, channel) COUNT is
+        // a sufficient statistic — the hash agg runs inside the join stage
+        // (user_id partitioning ⊆ grouping keys, no exchange, no sort) and
+        // the window then sorts ≤ |channels| rows per purchase instead of
+        // every touch row (the r14 ×100 run charged the row-level window
+        // 45 MB of sort spill; the credit sum per group is cnt·credit,
+        // exact integers — bit-identical to the row-at-a-time fold).
+        .groupBy(col("user_id"), col("p_id"), col("channel"))
+        .agg(count(lit(1)).as("cnt"))
         .withColumn("n_touch",
-          count(lit(1)).over(Window.partitionBy("user_id", "p_id")))
+          sum(col("cnt")).over(Window.partitionBy("user_id", "p_id")))
         .withColumn("credit_q6", expr("1000000 DIV n_touch"))
         .groupBy(col("channel"))
-        .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit_q6")).as("credit_q6_sum"),
+        .agg(sum(col("cnt")).as("n_touches"),
+          sum(col("cnt") * col("credit_q6")).as("credit_q6_sum"),
           count_distinct(col("p_id")).as("n_purchases"))
         .orderBy("channel")
     },
@@ -261,16 +265,24 @@ object RelationalTsQueries {
         .select(col("user_id"), col("event_type").as("channel"), secs(col("ts")).as("t_s"))
       p.join(t, Seq("user_id"))
         .filter(col("t_s") <= col("p_s") && col("t_s") >= col("p_s") - 7L * 86400L)
-        .withColumn("w",
-          expr("shiftright(1000000L, CAST((p_s - t_s) DIV 86400 AS INT))"))
-        // composite (user_id, p_id) key — same groups, but satisfied by
-        // the join's user_id hash partitioning: local sort, no second
-        // pair-frame exchange (524 MB ×100 sort spill in the r14 set)
+        // COLLAPSE before the window (round 15, the q_linear_attribution
+        // lever): the weight depends only on the whole-day lag, so rows of
+        // one (purchase, channel, Δday) cell share the identical credit —
+        // the hash agg collapses the pair frame inside the join stage (no
+        // exchange: user_id ⊆ keys) and the window sorts ≤ |channels|·8
+        // rows per purchase instead of every touch (524 MB ×100 sort spill
+        // in the r14 set came from exactly this sort). wsum = Σ cnt·w and
+        // per-cell credit·cnt are exact integers — bit-identical.
+        .withColumn("dd", expr("CAST((p_s - t_s) DIV 86400 AS INT)"))
+        .groupBy(col("user_id"), col("p_id"), col("dd"), col("channel"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr("shiftright(1000000L, dd)"))
         .withColumn("wsum",
-          sum(col("w")).over(Window.partitionBy("user_id", "p_id")))
+          sum(col("w") * col("cnt")).over(Window.partitionBy("user_id", "p_id")))
         .withColumn("credit_q6", expr("w * 1000000 DIV wsum"))
         .groupBy(col("channel"))
-        .agg(count(lit(1)).as("n_touches"), sum(col("credit_q6")).as("credit_q6_sum"))
+        .agg(sum(col("cnt")).as("n_touches"),
+          sum(col("cnt") * col("credit_q6")).as("credit_q6_sum"))
         .orderBy("channel")
     },
 
@@ -290,14 +302,17 @@ object RelationalTsQueries {
       val t = ev.filter(col("event_type").isin("click", "view"))
         .select(col("user_id"), col("event_type").as("channel"),
           col("event_id").as("t_id"), secs(col("ts")).as("t_s"))
-      // p_id-keyed windows KEPT after a measured ×100 A/B (round 15): the
-      // composite (user_id, p_id) form elides this exchange (the join's
-      // user_id hash partitioning satisfies the clustering — the
-      // q_linear/q_decay_attribution lever), but here it FUSES both
-      // window sorts into the join stage, where they compete with the
-      // join's own buffers for task memory: solo ×100 measured 0 → 1.15 GB
-      // sort spill for a 1.4 GB exchange saved and −4 s wall. The
-      // exchange is the cheaper currency — it breaks the stage, and the
+      // p_id-keyed windows KEPT after TWO measured ×100 A/Bs. Round 14:
+      // fusing the window SORTS into the join stage via the composite
+      // (user_id, p_id) key traded the 1.4 GB exchange for 1.15 GB of
+      // in-stage sort spill. Round 15: the collapse rewrite that fixed
+      // q_linear/q_decay_attribution (per-(purchase, channel) hash agg)
+      // needs first/last = min/max(struct(t_s, t_id)) — and a STRUCT agg
+      // buffer is not hash-aggregatable, so the collapse planned as a
+      // SortAggregate INSIDE the join stage and spilled the identical
+      // 1.15 GB (measured solo, wall 13.5 vs 12.0 s). The U-shape is
+      // rank-dependent; until first/last fit a primitive agg buffer the
+      // exchange is the cheaper currency — it breaks the stage and the
       // post-exchange sorts run with full task memory (zero spill).
       val w = Window.partitionBy("p_id").orderBy("t_s", "t_id")
       p.join(t, Seq("user_id"))

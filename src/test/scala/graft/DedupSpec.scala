@@ -292,10 +292,14 @@ class DedupSpec extends SparkSpec {
     // and the answer is bit-identical to the unbucketed reference
     assert(bucketed.orderBy("doc").collect().toSeq ==
       local.orderBy("doc").collect().toSeq)
-    // lifecycle: the warehouse GC drops what this test created
+    // lifecycle: the warehouse GC drops what this test created. Since the
+    // round-15 adoption rule, MEMO-owned tables built by other suites in
+    // this shared session legitimately survive a registry drop (they die
+    // at Memo.release / the end-of-run sweep), so assert on the registry
+    // being emptied — not on the whole warehouse.
     assert(Dedup.Intermediate.dropBucketedTables(spark) >= 1)
-    assert(spark.catalog.listTables().collect()
-      .forall(!_.name.startsWith("graft_")), "GC must empty the graft tables")
+    assert(Dedup.Intermediate.createdSnapshot.isEmpty,
+      "GC must empty the per-invocation table registry")
   }
 
   test("containmentPairs: embedded short doc passes containment, fails jaccard") {

@@ -3,33 +3,89 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-15 pins: the fixed 16-cell semantic-dedup machinery digest (the
-  * query left the declared surface — the last declared fixed-parameter
-  * quadratic — but its small-cell dominance machinery stays under test).
+import graft.ext.{Dedup, Memo}
+
+/** Round-15 optimization pins: the memo-owned managed-table lifecycle
+  * (adopted tables survive per-invocation registry drops and die at
+  * release), and the plan shapes of the queries restructured this round
+  * (attribution collapse, market-basket array pairs, shared posting
+  * table, checkpointed Cramér's-V cell frame). Semantics of every
+  * restructured query stay covered by their existing recompute tests +
+  * the oracle gate; these tests pin the PHYSICAL shapes the round's
+  * measurements rely on.
   */
 class Round15Spec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("fixed 16-cell semantic dedup: machinery pin (sf0.001 digest)") {
-    // q_semantic_dedup (fixed NCells=16) left the declared surface in
-    // round 15: its within-cell pair work grows as (N/16)² — ~49 s at
-    // ×100 (r10 probe), the same fixed-parameter cliff class as the
-    // fixed-plane q_embed_neardup demoted in r14. q_semantic_dedup_auto
-    // (cellsForExact: k² ≥ N ⇒ O(N·√N) pair work) is the declared
-    // production path. The machinery pin: golden = the oracle-green
-    // output on the driver's sf0.001 embeddings fixture — including the
-    // kept=0 dominance path that only small cells exercise. Regenerate
-    // after a DELIBERATE fixture/machinery change by re-running
-    // fixedSemanticDedup at sf0.001 and re-digesting.
-    val rows = graft.ext.SimilarityQueries
-      .fixedSemanticDedup(spark, "/root/testdata/sf0.001")
-      .select(concat_ws("-", col("id"), col("cell"), col("kept")).as("e"))
-      .as[String].collect()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(rows.mkString(",").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(rows.length == 500, s"row count drifted: ${rows.length}")
-    assert(digest == "048bf26ad290df38e50f1876a67cf0a1",
-      s"fixed semantic-dedup digest drifted: $digest")
+  private val SfDir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("Memo.cachedVia adopts its managed tables: a registry drop cannot break a live memo") {
+    val key = s"r15-adopt-${System.nanoTime}"
+    val f = Memo.cachedVia(spark, key) {
+      Dedup.Intermediate.Bucketed(2).keyed(
+        Seq((1L, 10L), (2L, 20L), (3L, 20L)).toDF("k", "v"), "r15_adopt_probe", "k")
+    }
+    assert(f.count() == 3)
+    // the per-invocation registry drop (what several suites and any single
+    // query's teardown run) must NOT delete the memo's table...
+    Dedup.Intermediate.dropBucketedTables(spark)
+    assert(f.count() == 3, "live memoized table must survive a registry drop")
+    // ...release drops it (table-backed memos hold no storage memory; the
+    // release IS the disk GC)
+    val table = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.contains("r15_adopt_probe"))
+    assert(table.nonEmpty, "the adopted table exists until release")
+    Memo.release(spark, key)
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.contains("r15_adopt_probe")),
+      "release must drop the adopted table")
+  }
+
+  test("attribution collapse: windows consume per-(purchase, channel) aggregates, not raw touch rows") {
+    // linear + decay: the Window's input is the collapsed HASH aggregate
+    // (keys start with user_id, p_id) — raw touch rows never enter a sort.
+    // The collapse must stay hash-aggregatable (count/sum only): a struct
+    // or other non-primitive agg buffer would silently plan a
+    // SortAggregate inside the join stage — measured 1.15 GB of ×100 sort
+    // spill when the U-shaped variant tried min/max(struct) (that query
+    // keeps its r14 p_id-exchange window form, see its comment).
+    for (q <- Seq("q_linear_attribution", "q_decay_attribution")) {
+      val p = plan(q)
+      val wIdx = p.indexOf("Window")
+      assert(wIdx >= 0, s"$q keeps its per-purchase window:\n$p")
+      val below = p.substring(wIdx)
+      assert(below.contains("HashAggregate(keys=[user_id"),
+        s"$q: the window must consume the per-(purchase, channel) collapse:\n$p")
+      assert(!p.contains("SortAggregate"),
+        s"$q: the collapse must stay hash-aggregatable:\n$p")
+    }
+  }
+
+  // q_assoc_rules keeps its r13 shape: both round-15 alternatives to the
+  // tx self-join (SHUFFLE_HASH; collect_list + posexplode expansion) were
+  // measured at ×100 and LOST on wall — the negative results live in the
+  // marketBasket scaladoc + BASELINE.md. PlanSpec pins the surviving shape.
+
+  test("q_dedup_containment shares the jaccard family's posting table") {
+    val p = plan("q_dedup_containment")
+    assert(p.contains("graft_shared_postings"),
+      s"containment must read the shared bucketed posting table:\n$p")
+    // and the candidate build consumes the same table (one tokenize pass
+    // per session for both families)
+    val cand = graft.ext.DedupQueries.bucketedPostings(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(cand.contains("graft_shared_postings"), cand)
+  }
+
+  test("q_cramers_v: the cell frame is checkpointed — one corpus aggregate, not three") {
+    val p = plan("q_cramers_v")
+    assert(!p.contains("Scan parquet"),
+      s"downstream of the checkpoint no subtree re-scans the corpus:\n$p")
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"the grid/margin subtrees read the checkpointed cells:\n$p")
   }
 }
