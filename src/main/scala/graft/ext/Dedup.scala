@@ -104,7 +104,8 @@ object Dedup {
       * once the results are materialized (Verify/Bench do, per run) or the
       * warehouse accumulates one gram-sized table per invocation.
       */
-    final case class Bucketed(buckets: Int) extends Intermediate {
+    final case class Bucketed(buckets: Int, sortedFiles: Boolean = true)
+        extends Intermediate {
       require(buckets > 0, "buckets must be > 0")
       def apply(df: DataFrame, label: String): DataFrame = {
         val spark = df.sparkSession
@@ -115,7 +116,7 @@ object Dedup {
       override def keyed(df: DataFrame, label: String, key: String): DataFrame = {
         val spark = df.sparkSession
         val table = tableName(df, label)
-        Scale.writeBucketed(df, table, key, buckets)
+        Scale.writeBucketed(df, table, key, buckets, sortedFiles)
         spark.table(table)
       }
       // unique per materialization + JVM, same contract as Durable paths;

@@ -59,8 +59,15 @@ object DedupQueries {
     // span-dedup lever). Other family consumers trade memory-block reads
     // for parquet scans WITH pushed jaccard/id filters — row-identical
     // (jaccard is one IEEE quotient computed at build, stored exactly).
+    // sortedFiles = false (round 15): the cand frame arrives from the
+    // sizes SMJ partitioned on b, so the V1 write sort buffered every
+    // task's full slice — 768.5 MB ×100 spill, 27 s of the build's 110 s
+    // solo wall (StageProbe). The unsorted form's bucket-key repartition
+    // + concurrent writer removes the sort; file count and every
+    // consumer plan (the read-side SMJ sorts per bucket regardless)
+    // are unchanged.
     Memo.cachedVia(s, s"jaccard-cand-pairs|$dir") {
-      Dedup.Intermediate.Bucketed(parts).keyed(
+      Dedup.Intermediate.Bucketed(parts, sortedFiles = false).keyed(
         Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
           threshold = 0.0, maxDf = MaxDf,
           intermediate = Dedup.Intermediate.Bucketed(parts),

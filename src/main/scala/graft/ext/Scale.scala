@@ -104,23 +104,66 @@ object Scale {
     sf.hint("merge").join(sd.hint("merge"), Seq(key, "_salt"), how).drop("_salt")
   }
 
-  /** Write a frame bucketed+sorted by `key` into `buckets` files under the
+  /** Write a frame bucketed by `key` into `buckets` files under the
     * session warehouse as `table` — the one-time cost that removes the
     * join-side exchange from every subsequent query on that key. `key`
     * may be a comma-separated list: Spark's co-partition check
     * (`requireAllClusterKeysForCoPartition`, default on) only elides the
     * exchange when the JOIN keys exactly match the bucket columns, so a
     * composite-key join needs a composite-key bucket spec.
+    *
+    * `sortedFiles = false` writes the table WITHOUT the per-task write
+    * sort (round 15): Spark's V1 bucketed write plans a Sort by
+    * (bucket-id, sortBy cols) that buffers each task's ENTIRE output —
+    * the ×100 probe measured the candidate-pair table build spilling
+    * 768.5 MB in that sort (stage wall 27 s) — while the file-level sort
+    * order it produces is IGNORED at read since Spark 3
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering` defaults to
+    * false, and the engine's bucket-join consumers re-sort per bucket in
+    * their own SMJs; PlanSpec pins that Sort explicitly). The unsorted
+    * form instead repartitions on the bucket keys — the SAME murmur3
+    * pmod that assigns bucket ids, so every task holds exactly one
+    * bucket and writes exactly one file (file count and layout identical
+    * to the sorted form) — and enables
+    * `spark.sql.maxConcurrentOutputFileWriters`, under which the planner
+    * omits the write sort entirely (`V1WritesUtils.getSortOrder`). Net:
+    * one streaming exchange replaces a full per-task sort.
+    * Default stays `true`: callers whose input is not worth an extra
+    * exchange (small frames) keep the historical layout.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      sortedFiles: Boolean = true): Unit = {
     val keys = key.split(",").map(_.trim).filter(_.nonEmpty)
     require(keys.nonEmpty, "need at least one bucket column")
-    df.write
-      .mode("overwrite")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .format("parquet")
-      .saveAsTable(table)
+    if (sortedFiles) {
+      df.write
+        .mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(table)
+    } else {
+      val spark = df.sparkSession
+      val ck = "spark.sql.maxConcurrentOutputFileWriters"
+      val prev = spark.conf.getOption(ck)
+      // 8 writers: the repartition guarantees one bucket per task, so one
+      // writer suffices; the slack covers AQE-rewritten corner plans
+      // without opening enough parquet writers to matter for memory
+      spark.conf.set(ck, "8")
+      try {
+        df.repartition(buckets, keys.map(col): _*)
+          .write
+          .mode("overwrite")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .format("parquet")
+          .saveAsTable(table)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(ck, v)
+          case scala.None => spark.conf.unset(ck)
+        }
+      }
+    }
   }
 
   /** Join two tables previously written with [[writeBucketed]] on the same

@@ -45,6 +45,66 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
       "release must drop the adopted table")
   }
 
+  test("unsorted bucketed write: same rows, same bucket layout, no write sort") {
+    import graft.ext.Scale
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("a", "b")
+    val tSorted = s"r15_bw_sorted_${System.nanoTime}"
+    val tUnsorted = s"r15_bw_unsorted_${System.nanoTime}"
+    Scale.writeBucketed(df, tSorted, "a,b", 4)
+    Scale.writeBucketed(df, tUnsorted, "a,b", 4, sortedFiles = false)
+    try {
+      // identical content
+      val s = spark.table(tSorted).orderBy("a").collect().toSeq
+      val u = spark.table(tUnsorted).orderBy("a").collect().toSeq
+      assert(s == u, "unsorted bucketed write must round-trip identical rows")
+      // identical bucket spec — the join-side exchange elision both
+      // consumers (PlanSpec's minhash pin) rely on
+      def buckets(t: String): String = spark.sql(s"DESCRIBE EXTENDED $t")
+        .collect().map(r => r.getString(0) + "=" + r.getString(1))
+        .filter(_.startsWith("Num Buckets")).mkString
+      assert(buckets(tUnsorted) == buckets(tSorted),
+        "bucket count must match the sorted form")
+      // file layout: the bucket-key repartition puts exactly one bucket in
+      // each write task — EXACTLY one file per bucket. The sorted form
+      // writes one file per (input task × bucket) when its input is not
+      // bucket-aligned (measured here: 16 files for 4 buckets from a
+      // 4-partition input), so the unsorted form is also the small-files
+      // fix for the candidate table (×100: ≤ 32 files instead of ~1024)
+      def files(t: String): Int = {
+        val loc = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+          .find(_.getString(0) == "Location").get.getString(1)
+        new java.io.File(new java.net.URI(loc)).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      }
+      assert(files(tUnsorted) == 4,
+        s"unsorted form must write exactly one file per bucket")
+      assert(files(tSorted) >= files(tUnsorted),
+        s"the sorted form fans out per (task × bucket)")
+      // the write plan itself must carry NO Sort under concurrent writers
+      // (V1WritesUtils.getSortOrder skips the logical sort exactly when
+      // the bucket spec has no sortBy columns and
+      // maxConcurrentOutputFileWriters > 0) — the mechanism the ×100
+      // spill fix relies on, pinned against Spark upgrades
+      val ck = "spark.sql.maxConcurrentOutputFileWriters"
+      val prev = spark.conf.getOption(ck)
+      def insertPlan(t: String): String =
+        spark.sql(s"EXPLAIN FORMATTED INSERT OVERWRITE TABLE $t SELECT * FROM $t")
+          .collect().map(_.getString(0)).mkString
+      spark.conf.set(ck, "8")
+      try {
+        assert(!insertPlan(tUnsorted).contains("Sort ["),
+          "no-sortBy bucketed write under concurrent writers must plan no Sort")
+        assert(insertPlan(tSorted).contains("Sort ["),
+          "the sortBy form plans the per-task write sort (the cost the " +
+            "unsorted form removes)")
+      } finally prev match {
+        case Some(v) => spark.conf.set(ck, v)
+        case scala.None => spark.conf.unset(ck)
+      }
+    } finally Seq(tSorted, tUnsorted).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("attribution collapse: windows consume per-(purchase, channel) aggregates, not raw touch rows") {
     // linear + decay: the Window's input is the collapsed HASH aggregate
     // (keys start with user_id, p_id) — raw touch rows never enter a sort.
