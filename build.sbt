@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (round 16): the bench's final JSON line must be the
+// LAST line on stdout, parseable as-is. Two sbt defaults broke that every
+// round (BENCH_r01..r15 all record "parsed": null): the forked child's
+// stdout is logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time: …" footer after the run. Pass child output through
+// raw and suppress the footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task — exclude
+// it from the unused-key lint (the warning itself would dirty the log tail)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -280,37 +280,39 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, doc + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
-    // The driver's artifact keeps only the ~2000-char tail of the sbt log,
-    // and the full per-query line above outgrew it in round 8. Emit a
-    // compact summary as the LAST line, in the documented driver contract
-    // shape — {"metric","value","unit","queries",…,"sf"} — so the tail
-    // scrape always contains one PARSEABLE contract line (the r12 compact
-    // line used a "top" key instead of "queries" and the driver recorded
-    // "parsed": null two rounds running). "queries" here holds the 10
-    // slowest walls; the complete record lives in target/bench.json.
-    val top = results.collect { case (k, Some(v)) => k -> v }.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
+    // Contract line (round 16): the FULL per-query wall map — every round
+    // through r15 recorded "parsed": null because (a) the line carried only
+    // the 10 slowest walls and (b) sbt's "[info] " prefix and "[success]"
+    // footer displaced/decorated it; build.sbt now passes child output
+    // through raw and suppresses the footer, so this println is the last
+    // line on stdout. Walls are rounded to ms to keep the line compact;
+    // full-precision walls plus byte counters live in target/bench.json.
+    val allWalls = results
+      .map { case (k, v) =>
+        s"\"$k\":" + v.map(x => (math.round(x * 1000) / 1000.0).toString).getOrElse("null")
+      }
       .mkString("{", ",", "}")
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contractLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"failed":$failedArr,"queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n":${results.size},"failed":$failedArr,"queries":$allWalls,"sf":"$sfDir"}"""
     // warehouse GC for the bucketed-intermediate tables (one per
     // invocation × reps; dead once the noop writes above completed) —
     // BEFORE the summary line, so nothing it logs can displace the
     // contract line from the scraped tail. Teardown failures must not eat
     // the contract line (a Derby shutdown hiccup here would reproduce the
     // "parsed": null artifact this block exists to prevent), so the line
-    // prints in a finally — and ALSO to stderr under a unique marker, so
-    // a marker-scanning parser finds it even when sbt's own [success]
-    // footer displaces the last stdout line.
+    // prints in a finally. The stderr marker copy prints FIRST: under a
+    // merged (2>&1) capture the stdout contract line must still be last.
     try {
       graft.ext.Dedup.Intermediate.dropBucketedTables(spark, sweepStragglers = true)
       spark.stop()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] teardown failed (results unaffected): $e")
     } finally {
-      println(contractLine)
       System.err.println(s"GRAFT_BENCH_JSON $contractLine")
+      System.err.flush()
+      println(contractLine)
+      System.out.flush()
     }
   }
 }

@@ -87,8 +87,12 @@ class Round15Spec extends AnyFunSuite with SparkSpec {
       // spill fix relies on, pinned against Spark upgrades
       val ck = "spark.sql.maxConcurrentOutputFileWriters"
       val prev = spark.conf.getOption(ck)
+      // a separate source view: Spark rejects reading and overwriting the
+      // SAME table at analysis (UNSUPPORTED_OVERWRITE), which EXPLAIN runs
+      val srcView = s"r15_bw_src_${System.nanoTime}"
+      df.createOrReplaceTempView(srcView)
       def insertPlan(t: String): String =
-        spark.sql(s"EXPLAIN FORMATTED INSERT OVERWRITE TABLE $t SELECT * FROM $t")
+        spark.sql(s"EXPLAIN FORMATTED INSERT OVERWRITE TABLE $t SELECT * FROM $srcView")
           .collect().map(_.getString(0)).mkString
       spark.conf.set(ck, "8")
       try {
