@@ -52,8 +52,19 @@ object StreamParityQueries {
       sentinel: java.sql.Timestamp => DataFrame,
       attach: DataFrame => DataFrame): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
-    src.write.mode("overwrite").parquet(tmp)
+    // Round 16 (replay fixed cost): the sentinel lands in the source dir
+    // BEFORE the stream starts, so batch 0 carries corpus + sentinel and
+    // ONE no-data batch flushes every closed window — 2 micro-batches per
+    // replay instead of 3 (and one fewer mid-stream parquet append +
+    // processAllAvailable round). Emitted rows are IDENTICAL: every batch-0
+    // row processes under watermark 0 (nothing is ever late), the watermark
+    // then jumps past every real window end exactly as the two-step replay's
+    // final watermark did, and emission in append mode depends only on that
+    // final watermark. The oracle gate re-checks the full row set.
     val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+    src.write.mode("overwrite").parquet(tmp)
+    sentinel(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L))
+      .coalesce(1).write.mode("append").parquet(tmp)
     val out = attach(s.readStream.schema(src.schema).parquet(tmp))
     val qn = s"stream_replay_${System.nanoTime}"
     // state partitions scoped down (the stream-stream join lesson): the
@@ -65,10 +76,7 @@ object StreamParityQueries {
     withShufflePartitions(s, 8) {
       val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
       try {
-        q.processAllAvailable() // batch 0: the whole corpus
-        sentinel(new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L))
-          .coalesce(1).write.mode("append").parquet(tmp)
-        q.processAllAvailable() // sentinel batch + the no-data flush batch
+        q.processAllAvailable() // batch 0 (corpus + sentinel) + the no-data flush batch
       } finally q.stop()
     }
     s.table(qn)
@@ -445,9 +453,21 @@ object StreamParityQueries {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_ojoin")
       val cDir = base.resolve("clicks").toString
       val pDir = base.resolve("purchases").toString
-      clicks.write.mode("overwrite").parquet(cDir)
-      purchases.write.mode("overwrite").parquet(pDir)
+      // round 16 (replay fixed cost): BOTH sentinel rounds pre-landed —
+      // batch 0 carries corpus + sentinels under watermark 0 (nothing late,
+      // every inner match is per-batch), the watermark then jumps straight
+      // to +4 d, and ONE no-data batch flushes every outer row whose 1 h
+      // window closed: all real clicks' nulls plus the +2 d sentinel click's
+      // (filtered by cuser ≥ 0), exactly the two-step replay's final set —
+      // the intermediate +2 d watermark step only changed WHEN rows
+      // emitted, never which. 2 micro-batches instead of 3 rounds × (data +
+      // flush) batches, and 4 fewer mid-stream appends.
       val maxTs = ev0.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinels = Seq(2L, 4L).map(d => new java.sql.Timestamp(maxTs.getTime + d * 86400000L))
+      clicks.unionByName(sentinels.map(t => (t, -1L)).toDF("cts", "cuser"))
+        .write.mode("overwrite").parquet(cDir)
+      purchases.unionByName(sentinels.map(t => (t, -1L, 0L)).toDF("pts", "puser", "cents"))
+        .write.mode("overwrite").parquet(pDir)
       val cs = s.readStream.schema(clicks.schema).parquet(cDir)
         .withWatermark("cts", "0 seconds")
       val ps = s.readStream.schema(purchases.schema).parquet(pDir)
@@ -460,15 +480,7 @@ object StreamParityQueries {
         val q = joined.writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
         try {
-          q.processAllAvailable()
-          for (days <- Seq(2L, 4L)) {
-            val t = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
-            Seq((t, -1L)).toDF("cts", "cuser").coalesce(1)
-              .write.mode("append").parquet(cDir)
-            Seq((t, -1L, 0L)).toDF("pts", "puser", "cents").coalesce(1)
-              .write.mode("append").parquet(pDir)
-            q.processAllAvailable()
-          }
+          q.processAllAvailable() // batch 0 (corpus + sentinels) + the outer-flush no-data batch
         } finally q.stop()
       }
       s.table(qn)
@@ -635,8 +647,15 @@ object StreamParityQueries {
       import s.implicits._
       val beats = ev(s, dir).select(col("event_type").as("key"), col("ts"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_absence").toString
-      beats.write.mode("overwrite").parquet(tmp)
+      // round 16 (replay fixed cost): sentinel pre-landed — batch 0 sets
+      // every key's last-seen (the sentinel key's too), the watermark then
+      // jumps past every real key's 1.5 d horizon, and the timeouts fire in
+      // ONE no-data batch: 2 micro-batches instead of 3. silent_for =
+      // final-watermark − last-seen on both shapes — identical rows.
       val maxTs = beats.agg(max(col("ts"))).head().getTimestamp(0)
+      beats.write.mode("overwrite").parquet(tmp)
+      Seq((("sentinel"), new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L)))
+        .toDF("key", "ts").coalesce(1).write.mode("append").parquet(tmp)
       val stream = s.readStream.schema(beats.schema).parquet(tmp)
         .withWatermark("ts", "0 seconds")
         .as[graft.streaming.StatefulOps.Heartbeat](
@@ -647,10 +666,7 @@ object StreamParityQueries {
         val q = out.toDF().writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
         try {
-          q.processAllAvailable() // batch 0: every real heartbeat
-          Seq((("sentinel"), new java.sql.Timestamp(maxTs.getTime + 2L * 86400000L)))
-            .toDF("key", "ts").coalesce(1).write.mode("append").parquet(tmp)
-          q.processAllAvailable() // sentinel batch + the timeout-firing no-data batch
+          q.processAllAvailable() // batch 0 (beats + sentinel) + the timeout-firing no-data batch
         } finally q.stop()
       }
       s.table(qn)

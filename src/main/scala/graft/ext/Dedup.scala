@@ -1086,8 +1086,19 @@ object Dedup {
       blockCols: Seq[String],
       maxDist: Int): DataFrame = {
     require(blockCols.nonEmpty, "blocking requires at least one key column")
+    // spread the probe side across the session width (round 16): the
+    // blocked self-join broadcasts one side, so the stage's parallelism is
+    // the OTHER side's scan split count — and a dim-sized record table is
+    // one parquet file, putting the entire Levenshtein kernel (the query's
+    // whole CPU) in ONE task (×100 StageProbe: a single 2.3 s task while 31
+    // cores idled). One block-keyed exchange of the record frame fans the
+    // kernel out; block keys are low-skew by the blocking contract (a block
+    // is pair-bounded or the query is quadratic anyway). Join row set is
+    // partitioning-independent — results identical.
+    val width = recs.sparkSession.sparkContext.defaultParallelism
     val a = recs.select(
-      (blockCols.map(col) :+ col(idCol).as("a")) :+ col(nameCol).as("na"): _*)
+        (blockCols.map(col) :+ col(idCol).as("a")) :+ col(nameCol).as("na"): _*)
+      .repartition(width, blockCols.map(col): _*)
     val b = recs.select(
       (blockCols.map(col) :+ col(idCol).as("b")) :+ col(nameCol).as("nb"): _*)
     a.join(b, blockCols)
@@ -1129,15 +1140,24 @@ object Dedup {
       textCol: String,
       n: Int,
       tNum: Int,
-      tDen: Int): DataFrame = {
+      tDen: Int,
+      postings: Option[DataFrame] = None): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
     // the posting frame feeds sizes, document frequencies, the prefix
     // ranking, AND both verification arms — materialize it once (the
     // jaccardPairs Intermediate contract; unmaterialized, every arm
     // re-tokenizes the corpus: measured 5.6 s → this was the single most
-    // expensive declared query at sf0.1)
-    val post0 = hashedPostings(docs, idCol, textCol, n).localCheckpoint()
+    // expensive declared query at sf0.1).
+    // `postings`, when provided, is an ALREADY-MATERIALIZED (doc, h) frame
+    // (the jaccardPairs/containmentPairs round-15 contract — round 16
+    // extends the share here): this operator's algebra is UNCAPPED, and the
+    // shared table IS the uncapped `Dedup.postings` frame, so results are
+    // identical while the per-invocation re-tokenize + checkpoint residency
+    // disappear; an h-bucketed table additionally feeds `dfreq` and the
+    // prefix join bucket-aligned (no exchange below the doc-keyed window).
+    val post0 = postings.getOrElse(
+      hashedPostings(docs, idCol, textCol, n).localCheckpoint())
     val sizes = post0.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val dfreq = post0.groupBy("h").agg(count(lit(1)).as("df"))
     // global total order (df asc, h asc): rarest shingles first, ties broken
@@ -1185,19 +1205,36 @@ object Dedup {
     val docSets = post0
       .groupBy(col("doc"))
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n_sh"))
-    val threshold = tNum.toDouble / tDen
+    // the per-pair intersection is the verification stage's whole CPU (an
+    // O(|set|) hash-probe kernel per row) — compute it ONCE (round 16): the
+    // original projected `size(array_intersect)/(na+nb−size(array_intersect))`
+    // and filtered on the quotient, which evaluated the kernel up to 4× per
+    // pair (twice in the projection, again in the pushed-down filter; the
+    // ×100 probe charged the stage 58.9 s). `inter` is aliased in its own
+    // projection (CollapseProject keeps non-cheap multi-use aliases
+    // un-inlined) and the threshold cut runs as the EXACT integer
+    // inequality inter·tDen ≥ tNum·(na+nb−inter) — equivalent to the
+    // double compare: for q ≤ 2²⁰-ish set sizes the only rationals that
+    // round to double(tNum/tDen) are the exactly-threshold ones, which both
+    // forms include. The emitted jaccard stays the identical IEEE quotient
+    // of the same integers.
     cand
       .join(docSets.select(col("doc").as("a"), col("hs").as("ha"), col("n_sh").as("na")),
         Seq("a"))
       .join(docSets.select(col("doc").as("b"), col("hs").as("hb"), col("n_sh").as("nb")),
         Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"))
+      // single-occurrence form of inter·tDen ≥ tNum·(na+nb−inter): the
+      // optimizer substitutes `inter`'s defining kernel into the pushed
+      // join condition VERBATIM per occurrence, so the algebra must
+      // reference it once
+      .filter(col("inter") * (tDen + tNum) >= lit(tNum) * (col("na") + col("nb")))
       .select(
         col("a"),
         col("b"),
-        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          (col("na") + col("nb") - size(array_intersect(col("ha"), col("hb")))))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03

@@ -139,9 +139,13 @@ object DedupQueries {
     // needed. Oracle = the direct uncapped Jaccard recompute: the prefix
     // optimization must be invisible to results.
     "q_dedup_prefix_filter" -> { (s, dir) =>
+      // round 16: reads the family-shared bucketed posting table (this
+      // operator's algebra is uncapped and the shared table IS the uncapped
+      // posting frame) — before, it re-tokenized the corpus and held the
+      // frame as checkpoint blocks per invocation
       Dedup
         .prefixFilterPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
-          tNum = 4, tDen = 5)
+          tNum = 4, tDen = 5, postings = Some(bucketedPostings(s, dir)))
         .orderBy("a", "b")
     },
 

@@ -960,6 +960,26 @@ object Relational extends RelationalRecurrenceOps {
     val ah = element_at(array(ahs.map(lit): _*), b + 1)
     val al = element_at(array(als.map(lit): _*), b + 1)
     val cB = element_at(array(cs.map(lit): _*), b + 1)
+    weightFromConsts(ah, al, cB, hLo, hHi)
+  }
+
+  /** [[bootWeight]] with the replicate index known AT PLAN-BUILD time: the
+    * per-replicate constants resolve to three Scala longs instead of three
+    * `element_at(array(<reps> literals), b+1)` lookups the optimizer must
+    * constant-fold per replicate. Identical draw by construction (same
+    * constants, same algebra) — the point is the EXPRESSION TREE SIZE:
+    * round-16 PhaseProbe charged `q_bootstrap_ci` 0.8–0.9 s of driver-side
+    * Column construction plus 0.25–0.34 s of optimization PER REP (×2 — the
+    * noop write re-plans), almost all of it the 32 replicates × 3 × 32
+    * folded literal arrays.
+    */
+  private[graft] def bootWeightAt(b: Int, hLo: Column, hHi: Column, reps: Int): Column = {
+    val (ahs, als, cs) = bootConsts(reps)
+    weightFromConsts(lit(ahs(b)), lit(als(b)), lit(cs(b)), hLo, hHi)
+  }
+
+  private def weightFromConsts(
+      ah: Column, al: Column, cB: Column, hLo: Column, hHi: Column): Column = {
     val mid = (ah * hLo + al * hHi).bitwiseAND(lit((1L << 30) - 1))
     val u = (al * hLo + shiftleft(mid, 30) + cB)
       .bitwiseAND(lit((1L << 60) - 1))
@@ -999,7 +1019,7 @@ object Relational extends RelationalRecurrenceOps {
     // so a row pays one md5 + reps cheap integer draws, and the shuffle
     // carries 2·reps+2 longs per group — nothing else
     val repAggs = (0 until reps).flatMap { b =>
-      val w = bootWeight(lit(b), col("h_lo"), col("h_hi"), reps)
+      val w = bootWeightAt(b, col("h_lo"), col("h_hi"), reps)
       Seq(sum(w * col("v")).as(s"wv_$b"), sum(w).as(s"wn_$b"))
     }
     val allAggs = Seq(count(lit(1)).as("n_rows"), sum(col("v")).as("sv")) ++ repAggs

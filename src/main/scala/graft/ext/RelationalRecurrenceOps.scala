@@ -245,7 +245,17 @@ trait RelationalRecurrenceOps {
       .groupBy("item")
       .agg(count(lit(1)).as("item_cnt"))
       .filter(col("item_cnt") >= minItemSupport)
-    val bf = b.join(broadcast(freq), Seq("item"))
+    // the downward-closure prefilter is a SEMI join (freq is unique per
+    // item, so semi ≡ inner here) and the join/aggregate below run on
+    // NARROW (tx, item) rows — round 16: item_cnt used to ride both
+    // self-join sides AND the pair-aggregate keys (it is functionally
+    // dependent on the item), which put 827.7 MB through the tx exchange
+    // and 4-long keys in the pair aggregate's hash map; the ×100 probe
+    // charged that stage 996.3 MB of spill / 45.2 s of the query's 83.9 s.
+    // Support counts re-attach AFTER the minPairSupport cut, to the
+    // output-bounded rule frame, via two broadcast joins of the
+    // vocabulary-sized freq table — bit-identical integers.
+    val bf = b.join(broadcast(freq.select("item")), Seq("item"), "left_semi")
     val nTx = b.agg(count_distinct(col("tx")).as("n_tx"))
     // unhinted tx self-join (sort-merge at scale) KEPT after two measured
     // ×100 revert-grade A/Bs — see the scale-shape note above
@@ -253,15 +263,21 @@ trait RelationalRecurrenceOps {
       .join(
         bf.as("y"),
         col("x.tx") === col("y.tx") && col("x.item") < col("y.item"))
-      // item_cnt is functionally dependent on item — grouping by both keeps
-      // the support counts in the aggregate without a join-back
+      // partial pair aggregate stays IN the join stage (third measured
+      // ×100 A/B, round 16): exchanging the raw pair stream on (a, b)
+      // first — which lets the planner skip the partial and zeroes the
+      // spill — wrote 1178 MB of raw pairs and cost 69.7 s vs this form's
+      // 61.3 s / 478 MB graceful sort spill. The narrow (tx, item) rows
+      // above are the shipped win (83.9 → 61.3 s, spill 996 → 478 MB).
       .groupBy(
         col("x.item").as("item_a"),
-        col("x.item_cnt").as("cnt_a"),
-        col("y.item").as("item_b"),
-        col("y.item_cnt").as("cnt_b"))
+        col("y.item").as("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairSupport)
+      .join(broadcast(freq.select(col("item").as("item_a"), col("item_cnt").as("cnt_a"))),
+        Seq("item_a"))
+      .join(broadcast(freq.select(col("item").as("item_b"), col("item_cnt").as("cnt_b"))),
+        Seq("item_b"))
       .crossJoin(broadcast(nTx))
       .select(
         col("item_a"),
